@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operators, mirroring the reference's declarative plan IR
+  * (SURVEY.md §2.1/§2.3: ScanParquet, Values, Project, Filter, Aggregate
+  * min/max/min_by/max_by, SemiJoin, AntiJoin, UnionAll, and the expression
+  * language) re-expressed as Spark DataFrame pipelines on the TPC-H-ish
+  * corpus, plus the canonical log-replay query shape
+  * (reference kernel/src/scan/scan_plan.rs:51-133).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - every query ends with a total ORDER BY (unique tie-break columns);
+  *  - double aggregation goes through DECIMAL(18,4) so partial-aggregation
+  *    order cannot perturb low bits (sum of decimals is exact in both
+  *    engines), then back to DOUBLE;
+  *  - per-row double arithmetic is IEEE-deterministic and left alone.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact decimal expressions for the money columns (all are exactly 2dp
+    * doubles in this corpus): cast each SOURCE column to a tight decimal,
+    * then multiply/sum decimals — exact integer arithmetic in both Spark
+    * and DuckDB, so partial-agg order and double→decimal rounding-mode
+    * differences can't perturb the result. Returned as double.
+    */
+  private val discPriceDec =
+    "cast(l_extendedprice as decimal(10,2)) * (1 - cast(l_discount as decimal(4,2)))"
+  private val chargeDec =
+    s"$discPriceDec * (1 + cast(l_tax as decimal(4,2)))"
+
+  private def dsum(sqlExpr: String): Column =
+    sum(expr(sqlExpr)).cast("double")
+
+  private def davg(sqlExpr: String): Column =
+    sum(expr(sqlExpr)).cast("double") / count(lit(1))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ScanParquet + Project + Filter (predicate pushdown + column pruning;
+    // reference nodes.rs:100-185, :281-328)
+    "q_scan_project_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .filter(col("l_quantity") < 10)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Values: inline literal rows (reference nodes.rs:212-279)
+    "q_values" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "add"), (2L, "remove"), (3L, "metaData"), (4L, "protocol"))
+        .toDF("id", "action")
+        .orderBy(col("id"))
+    }),
+
+    // Filter with SQL three-valued logic: NULL predicate result drops the
+    // row (reference nodes.rs:323-328)
+    "q_filter_3vl" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("source") === "src0", lit(null)).otherwise(col("n_chars"))
+            .as("nc"))
+        .filter(col("nc") > 200)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Aggregate: group-by + min/max (the reference IR's only agg ops,
+    // nodes.rs:474-788) + numRecords-style count
+    "q_agg_minmax" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          count(lit(1)).as("num_records"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // MaxNonNullBy / MinNonNullBy — arg-max/arg-min over a unique ordering
+    // key (reference nodes.rs:474-705; Spark native max_by/min_by)
+    "q_max_by" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          min_by(col("value"), col("event_id")).as("first_val"),
+          max(col("event_id")).as("last_event_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SemiJoin inverted=false (reference nodes.rs:790-829)
+    "q_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 150000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SemiJoin inverted=true (LEFT ANTI — the log-replay
+    // checkpoint-minus-commits arm; reference nodes.rs:790-829)
+    "q_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // UnionAll (reference nodes.rs:831-865)
+    "q_union_all" -> ((s, d) => {
+      val a = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("key"), lit("pending").as("src"))
+      val b = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("key"), lit("bigline").as("src"))
+      a.unionAll(b).orderBy(col("key"), col("src"))
+    }),
+
+    // Expression language: arithmetic (int division truncates), coalesce,
+    // cast, nullif/is-null, IS DISTINCT FROM (reference §2.3)
+    "q_expr_ops" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("disc_price"),
+          expr("l_orderkey div 7").as("div7"),
+          expr("coalesce(nullif(l_returnflag, 'N'), 'none')").as("flag_or_none"),
+          expr("cast(floor(l_quantity) as bigint)").as("qty_floor"),
+          expr("nullif(l_tax, 0.0d) is null").as("tax_is_zero"),
+          expr("l_returnflag is distinct from l_linestatus").as("flag_ne_status"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ParseJson: permissive from_json — unparseable => NULL, never error
+    // (reference expressions/mod.rs:331-359)
+    "q_parse_json" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // In-list + array_contains (reference data-skipping `In` shape,
+    // expressions/mod.rs:84-98)
+    "q_in_list" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          array_contains(array(lit("F")), col("l_linestatus")).as("status_f"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // The canonical log-replay dedup arm (reference scan_plan.rs:51-133):
+    // newest action per key wins (max_by over version), then keep live rows.
+    "q_log_replay_dedup" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max(col("event_id")).as("last_version"))
+        .filter(col("last_type") =!= "error")
+        .orderBy(col("user_id"))
+    }),
+
+    // CDF net-changes shape: earliest pre-image + latest post-image per key
+    // (reference table_changes/net_changes.rs)
+    "q_net_changes" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_val"),
+          max_by(col("value"), col("event_id")).as("last_val"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // TPC-H Q1-shaped headline aggregation
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <=
+          lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("cast(l_quantity as decimal(8,2))").as("sum_qty"),
+          dsum("cast(l_extendedprice as decimal(10,2))").as("sum_base_price"),
+          dsum(discPriceDec).as("sum_disc_price"),
+          dsum(chargeDec).as("sum_charge"),
+          davg("cast(l_quantity as decimal(8,2))").as("avg_qty"),
+          davg("cast(l_extendedprice as decimal(10,2))").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3-shaped headline join (broadcast dim, shuffle agg, top-k)
+    "q3_top_revenue" -> ((s, d) => {
+      val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit(cutoff))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") >= lit(cutoff))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(discPriceDec).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped headline multi-join
+    "q5_region_revenue" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(discPriceDec).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_values" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'add'), (2, 'remove'),
+        | (3, 'metaData'), (4, 'protocol')) AS t(id, action) ORDER BY id""".stripMargin,
+
+    "q_filter_3vl" ->
+      """SELECT doc_id, nc FROM (
+        |  SELECT doc_id, CASE WHEN source = 'src0' THEN NULL ELSE n_chars END AS nc
+        |  FROM documents) WHERE nc > 200 ORDER BY doc_id""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  count(*) AS num_records
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_max_by" ->
+      """SELECT user_id, max_by(event_type, event_id) AS last_type,
+        |  min_by("value", event_id) AS first_val,
+        |  max(event_id) AS last_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT key, src FROM (
+        |  SELECT o_orderkey AS key, 'pending' AS src FROM orders
+        |  WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT l_orderkey AS key, 'bigline' AS src FROM lineitem
+        |  WHERE l_quantity >= 49) ORDER BY key, src""".stripMargin,
+
+    "q_expr_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS disc_price,
+        |  l_orderkey // 7 AS div7,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  nullif(l_tax, 0.0) IS NULL AS tax_is_zero,
+        |  l_returnflag IS DISTINCT FROM l_linestatus AS flag_ne_status
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_parse_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_in_list" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  list_contains(['F'], l_linestatus) AS status_f
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_log_replay_dedup" ->
+      """SELECT * FROM (
+        |  SELECT user_id, max_by(event_type, event_id) AS last_type,
+        |    max(event_id) AS last_version
+        |  FROM events GROUP BY user_id)
+        |WHERE last_type <> 'error' ORDER BY user_id""".stripMargin,
+
+    "q_net_changes" ->
+      """SELECT user_id, event_type,
+        |  min_by("value", event_id) AS first_val,
+        |  max_by("value", event_id) AS last_val,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM($discPriceDec) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM($chargeDec) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM($discPriceDec) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+        |  CAST(SUM($discPriceDec) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: exact + near deduplication (MinHash, SimHash,
+  * n-gram Jaccard, embedding cosine), similarity search (brute-force
+  * cosine top-k baseline), and text analysis (token counting, quality
+  * scoring, language-ID heuristic, fingerprinting).
+  *
+  * All hash-based ops use an engine-portable hash — the leading 60 bits of
+  * md5 (identical in Spark and DuckDB) — so every op here has an exact
+  * DuckDB oracle. Scale notes are on each op: shingle explode → shuffle on
+  * shingle (bounded by band/bucket size), pair generation is bucket-local,
+  * dimension sides are broadcast.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT. */
+  private def h60(colSql: String): String =
+    s"cast(conv(substring(md5($colSql), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(colSql: String): String =
+    s"(('0x' || substr(md5($colSql), 1, 15))::BIGINT)"
+
+  private val P = 1000000007L
+  /** Fixed (a, b) params for the MinHash family h_j = (a_j*h + b_j) mod P. */
+  private val minhashParams: Seq[(Long, Long)] = Seq(
+    (824633702L, 1000010L), (899809343L, 2000021L), (999999937L, 3000033L),
+    (998244353L, 4000037L), (715827883L, 5000011L), (617281741L, 6000009L),
+    (536870923L, 7000003L), (179424673L, 8000009L))
+
+  private val SIMHASH_BITS = 16
+
+  /** Word-level 3-gram shingles, lowercased, one row per (doc_id, shingle),
+    * distinct within doc. Explode is narrow; downstream groupBy shuffles on
+    * doc_id (bounded: #docs), jaccard join shuffles on shingle.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w)-3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+
+  private val shinglesDuck =
+    """WITH wrds AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |     for i in range(1, len(w)-1)])) AS sh
+      |  FROM wrds WHERE len(w) >= 3)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Deduplication -------------------------------------------------
+    // Exact dedup: hash-groupBy on content hash; keeps min doc_id as the
+    // cluster representative. One shuffle on the hash; at 100 TB this is
+    // the standard map-side-combine groupBy.
+    "q_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(col("h"))
+    }),
+
+    // MinHash signatures: k=8 permutations over word-3-gram shingles.
+    // explode → single shuffle on doc_id with 8 min() partial aggs.
+    "q_minhash_sig" -> ((s, d) => {
+      val withH = shingles(s, d)
+        .withColumn("h", expr(s"${h60("sh")} % $P"))
+      val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min(expr(s"(h * ${a}L + ${b}L) % ${P}L")).as(s"mh$j")
+      }
+      withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs: join on shared shingle
+    // (shuffle keyed by shingle — bucket-local pair generation), then
+    // |A∩B| / |A∪B| >= 0.3. The all-pairs explosion is bounded by shingle
+    // bucket sizes; at scale, hot shingles would be dropped as stop-shingles.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d).cache()
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val ca = counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+      val cb = counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+      pairs.join(broadcast(ca), "doc_a").join(broadcast(cb), "doc_b")
+        .withColumn("jaccard",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash (16-bit here; 64-bit in ops.Dedup): per-word hash bits are
+    // summed ±1 per bit position, sign → fingerprint bit. One shuffle.
+    "q_simhash" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .withColumn("h", expr(h60("word")))
+      val bitAggs = (0 until SIMHASH_BITS).map { i =>
+        sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$i")
+      }
+      val combined = (0 until SIMHASH_BITS).map { i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      words.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"), combined.as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding cosine near-dup pairs: all-pairs over broadcast side at
+    // this SF; the IVF/LSH-bucketed scale path lives in ops.Similarity.
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"))
+        .withColumn("na", expr(
+          "sqrt(aggregate(transform(va, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
+        .withColumn("nb", expr(
+          "sqrt(aggregate(transform(vb, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
+        .withColumn("sim", col("dot") / (col("na") * col("nb")))
+        .filter(col("sim") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ---- Similarity search ---------------------------------------------
+    // Brute-force cosine top-k: queries broadcast against the candidate
+    // scan; per-query top-k via window. At 100 TB the candidate side stays
+    // partitioned, queries broadcast — no shuffle of the big side.
+    "q_knn_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("v").as("nv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"))
+        .withColumn("nq", expr(
+          "sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
+        .withColumn("nn", expr(
+          "sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
+        .withColumn("sim", col("dot") / (col("nq") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    // ---- Text analysis --------------------------------------------------
+    "q_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          length(col("text")).as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_count(text, '\\\\b(the|and|of|to|a)\\\\b')").as("stop_hits"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          expr("cast(length(regexp_replace(text, '[^a-z]', '')) as double)" +
+            " / length(text)").as("alpha_ratio"))
+        .withColumn("quality",
+          lit(0.5) * col("alpha_ratio") +
+          lit(0.3) * least(col("stop_hits") / 10.0, lit(1.0)) +
+          lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic (stopword densities; deterministic tie-breaks)
+    "q_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("en_hits", expr("regexp_count(text, '\\\\b(the|and|a)\\\\b')"))
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"),
+          when(col("en_hits") * 10 >= col("n_tokens"), lit("en"))
+            .when(col("en_hits") > 0, lit("en_low"))
+            .otherwise(lit("unknown")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: 60-bit content hash of whitespace-normalized
+    // text + hex prefix (rolling-hash analog, engine-portable)
+    "q_doc_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
+        .select(col("doc_id"),
+          expr(h60("norm")).as("fp64"),
+          substring(md5(col("norm")), 1, 16).as("fp_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
+    // Byte-level metadata over an opaque payload: size + deterministic
+    // content hash + fake frame count (real decode is stubbed — see
+    // ops.Multimodal for the typed plumbing).
+    "q_multimodal_bytes" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          substring(md5(col("text")), 1, 8).as("content_hash"),
+          expr("cast(ceil(octet_length(text) / 64.0) as bigint)").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Window-function dedup policy: keep the longest doc per (source, lang)
+    "q_window_dedup_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("lang"))
+    })
+  )
+
+  private val simhashBitSumsDuck = (0 until SIMHASH_BITS).map { i =>
+    s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+  }.mkString(", ")
+  private val simhashCombineDuck = (0 until SIMHASH_BITS).map { i =>
+    s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"
+  }.mkString(" + ")
+
+  private val minhashAggsDuck = minhashParams.zipWithIndex.map {
+    case ((a, b), j) => s"min((h * $a + $b) % $P) AS mh$j"
+  }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""$shinglesDuck,
+         |hh AS (SELECT doc_id, ${h60Duck("sh")} % $P AS h FROM sh)
+         |SELECT doc_id, $minhashAggsDuck
+         |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""$shinglesDuck,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(inter / (na.n + nb.n - inter), 6) AS jaccard
+         |FROM p JOIN n na ON p.doc_a = na.doc_id
+         |       JOIN n nb ON p.doc_b = nb.doc_id
+         |WHERE inter / (na.n + nb.n - inter) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH wrd AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         |  FROM documents),
+         |hh AS (SELECT doc_id, ${h60Duck("word")} AS h FROM wrd),
+         |b AS (SELECT doc_id, $simhashBitSumsDuck FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashCombineDuck AS BIGINT) AS simhash
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        |FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= 5
+        |ORDER BY qid, nid""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id, stop_hits, n_tokens, alpha_ratio,
+        |  0.5 * alpha_ratio + 0.3 * least(stop_hits / 10.0, 1.0)
+        |    + 0.2 * least(n_tokens / 100.0, 1.0) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) AS stop_hits,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)
+        |      AS alpha_ratio
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN en_hits * 10 >= n_tokens THEN 'en'
+        |       WHEN en_hits > 0 THEN 'en_low'
+        |       ELSE 'unknown' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|and|a)\b')) AS en_hits,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, ${h60Duck("norm")} AS fp64,
+         |  substr(md5(norm), 1, 16) AS fp_hex
+         |FROM (SELECT doc_id,
+         |        lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_bytes" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS content_hash,
+        |  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_window_dedup_rank" ->
+      """SELECT source, lang, doc_id, n_chars FROM (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY source, lang""".stripMargin
+  )
+}
