@@ -1,0 +1,151 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericRowWithSchema}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+import scala.jdk.CollectionConverters._
+
+/** Scan builder (reference: kernel/src/scan/mod.rs:226-518): resolve the
+  * read schema, split the predicate into partition vs data conjuncts,
+  * prune files by typed partition values and by min/max stats, then hand
+  * the surviving file list to a distributed parquet read with per-file
+  * partition-value injection (the physical→logical transform,
+  * scan/transform_spec.rs).
+  */
+class ScanBuilder(snapshot: Snapshot) {
+  private var predicateSql: Option[String] = None
+
+  /** Predicate over table columns, as Spark SQL text (mirrors the
+    * kernel's engine-agnostic `Predicate` tree).
+    */
+  def withPredicate(sql: String): ScanBuilder = { predicateSql = Some(sql); this }
+
+  def build(): DeltaScan = new DeltaScan(snapshot, predicateSql)
+}
+
+class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
+  private val spark = snapshot.spark
+  private val partCols = snapshot.partitionColumns
+  private val schema = snapshot.schema
+
+  private lazy val predicate: Option[Expression] =
+    predicateSql.map(DataSkipping.parse(spark, _))
+
+  private lazy val (partConjuncts, dataConjuncts) = {
+    val cs = predicate.map(DataSkipping.conjuncts).getOrElse(Nil)
+    cs.partition { c =>
+      val refs = DataSkipping.references(c)
+      refs.nonEmpty && refs.subsetOf(partCols.toSet)
+    }
+  }
+
+  private def fieldType(name: String): DataType =
+    schema.fields.find(_.name == name).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(s"no such column $name"))
+
+  /** Typed partition-values struct from the string map (reference
+    * MapToStruct, expressions/mod.rs:643-668).
+    */
+  private def pvStruct: Column =
+    struct(partCols.map(c =>
+      PartitionValues.castExpr("add.partitionValues", c, fieldType(c)).as(c)): _*)
+
+  /** Surviving add actions after partition pruning + stats skipping
+    * (reference scan/data_skipping.rs; removes are never pruned —
+    * pruning here runs on the post-replay live set, and per-file stats
+    * are identical for a given (path, dv) key, so pruning before vs
+    * after dedup is equivalent — scan_plan.rs:85-98).
+    */
+  lazy val filesDF: DataFrame = {
+    var df = snapshot.allAdds
+    if (partCols.nonEmpty && partConjuncts.nonEmpty) {
+      val pp = partConjuncts.map { c =>
+        c.transform {
+          case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+            UnresolvedAttribute(Seq("__pv", a.nameParts.head))
+        }
+      }.map(_.sql).mkString(" AND ")
+      df = df.withColumn("__pv", pvStruct).filter(expr(pp)).drop("__pv")
+    }
+    if (dataConjuncts.nonEmpty) {
+      val eligible = DataSkipping.statsSchema(snapshot.dataSchema)
+        .fields.find(_.name == "minValues").get.dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      val skips = dataConjuncts.flatMap(DataSkipping.rewrite(_, eligible))
+      if (skips.nonEmpty) {
+        val skipSql = skips.map(_.sql).mkString(" AND ")
+        df = df.withColumn("__stats",
+            from_json(col("add.stats"), DataSkipping.statsSchema(snapshot.dataSchema)))
+          // missing/partial stats ⇒ NULL comparisons ⇒ coalesce keeps the file
+          .filter(expr(s"coalesce($skipSql, true)"))
+          .drop("__stats")
+      }
+    }
+    df
+  }
+
+  def collectAddFiles(): Seq[AddFile] =
+    filesDF.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
+
+  /** URI path (no scheme/authority) of `_metadata.file_path` — the join
+    * key tying rows back to their add action.
+    */
+  private def normalizedMetaPath: Column =
+    regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+
+  private def decodePath(p: String): String =
+    try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  /** The distributed data read: schema-first parquet scan over the live
+    * files; partition columns are injected by a broadcast join on the
+    * normalized file path (O(1) plan size regardless of partition count —
+    * per-file literal unions would blow up the plan at 100 TB).
+    */
+  def toDF: DataFrame = {
+    val adds = collectAddFiles()
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(snapshot.tableRoot, conf)
+
+    if (adds.isEmpty) {
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+    }
+
+    val absPaths = adds.map { a =>
+      fs.makeQualified(new Path(snapshot.tableRoot, decodePath(a.path)))
+    }
+
+    val dataSchema = snapshot.dataSchema
+    val reader = spark.read.schema(dataSchema)
+      .parquet(absPaths.map(_.toString): _*)
+
+    val out =
+      if (partCols.isEmpty) reader
+      else {
+        // (normalized path, typed partition values) — small, broadcast
+        val pvSchema = StructType(
+          StructField("__path", StringType) +:
+            partCols.map(c => StructField(c, fieldType(c))))
+        val pvRows: Seq[Row] = adds.zip(absPaths).map { case (a, abs) =>
+          val vals = partCols.map { c =>
+            PartitionValues.parse(a.partitionValues.getOrElse(c, null),
+              fieldType(c))
+          }
+          new GenericRowWithSchema(
+            (abs.toUri.getPath +: vals).toArray[Any], pvSchema): Row
+        }
+        val pvDF = spark.createDataFrame(pvRows.asJava, pvSchema)
+        reader.withColumn("__path", normalizedMetaPath)
+          .join(broadcast(pvDF), Seq("__path"))
+      }
+
+    val projected = out.select(schema.fieldNames.map(col): _*)
+    // residual predicate: skipping is best-effort, row filtering is exact
+    predicateSql.map(p => projected.filter(expr(p))).getOrElse(projected)
+  }
+}

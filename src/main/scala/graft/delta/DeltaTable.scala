@@ -1,0 +1,339 @@
+package graft.delta
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing Delta table handle: ACID writes (CREATE/append/DELETE),
+  * snapshot reads with time travel, checkpointing.
+  * (reference: kernel/src/transaction/mod.rs — append txn :199-322,
+  * commit :327-590; create_table.rs; history_manager/mod.rs)
+  */
+class DeltaTable(val spark: SparkSession, val pathStr: String) {
+  val root = new Path(pathStr)
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def fs = Storage.fs(root, hconf)
+  private val logDir = FileNames.logDir(root)
+
+  def snapshot(version: Option[Long] = None): Snapshot =
+    Snapshot.forTable(spark, pathStr, version)
+
+  def toDF: DataFrame = snapshot().toDF
+
+  def scan(predicateSql: Option[String] = None,
+      version: Option[Long] = None): DeltaScan = {
+    val b = snapshot(version).scanBuilder()
+    predicateSql.foreach(b.withPredicate)
+    b.build()
+  }
+
+  // ---------------- commit machinery ----------------
+
+  /** Atomic put-if-absent commit (reference committer/filesystem.rs).
+    * Blind appends retry at the next version on conflict; reads-based
+    * commits (delete) surface the conflict.
+    */
+  private[delta] def commitActions(startVersion: Long, actions: Seq[String],
+      retryable: Boolean): Long = {
+    var v = startVersion
+    val content = actions.mkString("", "\n", "\n")
+    var attempts = 0
+    while (!Storage.putIfAbsent(fs, FileNames.commitFile(logDir, v), content)) {
+      attempts += 1
+      if (!retryable || attempts > 1000)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict at version $v for $pathStr")
+      v += 1
+    }
+    v
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+
+  private def commitInfoLine(op: String, params: Map[String, String]): String =
+    JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
+      timestamp = now(), operation = op, operationParameters = params,
+      engineInfo = Some("graft-spark/0.1.0")))))
+
+  // ---------------- write path ----------------
+
+  /** Stage `df` as parquet files under a unique subdir, collect per-file
+    * stats in ONE distributed pass (groupBy on `_metadata.file_path` —
+    * map-side combine, no row leaves the executor un-aggregated), and
+    * return add actions. (reference transaction/mod.rs:199-322 +
+    * default-engine/src/stats.rs)
+    */
+  private def stageFiles(df: DataFrame, snap: Snapshot): Seq[AddFile] = {
+    val partCols = snap.partitionColumns
+    val dataSchema = snap.dataSchema
+    val stage = "part-" + UUID.randomUUID().toString.substring(0, 8)
+    val stagePath = new Path(root, stage)
+
+    val writer = df.select(snap.schema.fieldNames.map(col): _*).write
+      .mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stagePath.toString)
+
+    // remove committer markers, list the staged data files
+    val success = new Path(stagePath, "_SUCCESS")
+    if (fs.exists(success)) fs.delete(success, false)
+    val files = Storage.listFilesRecursive(fs, stagePath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+
+    // one distributed stats pass over exactly the staged files
+    val eligible = dataSchema.fields.filter(f =>
+      DataSkipping.isEligible(f.dataType)).map(_.name).toSeq
+    val allCols = dataSchema.fieldNames.toSeq
+    val aggs =
+      eligible.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))) ++
+      allCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    val statsRows = spark.read.schema(dataSchema)
+      .parquet(files.map(_.getPath.toString): _*)
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(count(lit(1)).as("numRecords"), aggs: _*)
+      .collect()
+    val statsByPath = statsRows.map { r =>
+      val uri = new java.net.URI(r.getAs[String]("__fp")).getPath
+      uri -> StatsJson.fromAggRow(r, eligible, allCols)
+    }.toMap
+
+    files.map { st =>
+      val abs = st.getPath
+      val rel = abs.toUri.getPath.stripPrefix(
+        fs.makeQualified(root).toUri.getPath).stripPrefix("/")
+      val pv: Map[String, String] = rel.split('/').dropRight(1)
+        .filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else unescapePathName(v))
+        }.toMap
+      AddFile(
+        path = rel,
+        partitionValues = partCols.map(c => c -> pv.getOrElse(c, null)).toMap,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = statsByPath.get(fs.makeQualified(abs).toUri.getPath))
+    }
+  }
+
+  /** Hive-style partition-dir unescaping (%XX only — '+' stays). */
+  private def unescapePathName(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => b.append(c); i += 1 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Blind append (reference transaction/mod.rs add_files + commit). */
+  def append(df: DataFrame, txn: Option[SetTransaction] = None): Long = {
+    val snap = snapshot()
+    val adds = stageFiles(df, snap)
+    val lines =
+      Seq(commitInfoLine("WRITE", Map("mode" -> "Append"))) ++
+      txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
+      adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    commitActions(snap.version + 1, lines, retryable = true)
+  }
+
+  /** DELETE WHERE: files whose rows all survive are untouched; files with
+    * any matching row are rewritten without the matching rows
+    * (remove+add pairs — reference transaction/update.rs:188-812 file-
+    * granular path; DV-based row-granular delete is the upgrade path).
+    */
+  def deleteWhere(predicateSql: String): Long = {
+    val snap = snapshot()
+    val scan = new DeltaScan(snap, Some(predicateSql))
+    val candidates = scan.collectAddFiles()
+    if (candidates.isEmpty) return snap.version
+
+    val candidatePaths = candidates.map(a =>
+      fs.makeQualified(new Path(root, a.path)).toString)
+    // survivors: NOT(cond) OR cond IS NULL  (DELETE's 3VL contract)
+    val full = readFiles(snap, candidates)
+    val survivors = full.filter(
+      not(coalesce(expr(predicateSql), lit(false))))
+    val newAdds =
+      if (survivors.isEmpty) Nil else stageFiles(survivors, snap)
+    val removes = candidates.map { a =>
+      RemoveFile(a.path, Some(now()), dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size))
+    }
+    val lines =
+      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql))) ++
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    commitActions(snap.version + 1, lines, retryable = false)
+  }
+
+  /** Read specific add files with partition values injected. */
+  private def readFiles(snap: Snapshot, adds: Seq[AddFile]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = adds.map(a =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](RowCodec.addToRow(a), snap.version),
+        addRowSchema): org.apache.spark.sql.Row)
+    val filesDF = spark.createDataFrame(rows.asJava, addRowSchema)
+    // reuse the scan's read machinery by faking a snapshot-scoped scan
+    new DeltaScan(snap, None) {
+      override lazy val filesDF: DataFrame =
+        spark.createDataFrame(rows.asJava, addRowSchema)
+    }.toDF
+  }
+
+  private val addRowSchema = StructType(Seq(
+    StructField("add", LogSchema.add), StructField("version", LongType)))
+
+  // ---------------- checkpoint ----------------
+
+  /** Write a classic single-file V1 checkpoint at the current version +
+    * `_last_checkpoint` hint (reference kernel/src/checkpoint/mod.rs,
+    * action reconciliation in action_reconciliation/log_replay.rs).
+    */
+  def checkpoint(): Long = {
+    val snap = snapshot()
+    val v = snap.version
+
+    // reconcile: live adds + unexpired remove tombstones + P&M + txns
+    val actions = snap.latestActions // (key, add, remove, version)
+    val fileActions = actions.select(
+      lit(null).cast(LogSchema.txn).as("txn"),
+      col("add"),
+      col("remove"),
+      lit(null).cast(LogSchema.metaData).as("metaData"),
+      lit(null).cast(LogSchema.protocol).as("protocol"),
+      lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"))
+
+    import scala.jdk.CollectionConverters._
+    val pmRows: Seq[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(null, null, null, null,
+        protocolRow(snap.protocol), null),
+      org.apache.spark.sql.Row(null, null, null,
+        metadataRow(snap.metadata), null, null)) ++
+      snap.setTransactions.map(t => org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(t.appId, t.version,
+          t.lastUpdated.map(Long.box).orNull), null, null, null, null, null))
+    val pmDF = spark.createDataFrame(pmRows.asJava, LogSchema.checkpoint)
+
+    val state = pmDF.unionByName(fileActions)
+    val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
+    state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Storage.listFilesRecursive(fs, tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val dest = FileNames.classicCheckpointFile(logDir, v)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part.getPath, dest)
+    fs.delete(tmp, true)
+
+    val size = spark.read.parquet(dest.toString).count()
+    Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
+      s"""{"version":$v,"size":$size}""")
+    v
+  }
+
+  private def protocolRow(p: Protocol): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(p.minReaderVersion, p.minWriterVersion,
+      p.readerFeatures.orNull, p.writerFeatures.orNull)
+
+  private def metadataRow(m: graft.delta.Metadata): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(m.id, m.name.orNull, m.description.orNull,
+      org.apache.spark.sql.Row(m.format.provider, m.format.options),
+      m.schemaString, m.partitionColumns, m.configuration,
+      m.createdTime.map(Long.box).orNull)
+
+  // ---------------- history / time travel ----------------
+
+  /** (version, file-or-in-commit timestamp millis, operation). */
+  def history(): Seq[(Long, Long, String)] = {
+    Storage.listSorted(fs, logDir).flatMap { st =>
+      FileNames.parse(st.getPath) match {
+        case Some(FileNames.CommitFile(v, p)) =>
+          val op = Storage.readLines(fs, p).iterator
+            .map(JsonLog.parseLine)
+            .collectFirst {
+              case n if n.has("commitInfo") && !n.get("commitInfo").isNull =>
+                val ci = n.get("commitInfo")
+                val ts = Option(ci.get("inCommitTimestamp"))
+                  .filterNot(_.isNull).map(_.asLong)
+                  .getOrElse(st.getModificationTime)
+                (ts, Option(ci.get("operation")).map(_.asText).getOrElse(""))
+            }.getOrElse((st.getModificationTime, ""))
+          Some((v, op._1, op._2))
+        case _ => None
+      }
+    }
+  }
+
+  /** Latest version committed at or before `tsMillis` (reference
+    * history_manager/mod.rs timestamp search).
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val h = history()
+    val eligible = h.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"no version at or before timestamp $tsMillis")
+    eligible.map(_._1).max
+  }
+}
+
+object DeltaTable {
+
+  def forPath(spark: SparkSession, path: String): DeltaTable =
+    new DeltaTable(spark, path)
+
+  def isDeltaTable(spark: SparkSession, path: String): Boolean = {
+    val p = FileNames.logDir(new Path(path))
+    val fs = Storage.fs(p, spark.sessionState.newHadoopConf())
+    fs.exists(p) && Storage.listSorted(fs, p)
+      .exists(st => FileNames.parse(st.getPath).isDefined)
+  }
+
+  /** CREATE TABLE: commit 0 with protocol + metadata (reference
+    * transaction/builder/create_table.rs).
+    */
+  def create(spark: SparkSession, path: String, schema: StructType,
+      partitionColumns: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty,
+      name: Option[String] = None): DeltaTable = {
+    require(partitionColumns.forall(schema.fieldNames.contains),
+      "partition column not in schema")
+    val t = new DeltaTable(spark, path)
+    val meta = graft.delta.Metadata(
+      id = UUID.randomUUID().toString,
+      name = name, description = None, format = Format(),
+      schemaString = schema.json,
+      partitionColumns = partitionColumns,
+      configuration = configuration,
+      createdTime = Some(System.currentTimeMillis()))
+    val lines = Seq(
+      JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
+        System.currentTimeMillis(), "CREATE TABLE",
+        Map("partitionBy" -> partitionColumns.mkString(",")),
+        Some("graft-spark/0.1.0"))))),
+      JsonLog.writeAction(SingleAction(protocol = Some(Protocol(1, 2)))),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+    val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
+    fs.mkdirs(FileNames.logDir(t.root))
+    if (!Storage.putIfAbsent(fs,
+        FileNames.commitFile(FileNames.logDir(t.root), 0L),
+        lines.mkString("", "\n", "\n")))
+      throw new IllegalStateException(s"table already exists at $path")
+    t
+  }
+}

@@ -1,0 +1,112 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import FileNames._
+
+/** The contiguous slice of `_delta_log` backing a snapshot at `version`:
+  * the newest complete checkpoint at or below the target plus every
+  * commit after it (reference: kernel/src/log_segment/mod.rs:98-330).
+  */
+case class LogSegment(
+    logDir: Path,
+    version: Long,
+    /** ascending commit files in (checkpointVersion, version] */
+    commits: Seq[CommitFile],
+    /** all parts of the chosen checkpoint (empty if none) */
+    checkpointParts: Seq[CheckpointFile],
+    checkpointVersion: Option[Long])
+
+object LogSegment {
+
+  case class LastCheckpointHint(version: Long, size: Option[Long],
+      parts: Option[Int])
+
+  /** Read the `_last_checkpoint` hint (reference:
+    * kernel/src/last_checkpoint_hint.rs). Corrupt/missing → None; the
+    * hint is an optimization, never trusted for correctness.
+    */
+  def readLastCheckpointHint(fs: FileSystem, logDir: Path): Option[LastCheckpointHint] =
+    try {
+      val p = new Path(logDir, LAST_CHECKPOINT)
+      if (!fs.exists(p)) None
+      else {
+        val n = JsonLog.parseLine(Storage.readLines(fs, p).mkString)
+        Some(LastCheckpointHint(
+          n.get("version").asLong,
+          Option(n.get("size")).map(_.asLong),
+          Option(n.get("parts")).map(_.asInt)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Assemble the segment for `targetVersion` (None = latest).
+    * Validation mirrors log_segment/mod.rs:203-330: commits must be
+    * contiguous, must connect to the checkpoint (or reach version 0),
+    * and the target version must exist.
+    */
+  def forVersion(fs: FileSystem, logDir: Path,
+      targetVersion: Option[Long] = None): LogSegment = {
+    val listed = Storage.listSorted(fs, logDir)
+      .flatMap(st => FileNames.parse(st.getPath))
+    if (listed.isEmpty)
+      throw new IllegalStateException(s"no delta log found at $logDir")
+
+    val inRange: LogFile => Boolean = lf =>
+      targetVersion.forall(lf.version <= _)
+
+    val commits = listed.collect {
+      case c: CommitFile if inRange(c) => c
+    }.sortBy(_.version)
+
+    // complete checkpoints only: all numParts present
+    val ckptGroups = listed.collect {
+      case c: CheckpointFile if inRange(c) && !c.isV2 => c
+    }.groupBy(_.version)
+    val completeCkpts = ckptGroups.filter { case (_, parts) =>
+      parts.map(_.part).distinct.size == parts.head.numParts
+    }
+    val chosenCkpt = completeCkpts.keys.toSeq.sorted.lastOption
+
+    val tail = chosenCkpt match {
+      case Some(cv) => commits.filter(_.version > cv)
+      case None => commits
+    }
+
+    // contiguity validation
+    val expectedStart = chosenCkpt.map(_ + 1).getOrElse(0L)
+    tail.headOption.foreach { h =>
+      if (h.version != expectedStart && chosenCkpt.isEmpty)
+        throw new IllegalStateException(
+          s"log starts at version ${h.version}, expected 0 (no checkpoint)")
+    }
+    tail.zipWithIndex.foreach { case (c, i) =>
+      val expected = tail.head.version + i
+      if (c.version != expected)
+        throw new IllegalStateException(
+          s"missing commit version $expected in $logDir")
+    }
+    chosenCkpt.foreach { cv =>
+      tail.headOption.foreach { h =>
+        if (h.version != cv + 1)
+          throw new IllegalStateException(
+            s"commit gap after checkpoint $cv: next commit is ${h.version}")
+      }
+    }
+
+    val version = (tail.lastOption.map(_.version), chosenCkpt) match {
+      case (Some(v), _) => v
+      case (None, Some(cv)) => cv
+      case (None, None) =>
+        throw new IllegalStateException(s"no usable log entries at $logDir")
+    }
+    targetVersion.foreach { tv =>
+      if (version != tv)
+        throw new IllegalArgumentException(
+          s"requested version $tv not available (latest reachable: $version)")
+    }
+
+    LogSegment(logDir, version, tail,
+      chosenCkpt.map(cv => completeCkpts(cv).sortBy(_.part)).getOrElse(Nil),
+      chosenCkpt)
+  }
+}

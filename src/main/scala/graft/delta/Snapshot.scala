@@ -1,0 +1,245 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.jdk.CollectionConverters._
+
+/** Immutable table state at a version (reference:
+  * kernel/src/snapshot/mod.rs:74-146). Protocol + Metadata come from a
+  * newest-first replay (log_segment/protocol_metadata_replay.rs); the
+  * live file set comes from the distributed log-replay query
+  * (scan/scan_plan.rs:51-133) with a driver fast path for small logs
+  * (mirroring the kernel's iterator-mode log replay,
+  * scan/log_replay.rs:155-434).
+  */
+class Snapshot(
+    val spark: SparkSession,
+    val tableRoot: Path,
+    val segment: LogSegment,
+    val protocol: Protocol,
+    val metadata: Metadata) {
+
+  val version: Long = segment.version
+  lazy val schema: StructType = metadata.schema
+  lazy val partitionColumns: Seq[String] = metadata.partitionColumns
+  lazy val dataSchema: StructType =
+    StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def fsys = Storage.fs(tableRoot, hconf)
+
+  /** Max total commit-JSON bytes for driver-side (non-distributed) replay. */
+  private val DRIVER_REPLAY_MAX_BYTES = 4L << 20
+
+  private lazy val commitPaths = segment.commits.map(_.path.toString)
+  private lazy val ckptPaths = segment.checkpointParts.map(_.path.toString)
+
+  /** DV-aware dedup key (reference log_replay/deduplicator.rs:153
+    * FileActionKey{path, dv_unique_id}).
+    */
+  private def keyExpr(side: String): Column = {
+    val dv = col(s"$side.deletionVector")
+    concat(
+      col(s"$side.path"), lit("@"),
+      when(dv.isNull, lit("")).otherwise(concat(
+        dv.getField("storageType"), dv.getField("pathOrInlineDv"),
+        coalesce(dv.getField("offset").cast("string"), lit("")))))
+  }
+
+  /** Latest file action per (path, dvId): columns
+    * (key, add, remove, version). Distributed log replay — the groupBy
+    * shuffles only the commit arm (small); the checkpoint arm joins
+    * against a broadcast of the commit keys (reference scan_plan.rs
+    * anti-join shape; SURVEY.md §2.2).
+    */
+  lazy val latestActions: DataFrame = {
+    val commitArm: Option[DataFrame] =
+      if (commitPaths.isEmpty) None
+      else Some {
+        val raw = spark.read.schema(LogSchema.full).json(commitPaths: _*)
+          .withColumn("version",
+            regexp_extract(col("_metadata.file_path"), raw"(\d{20})\.json", 1)
+              .cast("long"))
+          .filter(col("add").isNotNull || col("remove").isNotNull)
+          .withColumn("key",
+            when(col("add").isNotNull, keyExpr("add"))
+              .otherwise(keyExpr("remove")))
+        raw.groupBy(col("key"))
+          .agg(
+            max_by(struct(col("add"), col("remove")), col("version")).as("a"),
+            max(col("version")).as("version"))
+          .select(col("key"), col("a.add").as("add"),
+            col("a.remove").as("remove"), col("version"))
+      }
+
+    val ckptArm: Option[DataFrame] =
+      if (ckptPaths.isEmpty) None
+      else Some {
+        spark.read.schema(LogSchema.checkpoint).parquet(ckptPaths: _*)
+          .filter(col("add").isNotNull || col("remove").isNotNull)
+          .withColumn("key",
+            when(col("add").isNotNull, keyExpr("add"))
+              .otherwise(keyExpr("remove")))
+          .withColumn("version", lit(segment.checkpointVersion.get))
+          .select(col("key"), col("add"), col("remove"), col("version"))
+      }
+
+    (commitArm, ckptArm) match {
+      case (Some(c), Some(k)) =>
+        c.unionByName(
+          k.join(broadcast(c.select("key")), Seq("key"), "left_anti"))
+      case (Some(c), None) => c
+      case (None, Some(k)) => k
+      case (None, None) =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](),
+          StructType(Seq()))
+    }
+  }
+
+  /** Live adds: DataFrame with one `add` struct column + `version`.
+    * Small-log fast path does the HashSet dedup on the driver
+    * (reference iterator mode) and lifts the result into a DataFrame.
+    */
+  lazy val allAdds: DataFrame = {
+    val smallLog = segment.checkpointParts.isEmpty &&
+      segment.commits.map(c => fsys.getFileStatus(c.path).getLen).sum <
+        DRIVER_REPLAY_MAX_BYTES
+    if (smallLog) {
+      val rows = driverReplayAdds().map { case (a, v) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](RowCodec.addToRow(a), v), addsSchema): Row
+      }
+      spark.createDataFrame(rows.asJava, addsSchema)
+    } else {
+      latestActions.filter(col("add").isNotNull)
+        .select(col("add"), col("version"))
+    }
+  }
+
+  private lazy val addsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("add", LogSchema.add),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Newest-first driver replay with first-seen-key-wins (mirrors
+    * FileActionDeduplicator, log_replay/mod.rs:32-116).
+    */
+  private def driverReplayAdds(): Seq[(AddFile, Long)] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Long)]
+    segment.commits.sortBy(-_.version).foreach { c =>
+      Storage.readLines(fsys, c.path).foreach { line =>
+        if (line.nonEmpty) {
+          val n = JsonLog.parseLine(line)
+          val addN = n.get("add"); val remN = n.get("remove")
+          if (addN != null && !addN.isNull) {
+            val a = RowCodec.jsonToAdd(addN)
+            val key = a.path + "@" + a.deletionVector.map(_.uniqueId).getOrElse("")
+            if (seen.add(key)) out += ((a, c.version))
+          } else if (remN != null && !remN.isNull) {
+            val r = RowCodec.jsonToRemove(remN)
+            val key = r.path + "@" + r.deletionVector.map(_.uniqueId).getOrElse("")
+            seen.add(key)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Latest SetTransaction per appId (reference
+    * actions/set_transaction.rs).
+    */
+  lazy val setTransactions: Seq[SetTransaction] = {
+    val fromCommits = segment.commits.sortBy(-_.version).flatMap { c =>
+      Storage.readLines(fsys, c.path).flatMap { line =>
+        val n = JsonLog.parseLine(line)
+        Option(n.get("txn")).filterNot(_.isNull).map { t =>
+          SetTransaction(t.get("appId").asText, t.get("version").asLong,
+            Option(t.get("lastUpdated")).filterNot(_.isNull).map(_.asLong))
+        }
+      }
+    }
+    val fromCkpt: Seq[SetTransaction] =
+      if (ckptPaths.isEmpty) Nil
+      else spark.read.schema(LogSchema.checkpoint).parquet(ckptPaths: _*)
+        .filter(col("txn").isNotNull).select("txn.*").collect().toSeq
+        .map(r => SetTransaction(r.getAs[String]("appId"),
+          r.getAs[Long]("version"),
+          if (r.isNullAt(r.fieldIndex("lastUpdated"))) None
+          else Some(r.getAs[Long]("lastUpdated"))))
+    (fromCommits ++ fromCkpt).groupBy(_.appId)
+      .map(_._2.head).toSeq // commits are newest-first, checkpoint last
+  }
+
+  def scanBuilder(): ScanBuilder = new ScanBuilder(this)
+
+  /** Full-table read (no predicate). */
+  def toDF: DataFrame = scanBuilder().build().toDF
+}
+
+object Snapshot {
+
+  /** Build a snapshot (reference snapshot/builder.rs flow): list log,
+    * assemble segment, replay P&M newest-first, validate protocol.
+    */
+  def forTable(spark: SparkSession, tablePath: String,
+      version: Option[Long] = None): Snapshot = {
+    val root = new Path(tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(root, conf)
+    val logDir = FileNames.logDir(root)
+    val segment = LogSegment.forVersion(fs, logDir, version)
+
+    // newest-first P&M replay over commits
+    var protocol: Option[Protocol] = None
+    var metadata: Option[Metadata] = None
+    segment.commits.sortBy(-_.version).iterator
+      .takeWhile(_ => protocol.isEmpty || metadata.isEmpty)
+      .foreach { c =>
+        Storage.readLines(fs, c.path).foreach { line =>
+          val n = JsonLog.parseLine(line)
+          val p = n.get("protocol"); val m = n.get("metaData")
+          if (p != null && !p.isNull && protocol.isEmpty)
+            protocol = Some(JsonLog.parseProtocol(p))
+          if (m != null && !m.isNull && metadata.isEmpty)
+            metadata = Some(JsonLog.parseMetadata(m))
+        }
+      }
+    // fall back to the checkpoint
+    if ((protocol.isEmpty || metadata.isEmpty) &&
+        segment.checkpointParts.nonEmpty) {
+      val pm = spark.read.schema(LogSchema.checkpoint)
+        .parquet(segment.checkpointParts.map(_.path.toString): _*)
+        .filter(col("metaData").isNotNull || col("protocol").isNotNull)
+        .select("metaData", "protocol").collect()
+      pm.foreach { r =>
+        if (!r.isNullAt(1) && protocol.isEmpty)
+          protocol = Some(RowCodec.rowToProtocol(r.getStruct(1)))
+        if (!r.isNullAt(0) && metadata.isEmpty)
+          metadata = Some(RowCodec.rowToMetadata(r.getStruct(0)))
+      }
+    }
+    val p = protocol.getOrElse(throw new IllegalStateException(
+      s"no protocol action found for $tablePath@${segment.version}"))
+    val m = metadata.getOrElse(throw new IllegalStateException(
+      s"no metaData action found for $tablePath@${segment.version}"))
+
+    // reader-version gate (reference table_features/mod.rs:102-185)
+    require(p.minReaderVersion <= 3,
+      s"unsupported minReaderVersion ${p.minReaderVersion}")
+    val supportedReaderFeatures =
+      Set("deletionVectors", "timestampNtz", "columnMapping",
+        "vacuumProtocolCheck", "v2Checkpoint", "variantType-preview")
+    p.readerFeatures.getOrElse(Nil).foreach { f =>
+      require(supportedReaderFeatures.contains(f),
+        s"unsupported reader feature: $f")
+    }
+
+    new Snapshot(spark, root, segment, p, m)
+  }
+}

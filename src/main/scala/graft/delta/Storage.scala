@@ -1,0 +1,68 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Storage handler (reference: kernel/src/lib.rs:611-674 StorageHandler
+  * contract — UTF-8-sorted listing, atomic put-if-absent writes).
+  * Hadoop FileSystem backs every scheme Spark supports.
+  */
+object Storage {
+
+  def fs(path: Path, conf: Configuration): FileSystem = path.getFileSystem(conf)
+
+  /** List a directory sorted by name (the listing contract,
+    * lib.rs:611-626). Empty if the dir doesn't exist.
+    */
+  def listSorted(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).sortBy(_.getPath.getName).toSeq
+
+  /** Recursively list files under dir (staged data files). */
+  def listFilesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val out = ArrayBuffer.empty[FileStatus]
+    def go(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) go(st.getPath)
+      else out += st
+    }
+    if (fs.exists(dir)) go(dir)
+    out.toSeq
+  }
+
+  def readLines(fs: FileSystem, path: Path): Seq[String] = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Commit-path atomicity: put-if-absent (reference
+    * committer/filesystem.rs:31-115; lib.rs:636-642 `put` contract).
+    * On HDFS/ABFS `create(overwrite=false)` is atomic; on local FS the
+    * existence check races, which is fine for a single-process writer —
+    * object stores need a LogStore-style coordinator (same design as
+    * delta-spark).
+    */
+  def putIfAbsent(fs: FileSystem, path: Path, content: String): Boolean = {
+    if (fs.exists(path)) return false
+    try {
+      val out = fs.create(path, /*overwrite=*/ false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.FileNotFoundException => false
+    }
+  }
+
+  /** Unconditional overwrite (for `_last_checkpoint` hint). */
+  def put(fs: FileSystem, path: Path, content: String): Unit = {
+    val out = fs.create(path, /*overwrite=*/ true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,16 +1,122 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import java.util.UUID
 
-/** End-to-end Delta table round trips: each query writes a fresh Delta
-  * table (our Transaction/commit path) into a temp dir from the TPC-H-ish
-  * corpus, then reads it back through our Snapshot/Scan path. The DuckDB
-  * oracle sees only the plain parquet input — so a hash match proves the
-  * whole write→log→replay→scan pipeline preserves the data exactly.
-  *
-  * Filled in as the delta core lands (SURVEY.md §7 M1-M5).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.delta.DeltaTable
+
+/** End-to-end Delta round trips: each query writes a fresh Delta table
+  * (our CREATE/append/DELETE/commit/checkpoint path) from the TPC-H-ish
+  * corpus, then reads it back through our Snapshot/LogReplay/Scan path.
+  * The DuckDB oracle sees only the plain parquet input — a hash match
+  * proves the whole write→log→replay→scan pipeline preserves data
+  * exactly (reference: the kernel's golden-table read-and-compare flow).
   */
 object DeltaQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def tmp(name: String): String = {
+    val base = Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    base.resolve(s"$name-${UUID.randomUUID().toString.take(8)}").toString
+  }
+
+  private def li(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.select(liCols.map(col): _*)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CREATE + two appends + full snapshot read
+    "q_delta_roundtrip" -> ((s, d) => {
+      val src = li(s, d).filter(col("l_quantity") < 25)
+      val dir = tmp("rt")
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 12))
+      t.append(src.filter(col("l_quantity") >= 12))
+      ordered(t.toDF)
+    }),
+
+    // partitioned table + partition pruning + stats skipping on read
+    "q_delta_partition_prune" -> ((s, d) => {
+      val src = li(s, d).filter(col("l_quantity") < 20)
+      val dir = tmp("pp")
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      ordered(t.scan(Some("l_returnflag = 'R' AND l_quantity < 10")).toDF)
+    }),
+
+    // time travel: read version 1 of a 2-append table
+    "q_delta_time_travel" -> ((s, d) => {
+      val dir = tmp("tt")
+      val all = li(s, d)
+      DeltaTable.create(s, dir, all.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(all.filter(col("l_quantity") < 5))
+      t.append(all.filter(col("l_quantity") >= 5 && col("l_quantity") < 10))
+      ordered(t.snapshot(Some(1L)).toDF)
+    }),
+
+    // checkpoint mid-log: snapshot = checkpoint + trailing commit
+    "q_delta_checkpoint" -> ((s, d) => {
+      val dir = tmp("ck")
+      val src = li(s, d).filter(col("l_quantity") < 15)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 6))
+      t.append(src.filter(col("l_quantity") >= 6 && col("l_quantity") < 11))
+      t.checkpoint()
+      t.append(src.filter(col("l_quantity") >= 11))
+      ordered(t.toDF)
+    }),
+
+    // DELETE: file rewrite of matching files, others untouched
+    "q_delta_delete" -> ((s, d) => {
+      val dir = tmp("del")
+      val src = li(s, d).filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.deleteWhere("l_returnflag = 'A' AND l_quantity < 5")
+      ordered(t.toDF)
+    })
+  )
+
+  private val cols = liCols.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_delta_roundtrip" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 25
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_partition_prune" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 20 AND l_returnflag = 'R' AND l_quantity < 10
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_time_travel" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 5
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_checkpoint" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 15
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_delete" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 10
+         |  AND NOT coalesce(l_returnflag = 'A' AND l_quantity < 5, false)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
 }

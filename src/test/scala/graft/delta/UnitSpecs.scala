@@ -1,0 +1,100 @@
+package graft.delta
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JsonLogSpec extends AnyFunSuite {
+  test("action JSON round trip: add with escapes and options") {
+    val a = AddFile(
+      path = "p=1/part-00\"x\t.parquet",
+      partitionValues = Map("p" -> "1", "q" -> null),
+      size = 123L, modificationTime = 456L, dataChange = true,
+      stats = Some("""{"numRecords":2}"""),
+      deletionVector = Some(DeletionVectorDescriptor("u", "abc", Some(1), 40, 2)))
+    val line = JsonLog.writeAction(SingleAction(add = Some(a)))
+    val n = JsonLog.parseLine(line)
+    val back = RowCodec.jsonToAdd(n.get("add"))
+    assert(back == a)
+    // absent optionals are omitted, not null
+    assert(!line.contains("baseRowId"))
+    assert(line.contains("\"q\":null"))
+  }
+
+  test("metadata round trip preserves schema string") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val m = graft.delta.Metadata("id1", Some("t"), None, Format(),
+      schema.json, Seq("b"), Map("k" -> "v"), Some(1L))
+    val line = JsonLog.writeAction(SingleAction(metaData = Some(m)))
+    val back = JsonLog.parseMetadata(JsonLog.parseLine(line).get("metaData"))
+    assert(back == m)
+    assert(back.schema == schema)
+  }
+
+  test("dv uniqueId matches the kernel convention") {
+    assert(DeletionVectorDescriptor("u", "xyz", None, 1, 1).uniqueId == "uxyz")
+    assert(DeletionVectorDescriptor("p", "xyz", Some(3), 1, 1).uniqueId == "pxyz@3")
+  }
+}
+
+class PartitionValuesSpec extends AnyFunSuite {
+  test("serialize/parse round trips") {
+    assert(PartitionValues.serialize(42, IntegerType) == "42")
+    assert(PartitionValues.parse("42", IntegerType) == 42)
+    assert(PartitionValues.parse("", IntegerType) == null) // empty => NULL
+    assert(PartitionValues.parse("", StringType) == "")    // except string
+    assert(PartitionValues.serialize(null, StringType) == null)
+    val d = java.sql.Date.valueOf("2024-02-29")
+    assert(PartitionValues.serialize(d, DateType) == "2024-02-29")
+    assert(PartitionValues.parse("2024-02-29", DateType) == d)
+    val t = java.sql.Timestamp.valueOf("2024-02-29 01:02:03.123456")
+    assert(PartitionValues.serialize(t, TimestampType) ==
+      "2024-02-29 01:02:03.123456")
+    assert(PartitionValues.parse("2024-02-29 01:02:03.123456",
+      TimestampType) == t)
+    assert(PartitionValues.parse("1.5", DoubleType) == 1.5)
+    assert(PartitionValues.parse("true", BooleanType) == true)
+  }
+}
+
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val eligible = Set("a", "b")
+
+  private def rw(sql: String): Option[String] =
+    DataSkipping.rewrite(DataSkipping.parse(spark, sql), eligible).map(_.sql)
+
+  test("comparison rewrites") {
+    assert(rw("a < 3") == Some("(__stats.minValues.a < 3)"))
+    assert(rw("a > 3") == Some("(__stats.maxValues.a > 3)"))
+    assert(rw("3 > a") == Some("(__stats.minValues.a < 3)"))
+    assert(rw("a >= 3") == Some("(__stats.maxValues.a >= 3)"))
+    assert(rw("a = 3") ==
+      Some("((__stats.minValues.a <= 3) AND (__stats.maxValues.a >= 3))"))
+  }
+
+  test("null checks use nullCount/numRecords") {
+    assert(rw("a IS NULL") == Some("(__stats.nullCount.a > 0L)"))
+    assert(rw("a IS NOT NULL") ==
+      Some("(__stats.nullCount.a < __stats.numRecords)"))
+  }
+
+  test("AND drops unknown side, OR requires both") {
+    assert(rw("a < 3 AND some_udf(c) = 1") ==
+      Some("(__stats.minValues.a < 3)"))
+    assert(rw("a < 3 OR some_udf(c) = 1").isEmpty)
+    assert(rw("a < 3 OR b > 5") ==
+      Some("((__stats.minValues.a < 3) OR (__stats.maxValues.b > 5))"))
+  }
+
+  test("NOT pushes down with inversion") {
+    assert(rw("NOT (a >= 3)") == Some("(__stats.minValues.a < 3)"))
+    assert(rw("NOT (a = 3)").isEmpty) // needs distinct stats; unknown
+  }
+
+  test("ineligible column is unknown -> kept") {
+    assert(rw("c < 3").isEmpty)
+  }
+}
