@@ -1,0 +1,200 @@
+package graft.delta
+
+import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.util.UUID
+import java.util.zip.CRC32
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+/** Deletion vectors (reference: kernel/src/actions/deletion_vector.rs).
+  *
+  * Storage forms:
+  *  - 'i' inline: pathOrInlineDv = z85(magic(LE) + portable treemap)
+  *  - 'u' relative: pathOrInlineDv = [prefix] + z85(uuid16); file name
+  *    `deletion_vector_<uuid>.bin` under the table root (+prefix dir)
+  *  - 'p' absolute path
+  *
+  * File layout (deletion_vector.rs:369-383): 1-byte version=1, then per
+  * DV at `offset`: [4B BE size][4B LE magic=1681511377][bitmap (size-4
+  * bytes)][4B BE crc32 of magic..bitmap]. The bitmap is the 64-bit
+  * roaring "portable" format (u64 LE bucket count, then per bucket
+  * u32 LE key + 32-bit roaring bitmap).
+  */
+object DeletionVectors {
+
+  val PORTABLE_MAGIC: Int = 1681511377
+
+  // ---------------- Z85 (ZeroMQ base85) ----------------
+  private val Z85_CHARS =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85_DEC: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Z85_CHARS.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "z85 input must be 4-byte aligned")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      val out = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { out(k) = Z85_CHARS((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(out)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 input length ${s.length} not multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85_DEC(c.toInt) else -1
+        require(d >= 0, s"invalid z85 char '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      out(o) = ((v >> 24) & 0xff).toByte
+      out(o + 1) = ((v >> 16) & 0xff).toByte
+      out(o + 2) = ((v >> 8) & 0xff).toByte
+      out(o + 3) = (v & 0xff).toByte
+      i += 5
+      o += 4
+    }
+    out
+  }
+
+  def encodeUUID(u: UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    z85Encode(bb.array())
+  }
+
+  // ---------------- bitmap serde ----------------
+  def serializeBitmap(positions: Array[Long]): Array[Byte] = {
+    val rb = new Roaring64NavigableMap()
+    positions.foreach(rb.addLong)
+    rb.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    rb.serializePortable(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  def deserializeBitmap(bytes: Array[Byte]): Array[Long] = {
+    val rb = new Roaring64NavigableMap()
+    rb.deserializePortable(new DataInputStream(new ByteArrayInputStream(bytes)))
+    rb.toArray
+  }
+
+  // ---------------- descriptor read ----------------
+
+  /** All deleted row indexes for a descriptor (reference
+    * deletion_vector.rs `read` + `row_indexes`).
+    */
+  def readRowIndexes(dv: DeletionVectorDescriptor, tableRoot: Path,
+      conf: Configuration): Array[Long] = dv.storageType match {
+    case "i" =>
+      val bytes = z85Decode(dv.pathOrInlineDv)
+      val magic = leInt(bytes, 0)
+      require(magic == PORTABLE_MAGIC, s"invalid inline DV magic $magic")
+      deserializeBitmap(bytes.drop(4))
+    case "u" | "p" =>
+      val path = dv.storageType match {
+        case "p" => new Path(dv.pathOrInlineDv)
+        case _ =>
+          val enc = dv.pathOrInlineDv
+          val prefix = enc.substring(0, enc.length - 20)
+          val uuidBytes = z85Decode(enc.substring(enc.length - 20))
+          val bb = ByteBuffer.wrap(uuidBytes)
+          val uuid = new UUID(bb.getLong, bb.getLong)
+          val dir = if (prefix.isEmpty) tableRoot else new Path(tableRoot, prefix)
+          new Path(dir, s"deletion_vector_$uuid.bin")
+      }
+      val fs = Storage.fs(path, conf)
+      val len = fs.getFileStatus(path).getLen.toInt
+      val all = new Array[Byte](len)
+      val in = fs.open(path)
+      try in.readFully(0, all) finally in.close()
+      require(all(0) == 1, s"invalid DV file version ${all(0)}")
+      val start = dv.offset.getOrElse(1)
+      val size = beInt(all, start)
+      require(size == dv.sizeInBytes,
+        s"DV size mismatch: log=${dv.sizeInBytes} file=$size")
+      val magic = leInt(all, start + 4)
+      require(magic == PORTABLE_MAGIC, s"invalid DV magic $magic")
+      val crcStart = start + 4 + size
+      val crc = beInt(all, crcStart)
+      val c = new CRC32()
+      c.update(all, start + 4, size)
+      require(crc == c.getValue.toInt,
+        s"DV checksum mismatch for $path")
+      deserializeBitmap(
+        java.util.Arrays.copyOfRange(all, start + 8, crcStart))
+    case other =>
+      throw new IllegalArgumentException(s"unknown DV storageType '$other'")
+  }
+
+  // ---------------- descriptor write ----------------
+
+  /** Write one DV file holding a bitmap per input file; returns
+    * descriptors keyed like the input. Packs all DVs into a single
+    * `deletion_vector_<uuid>.bin` with per-DV offsets (the layout above).
+    */
+  def write(deletes: Seq[(String, Array[Long])], tableRoot: Path,
+      conf: Configuration): Map[String, DeletionVectorDescriptor] = {
+    val uuid = UUID.randomUUID()
+    val relName = s"deletion_vector_$uuid.bin"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // version
+    var offset = 1
+    val result = deletes.map { case (key, positions) =>
+      val bitmap = serializeBitmap(positions)
+      val size = bitmap.length + 4 // magic + bitmap
+      val buf = ByteBuffer.allocate(4 + size + 4)
+      buf.putInt(size) // BE
+      buf.putInt(Integer.reverseBytes(PORTABLE_MAGIC)) // LE magic
+      buf.put(bitmap)
+      val crc = new CRC32()
+      crc.update(buf.array(), 4, size)
+      buf.putInt(crc.getValue.toInt) // BE
+      out.write(buf.array())
+      val desc = DeletionVectorDescriptor(
+        storageType = "u",
+        pathOrInlineDv = encodeUUID(uuid),
+        offset = Some(offset),
+        sizeInBytes = size,
+        cardinality = positions.length.toLong)
+      offset += 4 + size + 4
+      key -> desc
+    }.toMap
+    val fs = Storage.fs(tableRoot, conf)
+    val p = new Path(tableRoot, relName)
+    val os = fs.create(p, false)
+    try os.write(out.toByteArray) finally os.close()
+    result
+  }
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    ((b(off + 3) & 0xff) << 24) | ((b(off + 2) & 0xff) << 16) |
+      ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+}

@@ -107,7 +107,16 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * per-file literal unions would blow up the plan at 100 TB).
     */
   def toDF: DataFrame = {
-    val adds = collectAddFiles()
+    val projected = assemble(collectAddFiles(), keepMeta = false)
+    // residual predicate: skipping is best-effort, row filtering is exact
+    predicateSql.map(p => projected.filter(expr(p))).getOrElse(projected)
+  }
+
+  /** Assemble the logical rows of `adds`. With keepMeta=true the output
+    * also carries `__path` (normalized file path) and `__ridx`
+    * (row index within the file) — used by DV writes.
+    */
+  private[delta] def assemble(adds: Seq[AddFile], keepMeta: Boolean): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(snapshot.tableRoot, conf)
 
@@ -121,8 +130,30 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     }
 
     val dataSchema = snapshot.dataSchema
-    val reader = spark.read.schema(dataSchema)
+    var reader = spark.read.schema(dataSchema)
       .parquet(absPaths.map(_.toString): _*)
+      .withColumn("__path", normalizedMetaPath)
+      .withColumn("__ridx", col("_metadata.row_index"))
+
+    // DV row filtering (reference scan/mod.rs:1337-1399): deleted
+    // (file, row_index) pairs are anti-joined away. DV bytes are small
+    // (compressed bitmaps); positions explode on the executors.
+    val dvAdds = adds.zip(absPaths).filter(_._1.deletionVector.isDefined)
+    if (dvAdds.nonEmpty) {
+      val delSchema = StructType(Seq(
+        StructField("__path", StringType),
+        StructField("__dels", ArrayType(LongType))))
+      val delRows: Seq[Row] = dvAdds.map { case (a, abs) =>
+        val pos = DeletionVectors.readRowIndexes(
+          a.deletionVector.get, snapshot.tableRoot, conf)
+        new GenericRowWithSchema(
+          Array[Any](abs.toUri.getPath, pos.toSeq), delSchema): Row
+      }
+      val delDF = spark.createDataFrame(delRows.asJava, delSchema)
+        .select(col("__path"), explode(col("__dels")).as("__ridx"))
+      reader = reader
+        .join(broadcast(delDF), Seq("__path", "__ridx"), "left_anti")
+    }
 
     val out =
       if (partCols.isEmpty) reader
@@ -140,12 +171,10 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
             (abs.toUri.getPath +: vals).toArray[Any], pvSchema): Row
         }
         val pvDF = spark.createDataFrame(pvRows.asJava, pvSchema)
-        reader.withColumn("__path", normalizedMetaPath)
-          .join(broadcast(pvDF), Seq("__path"))
+        reader.join(broadcast(pvDF), Seq("__path"))
       }
 
-    val projected = out.select(schema.fieldNames.map(col): _*)
-    // residual predicate: skipping is best-effort, row filtering is exact
-    predicateSql.map(p => projected.filter(expr(p))).getOrElse(projected)
+    val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil
+    out.select(schema.fieldNames.map(col) ++ metaCols: _*)
   }
 }

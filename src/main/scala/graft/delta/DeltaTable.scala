@@ -182,22 +182,81 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   }
 
   /** Read specific add files with partition values injected. */
-  private def readFiles(snap: Snapshot, adds: Seq[AddFile]): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = adds.map(a =>
-      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-        Array[Any](RowCodec.addToRow(a), snap.version),
-        addRowSchema): org.apache.spark.sql.Row)
-    val filesDF = spark.createDataFrame(rows.asJava, addRowSchema)
-    // reuse the scan's read machinery by faking a snapshot-scoped scan
-    new DeltaScan(snap, None) {
-      override lazy val filesDF: DataFrame =
-        spark.createDataFrame(rows.asJava, addRowSchema)
-    }.toDF
-  }
+  private def readFiles(snap: Snapshot, adds: Seq[AddFile]): DataFrame =
+    new DeltaScan(snap, None).assemble(adds, keepMeta = false)
 
-  private val addRowSchema = StructType(Seq(
-    StructField("add", LogSchema.add), StructField("version", LongType)))
+  /** DELETE WHERE via deletion vectors (reference
+    * transaction/update.rs:275-812): no data rewrite — matching row
+    * indexes are merged into each file's bitmap, committed as
+    * remove+add pairs that swap the file's DV. Upgrades the protocol to
+    * table features on first use.
+    */
+  def deleteWhereDV(predicateSql: String): Long = {
+    val snap = snapshot()
+    val scan = new DeltaScan(snap, Some(predicateSql))
+    val candidates = scan.collectAddFiles()
+    if (candidates.isEmpty) return snap.version
+
+    // live rows only (existing DVs already applied by assemble)
+    val withMeta = scan.assemble(candidates, keepMeta = true)
+    val matched = withMeta.filter(expr(predicateSql))
+      .groupBy(col("__path"))
+      .agg(collect_list(col("__ridx")).as("dels"))
+      .collect()
+      .map(r => r.getAs[String]("__path") ->
+        r.getAs[scala.collection.Seq[Long]]("dels").toArray.sorted)
+      .toMap
+    if (matched.isEmpty) return snap.version
+    val liveCounts = withMeta.groupBy(col("__path"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("__path") -> r.getAs[Long]("n")).toMap
+
+    val conf = hconf
+    val byPath = candidates.map { a =>
+      fs.makeQualified(new Path(root, a.path)).toUri.getPath -> a
+    }.toMap
+
+    val (gone, partial) = matched.toSeq.partition { case (p, dels) =>
+      dels.length.toLong == liveCounts(p)
+    }
+    // merge new deletions with each file's existing DV positions
+    val merged: Seq[(String, Array[Long])] = partial.map { case (p, dels) =>
+      val old = byPath(p).deletionVector
+        .map(DeletionVectors.readRowIndexes(_, root, conf))
+        .getOrElse(Array.empty[Long])
+      p -> (old ++ dels).distinct.sorted
+    }
+    val descs =
+      if (merged.isEmpty) Map.empty[String, DeletionVectorDescriptor]
+      else DeletionVectors.write(merged, root, conf)
+
+    def removeOf(a: AddFile): RemoveFile = RemoveFile(
+      a.path, Some(now()), dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(a.partitionValues), size = Some(a.size),
+      deletionVector = a.deletionVector)
+
+    val removes = (gone.map(_._1) ++ partial.map(_._1))
+      .map(p => removeOf(byPath(p)))
+    val newAdds = partial.map { case (p, _) =>
+      byPath(p).copy(deletionVector = Some(descs(p)), dataChange = true)
+    }
+
+    val needsUpgrade = snap.protocol.minReaderVersion < 3 ||
+      !snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))
+    val protoLine =
+      if (needsUpgrade)
+        Seq(JsonLog.writeAction(SingleAction(protocol = Some(Protocol(
+          3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))))
+      else Nil
+
+    val lines =
+      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql))) ++
+      protoLine ++
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    commitActions(snap.version + 1, lines, retryable = false)
+  }
 
   // ---------------- checkpoint ----------------
 

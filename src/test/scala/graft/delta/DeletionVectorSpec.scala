@@ -1,0 +1,94 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("z85 round trip (ZeroMQ reference vector)") {
+    // the canonical ZeroMQ test vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B => "HelloWorld"
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(DeletionVectors.z85Encode(bytes) == "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq == bytes.toSeq)
+    val uuid = java.util.UUID.randomUUID()
+    val enc = DeletionVectors.encodeUUID(uuid)
+    assert(enc.length == 20)
+  }
+
+  test("bitmap portable serde round trip incl. >32-bit positions") {
+    val pos = Array(0L, 1L, 63L, 100000L, (1L << 33) + 7)
+    val ser = DeletionVectors.serializeBitmap(pos)
+    assert(DeletionVectors.deserializeBitmap(ser).toSeq == pos.toSeq)
+  }
+
+  test("DV file write/read round trip with offsets and checksum") {
+    val dir = TestSpark.tmpDir("dvfile")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val descs = DeletionVectors.write(Seq(
+      "f1" -> Array(1L, 5L, 9L),
+      "f2" -> Array(0L, 2L)), root, conf)
+    assert(descs("f1").cardinality == 3)
+    assert(descs("f2").offset.get > descs("f1").offset.get)
+    assert(DeletionVectors.readRowIndexes(descs("f1"), root, conf).toSeq ==
+      Seq(1L, 5L, 9L))
+    assert(DeletionVectors.readRowIndexes(descs("f2"), root, conf).toSeq ==
+      Seq(0L, 2L))
+  }
+
+  test("deleteWhereDV: rows vanish without rewriting data files") {
+    val dir = TestSpark.tmpDir("dvdel")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, li.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(li)
+    val beforeFiles = t.scan(None).collectAddFiles()
+      .map(_.path).toSet
+
+    t.deleteWhereDV("l_quantity < 3")
+    val snap = t.snapshot()
+    assert(snap.protocol.minReaderVersion == 3)
+    assert(snap.protocol.readerFeatures.get.contains("deletionVectors"))
+
+    val files = t.scan(None).collectAddFiles()
+    // same data files, now carrying DVs
+    assert(files.map(_.path).toSet == beforeFiles)
+    assert(files.exists(_.deletionVector.isDefined))
+
+    val expected = li.filter(not(coalesce($"l_quantity" < 3, lit(false))))
+    assert(t.toDF.count() == expected.count())
+    assert(t.toDF.agg(sum($"l_quantity")).head.getDouble(0) ==
+      expected.agg(sum($"l_quantity")).head.getDouble(0))
+
+    // second DV delete merges bitmaps
+    t.deleteWhereDV("l_quantity >= 8")
+    val expected2 = expected.filter(not(coalesce($"l_quantity" >= 8, lit(false))))
+    assert(t.toDF.count() == expected2.count())
+
+    // full-file delete drops the file instead of writing an empty DV
+    t.deleteWhereDV("l_quantity >= 0") // everything
+    assert(t.toDF.count() == 0)
+    assert(t.scan(None).collectAddFiles().isEmpty)
+  }
+
+  test("checkpoint preserves DV descriptors") {
+    val dir = TestSpark.tmpDir("dvckpt")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter($"l_quantity" < 6)
+    DeltaTable.create(spark, dir, li.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(li)
+    t.deleteWhereDV("l_quantity < 2")
+    val expected = t.toDF.count()
+    t.checkpoint()
+    t.append(li.filter($"l_quantity" < 0)) // empty commit keeps log moving
+    assert(t.snapshot().segment.checkpointVersion.contains(2L))
+    assert(t.toDF.count() == expected)
+  }
+}
