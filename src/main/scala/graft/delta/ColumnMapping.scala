@@ -1,0 +1,116 @@
+package graft.delta
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Column mapping modes `none | name | id` (reference:
+  * kernel/src/table_features/column_mapping.rs:28-35,
+  * kernel/src/scan/state_info.rs, kernel/src/scan/transform_spec.rs:20-50).
+  *
+  * Physical names and column ids live in `StructField` metadata under the
+  * `delta.columnMapping.*` keys (reference kernel/src/schema/mod.rs:253-313).
+  * Reads resolve parquet columns by physical name (name mode) or by
+  * parquet field id (id mode — Spark's native field-id resolution via the
+  * `parquet.field.id` metadata key), then rename back to the logical
+  * schema with a positional struct cast (covers nested structs, arrays
+  * and maps of structs in one expression).
+  */
+object ColumnMapping {
+  val MODE_KEY = "delta.columnMapping.mode"
+  val MAX_ID_KEY = "delta.columnMapping.maxColumnId"
+  val PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+  val ID_KEY = "delta.columnMapping.id"
+  val PARQUET_ID_KEY = "parquet.field.id"
+
+  val SUPPORTED_MODES = Set("none", "name", "id")
+
+  def mode(m: graft.delta.Metadata): String =
+    m.configuration.getOrElse(MODE_KEY, "none")
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PHYS_NAME_KEY)) f.metadata.getString(PHYS_NAME_KEY)
+    else f.name
+
+  /** Physical read/write schema: every field renamed to its physical name,
+    * carrying `parquet.field.id` so Spark resolves by id in id mode
+    * (recursive; logical types are preserved).
+    */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(physicalField))
+
+  private def physicalField(f: StructField): StructField = {
+    val mb = new MetadataBuilder().withMetadata(f.metadata)
+    if (f.metadata.contains(ID_KEY))
+      mb.putLong(PARQUET_ID_KEY, f.metadata.getLong(ID_KEY))
+    f.copy(name = physicalName(f), dataType = physicalType(f.dataType),
+      metadata = mb.build())
+  }
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => physicalSchema(s)
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType => m.copy(keyType = physicalType(m.keyType),
+      valueType = physicalType(m.valueType))
+    case other => other
+  }
+
+  /** Strip metadata so a logical-cast target carries clean field names. */
+  private def plainType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, plainType(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = plainType(a.elementType))
+    case m: MapType => m.copy(keyType = plainType(m.keyType),
+      valueType = plainType(m.valueType))
+    case other => other
+  }
+
+  /** Column selecting the physical top-level field of `f` renamed (with
+    * all nested fields) to the logical shape. Struct casts in Spark are
+    * positional, so a cast to the logical type is exactly the recursive
+    * rename — no per-leaf expressions needed.
+    */
+  def toLogical(f: StructField): Column = {
+    val phys = col(quote(physicalName(f)))
+    (f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType =>
+        phys.cast(plainType(f.dataType))
+      case _ => phys
+    }).as(f.name)
+  }
+
+  private def quote(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Annotate a logical schema with fresh physical names + ids for CREATE
+    * TABLE under mode name/id (reference
+    * transaction/builder/create_table.rs column mapping annotation
+    * assignment). Ids are assigned depth-first in field order starting
+    * after `startId`; returns (annotated schema, max id used).
+    */
+  def assignMetadata(schema: StructType, startId: Long = 0L): (StructType, Long) = {
+    var next = startId
+    def annotate(s: StructType): StructType = StructType(s.fields.map { f =>
+      next += 1
+      val id = next
+      val dt = f.dataType match {
+        case nested: StructType => annotate(nested)
+        case a: ArrayType => a.elementType match {
+          case nested: StructType => a.copy(elementType = annotate(nested))
+          case _ => a
+        }
+        case m: MapType => m.valueType match {
+          case nested: StructType => m.copy(valueType = annotate(nested))
+          case _ => m
+        }
+        case other => other
+      }
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(ID_KEY, id)
+        .putString(PHYS_NAME_KEY, s"col-${java.util.UUID.randomUUID()}")
+      StructField(f.name, dt, f.nullable, mb.build())
+    })
+    val out = annotate(schema)
+    (out, next)
+  }
+}

@@ -79,9 +79,14 @@ object DataSkipping {
   }
 
   /** Rewrite a data predicate to a skipping predicate; None = cannot
-    * skip on this subtree.
+    * skip on this subtree. `eligible` = columns with min/max stats;
+    * `nullFields` = columns present in the nullCount struct (dataSchema
+    * only — a partition column reaching here, e.g. inside a mixed OR
+    * conjunct, must return None or the generated field reference would
+    * not resolve against the stats schema).
     */
-  def rewrite(e: Expression, eligible: Set[String]): Option[Expression] =
+  def rewrite(e: Expression, eligible: Set[String],
+      nullFields: Set[String]): Option[Expression] =
     e match {
       case LessThan(Attr(a), l: Literal) if eligible(a) =>
         Some(LessThan(statRef("minValues", a), l))
@@ -105,9 +110,9 @@ object DataSkipping {
       case EqualTo(l: Literal, Attr(a)) if eligible(a) =>
         Some(And(LessThanOrEqual(statRef("minValues", a), l),
           GreaterThanOrEqual(statRef("maxValues", a), l)))
-      case IsNull(Attr(a)) =>
+      case IsNull(Attr(a)) if nullFields(a) =>
         Some(GreaterThan(statRef("nullCount", a), Literal(0L)))
-      case IsNotNull(Attr(a)) =>
+      case IsNotNull(Attr(a)) if nullFields(a) =>
         Some(LessThan(statRef("nullCount", a), numRecords))
       case In(Attr(a), list) if eligible(a) &&
           list.forall(_.isInstanceOf[Literal]) && list.nonEmpty =>
@@ -117,15 +122,16 @@ object DataSkipping {
           GreaterThanOrEqual(statRef("maxValues", a), l))
           .asInstanceOf[Expression]).reduce(Or))
       case And(a, b) =>
-        (rewrite(a, eligible), rewrite(b, eligible)) match {
+        (rewrite(a, eligible, nullFields), rewrite(b, eligible, nullFields)) match {
           case (Some(ra), Some(rb)) => Some(And(ra, rb))
           case (some @ Some(_), None) => some
           case (None, some) => some // AND-drop is safe
         }
       case Or(a, b) =>
-        for (ra <- rewrite(a, eligible); rb <- rewrite(b, eligible))
+        for (ra <- rewrite(a, eligible, nullFields);
+             rb <- rewrite(b, eligible, nullFields))
           yield Or(ra, rb)
-      case Not(c) => negate(c).flatMap(rewrite(_, eligible))
+      case Not(c) => negate(c).flatMap(rewrite(_, eligible, nullFields))
       case l @ Literal(_, BooleanType) => Some(l)
       case _ => None
     }

@@ -31,6 +31,10 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
   private val spark = snapshot.spark
   private val partCols = snapshot.partitionColumns
   private val schema = snapshot.schema
+  private val cmMode = ColumnMapping.mode(snapshot.metadata)
+  /** logical name → physical name for top-level fields */
+  private def physName(name: String): String =
+    ColumnMapping.physicalName(schema.fields.find(_.name == name).get)
 
   private lazy val predicate: Option[Expression] =
     predicateSql.map(DataSkipping.parse(spark, _))
@@ -48,11 +52,13 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       .getOrElse(throw new IllegalArgumentException(s"no such column $name"))
 
   /** Typed partition-values struct from the string map (reference
-    * MapToStruct, expressions/mod.rs:643-668).
+    * MapToStruct, expressions/mod.rs:643-668). Map keys are PHYSICAL
+    * column names on column-mapped tables.
     */
   private def pvStruct: Column =
     struct(partCols.map(c =>
-      PartitionValues.castExpr("add.partitionValues", c, fieldType(c)).as(c)): _*)
+      PartitionValues.castExpr("add.partitionValues", physName(c),
+        fieldType(c)).as(c)): _*)
 
   /** Surviving add actions after partition pruning + stats skipping
     * (reference scan/data_skipping.rs; removes are never pruned —
@@ -72,14 +78,28 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       df = df.withColumn("__pv", pvStruct).filter(expr(pp)).drop("__pv")
     }
     if (dataConjuncts.nonEmpty) {
-      val eligible = DataSkipping.statsSchema(snapshot.dataSchema)
+      // stats JSON keys are physical names on column-mapped tables —
+      // rewrite over the physical stats schema with predicate attributes
+      // renamed logical → physical first
+      val physData = ColumnMapping.physicalSchema(snapshot.dataSchema)
+      val l2p = snapshot.dataSchema.fields
+        .map(f => f.name -> ColumnMapping.physicalName(f)).toMap
+      val physConjuncts = dataConjuncts.map(_.transform {
+        case a: UnresolvedAttribute
+            if a.nameParts.size == 1 && l2p.contains(a.nameParts.head) =>
+          UnresolvedAttribute(Seq(l2p(a.nameParts.head)))
+      })
+      val statsSchema = DataSkipping.statsSchema(physData)
+      val eligible = statsSchema
         .fields.find(_.name == "minValues").get.dataType
         .asInstanceOf[StructType].fieldNames.toSet
-      val skips = dataConjuncts.flatMap(DataSkipping.rewrite(_, eligible))
+      val nullFields = physData.fieldNames.toSet
+      val skips = physConjuncts.flatMap(
+        DataSkipping.rewrite(_, eligible, nullFields))
       if (skips.nonEmpty) {
         val skipSql = skips.map(_.sql).mkString(" AND ")
         df = df.withColumn("__stats",
-            from_json(col("add.stats"), DataSkipping.statsSchema(snapshot.dataSchema)))
+            from_json(col("add.stats"), statsSchema))
           // missing/partial stats ⇒ NULL comparisons ⇒ coalesce keeps the file
           .filter(expr(s"coalesce($skipSql, true)"))
           .drop("__stats")
@@ -92,14 +112,25 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     filesDF.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
 
   /** URI path (no scheme/authority) of `_metadata.file_path` — the join
-    * key tying rows back to their add action.
+    * key tying rows back to their add action. `_metadata.file_path` is
+    * URI-encoded (space → %20, literal %% → %25) while the driver-side
+    * keys use decoded `Path.toUri.getPath`, so decode here; a literal '+'
+    * is legal in a URI path and must NOT decode to a space, hence the
+    * pre-escape.
     */
-  private def normalizedMetaPath: Column =
-    regexp_replace(col("_metadata.file_path"),
+  private def normalizedMetaPath: Column = {
+    val stripped = regexp_replace(col("_metadata.file_path"),
       "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+    url_decode(regexp_replace(stripped, "\\+", "%2B"))
+  }
 
+  /** Decode a URI-encoded add.path to the literal filesystem path
+    * ('+' is a legal literal in a URI path — protect it from
+    * URLDecoder's form-decoding).
+    */
   private def decodePath(p: String): String =
-    try new java.net.URI(p).getPath catch { case _: Exception => p }
+    try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => p }
 
   /** The distributed data read: schema-first parquet scan over the live
     * files; partition columns are injected by a broadcast join on the
@@ -129,11 +160,18 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       fs.makeQualified(new Path(snapshot.tableRoot, decodePath(a.path)))
     }
 
-    val dataSchema = snapshot.dataSchema
-    var reader = spark.read.schema(dataSchema)
+    // Read with the PHYSICAL schema (column-mapping modes name/id read
+    // parquet columns col-<uuid>; id mode resolves by parquet field id),
+    // then rename back to logical in the same select — `_metadata` is
+    // only reachable directly on the file-source relation.
+    val physDataSchema = ColumnMapping.physicalSchema(snapshot.dataSchema)
+    if (cmMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    var reader = spark.read.schema(physDataSchema)
       .parquet(absPaths.map(_.toString): _*)
-      .withColumn("__path", normalizedMetaPath)
-      .withColumn("__ridx", col("_metadata.row_index"))
+      .select(snapshot.dataSchema.fields.map(ColumnMapping.toLogical) ++
+        Seq(normalizedMetaPath.as("__path"),
+          col("_metadata.row_index").as("__ridx")): _*)
 
     // DV row filtering (reference scan/mod.rs:1337-1399): deleted
     // (file, row_index) pairs are anti-joined away. DV bytes are small
@@ -164,8 +202,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
             partCols.map(c => StructField(c, fieldType(c))))
         val pvRows: Seq[Row] = adds.zip(absPaths).map { case (a, abs) =>
           val vals = partCols.map { c =>
-            PartitionValues.parse(a.partitionValues.getOrElse(c, null),
-              fieldType(c))
+            PartitionValues.parse(
+              a.partitionValues.getOrElse(physName(c), null), fieldType(c))
           }
           new GenericRowWithSchema(
             (abs.toUri.getPath +: vals).toArray[Any], pvSchema): Row

@@ -68,13 +68,28 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   private def stageFiles(df: DataFrame, snap: Snapshot): Seq[AddFile] = {
     val partCols = snap.partitionColumns
-    val dataSchema = snap.dataSchema
     val stage = "part-" + UUID.randomUUID().toString.substring(0, 8)
     val stagePath = new Path(root, stage)
 
-    val writer = df.select(snap.schema.fieldNames.map(col): _*).write
-      .mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+    // Write with PHYSICAL column names + parquet field ids (column
+    // mapping); identity when mode=none. Struct casts rename nested
+    // fields positionally.
+    val physSchema = ColumnMapping.physicalSchema(snap.schema)
+    val physDataSchema = ColumnMapping.physicalSchema(snap.dataSchema)
+    val physPartCols = partCols.map(c =>
+      ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
+    val renamed = df.select(
+      snap.schema.fields.zip(physSchema.fields).map { case (lf, pf) =>
+        (lf.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            col(lf.name).cast(pf.dataType)
+          case _ => col(lf.name)
+        }).as(pf.name, pf.metadata)
+      }: _*)
+    val writer = renamed.write.mode("overwrite")
+    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
       .parquet(stagePath.toString)
 
     // remove committer markers, list the staged data files
@@ -83,16 +98,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val files = Storage.listFilesRecursive(fs, stagePath)
       .filter(_.getPath.getName.endsWith(".parquet"))
 
-    // one distributed stats pass over exactly the staged files
-    val eligible = dataSchema.fields.filter(f =>
+    // one distributed stats pass over exactly the staged files (stats
+    // JSON keys are PHYSICAL names on column-mapped tables)
+    val eligible = physDataSchema.fields.filter(f =>
       DataSkipping.isEligible(f.dataType)).map(_.name).toSeq
-    val allCols = dataSchema.fieldNames.toSeq
+    val allCols = physDataSchema.fieldNames.toSeq
     val aggs =
       eligible.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"))) ++
       allCols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
-    val statsRows = spark.read.schema(dataSchema)
+    val statsRows = spark.read.schema(physDataSchema)
       .parquet(files.map(_.getPath.toString): _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(count(lit(1)).as("numRecords"), aggs: _*)
@@ -104,9 +120,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
     files.map { st =>
       val abs = st.getPath
-      val rel = abs.toUri.getPath.stripPrefix(
-        fs.makeQualified(root).toUri.getPath).stripPrefix("/")
+      // add.path is a URI-ENCODED relative path (protocol contract) —
+      // getRawPath keeps %-escapes so a literal '%' or space in a
+      // partition dir name round-trips exactly
+      val rel = abs.toUri.getRawPath.stripPrefix(
+        fs.makeQualified(root).toUri.getRawPath).stripPrefix("/")
       val pv: Map[String, String] = rel.split('/').dropRight(1)
+        .map(uriDecodeSegment)
         .filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
@@ -115,13 +135,19 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         }.toMap
       AddFile(
         path = rel,
-        partitionValues = partCols.map(c => c -> pv.getOrElse(c, null)).toMap,
+        partitionValues =
+          physPartCols.map(c => c -> pv.getOrElse(c, null)).toMap,
         size = st.getLen,
         modificationTime = st.getModificationTime,
         dataChange = true,
         stats = statsByPath.get(fs.makeQualified(abs).toUri.getPath))
     }
   }
+
+  /** URI-decode one path segment ('+' stays literal). */
+  private def uriDecodeSegment(s: String): String =
+    try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => s }
 
   /** Hive-style partition-dir unescaping (%XX only — '+' stays). */
   private def unescapePathName(s: String): String = {
@@ -238,16 +264,24 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
     val removes = (gone.map(_._1) ++ partial.map(_._1))
       .map(p => removeOf(byPath(p)))
+    // stats on a DV-carrying add describe the PHYSICAL file, so they
+    // must be flagged tightBounds:false (protocol contract — external
+    // readers may otherwise do metadata-only aggregates over dead rows)
     val newAdds = partial.map { case (p, _) =>
-      byPath(p).copy(deletionVector = Some(descs(p)), dataChange = true)
+      val a = byPath(p)
+      a.copy(deletionVector = Some(descs(p)), dataChange = true,
+        stats = a.stats.map(StatsJson.markNonTight))
     }
 
+    // upgrade preserves existing + legacy-implied features
+    // (reference table_features upgrade path)
     val needsUpgrade = snap.protocol.minReaderVersion < 3 ||
       !snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))
     val protoLine =
       if (needsUpgrade)
-        Seq(JsonLog.writeAction(SingleAction(protocol = Some(Protocol(
-          3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))))
+        Seq(JsonLog.writeAction(SingleAction(protocol = Some(
+          TableFeatures.upgraded(snap.protocol,
+            Seq("deletionVectors"), Seq("deletionVectors"))))))
       else Nil
 
     val lines =
@@ -290,16 +324,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val pmDF = spark.createDataFrame(pmRows.asJava, LogSchema.checkpoint)
 
     val state = pmDF.unionByName(fileActions)
+    state.persist()
+    val size = state.count() // known before writing; no re-read after
     val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
     state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    state.unpersist()
     val part = Storage.listFilesRecursive(fs, tmp)
       .filter(_.getPath.getName.endsWith(".parquet")).head
     val dest = FileNames.classicCheckpointFile(logDir, v)
     if (fs.exists(dest)) fs.delete(dest, false)
     fs.rename(part.getPath, dest)
     fs.delete(tmp, true)
-
-    val size = spark.read.parquet(dest.toString).count()
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
       s"""{"version":$v,"size":$size}""")
     v
@@ -373,19 +408,34 @@ object DeltaTable {
     require(partitionColumns.forall(schema.fieldNames.contains),
       "partition column not in schema")
     val t = new DeltaTable(spark, path)
+    // column mapping: annotate physical names/ids at CREATE (reference
+    // transaction/builder/create_table.rs column mapping assignment)
+    val cmMode = configuration.getOrElse(ColumnMapping.MODE_KEY, "none")
+    require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
+      s"unsupported ${ColumnMapping.MODE_KEY} '$cmMode'")
+    val (finalSchema, finalConfig) =
+      if (cmMode == "none") (schema, configuration)
+      else {
+        val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
+        (annotated,
+          configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString))
+      }
+    val protocol =
+      if (cmMode == "none") Protocol(1, 2)
+      else Protocol(2, 5) // legacy columnMapping versions
     val meta = graft.delta.Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
-      schemaString = schema.json,
+      schemaString = finalSchema.json,
       partitionColumns = partitionColumns,
-      configuration = configuration,
+      configuration = finalConfig,
       createdTime = Some(System.currentTimeMillis()))
     val lines = Seq(
       JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
         System.currentTimeMillis(), "CREATE TABLE",
         Map("partitionBy" -> partitionColumns.mkString(",")),
         Some("graft-spark/0.1.0"))))),
-      JsonLog.writeAction(SingleAction(protocol = Some(Protocol(1, 2)))),
+      JsonLog.writeAction(SingleAction(protocol = Some(protocol))),
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
     fs.mkdirs(FileNames.logDir(t.root))

@@ -229,16 +229,22 @@ object Snapshot {
     val m = metadata.getOrElse(throw new IllegalStateException(
       s"no metaData action found for $tablePath@${segment.version}"))
 
-    // reader-version gate (reference table_features/mod.rs:102-185)
+    // Reader-version gate (reference table_features/mod.rs:102-185).
+    // Only features the scan actually implements are accepted — an
+    // advertised-but-unimplemented feature would produce silent wrong
+    // answers (e.g. all-NULL columns on a column-mapped table).
     require(p.minReaderVersion <= 3,
       s"unsupported minReaderVersion ${p.minReaderVersion}")
     val supportedReaderFeatures =
       Set("deletionVectors", "timestampNtz", "columnMapping",
-        "vacuumProtocolCheck", "v2Checkpoint", "variantType-preview")
+        "vacuumProtocolCheck")
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")
     }
+    val cmMode = ColumnMapping.mode(m)
+    require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
+      s"unsupported delta.columnMapping.mode '$cmMode'")
 
     new Snapshot(spark, root, segment, p, m)
   }

@@ -41,6 +41,18 @@ object StatsJson {
     fields.collect { case (k, Some(v)) => "\"" + JsonLog.esc(k) + "\":" + v }
       .mkString("{", ",", "}")
 
+  /** Mark a stats JSON as non-tight (`tightBounds:false`) — required when
+    * a deletion vector is attached without recomputing stats over live
+    * rows: min/max/nullCount become bounds over the physical file, not
+    * exact values (protocol contract).
+    */
+  def markNonTight(stats: String): String = {
+    val n = JsonLog.mapper.readTree(stats)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("tightBounds", false)
+    n.toString
+  }
+
   /** Build the stats JSON from a collected per-file aggregate row with
     * columns: numRecords, min_<c>/max_<c> for eligible cols, null_<c>
     * for all data cols.

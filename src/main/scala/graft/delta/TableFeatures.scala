@@ -1,0 +1,51 @@
+package graft.delta
+
+/** Protocol/table-features helpers (reference:
+  * kernel/src/table_features/mod.rs — feature gates and the legacy
+  * version → implied-features mapping used on upgrade to the table-
+  * features protocol (reader 3 / writer 7)).
+  */
+object TableFeatures {
+
+  /** Writer features implied by a legacy minWriterVersion. */
+  private val legacyWriterFeatures: Seq[(Int, String)] = Seq(
+    2 -> "appendOnly", 2 -> "invariants",
+    3 -> "checkConstraints",
+    4 -> "changeDataFeed", 4 -> "generatedColumns",
+    5 -> "columnMapping",
+    6 -> "identityColumns")
+
+  /** Reader features implied by a legacy minReaderVersion. */
+  private val legacyReaderFeatures: Seq[(Int, String)] = Seq(
+    2 -> "columnMapping")
+
+  /** Upgrade `p` to the table-features protocol, preserving existing
+    * explicit features AND the legacy features implied by the previous
+    * reader/writer versions, then adding `addReader`/`addWriter`.
+    */
+  def upgraded(p: Protocol, addReader: Seq[String],
+      addWriter: Seq[String]): Protocol = {
+    val impliedW =
+      if (p.writerFeatures.isDefined) Nil
+      else legacyWriterFeatures.collect {
+        case (v, f) if v <= p.minWriterVersion => f
+      }
+    val impliedR =
+      if (p.readerFeatures.isDefined) Nil
+      else legacyReaderFeatures.collect {
+        case (v, f) if v <= p.minReaderVersion => f
+      }
+    Protocol(3, 7,
+      Some((p.readerFeatures.getOrElse(Nil) ++ impliedR ++ addReader).distinct),
+      Some((p.writerFeatures.getOrElse(Nil) ++ impliedW ++ addWriter).distinct))
+  }
+
+  /** Does the protocol support a feature (explicitly or via legacy
+    * version implication)?
+    */
+  def supportsWriterFeature(p: Protocol, feature: String): Boolean =
+    p.writerFeatures.map(_.contains(feature)).getOrElse(
+      legacyWriterFeatures.exists { case (v, f) =>
+        f == feature && v <= p.minWriterVersion
+      })
+}

@@ -81,6 +81,18 @@ object DeltaQueries {
       ordered(t.toDF)
     }),
 
+    // column mapping (name mode): physical col-<uuid> parquet names +
+    // physical partitionValues/stats keys, logical read via rename
+    "q_delta_column_mapping" -> ((s, d) => {
+      val dir = tmp("cm")
+      val src = li(s, d).filter(col("l_quantity") < 8)
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"),
+        Map("delta.columnMapping.mode" -> "name"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      ordered(t.scan(Some("l_returnflag = 'N' AND l_quantity < 6")).toDF)
+    }),
+
     // DELETE: file rewrite of matching files, others untouched
     "q_delta_delete" -> ((s, d) => {
       val dir = tmp("del")
@@ -111,6 +123,11 @@ object DeltaQueries {
 
     "q_delta_checkpoint" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 15
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_column_mapping" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 8 AND l_returnflag = 'N' AND l_quantity < 6
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_delete" ->

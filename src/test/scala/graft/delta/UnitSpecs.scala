@@ -64,7 +64,17 @@ class DataSkippingSpec extends AnyFunSuite {
   private val eligible = Set("a", "b")
 
   private def rw(sql: String): Option[String] =
-    DataSkipping.rewrite(DataSkipping.parse(spark, sql), eligible).map(_.sql)
+    DataSkipping.rewrite(DataSkipping.parse(spark, sql), eligible,
+      eligible + "c").map(_.sql)
+
+  test("IsNull on a column outside nullCount (partition col) is unknown") {
+    assert(DataSkipping.rewrite(
+      DataSkipping.parse(spark, "part_col IS NULL OR a > 5"),
+      eligible, eligible).isEmpty)
+    assert(DataSkipping.rewrite(
+      DataSkipping.parse(spark, "part_col IS NOT NULL"),
+      eligible, eligible).isEmpty)
+  }
 
   test("comparison rewrites") {
     assert(rw("a < 3") == Some("(__stats.minValues.a < 3)"))
