@@ -124,13 +124,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     url_decode(regexp_replace(stripped, "\\+", "%2B"))
   }
 
-  /** Decode a URI-encoded add.path to the literal filesystem path
-    * ('+' is a legal literal in a URI path — protect it from
-    * URLDecoder's form-decoding).
-    */
-  private def decodePath(p: String): String =
-    try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
-    catch { case _: IllegalArgumentException => p }
+  private def decodePath(p: String): String = Storage.decodeUriPath(p)
 
   /** The distributed data read: schema-first parquet scan over the live
     * files; partition columns are injected by a broadcast join on the
@@ -145,9 +139,13 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
 
   /** Assemble the logical rows of `adds`. With keepMeta=true the output
     * also carries `__path` (normalized file path) and `__ridx`
-    * (row index within the file) — used by DV writes.
+    * (row index within the file) — used by DV writes. `extraPhysical`
+    * columns are read verbatim from the files and appended to the
+    * output (e.g. the physical `_change_type` column of CDF
+    * `_change_data` files).
     */
-  private[delta] def assemble(adds: Seq[AddFile], keepMeta: Boolean): DataFrame = {
+  private[delta] def assemble(adds: Seq[AddFile], keepMeta: Boolean,
+      extraPhysical: Seq[StructField] = Nil): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(snapshot.tableRoot, conf)
 
@@ -164,12 +162,14 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     // parquet columns col-<uuid>; id mode resolves by parquet field id),
     // then rename back to logical in the same select — `_metadata` is
     // only reachable directly on the file-source relation.
-    val physDataSchema = ColumnMapping.physicalSchema(snapshot.dataSchema)
+    val physDataSchema = StructType(
+      ColumnMapping.physicalSchema(snapshot.dataSchema).fields ++ extraPhysical)
     if (cmMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     var reader = spark.read.schema(physDataSchema)
       .parquet(absPaths.map(_.toString): _*)
       .select(snapshot.dataSchema.fields.map(ColumnMapping.toLogical) ++
+        extraPhysical.map(f => col(f.name)) ++
         Seq(normalizedMetaPath.as("__path"),
           col("_metadata.row_index").as("__ridx")): _*)
 
@@ -213,6 +213,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       }
 
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil
-    out.select(schema.fieldNames.map(col) ++ metaCols: _*)
+    out.select(schema.fieldNames.map(col) ++
+      extraPhysical.map(f => col(f.name)) ++ metaCols: _*)
   }
 }

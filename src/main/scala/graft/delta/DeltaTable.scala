@@ -72,22 +72,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val stagePath = new Path(root, stage)
 
     // Write with PHYSICAL column names + parquet field ids (column
-    // mapping); identity when mode=none. Struct casts rename nested
-    // fields positionally.
-    val physSchema = ColumnMapping.physicalSchema(snap.schema)
+    // mapping); identity when mode=none.
     val physDataSchema = ColumnMapping.physicalSchema(snap.dataSchema)
     val physPartCols = partCols.map(c =>
       ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
-    val renamed = df.select(
-      snap.schema.fields.zip(physSchema.fields).map { case (lf, pf) =>
-        (lf.dataType match {
-          case _: org.apache.spark.sql.types.StructType |
-               _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.MapType =>
-            col(lf.name).cast(pf.dataType)
-          case _ => col(lf.name)
-        }).as(pf.name, pf.metadata)
-      }: _*)
+    val renamed = physicalProjection(df, snap)
     val writer = renamed.write.mode("overwrite")
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
       .parquet(stagePath.toString)
@@ -144,6 +133,63 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     }
   }
 
+  /** Rename logical columns to physical names + field ids for writing
+    * (struct casts rename nested fields positionally; identity when
+    * column mapping is off).
+    */
+  private def physicalProjection(df: DataFrame, snap: Snapshot): DataFrame = {
+    val physSchema = ColumnMapping.physicalSchema(snap.schema)
+    df.select(
+      snap.schema.fields.zip(physSchema.fields).map { case (lf, pf) =>
+        (lf.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            col(lf.name).cast(pf.dataType)
+          case _ => col(lf.name)
+        }).as(pf.name, pf.metadata)
+      }: _*)
+  }
+
+  /** Stage CDF `_change_data` files for `df` (logical table columns):
+    * written with physical names + a physical `_change_type` column,
+    * partitioned like the table. A commit carrying cdc actions is read
+    * ONLY through them (reference table_changes/log_replay.rs
+    * classification), which is what makes partial file rewrites
+    * CDF-correct.
+    */
+  private def stageCdcFiles(df: DataFrame, snap: Snapshot,
+      changeType: String): Seq[AddCDCFile] = {
+    val physPartCols = snap.partitionColumns.map(c =>
+      ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
+    val stagePath = new Path(new Path(root, "_change_data"),
+      "cdc-" + UUID.randomUUID().toString.substring(0, 8))
+    val renamed = physicalProjection(df, snap)
+      .withColumn("_change_type", lit(changeType))
+    val writer = renamed.write.mode("overwrite")
+    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
+      .parquet(stagePath.toString)
+    val success = new Path(stagePath, "_SUCCESS")
+    if (fs.exists(success)) fs.delete(success, false)
+    Storage.listFilesRecursive(fs, stagePath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = st.getPath.toUri.getRawPath.stripPrefix(
+          fs.makeQualified(root).toUri.getRawPath).stripPrefix("/")
+        val pv: Map[String, String] = rel.split('/').dropRight(1)
+          .map(uriDecodeSegment)
+          .filter(_.contains('='))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                  else unescapePathName(v))
+          }.toMap
+        AddCDCFile(rel,
+          physPartCols.map(c => c -> pv.getOrElse(c, null)).toMap,
+          st.getLen, dataChange = false)
+      }
+  }
+
   /** URI-decode one path segment ('+' stays literal). */
   private def uriDecodeSegment(s: String): String =
     try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
@@ -195,6 +241,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       not(coalesce(expr(predicateSql), lit(false))))
     val newAdds =
       if (survivors.isEmpty) Nil else stageFiles(survivors, snap)
+    // CDF: a rewrite commit without cdc actions would read as
+    // delete-all + insert-survivors; stage the actually-deleted rows as
+    // _change_data instead
+    val cdcActions =
+      if (TableChanges.cdfEnabled(snap.metadata))
+        stageCdcFiles(full.filter(expr(predicateSql)), snap, "delete")
+      else Nil
     val removes = candidates.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = true,
         extendedFileMetadata = Some(true),
@@ -203,7 +256,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val lines =
       Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql))) ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
-      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+      cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
     commitActions(snap.version + 1, lines, retryable = false)
   }
 
@@ -420,9 +474,12 @@ object DeltaTable {
         (annotated,
           configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString))
       }
-    val protocol =
-      if (cmMode == "none") Protocol(1, 2)
-      else Protocol(2, 5) // legacy columnMapping versions
+    val wantsCdf = finalConfig.get(TableChanges.CDF_ENABLED_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    val protocol = Protocol(
+      if (cmMode != "none") 2 else 1,
+      Seq(2, if (wantsCdf) 4 else 2,
+        if (cmMode != "none") 5 else 2).max)
     val meta = graft.delta.Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),

@@ -115,6 +115,13 @@ object RowCodec {
     defaultRowCommitVersion = optLong(n, "defaultRowCommitVersion"),
     clusteringProvider = optText(n, "clusteringProvider"))
 
+  def jsonToCdc(n: JsonNode): AddCDCFile = AddCDCFile(
+    path = n.get("path").asText,
+    partitionValues = Option(n.get("partitionValues")).filterNot(_.isNull)
+      .map(strMap).getOrElse(Map.empty),
+    size = n.get("size").asLong,
+    dataChange = optBool(n, "dataChange").getOrElse(false))
+
   def jsonToRemove(n: JsonNode): RemoveFile = RemoveFile(
     path = n.get("path").asText,
     deletionTimestamp = optLong(n, "deletionTimestamp"),

@@ -39,6 +39,14 @@ object Storage {
     finally in.close()
   }
 
+  /** Decode a URI-encoded path (add/remove/cdc `path` fields are
+    * percent-encoded per the protocol). A literal '+' is legal in a URI
+    * path and must not decode to a space.
+    */
+  def decodeUriPath(p: String): String =
+    try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => p }
+
   /** Commit-path atomicity: put-if-absent (reference
     * committer/filesystem.rs:31-115; lib.rs:636-642 `put` contract).
     * On HDFS/ABFS `create(overwrite=false)` is atomic; on local FS the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.delta.DeltaTable
+import graft.delta.{DeltaTable, TableChanges}
 
 /** End-to-end Delta round trips: each query writes a fresh Delta table
   * (our CREATE/append/DELETE/commit/checkpoint path) from the TPC-H-ish
@@ -102,6 +102,57 @@ object DeltaQueries {
       t.append(src)
       t.deleteWhere("l_returnflag = 'A' AND l_quantity < 5")
       ordered(t.toDF)
+    }),
+
+    // DELETE via deletion vectors: no rewrite, bitmap swap; the read
+    // applies the DV row filter
+    "q_delta_delete_dv" -> ((s, d) => {
+      val dir = tmp("dvdel")
+      val src = li(s, d).filter(col("l_quantity") < 12)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.deleteWhereDV("l_returnflag = 'A' AND l_quantity < 6")
+      ordered(t.toDF)
+    }),
+
+    // CDF: two insert commits + a cdc-file delete commit, read [1,3]
+    "q_delta_cdf" -> ((s, d) => {
+      val dir = tmp("cdf")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 4))
+      t.append(src.filter(col("l_quantity") >= 4))
+      t.deleteWhere("l_quantity < 2")
+      TableChanges.read(s, dir, 1, Some(3))
+        .select(liCols.map(col) ++ Seq(col("_change_type"),
+          col("_commit_version")): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("_commit_version"), col("_change_type"))
+    }),
+
+    // CDF net changes over [2,3]: pre-range inserts deleted in range net
+    // to deletes; in-range inserts survive; untouched keys are absent
+    "q_delta_cdf_net" -> ((s, d) => {
+      val dir = tmp("cdfnet")
+      val src = li(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 4))
+      t.append(src.filter(col("l_quantity") >= 4))
+      t.deleteWhere("l_quantity < 2")
+      TableChanges.netChanges(TableChanges.read(s, dir, 2, Some(3)),
+          Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -134,6 +185,38 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 10
          |  AND NOT coalesce(l_returnflag = 'A' AND l_quantity < 5, false)
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_delete_dv" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 12
+         |  AND NOT coalesce(l_returnflag = 'A' AND l_quantity < 6, false)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_cdf" ->
+      s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)
+         |SELECT * FROM (
+         |  SELECT *, 'insert' AS _change_type,
+         |         CAST(1 AS BIGINT) AS _commit_version
+         |  FROM src WHERE l_quantity < 4
+         |  UNION ALL
+         |  SELECT *, 'insert', CAST(2 AS BIGINT) FROM src WHERE l_quantity >= 4
+         |  UNION ALL
+         |  SELECT *, 'delete', CAST(3 AS BIGINT) FROM src WHERE l_quantity < 2)
+         |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
+
+    "q_delta_cdf_net" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) < 10)
+        |SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+        |  FROM src WHERE l_quantity < 2
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         'insert', CAST(2 AS BIGINT)
+        |  FROM src WHERE l_quantity >= 4)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

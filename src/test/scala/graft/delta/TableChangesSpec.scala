@@ -1,0 +1,121 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CDF end-to-end (reference kernel/src/table_changes/): cdc-file
+  * commits, add/remove classification, DV pair resolution, net changes.
+  */
+class TableChangesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cdfConf = Map(TableChanges.CDF_ENABLED_KEY -> "true")
+
+  private def li = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+
+  private def keyed(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.select(cols.map(col): _*).orderBy(cols.map(col): _*).collect().toSeq
+
+  test("insert commits + cdc delete commit") {
+    val dir = TestSpark.tmpDir("cdf")
+    val src = li.filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 4))  // v1
+    t.append(src.filter($"l_quantity" >= 4)) // v2
+    t.deleteWhere("l_quantity < 2")          // v3, cdc files
+
+    val cdf = TableChanges.read(spark, dir, 1, Some(3))
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "_change_type", "_commit_version")
+
+    val expected =
+      src.filter($"l_quantity" < 4)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(1L))
+      .unionByName(src.filter($"l_quantity" >= 4)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(2L)))
+      .unionByName(src.filter($"l_quantity" < 2)
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(3L)))
+    assert(keyed(cdf, cols: _*) == keyed(expected, cols: _*))
+    // timestamps are non-null and constant per commit
+    assert(cdf.filter(col("_commit_timestamp").isNull).count() == 0)
+    assert(cdf.select("_commit_version", "_commit_timestamp")
+      .distinct().count() == 3)
+  }
+
+  test("DV delete commit resolves via add/remove pair diff") {
+    val dir = TestSpark.tmpDir("cdf-dv")
+    val src = li.filter($"l_quantity" < 6)
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                 // v1
+    t.deleteWhereDV("l_quantity < 2") // v2: DV swap, no cdc files
+    t.deleteWhereDV("l_quantity < 3") // v3: bitmap grows — diff only
+
+    val cdf2 = TableChanges.read(spark, dir, 2, Some(2))
+    assert(cdf2.select("_change_type").distinct().as[String]
+      .collect().toSeq == Seq("delete"))
+    assert(keyed(cdf2, "l_orderkey", "l_linenumber") ==
+      keyed(src.filter($"l_quantity" < 2), "l_orderkey", "l_linenumber"))
+
+    // v3 must contain ONLY the newly deleted rows (2 <= q < 3)
+    val cdf3 = TableChanges.read(spark, dir, 3, Some(3))
+    assert(keyed(cdf3, "l_orderkey", "l_linenumber") ==
+      keyed(src.filter($"l_quantity" >= 2 && $"l_quantity" < 3),
+        "l_orderkey", "l_linenumber"))
+  }
+
+  test("net changes collapse insert+delete within range") {
+    val dir = TestSpark.tmpDir("cdf-net")
+    // (l_orderkey, l_linenumber) is not unique in the synthetic corpus —
+    // net changes need a real key, so deduplicate deterministically
+    val src = li.filter($"l_quantity" < 10)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(min($"l_quantity").as("l_quantity"))
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 4))  // v1 (outside range)
+    t.append(src.filter($"l_quantity" >= 4)) // v2
+    t.deleteWhere("l_quantity < 2")          // v3
+
+    val net = TableChanges.netChanges(
+      TableChanges.read(spark, dir, 2, Some(3)),
+      Seq("l_orderkey", "l_linenumber"))
+    // q<2: deleted (inserted before range) -> net delete
+    // q>=4: inserted in range -> net insert; 2<=q<4: untouched -> absent
+    val expected =
+      src.filter($"l_quantity" < 2)
+        .withColumn("_change_type", lit("delete"))
+      .unionByName(src.filter($"l_quantity" >= 4)
+        .withColumn("_change_type", lit("insert")))
+    val cols = Seq("l_orderkey", "l_linenumber", "_change_type")
+    assert(keyed(net, cols: _*) == keyed(expected, cols: _*))
+
+    // full range [1,3]: the q<2 keys net to NOTHING (insert then delete)
+    val netFull = TableChanges.netChanges(
+      TableChanges.read(spark, dir, 1, Some(3)),
+      Seq("l_orderkey", "l_linenumber"))
+    assert(netFull.filter(col("_change_type") === "delete").count() == 0)
+    assert(netFull.count() ==
+      src.filter($"l_quantity" >= 2).count())
+  }
+
+  test("CDF disabled table rejects the read") {
+    val dir = TestSpark.tmpDir("cdf-off")
+    val src = li.limit(10)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    intercept[IllegalArgumentException] {
+      TableChanges.read(spark, dir, 0, None)
+    }
+  }
+}
