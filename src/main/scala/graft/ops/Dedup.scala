@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection building blocks that scale: banded MinHash
+  * LSH candidate generation (consumes the signature table — every join
+  * is an equi-join on a band key) and a 64-bit SimHash.
+  *
+  * Scale notes: the band self-join shuffles on (band, key); bucket sizes
+  * are bounded by signature collisions, not by document count, and the
+  * pair space never materializes outside matching buckets. Callers
+  * should follow candidates with an exact verification (e.g. true
+  * Jaccard over shingles, or `Similarity.cosinePairs` on embeddings).
+  */
+object Dedup {
+
+  /** Banded LSH over MinHash signature columns: `sigCols` are split into
+    * bands of `rowsPerBand`; two docs are candidates iff some band
+    * agrees on every signature in it. Output: (doc_a < doc_b, sig_sim)
+    * where sig_sim = fraction of ALL signatures that agree (the standard
+    * Jaccard estimator).
+    */
+  def minhashBandPairs(sigs: DataFrame, idCol: String,
+      sigCols: Seq[String], rowsPerBand: Int = 2): DataFrame = {
+    require(sigCols.size % rowsPerBand == 0, "bands must divide signatures")
+    val bands = sigCols.grouped(rowsPerBand).toSeq
+    val bandArray = array(bands.zipWithIndex.map { case (cs, i) =>
+      struct(lit(i).as("band"),
+        concat_ws("_", cs.map(c => col(c).cast("string")): _*).as("bkey"))
+    }: _*)
+    val exploded = sigs
+      .select(col(idCol).as("doc_id"), explode(bandArray).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.bkey").as("bkey"))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col(idCol).as("doc_a") +:
+      sigCols.map(c => col(c).as(s"__a_$c")): _*)
+    val sb = sigs.select(col(idCol).as("doc_b") +:
+      sigCols.map(c => col(c).as(s"__b_$c")): _*)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("sig_sim",
+        sigCols.map(c => when(col(s"__a_$c") === col(s"__b_$c"), 1)
+          .otherwise(0)).reduce(_ + _) / lit(sigCols.size.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("sig_sim"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens using the portable 60-bit
+    * md5-prefix hash re-hashed per bit position. One shuffle on the doc
+    * id (map-side combine on the 64 bit-sum aggregates).
+    */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h2",
+        expr("cast(conv(substring(md5(concat(word, '#')), 1, 15), 16, 10) as bigint)"))
+    // 60 bits from h, the top 4 from h2 — portable and branch-free
+    val bitAggs = (0 until 64).map { i =>
+      val src = if (i < 60) col("h") else col("h2")
+      val sh = if (i < 60) i else i - 60
+      sum(when(src.bitwiseAND(lit(1L << sh)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fp.as("simhash64"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Similarity search over embedding columns (`Array[Float]`): an EXACT
+  * all-pairs cosine join that scales (block-pair / triangle join), and an
+  * IVF-bucketed approximate top-k as the ANN scale path with a
+  * brute-force baseline elsewhere (PipelineQueries.q_knn_brute).
+  *
+  * Scale notes:
+  *  - `cosinePairs` replaces the round-1 broadcast nested-loop cross
+  *    join (O(n²) pair rows through the planner). Each vector is
+  *    replicated to `numBlocks` buckets; bucket (i,j) receives exactly
+  *    blocks i and j and computes its dot products in a tight primitive
+  *    loop. One shuffle of n·G rows, perfectly even buckets (id-based
+  *    blocking), no BroadcastNestedLoopJoin anywhere in the plan. Exact
+  *    all-pairs is inherently O(n²) FLOPs — this spreads them evenly
+  *    across the cluster, which is the correct *exact* design at scale;
+  *    for sub-quadratic work switch to `ivfTopK`.
+  *  - `ivfTopK` probes `nprobe` of `numCentroids` inverted lists, so the
+  *    candidate side is a ~nprobe/numCentroids fraction of the data and
+  *    stays partitioned; centroids and probe lists are tiny broadcasts.
+  */
+object Similarity {
+
+  case class Vec(id: Long, v: Array[Double])
+  case class BucketedVec(bi: Int, bj: Int, g: Int, id: Long,
+      v: Array[Double])
+  case class SimPair(vec_a: Long, vec_b: Long, sim: Double)
+  case class Scored(qid: Long, nid: Long, sim: Double)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  private def asVecs(vecs: DataFrame, idCol: String,
+      vecCol: String): Dataset[Vec] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("v")).as[Vec]
+  }
+
+  /** Exact all-pairs cosine similarity >= `threshold`, emitted as
+    * (vec_a < vec_b, sim). Arithmetic matches the SQL
+    * `dot / (sqrt(Σa²) · sqrt(Σb²))` with ascending-index summation so
+    * results hash-match a DuckDB `list_cosine_similarity` oracle.
+    */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBlocks: Int = 8): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val G = numBlocks
+    val bucketed = asVecs(vecs, idCol, vecCol).flatMap { r =>
+      val g = (math.floorMod(r.id, G.toLong)).toInt
+      (0 until G).map { k =>
+        val (bi, bj) = if (g <= k) (g, k) else (k, g)
+        BucketedVec(bi, bj, g, r.id, r.v)
+      }
+    }
+    bucketed.groupByKey(b => (b.bi, b.bj)).flatMapGroups {
+      (key: (Int, Int), it: Iterator[BucketedVec]) =>
+        val bi = key._1
+        val left = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        val right = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        it.foreach { b =>
+          val e = (b.id, b.v, norm(b.v))
+          if (b.g == bi) left += e else right += e
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[SimPair]
+        def emit(a: (Long, Array[Double], Double),
+            b: (Long, Array[Double], Double)): Unit = {
+          val sim = dot(a._2, b._2) / (a._3 * b._3)
+          if (sim >= threshold) {
+            if (a._1 < b._1) out += SimPair(a._1, b._1, sim)
+            else out += SimPair(b._1, a._1, sim)
+          }
+        }
+        if (right.isEmpty) { // single-block bucket (i, i)
+          var i = 0
+          while (i < left.length) {
+            var j = i + 1
+            while (j < left.length) { emit(left(i), left(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) { emit(left(i), right(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.iterator
+    }.toDF()
+  }
+
+  /** IVF approximate nearest neighbors: deterministic coarse quantizer
+    * (centroids = the `numCentroids` lowest-id vectors; assignment by max
+    * cosine, ties to the lowest centroid id), queries = ids <
+    * `queryMaxId` probe their `nprobe` nearest cells and exhaustively
+    * rerank candidates. Output (qid, nid, sim) with per-query top `k`
+    * (sim desc, nid asc).
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, nprobe: Int, k: Int, queryMaxId: Long): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = asVecs(vecs, idCol, vecCol)
+
+    val centroids = ds.filter(_.id < numCentroids).collect().sortBy(_.id)
+      .map(c => (c.id, c.v, norm(c.v)))
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    val assigned = ds.map { r =>
+      val nr = norm(r.v)
+      var best = -1L
+      var bestSim = Double.NegativeInfinity
+      bcCent.value.foreach { case (cid, cv, cn) =>
+        val sim = dot(r.v, cv) / (nr * cn)
+        if (sim > bestSim) { bestSim = sim; best = cid }
+      }
+      (r.id, r.v, best)
+    }.toDF("nid", "nv", "cell")
+
+    val queries = ds.filter(_.id < queryMaxId).collect().sortBy(_.id)
+    val bcQueries = spark.sparkContext.broadcast(
+      queries.map(q => q.id -> ((q.v, norm(q.v)))).toMap)
+    val probes = queries.flatMap { q =>
+      val nq = norm(q.v)
+      bcCent.value
+        .map { case (cid, cv, cn) => (cid, dot(q.v, cv) / (nq * cn)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (q.id, cid) }
+    }.toSeq.toDF("qid", "cell")
+
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("nv"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (qid, nid, nv) =>
+        val (qv, nq) = bcQueries.value(qid)
+        Scored(qid, nid, dot(qv, nv) / (nq * norm(nv)))
+      }.toDF()
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity}
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: exact + near deduplication (MinHash, SimHash,
@@ -37,6 +38,11 @@ object PipelineQueries {
     (536870923L, 7000003L), (179424673L, 8000009L))
 
   private val SIMHASH_BITS = 16
+
+  /** Shingles seen in more documents than this are dropped before the
+    * Jaccard join (skew guard; no-op at the test SFs where max df = 25).
+    */
+  private val STOP_SHINGLE_DF = 100
 
   /** Word-level 3-gram shingles, lowercased, one row per (doc_id, shingle),
     * distinct within doc. Explode is narrow; downstream groupBy shuffles on
@@ -85,12 +91,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs: join on shared shingle
-    // (shuffle keyed by shingle — bucket-local pair generation), then
-    // |A∩B| / |A∪B| >= 0.3. The all-pairs explosion is bounded by shingle
-    // bucket sizes; at scale, hot shingles would be dropped as stop-shingles.
+    // Exact n-gram Jaccard near-dup pairs over the CAPPED shingle set:
+    // shingles with document frequency > STOP_SHINGLE_DF are dropped
+    // before the join (both here and in the oracle) — the skew guard
+    // that keeps a web-scale hot 3-gram from exploding one join bucket.
+    // Join shuffles on shingle; pair generation is bucket-local.
     "q_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d).cache()
+      val raw = shingles(s, d)
+      val rare = raw.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= STOP_SHINGLE_DF)
+        .select(col("sh"))
+      val sh = raw.join(rare, "sh").cache()
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -106,8 +118,9 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash (16-bit here; 64-bit in ops.Dedup): per-word hash bits are
-    // summed ±1 per bit position, sign → fingerprint bit. One shuffle.
+    // SimHash (16-bit here for oracle-portability of the bit arithmetic;
+    // ops.Dedup.simHash64 is the 64-bit production variant): per-word
+    // hash bits are summed ±1 per position, sign → fingerprint bit.
     "q_simhash" -> ((s, d) => {
       val words = t(s, d, "documents")
         .select(col("doc_id"),
@@ -124,25 +137,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding cosine near-dup pairs: all-pairs over broadcast side at
-    // this SF; the IVF/LSH-bucketed scale path lives in ops.Similarity.
+    // Embedding cosine near-dup pairs — EXACT, via the block-pair
+    // (triangle) join in ops.Similarity: each vector fans out to G
+    // buckets, bucket (i,j) computes block i x block j dot products in
+    // tight loops. One shuffle, even buckets, no BroadcastNestedLoopJoin
+    // (the round-1 O(n^2) cross join spent 55s here at sf0.1). The
+    // qualifying pairs sit in a continuum at the 0.35 threshold, so
+    // probabilistic LSH cannot reproduce the exact pair set — exactness
+    // requires covering all pairs, and this spreads that work evenly.
     "q_dedup_embedding" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"))
-        .withColumn("na", expr(
-          "sqrt(aggregate(transform(va, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
-        .withColumn("nb", expr(
-          "sqrt(aggregate(transform(vb, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
-        .withColumn("sim", col("dot") / (col("na") * col("nb")))
-        .filter(col("sim") >= 0.35)
+      Similarity.cosinePairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", 0.35, numBlocks = 8)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Banded MinHash LSH candidate pairs CONSUMING the signatures:
+    // 4 bands x 2 rows; candidates share a full band; sig_sim is the
+    // standard Jaccard estimator (matching sigs / 8). Equi-joins only.
+    "q_minhash_pairs" -> ((s, d) => {
+      val withH = shingles(s, d)
+        .withColumn("h", expr(s"${h60("sh")} % $P"))
+      val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min(expr(s"(h * ${a}L + ${b}L) % ${P}L")).as(s"mh$j")
+      }
+      val sigs = withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      Dedup.minhashBandPairs(sigs, "doc_id",
+          (0 until 8).map(i => s"mh$i"), rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // ---- Similarity search ---------------------------------------------
@@ -168,6 +190,19 @@ object PipelineQueries {
         .withColumn("sim", col("dot") / (col("nq") * col("nn")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    // IVF-bucketed ANN (the scale path the brute-force query baselines):
+    // deterministic coarse quantizer (centroids = 16 lowest ids,
+    // assignment by max cosine, ties to lowest centroid id), queries
+    // probe their 4 nearest cells, exact rerank inside probed cells. The
+    // candidate side is ~nprobe/C of the data and stays partitioned; the
+    // oracle replicates the same algorithm, so the comparison is exact.
+    "q_knn_ivf" -> ((s, d) => {
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          numCentroids = 16, nprobe = 4, k = 5, queryMaxId = 10)
         .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
         .orderBy(col("qid"), col("nid"))
     }),
@@ -219,9 +254,20 @@ object PipelineQueries {
     }),
 
     // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
+    // Typed pipeline: string -> binary payload + mime metadata ->
+    // partition-parallel feature extraction (ops.Multimodal; the codec
+    // is stubbed deterministically, the Dataset plumbing is real).
+    "q_multimodal_decode" -> ((s, d) => {
+      Multimodal.extractFeatures(
+          Multimodal.ingest(t(s, d, "documents"), "doc_id", "text",
+            "text/plain"))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Byte-level metadata over an opaque payload: size + deterministic
-    // content hash + fake frame count (real decode is stubbed — see
-    // ops.Multimodal for the typed plumbing).
+    // content hash + fake frame count (column-level sibling of
+    // q_multimodal_decode's typed path).
     "q_multimodal_bytes" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -265,11 +311,32 @@ object PipelineQueries {
          |SELECT doc_id, $minhashAggsDuck
          |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_minhash_pairs" ->
+      s"""$shinglesDuck,
+         |hh AS (SELECT doc_id, ${h60Duck("sh")} % $P AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashAggsDuck FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 3 AS band, mh6::VARCHAR || '_' || mh7::VARCHAR AS bkey FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT + (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT + (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT + (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 AS sig_sim
+         |FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+         |            JOIN sig sb ON c.doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""$shinglesDuck,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT sh AS rsh FROM sh GROUP BY sh
+         |         HAVING count(*) <= $STOP_SHINGLE_DF),
+         |shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare ON sh.sh = rare.rsh),
+         |n AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(inter / (na.n + nb.n - inter), 6) AS jaccard
@@ -304,6 +371,42 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= 5
         |ORDER BY qid, nid""".stripMargin,
+
+    "q_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT qid, cid AS cell FROM (
+        |    SELECT q.qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |         list_cosine_similarity(q.qv, e.v) AS sim
+        |  FROM pr JOIN asg ON pr.cell = asg.cell
+        |       JOIN q ON q.qid = pr.qid
+        |       JOIN e ON e.vec_id = asg.vec_id
+        |  WHERE e.vec_id <> q.qid)
+        |SELECT qid, nid, round(sim, 6) AS sim FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, nid) AS rk
+        |  FROM cand) WHERE rk <= 5
+        |ORDER BY qid, nid""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id, 'text/plain' AS mime, strlen(text) AS n_bytes,
+        |  CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
+        |  md5(substr(text, 1, 256)) AS frame0_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("cosinePairs is exact: matches the brute-force pair set") {
+    val fast = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35, 8)
+      .select($"vec_a", $"vec_b", round($"sim", 9).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val e = emb.select($"vec_id",
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val brute = e.as("a").join(broadcast(e.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr(
+          "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)" +
+          " / (sqrt(aggregate(transform(a.v, x -> x * x), 0.0D, (acc, z) -> acc + z))" +
+          "  * sqrt(aggregate(transform(b.v, x -> x * x), 0.0D, (acc, z) -> acc + z)))"),
+          9).as("sim"))
+      .filter($"sim" >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty)
+  }
+
+  test("cosinePairs plan has no BroadcastNestedLoopJoin / CartesianProduct") {
+    val plan = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+  }
+
+  test("ivfTopK returns k per query, self excluded, candidates from probed cells") {
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      numCentroids = 16, nprobe = 4, k = 5, queryMaxId = 10)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("nid")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("minhash band pairs: candidates share a band; high-sig_sim pairs kept") {
+    val sigs = Seq(
+      (1L, 10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L),
+      (2L, 10L, 20L, 31L, 41L, 51L, 61L, 71L, 81L), // shares band 0
+      (3L, 99L, 98L, 97L, 96L, 95L, 94L, 93L, 92L)  // shares nothing
+    ).toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
+    val pairs = Dedup.minhashBandPairs(sigs, "doc_id",
+      (0 until 8).map(i => s"mh$i"), 2).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Double]("sig_sim") == 0.25) // 2 of 8 sigs agree
+  }
+
+  test("simHash64 produces 64-bit fingerprints, near-dups close in hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely unrelated text")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simHash64(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash64")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("multimodal plumbing: frames + hash over binary payload") {
+    val docs = Seq((1L, "a" * 600), (2L, "b" * 100), (3L, ""))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ingest(docs, "doc_id", "text", "text/plain"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_frames == 3 && feats(1L).n_bytes == 600)
+    assert(feats(2L).n_frames == 1)
+    assert(feats(3L).n_frames == 0)
+    // frame0 hash = md5 of the first 256 bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("a".repeat(256).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(feats(1L).frame0_hash == expect)
+  }
+}
