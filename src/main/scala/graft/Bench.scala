@@ -20,9 +20,16 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // kernel-equivalent metadata benchmark (BASELINE.md: snapshot build +
+    // full replay over a synthetic 300k-add log)
+    val metaBench =
+      try graft.bench.MetadataBench.run(spark)
+      catch { case _: Throwable =>
+        Map("snapshot_300k" -> -1.0, "replay_300k" -> -1.0) }
+    val all = results ++ metaBench
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

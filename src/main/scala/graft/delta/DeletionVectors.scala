@@ -86,15 +86,32 @@ object DeletionVectors {
   }
 
   // ---------------- bitmap serde ----------------
-  def serializeBitmap(positions: Array[Long]): Array[Byte] = {
-    val rb = new Roaring64NavigableMap()
-    positions.foreach(rb.addLong)
+  def bitmapBytes(rb: Roaring64NavigableMap): Array[Byte] = {
     rb.runOptimize()
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new DataOutputStream(bos)
     rb.serializePortable(dos)
     dos.flush()
     bos.toByteArray
+  }
+
+  def serializeBitmap(positions: Array[Long]): Array[Byte] = {
+    val rb = new Roaring64NavigableMap()
+    positions.foreach(rb.addLong)
+    bitmapBytes(rb)
+  }
+
+  /** OR two portable bitmaps — bitmap-level merge, no row-index arrays
+    * materialize (reference transaction/update.rs keeps DV construction
+    * streaming the same way).
+    */
+  def orBitmaps(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ra = new Roaring64NavigableMap()
+    ra.deserializePortable(new DataInputStream(new ByteArrayInputStream(a)))
+    val rb = new Roaring64NavigableMap()
+    rb.deserializePortable(new DataInputStream(new ByteArrayInputStream(b)))
+    ra.or(rb)
+    bitmapBytes(ra)
   }
 
   def deserializeBitmap(bytes: Array[Byte]): Array[Long] = {
@@ -109,12 +126,19 @@ object DeletionVectors {
     * deletion_vector.rs `read` + `row_indexes`).
     */
   def readRowIndexes(dv: DeletionVectorDescriptor, tableRoot: Path,
-      conf: Configuration): Array[Long] = dv.storageType match {
+      conf: Configuration): Array[Long] =
+    deserializeBitmap(readBitmapBytes(dv, tableRoot, conf))
+
+  /** The raw portable-bitmap bytes for a descriptor (no row-index
+    * materialization — callers merging bitmaps stay at bitmap level).
+    */
+  def readBitmapBytes(dv: DeletionVectorDescriptor, tableRoot: Path,
+      conf: Configuration): Array[Byte] = dv.storageType match {
     case "i" =>
       val bytes = z85Decode(dv.pathOrInlineDv)
       val magic = leInt(bytes, 0)
       require(magic == PORTABLE_MAGIC, s"invalid inline DV magic $magic")
-      deserializeBitmap(bytes.drop(4))
+      bytes.drop(4)
     case "u" | "p" =>
       val path = dv.storageType match {
         case "p" => new Path(dv.pathOrInlineDv)
@@ -145,8 +169,7 @@ object DeletionVectors {
       c.update(all, start + 4, size)
       require(crc == c.getValue.toInt,
         s"DV checksum mismatch for $path")
-      deserializeBitmap(
-        java.util.Arrays.copyOfRange(all, start + 8, crcStart))
+      java.util.Arrays.copyOfRange(all, start + 8, crcStart)
     case other =>
       throw new IllegalArgumentException(s"unknown DV storageType '$other'")
   }
@@ -158,14 +181,25 @@ object DeletionVectors {
     * `deletion_vector_<uuid>.bin` with per-DV offsets (the layout above).
     */
   def write(deletes: Seq[(String, Array[Long])], tableRoot: Path,
+      conf: Configuration): Map[String, DeletionVectorDescriptor] =
+    writeBitmaps(
+      deletes.map { case (k, pos) =>
+        (k, serializeBitmap(pos), pos.length.toLong)
+      }, tableRoot, conf)
+
+  /** Like `write` but taking pre-serialized portable bitmaps (built on
+    * executors) + their cardinalities — the driver never touches
+    * row-index arrays.
+    */
+  def writeBitmaps(deletes: Seq[(String, Array[Byte], Long)],
+      tableRoot: Path,
       conf: Configuration): Map[String, DeletionVectorDescriptor] = {
     val uuid = UUID.randomUUID()
     val relName = s"deletion_vector_$uuid.bin"
     val out = new java.io.ByteArrayOutputStream()
     out.write(1) // version
     var offset = 1
-    val result = deletes.map { case (key, positions) =>
-      val bitmap = serializeBitmap(positions)
+    val result = deletes.map { case (key, bitmap, cardinality) =>
       val size = bitmap.length + 4 // magic + bitmap
       val buf = ByteBuffer.allocate(4 + size + 4)
       buf.putInt(size) // BE
@@ -180,7 +214,7 @@ object DeletionVectors {
         pathOrInlineDv = encodeUUID(uuid),
         offset = Some(offset),
         sizeInBytes = size,
-        cardinality = positions.length.toLong)
+        cardinality = cardinality)
       offset += 4 + size + 4
       key -> desc
     }.toMap

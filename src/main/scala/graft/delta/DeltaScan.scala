@@ -39,6 +39,18 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
   private lazy val predicate: Option[Expression] =
     predicateSql.map(DataSkipping.parse(spark, _))
 
+  /** Static skip-all (reference scan/mod.rs:459-461, scan_plan.rs:59-60):
+    * a predicate with a foldable conjunct that evaluates to false/NULL
+    * can never select a row — skip log replay and data reads entirely.
+    */
+  private[delta] lazy val staticallyFalse: Boolean =
+    predicate.exists(p => DataSkipping.conjuncts(p).exists { c =>
+      c.foldable && {
+        val v = c.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        v == null || v == false
+      }
+    })
+
   private lazy val (partConjuncts, dataConjuncts) = {
     val cs = predicate.map(DataSkipping.conjuncts).getOrElse(Nil)
     cs.partition { c =>
@@ -66,7 +78,10 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * are identical for a given (path, dv) key, so pruning before vs
     * after dedup is equivalent — scan_plan.rs:85-98).
     */
-  lazy val filesDF: DataFrame = {
+  lazy val filesDF: DataFrame = if (staticallyFalse) {
+    spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), snapshot.addsSchema)
+  } else {
     var df = snapshot.allAdds
     if (partCols.nonEmpty && partConjuncts.nonEmpty) {
       val pp = partConjuncts.map { c =>

@@ -277,38 +277,55 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
 
-    // live rows only (existing DVs already applied by assemble)
+    // ONE distributed pass per file: build the new-deletion bitmap ON
+    // THE EXECUTORS (groupByKey + mapGroups — compressed bitmap bytes
+    // travel to the driver, never row-index lists; a 1B-row DELETE
+    // funnels kilobytes, not gigabytes) and count matched/live rows for
+    // the fully-deleted-file check.
     val withMeta = scan.assemble(candidates, keepMeta = true)
-    val matched = withMeta.filter(expr(predicateSql))
-      .groupBy(col("__path"))
-      .agg(collect_list(col("__ridx")).as("dels"))
-      .collect()
-      .map(r => r.getAs[String]("__path") ->
-        r.getAs[scala.collection.Seq[Long]]("dels").toArray.sorted)
-      .toMap
-    if (matched.isEmpty) return snap.version
-    val liveCounts = withMeta.groupBy(col("__path"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getAs[String]("__path") -> r.getAs[Long]("n")).toMap
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long, Long)] =
+      withMeta.select(col("__path"), col("__ridx"),
+          coalesce(expr(predicateSql), lit(false)).as("__m"))
+        .as[(String, Long, Boolean)]
+        .groupByKey(_._1)
+        .mapGroups { (path: String, it: Iterator[(String, Long, Boolean)]) =>
+          val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+          var live = 0L
+          var matched = 0L
+          it.foreach { case (_, ridx, m) =>
+            live += 1
+            if (m) { matched += 1; rb.addLong(ridx) }
+          }
+          (path, DeletionVectors.bitmapBytes(rb), matched, live)
+        }.collect()
+    val matchedFiles = perFile.filter(_._3 > 0)
+    if (matchedFiles.isEmpty) return snap.version
 
     val conf = hconf
     val byPath = candidates.map { a =>
-      fs.makeQualified(new Path(root, a.path)).toUri.getPath -> a
+      fs.makeQualified(new Path(root, Storage.decodeUriPath(a.path)))
+        .toUri.getPath -> a
     }.toMap
 
-    val (gone, partial) = matched.toSeq.partition { case (p, dels) =>
-      dels.length.toLong == liveCounts(p)
+    val (gone, partialFiles) = matchedFiles.toSeq.partition {
+      case (_, _, matched, live) => matched == live
     }
-    // merge new deletions with each file's existing DV positions
-    val merged: Seq[(String, Array[Long])] = partial.map { case (p, dels) =>
-      val old = byPath(p).deletionVector
-        .map(DeletionVectors.readRowIndexes(_, root, conf))
-        .getOrElse(Array.empty[Long])
-      p -> (old ++ dels).distinct.sorted
+    // merge with each file's existing DV at BITMAP level (assemble
+    // already excluded old-DV rows, so cardinalities simply add)
+    val merged: Seq[(String, Array[Byte], Long)] = partialFiles.map {
+      case (p, bytes, matched, _) =>
+        byPath(p).deletionVector match {
+          case Some(old) =>
+            val oldBytes = DeletionVectors.readBitmapBytes(old, root, conf)
+            (p, DeletionVectors.orBitmaps(oldBytes, bytes),
+              old.cardinality + matched)
+          case None => (p, bytes, matched)
+        }
     }
     val descs =
       if (merged.isEmpty) Map.empty[String, DeletionVectorDescriptor]
-      else DeletionVectors.write(merged, root, conf)
+      else DeletionVectors.writeBitmaps(merged, root, conf)
 
     def removeOf(a: AddFile): RemoveFile = RemoveFile(
       a.path, Some(now()), dataChange = true,
@@ -316,12 +333,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       partitionValues = Some(a.partitionValues), size = Some(a.size),
       deletionVector = a.deletionVector)
 
-    val removes = (gone.map(_._1) ++ partial.map(_._1))
+    val removes = (gone.map(_._1) ++ partialFiles.map(_._1))
       .map(p => removeOf(byPath(p)))
     // stats on a DV-carrying add describe the PHYSICAL file, so they
     // must be flagged tightBounds:false (protocol contract — external
     // readers may otherwise do metadata-only aggregates over dead rows)
-    val newAdds = partial.map { case (p, _) =>
+    val newAdds = partialFiles.map { case (p, _, _, _) =>
       val a = byPath(p)
       a.copy(deletionVector = Some(descs(p)), dataChange = true,
         stats = a.stats.map(StatsJson.markNonTight))

@@ -40,16 +40,37 @@ object LogSegment {
     } catch { case _: Exception => None }
 
   /** Assemble the segment for `targetVersion` (None = latest).
-    * Validation mirrors log_segment/mod.rs:203-330: commits must be
-    * contiguous, must connect to the checkpoint (or reach version 0),
-    * and the target version must exist.
+    *
+    * Listing starts from the `_last_checkpoint` hint when one is usable
+    * (reference last_checkpoint_hint.rs — the hint is a listing
+    * optimization, never trusted for correctness: any failure to build a
+    * valid segment from the partial listing falls back to a full
+    * listing). Validation mirrors log_segment/mod.rs:203-330: commits
+    * must be contiguous, must connect to the checkpoint (or reach
+    * version 0), and the target version must exist.
     */
   def forVersion(fs: FileSystem, logDir: Path,
       targetVersion: Option[Long] = None): LogSegment = {
-    val listed = Storage.listSorted(fs, logDir)
-      .flatMap(st => FileNames.parse(st.getPath))
+    val hinted = readLastCheckpointHint(fs, logDir)
+      .filter(h => targetVersion.forall(_ >= h.version))
+      .flatMap { h =>
+        try {
+          Some(assemble(
+            Storage.listSortedFrom(fs, logDir, f"${h.version}%020d")
+              .flatMap(st => FileNames.parse(st.getPath)),
+            targetVersion))
+        } catch { case _: IllegalStateException => None }
+      }
+    hinted.getOrElse(assemble(
+      Storage.listSorted(fs, logDir).flatMap(st => FileNames.parse(st.getPath)),
+      targetVersion))
+  }
+
+  private def assemble(listed: Seq[LogFile],
+      targetVersion: Option[Long]): LogSegment = {
     if (listed.isEmpty)
-      throw new IllegalStateException(s"no delta log found at $logDir")
+      throw new IllegalStateException("no delta log entries in listing")
+    val logDir = listed.head.path.getParent
 
     val inRange: LogFile => Boolean = lf =>
       targetVersion.forall(lf.version <= _)

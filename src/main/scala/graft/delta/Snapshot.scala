@@ -120,7 +120,7 @@ class Snapshot(
     }
   }
 
-  private lazy val addsSchema = StructType(Seq(
+  private[delta] lazy val addsSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("add", LogSchema.add),
     org.apache.spark.sql.types.StructField("version",
       org.apache.spark.sql.types.LongType)))
@@ -202,12 +202,17 @@ object Snapshot {
       .takeWhile(_ => protocol.isEmpty || metadata.isEmpty)
       .foreach { c =>
         Storage.readLines(fs, c.path).foreach { line =>
-          val n = JsonLog.parseLine(line)
-          val p = n.get("protocol"); val m = n.get("metaData")
-          if (p != null && !p.isNull && protocol.isEmpty)
-            protocol = Some(JsonLog.parseProtocol(p))
-          if (m != null && !m.isNull && metadata.isEmpty)
-            metadata = Some(JsonLog.parseMetadata(m))
+          // cheap substring pre-filter: data commits are overwhelmingly
+          // add/remove lines — parsing every one makes newest-first P&M
+          // replay O(log bytes) in JSON parsing instead of I/O
+          if (line.contains("\"protocol\"") || line.contains("\"metaData\"")) {
+            val n = JsonLog.parseLine(line)
+            val p = n.get("protocol"); val m = n.get("metaData")
+            if (p != null && !p.isNull && protocol.isEmpty)
+              protocol = Some(JsonLog.parseProtocol(p))
+            if (m != null && !m.isNull && metadata.isEmpty)
+              metadata = Some(JsonLog.parseMetadata(m))
+          }
         }
       }
     // fall back to the checkpoint

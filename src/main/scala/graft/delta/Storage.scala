@@ -22,6 +22,15 @@ object Storage {
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).sortBy(_.getPath.getName).toSeq
 
+  /** List entries whose name sorts >= `fromName` (UTF-8 order). Local
+    * filesystems filter client-side; an object-store implementation
+    * would push `startAfter` into the LIST call — this is the
+    * `list_from` half of the storage contract (lib.rs:611-626).
+    */
+  def listSortedFrom(fs: FileSystem, dir: Path,
+      fromName: String): Seq[FileStatus] =
+    listSorted(fs, dir).filter(_.getPath.getName >= fromName)
+
   /** Recursively list files under dir (staged data files). */
   def listFilesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     val out = ArrayBuffer.empty[FileStatus]

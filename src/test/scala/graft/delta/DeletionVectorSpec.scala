@@ -77,6 +77,35 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.scan(None).collectAddFiles().isEmpty)
   }
 
+  test("large DV delete: bitmaps built on executors, no row-index collect") {
+    val dir = TestSpark.tmpDir("dvbig")
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    DeltaTable.create(spark, dir, li.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(li) // ~60k rows
+    // delete >half the table through the DV path
+    t.deleteWhereDV("l_quantity < 30")
+    val expected = li.filter(not(coalesce($"l_quantity" < 30, lit(false))))
+    assert(t.toDF.count() == expected.count())
+    // DV descriptors carry the right cardinalities (sum = deleted rows)
+    val totalCard = t.scan(None).collectAddFiles()
+      .flatMap(_.deletionVector).map(_.cardinality).sum
+    assert(totalCard == li.filter(coalesce($"l_quantity" < 30, lit(false))).count())
+    // stats flagged non-tight on DV adds
+    val dvStats = t.scan(None).collectAddFiles()
+      .filter(_.deletionVector.isDefined).flatMap(_.stats)
+    assert(dvStats.nonEmpty &&
+      dvStats.forall(_.contains("\"tightBounds\":false")))
+  }
+
+  test("orBitmaps merges at bitmap level") {
+    val a = DeletionVectors.serializeBitmap(Array(1L, 5L, (1L << 34) + 1))
+    val b = DeletionVectors.serializeBitmap(Array(2L, 5L))
+    val m = DeletionVectors.orBitmaps(a, b)
+    assert(DeletionVectors.deserializeBitmap(m).toSeq ==
+      Seq(1L, 2L, 5L, (1L << 34) + 1))
+  }
+
   test("checkpoint preserves DV descriptors") {
     val dir = TestSpark.tmpDir("dvckpt")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
