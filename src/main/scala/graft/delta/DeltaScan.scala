@@ -159,7 +159,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * output (e.g. the physical `_change_type` column of CDF
     * `_change_data` files).
     */
-  private[delta] def assemble(adds: Seq[AddFile], keepMeta: Boolean,
+  private[graft] def assemble(adds: Seq[AddFile], keepMeta: Boolean,
       extraPhysical: Seq[StructField] = Nil): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(snapshot.tableRoot, conf)

@@ -363,6 +363,76 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     commitActions(snap.version + 1, lines, retryable = false)
   }
 
+  // ---------------- ALTER TABLE ----------------
+
+  /** Metadata-only commit applying a validated schema evolution
+    * (reference transaction/alter_table.rs:82, schema_evolution.rs:784).
+    * Old data files are read under the widened schema natively (Spark's
+    * vectorized parquet reader handles int32→int64 / float→double
+    * pages); added nullable columns read as NULL from old files.
+    */
+  def alterSchema(newSchema: StructType): Long = {
+    val snap = snapshot()
+    SchemaEvolution.validate(snap.schema, newSchema).foreach(msg =>
+      throw new IllegalArgumentException(s"illegal schema evolution: $msg"))
+    val cmMode = ColumnMapping.mode(snap.metadata)
+    // preserve column-mapping annotations on surviving fields; assign
+    // fresh physical names/ids to added ones
+    val (finalSchema, newConfig) =
+      if (cmMode == "none") (newSchema, snap.metadata.configuration)
+      else {
+        val oldByName = snap.schema.fields.map(f => f.name -> f).toMap
+        var maxId = snap.metadata.configuration
+          .get(ColumnMapping.MAX_ID_KEY).map(_.toLong).getOrElse(0L)
+        val fields = newSchema.fields.map { f =>
+          oldByName.get(f.name) match {
+            case Some(of) => f.copy(metadata = of.metadata)
+            case None =>
+              val (annotated, m2) =
+                ColumnMapping.assignMetadata(StructType(Seq(f)), maxId)
+              maxId = m2
+              annotated.fields.head
+          }
+        }
+        (StructType(fields), snap.metadata.configuration +
+          (ColumnMapping.MAX_ID_KEY -> maxId.toString))
+      }
+    val meta = snap.metadata.copy(
+      schemaString = finalSchema.json, configuration = newConfig)
+    val lines = Seq(
+      commitInfoLine("ALTER TABLE", Map("operation" -> "CHANGE SCHEMA")),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+    commitActions(snap.version + 1, lines, retryable = false)
+  }
+
+  /** ALTER TABLE ADD COLUMN (nullable — required for old files). */
+  def addColumn(name: String, dataType: DataType): Long = {
+    val snap = snapshot()
+    require(!snap.schema.fieldNames.contains(name),
+      s"column '$name' already exists")
+    alterSchema(StructType(
+      snap.schema.fields :+ StructField(name, dataType, nullable = true)))
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE (widening only). */
+  def widenColumn(name: String, to: DataType): Long = {
+    val snap = snapshot()
+    require(snap.schema.fieldNames.contains(name), s"no column '$name'")
+    alterSchema(StructType(snap.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f)))
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES (metadata-only commit). */
+  def setProperties(props: Map[String, String]): Long = {
+    val snap = snapshot()
+    val meta = snap.metadata.copy(
+      configuration = snap.metadata.configuration ++ props)
+    val lines = Seq(
+      commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES")),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+    commitActions(snap.version + 1, lines, retryable = false)
+  }
+
   // ---------------- checkpoint ----------------
 
   /** Write a classic single-file V1 checkpoint at the current version +

@@ -1,0 +1,60 @@
+package graft.delta
+
+import org.apache.spark.sql.types._
+
+/** Schema evolution validation (reference:
+  * kernel/src/transaction/schema_evolution.rs,
+  * kernel/src/schema/mod.rs:2030-2055 widening matrix,
+  * kernel/src/schema/compare.rs).
+  *
+  * Allowed evolutions for ALTER TABLE:
+  *  - add a nullable column (old files read it as NULL — free with
+  *    Spark's schema-first parquet read)
+  *  - widen a column per the protocol matrix: byte → short → int →
+  *    long, float → double, timestamp ↔ timestamp_ntz (old int32/float
+  *    pages read natively under the widened schema by Spark's
+  *    vectorized reader)
+  * Drops, renames (without column mapping), narrowing, and nullability
+  * tightening are rejected.
+  */
+object SchemaEvolution {
+
+  /** Protocol widening matrix (schema/mod.rs:2030-2055). */
+  def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (TimestampType, TimestampNTZType) => true
+    case (TimestampNTZType, TimestampType) => true
+    case _ => false
+  }
+
+  /** Validate that `newSchema` is a legal evolution of `oldSchema`:
+    * every old column present (same name), type equal or widened,
+    * nullability never tightened; new columns must be nullable.
+    * Returns the offending description on failure.
+    */
+  def validate(oldSchema: StructType, newSchema: StructType): Option[String] = {
+    val newByName = newSchema.fields.map(f => f.name -> f).toMap
+    oldSchema.fields.iterator.flatMap { of =>
+      newByName.get(of.name) match {
+        case None => Some(s"column '${of.name}' was dropped")
+        case Some(nf) =>
+          if (!canWiden(of.dataType, nf.dataType))
+            Some(s"column '${of.name}': ${of.dataType.simpleString} cannot " +
+              s"widen to ${nf.dataType.simpleString}")
+          else if (of.nullable && !nf.nullable)
+            Some(s"column '${of.name}': nullability cannot tighten")
+          else None
+      }
+    }.nextOption().orElse {
+      val oldNames = oldSchema.fieldNames.toSet
+      newSchema.fields.iterator
+        .filter(f => !oldNames.contains(f.name) && !f.nullable)
+        .map(f => s"new column '${f.name}' must be nullable")
+        .nextOption()
+    }
+  }
+}

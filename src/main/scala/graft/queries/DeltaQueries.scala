@@ -116,6 +116,24 @@ object DeltaQueries {
       ordered(t.toDF)
     }),
 
+    // ALTER TABLE type widening: int32 commit, widen to long, append
+    // longs, read all (old files served under the widened schema)
+    "q_delta_alter_widen" -> ((s, d) => {
+      val dir = tmp("widen")
+      val src = li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val narrow = src.filter(col("l_quantity") < 5)
+        .withColumn("l_linenumber", col("l_linenumber").cast("int"))
+      DeltaTable.create(s, dir, narrow.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(narrow)
+      t.widenColumn("l_linenumber",
+        org.apache.spark.sql.types.LongType)
+      t.append(src.filter(col("l_quantity") >= 5 && col("l_quantity") < 8))
+      t.toDF.orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    }),
+
     // CDF: two insert commits + a cdc-file delete commit, read [1,3]
     "q_delta_cdf" -> ((s, d) => {
       val dir = tmp("cdf")
@@ -192,6 +210,12 @@ object DeltaQueries {
          |WHERE l_quantity < 12
          |  AND NOT coalesce(l_returnflag = 'A' AND l_quantity < 6, false)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_alter_widen" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_quantity
+        |FROM lineitem WHERE l_quantity < 8
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_delta_cdf" ->
       s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)

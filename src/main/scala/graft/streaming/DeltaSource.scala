@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SQLContext}
+
+import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage}
+
+/** Structured Streaming source over a Delta table: offsets are table
+  * VERSIONS, each microbatch is the add-file diff of a commit range
+  * (reference: kernel/src/incremental_scan/mod.rs:26-60 — the file-action
+  * diff over (base, target] — exposed the way delta-spark's DeltaSource
+  * does, as a v1 `Source`).
+  *
+  * Options:
+  *  - `path` (required): table root
+  *  - `startingVersion` (default 0): first version whose adds are emitted
+  *  - `maxVersionsPerTrigger` (default unbounded): rate limit — at most
+  *    this many commit versions per microbatch
+  *  - `ignoreDeletes` (default false): tolerate remove actions in the
+  *    range (otherwise the stream fails — appends-only contract)
+  *
+  * Scale: per microbatch the driver reads only the range's commit JSONs
+  * (metadata); the data read is a distributed parquet scan of exactly
+  * the newly added files.
+  */
+class DeltaSource(
+    sqlContext: SQLContext,
+    tablePath: String,
+    options: Map[String, String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val startingVersion =
+    options.getOrElse("startingVersion", "0").toLong
+  private val maxVersions =
+    options.get("maxVersionsPerTrigger").map(_.toLong)
+  private val ignoreDeletes =
+    options.get("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
+
+  // schema is pinned at source creation (delta-spark does the same)
+  private val initialSnapshot = Snapshot.forTable(spark, tablePath)
+  override val schema: StructType = initialSnapshot.schema
+
+  private def latestVersion: Long =
+    Snapshot.forTable(spark, tablePath).version
+
+  /** Highest version already handed out (rate-limit bookkeeping). */
+  private var lastOffered: Long = startingVersion - 1
+
+  override def getOffset: Option[Offset] = {
+    val latest = latestVersion
+    val capped = maxVersions match {
+      case Some(m) => math.min(latest, math.max(lastOffered, startingVersion - 1) + m)
+      case None => latest
+    }
+    if (capped < startingVersion) None
+    else {
+      lastOffered = math.max(lastOffered, capped)
+      Some(LongOffset(capped))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val hi = offsetVersion(end)
+    val lo = start.map(offsetVersion(_) + 1).getOrElse(startingVersion)
+    // restart recovery replays the last committed batch through here —
+    // advance the rate-limit watermark so the next getOffset continues
+    // from the checkpointed position instead of re-offering old versions
+    lastOffered = math.max(lastOffered, hi)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = Storage.fs(root, conf)
+    val logDir = FileNames.logDir(root)
+
+    val adds = (lo to hi).flatMap { v =>
+      val p = FileNames.commitFile(logDir, v)
+      if (!fs.exists(p)) Nil
+      else Storage.readLines(fs, p).filter(_.nonEmpty).flatMap { line =>
+        val n = JsonLog.parseLine(line)
+        val rem = n.get("remove")
+        if (rem != null && !rem.isNull && !ignoreDeletes &&
+            RowCodec.jsonToRemove(rem).dataChange)
+          throw new IllegalStateException(
+            s"delete detected in streamed commit $v — appends-only " +
+              "source (set ignoreDeletes=true to skip them)")
+        Option(n.get("add")).filterNot(_.isNull)
+          .map(RowCodec.jsonToAdd).filter(_.dataChange)
+      }
+    }
+    val df = new DeltaScan(initialSnapshot, None)
+      .assemble(adds, keepMeta = false)
+    StreamingShim.internalCreateStreamingDF(
+      sqlContext, df.queryExecution.toRdd, df.schema)
+  }
+
+  private def offsetVersion(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = {}
+}
+
+/** `.format("graft-delta")` / `.format(classOf[DeltaSourceProvider].getName)` */
+class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    (shortName(),
+      schema.getOrElse(
+        Snapshot.forTable(sqlContext.sparkSession, path).schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    new DeltaSource(sqlContext, path, parameters)
+  }
+}

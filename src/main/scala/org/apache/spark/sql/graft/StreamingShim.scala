@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SQLContext}
+
+/** `Source.getBatch` must return a DataFrame whose logical plan is
+  * flagged `isStreaming` — the only door to that flag from outside
+  * Spark is the `private[sql] internalCreateDataFrame`, hence this tiny
+  * shim living under `org.apache.spark.sql` (the standard pattern for
+  * external v1 streaming connectors).
+  */
+object StreamingShim {
+  def internalCreateStreamingDF(sqlContext: SQLContext,
+      rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

@@ -1,0 +1,97 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ALTER TABLE + schema evolution (reference schema_evolution.rs,
+  * alter_table.rs, widening matrix schema/mod.rs:2030-2055).
+  */
+class AlterTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("widen int->long: old int32 files read under the new schema") {
+    val dir = TestSpark.tmpDir("widen")
+    val v1 = Seq((1, 1.5), (2, 2.5)).toDF("k", "x")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.widenColumn("k", LongType)
+    t.append(Seq((3000000000L, 3.5)).toDF("k", "x")) // needs 64 bits
+    val got = t.toDF
+    assert(got.schema("k").dataType == LongType)
+    assert(got.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3000000000L))
+  }
+
+  test("add nullable column: old files read NULL") {
+    val dir = TestSpark.tmpDir("addcol")
+    val v1 = Seq((1, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.addColumn("extra", DoubleType)
+    t.append(Seq((2, "b", 9.9)).toDF("k", "s", "extra"))
+    val rows = t.toDF.orderBy("k").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.9)
+  }
+
+  test("float->double widening and stats skipping still work") {
+    val dir = TestSpark.tmpDir("widenf")
+    val v1 = Seq((1, 1.5f), (2, 2.5f)).toDF("k", "f")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.widenColumn("f", DoubleType)
+    t.append(Seq((3, 3.5)).toDF("k", "f"))
+    assert(t.toDF.schema("f").dataType == DoubleType)
+    assert(t.scan(Some("f > 3.0")).toDF.count() == 1)
+  }
+
+  test("illegal evolutions rejected") {
+    val dir = TestSpark.tmpDir("illegal")
+    val v1 = Seq((1L, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    // narrow
+    intercept[IllegalArgumentException] {
+      t.alterSchema(StructType(Seq(
+        StructField("k", IntegerType), StructField("s", StringType))))
+    }
+    // drop
+    intercept[IllegalArgumentException] {
+      t.alterSchema(StructType(Seq(StructField("k", LongType))))
+    }
+    // non-nullable addition
+    intercept[IllegalArgumentException] {
+      t.alterSchema(StructType(v1.schema.fields :+
+        StructField("n", LongType, nullable = false)))
+    }
+    // incompatible widen
+    intercept[IllegalArgumentException] {
+      t.widenColumn("s", LongType)
+    }
+  }
+
+  test("column-mapped table keeps physical names across ALTER") {
+    val dir = TestSpark.tmpDir("altercm")
+    val v1 = Seq((1, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, v1.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    val physBefore = ColumnMapping.physicalName(t.snapshot().schema("k"))
+    t.widenColumn("k", LongType)
+    t.addColumn("z", StringType)
+    val snap = t.snapshot()
+    assert(ColumnMapping.physicalName(snap.schema("k")) == physBefore)
+    assert(ColumnMapping.physicalName(snap.schema("z")).startsWith("col-"))
+    t.append(Seq((2L, "b", "zz")).toDF("k", "s", "z"))
+    assert(t.toDF.count() == 2)
+    assert(t.toDF.schema("k").dataType == LongType)
+  }
+}

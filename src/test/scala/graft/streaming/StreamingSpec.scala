@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaTable, IncrementalScan}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("incremental scan: file diff over (base, target]") {
+    val dir = TestSpark.tmpDir("incr")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" === 1))       // v1
+    t.append(src.filter($"k" === 2))       // v2
+    t.deleteWhere("k = 1")                 // v3: remove v1's file
+    val diff = IncrementalScan.fileDiff(spark, dir, 1, 3).collect()
+    // net effect vs v1: one add (v2 file) and one remove (v1 file)
+    assert(diff.count(_.getAs[String]("action") == "add") == 1)
+    assert(diff.count(_.getAs[String]("action") == "remove") == 1)
+    // over (0, 2]: two adds, no removes
+    val diff2 = IncrementalScan.fileDiff(spark, dir, 0, 2).collect()
+    assert(diff2.forall(_.getAs[String]("action") == "add"))
+    assert(diff2.length == 2)
+  }
+
+  test("streaming source: microbatches = per-commit adds") {
+    val dir = TestSpark.tmpDir("stream")
+    val ckpt = TestSpark.tmpDir("stream-ckpt")
+    val src = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 10))              // v1
+    t.append(src.filter($"k" > 10 && $"k" <= 20)) // v2
+    t.append(src.filter($"k" > 20))               // v3
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(rateLimit: Option[Int]): Unit = {
+      val reader = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+      rateLimit.foreach(m =>
+        reader.option("maxVersionsPerTrigger", m.toString))
+      val q = reader.load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized { batches += df.count() }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // rate-limited runs: one commit version per microbatch run
+    runOnce(Some(1)) // commit 0: metadata only -> 0 rows
+    runOnce(Some(1)) // commit 1
+    runOnce(Some(1)) // commit 2
+    assert(batches.toSeq == Seq(0L, 10L, 10L), s"got $batches")
+
+    // unbounded run drains the rest in one batch
+    batches.clear()
+    runOnce(None)
+    assert(batches.toSeq == Seq(10L), s"got $batches")
+
+    // restart picks up only NEW commits
+    t.append(Seq((31L, "v31")).toDF("k", "s")) // v4
+    batches.clear()
+    runOnce(None)
+    assert(batches.toSeq == Seq(1L), s"got $batches")
+  }
+
+  test("streaming source rejects deletes unless ignoreDeletes") {
+    val dir = TestSpark.tmpDir("stream-del")
+    val ckpt = TestSpark.tmpDir("stream-del-ckpt")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.deleteWhere("k = 1")
+    def run(ignore: Boolean) = {
+      val reader = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("ignoreDeletes", ignore.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          TestSpark.tmpDir("stream-del-ckpt2"))
+        .format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      reader.awaitTermination(120000)
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ignore = false)
+    }
+    run(ignore = true) // succeeds
+  }
+}
