@@ -102,6 +102,18 @@ case class DomainMetadata(
     configuration: String,
     removed: Boolean)
 
+/** V2-checkpoint sidecar reference (reference actions/mod.rs:1251). */
+case class Sidecar(
+    path: String,
+    sizeInBytes: Long,
+    modificationTime: Long,
+    tags: Option[Map[String, String]] = None)
+
+/** V2-checkpoint self-description (reference actions/mod.rs:1303). */
+case class CheckpointMetadata(
+    version: Long,
+    tags: Option[Map[String, String]] = None)
+
 /** A single log line: exactly one of the fields is non-null. */
 case class SingleAction(
     txn: Option[SetTransaction] = None,
@@ -111,7 +123,9 @@ case class SingleAction(
     protocol: Option[Protocol] = None,
     cdc: Option[AddCDCFile] = None,
     commitInfo: Option[CommitInfo] = None,
-    domainMetadata: Option[DomainMetadata] = None)
+    domainMetadata: Option[DomainMetadata] = None,
+    sidecar: Option[Sidecar] = None,
+    checkpointMetadata: Option[CheckpointMetadata] = None)
 
 object LogSchema {
   private def m(k: DataType, v: DataType) = MapType(k, v, true)
@@ -213,4 +227,23 @@ object LogSchema {
     StructField("metaData", metaData),
     StructField("protocol", protocol),
     StructField("domainMetadata", domainMetadata)))
+
+  val sidecar: StructType = StructType(Seq(
+    StructField("path", str),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType),
+    StructField("tags", strMap)))
+
+  val checkpointMetadata: StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("tags", strMap)))
+
+  /** Top-level V2 checkpoint schema: checkpoint actions + sidecar refs +
+    * the checkpointMetadata self-description (reference
+    * checkpoint/checkpoint_shape.rs).
+    */
+  val v2Checkpoint: StructType = StructType(
+    checkpoint.fields ++ Seq(
+      StructField("sidecar", sidecar),
+      StructField("checkpointMetadata", checkpointMetadata)))
 }

@@ -78,6 +78,27 @@ object DataSkipping {
     case _ => None
   }
 
+  /** Floor a timestamp literal to milliseconds — written timestamp stats
+    * are truncated toward −∞ at 3 fractional digits (the ToJson stats
+    * contract), so MAX-side comparisons must compare against the floored
+    * literal or files whose true max lies in (floor(max), max] would be
+    * wrongly skipped. Comparisons become >= after flooring.
+    */
+  private def floorMs(l: Literal): Literal = l match {
+    case Literal(v: Long, t @ (TimestampType | TimestampNTZType)) =>
+      Literal(v - java.lang.Math.floorMod(v, 1000L), t)
+    case other => other
+  }
+  private def isTs(l: Literal): Boolean = l.dataType match {
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+  /** MAX-side bound: max(a) must admit values matching `op l`. */
+  private def maxSide(a: String, l: Literal, strict: Boolean): Expression =
+    if (isTs(l)) GreaterThanOrEqual(statRef("maxValues", a), floorMs(l))
+    else if (strict) GreaterThan(statRef("maxValues", a), l)
+    else GreaterThanOrEqual(statRef("maxValues", a), l)
+
   /** Rewrite a data predicate to a skipping predicate; None = cannot
     * skip on this subtree. `eligible` = columns with min/max stats;
     * `nullFields` = columns present in the nullCount struct (dataSchema
@@ -91,25 +112,25 @@ object DataSkipping {
       case LessThan(Attr(a), l: Literal) if eligible(a) =>
         Some(LessThan(statRef("minValues", a), l))
       case LessThan(l: Literal, Attr(a)) if eligible(a) =>
-        Some(GreaterThan(statRef("maxValues", a), l))
+        Some(maxSide(a, l, strict = true))
       case GreaterThan(Attr(a), l: Literal) if eligible(a) =>
-        Some(GreaterThan(statRef("maxValues", a), l))
+        Some(maxSide(a, l, strict = true))
       case GreaterThan(l: Literal, Attr(a)) if eligible(a) =>
         Some(LessThan(statRef("minValues", a), l))
       case LessThanOrEqual(Attr(a), l: Literal) if eligible(a) =>
         Some(LessThanOrEqual(statRef("minValues", a), l))
       case LessThanOrEqual(l: Literal, Attr(a)) if eligible(a) =>
-        Some(GreaterThanOrEqual(statRef("maxValues", a), l))
+        Some(maxSide(a, l, strict = false))
       case GreaterThanOrEqual(Attr(a), l: Literal) if eligible(a) =>
-        Some(GreaterThanOrEqual(statRef("maxValues", a), l))
+        Some(maxSide(a, l, strict = false))
       case GreaterThanOrEqual(l: Literal, Attr(a)) if eligible(a) =>
         Some(LessThanOrEqual(statRef("minValues", a), l))
       case EqualTo(Attr(a), l: Literal) if eligible(a) =>
         Some(And(LessThanOrEqual(statRef("minValues", a), l),
-          GreaterThanOrEqual(statRef("maxValues", a), l)))
+          maxSide(a, l, strict = false)))
       case EqualTo(l: Literal, Attr(a)) if eligible(a) =>
         Some(And(LessThanOrEqual(statRef("minValues", a), l),
-          GreaterThanOrEqual(statRef("maxValues", a), l)))
+          maxSide(a, l, strict = false)))
       case IsNull(Attr(a)) if nullFields(a) =>
         Some(GreaterThan(statRef("nullCount", a), Literal(0L)))
       case IsNotNull(Attr(a)) if nullFields(a) =>
@@ -118,8 +139,8 @@ object DataSkipping {
           list.forall(_.isInstanceOf[Literal]) && list.nonEmpty =>
         // any literal within [min, max] keeps the file
         Some(list.map(l => And(
-          LessThanOrEqual(statRef("minValues", a), l),
-          GreaterThanOrEqual(statRef("maxValues", a), l))
+          LessThanOrEqual(statRef("minValues", a), l.asInstanceOf[Literal]),
+          maxSide(a, l.asInstanceOf[Literal], strict = false))
           .asInstanceOf[Expression]).reduce(Or))
       case And(a, b) =>
         (rewrite(a, eligible, nullFields), rewrite(b, eligible, nullFields)) match {

@@ -442,29 +442,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   def checkpoint(): Long = {
     val snap = snapshot()
     val v = snap.version
-
-    // reconcile: live adds + unexpired remove tombstones + P&M + txns
-    val actions = snap.latestActions // (key, add, remove, version)
-    val fileActions = actions.select(
-      lit(null).cast(LogSchema.txn).as("txn"),
-      col("add"),
-      col("remove"),
-      lit(null).cast(LogSchema.metaData).as("metaData"),
-      lit(null).cast(LogSchema.protocol).as("protocol"),
-      lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"))
-
-    import scala.jdk.CollectionConverters._
-    val pmRows: Seq[org.apache.spark.sql.Row] = Seq(
-      org.apache.spark.sql.Row(null, null, null, null,
-        protocolRow(snap.protocol), null),
-      org.apache.spark.sql.Row(null, null, null,
-        metadataRow(snap.metadata), null, null)) ++
-      snap.setTransactions.map(t => org.apache.spark.sql.Row(
-        org.apache.spark.sql.Row(t.appId, t.version,
-          t.lastUpdated.map(Long.box).orNull), null, null, null, null, null))
-    val pmDF = spark.createDataFrame(pmRows.asJava, LogSchema.checkpoint)
-
-    val state = pmDF.unionByName(fileActions)
+    val state = checkpointState(snap)
     state.persist()
     val size = state.count() // known before writing; no re-read after
     val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
@@ -479,6 +457,197 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
       s"""{"version":$v,"size":$size}""")
     v
+  }
+
+  /** Reconciled checkpoint state: live adds + unexpired remove
+    * tombstones + P&M + txns (reference
+    * action_reconciliation/log_replay.rs).
+    */
+  private def checkpointState(snap: Snapshot): DataFrame = {
+    val fileActions = snap.latestActions.select(
+      lit(null).cast(LogSchema.txn).as("txn"),
+      col("add"),
+      col("remove"),
+      lit(null).cast(LogSchema.metaData).as("metaData"),
+      lit(null).cast(LogSchema.protocol).as("protocol"),
+      lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"))
+    import scala.jdk.CollectionConverters._
+    val pmRows: Seq[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(null, null, null, null,
+        protocolRow(snap.protocol), null),
+      org.apache.spark.sql.Row(null, null, null,
+        metadataRow(snap.metadata), null, null)) ++
+      snap.setTransactions.map(t => org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(t.appId, t.version,
+          t.lastUpdated.map(Long.box).orNull), null, null, null, null, null))
+    val pmDF = spark.createDataFrame(pmRows.asJava, LogSchema.checkpoint)
+    pmDF.unionByName(fileActions)
+  }
+
+  /** Multi-part V1 checkpoint: the state is split across `numParts`
+    * files named `v.checkpoint.<part>.<parts>.parquet` (readers union
+    * all parts — the scale path for huge file sets).
+    */
+  def checkpointMultipart(numParts: Int): Long = {
+    require(numParts >= 1, "numParts must be positive")
+    val snap = snapshot()
+    val v = snap.version
+    val state = checkpointState(snap)
+    state.persist()
+    val size = state.count()
+    val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
+    state.repartition(numParts).write.mode("overwrite").parquet(tmp.toString)
+    state.unpersist()
+    val parts = Storage.listFilesRecursive(fs, tmp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      val dest = new Path(logDir,
+        f"$v%020d.checkpoint.${i + 1}%010d.${parts.size}%010d.parquet")
+      if (fs.exists(dest)) fs.delete(dest, false)
+      fs.rename(st.getPath, dest)
+    }
+    fs.delete(tmp, true)
+    Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
+      s"""{"version":$v,"size":$size,"parts":${parts.size}}""")
+    v
+  }
+
+  /** V2 checkpoint (reference kernel/src/checkpoint/mod.rs V2 shape +
+    * actions/mod.rs:1251): file actions go to `_delta_log/_sidecars/`
+    * parquet files; the top-level `v.checkpoint.<uuid>.parquet` holds
+    * P&M, txns, `checkpointMetadata` and the sidecar refs. With
+    * `numSidecars = 0` the file actions are inlined in the top-level
+    * file.
+    */
+  def checkpointV2(numSidecars: Int = 2): Long = {
+    // V2 checkpoints require the v2Checkpoint table feature — upgrade
+    // the protocol (preserving implied legacy features) on first use
+    val pre = snapshot()
+    if (!pre.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))) {
+      commitActions(pre.version + 1, Seq(
+        commitInfoLine("UPGRADE PROTOCOL", Map.empty),
+        JsonLog.writeAction(SingleAction(protocol = Some(
+          TableFeatures.upgraded(pre.protocol,
+            Seq("v2Checkpoint"), Seq("v2Checkpoint")))))),
+        retryable = false)
+    }
+    val snap = snapshot()
+    val v = snap.version
+    val uuid = UUID.randomUUID().toString
+
+    val fileActions = snap.latestActions.select(col("add"), col("remove"))
+    fileActions.persist()
+    val nFiles = fileActions.count()
+
+    val sidecars: Seq[Sidecar] =
+      if (numSidecars <= 0) Nil
+      else {
+        val scDir = new Path(logDir, "_sidecars")
+        val tmp = new Path(scDir, s".sc-tmp-$uuid")
+        fileActions.repartition(numSidecars).write
+          .mode("overwrite").parquet(tmp.toString)
+        val parts = Storage.listFilesRecursive(fs, tmp)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val out = parts.zipWithIndex.map { case (st, i) =>
+          val name = s"$uuid-$i.parquet"
+          val dest = new Path(scDir, name)
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(st.getPath, dest)
+          val fst = fs.getFileStatus(dest)
+          Sidecar(name, fst.getLen, fst.getModificationTime)
+        }
+        fs.delete(tmp, true)
+        out
+      }
+
+    // top-level: P&M + txns + checkpointMetadata + sidecar refs
+    // (+ file actions inline when there are no sidecars)
+    import scala.jdk.CollectionConverters._
+    def topRow(txn: org.apache.spark.sql.Row, add: org.apache.spark.sql.Row,
+        remove: org.apache.spark.sql.Row, meta: org.apache.spark.sql.Row,
+        proto: org.apache.spark.sql.Row, sc: org.apache.spark.sql.Row,
+        cm: org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(txn, add, remove, meta, proto, null, sc, cm)
+    val headRows: Seq[org.apache.spark.sql.Row] = Seq(
+      topRow(null, null, null, null, protocolRow(snap.protocol), null, null),
+      topRow(null, null, null, metadataRow(snap.metadata), null, null, null),
+      topRow(null, null, null, null, null, null,
+        org.apache.spark.sql.Row(v, null))) ++
+      snap.setTransactions.map(t => topRow(
+        org.apache.spark.sql.Row(t.appId, t.version,
+          t.lastUpdated.map(Long.box).orNull),
+        null, null, null, null, null, null)) ++
+      sidecars.map(sc => topRow(null, null, null, null, null,
+        org.apache.spark.sql.Row(sc.path, sc.sizeInBytes,
+          sc.modificationTime, null), null))
+    val headDF = spark.createDataFrame(headRows.asJava, LogSchema.v2Checkpoint)
+    val topDF =
+      if (sidecars.nonEmpty) headDF
+      else headDF.unionByName(fileActions.select(
+        lit(null).cast(LogSchema.txn).as("txn"),
+        col("add"), col("remove"),
+        lit(null).cast(LogSchema.metaData).as("metaData"),
+        lit(null).cast(LogSchema.protocol).as("protocol"),
+        lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"),
+        lit(null).cast(LogSchema.sidecar).as("sidecar"),
+        lit(null).cast(LogSchema.checkpointMetadata).as("checkpointMetadata")))
+    val tmp = new Path(logDir, s".ckpt-tmp-$uuid")
+    topDF.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fileActions.unpersist()
+    val part = Storage.listFilesRecursive(fs, tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val dest = new Path(logDir, f"$v%020d.checkpoint.$uuid.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part.getPath, dest)
+    fs.delete(tmp, true)
+    Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
+      s"""{"version":$v,"size":${nFiles + headRows.size}}""")
+    v
+  }
+
+  // ---------------- log compaction ----------------
+
+  /** Write `lo.hi.compacted.json` — the range's actions reduced to their
+    * newest-wins survivors (reference kernel/src/log_compaction/
+    * writer.rs:140): latest P&M if present in range, latest txn per
+    * appId, and the latest file action per (path, dvId) including remove
+    * tombstones. Readers substitute it for the commit run.
+    */
+  def compactLog(lo: Long, hi: Long): Long = {
+    require(lo <= hi, s"invalid compaction range [$lo, $hi]")
+    var protocol: Option[String] = None
+    var metadata: Option[String] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val fileLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    (hi to lo by -1).foreach { v =>
+      val p = FileNames.commitFile(logDir, v)
+      require(fs.exists(p), s"missing commit $v for compaction")
+      Storage.readLines(fs, p).filter(_.nonEmpty).foreach { line =>
+        val n = JsonLog.parseLine(line)
+        def has(f: String) = n.get(f) != null && !n.get(f).isNull
+        if (has("protocol") && protocol.isEmpty) protocol = Some(line)
+        else if (has("metaData") && metadata.isEmpty) metadata = Some(line)
+        else if (has("txn")) {
+          val app = n.get("txn").get("appId").asText
+          if (!txns.contains(app)) txns(app) = line
+        } else if (has("add") || has("remove")) {
+          val side = if (has("add")) "add" else "remove"
+          val a = n.get(side)
+          val dvId = Option(a.get("deletionVector")).filterNot(_.isNull)
+            .map(RowCodec.jsonToDv).map(_.uniqueId).getOrElse("")
+          val key = a.get("path").asText + "@" + dvId
+          if (seen.add(key)) fileLines += line
+        }
+      }
+    }
+    val lines = protocol.toSeq ++ metadata.toSeq ++ txns.values ++ fileLines
+    val dest = new Path(logDir, f"$lo%020d.$hi%020d.compacted.json")
+    if (!Storage.putIfAbsent(fs, dest, lines.mkString("", "\n", "\n")))
+      throw new IllegalStateException(s"compacted file already exists: $dest")
+    hi
   }
 
   private def protocolRow(p: Protocol): org.apache.spark.sql.Row =

@@ -113,6 +113,16 @@ object JsonLog {
     "size" -> Some(c.size.toString),
     "dataChange" -> Some(c.dataChange.toString))
 
+  def writeSidecar(sc: Sidecar): String = obj(
+    "path" -> Some(jstr(sc.path)),
+    "sizeInBytes" -> Some(sc.sizeInBytes.toString),
+    "modificationTime" -> Some(sc.modificationTime.toString),
+    "tags" -> sc.tags.map(jmap))
+
+  def writeCheckpointMetadata(c: CheckpointMetadata): String = obj(
+    "version" -> Some(c.version.toString),
+    "tags" -> c.tags.map(jmap))
+
   def writeDomainMetadata(d: DomainMetadata): String = obj(
     "domain" -> Some(jstr(d.domain)),
     "configuration" -> Some(jstr(d.configuration)),
@@ -128,7 +138,9 @@ object JsonLog {
       "protocol" -> a.protocol.map(writeProtocol),
       "cdc" -> a.cdc.map(writeCdc),
       "commitInfo" -> a.commitInfo.map(writeCommitInfo),
-      "domainMetadata" -> a.domainMetadata.map(writeDomainMetadata))
+      "domainMetadata" -> a.domainMetadata.map(writeDomainMetadata),
+      "sidecar" -> a.sidecar.map(writeSidecar),
+      "checkpointMetadata" -> a.checkpointMetadata.map(writeCheckpointMetadata))
     obj(wrapped: _*)
   }
 

@@ -6,18 +6,38 @@ import FileNames._
 
 /** The contiguous slice of `_delta_log` backing a snapshot at `version`:
   * the newest complete checkpoint at or below the target plus every
-  * commit after it (reference: kernel/src/log_segment/mod.rs:98-330).
+  * commit after it, with contiguous commit runs replaced by compacted
+  * files when available (reference: kernel/src/log_segment/mod.rs:98-330,
+  * kernel/src/log_compaction/).
   */
 case class LogSegment(
     logDir: Path,
     version: Long,
-    /** ascending commit files in (checkpointVersion, version] */
-    commits: Seq[CommitFile],
-    /** all parts of the chosen checkpoint (empty if none) */
+    /** ascending delta files in (checkpointVersion, version]: commit
+      * files and/or compacted files covering commit ranges
+      */
+    deltas: Seq[LogFile],
+    /** all parts of the chosen checkpoint (empty if none); a single
+      * entry with isV2=true for a V2 checkpoint
+      */
     checkpointParts: Seq[CheckpointFile],
-    checkpointVersion: Option[Long])
+    checkpointVersion: Option[Long]) {
+
+  /** Plain commit files among the deltas (compat accessor). */
+  def commits: Seq[CommitFile] =
+    deltas.collect { case c: CommitFile => c }
+
+  def isV2Checkpoint: Boolean =
+    checkpointParts.headOption.exists(_.isV2)
+}
 
 object LogSegment {
+
+  /** The version a delta file advances the log to. */
+  def endVersion(f: LogFile): Long = f match {
+    case c: CompactedFile => c.endVersion
+    case other => other.version
+  }
 
   case class LastCheckpointHint(version: Long, size: Option[Long],
       parts: Option[Int])
@@ -79,55 +99,84 @@ object LogSegment {
       case c: CommitFile if inRange(c) => c
     }.sortBy(_.version)
 
-    // complete checkpoints only: all numParts present
+    // compacted files fully inside the target range
+    val compacted = listed.collect {
+      case c: CompactedFile if targetVersion.forall(c.endVersion <= _) => c
+    }
+
+    // complete V1 checkpoints (all parts) and V2 checkpoints (one file)
     val ckptGroups = listed.collect {
       case c: CheckpointFile if inRange(c) && !c.isV2 => c
     }.groupBy(_.version)
-    val completeCkpts = ckptGroups.filter { case (_, parts) =>
+    val completeV1 = ckptGroups.filter { case (_, parts) =>
       parts.map(_.part).distinct.size == parts.head.numParts
     }
-    val chosenCkpt = completeCkpts.keys.toSeq.sorted.lastOption
+    val v2ByVersion = listed.collect {
+      case c: CheckpointFile if inRange(c) && c.isV2 => c
+    }.groupBy(_.version)
+    val chosenCkpt = (completeV1.keys ++ v2ByVersion.keys).toSeq.sorted
+      .lastOption
 
     val tail = chosenCkpt match {
       case Some(cv) => commits.filter(_.version > cv)
       case None => commits
     }
 
-    // contiguity validation
+    // substitute compacted files for contiguous commit runs (reference
+    // log_segment selection of CompactedFile): walk versions ascending,
+    // preferring the longest compacted file starting at the cursor whose
+    // range is covered by the target
     val expectedStart = chosenCkpt.map(_ + 1).getOrElse(0L)
-    tail.headOption.foreach { h =>
-      if (h.version != expectedStart && chosenCkpt.isEmpty)
-        throw new IllegalStateException(
-          s"log starts at version ${h.version}, expected 0 (no checkpoint)")
-    }
-    tail.zipWithIndex.foreach { case (c, i) =>
-      val expected = tail.head.version + i
-      if (c.version != expected)
-        throw new IllegalStateException(
-          s"missing commit version $expected in $logDir")
-    }
-    chosenCkpt.foreach { cv =>
-      tail.headOption.foreach { h =>
-        if (h.version != cv + 1)
-          throw new IllegalStateException(
-            s"commit gap after checkpoint $cv: next commit is ${h.version}")
+    val maxVersion = math.max(
+      commits.lastOption.map(_.version).getOrElse(-1L),
+      compacted.map(_.endVersion).maxOption.getOrElse(-1L))
+    val commitByVersion = tail.map(c => c.version -> c).toMap
+    val compactedByStart = compacted.filter(_.version >= expectedStart)
+      .groupBy(_.version)
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[LogFile]
+    var cursor = expectedStart
+    var halt = false
+    while (!halt && cursor <= maxVersion) {
+      compactedByStart.get(cursor).map(_.maxBy(_.endVersion)) match {
+        case Some(cf) =>
+          deltas += cf
+          cursor = cf.endVersion + 1
+        case None =>
+          commitByVersion.get(cursor) match {
+            case Some(c) =>
+              deltas += c
+              cursor += 1
+            case None =>
+              // gap: valid only if nothing at all was found yet AND a
+              // checkpoint alone serves the snapshot — otherwise the
+              // first delta must connect
+              halt = true
+          }
       }
     }
-
-    val version = (tail.lastOption.map(_.version), chosenCkpt) match {
+    val version = (deltas.lastOption.map(endVersion), chosenCkpt) match {
       case (Some(v), _) => v
       case (None, Some(cv)) => cv
       case (None, None) =>
-        throw new IllegalStateException(s"no usable log entries at $logDir")
+        throw new IllegalStateException(
+          s"log starts at version ${tail.headOption.map(_.version).getOrElse(-1L)}, " +
+            s"expected $expectedStart (no checkpoint) in $logDir")
     }
+    // anything left beyond the cursor means a hole in the log
+    if (commits.exists(c => c.version > version)
+        && targetVersion.forall(version < _))
+      throw new IllegalStateException(
+        s"missing commit version ${version + 1} in $logDir")
     targetVersion.foreach { tv =>
       if (version != tv)
         throw new IllegalArgumentException(
           s"requested version $tv not available (latest reachable: $version)")
     }
 
-    LogSegment(logDir, version, tail,
-      chosenCkpt.map(cv => completeCkpts(cv).sortBy(_.part)).getOrElse(Nil),
-      chosenCkpt)
+    val parts = chosenCkpt.map { cv =>
+      completeV1.get(cv).map(_.sortBy(_.part))
+        .getOrElse(Seq(v2ByVersion(cv).head))
+    }.getOrElse(Nil)
+    LogSegment(logDir, version, deltas.toSeq, parts, chosenCkpt)
   }
 }

@@ -34,8 +34,34 @@ class Snapshot(
   /** Max total commit-JSON bytes for driver-side (non-distributed) replay. */
   private val DRIVER_REPLAY_MAX_BYTES = 4L << 20
 
-  private lazy val commitPaths = segment.commits.map(_.path.toString)
-  private lazy val ckptPaths = segment.checkpointParts.map(_.path.toString)
+  private lazy val commitPaths = segment.deltas.map(_.path.toString)
+
+  private[delta] lazy val v2Info: Option[Snapshot.V2Info] =
+    segment.checkpointParts.headOption.filter(_.isV2)
+      .map(top => Snapshot.readV2TopLevel(spark, segment.logDir, top))
+
+  /** (paths holding the checkpoint's FILE ACTIONS, are they JSON).
+    * Sidecars for V2-with-sidecars; the top-level file otherwise.
+    */
+  private lazy val ckptData: (Seq[String], Boolean) = v2Info match {
+    case Some(info) =>
+      if (info.sidecarPaths.nonEmpty) (info.sidecarPaths, false)
+      else (Seq(info.topLevel.path.toString),
+        info.topLevel.path.getName.endsWith(".json"))
+    case None => (segment.checkpointParts.map(_.path.toString), false)
+  }
+  private lazy val ckptPaths: Seq[String] = ckptData._1
+
+  /** Version a log file advances to, from its name: a commit
+    * `NNN.json` contributes NNN; a compacted `LO.HI.compacted.json`
+    * contributes HI (its actions are the newest in the range).
+    */
+  private def versionFromFileName: Column =
+    coalesce(
+      nullif(regexp_extract(col("_metadata.file_path"),
+        raw"(\d{20})\.(\d{20})\.compacted\.json", 2), lit("")),
+      regexp_extract(col("_metadata.file_path"), raw"(\d{20})\.json", 1))
+      .cast("long")
 
   /** DV-aware dedup key (reference log_replay/deduplicator.rs:153
     * FileActionKey{path, dv_unique_id}).
@@ -60,9 +86,7 @@ class Snapshot(
       if (commitPaths.isEmpty) None
       else Some {
         val raw = spark.read.schema(LogSchema.full).json(commitPaths: _*)
-          .withColumn("version",
-            regexp_extract(col("_metadata.file_path"), raw"(\d{20})\.json", 1)
-              .cast("long"))
+          .withColumn("version", versionFromFileName)
           .filter(col("add").isNotNull || col("remove").isNotNull)
           .withColumn("key",
             when(col("add").isNotNull, keyExpr("add"))
@@ -78,7 +102,9 @@ class Snapshot(
     val ckptArm: Option[DataFrame] =
       if (ckptPaths.isEmpty) None
       else Some {
-        spark.read.schema(LogSchema.checkpoint).parquet(ckptPaths: _*)
+        val reader = spark.read.schema(LogSchema.checkpoint)
+        (if (ckptData._2) reader.json(ckptPaths: _*)
+         else reader.parquet(ckptPaths: _*))
           .filter(col("add").isNotNull || col("remove").isNotNull)
           .withColumn("key",
             when(col("add").isNotNull, keyExpr("add"))
@@ -106,7 +132,7 @@ class Snapshot(
     */
   lazy val allAdds: DataFrame = {
     val smallLog = segment.checkpointParts.isEmpty &&
-      segment.commits.map(c => fsys.getFileStatus(c.path).getLen).sum <
+      segment.deltas.map(c => fsys.getFileStatus(c.path).getLen).sum <
         DRIVER_REPLAY_MAX_BYTES
     if (smallLog) {
       val rows = driverReplayAdds().map { case (a, v) =>
@@ -131,7 +157,7 @@ class Snapshot(
   private def driverReplayAdds(): Seq[(AddFile, Long)] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Long)]
-    segment.commits.sortBy(-_.version).foreach { c =>
+    segment.deltas.sortBy(f => -LogSegment.endVersion(f)).foreach { c =>
       Storage.readLines(fsys, c.path).foreach { line =>
         if (line.nonEmpty) {
           val n = JsonLog.parseLine(line)
@@ -139,7 +165,7 @@ class Snapshot(
           if (addN != null && !addN.isNull) {
             val a = RowCodec.jsonToAdd(addN)
             val key = a.path + "@" + a.deletionVector.map(_.uniqueId).getOrElse("")
-            if (seen.add(key)) out += ((a, c.version))
+            if (seen.add(key)) out += ((a, LogSegment.endVersion(c)))
           } else if (remN != null && !remN.isNull) {
             val r = RowCodec.jsonToRemove(remN)
             val key = r.path + "@" + r.deletionVector.map(_.uniqueId).getOrElse("")
@@ -155,7 +181,8 @@ class Snapshot(
     * actions/set_transaction.rs).
     */
   lazy val setTransactions: Seq[SetTransaction] = {
-    val fromCommits = segment.commits.sortBy(-_.version).flatMap { c =>
+    val fromCommits = segment.deltas
+      .sortBy(f => -LogSegment.endVersion(f)).flatMap { c =>
       Storage.readLines(fsys, c.path).flatMap { line =>
         val n = JsonLog.parseLine(line)
         Option(n.get("txn")).filterNot(_.isNull).map { t =>
@@ -164,14 +191,17 @@ class Snapshot(
         }
       }
     }
-    val fromCkpt: Seq[SetTransaction] =
-      if (ckptPaths.isEmpty) Nil
-      else spark.read.schema(LogSchema.checkpoint).parquet(ckptPaths: _*)
-        .filter(col("txn").isNotNull).select("txn.*").collect().toSeq
-        .map(r => SetTransaction(r.getAs[String]("appId"),
-          r.getAs[Long]("version"),
-          if (r.isNullAt(r.fieldIndex("lastUpdated"))) None
-          else Some(r.getAs[Long]("lastUpdated"))))
+    val fromCkpt: Seq[SetTransaction] = v2Info match {
+      case Some(info) => info.txns
+      case None =>
+        if (ckptPaths.isEmpty) Nil
+        else spark.read.schema(LogSchema.checkpoint).parquet(ckptPaths: _*)
+          .filter(col("txn").isNotNull).select("txn.*").collect().toSeq
+          .map(r => SetTransaction(r.getAs[String]("appId"),
+            r.getAs[Long]("version"),
+            if (r.isNullAt(r.fieldIndex("lastUpdated"))) None
+            else Some(r.getAs[Long]("lastUpdated"))))
+    }
     (fromCommits ++ fromCkpt).groupBy(_.appId)
       .map(_._2.head).toSeq // commits are newest-first, checkpoint last
   }
@@ -183,6 +213,50 @@ class Snapshot(
 }
 
 object Snapshot {
+
+  /** V2 checkpoint top-level content (reference
+    * checkpoint/checkpoint_shape.rs, actions/mod.rs:1251 Sidecar): P&M,
+    * txns, and sidecar refs; file actions live in the sidecar parquet
+    * files, or in the top-level file itself when it has none.
+    */
+  private[delta] case class V2Info(
+      topLevel: FileNames.CheckpointFile,
+      protocol: Option[Protocol],
+      metadata: Option[Metadata],
+      txns: Seq[SetTransaction],
+      sidecarPaths: Seq[String])
+
+  private[delta] def readV2TopLevel(spark: SparkSession, logDir: Path,
+      top: FileNames.CheckpointFile): V2Info = {
+    val isJson = top.path.getName.endsWith(".json")
+    val reader = spark.read.schema(LogSchema.v2Checkpoint)
+    val rows =
+      (if (isJson) reader.json(top.path.toString)
+       else reader.parquet(top.path.toString)).collect().toSeq
+    def field(r: Row, n: String): Option[Row] = {
+      val i = r.fieldIndex(n)
+      if (r.isNullAt(i)) None else Some(r.getStruct(i))
+    }
+    var proto: Option[Protocol] = None
+    var meta: Option[Metadata] = None
+    val txns = scala.collection.mutable.ArrayBuffer.empty[SetTransaction]
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
+    rows.foreach { r =>
+      field(r, "protocol").foreach(p => proto = Some(RowCodec.rowToProtocol(p)))
+      field(r, "metaData").foreach(m => meta = Some(RowCodec.rowToMetadata(m)))
+      field(r, "txn").foreach { t =>
+        txns += SetTransaction(t.getAs[String]("appId"),
+          t.getAs[Long]("version"),
+          if (t.isNullAt(t.fieldIndex("lastUpdated"))) None
+          else Some(t.getAs[Long]("lastUpdated")))
+      }
+      field(r, "sidecar").foreach { sc =>
+        sidecars += new Path(new Path(logDir, "_sidecars"),
+          sc.getAs[String]("path")).toString
+      }
+    }
+    V2Info(top, proto, meta, txns.toSeq, sidecars.toSeq)
+  }
 
   /** Build a snapshot (reference snapshot/builder.rs flow): list log,
     * assemble segment, replay P&M newest-first, validate protocol.
@@ -198,7 +272,7 @@ object Snapshot {
     // newest-first P&M replay over commits
     var protocol: Option[Protocol] = None
     var metadata: Option[Metadata] = None
-    segment.commits.sortBy(-_.version).iterator
+    segment.deltas.sortBy(f => -LogSegment.endVersion(f)).iterator
       .takeWhile(_ => protocol.isEmpty || metadata.isEmpty)
       .foreach { c =>
         Storage.readLines(fs, c.path).foreach { line =>
@@ -215,18 +289,25 @@ object Snapshot {
           }
         }
       }
-    // fall back to the checkpoint
+    // fall back to the checkpoint (V2: the top-level file carries P&M)
     if ((protocol.isEmpty || metadata.isEmpty) &&
         segment.checkpointParts.nonEmpty) {
-      val pm = spark.read.schema(LogSchema.checkpoint)
-        .parquet(segment.checkpointParts.map(_.path.toString): _*)
-        .filter(col("metaData").isNotNull || col("protocol").isNotNull)
-        .select("metaData", "protocol").collect()
-      pm.foreach { r =>
-        if (!r.isNullAt(1) && protocol.isEmpty)
-          protocol = Some(RowCodec.rowToProtocol(r.getStruct(1)))
-        if (!r.isNullAt(0) && metadata.isEmpty)
-          metadata = Some(RowCodec.rowToMetadata(r.getStruct(0)))
+      if (segment.isV2Checkpoint) {
+        val info = readV2TopLevel(spark, segment.logDir,
+          segment.checkpointParts.head)
+        if (protocol.isEmpty) protocol = info.protocol
+        if (metadata.isEmpty) metadata = info.metadata
+      } else {
+        val pm = spark.read.schema(LogSchema.checkpoint)
+          .parquet(segment.checkpointParts.map(_.path.toString): _*)
+          .filter(col("metaData").isNotNull || col("protocol").isNotNull)
+          .select("metaData", "protocol").collect()
+        pm.foreach { r =>
+          if (!r.isNullAt(1) && protocol.isEmpty)
+            protocol = Some(RowCodec.rowToProtocol(r.getStruct(1)))
+          if (!r.isNullAt(0) && metadata.isEmpty)
+            metadata = Some(RowCodec.rowToMetadata(r.getStruct(0)))
+        }
       }
     }
     val p = protocol.getOrElse(throw new IllegalStateException(
@@ -242,7 +323,7 @@ object Snapshot {
       s"unsupported minReaderVersion ${p.minReaderVersion}")
     val supportedReaderFeatures =
       Set("deletionVectors", "timestampNtz", "columnMapping",
-        "vacuumProtocolCheck")
+        "vacuumProtocolCheck", "v2Checkpoint")
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")

@@ -12,21 +12,72 @@ import org.apache.spark.sql.types._
   * stats contract in expressions/mod.rs:103-126).
   *
   * Shape: {"numRecords":N,"minValues":{..},"maxValues":{..},
-  * "nullCount":{..}} with timestamps as ISO-8601 UTC micros. We keep
-  * full-precision strings (protocol permits untruncated stats; the
-  * 32-char truncation + tie-breaker rules only matter when truncating).
+  * "nullCount":{..}}. Protocol truncation contract:
+  *  - strings: min truncates to a 32-code-point prefix; max appends a
+  *    tie-breaker after the prefix — 0x7F when the truncated char is
+  *    ASCII, U+10FFFF otherwise, scanning up to 64 code points for a
+  *    truncation point that is not itself U+10FFFF (no valid point ⇒
+  *    the max stat is omitted)
+  *  - timestamps: exactly three fractional digits, truncated toward −∞
+  *    (readers compensate on the max side — DataSkipping floors the
+  *    comparison literal to milliseconds)
   */
 object StatsJson {
 
-  private val tsFmt = DateTimeFormatter
-    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").withZone(ZoneOffset.UTC)
+  val STRING_PREFIX_LENGTH = 32
+  val STRING_EXPANSION_LIMIT = 64
+  private val ASCII_MAX = 0x7f
+  private val UTF8_MAX = 0x10ffff
 
-  def renderValue(v: Any): Option[String] = v match {
+  /** Min-side truncation: a 32-code-point prefix is always <= the value. */
+  def truncateMin(s: String): String =
+    if (s.codePointCount(0, s.length) <= STRING_PREFIX_LENGTH) s
+    else s.substring(0, s.offsetByCodePoints(0, STRING_PREFIX_LENGTH))
+
+  /** Max-side truncation with tie-breaker; None = no valid truncation
+    * point within the expansion limit (max stat must be omitted).
+    */
+  def truncateMax(s: String): Option[String] = {
+    val n = s.codePointCount(0, s.length)
+    if (n <= STRING_PREFIX_LENGTH) return Some(s)
+    val maxChars = math.min(n, STRING_EXPANSION_LIMIT)
+    var len = STRING_PREFIX_LENGTH
+    while (len <= maxChars) {
+      if (len >= n) return Some(s)
+      val idx = s.offsetByCodePoints(0, len)
+      val next = s.codePointAt(idx)
+      if (next != UTF8_MAX) {
+        val tie =
+          if (next < ASCII_MAX) "\u007f"
+          else new String(Character.toChars(UTF8_MAX))
+        return Some(s.substring(0, idx) + tie)
+      }
+      len += 1
+    }
+    None
+  }
+
+  private val tsFmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
+  private val tsNtzFmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  def renderValue(v: Any): Option[String] = renderSide(v, isMax = false)
+
+  /** Render one stats leaf. Strings truncate per side; timestamps always
+    * truncate toward −∞ at 3 digits (ToJson contract).
+    */
+  def renderSide(v: Any, isMax: Boolean): Option[String] = v match {
     case null => None
-    case s: String => Some("\"" + JsonLog.esc(s) + "\"")
+    case s: String =>
+      if (isMax) truncateMax(s).map(t => "\"" + JsonLog.esc(t) + "\"")
+      else Some("\"" + JsonLog.esc(truncateMin(s)) + "\"")
     case d: Date => Some("\"" + d.toString + "\"")
     case t: Timestamp => Some("\"" + tsFmt.format(t.toInstant) + "\"")
     case t: java.time.Instant => Some("\"" + tsFmt.format(t) + "\"")
+    case l: java.time.LocalDateTime =>
+      Some("\"" + tsNtzFmt.format(l.truncatedTo(
+        java.time.temporal.ChronoUnit.MILLIS)) + "\"")
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: Double =>
       if (java.lang.Double.isFinite(d)) Some(d.toString) else None
@@ -64,8 +115,10 @@ object StatsJson {
       if (row.isNullAt(i)) null else row.get(i)
     }
     val numRecords = get("numRecords").asInstanceOf[Long]
-    val mins = eligibleCols.map(c => c -> renderValue(get(s"min_$c")))
-    val maxs = eligibleCols.map(c => c -> renderValue(get(s"max_$c")))
+    val mins = eligibleCols.map(c =>
+      c -> renderSide(get(s"min_$c"), isMax = false))
+    val maxs = eligibleCols.map(c =>
+      c -> renderSide(get(s"max_$c"), isMax = true))
     val nulls = allCols.map(c => c -> renderValue(get(s"null_$c")))
     s"""{"numRecords":$numRecords,"minValues":${renderObj(mins)},""" +
       s""""maxValues":${renderObj(maxs)},"nullCount":${renderObj(nulls)}}"""

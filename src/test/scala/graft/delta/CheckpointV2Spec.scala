@@ -1,0 +1,118 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** V2 checkpoints (± sidecars), multi-part V1 checkpoints, and log
+  * compaction (reference kernel/src/checkpoint/, actions/mod.rs:1251,
+  * kernel/src/log_compaction/).
+  */
+class CheckpointV2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def li = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    .filter($"l_quantity" < 8)
+
+  private def sortedCollect(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(df.columns.map(col): _*).collect().toSeq
+
+  test("v2 checkpoint with sidecars: snapshot reads through sidecars") {
+    val dir = TestSpark.tmpDir("v2sc")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 4),
+      txn = Some(SetTransaction("appX", 5, None)))
+    t.append(src.filter($"l_quantity" >= 4))
+    val cv = t.checkpointV2(numSidecars = 2) // includes protocol upgrade commit
+    t.append(src.limit(0)) // empty post-checkpoint commit
+
+    val snap = t.snapshot()
+    assert(snap.segment.isV2Checkpoint)
+    assert(snap.segment.checkpointVersion.contains(cv))
+    assert(snap.v2Info.get.sidecarPaths.size == 2)
+    assert(sortedCollect(t.toDF.select(src.columns.map(col): _*)) ==
+      sortedCollect(src.select(src.columns.map(col): _*)))
+    // txn + P&M survive through the v2 checkpoint alone: vacuum commits
+    val fs = Storage.fs(new Path(dir), spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new Path(dir))
+    (0L to cv).foreach(v =>
+      fs.delete(FileNames.commitFile(logDir, v), false))
+    val snap2 = t.snapshot()
+    assert(snap2.setTransactions == Seq(SetTransaction("appX", 5, None)))
+    assert(snap2.toDF.count() == src.count())
+  }
+
+  test("v2 checkpoint without sidecars inlines file actions") {
+    val dir = TestSpark.tmpDir("v2nosc")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.checkpointV2(numSidecars = 0)
+    val snap = t.snapshot()
+    assert(snap.segment.isV2Checkpoint)
+    assert(snap.v2Info.get.sidecarPaths.isEmpty)
+    assert(t.toDF.count() == src.count())
+  }
+
+  test("multi-part V1 checkpoint reads back") {
+    val dir = TestSpark.tmpDir("mp")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 4))
+    t.append(src.filter($"l_quantity" >= 4))
+    t.checkpointMultipart(3)
+    t.append(src.limit(0))
+    val snap = t.snapshot()
+    assert(snap.segment.checkpointParts.size == 3)
+    assert(snap.segment.checkpointParts.forall(!_.isV2))
+    assert(sortedCollect(t.toDF.select(src.columns.map(col): _*)) ==
+      sortedCollect(src.select(src.columns.map(col): _*)))
+    // hint carries the part count
+    val fs = Storage.fs(new Path(dir), spark.sessionState.newHadoopConf())
+    val hint = LogSegment.readLastCheckpointHint(
+      fs, FileNames.logDir(new Path(dir)))
+    assert(hint.get.parts.contains(3))
+  }
+
+  test("log compaction: compacted file substitutes vacuumed commits") {
+    val dir = TestSpark.tmpDir("compact")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 2))  // v1
+    t.append(src.filter($"l_quantity" >= 2 && $"l_quantity" < 4),
+      txn = Some(SetTransaction("appC", 9, None)))  // v2
+    t.deleteWhere("l_quantity < 2")          // v3 (remove tombstones)
+    t.append(src.filter($"l_quantity" >= 4)) // v4
+    val expected = t.toDF
+
+    t.compactLog(1, 3)
+    // with originals present the segment prefers the compacted file
+    val snap = t.snapshot()
+    assert(snap.segment.deltas.exists(
+      _.isInstanceOf[FileNames.CompactedFile]))
+    assert(snap.version == 4L)
+    assert(sortedCollect(snap.toDF) == sortedCollect(expected))
+    assert(snap.setTransactions == Seq(SetTransaction("appC", 9, None)))
+
+    // vacuum the compacted-away commits: still reads correctly
+    val fs = Storage.fs(new Path(dir), spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new Path(dir))
+    (1L to 3L).foreach(v =>
+      fs.delete(FileNames.commitFile(logDir, v), false))
+    val snap2 = t.snapshot()
+    assert(snap2.version == 4L)
+    assert(sortedCollect(snap2.toDF) == sortedCollect(expected))
+
+    // time travel INTO the compacted range must fail loudly, not lie
+    intercept[Exception] { t.snapshot(Some(2L)) }
+  }
+}

@@ -74,7 +74,7 @@ class ColumnMappingSpec extends AnyFunSuite {
     // hand-craft a protocol claiming an unimplemented reader feature
     t.commitActions(t.snapshot().version + 1,
       Seq(JsonLog.writeAction(SingleAction(protocol = Some(Protocol(
-        3, 7, Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint"))))))),
+        3, 7, Some(Seq("variantType")), Some(Seq("variantType"))))))),
       retryable = false)
     intercept[IllegalArgumentException] {
       Snapshot.forTable(spark, dir)
