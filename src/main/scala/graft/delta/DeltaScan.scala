@@ -123,8 +123,24 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     df
   }
 
-  def collectAddFiles(): Seq[AddFile] =
-    filesDF.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
+  def collectAddFiles(): Seq[AddFile] = collectAddFiles(slim = false)
+
+  /** Collect the surviving adds to the driver. `slim = true` nulls out
+    * the heavyweight payloads (stats JSON, tags) before collecting —
+    * at millions of files that is the difference between collecting
+    * gigabytes and collecting path metadata. The metadata QUERY stays
+    * distributed either way; only the final file list materializes
+    * (the custom-FileIndex handoff is the v2 path beyond this).
+    */
+  private[graft] def collectAddFiles(slim: Boolean): Seq[AddFile] = {
+    val df =
+      if (!slim) filesDF
+      else filesDF.withColumn("add", col("add")
+        .withField("stats", lit(null).cast(StringType))
+        .withField("tags",
+          lit(null).cast(MapType(StringType, StringType))))
+    df.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
+  }
 
   /** URI path (no scheme/authority) of `_metadata.file_path` — the join
     * key tying rows back to their add action. `_metadata.file_path` is
@@ -147,9 +163,39 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * per-file literal unions would blow up the plan at 100 TB).
     */
   def toDF: DataFrame = {
-    val projected = assemble(collectAddFiles(), keepMeta = false)
+    val projected = assemble(collectAddFiles(slim = true), keepMeta = false)
     // residual predicate: skipping is best-effort, row filtering is exact
     predicateSql.map(p => projected.filter(expr(p))).getOrElse(projected)
+  }
+
+  /** Full-table read carrying the row-tracking metadata columns
+    * `_row_id` and `_row_commit_version` (reference metadata columns
+    * schema/mod.rs:320-379; row_id = baseRowId + row_index,
+    * row_tracking.rs / table_changes/mod.rs:450-493). Requires the
+    * table's adds to carry baseRowId (rowTracking feature).
+    */
+  def toDFWithRowIds: DataFrame = {
+    val adds = collectAddFiles()
+    val withMeta = assemble(adds, keepMeta = true)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(snapshot.tableRoot, conf)
+    val rtSchema = StructType(Seq(
+      StructField("__path", StringType),
+      StructField("__base", LongType),
+      StructField("__dcv", LongType)))
+    val rtRows: Seq[Row] = adds.map { a =>
+      val abs = fs.makeQualified(
+        new Path(snapshot.tableRoot, decodePath(a.path))).toUri.getPath
+      new GenericRowWithSchema(Array[Any](abs,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull), rtSchema): Row
+    }
+    val rtDF = spark.createDataFrame(rtRows.asJava, rtSchema)
+    withMeta.join(broadcast(rtDF), Seq("__path"))
+      .withColumn("_row_id", col("__base") + col("__ridx"))
+      .withColumn("_row_commit_version", col("__dcv"))
+      .select(schema.fieldNames.map(col) ++
+        Seq(col("_row_id"), col("_row_commit_version")): _*)
   }
 
   /** Assemble the logical rows of `adds`. With keepMeta=true the output

@@ -53,6 +53,24 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
   private def now(): Long = System.currentTimeMillis()
 
+  /** Best-effort incremental `.crc` update after a commit (reference
+    * kernel/src/crc/): previous version's checksum + this commit's size
+    * and file-count delta. Skipped when the chain is broken (no prior
+    * crc) — never load-bearing.
+    */
+  private def maybeWriteChecksum(v: Long, sizeDelta: Long,
+      fileDelta: Long, newMeta: Option[graft.delta.Metadata] = None,
+      newProto: Option[Protocol] = None): Unit =
+    try {
+      Checksum.read(fs, logDir, v - 1).foreach { prev =>
+        Checksum.write(fs, logDir, v, Checksum.VersionChecksum(
+          prev.tableSizeBytes + sizeDelta,
+          prev.numFiles + fileDelta,
+          newProto.getOrElse(prev.protocol),
+          newMeta.getOrElse(prev.metadata)))
+      }
+    } catch { case _: Exception => () }
+
   private def commitInfoLine(op: String, params: Map[String, String]): String =
     JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
       timestamp = now(), operation = op, operationParameters = params,
@@ -129,7 +147,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         size = st.getLen,
         modificationTime = st.getModificationTime,
         dataChange = true,
-        stats = statsByPath.get(fs.makeQualified(abs).toUri.getPath))
+        // a zero-row file produces no aggregate group — synthesize its
+        // (exact) empty stats rather than omitting them
+        stats = statsByPath.get(fs.makeQualified(abs).toUri.getPath)
+          .orElse(Some(
+            """{"numRecords":0,"minValues":{},"maxValues":{},"nullCount":{}}""")))
     }
   }
 
@@ -211,15 +233,33 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     b.toString
   }
 
-  /** Blind append (reference transaction/mod.rs add_files + commit). */
+  /** Blind append (reference transaction/mod.rs add_files + commit).
+    * With row tracking enabled, fresh adds receive baseRowId ranges from
+    * the delta.rowTracking high-water mark and the commit carries the
+    * advanced mark (reference row_tracking.rs:19-68); such commits are
+    * not blind-retryable (a conflicting writer may have consumed ids).
+    */
   def append(df: DataFrame, txn: Option[SetTransaction] = None): Long = {
     val snap = snapshot()
-    val adds = stageFiles(df, snap)
+    val staged = stageFiles(df, snap)
+    val rowTracking = RowTracking.enabled(snap.metadata)
+    val v = snap.version + 1
+    val (adds, hwmLine) =
+      if (!rowTracking) (staged, Nil)
+      else {
+        val (assigned, hwm) =
+          RowTracking.assign(staged, RowTracking.highWaterMark(snap), v)
+        (assigned, Seq(JsonLog.writeAction(SingleAction(
+          domainMetadata = Some(RowTracking.domainMetadataFor(hwm))))))
+      }
     val lines =
       Seq(commitInfoLine("WRITE", Map("mode" -> "Append"))) ++
       txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
+      hwmLine ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
-    commitActions(snap.version + 1, lines, retryable = true)
+    val committed = commitActions(v, lines, retryable = !rowTracking)
+    maybeWriteChecksum(committed, adds.map(_.size).sum, adds.size)
+    committed
   }
 
   /** DELETE WHERE: files whose rows all survive are untouched; files with
@@ -258,7 +298,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
-    commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed,
+      newAdds.map(_.size).sum - candidates.map(_.size).sum,
+      newAdds.size - candidates.size)
+    committed
   }
 
   /** Read specific add files with partition values injected. */
@@ -360,7 +404,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       protoLine ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
-    commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed,
+      -gone.map(p => byPath(p._1).size).sum,
+      -(removes.size - newAdds.size),
+      newProto = if (needsUpgrade)
+        Some(TableFeatures.upgraded(snap.protocol,
+          Seq("deletionVectors"), Seq("deletionVectors")))
+      else None)
+    committed
   }
 
   // ---------------- ALTER TABLE ----------------
@@ -402,7 +454,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map("operation" -> "CHANGE SCHEMA")),
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
-    commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
+    committed
   }
 
   /** ALTER TABLE ADD COLUMN (nullable — required for old files). */
@@ -430,7 +484,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES")),
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
-    commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
+    committed
   }
 
   // ---------------- checkpoint ----------------
@@ -479,7 +535,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         metadataRow(snap.metadata), null, null)) ++
       snap.setTransactions.map(t => org.apache.spark.sql.Row(
         org.apache.spark.sql.Row(t.appId, t.version,
-          t.lastUpdated.map(Long.box).orNull), null, null, null, null, null))
+          t.lastUpdated.map(Long.box).orNull), null, null, null, null, null)) ++
+      snap.domainMetadatas.map(d => org.apache.spark.sql.Row(
+        null, null, null, null, null,
+        org.apache.spark.sql.Row(d.domain, d.configuration, d.removed)))
     val pmDF = spark.createDataFrame(pmRows.asJava, LogSchema.checkpoint)
     pmDF.unionByName(fileActions)
   }
@@ -525,12 +584,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     // the protocol (preserving implied legacy features) on first use
     val pre = snapshot()
     if (!pre.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))) {
-      commitActions(pre.version + 1, Seq(
+      val up = TableFeatures.upgraded(pre.protocol,
+        Seq("v2Checkpoint"), Seq("v2Checkpoint"))
+      val uv = commitActions(pre.version + 1, Seq(
         commitInfoLine("UPGRADE PROTOCOL", Map.empty),
-        JsonLog.writeAction(SingleAction(protocol = Some(
-          TableFeatures.upgraded(pre.protocol,
-            Seq("v2Checkpoint"), Seq("v2Checkpoint")))))),
+        JsonLog.writeAction(SingleAction(protocol = Some(up)))),
         retryable = false)
+      maybeWriteChecksum(uv, 0L, 0L, newProto = Some(up))
     }
     val snap = snapshot()
     val v = snap.version
@@ -683,16 +743,42 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     }
   }
 
-  /** Latest version committed at or before `tsMillis` (reference
-    * history_manager/mod.rs timestamp search).
+  /** Latest version committed at or before `tsMillis` — binary search
+    * over the commit files (reference history_manager/mod.rs,
+    * search.rs:266): commit timestamps are monotonic (in-commit
+    * timestamps by contract; file mtimes by convention), so O(log n)
+    * commit reads instead of reading the whole log.
     */
   def versionAtTimestamp(tsMillis: Long): Long = {
-    val h = history()
-    val eligible = h.filter(_._2 <= tsMillis)
-    if (eligible.isEmpty)
+    val commits = Storage.listSorted(fs, logDir)
+      .flatMap(st => FileNames.parse(st.getPath).map(f => (f, st)))
+      .collect { case (c: FileNames.CommitFile, st) => (c, st) }
+      .sortBy(_._1.version)
+    if (commits.isEmpty)
+      throw new IllegalStateException(s"no delta log found at $pathStr")
+    def tsOf(i: Int): Long = {
+      val (c, st) = commits(i)
+      Storage.readLines(fs, c.path).iterator
+        .filter(_.contains("\"commitInfo\""))
+        .map(JsonLog.parseLine)
+        .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+          .filterNot(_.isNull).map(_.asLong))
+        .nextOption()
+        .getOrElse(st.getModificationTime)
+    }
+    var lo = 0
+    var hi = commits.size - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0)
       throw new IllegalArgumentException(
         s"no version at or before timestamp $tsMillis")
-    eligible.map(_._1).max
+    commits(ans)._1.version
   }
 }
 
@@ -732,10 +818,17 @@ object DeltaTable {
       }
     val wantsCdf = finalConfig.get(TableChanges.CDF_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
-    val protocol = Protocol(
+    val wantsRowTracking = finalConfig.get(RowTracking.ENABLED_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    val legacy = Protocol(
       if (cmMode != "none") 2 else 1,
       Seq(2, if (wantsCdf) 4 else 2,
         if (cmMode != "none") 5 else 2).max)
+    val protocol =
+      if (wantsRowTracking)
+        TableFeatures.upgraded(legacy, Nil,
+          Seq("rowTracking", "domainMetadata"))
+      else legacy
     val meta = graft.delta.Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
@@ -749,13 +842,20 @@ object DeltaTable {
         Map("partitionBy" -> partitionColumns.mkString(",")),
         Some("graft-spark/0.1.0"))))),
       JsonLog.writeAction(SingleAction(protocol = Some(protocol))),
-      JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+      JsonLog.writeAction(SingleAction(metaData = Some(meta)))) ++
+      (if (wantsRowTracking)
+        Seq(JsonLog.writeAction(SingleAction(domainMetadata = Some(
+          RowTracking.domainMetadataFor(
+            RowTracking.MISSING_HIGH_WATER_MARK)))))
+      else Nil)
     val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
     fs.mkdirs(FileNames.logDir(t.root))
     if (!Storage.putIfAbsent(fs,
         FileNames.commitFile(FileNames.logDir(t.root), 0L),
         lines.mkString("", "\n", "\n")))
       throw new IllegalStateException(s"table already exists at $path")
+    Checksum.write(fs, FileNames.logDir(t.root), 0L,
+      Checksum.VersionChecksum(0L, 0L, protocol, meta))
     t
   }
 }

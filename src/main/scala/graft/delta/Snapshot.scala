@@ -206,6 +206,47 @@ class Snapshot(
       .map(_._2.head).toSeq // commits are newest-first, checkpoint last
   }
 
+  /** Latest domain metadata per domain (newest-first replay over the
+    * deltas, checkpoint fallback; reference actions/mod.rs:1326,
+    * snapshot domain-metadata resolution). Removed domains are dropped.
+    */
+  lazy val domainMetadatas: Seq[DomainMetadata] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, DomainMetadata]
+    segment.deltas.sortBy(f => -LogSegment.endVersion(f)).foreach { c =>
+      Storage.readLines(fsys, c.path).foreach { line =>
+        if (line.contains("\"domainMetadata\"")) {
+          val n = JsonLog.parseLine(line)
+          val d = n.get("domainMetadata")
+          if (d != null && !d.isNull) {
+            val domain = d.get("domain").asText
+            if (!seen.contains(domain))
+              seen(domain) = DomainMetadata(domain,
+                Option(d.get("configuration")).filterNot(_.isNull)
+                  .map(_.asText).getOrElse(""),
+                Option(d.get("removed")).filterNot(_.isNull)
+                  .exists(_.asBoolean))
+          }
+        }
+      }
+    }
+    val fromCkpt: Seq[DomainMetadata] =
+      if (segment.checkpointParts.isEmpty || segment.isV2Checkpoint) Nil
+      else spark.read.schema(LogSchema.checkpoint)
+        .parquet(segment.checkpointParts.map(_.path.toString): _*)
+        .filter(col("domainMetadata").isNotNull)
+        .select("domainMetadata.*").collect().toSeq
+        .map(r => DomainMetadata(r.getAs[String]("domain"),
+          r.getAs[String]("configuration"),
+          r.getAs[Boolean]("removed")))
+    fromCkpt.foreach(d =>
+      if (!seen.contains(d.domain)) seen(d.domain) = d)
+    seen.values.filterNot(_.removed).toSeq
+  }
+
+  /** Configuration string of one domain, if present and not removed. */
+  def domainMetadata(domain: String): Option[String] =
+    domainMetadatas.find(_.domain == domain).map(_.configuration)
+
   def scanBuilder(): ScanBuilder = new ScanBuilder(this)
 
   /** Full-table read (no predicate). */
@@ -269,6 +310,12 @@ object Snapshot {
     val logDir = FileNames.logDir(root)
     val segment = LogSegment.forVersion(fs, logDir, version)
 
+    // CRC fast path (reference crc/mod.rs): a valid checksum at the
+    // snapshot version supplies P&M without any replay
+    Checksum.read(fs, logDir, segment.version).foreach { c =>
+      return gated(new Snapshot(spark, root, segment, c.protocol, c.metadata))
+    }
+
     // newest-first P&M replay over commits
     var protocol: Option[Protocol] = None
     var metadata: Option[Metadata] = None
@@ -314,6 +361,54 @@ object Snapshot {
       s"no protocol action found for $tablePath@${segment.version}"))
     val m = metadata.getOrElse(throw new IllegalStateException(
       s"no metaData action found for $tablePath@${segment.version}"))
+    gated(new Snapshot(spark, root, segment, p, m))
+  }
+
+  /** Advance `prev` with commits past its version without relisting the
+    * whole log (reference snapshot/incremental.rs `builder_from`):
+    * list only `> prev.version`, append the new commits to the prior
+    * segment, and replay P&M over just the new commits.
+    */
+  def refresh(prev: Snapshot): Snapshot = {
+    val conf = prev.spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(prev.tableRoot, conf)
+    val logDir = prev.segment.logDir
+    val newCommits = Storage.listSortedFrom(fs, logDir,
+        f"${prev.version + 1}%020d")
+      .flatMap(st => FileNames.parse(st.getPath))
+      .collect { case c: FileNames.CommitFile if c.version > prev.version => c }
+      .sortBy(_.version)
+    if (newCommits.isEmpty) return prev
+    newCommits.zipWithIndex.foreach { case (c, i) =>
+      require(c.version == prev.version + 1 + i,
+        s"missing commit ${prev.version + 1 + i} during refresh")
+    }
+    val segment = LogSegment(logDir,
+      newCommits.last.version,
+      prev.segment.deltas ++ newCommits,
+      prev.segment.checkpointParts,
+      prev.segment.checkpointVersion)
+    var protocol = prev.protocol
+    var metadata = prev.metadata
+    newCommits.foreach { c =>
+      Storage.readLines(fs, c.path).foreach { line =>
+        if (line.contains("\"protocol\"") || line.contains("\"metaData\"")) {
+          val n = JsonLog.parseLine(line)
+          val p = n.get("protocol"); val m = n.get("metaData")
+          if (p != null && !p.isNull) protocol = JsonLog.parseProtocol(p)
+          if (m != null && !m.isNull) metadata = JsonLog.parseMetadata(m)
+        }
+      }
+    }
+    gated(new Snapshot(prev.spark, prev.tableRoot, segment, protocol, metadata))
+  }
+
+  /** Reader-version + feature gate, applied to every constructed
+    * snapshot (reference table_features/mod.rs:102-185).
+    */
+  private def gated(s: Snapshot): Snapshot = {
+    val p = s.protocol
+    val m = s.metadata
 
     // Reader-version gate (reference table_features/mod.rs:102-185).
     // Only features the scan actually implements are accepted — an
@@ -331,7 +426,6 @@ object Snapshot {
     val cmMode = ColumnMapping.mode(m)
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported delta.columnMapping.mode '$cmMode'")
-
-    new Snapshot(spark, root, segment, p, m)
+    s
   }
 }

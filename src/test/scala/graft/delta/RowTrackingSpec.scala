@@ -1,0 +1,71 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Row tracking (reference row_tracking.rs:19-68): high-water-mark
+  * assignment at commit, `_row_id`/`_row_commit_version` metadata
+  * columns, stability across DV deletes and checkpoints.
+  */
+class RowTrackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val conf = Map(RowTracking.ENABLED_KEY -> "true")
+
+  test("baseRowId assignment advances the high-water mark") {
+    val dir = TestSpark.tmpDir("rt")
+    val a = (1 to 50).map(i => (i.toLong, s"a$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, a.schema, configuration = conf)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(RowTracking.highWaterMark(t.snapshot()) == -1L)
+    t.append(a.repartition(2))
+    val hwm1 = RowTracking.highWaterMark(t.snapshot())
+    assert(hwm1 == 49L) // 50 rows -> ids 0..49
+    t.append(a.repartition(3))
+    assert(RowTracking.highWaterMark(t.snapshot()) == 99L)
+    val adds = t.scan(None).collectAddFiles()
+    assert(adds.forall(_.baseRowId.isDefined))
+    assert(adds.forall(_.defaultRowCommitVersion.isDefined))
+    // disjoint id ranges
+    val ranges = adds.map { ad =>
+      val n = JsonLog.parseLine(ad.stats.get).get("numRecords").asLong
+      (ad.baseRowId.get, ad.baseRowId.get + n - 1)
+    }.sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(lo2 > hi)
+      case _ =>
+    }
+  }
+
+  test("_row_id / _row_commit_version are unique and stable") {
+    val dir = TestSpark.tmpDir("rtids")
+    val a = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    DeltaTable.create(spark, dir, a.schema, configuration = conf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(a.filter($"k" <= 60))  // v1
+    t.append(a.filter($"k" > 60))   // v2
+    val withIds = t.scan(None).toDFWithRowIds
+    assert(withIds.select("_row_id").distinct().count() == 100)
+    assert(withIds.select("_row_commit_version").distinct().count() == 2)
+    val before = withIds.select($"k", $"_row_id").as[(Long, Long)]
+      .collect().toMap
+
+    // DV delete keeps surviving rows' ids stable (file not rewritten)
+    t.deleteWhereDV("k <= 10")
+    val after = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(after.size == 90)
+    after.foreach { case (k, id) => assert(before(k) == id) }
+
+    // and survives a checkpoint (domain metadata persisted)
+    t.checkpoint()
+    t.append(a.filter($"k" < 0)) // empty commit
+    assert(RowTracking.highWaterMark(t.snapshot()) == 99L)
+    val after2 = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(after2 == after)
+  }
+}
