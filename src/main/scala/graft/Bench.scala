@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/Spark warmup so the first measured query isn't charged for
+    // codegen + classloading (~6s of round-1's q1_agg was warmup)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try Tables.load(spark, sfDir, "region").count()
+    catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the FULL physical plan (projection + sort included)

@@ -820,14 +820,29 @@ object DeltaTable {
       .exists(_.equalsIgnoreCase("true"))
     val wantsRowTracking = finalConfig.get(RowTracking.ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.VariantType => true
+        case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasVariant(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasVariant(m.keyType) || hasVariant(m.valueType)
+        case _ => false
+      }
+    val wantsVariant = hasVariant(finalSchema)
     val legacy = Protocol(
       if (cmMode != "none") 2 else 1,
       Seq(2, if (wantsCdf) 4 else 2,
         if (cmMode != "none") 5 else 2).max)
+    val featureAdds =
+      (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil)
+    val readerFeatureAdds =
+      if (wantsVariant) Seq("variantType") else Nil
     val protocol =
-      if (wantsRowTracking)
-        TableFeatures.upgraded(legacy, Nil,
-          Seq("rowTracking", "domainMetadata"))
+      if (featureAdds.nonEmpty || wantsVariant)
+        TableFeatures.upgraded(legacy, readerFeatureAdds,
+          featureAdds ++ readerFeatureAdds)
       else legacy
     val meta = graft.delta.Metadata(
       id = UUID.randomUUID().toString,

@@ -418,7 +418,8 @@ object Snapshot {
       s"unsupported minReaderVersion ${p.minReaderVersion}")
     val supportedReaderFeatures =
       Set("deletionVectors", "timestampNtz", "columnMapping",
-        "vacuumProtocolCheck", "v2Checkpoint")
+        "vacuumProtocolCheck", "v2Checkpoint",
+        "variantType", "variantType-preview")
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")

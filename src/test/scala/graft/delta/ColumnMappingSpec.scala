@@ -74,7 +74,8 @@ class ColumnMappingSpec extends AnyFunSuite {
     // hand-craft a protocol claiming an unimplemented reader feature
     t.commitActions(t.snapshot().version + 1,
       Seq(JsonLog.writeAction(SingleAction(protocol = Some(Protocol(
-        3, 7, Some(Seq("variantType")), Some(Seq("variantType"))))))),
+        3, 7, Some(Seq("someFutureFeature")),
+        Some(Seq("someFutureFeature"))))))),
       retryable = false)
     intercept[IllegalArgumentException] {
       Snapshot.forTable(spark, dir)
