@@ -71,10 +71,33 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       }
     } catch { case _: Exception => () }
 
-  private def commitInfoLine(op: String, params: Map[String, String]): String =
+  private def commitInfoLine(op: String, params: Map[String, String],
+      ict: Option[Long] = None): String =
     JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
       timestamp = now(), operation = op, operationParameters = params,
-      engineInfo = Some("graft-spark/0.1.0")))))
+      engineInfo = Some("graft-spark/0.1.0"),
+      inCommitTimestamp = ict))))
+
+  /** Monotonic in-commit timestamp when the table enables ICT
+    * (reference transaction/commit_info.rs:484; protocol: strictly
+    * greater than the predecessor's, regardless of clock skew).
+    */
+  private def ictFor(snap: Snapshot): Option[Long] = {
+    if (!snap.metadata.configuration.get(DeltaTable.ICT_ENABLED_KEY)
+        .exists(_.equalsIgnoreCase("true"))) return None
+    val prev: Option[Long] = {
+      val p = FileNames.commitFile(logDir, snap.version)
+      if (!fs.exists(p)) None
+      else Storage.readLines(fs, p).iterator
+        .filter(_.contains("\"commitInfo\""))
+        .map(JsonLog.parseLine)
+        .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+          .filterNot(_.isNull).map(_.asLong))
+        .nextOption()
+    }
+    Some(math.max(now(), prev.getOrElse(0L) + 1))
+  }
 
   // ---------------- write path ----------------
 
@@ -253,7 +276,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           domainMetadata = Some(RowTracking.domainMetadataFor(hwm))))))
       }
     val lines =
-      Seq(commitInfoLine("WRITE", Map("mode" -> "Append"))) ++
+      Seq(commitInfoLine("WRITE", Map("mode" -> "Append"), ictFor(snap))) ++
       txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
       hwmLine ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
@@ -294,7 +317,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         partitionValues = Some(a.partitionValues), size = Some(a.size))
     }
     val lines =
-      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql))) ++
+      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+        ictFor(snap))) ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
@@ -400,7 +424,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       else Nil
 
     val lines =
-      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql))) ++
+      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+        ictFor(snap))) ++
       protoLine ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
@@ -452,7 +477,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val meta = snap.metadata.copy(
       schemaString = finalSchema.json, configuration = newConfig)
     val lines = Seq(
-      commitInfoLine("ALTER TABLE", Map("operation" -> "CHANGE SCHEMA")),
+      commitInfoLine("ALTER TABLE", Map("operation" -> "CHANGE SCHEMA"),
+        ictFor(snap)),
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
@@ -482,7 +508,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val meta = snap.metadata.copy(
       configuration = snap.metadata.configuration ++ props)
     val lines = Seq(
-      commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES")),
+      commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES"),
+        ictFor(snap)),
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
@@ -784,6 +811,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
 object DeltaTable {
 
+  val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
+
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
 
@@ -835,12 +864,15 @@ object DeltaTable {
       if (cmMode != "none") 2 else 1,
       Seq(2, if (wantsCdf) 4 else 2,
         if (cmMode != "none") 5 else 2).max)
+    val wantsIct = finalConfig.get(ICT_ENABLED_KEY)
+      .exists(_.equalsIgnoreCase("true"))
     val featureAdds =
-      (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil)
+      (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
+      (if (wantsIct) Seq("inCommitTimestamp") else Nil)
     val readerFeatureAdds =
       if (wantsVariant) Seq("variantType") else Nil
     val protocol =
-      if (featureAdds.nonEmpty || wantsVariant)
+      if (featureAdds.nonEmpty || wantsVariant || wantsIct)
         TableFeatures.upgraded(legacy, readerFeatureAdds,
           featureAdds ++ readerFeatureAdds)
       else legacy

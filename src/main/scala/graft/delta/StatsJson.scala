@@ -78,6 +78,8 @@ object StatsJson {
     case l: java.time.LocalDateTime =>
       Some("\"" + tsNtzFmt.format(l.truncatedTo(
         java.time.temporal.ChronoUnit.MILLIS)) + "\"")
+    case b: Array[Byte] => // ToJson contract: lowercase hex, not base64
+      Some("\"" + b.map("%02x".format(_)).mkString + "\"")
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: Double =>
       if (java.lang.Double.isFinite(d)) Some(d.toString) else None

@@ -206,6 +206,65 @@ object TableChanges {
     dataChange = true,
     deletionVector = r.deletionVector)
 
+  /** Row-tracking CDF (reference table_changes/mod.rs:367-493,
+    * `try_new_row_tracking_cdf_listing`): reconstruct NET row changes
+    * over (base, target] by STABLE ROW ID instead of `_change_data`
+    * files. Requires rowTracking at both boundary snapshots; the target
+    * schema may add nullable columns but not change types (the
+    * row-tracking mode's relaxed compatibility). A row id present only
+    * in the post image is an `insert`, only in the pre image a
+    * `delete`, in both with different content an update pre/post pair.
+    *
+    * One full-outer join shuffled on the row id; both sides are
+    * distributed scans.
+    */
+  def readByRowTracking(spark: SparkSession, tablePath: String,
+      baseVersion: Long, targetVersion: Long): DataFrame = {
+    val preSnap = Snapshot.forTable(spark, tablePath, Some(baseVersion))
+    val postSnap = Snapshot.forTable(spark, tablePath, Some(targetVersion))
+    def hasRowTracking(s: Snapshot) =
+      s.protocol.writerFeatures.exists(_.contains("rowTracking"))
+    require(hasRowTracking(preSnap) && hasRowTracking(postSnap),
+      "row tracking must be enabled across the range")
+    SchemaEvolution.validate(preSnap.schema, postSnap.schema).foreach(m =>
+      throw new IllegalArgumentException(
+        s"incompatible schemas across row-tracking CDF range: $m"))
+
+    val preCols = preSnap.schema.fieldNames.toSeq
+    val postCols = postSnap.schema.fieldNames.toSeq
+    val pre = new DeltaScan(preSnap, None).toDFWithRowIds
+      .select(struct(preCols.map(col): _*).as("__pre"), col("_row_id"))
+    val post = new DeltaScan(postSnap, None).toDFWithRowIds
+      .select(struct(postCols.map(col): _*).as("__post"), col("_row_id"))
+    val j = pre.join(post, Seq("_row_id"), "full_outer")
+
+    // pre image lifted to the post schema (missing added columns = NULL)
+    val preAsPost = struct(postCols.map { c =>
+      (if (preCols.contains(c)) col(s"__pre.$c")
+       else lit(null).cast(postSnap.schema(c).dataType)).as(c)
+    }: _*)
+    val shared = preCols.filter(postCols.contains)
+    val sameContent = shared.map(c =>
+      col(s"__pre.$c") <=> col(s"__post.$c")).reduce(_ && _)
+
+    def emit(img: org.apache.spark.sql.Column, change: String) =
+      Seq(img.as("__row"), lit(change).as(CHANGE_TYPE), col("_row_id"))
+
+    val inserts = j.filter(col("__pre").isNull && col("__post").isNotNull)
+      .select(emit(col("__post"), "insert"): _*)
+    val deletes = j.filter(col("__post").isNull && col("__pre").isNotNull)
+      .select(emit(preAsPost, "delete"): _*)
+    val updates = j.filter(
+      col("__pre").isNotNull && col("__post").isNotNull && !sameContent)
+    val updatePre = updates.select(emit(preAsPost, "update_preimage"): _*)
+    val updatePost = updates.select(emit(col("__post"), "update_postimage"): _*)
+
+    inserts.unionByName(deletes).unionByName(updatePre)
+      .unionByName(updatePost)
+      .select(postCols.map(c => col(s"__row.$c").as(c)) ++
+        Seq(col(CHANGE_TYPE), col("_row_id")): _*)
+  }
+
   /** Net row changes over a CDF DataFrame keyed by `keyCols` (reference
     * net_changes.rs: earliest pre-image, latest post-image, intermediates
     * omitted): a key whose first in-range change is `insert` and whose

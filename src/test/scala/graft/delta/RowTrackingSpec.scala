@@ -68,4 +68,44 @@ class RowTrackingSpec extends AnyFunSuite {
       .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
     assert(after2 == after)
   }
+
+  test("row-tracking CDF: net diff by stable row id") {
+    val dir = TestSpark.tmpDir("rtcdf")
+    val a = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, a.schema, configuration = conf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(a)                        // v1
+    t.deleteWhereDV("k <= 5")          // v2
+    t.append((21 to 25).map(i => (i.toLong, s"v$i")).toDF("k", "s")) // v3
+
+    val diff = TableChanges.readByRowTracking(spark, dir, 1L, 3L)
+    val byType = diff.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 5L, "delete" -> 5L))
+    assert(diff.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq == (1L to 5L))
+    assert(diff.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted.toSeq == (21L to 25L))
+
+    // additive column after the base version is tolerated
+    t.addColumn("z", org.apache.spark.sql.types.DoubleType) // v4
+    val diff2 = TableChanges.readByRowTracking(spark, dir, 1L, 4L)
+    assert(diff2.columns.contains("z"))
+    assert(diff2.filter(col("_change_type") === "delete")
+      .filter(col("z").isNull).count() == 5)
+  }
+
+  test("in-commit timestamps are written monotonic and drive time travel") {
+    val dir = TestSpark.tmpDir("ict")
+    val a = Seq((1L, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, a.schema,
+      configuration = Map(DeltaTable.ICT_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(a); t.append(a); t.append(a)
+    val h = t.history().sortBy(_._1)
+    val icts = h.map(_._2)
+    assert(icts.sliding(2).forall { case Seq(x, y) => x < y; case _ => true })
+    assert(t.versionAtTimestamp(icts.last) == 3L)
+    assert(t.versionAtTimestamp(icts(2)) == 2L)
+  }
 }
