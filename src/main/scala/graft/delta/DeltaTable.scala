@@ -53,6 +53,23 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
   private def now(): Long = System.currentTimeMillis()
 
+  /** Writer gate (reference table_features write gates): refuse to
+    * commit when the protocol declares writer features this engine does
+    * not implement, and enforce delta.appendOnly for mutating ops.
+    */
+  private def writerGate(snap: Snapshot, mutating: Boolean): Unit = {
+    require(snap.protocol.minWriterVersion <= 7,
+      s"unsupported minWriterVersion ${snap.protocol.minWriterVersion}")
+    val bad = TableFeatures.unsupportedWriterFeatures(
+      snap.protocol, snap.metadata)
+    require(bad.isEmpty,
+      s"cannot write: unsupported writer features ${bad.mkString(", ")}")
+    if (mutating)
+      require(!snap.metadata.configuration.get("delta.appendOnly")
+          .exists(_.equalsIgnoreCase("true")),
+        s"table at $pathStr is append-only (delta.appendOnly=true)")
+  }
+
   /** Best-effort incremental `.crc` update after a commit (reference
     * kernel/src/crc/): previous version's checksum + this commit's size
     * and file-count delta. Skipped when the chain is broken (no prior
@@ -264,6 +281,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   def append(df: DataFrame, txn: Option[SetTransaction] = None): Long = {
     val snap = snapshot()
+    writerGate(snap, mutating = false)
     val staged = stageFiles(df, snap)
     val rowTracking = RowTracking.enabled(snap.metadata)
     val v = snap.version + 1
@@ -292,6 +310,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   def deleteWhere(predicateSql: String): Long = {
     val snap = snapshot()
+    writerGate(snap, mutating = true)
     val scan = new DeltaScan(snap, Some(predicateSql))
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
@@ -341,6 +360,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   def deleteWhereDV(predicateSql: String): Long = {
     val snap = snapshot()
+    writerGate(snap, mutating = true)
     val scan = new DeltaScan(snap, Some(predicateSql))
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
@@ -450,8 +470,21 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   def alterSchema(newSchema: StructType): Long = {
     val snap = snapshot()
+    writerGate(snap, mutating = false)
     SchemaEvolution.validate(snap.schema, newSchema).foreach(msg =>
       throw new IllegalArgumentException(s"illegal schema evolution: $msg"))
+    // widening a column requires the typeWidening table feature
+    val widens = snap.schema.fields.exists { of =>
+      newSchema.fields.find(_.name == of.name)
+        .exists(nf => nf.dataType != of.dataType)
+    }
+    val protoLine =
+      if (widens && !snap.protocol.writerFeatures
+          .exists(_.contains("typeWidening")))
+        Seq(JsonLog.writeAction(SingleAction(protocol = Some(
+          TableFeatures.upgraded(snap.protocol,
+            Seq("typeWidening"), Seq("typeWidening"))))))
+      else Nil
     val cmMode = ColumnMapping.mode(snap.metadata)
     // preserve column-mapping annotations on surviving fields; assign
     // fresh physical names/ids to added ones
@@ -478,10 +511,14 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       schemaString = finalSchema.json, configuration = newConfig)
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map("operation" -> "CHANGE SCHEMA"),
-        ictFor(snap)),
+        ictFor(snap))) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
-    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
+    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta),
+      newProto = if (widens)
+        Some(TableFeatures.upgraded(snap.protocol,
+          Seq("typeWidening"), Seq("typeWidening")))
+      else None)
     committed
   }
 
@@ -542,18 +579,47 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     v
   }
 
-  /** Reconciled checkpoint state: live adds + unexpired remove
+  /** `delta.deletedFileRetentionDuration` in millis (default 1 week).
+    * Accepts the `interval N (hours|days|weeks)` forms delta uses.
+    */
+  private def tombstoneRetentionMillis(m: graft.delta.Metadata): Long = {
+    val default = 7L * 24 * 3600 * 1000
+    m.configuration.get("delta.deletedFileRetentionDuration")
+      .flatMap { s =>
+        raw"(?i)interval\s+(\d+)\s+(\w+)".r.findFirstMatchIn(s).flatMap { mm =>
+          val n = mm.group(1).toLong
+          mm.group(2).toLowerCase.stripSuffix("s") match {
+            case "millisecond" => Some(n)
+            case "second" => Some(n * 1000)
+            case "minute" => Some(n * 60000)
+            case "hour" => Some(n * 3600000)
+            case "day" => Some(n * 86400000)
+            case "week" => Some(n * 7 * 86400000)
+            case _ => None
+          }
+        }
+      }.getOrElse(default)
+  }
+
+  /** Reconciled checkpoint state: live adds + UNEXPIRED remove
     * tombstones + P&M + txns (reference
-    * action_reconciliation/log_replay.rs).
+    * action_reconciliation/log_replay.rs — tombstones older than the
+    * retention window are dropped; the files they reference are vacuum
+    * candidates that no reader may rely on).
     */
   private def checkpointState(snap: Snapshot): DataFrame = {
-    val fileActions = snap.latestActions.select(
-      lit(null).cast(LogSchema.txn).as("txn"),
-      col("add"),
-      col("remove"),
-      lit(null).cast(LogSchema.metaData).as("metaData"),
-      lit(null).cast(LogSchema.protocol).as("protocol"),
-      lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"))
+    val cutoff = now() - tombstoneRetentionMillis(snap.metadata)
+    val fileActions = snap.latestActions
+      .filter(col("add").isNotNull ||
+        col("remove.deletionTimestamp").isNull ||
+        col("remove.deletionTimestamp") >= cutoff)
+      .select(
+        lit(null).cast(LogSchema.txn).as("txn"),
+        col("add"),
+        col("remove"),
+        lit(null).cast(LogSchema.metaData).as("metaData"),
+        lit(null).cast(LogSchema.protocol).as("protocol"),
+        lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"))
     import scala.jdk.CollectionConverters._
     val pmRows: Seq[org.apache.spark.sql.Row] = Seq(
       org.apache.spark.sql.Row(null, null, null, null,

@@ -419,7 +419,8 @@ object Snapshot {
     val supportedReaderFeatures =
       Set("deletionVectors", "timestampNtz", "columnMapping",
         "vacuumProtocolCheck", "v2Checkpoint",
-        "variantType", "variantType-preview")
+        "variantType", "variantType-preview",
+        "typeWidening", "typeWidening-preview")
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")

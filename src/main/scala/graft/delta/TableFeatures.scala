@@ -48,4 +48,38 @@ object TableFeatures {
       legacyWriterFeatures.exists { case (v, f) =>
         f == feature && v <= p.minWriterVersion
       })
+
+  /** Writer features this engine implements unconditionally. */
+  private val implementedWriterFeatures = Set(
+    "appendOnly", "columnMapping", "deletionVectors", "changeDataFeed",
+    "rowTracking", "domainMetadata", "v2Checkpoint", "inCommitTimestamp",
+    "timestampNtz", "variantType", "variantType-preview",
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
+
+  /** Writer-side gate (reference table_features write gates): every
+    * declared writer feature must be implemented, or implemented-when-
+    * inactive (invariants / constraints / generated / identity columns
+    * are "supported" exactly when the table defines none — the
+    * delta-spark convention). Returns the features blocking writes.
+    */
+  def unsupportedWriterFeatures(p: Protocol,
+      m: graft.delta.Metadata): Seq[String] = {
+    val declared: Seq[String] = p.writerFeatures.getOrElse(
+      legacyWriterFeatures.collect {
+        case (v, f) if v <= p.minWriterVersion => f
+      })
+    val schemaJson = m.schemaString
+    def inactive(feature: String): Boolean = feature match {
+      case "invariants" => !schemaJson.contains("delta.invariants")
+      case "checkConstraints" =>
+        !m.configuration.keys.exists(_.startsWith("delta.constraints."))
+      case "generatedColumns" =>
+        !schemaJson.contains("delta.generationExpression")
+      case "identityColumns" =>
+        !schemaJson.contains("delta.identity.start")
+      case _ => false
+    }
+    declared.distinct.filterNot(f =>
+      implementedWriterFeatures.contains(f) || inactive(f))
+  }
 }

@@ -115,4 +115,32 @@ class CheckpointV2Spec extends AnyFunSuite {
     // time travel INTO the compacted range must fail loudly, not lie
     intercept[Exception] { t.snapshot(Some(2L)) }
   }
+
+  test("checkpoint drops expired remove tombstones, keeps fresh ones") {
+    val dir = TestSpark.tmpDir("tomb")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(
+        "delta.deletedFileRetentionDuration" -> "interval 1 days"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 4))
+    t.append(src.filter($"l_quantity" >= 4))
+    t.deleteWhere("l_quantity < 4") // fresh tombstones
+    // hand-craft an EXPIRED tombstone for a fictional path
+    t.commitActions(t.snapshot().version + 1,
+      Seq(JsonLog.writeAction(SingleAction(remove = Some(RemoveFile(
+        "ghost.parquet",
+        Some(System.currentTimeMillis() - 3L * 86400000),
+        dataChange = false))))),
+      retryable = false)
+    t.checkpoint()
+    val ckpt = spark.read.schema(LogSchema.checkpoint).parquet(
+      FileNames.classicCheckpointFile(
+        FileNames.logDir(new Path(dir)), t.snapshot().version).toString)
+    val removes = ckpt.filter(col("remove").isNotNull)
+      .select("remove.path").collect().map(_.getString(0))
+    assert(!removes.contains("ghost.parquet")) // expired -> dropped
+    assert(removes.nonEmpty)                   // fresh ones kept
+    assert(t.toDF.count() == src.filter($"l_quantity" >= 4).count())
+  }
 }

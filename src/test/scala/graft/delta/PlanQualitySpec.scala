@@ -1,0 +1,65 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan quality: the residual predicate must reach the parquet
+  * scan as pushed filters, projections must prune the read schema, and
+  * the data path must stay inside whole-stage codegen — the properties
+  * that keep a 100 TB scan I/O-bound instead of CPU-bound.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def li = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("delta scan pushes the residual predicate into the parquet read") {
+    val dir = TestSpark.tmpDir("pq")
+    val src = li.filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val df = t.scan(Some("l_quantity < 5")).toDF
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_quantity"), plan.take(800))
+    // and the data path is inside whole-stage codegen ("*(n)" stages)
+    assert(plan.contains("*(1)"), plan.take(400))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val dir = TestSpark.tmpDir("prune")
+    val src = li.filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val df = t.toDF.select("l_orderkey", "l_quantity")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // ReadSchema carries only the projected columns (+ join key meta)
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      read.toString)
+  }
+
+  test("log replay checkpoint arm broadcasts the commit keys") {
+    val dir = TestSpark.tmpDir("bjoin")
+    val src = li.filter($"l_quantity" < 6)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"l_quantity" < 3))
+    t.checkpoint()
+    t.append(src.filter($"l_quantity" >= 3))
+    val plan = t.snapshot().latestActions
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop") == false, plan.take(600))
+  }
+}
