@@ -315,10 +315,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
 
-    val candidatePaths = candidates.map(a =>
-      fs.makeQualified(new Path(root, a.path)).toString)
-    // survivors: NOT(cond) OR cond IS NULL  (DELETE's 3VL contract)
+    // one read of the candidate files feeds both the survivor rewrite
+    // and the CDF delete staging
     val full = readFiles(snap, candidates)
+    val cdf = TableChanges.cdfEnabled(snap.metadata)
+    if (cdf) full.persist()
+    // survivors: NOT(cond) OR cond IS NULL  (DELETE's 3VL contract)
     val survivors = full.filter(
       not(coalesce(expr(predicateSql), lit(false))))
     val newAdds =
@@ -327,9 +329,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     // delete-all + insert-survivors; stage the actually-deleted rows as
     // _change_data instead
     val cdcActions =
-      if (TableChanges.cdfEnabled(snap.metadata))
-        stageCdcFiles(full.filter(expr(predicateSql)), snap, "delete")
+      if (cdf) stageCdcFiles(full.filter(expr(predicateSql)), snap, "delete")
       else Nil
+    if (cdf) full.unpersist()
     val removes = candidates.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = true,
         extendedFileMetadata = Some(true),

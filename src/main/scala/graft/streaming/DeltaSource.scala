@@ -8,7 +8,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext}
 
-import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage}
+import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, TableChanges}
 
 /** Structured Streaming source over a Delta table: offsets are table
   * VERSIONS, each microbatch is the add-file diff of a commit range
@@ -23,6 +23,10 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage}
   *    this many commit versions per microbatch
   *  - `ignoreDeletes` (default false): tolerate remove actions in the
   *    range (otherwise the stream fails — appends-only contract)
+  *  - `readChangeFeed` (default false): emit CDF rows (table columns +
+  *    `_change_type`/`_commit_version`/`_commit_timestamp`) per commit
+  *    range instead of plain appends — deletes and DV swaps flow as
+  *    `delete` rows rather than failing the stream
   *
   * Scale: per microbatch the driver reads only the range's commit JSONs
   * (metadata); the data read is a distributed parquet scan of exactly
@@ -40,10 +44,14 @@ class DeltaSource(
     options.get("maxVersionsPerTrigger").map(_.toLong)
   private val ignoreDeletes =
     options.get("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
+  private val readChangeFeed =
+    options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
 
   // schema is pinned at source creation (delta-spark does the same)
   private val initialSnapshot = Snapshot.forTable(spark, tablePath)
-  override val schema: StructType = initialSnapshot.schema
+  override val schema: StructType =
+    if (readChangeFeed) DeltaSource.cdfSchema(initialSnapshot.schema)
+    else initialSnapshot.schema
 
   private def latestVersion: Long =
     Snapshot.forTable(spark, tablePath).version
@@ -71,6 +79,11 @@ class DeltaSource(
     // advance the rate-limit watermark so the next getOffset continues
     // from the checkpointed position instead of re-offering old versions
     lastOffered = math.max(lastOffered, hi)
+    if (readChangeFeed) {
+      val df = TableChanges.read(spark, tablePath, lo, Some(hi))
+      return StreamingShim.internalCreateStreamingDF(
+        sqlContext, df.queryExecution.toRdd, df.schema)
+    }
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = Storage.fs(root, conf)
@@ -105,6 +118,17 @@ class DeltaSource(
   override def stop(): Unit = {}
 }
 
+object DeltaSource {
+  def cdfSchema(table: StructType): StructType = StructType(
+    table.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(TableChanges.CHANGE_TYPE,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(TableChanges.COMMIT_VERSION,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(TableChanges.COMMIT_TIMESTAMP,
+        org.apache.spark.sql.types.TimestampType)))
+}
+
 /** `.format("graft-delta")` / `.format(classOf[DeltaSourceProvider].getName)` */
 class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -117,9 +141,11 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
-    (shortName(),
-      schema.getOrElse(
-        Snapshot.forTable(sqlContext.sparkSession, path).schema))
+    val table = Snapshot.forTable(sqlContext.sparkSession, path).schema
+    val cdf = parameters.get("readChangeFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    (shortName(), schema.getOrElse(
+      if (cdf) DeltaSource.cdfSchema(table) else table))
   }
 
   override def createSource(

@@ -103,4 +103,36 @@ class StreamingSpec extends AnyFunSuite {
     }
     run(ignore = true) // succeeds
   }
+
+  test("CDF streaming: deletes flow as delete rows") {
+    val dir = TestSpark.tmpDir("cdfstream")
+    val ckpt = TestSpark.tmpDir("cdfstream-ckpt")
+    val src = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(
+        graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                 // v1: 20 inserts
+    t.deleteWhere("k <= 5")       // v2: 5 cdc deletes
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          df.groupBy("_change_type").count().collect().foreach(r =>
+            rows += ((r.getString(0), r.getLong(1))))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(rows.toMap == Map("insert" -> 20L, "delete" -> 5L), rows)
+  }
 }
