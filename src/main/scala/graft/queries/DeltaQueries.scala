@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.delta.{DeltaTable, TableChanges}
+import graft.delta.{DeltaTable, RowTracking, TableChanges}
 
 /** End-to-end Delta round trips: each query writes a fresh Delta table
   * (our CREATE/append/DELETE/commit/checkpoint path) from the TPC-H-ish
@@ -116,6 +116,69 @@ object DeltaQueries {
       ordered(t.toDF)
     }),
 
+    // V2 checkpoint (+sidecars) mid-log: snapshot = sidecar-backed
+    // checkpoint + trailing commit
+    "q_delta_v2_checkpoint" -> ((s, d) => {
+      val dir = tmp("v2ck")
+      val src = li(s, d).filter(col("l_quantity") < 15)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 6))
+      t.append(src.filter(col("l_quantity") >= 6 && col("l_quantity") < 11))
+      t.checkpointV2(numSidecars = 2)
+      t.append(src.filter(col("l_quantity") >= 11))
+      ordered(t.toDF)
+    }),
+
+    // multi-part V1 checkpoint
+    "q_delta_multipart_checkpoint" -> ((s, d) => {
+      val dir = tmp("mpck")
+      val src = li(s, d).filter(col("l_quantity") < 12)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 6))
+      t.append(src.filter(col("l_quantity") >= 6))
+      t.checkpointMultipart(3)
+      ordered(t.toDF)
+    }),
+
+    // log compaction substituting vacuumed commits
+    "q_delta_compacted" -> ((s, d) => {
+      val dir = tmp("cpt")
+      val src = li(s, d).filter(col("l_quantity") < 9)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 3))
+      t.append(src.filter(col("l_quantity") >= 3 && col("l_quantity") < 6))
+      t.append(src.filter(col("l_quantity") >= 6))
+      t.compactLog(1, 2)
+      // vacuum the compacted-away commits — the read must survive
+      val fs = graft.delta.Storage.fs(t.root,
+        s.sessionState.newHadoopConf())
+      (1L to 2L).foreach(v => fs.delete(
+        graft.delta.FileNames.commitFile(
+          graft.delta.FileNames.logDir(t.root), v), false))
+      ordered(t.toDF)
+    }),
+
+    // row tracking: ids are contiguous 0..n-1 and unique (the values'
+    // file assignment is nondeterministic; the id SET is exact)
+    "q_delta_row_ids" -> ((s, d) => {
+      val dir = tmp("rid")
+      val src = li(s, d).filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(RowTracking.ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 5))
+      t.append(src.filter(col("l_quantity") >= 5))
+      t.scan(None).toDFWithRowIds
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("_row_id")).as("n_ids"),
+          min(col("_row_id")).as("min_id"),
+          max(col("_row_id")).as("max_id"),
+          countDistinct(col("_row_commit_version")).as("n_commits"))
+    }),
+
     // ALTER TABLE type widening: int32 commit, widen to long, append
     // longs, read all (old files served under the widened schema)
     "q_delta_alter_widen" -> ((s, d) => {
@@ -210,6 +273,25 @@ object DeltaQueries {
          |WHERE l_quantity < 12
          |  AND NOT coalesce(l_returnflag = 'A' AND l_quantity < 6, false)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_v2_checkpoint" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 15
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_multipart_checkpoint" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 12
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_compacted" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 9
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_row_ids" ->
+      """SELECT count(*) AS n, count(*) AS n_ids,
+        |  CAST(0 AS BIGINT) AS min_id,
+        |  CAST(count(*) - 1 AS BIGINT) AS max_id,
+        |  CAST(2 AS BIGINT) AS n_commits
+        |FROM lineitem WHERE l_quantity < 10""".stripMargin,
 
     "q_delta_alter_widen" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
