@@ -215,21 +215,35 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
         java.util.Collections.emptyList[Row](), schema)
     }
 
-    val absPaths = adds.map { a =>
-      fs.makeQualified(new Path(snapshot.tableRoot, decodePath(a.path)))
-    }
-
-    // Read with the PHYSICAL schema (column-mapping modes name/id read
-    // parquet columns col-<uuid>; id mode resolves by parquet field id),
-    // then rename back to logical in the same select — `_metadata` is
-    // only reachable directly on the file-source relation.
+    // Read through a log-backed FileIndex (GraftFileIndex, the
+    // TahoeFileIndex pattern): the plan holds the index, not N literal
+    // paths; partition values are native partition columns (typed from
+    // the add actions — no per-file broadcast join); file stats come
+    // from the log, so planning does no filesystem listing. Columns are
+    // read with the PHYSICAL schema (column-mapping modes name/id; id
+    // mode resolves by parquet field id) and renamed back to logical in
+    // the same select — `_metadata` is only reachable directly on the
+    // file-source relation.
     val physDataSchema = StructType(
       ColumnMapping.physicalSchema(snapshot.dataSchema).fields ++ extraPhysical)
+    val physPartSchema = StructType(partCols.map { c =>
+      val f = schema.fields.find(_.name == c).get
+      StructField(ColumnMapping.physicalName(f), f.dataType, f.nullable)
+    })
     if (cmMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    var reader = spark.read.schema(physDataSchema)
-      .parquet(absPaths.map(_.toString): _*)
+    val index = new GraftFileIndex(spark, snapshot.tableRoot, adds,
+      physPartSchema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, physPartSchema, physDataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val relationDF: DataFrame =
+      org.apache.spark.sql.graft.StreamingShim.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    var reader = relationDF
       .select(snapshot.dataSchema.fields.map(ColumnMapping.toLogical) ++
+        partCols.map(c => col(quoteName(physName(c))).as(c)) ++
         extraPhysical.map(f => col(f.name)) ++
         Seq(normalizedMetaPath.as("__path"),
           col("_metadata.row_index").as("__ridx")): _*)
@@ -237,12 +251,16 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     // DV row filtering (reference scan/mod.rs:1337-1399): deleted
     // (file, row_index) pairs are anti-joined away. DV bytes are small
     // (compressed bitmaps); positions explode on the executors.
-    val dvAdds = adds.zip(absPaths).filter(_._1.deletionVector.isDefined)
+    // Partition values need no join anymore — the FileIndex serves them
+    // as native partition columns.
+    val dvAdds = adds.filter(_.deletionVector.isDefined)
     if (dvAdds.nonEmpty) {
+      val qualifiedRoot = fs.makeQualified(snapshot.tableRoot)
       val delSchema = StructType(Seq(
         StructField("__path", StringType),
         StructField("__dels", ArrayType(LongType))))
-      val delRows: Seq[Row] = dvAdds.map { case (a, abs) =>
+      val delRows: Seq[Row] = dvAdds.map { a =>
+        val abs = new Path(qualifiedRoot, decodePath(a.path))
         val pos = DeletionVectors.readRowIndexes(
           a.deletionVector.get, snapshot.tableRoot, conf)
         new GenericRowWithSchema(
@@ -254,27 +272,11 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
         .join(broadcast(delDF), Seq("__path", "__ridx"), "left_anti")
     }
 
-    val out =
-      if (partCols.isEmpty) reader
-      else {
-        // (normalized path, typed partition values) — small, broadcast
-        val pvSchema = StructType(
-          StructField("__path", StringType) +:
-            partCols.map(c => StructField(c, fieldType(c))))
-        val pvRows: Seq[Row] = adds.zip(absPaths).map { case (a, abs) =>
-          val vals = partCols.map { c =>
-            PartitionValues.parse(
-              a.partitionValues.getOrElse(physName(c), null), fieldType(c))
-          }
-          new GenericRowWithSchema(
-            (abs.toUri.getPath +: vals).toArray[Any], pvSchema): Row
-        }
-        val pvDF = spark.createDataFrame(pvRows.asJava, pvSchema)
-        reader.join(broadcast(pvDF), Seq("__path"))
-      }
-
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil
-    out.select(schema.fieldNames.map(col) ++
+    reader.select(schema.fieldNames.map(col) ++
       extraPhysical.map(f => col(f.name)) ++ metaCols: _*)
   }
+
+  private def quoteName(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 }

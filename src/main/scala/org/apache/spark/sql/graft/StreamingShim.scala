@@ -16,4 +16,12 @@ object StreamingShim {
       rdd: RDD[InternalRow], schema: StructType): DataFrame =
     sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Build a DataFrame over a hand-constructed logical plan (the
+    * custom-FileIndex relation) — `Dataset.ofRows` is private[sql].
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
