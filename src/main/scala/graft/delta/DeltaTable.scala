@@ -476,10 +476,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     SchemaEvolution.validate(snap.schema, newSchema).foreach(msg =>
       throw new IllegalArgumentException(s"illegal schema evolution: $msg"))
     // widening a column requires the typeWidening table feature
-    val widens = snap.schema.fields.exists { of =>
-      newSchema.fields.find(_.name == of.name)
-        .exists(nf => nf.dataType != of.dataType)
-    }
+    val schemaDiff = SchemaEvolution.diff(snap.schema, newSchema)
+    val widens = schemaDiff.changed.nonEmpty
     val protoLine =
       if (widens && !snap.protocol.writerFeatures
           .exists(_.contains("typeWidening")))
@@ -512,7 +510,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val meta = snap.metadata.copy(
       schemaString = finalSchema.json, configuration = newConfig)
     val lines = Seq(
-      commitInfoLine("ALTER TABLE", Map("operation" -> "CHANGE SCHEMA"),
+      commitInfoLine("ALTER TABLE", Map(
+        "operation" -> "CHANGE SCHEMA",
+        "added" -> schemaDiff.added.map(_.name).mkString(","),
+        "changed" -> schemaDiff.changed.map(_._1.name).mkString(",")),
         ictFor(snap))) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)

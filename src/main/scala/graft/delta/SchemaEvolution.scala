@@ -31,6 +31,29 @@ object SchemaEvolution {
     case _ => false
   }
 
+  /** Structural diff between two schemas (reference
+    * kernel/src/schema/diff.rs): added/dropped columns and type changes
+    * by top-level name.
+    */
+  case class SchemaDiff(
+      added: Seq[StructField],
+      dropped: Seq[StructField],
+      changed: Seq[(StructField, StructField)]) {
+    def isEmpty: Boolean = added.isEmpty && dropped.isEmpty && changed.isEmpty
+  }
+
+  def diff(oldSchema: StructType, newSchema: StructType): SchemaDiff = {
+    val oldByName = oldSchema.fields.map(f => f.name -> f).toMap
+    val newByName = newSchema.fields.map(f => f.name -> f).toMap
+    SchemaDiff(
+      added = newSchema.fields.filterNot(f => oldByName.contains(f.name)),
+      dropped = oldSchema.fields.filterNot(f => newByName.contains(f.name)),
+      changed = oldSchema.fields.flatMap(of =>
+        newByName.get(of.name)
+          .filter(_.dataType != of.dataType)
+          .map(nf => (of, nf))))
+  }
+
   /** Validate that `newSchema` is a legal evolution of `oldSchema`:
     * every old column present (same name), type equal or widened,
     * nullability never tightened; new columns must be nullable.

@@ -118,4 +118,25 @@ class TableChangesSpec extends AnyFunSuite {
       TableChanges.read(spark, dir, 0, None)
     }
   }
+
+  test("CDF on a column-mapped partitioned table") {
+    val dir = TestSpark.tmpDir("cdf-cm")
+    val src = (1 to 40).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"),
+      cdfConf + (ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                 // v1
+    t.deleteWhere("k <= 10")      // v2: cdc files with physical names
+
+    val cdf = TableChanges.read(spark, dir, 1, Some(2))
+    assert(cdf.schema.fieldNames.take(3).toSeq == Seq("k", "s", "p"))
+    val deletes = cdf.filter(col("_change_type") === "delete")
+    assert(deletes.count() == 10)
+    assert(deletes.select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 10L))
+    // partition values flow through the cdc read
+    assert(deletes.filter(col("p").isNull).count() == 0)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 40)
+  }
 }
