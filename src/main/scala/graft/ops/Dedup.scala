@@ -49,6 +49,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sig_sim"))
   }
 
+  /** Connected components over a near-duplicate pair set: every id is
+    * labeled with the MINIMUM id reachable in its component — the
+    * canonical "cluster representative" step after candidate
+    * generation + verification. Deterministic min-label propagation:
+    * each round joins labels across edges and keeps the smaller label;
+    * converges in O(component diameter) rounds (each a pair of
+    * equi-join/aggregate shuffles — the standard large-graph CC shape;
+    * checkpoint-free because label frames stay small relative to the
+    * input pairs).
+    *
+    * Input: (idA, idB) pair rows (either orientation). Output:
+    * (id, rep) for every id appearing in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String,
+      idBCol: String, maxIterations: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).cast("long").as("a"),
+        col(idBCol).cast("long").as("b"))
+      .unionByName(pairs.select(col(idBCol).cast("long").as("a"),
+        col(idACol).cast("long").as("b")))
+      .distinct()
+      .cache()
+    // localCheckpoint truncates the lineage each round — the iterative
+    // plan would otherwise nest one full copy per iteration
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIterations) {
+      // candidate label for each id: the min of its own and its
+      // neighbors' current labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("rep", "nrep"), "b")
+        .select(col("a").as("id"), col("nrep"))
+      val next = labels.select(col("id"), col("rep").as("nrep"))
+        .unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("nrep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") < col("old")).count()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens using the portable 60-bit
     * md5-prefix hash re-hashed per bit position. One shuffle on the doc
     * id (map-side combine on the 64 bit-sum aggregates).

@@ -194,6 +194,18 @@ object PipelineQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // Dedup clusters: exact cosine pairs -> connected components ->
+    // each vector labeled with its component's minimum id (the
+    // keep-one-per-cluster step of a dedup pipeline). Deterministic
+    // min-label propagation; the oracle computes the same components
+    // via a recursive transitive closure.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Similarity.cosinePairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", 0.35, numBlocks = 8)
+      Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+        .orderBy(col("id"))
+    }),
+
     // IVF-bucketed ANN (the scale path the brute-force query baselines):
     // deterministic coarse quantizer (centroids = 16 lowest ids,
     // assignment by max cosine, ties to lowest centroid id), queries
@@ -371,6 +383,24 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= 5
         |ORDER BY qid, nid""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p0 AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |edges AS (SELECT va AS a, vb AS b FROM p0
+        |          UNION SELECT vb, va FROM p0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges)
+        |SELECT n.id, min(r.b) AS rep FROM nodes n
+        |JOIN (
+        |  WITH RECURSIVE reach(a, b) AS (
+        |    SELECT id AS a, id AS b FROM nodes
+        |    UNION
+        |    SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+        |  SELECT a, b FROM reach) r ON r.a = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     "q_knn_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -135,4 +135,45 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     assert(rows.toMap == Map("insert" -> 20L, "delete" -> 5L), rows)
   }
+
+  test("windowed aggregation with watermark over the delta stream") {
+    val dir = TestSpark.tmpDir("winagg")
+    val ckpt = TestSpark.tmpDir("winagg-ckpt")
+    import java.sql.Timestamp
+    val rows = (0 until 60).map { i =>
+      (Timestamp.valueOf(f"2026-01-01 10:${i / 6}%02d:${(i % 6) * 10}%02d"),
+        s"u${i % 3}", i.toDouble)
+    }
+    val src = rows.toDF("ts", "user", "value")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+
+    val agg = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .load()
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        agg.synchronized {
+          df.collect().foreach(r =>
+            agg += ((r.getAs[String]("user"), r.getAs[Long]("n"))))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // 60 events over 10 minutes -> two 5-minute windows x 3 users,
+    // 10 events per (window, user)
+    assert(agg.size == 6, agg)
+    assert(agg.forall(_._2 == 10), agg)
+    assert(agg.map(_._1).distinct.sorted == Seq("u0", "u1", "u2"))
+  }
 }
