@@ -763,6 +763,67 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     v
   }
 
+  // ---------------- vacuum ----------------
+
+  /** Delete data files no longer referenced by the current snapshot
+    * whose tombstones are older than the retention window (the
+    * operation vacuumProtocolCheck gates; file set reasoning follows
+    * the checkpoint tombstone-retention contract). Never touches
+    * `_delta_log`. Returns the deleted (or would-be deleted, with
+    * `dryRun = true`) table-relative paths.
+    *
+    * Scale note: candidate discovery compares the recursive file
+    * listing against the live set as Scala sets on the driver —
+    * metadata-sized, same as the reference's file-list reasoning; the
+    * deletes themselves are independent storage calls.
+    */
+  def vacuum(dryRun: Boolean = false): Seq[String] = {
+    val snap = snapshot()
+    val retention = tombstoneRetentionMillis(snap.metadata)
+    val cutoff = now() - retention
+    val rootUri = fs.makeQualified(root).toUri.getPath
+
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+
+    // live = every file the current snapshot reads (data + DV files)
+    val live: Set[String] = {
+      val adds = new DeltaScan(snap, None).collectAddFiles(slim = true)
+      adds.map(a => Storage.decodeUriPath(a.path)).toSet ++
+        adds.flatMap(_.deletionVector).collect {
+          case dv if dv.storageType == "u" =>
+            val enc = dv.pathOrInlineDv
+            val uuidBytes = DeletionVectors.z85Decode(
+              enc.substring(enc.length - 20))
+            val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+            s"deletion_vector_$uuid.bin"
+        }
+    }
+
+    // recently removed files stay until their tombstones expire
+    val protectedTombstones: Set[String] = snap.latestActions
+      .filter(col("remove").isNotNull &&
+        (col("remove.deletionTimestamp").isNull ||
+          col("remove.deletionTimestamp") >= cutoff))
+      .select("remove.path").collect()
+      .map(r => Storage.decodeUriPath(r.getString(0))).toSet
+
+    val candidates = Storage.listFilesRecursive(fs, root)
+      .filter { st =>
+        val r = rel(st.getPath)
+        !r.startsWith(FileNames.LOG_DIR) &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") &&
+          st.getModificationTime < cutoff &&
+          !live.contains(r) && !protectedTombstones.contains(r)
+      }
+      .map(st => (rel(st.getPath), st.getPath))
+
+    if (!dryRun) candidates.foreach { case (_, p) => fs.delete(p, false) }
+    candidates.map(_._1)
+  }
+
   // ---------------- log compaction ----------------
 
   /** Write `lo.hi.compacted.json` — the range's actions reduced to their

@@ -49,28 +49,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sig_sim"))
   }
 
+  /** Edge-count threshold below which components are solved with a
+    * driver union-find — verified near-dup pair sets are metadata-sized
+    * relative to the corpus, and O(E α(E)) on the driver beats several
+    * Spark rounds of shuffle overhead. Above it, the distributed
+    * min-label loop takes over.
+    */
+  val DRIVER_CC_MAX_EDGES: Long = 2000000L
+
   /** Connected components over a near-duplicate pair set: every id is
     * labeled with the MINIMUM id reachable in its component — the
     * canonical "cluster representative" step after candidate
-    * generation + verification. Deterministic min-label propagation:
-    * each round joins labels across edges and keeps the smaller label;
-    * converges in O(component diameter) rounds (each a pair of
-    * equi-join/aggregate shuffles — the standard large-graph CC shape;
-    * checkpoint-free because label frames stay small relative to the
-    * input pairs).
+    * generation + verification. Small pair sets use a driver
+    * union-find; larger ones a deterministic min-label propagation
+    * loop (one equi-join + one aggregate shuffle per round, lineage
+    * truncated per iteration, converging in O(component diameter)
+    * rounds).
     *
     * Input: (idA, idB) pair rows (either orientation). Output:
     * (id, rep) for every id appearing in a pair.
     */
   def connectedComponents(pairs: DataFrame, idACol: String,
-      idBCol: String, maxIterations: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col(idACol).cast("long").as("a"),
-        col(idBCol).cast("long").as("b"))
+      idBCol: String, maxIterations: Int = 50,
+      driverMaxEdges: Long = DRIVER_CC_MAX_EDGES): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val rawEdges = pairs.select(col(idACol).cast("long").as("a"),
+      col(idBCol).cast("long").as("b")).cache()
+    val edgeCount = rawEdges.count()
+    if (edgeCount <= driverMaxEdges) {
+      val es = rawEdges.as[(Long, Long)].collect()
+      rawEdges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      def union(x: Long, y: Long): Unit = {
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) { // min id becomes the root
+          if (rx < ry) parent(ry) = rx else parent(rx) = ry
+        }
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        union(a, b)
+      }
+      return parent.keys.toSeq.sorted
+        .map(id => (id, find(id))).toDF("id", "rep")
+    }
+
+    val edges = rawEdges
       .unionByName(pairs.select(col(idBCol).cast("long").as("a"),
         col(idACol).cast("long").as("b")))
       .distinct()
       .cache()
+    rawEdges.unpersist()
     // localCheckpoint truncates the lineage each round — the iterative
     // plan would otherwise nest one full copy per iteration
     var labels = edges.select(col("a").as("id"))

@@ -1,0 +1,47 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VacuumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vacuum removes expired unreferenced files, keeps live + recent") {
+    val dir = TestSpark.tmpDir("vac")
+    val src = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    // zero retention so fresh tombstones are immediately collectible
+    DeltaTable.create(spark, dir, src.schema, configuration =
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.deleteWhere("k <= 50") // rewrites: old files tombstoned
+
+    Thread.sleep(50) // mtimes strictly below the vacuum cutoff
+    val dry = t.vacuum(dryRun = true)
+    assert(dry.nonEmpty, "expected rewrite leftovers to be collectible")
+    val before = t.toDF.orderBy("k").collect().toSeq
+
+    val deleted = t.vacuum()
+    assert(deleted.toSet == dry.toSet)
+    // table still reads identically after vacuum
+    assert(t.toDF.orderBy("k").collect().toSeq == before)
+    // second vacuum finds nothing
+    assert(t.vacuum(dryRun = true).isEmpty)
+  }
+
+  test("vacuum keeps files protected by unexpired tombstones") {
+    val dir = TestSpark.tmpDir("vac2")
+    val src = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema) // default 1-week retention
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.deleteWhere("k <= 10")
+    // tombstones are fresh: nothing may be deleted
+    assert(t.vacuum(dryRun = true).isEmpty)
+    // time travel to the pre-delete version still works
+    assert(t.snapshot(Some(1L)).toDF.count() == 50)
+  }
+}

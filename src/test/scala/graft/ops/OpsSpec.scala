@@ -91,4 +91,30 @@ class OpsSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(feats(1L).frame0_hash == expect)
   }
+
+  test("connectedComponents: driver and distributed paths agree") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),     // chain -> rep 1
+      (10L, 11L),             // pair -> rep 10
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L) // cycle -> rep 20
+    ).toDF("vec_a", "vec_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find path
+    assert(toMap(Dedup.connectedComponents(pairs, "vec_a", "vec_b")) ==
+      expected)
+    // distributed min-label path, forced via driverMaxEdges = 0; a long
+    // chain needs several propagation rounds
+    assert(toMap(Dedup.connectedComponents(pairs, "vec_a", "vec_b",
+      driverMaxEdges = 0)) == expected)
+    val chain = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("vec_a", "vec_b")
+    val got = toMap(Dedup.connectedComponents(chain, "vec_a", "vec_b",
+      driverMaxEdges = 0))
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 41)
+  }
 }
