@@ -185,7 +185,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       StructField("__dcv", LongType)))
     val rtRows: Seq[Row] = adds.map { a =>
       val abs = fs.makeQualified(
-        new Path(snapshot.tableRoot, decodePath(a.path))).toUri.getPath
+        Storage.childPath(snapshot.tableRoot, decodePath(a.path)))
+        .toUri.getPath
       new GenericRowWithSchema(Array[Any](abs,
         a.baseRowId.map(Long.box).orNull,
         a.defaultRowCommitVersion.map(Long.box).orNull), rtSchema): Row
@@ -260,7 +261,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
         StructField("__path", StringType),
         StructField("__dels", ArrayType(LongType))))
       val delRows: Seq[Row] = dvAdds.map { a =>
-        val abs = new Path(qualifiedRoot, decodePath(a.path))
+        val abs = Storage.childPath(qualifiedRoot, decodePath(a.path))
         val pos = DeletionVectors.readRowIndexes(
           a.deletionVector.get, snapshot.tableRoot, conf)
         new GenericRowWithSchema(

@@ -394,7 +394,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
     val conf = hconf
     val byPath = candidates.map { a =>
-      fs.makeQualified(new Path(root, Storage.decodeUriPath(a.path)))
+      fs.makeQualified(
+        Storage.childPath(root, Storage.decodeUriPath(a.path)))
         .toUri.getPath -> a
     }.toMap
 

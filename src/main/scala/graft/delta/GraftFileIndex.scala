@@ -27,7 +27,7 @@ class GraftFileIndex(
   private val absolute: Seq[(AddFile, Path)] = {
     val fs = Storage.fs(tableRoot, spark.sessionState.newHadoopConf())
     val qualifiedRoot = fs.makeQualified(tableRoot)
-    adds.map(a => a -> new Path(qualifiedRoot,
+    adds.map(a => a -> Storage.childPath(qualifiedRoot,
       Storage.decodeUriPath(a.path)))
   }
 

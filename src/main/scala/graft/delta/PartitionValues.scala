@@ -71,6 +71,13 @@ object PartitionValues {
     expr(castSql)
   }
 
+  private def parseTimestamp(s: String): Timestamp =
+    if (s.contains('T'))
+      Timestamp.from(
+        if (s.endsWith("Z") || s.contains("+")) Instant.parse(s)
+        else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC))
+    else Timestamp.valueOf(s)
+
   /** Parse a partition string back to a Scala value (driver-side, for
     * partition pruning / tests). Mirrors castExpr.
     */
@@ -89,8 +96,13 @@ object PartitionValues {
       case BooleanType => s.toBoolean
       case DateType => Date.valueOf(s)
       case _: DecimalType => new java.math.BigDecimal(s)
-      case TimestampType | TimestampNTZType =>
-        Timestamp.valueOf(s)
+      // writers serialize timestamp partition values either as
+      // 'yyyy-MM-dd HH:mm:ss[.ffffff]' (the protocol form) or as
+      // ISO-8601 'yyyy-MM-ddTHH:mm:ss.ffffffZ' — accept both
+      case TimestampType => parseTimestamp(s)
+      // NTZ values must surface as LocalDateTime — the Catalyst
+      // converter for TIMESTAMP_NTZ rejects java.sql.Timestamp
+      case TimestampNTZType => parseTimestamp(s).toLocalDateTime
       case other =>
         throw new IllegalArgumentException(
           s"unsupported partition type $other")

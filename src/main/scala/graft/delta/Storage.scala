@@ -48,6 +48,17 @@ object Storage {
     finally in.close()
   }
 
+  /** Resolve a DECODED relative path against a parent without URI
+    * parsing — `new Path(parent, child)` rejects ':' in the child (it
+    * parses the child as a URI), but ':' is a legal filesystem char
+    * that real timestamp-partitioned tables use in directory names.
+    */
+  def childPath(parent: Path, relativeDecoded: String): Path = {
+    val u = parent.toUri
+    new Path(u.getScheme, u.getAuthority,
+      u.getPath.stripSuffix("/") + "/" + relativeDecoded)
+  }
+
   /** Decode a URI-encoded path (add/remove/cdc `path` fields are
     * percent-encoded per the protocol). A literal '+' is legal in a URI
     * path and must not decode to a space.

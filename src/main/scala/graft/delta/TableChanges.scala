@@ -166,7 +166,8 @@ object TableChanges {
             if (restored.nonEmpty || deleted.nonEmpty) {
               pairFiles += a.copy(deletionVector = None)
               val abs = fs.makeQualified(
-                new Path(root, Storage.decodeUriPath(p))).toUri.getPath
+                Storage.childPath(root, Storage.decodeUriPath(p)))
+                .toUri.getPath
               restored.foreach(i => inclRows += new GenericRowWithSchema(
                 Array[Any](abs, i, "insert"), inclSchema))
               deleted.foreach(i => inclRows += new GenericRowWithSchema(
