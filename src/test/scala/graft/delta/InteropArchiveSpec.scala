@@ -106,4 +106,71 @@ class InteropArchiveSpec extends AnyFunSuite {
     // partition column flows into CDF rows
     assert(cdf.filter(col("birthday").isNull).count() == 0)
   }
+
+  test("cdf-table-with-cdc-and-dvs: the full mixed cdc/DV change feed") {
+    // exact expectation from the reference's own test
+    // (integration/features/cdf.rs:187-238); comment nullness is not
+    // distinguishable in its pretty-printed table, so rows compare on
+    // (id, change, version) and comments on the unambiguous subset
+    val path = fixture("cdf-table-with-cdc-and-dvs")
+    val latest = Snapshot.forTable(spark, path).version
+    val cdf = TableChanges.read(spark, path, 0, Some(latest))
+      .select(col("id").cast("long"), col("comment"),
+        col("_change_type"), col("_commit_version"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2), r.getLong(3)))
+
+    val expected = Seq(
+      (1L, "initial", "insert", 0L), (2L, "insert1", "insert", 1L),
+      (3L, "insert1-delete1", "insert", 1L),
+      (4L, "insert1-delete2", "insert", 1L),
+      (5L, "insert1-delete2", "insert", 1L),
+      (3L, "insert1-delete1", "delete", 2L),
+      (3L, "insert1-delete1", "insert", 4L),
+      (4L, "insert1-delete2", "delete", 5L),
+      (5L, "insert1-delete2", "delete", 5L),
+      (4L, "insert1-delete2", "insert", 7L),
+      (5L, "insert2", "insert", 8L),
+      (1L, "initial", "update_preimage", 9L),
+      (1L, "update1", "update_postimage", 9L),
+      (2L, "insert1", "update_preimage", 9L),
+      (2L, "update1", "update_postimage", 9L),
+      (3L, "insert1-delete1", "update_preimage", 9L),
+      (3L, "update1", "update_postimage", 9L),
+      (1L, "update1", "delete", 10L),
+      (2L, "update1", "update_preimage", 12L),
+      (2L, "update2", "update_postimage", 12L),
+      (6L, "insert3", "insert", 14L), (7L, "insert3", "insert", 14L),
+      (8L, "insert4", "insert", 15L), (9L, "insert4", "insert", 15L),
+      (8L, "insert4", "delete", 16L), (7L, "insert3", "delete", 16L),
+      (10L, "merge1-insert", "insert", 18L),
+      (11L, "merge1-insert", "insert", 18L),
+      (9L, "merge1-update", "update_postimage", 18L),
+      (9L, "insert4", "update_preimage", 18L),
+      (11L, "merge1-insert", "update_preimage", 20L),
+      (11L, "", "update_postimage", 20L),
+      (12L, "merge2-insert", "insert", 22L),
+      (11L, "", "delete", 22L),
+      (3L, "update1", "delete", 24L),
+      (4L, "insert1-delete2", "delete", 24L),
+      (5L, "insert2", "delete", 24L), (2L, "update2", "delete", 24L),
+      (6L, "insert3", "delete", 24L),
+      (9L, "merge1-update", "delete", 24L),
+      (0L, "new", "insert", 25L),
+      (1L, "after-large-delete", "insert", 25L),
+      (2L, "", "insert", 25L))
+
+    // triple comparison (exact multiset)
+    assert(cdf.map(r => (r._1, r._3, r._4)).sorted.toSeq ==
+      expected.map(e => (e._1, e._3, e._4)).sorted)
+    // comments for the unambiguous (non-blank) rows
+    val gotByKey = cdf.groupBy(r => (r._1, r._3, r._4))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    expected.filter(_._2.nonEmpty).foreach { e =>
+      val got = gotByKey((e._1, e._3, e._4))
+      assert(got.contains(Some(e._2)),
+        s"row (${e._1},${e._3},${e._4}): got $got want ${e._2}")
+    }
+  }
 }
