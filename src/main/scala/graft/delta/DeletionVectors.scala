@@ -101,18 +101,37 @@ object DeletionVectors {
     bitmapBytes(rb)
   }
 
+  def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = {
+    val rb = new Roaring64NavigableMap()
+    rb.deserializePortable(new DataInputStream(new ByteArrayInputStream(bytes)))
+    rb
+  }
+
   /** OR two portable bitmaps — bitmap-level merge, no row-index arrays
     * materialize (reference transaction/update.rs keeps DV construction
     * streaming the same way).
     */
   def orBitmaps(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val ra = new Roaring64NavigableMap()
-    ra.deserializePortable(new DataInputStream(new ByteArrayInputStream(a)))
-    val rb = new Roaring64NavigableMap()
-    rb.deserializePortable(new DataInputStream(new ByteArrayInputStream(b)))
-    ra.or(rb)
+    val ra = deserialize(a)
+    ra.or(deserialize(b))
     bitmapBytes(ra)
   }
+
+  /** a AND NOT b at bitmap level (reference
+    * table_changes/resolve_dvs.rs — the DV-swap pre/post diff; no
+    * row-index sets ever materialize).
+    */
+  def andNotBitmaps(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ra = deserialize(a)
+    ra.andNot(deserialize(b))
+    bitmapBytes(ra)
+  }
+
+  def cardinality(bytes: Array[Byte]): Long =
+    deserialize(bytes).getLongCardinality
+
+  /** The empty portable bitmap. */
+  lazy val emptyBitmap: Array[Byte] = bitmapBytes(new Roaring64NavigableMap())
 
   def deserializeBitmap(bytes: Array[Byte]): Array[Long] = {
     val rb = new Roaring64NavigableMap()
@@ -129,6 +148,33 @@ object DeletionVectors {
       conf: Configuration): Array[Long] =
     deserializeBitmap(readBitmapBytes(dv, tableRoot, conf))
 
+  /** Table-relative path of a stored DV file, when it has one: a 'u'
+    * descriptor resolves to `[prefix/]deletion_vector_<uuid>.bin` —
+    * THE SAME resolution `readBitmapBytes` uses (vacuum's live-set must
+    * match the reader or a live DV written with a random prefix gets
+    * vacuumed: data loss); a 'p' descriptor pointing inside `tableRoot`
+    * resolves to its relative path; inline ('i') and out-of-table 'p'
+    * descriptors have none.
+    */
+  def relativePath(storageType: String, pathOrInlineDv: String,
+      tableRootUriPath: String): Option[String] = storageType match {
+    case "u" =>
+      val enc = pathOrInlineDv
+      val prefix = enc.substring(0, enc.length - 20)
+      val uuidBytes = z85Decode(enc.substring(enc.length - 20))
+      val bb = ByteBuffer.wrap(uuidBytes)
+      val uuid = new UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      Some(if (prefix.isEmpty) name
+           else s"${prefix.stripSuffix("/")}/$name")
+    case "p" =>
+      val abs = new Path(pathOrInlineDv).toUri.getPath
+      val root = tableRootUriPath.stripSuffix("/")
+      if (abs.startsWith(root + "/")) Some(abs.stripPrefix(root + "/"))
+      else None
+    case _ => None
+  }
+
   /** The raw portable-bitmap bytes for a descriptor (no row-index
     * materialization — callers merging bitmaps stay at bitmap level).
     */
@@ -143,13 +189,8 @@ object DeletionVectors {
       val path = dv.storageType match {
         case "p" => new Path(dv.pathOrInlineDv)
         case _ =>
-          val enc = dv.pathOrInlineDv
-          val prefix = enc.substring(0, enc.length - 20)
-          val uuidBytes = z85Decode(enc.substring(enc.length - 20))
-          val bb = ByteBuffer.wrap(uuidBytes)
-          val uuid = new UUID(bb.getLong, bb.getLong)
-          val dir = if (prefix.isEmpty) tableRoot else new Path(tableRoot, prefix)
-          new Path(dir, s"deletion_vector_$uuid.bin")
+          new Path(tableRoot, relativePath(
+            dv.storageType, dv.pathOrInlineDv, "").get)
       }
       val fs = Storage.fs(path, conf)
       val len = fs.getFileStatus(path).getLen.toInt

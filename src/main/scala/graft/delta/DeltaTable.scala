@@ -613,10 +613,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   private def checkpointState(snap: Snapshot): DataFrame = {
     val cutoff = now() - tombstoneRetentionMillis(snap.metadata)
+    // a tombstone with no deletionTimestamp counts as 0 = expired
+    // (reference action reconciliation; keeping them forever would grow
+    // checkpoints without bound on logs from engines omitting the field)
     val fileActions = snap.latestActions
       .filter(col("add").isNotNull ||
-        col("remove.deletionTimestamp").isNull ||
-        col("remove.deletionTimestamp") >= cutoff)
+        coalesce(col("remove.deletionTimestamp"), lit(0L)) >= cutoff)
       .select(
         lit(null).cast(LogSchema.txn).as("txn"),
         col("add"),
@@ -724,19 +726,29 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     import scala.jdk.CollectionConverters._
     def topRow(txn: org.apache.spark.sql.Row, add: org.apache.spark.sql.Row,
         remove: org.apache.spark.sql.Row, meta: org.apache.spark.sql.Row,
-        proto: org.apache.spark.sql.Row, sc: org.apache.spark.sql.Row,
+        proto: org.apache.spark.sql.Row, dm: org.apache.spark.sql.Row,
+        sc: org.apache.spark.sql.Row,
         cm: org.apache.spark.sql.Row): org.apache.spark.sql.Row =
-      org.apache.spark.sql.Row(txn, add, remove, meta, proto, null, sc, cm)
+      org.apache.spark.sql.Row(txn, add, remove, meta, proto, dm, sc, cm)
     val headRows: Seq[org.apache.spark.sql.Row] = Seq(
-      topRow(null, null, null, null, protocolRow(snap.protocol), null, null),
-      topRow(null, null, null, metadataRow(snap.metadata), null, null, null),
-      topRow(null, null, null, null, null, null,
+      topRow(null, null, null, null, protocolRow(snap.protocol), null, null,
+        null),
+      topRow(null, null, null, metadataRow(snap.metadata), null, null, null,
+        null),
+      topRow(null, null, null, null, null, null, null,
         org.apache.spark.sql.Row(v, null))) ++
       snap.setTransactions.map(t => topRow(
         org.apache.spark.sql.Row(t.appId, t.version,
           t.lastUpdated.map(Long.box).orNull),
-        null, null, null, null, null, null)) ++
-      sidecars.map(sc => topRow(null, null, null, null, null,
+        null, null, null, null, null, null, null)) ++
+      // domain metadata (e.g. the delta.rowTracking high-water mark) must
+      // survive a V2 checkpoint: post-checkpoint snapshots only replay
+      // later commits, so dropping it here would silently reassign
+      // baseRowIds from 0 on the next append
+      snap.domainMetadatas.map(d => topRow(null, null, null, null, null,
+        org.apache.spark.sql.Row(d.domain, d.configuration, d.removed),
+        null, null)) ++
+      sidecars.map(sc => topRow(null, null, null, null, null, null,
         org.apache.spark.sql.Row(sc.path, sc.sizeInBytes,
           sc.modificationTime, null), null))
     val headDF = spark.createDataFrame(headRows.asJava, LogSchema.v2Checkpoint)
@@ -787,28 +799,34 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
 
-    // live = every file the current snapshot reads (data + DV files)
+    // live = every file the current snapshot reads (data + DV files);
+    // DV paths resolve through the SAME prefix logic as the reader
+    // (DeletionVectors.relativePath) — a live DV written with a random
+    // prefix must never look dead
     val live: Set[String] = {
       val adds = new DeltaScan(snap, None).collectAddFiles(slim = true)
       adds.map(a => Storage.decodeUriPath(a.path)).toSet ++
-        adds.flatMap(_.deletionVector).collect {
-          case dv if dv.storageType == "u" =>
-            val enc = dv.pathOrInlineDv
-            val uuidBytes = DeletionVectors.z85Decode(
-              enc.substring(enc.length - 20))
-            val bb = java.nio.ByteBuffer.wrap(uuidBytes)
-            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            s"deletion_vector_$uuid.bin"
-        }
+        adds.flatMap(_.deletionVector).flatMap(dv =>
+          DeletionVectors.relativePath(
+            dv.storageType, dv.pathOrInlineDv, rootUri))
     }
 
-    // recently removed files stay until their tombstones expire
+    // recently removed files stay until their tombstones expire — and so
+    // do their DV files (CDF readers within retention resolve them);
+    // a missing deletionTimestamp counts as 0 = already expired
+    // (reference action reconciliation treats absent as 0)
     val protectedTombstones: Set[String] = snap.latestActions
       .filter(col("remove").isNotNull &&
-        (col("remove.deletionTimestamp").isNull ||
-          col("remove.deletionTimestamp") >= cutoff))
-      .select("remove.path").collect()
-      .map(r => Storage.decodeUriPath(r.getString(0))).toSet
+        coalesce(col("remove.deletionTimestamp"), lit(0L)) >= cutoff)
+      .select(col("remove.path"),
+        col("remove.deletionVector.storageType"),
+        col("remove.deletionVector.pathOrInlineDv")).collect()
+      .flatMap { r =>
+        Seq(Storage.decodeUriPath(r.getString(0))) ++
+          (if (r.isNullAt(1)) Nil
+           else DeletionVectors.relativePath(
+             r.getString(1), r.getString(2), rootUri))
+      }.toSet
 
     val candidates = Storage.listFilesRecursive(fs, root)
       .filter { st =>

@@ -229,15 +229,18 @@ class Snapshot(
         }
       }
     }
-    val fromCkpt: Seq[DomainMetadata] =
-      if (segment.checkpointParts.isEmpty || segment.isV2Checkpoint) Nil
-      else spark.read.schema(LogSchema.checkpoint)
-        .parquet(segment.checkpointParts.map(_.path.toString): _*)
-        .filter(col("domainMetadata").isNotNull)
-        .select("domainMetadata.*").collect().toSeq
-        .map(r => DomainMetadata(r.getAs[String]("domain"),
-          r.getAs[String]("configuration"),
-          r.getAs[Boolean]("removed")))
+    val fromCkpt: Seq[DomainMetadata] = v2Info match {
+      case Some(info) => info.domainMetadatas // V2: top-level rows
+      case None =>
+        if (segment.checkpointParts.isEmpty) Nil
+        else spark.read.schema(LogSchema.checkpoint)
+          .parquet(segment.checkpointParts.map(_.path.toString): _*)
+          .filter(col("domainMetadata").isNotNull)
+          .select("domainMetadata.*").collect().toSeq
+          .map(r => DomainMetadata(r.getAs[String]("domain"),
+            r.getAs[String]("configuration"),
+            r.getAs[Boolean]("removed")))
+    }
     fromCkpt.foreach(d =>
       if (!seen.contains(d.domain)) seen(d.domain) = d)
     seen.values.filterNot(_.removed).toSeq
@@ -265,6 +268,7 @@ object Snapshot {
       protocol: Option[Protocol],
       metadata: Option[Metadata],
       txns: Seq[SetTransaction],
+      domainMetadatas: Seq[DomainMetadata],
       sidecarPaths: Seq[String])
 
   private[delta] def readV2TopLevel(spark: SparkSession, logDir: Path,
@@ -281,6 +285,7 @@ object Snapshot {
     var proto: Option[Protocol] = None
     var meta: Option[Metadata] = None
     val txns = scala.collection.mutable.ArrayBuffer.empty[SetTransaction]
+    val dms = scala.collection.mutable.ArrayBuffer.empty[DomainMetadata]
     val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
     rows.foreach { r =>
       field(r, "protocol").foreach(p => proto = Some(RowCodec.rowToProtocol(p)))
@@ -291,12 +296,16 @@ object Snapshot {
           if (t.isNullAt(t.fieldIndex("lastUpdated"))) None
           else Some(t.getAs[Long]("lastUpdated")))
       }
+      field(r, "domainMetadata").foreach { d =>
+        dms += DomainMetadata(d.getAs[String]("domain"),
+          d.getAs[String]("configuration"), d.getAs[Boolean]("removed"))
+      }
       field(r, "sidecar").foreach { sc =>
         sidecars += new Path(new Path(logDir, "_sidecars"),
           sc.getAs[String]("path")).toString
       }
     }
-    V2Info(top, proto, meta, txns.toSeq, sidecars.toSeq)
+    V2Info(top, proto, meta, txns.toSeq, dms.toSeq, sidecars.toSeq)
   }
 
   /** Build a snapshot (reference snapshot/builder.rs flow): list log,

@@ -275,8 +275,15 @@ object TableChanges {
     * insert). One shuffle on the key; map-side combine.
     */
   def netChanges(cdf: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // deterministic within-commit sub-rank: delete < update_preimage <
+    // insert < update_postimage — an update's post-image always outranks
+    // its pre-image (same commit version, so the version alone ties) and
+    // min_by(__first) reads an update's earliest change as the pre-image
     val rank = struct(col(COMMIT_VERSION),
-      when(col(CHANGE_TYPE) === "delete", lit(0)).otherwise(lit(1)))
+      when(col(CHANGE_TYPE) === "delete", lit(0))
+        .when(col(CHANGE_TYPE) === "update_preimage", lit(1))
+        .when(col(CHANGE_TYPE) === "insert", lit(2))
+        .otherwise(lit(3)))
     val all = struct(cdf.columns.map(col): _*)
     val grouped = cdf.groupBy(keyCols.map(col): _*)
       .agg(max_by(all, rank).as("__last"),

@@ -21,8 +21,15 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *  - `startingVersion` (default 0): first version whose adds are emitted
   *  - `maxVersionsPerTrigger` (default unbounded): rate limit — at most
   *    this many commit versions per microbatch
-  *  - `ignoreDeletes` (default false): tolerate remove actions in the
-  *    range (otherwise the stream fails — appends-only contract)
+  *  - `ignoreDeletes` (default false): tolerate commits that ONLY drop
+  *    whole files (remove actions with no accompanying adds — e.g. a
+  *    partition delete). A commit that both removes and adds data files
+  *    (a DELETE/UPDATE rewrite or DV swap) still fails: its adds carry
+  *    rows already streamed, and re-emitting them would duplicate
+  *    downstream (delta-spark's ignoreDeletes has the same boundary)
+  *  - `ignoreChanges` (default false): additionally accept rewrite
+  *    commits, re-emitting the rewritten files' rows (downstream must
+  *    tolerate duplicates); implies ignoreDeletes
   *  - `readChangeFeed` (default false): emit CDF rows (table columns +
   *    `_change_type`/`_commit_version`/`_commit_timestamp`) per commit
   *    range instead of plain appends — deletes and DV swaps flow as
@@ -42,7 +49,9 @@ class DeltaSource(
     options.getOrElse("startingVersion", "0").toLong
   private val maxVersions =
     options.get("maxVersionsPerTrigger").map(_.toLong)
-  private val ignoreDeletes =
+  private val ignoreChanges =
+    options.get("ignoreChanges").exists(_.equalsIgnoreCase("true"))
+  private val ignoreDeletes = ignoreChanges ||
     options.get("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
   private val readChangeFeed =
     options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
@@ -92,16 +101,29 @@ class DeltaSource(
     val adds = (lo to hi).flatMap { v =>
       val p = FileNames.commitFile(logDir, v)
       if (!fs.exists(p)) Nil
-      else Storage.readLines(fs, p).filter(_.nonEmpty).flatMap { line =>
-        val n = JsonLog.parseLine(line)
-        val rem = n.get("remove")
-        if (rem != null && !rem.isNull && !ignoreDeletes &&
-            RowCodec.jsonToRemove(rem).dataChange)
+      else {
+        val lines = Storage.readLines(fs, p).filter(_.nonEmpty)
+          .map(JsonLog.parseLine)
+        val vAdds = lines.flatMap(n =>
+          Option(n.get("add")).filterNot(_.isNull))
+          .map(RowCodec.jsonToAdd).filter(_.dataChange)
+        val hasRemoves = lines.exists { n =>
+          val rem = n.get("remove")
+          rem != null && !rem.isNull && RowCodec.jsonToRemove(rem).dataChange
+        }
+        if (hasRemoves && !ignoreDeletes)
           throw new IllegalStateException(
             s"delete detected in streamed commit $v — appends-only " +
-              "source (set ignoreDeletes=true to skip them)")
-        Option(n.get("add")).filterNot(_.isNull)
-          .map(RowCodec.jsonToAdd).filter(_.dataChange)
+              "source (set ignoreDeletes=true to skip whole-file deletes)")
+        // a commit that removes AND adds data files rewrote rows already
+        // streamed in earlier batches — silently re-emitting its adds
+        // duplicates downstream, so ignoreDeletes alone must not pass it
+        if (hasRemoves && vAdds.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"commit $v rewrites data files (DELETE/UPDATE rewrite or " +
+              "DV swap) — set ignoreChanges=true to accept re-emitted " +
+              "rows, or consume readChangeFeed for row-level changes")
+        vAdds
       }
     }
     val df = new DeltaScan(initialSnapshot, None)

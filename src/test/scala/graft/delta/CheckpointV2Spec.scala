@@ -149,4 +149,48 @@ class CheckpointV2Spec extends AnyFunSuite {
     assert(removes.nonEmpty)                   // fresh ones kept
     assert(t.toDF.count() == src.filter($"l_quantity" >= 4).count())
   }
+
+  test("checkpoint treats a missing deletionTimestamp as already expired") {
+    val dir = TestSpark.tmpDir("tombnull")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema) // default 1-week retention
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    // tombstone with NO deletionTimestamp (some engines omit the field);
+    // keeping it forever would grow checkpoints without bound
+    t.commitActions(t.snapshot().version + 1,
+      Seq(JsonLog.writeAction(SingleAction(remove = Some(RemoveFile(
+        "ghost-null-ts.parquet", None, dataChange = false))))),
+      retryable = false)
+    t.checkpoint()
+    val ckpt = spark.read.schema(LogSchema.checkpoint).parquet(
+      FileNames.classicCheckpointFile(
+        FileNames.logDir(new Path(dir)), t.snapshot().version).toString)
+    val removes = ckpt.filter(col("remove").isNotNull)
+      .select("remove.path").collect().map(_.getString(0))
+    assert(!removes.contains("ghost-null-ts.parquet"))
+  }
+
+  test("v2 checkpoint preserves domain metadata (row-tracking HWM)") {
+    val dir = TestSpark.tmpDir("v2dm")
+    val a = (1 to 50).map(i => (i.toLong, s"a$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, a.schema,
+      configuration = Map(RowTracking.ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(a.repartition(2))
+    assert(RowTracking.highWaterMark(t.snapshot()) == 49L)
+    t.checkpointV2(numSidecars = 2)
+    // the HWM must survive the checkpoint: post-checkpoint snapshots
+    // replay only later commits
+    assert(RowTracking.highWaterMark(t.snapshot()) == 49L)
+    t.append(a.repartition(3))
+    assert(RowTracking.highWaterMark(t.snapshot()) == 99L)
+    // all stable row ids stay unique across the checkpoint boundary
+    val ids = t.scan(None).toDFWithRowIds
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == 100 && ids.distinct.length == 100)
+    // same through the 0-sidecar (inline) shape
+    t.checkpointV2(numSidecars = 0)
+    assert(RowTracking.highWaterMark(t.snapshot()) == 99L)
+  }
 }

@@ -59,7 +59,7 @@ class PlanQualitySpec extends AnyFunSuite {
     t.append(src.filter($"l_quantity" >= 3))
     val plan = t.snapshot().latestActions
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoop") == false, plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(600))
   }
 }

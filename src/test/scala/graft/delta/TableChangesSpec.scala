@@ -108,6 +108,31 @@ class TableChangesSpec extends AnyFunSuite {
       src.filter($"l_quantity" >= 2).count())
   }
 
+  test("net changes break same-commit update pre/post ties " +
+      "deterministically") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    // key 1: updated at v2 — the post-image must win regardless of input
+    // order; key 2: insert@1, update@2 (pre+post), delete@3 — the first
+    // change must read as the insert, so the key nets to nothing
+    val cdf = Seq(
+      (1L, "old", "update_preimage", 2L),
+      (1L, "new", "update_postimage", 2L),
+      (1L, "init", "insert", 1L),
+      (2L, "x0", "insert", 1L),
+      (2L, "x1", "update_postimage", 2L),
+      (2L, "x0", "update_preimage", 2L),
+      (2L, "x1", "delete", 3L))
+      .toDF("k", "v", TableChanges.CHANGE_TYPE, TableChanges.COMMIT_VERSION)
+      .withColumn(TableChanges.COMMIT_TIMESTAMP, lit(ts))
+    val net = TableChanges.netChanges(cdf, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("v"), r.getAs[String](TableChanges.CHANGE_TYPE)))
+      .toMap
+    assert(net(1L) == (("new", "update_postimage")))
+    assert(!net.contains(2L))
+  }
+
   test("CDF disabled table rejects the read") {
     val dir = TestSpark.tmpDir("cdf-off")
     val src = li.limit(10)

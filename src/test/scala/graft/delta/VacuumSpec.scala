@@ -32,6 +32,42 @@ class VacuumSpec extends AnyFunSuite {
     assert(t.vacuum(dryRun = true).isEmpty)
   }
 
+  test("vacuum never deletes a live DV file written under a random prefix") {
+    val dir = TestSpark.tmpDir("vacdv")
+    val src = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, configuration =
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(1))
+    t.deleteWhereDV("k <= 10") // v2: partial delete -> DV at table root
+
+    // simulate a writer that used a random directory prefix (delta-spark
+    // randomPrefixLength): move the DV file under ab/ and patch the
+    // descriptor to pathOrInlineDv = "ab" + z85(uuid)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(root, conf)
+    val commit = FileNames.commitFile(FileNames.logDir(root), 2L)
+    val txt = Storage.readLines(fs, commit).mkString("\n")
+    val enc = """"pathOrInlineDv":"([^"]+)"""".r
+      .findFirstMatchIn(txt).get.group(1)
+    val rel = DeletionVectors.relativePath("u", enc, "").get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "ab"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, rel),
+      new org.apache.hadoop.fs.Path(root, s"ab/$rel")))
+    fs.delete(commit, false)
+    Storage.put(fs, commit, txt.replace(
+      s""""pathOrInlineDv":"$enc"""", s""""pathOrInlineDv":"ab$enc""""))
+
+    Thread.sleep(50)
+    val before = t.toDF.orderBy("k").collect().toSeq
+    assert(before.size == 30)
+    assert(!t.vacuum(dryRun = true).exists(_.contains("deletion_vector")))
+    t.vacuum()
+    // the live prefixed DV survived; the table reads identically
+    assert(t.toDF.orderBy("k").collect().toSeq == before)
+  }
+
   test("vacuum keeps files protected by unexpired tombstones") {
     val dir = TestSpark.tmpDir("vac2")
     val src = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")

@@ -76,32 +76,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(1L), s"got $batches")
   }
 
-  test("streaming source rejects deletes unless ignoreDeletes") {
-    val dir = TestSpark.tmpDir("stream-del")
-    val ckpt = TestSpark.tmpDir("stream-del-ckpt")
-    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
-    DeltaTable.create(spark, dir, src.schema)
-    val t = DeltaTable.forPath(spark, dir)
-    t.append(src)
-    t.deleteWhere("k = 1")
-    def run(ignore: Boolean) = {
+  test("streaming source: ignoreDeletes covers whole-file deletes only; " +
+      "rewrites need ignoreChanges") {
+    def run(dir: String, opts: Map[String, String]): Unit = {
       val reader = spark.readStream
         .format(classOf[DeltaSourceProvider].getName)
         .option("path", dir)
-        .option("ignoreDeletes", ignore.toString)
-        .load()
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load()
         .writeStream
-        .option("checkpointLocation",
-          TestSpark.tmpDir("stream-del-ckpt2"))
+        .option("checkpointLocation", TestSpark.tmpDir("stream-del-ckpt"))
         .format("noop")
         .trigger(Trigger.AvailableNow())
         .start()
-      reader.awaitTermination(120000)
+      q.awaitTermination(120000)
     }
-    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      run(ignore = false)
+    def fails(dir: String, opts: Map[String, String]): Unit = {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(dir, opts)
+      }
+      ()
     }
-    run(ignore = true) // succeeds
+
+    // whole-file delete (each key in its own file; no survivors rewritten)
+    val dir = TestSpark.tmpDir("stream-del")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" === 1).repartition(1))
+    t.append(src.filter($"k" === 2).repartition(1))
+    t.deleteWhere("k = 1") // removes v1's file, adds nothing
+    fails(dir, Map.empty)
+    run(dir, Map("ignoreDeletes" -> "true"))
+
+    // rewrite delete: survivor rows re-staged in the same commit — rows
+    // already streamed would re-emit, so ignoreDeletes must NOT pass it
+    val dir2 = TestSpark.tmpDir("stream-rw")
+    DeltaTable.create(spark, dir2, src.schema)
+    val t2 = DeltaTable.forPath(spark, dir2)
+    t2.append(src.repartition(1)) // both keys in ONE file
+    t2.deleteWhere("k = 1")       // remove + survivor add
+    fails(dir2, Map.empty)
+    fails(dir2, Map("ignoreDeletes" -> "true"))
+    run(dir2, Map("ignoreChanges" -> "true"))
   }
 
   test("CDF streaming: deletes flow as delete rows") {
