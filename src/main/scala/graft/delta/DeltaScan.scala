@@ -249,28 +249,24 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
         Seq(normalizedMetaPath.as("__path"),
           col("_metadata.row_index").as("__ridx")): _*)
 
-    // DV row filtering (reference scan/mod.rs:1337-1399): deleted
-    // (file, row_index) pairs are anti-joined away. DV bytes are small
-    // (compressed bitmaps); positions explode on the executors.
-    // Partition values need no join anymore — the FileIndex serves them
-    // as native partition columns.
+    // DV row filtering (reference scan/mod.rs:1337-1399): per-file
+    // masks applied INSIDE the scan stage. Only compressed bitmap BYTES
+    // travel (kilobytes per file) — row positions never materialize on
+    // the driver or in a broadcast, so a billion-row DELETE costs the
+    // same plan shape as a ten-row one: scan → filter, no join, no
+    // exchange. Partition values need no join either — the FileIndex
+    // serves them as native partition columns.
     val dvAdds = adds.filter(_.deletionVector.isDefined)
     if (dvAdds.nonEmpty) {
       val qualifiedRoot = fs.makeQualified(snapshot.tableRoot)
-      val delSchema = StructType(Seq(
-        StructField("__path", StringType),
-        StructField("__dels", ArrayType(LongType))))
-      val delRows: Seq[Row] = dvAdds.map { a =>
-        val abs = Storage.childPath(qualifiedRoot, decodePath(a.path))
-        val pos = DeletionVectors.readRowIndexes(
-          a.deletionVector.get, snapshot.tableRoot, conf)
-        new GenericRowWithSchema(
-          Array[Any](abs.toUri.getPath, pos.toSeq), delSchema): Row
+      val refs = dvAdds.map { a =>
+        Storage.childPath(qualifiedRoot, decodePath(a.path)).toUri.getPath ->
+          a.deletionVector.get
       }
-      val delDF = spark.createDataFrame(delRows.asJava, delSchema)
-        .select(col("__path"), explode(col("__dels")).as("__ridx"))
-      reader = reader
-        .join(broadcast(delDF), Seq("__path", "__ridx"), "left_anti")
+      val masks = DvMasks.load(spark, snapshot.tableRoot, refs, conf)
+      val bc = spark.sparkContext.broadcast(masks)
+      val live = udf((p: String, r: Long) => !bc.value.contains(p, r))
+      reader = reader.filter(live(col("__path"), col("__ridx")))
     }
 
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil

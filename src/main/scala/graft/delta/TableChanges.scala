@@ -143,41 +143,41 @@ object TableChanges {
         }
 
         if (pairPaths.nonEmpty) {
-          // DV swap resolution (resolve_dvs.rs): per path compute the
-          // inserted (restored) and deleted row-index sets, then select
-          // exactly those rows via a broadcast (path, row_index) join.
-          val inclSchema = StructType(Seq(
-            StructField("__path", StringType),
-            StructField("__ridx", LongType),
-            StructField(CHANGE_TYPE, StringType)))
-          val inclRows = ArrayBuffer.empty[Row]
+          // DV swap resolution (resolve_dvs.rs): the pre/post diff is
+          // computed at BITMAP level (andNot) and shipped to executors
+          // as compressed bytes — row-index sets never materialize on
+          // the driver, and the rows are selected by an in-scan mask
+          // probe instead of a position join.
+          val swaps = scala.collection.mutable.Map
+            .empty[String, (Array[Byte], Array[Byte])]
           val pairFiles = ArrayBuffer.empty[AddFile]
           pairPaths.toSeq.sorted.foreach { p =>
             val a = addByPath(p)
             val r = remByPath(p)
-            val addDv = a.deletionVector
-              .map(DeletionVectors.readRowIndexes(_, root, conf).toSet)
-              .getOrElse(Set.empty[Long])
-            val rmDv = r.deletionVector
-              .map(DeletionVectors.readRowIndexes(_, root, conf).toSet)
-              .getOrElse(Set.empty[Long])
-            val restored = rmDv.diff(addDv)
-            val deleted = addDv.diff(rmDv)
-            if (restored.nonEmpty || deleted.nonEmpty) {
+            val addB = a.deletionVector
+              .map(DeletionVectors.readBitmapBytes(_, root, conf))
+              .getOrElse(DeletionVectors.emptyBitmap)
+            val rmB = r.deletionVector
+              .map(DeletionVectors.readBitmapBytes(_, root, conf))
+              .getOrElse(DeletionVectors.emptyBitmap)
+            val restored = DeletionVectors.andNotBitmaps(rmB, addB)
+            val deleted = DeletionVectors.andNotBitmaps(addB, rmB)
+            if (DeletionVectors.cardinality(restored) > 0 ||
+                DeletionVectors.cardinality(deleted) > 0) {
               pairFiles += a.copy(deletionVector = None)
               val abs = fs.makeQualified(
                 Storage.childPath(root, Storage.decodeUriPath(p)))
                 .toUri.getPath
-              restored.foreach(i => inclRows += new GenericRowWithSchema(
-                Array[Any](abs, i, "insert"), inclSchema))
-              deleted.foreach(i => inclRows += new GenericRowWithSchema(
-                Array[Any](abs, i, "delete"), inclSchema))
+              swaps(abs) = (restored, deleted)
             }
           }
           if (pairFiles.nonEmpty) {
-            val incl = spark.createDataFrame(inclRows.toSeq.asJava, inclSchema)
+            val bc = spark.sparkContext.broadcast(
+              new DvSwapMasks(swaps.toMap))
+            val tag = udf((p: String, r: Long) => bc.value.changeOf(p, r))
             val rows = scan.assemble(pairFiles.toSeq, keepMeta = true)
-              .join(broadcast(incl), Seq("__path", "__ridx"))
+              .withColumn(CHANGE_TYPE, tag(col("__path"), col("__ridx")))
+              .filter(col(CHANGE_TYPE).isNotNull)
               .drop("__path", "__ridx")
             out += stamp(rows)
           }

@@ -77,20 +77,27 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.scan(None).collectAddFiles().isEmpty)
   }
 
-  test("large DV delete: bitmaps built on executors, no row-index collect") {
+  test("large DV delete: >1M rows masked, no driver position arrays, " +
+      "join-free scan") {
     val dir = TestSpark.tmpDir("dvbig")
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    DeltaTable.create(spark, dir, li.schema)
+    val src = spark.range(2200000)
+      .select(col("id").as("k"), (col("id") % 97).as("m"))
+    DeltaTable.create(spark, dir, src.schema)
     val t = DeltaTable.forPath(spark, dir)
-    t.append(li) // ~60k rows
-    // delete >half the table through the DV path
-    t.deleteWhereDV("l_quantity < 30")
-    val expected = li.filter(not(coalesce($"l_quantity" < 30, lit(false))))
-    assert(t.toDF.count() == expected.count())
-    // DV descriptors carry the right cardinalities (sum = deleted rows)
+    t.append(src.repartition(4))
+    // delete ~1.09M rows through the DV path (bitmaps built on
+    // executors; read path probes broadcast bitmap bytes in-scan)
+    t.deleteWhereDV("m < 48")
+    assert(t.toDF.count() == 2200000L - src.filter($"m" < 48).count())
+    assert(t.toDF.filter($"m" < 48).count() == 0)
     val totalCard = t.scan(None).collectAddFiles()
       .flatMap(_.deletionVector).map(_.cardinality).sum
-    assert(totalCard == li.filter(coalesce($"l_quantity" < 30, lit(false))).count())
+    assert(totalCard == src.filter($"m" < 48).count())
+    assert(totalCard >= 1000000L)
+    // scale contract: the DV mask applies inside the scan stage — the
+    // physical plan has NO join and NO position broadcast-explode
+    val plan = t.toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
     // stats flagged non-tight on DV adds
     val dvStats = t.scan(None).collectAddFiles()
       .filter(_.deletionVector.isDefined).flatMap(_.stats)

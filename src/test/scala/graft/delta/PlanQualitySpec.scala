@@ -49,6 +49,20 @@ class PlanQualitySpec extends AnyFunSuite {
       read.toString)
   }
 
+  test("DV row filtering is an in-scan mask: no join, no exchange") {
+    val dir = TestSpark.tmpDir("dvplan")
+    val src = li.filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.deleteWhereDV("l_quantity < 3")
+    val plan = t.toDF.queryExecution.executedPlan.toString
+    // positions must never travel through a join or shuffle — the mask
+    // probes broadcast bitmap bytes inside the scan stage
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("log replay checkpoint arm broadcasts the commit keys") {
     val dir = TestSpark.tmpDir("bjoin")
     val src = li.filter($"l_quantity" < 6)
