@@ -118,11 +118,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
   // ---------------- write path ----------------
 
-  /** Stage `df` as parquet files under a unique subdir, collect per-file
-    * stats in ONE distributed pass (groupBy on `_metadata.file_path` —
-    * map-side combine, no row leaves the executor un-aggregated), and
-    * return add actions. (reference transaction/mod.rs:199-322 +
-    * default-engine/src/stats.rs)
+  /** Stage `df` as parquet files under a unique subdir and derive the
+    * per-file stats from the staged files' parquet FOOTERS — the writer
+    * already aggregated min/max/null counts per chunk, so the "stats
+    * pass" is a metadata-sized read instead of a second full scan of
+    * just-written data (reference transaction/mod.rs:199-322 +
+    * default-engine/src/stats.rs, which accumulates stats while
+    * writing).
     */
   private def stageFiles(df: DataFrame, snap: Snapshot): Seq[AddFile] = {
     val partCols = snap.partitionColumns
@@ -135,9 +137,21 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val physPartCols = partCols.map(c =>
       ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
     val renamed = physicalProjection(df, snap)
-    val writer = renamed.write.mode("overwrite")
-    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
-      .parquet(stagePath.toString)
+
+    // INT96 (Spark's legacy default) carries no usable footer stats and
+    // is non-standard; micros is lossless for Spark timestamps. Scoped
+    // set/restore around this one write job.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = renamed.write.mode("overwrite")
+      (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
+       else writer).parquet(stagePath.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
 
     // remove committer markers, list the staged data files
     val success = new Path(stagePath, "_SUCCESS")
@@ -145,25 +159,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val files = Storage.listFilesRecursive(fs, stagePath)
       .filter(_.getPath.getName.endsWith(".parquet"))
 
-    // one distributed stats pass over exactly the staged files (stats
-    // JSON keys are PHYSICAL names on column-mapped tables)
-    val eligible = physDataSchema.fields.filter(f =>
-      DataSkipping.isEligible(f.dataType)).map(_.name).toSeq
-    val allCols = physDataSchema.fieldNames.toSeq
-    val aggs =
-      eligible.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"))) ++
-      allCols.map(c =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
-    val statsRows = spark.read.schema(physDataSchema)
-      .parquet(files.map(_.getPath.toString): _*)
-      .groupBy(col("_metadata.file_path").as("__fp"))
-      .agg(count(lit(1)).as("numRecords"), aggs: _*)
-      .collect()
-    val statsByPath = statsRows.map { r =>
-      val uri = new java.net.URI(r.getAs[String]("__fp")).getPath
-      uri -> StatsJson.fromAggRow(r, eligible, allCols)
-    }.toMap
+    // footer stats (stats JSON keys are PHYSICAL names on column-mapped
+    // tables); fans out to executors when the append staged many files
+    val statsByPath = ParquetFooterStats.collect(spark,
+      files.map(_.getPath.toString).toSeq, physDataSchema, hconf)
 
     files.map { st =>
       val abs = st.getPath
@@ -187,11 +186,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         size = st.getLen,
         modificationTime = st.getModificationTime,
         dataChange = true,
-        // a zero-row file produces no aggregate group — synthesize its
-        // (exact) empty stats rather than omitting them
-        stats = statsByPath.get(fs.makeQualified(abs).toUri.getPath)
-          .orElse(Some(
-            """{"numRecords":0,"minValues":{},"maxValues":{},"nullCount":{}}""")))
+        stats = Some(statsByPath(abs.toString)))
     }
   }
 

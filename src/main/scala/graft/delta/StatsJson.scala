@@ -73,6 +73,7 @@ object StatsJson {
       if (isMax) truncateMax(s).map(t => "\"" + JsonLog.esc(t) + "\"")
       else Some("\"" + JsonLog.esc(truncateMin(s)) + "\"")
     case d: Date => Some("\"" + d.toString + "\"")
+    case d: java.time.LocalDate => Some("\"" + d.toString + "\"")
     case t: Timestamp => Some("\"" + tsFmt.format(t.toInstant) + "\"")
     case t: java.time.Instant => Some("\"" + tsFmt.format(t) + "\"")
     case l: java.time.LocalDateTime =>
@@ -105,6 +106,15 @@ object StatsJson {
     n.put("tightBounds", false)
     n.toString
   }
+
+  /** Assemble a stats JSON from already-rendered leaf values (None =
+    * unknown, omitted).
+    */
+  def render(numRecords: Long, mins: Seq[(String, Option[String])],
+      maxs: Seq[(String, Option[String])],
+      nulls: Seq[(String, Option[String])]): String =
+    s"""{"numRecords":$numRecords,"minValues":${renderObj(mins)},""" +
+      s""""maxValues":${renderObj(maxs)},"nullCount":${renderObj(nulls)}}"""
 
   /** Build the stats JSON from a collected per-file aggregate row with
     * columns: numRecords, min_<c>/max_<c> for eligible cols, null_<c>
