@@ -32,24 +32,58 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
   // ---------------- commit machinery ----------------
 
-  /** Atomic put-if-absent commit (reference committer/filesystem.rs).
-    * Blind appends retry at the next version on conflict; reads-based
-    * commits (delete) surface the conflict.
+  /** Atomic put-if-absent commit with conflict resolution (reference
+    * committer/filesystem.rs + transaction/mod.rs:327-590). On losing
+    * the race at version v the WINNING commit is read and examined:
+    * protocol/metadata changes and same-appId transactions surface as
+    * typed conflicts regardless of retryability (a blind append must
+    * never skip over them — the staged data was validated against the
+    * old table definition); reads-based commits surface
+    * [[ConcurrentWriteException]]; blind appends rebase to the next
+    * version, REGENERATING the commit lines via `mkLines(v)` so the
+    * in-commit timestamp derives from the actual predecessor (the
+    * winning commit), keeping ICT strictly monotonic across retries.
     */
-  private[delta] def commitActions(startVersion: Long, actions: Seq[String],
-      retryable: Boolean): Long = {
+  private[delta] def commitActions(startVersion: Long,
+      mkLines: Long => Seq[String], retryable: Boolean,
+      txnAppIds: Seq[String]): Long = {
     var v = startVersion
-    val content = actions.mkString("", "\n", "\n")
     var attempts = 0
-    while (!Storage.putIfAbsent(fs, FileNames.commitFile(logDir, v), content)) {
+    while (true) {
+      val content = mkLines(v).mkString("", "\n", "\n")
+      if (Storage.putIfAbsent(fs, FileNames.commitFile(logDir, v), content))
+        return v
       attempts += 1
+      val winner = Storage.readLines(fs, FileNames.commitFile(logDir, v))
+        .filter(_.nonEmpty)
+      def winnerField(field: String) = winner.iterator
+        .filter(_.contains("\"" + field + "\""))
+        .map(JsonLog.parseLine)
+        .flatMap(n => Option(n.get(field)).filterNot(_.isNull))
+      if (winnerField("protocol").nonEmpty)
+        throw new ProtocolChangedException(
+          s"concurrent protocol change at version $v for $pathStr")
+      if (winnerField("metaData").nonEmpty)
+        throw new MetadataChangedException(
+          s"concurrent metadata change at version $v for $pathStr")
+      if (txnAppIds.nonEmpty) {
+        winnerField("txn").map(_.get("appId").asText)
+          .find(txnAppIds.contains)
+          .foreach(app => throw new ConcurrentTransactionException(
+            s"concurrent transaction for appId '$app' at version $v " +
+              s"for $pathStr"))
+      }
       if (!retryable || attempts > 1000)
-        throw new java.util.ConcurrentModificationException(
+        throw new ConcurrentWriteException(
           s"commit conflict at version $v for $pathStr")
       v += 1
     }
-    v
+    v // unreachable
   }
+
+  private[delta] def commitActions(startVersion: Long, actions: Seq[String],
+      retryable: Boolean): Long =
+    commitActions(startVersion, (_: Long) => actions, retryable, Nil)
 
   private def now(): Long = System.currentTimeMillis()
 
@@ -95,26 +129,34 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       engineInfo = Some("graft-spark/0.1.0"),
       inCommitTimestamp = ict))))
 
-  /** Monotonic in-commit timestamp when the table enables ICT
-    * (reference transaction/commit_info.rs:484; protocol: strictly
-    * greater than the predecessor's, regardless of clock skew).
+  /** In-commit timestamp of the commit file at `version`, if any. */
+  private def commitIct(version: Long): Option[Long] = {
+    val p = FileNames.commitFile(logDir, version)
+    if (version < 0 || !fs.exists(p)) None
+    else Storage.readLines(fs, p).iterator
+      .filter(_.contains("\"commitInfo\""))
+      .map(JsonLog.parseLine)
+      .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+      .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+        .filterNot(_.isNull).map(_.asLong))
+      .nextOption()
+  }
+
+  /** Monotonic in-commit timestamp for a commit whose PREDECESSOR is
+    * `predVersion` (reference transaction/commit_info.rs:484; protocol:
+    * strictly greater than the predecessor's, regardless of clock
+    * skew). Commit retries must recompute this against the commit that
+    * actually won the race, not the stale snapshot — a concurrent
+    * writer may have committed a larger ICT.
     */
-  private def ictFor(snap: Snapshot): Option[Long] = {
+  private def ictAt(snap: Snapshot, predVersion: Long): Option[Long] = {
     if (!snap.metadata.configuration.get(DeltaTable.ICT_ENABLED_KEY)
         .exists(_.equalsIgnoreCase("true"))) return None
-    val prev: Option[Long] = {
-      val p = FileNames.commitFile(logDir, snap.version)
-      if (!fs.exists(p)) None
-      else Storage.readLines(fs, p).iterator
-        .filter(_.contains("\"commitInfo\""))
-        .map(JsonLog.parseLine)
-        .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
-        .flatMap(ci => Option(ci.get("inCommitTimestamp"))
-          .filterNot(_.isNull).map(_.asLong))
-        .nextOption()
-    }
-    Some(math.max(now(), prev.getOrElse(0L) + 1))
+    Some(math.max(now(), commitIct(predVersion).getOrElse(0L) + 1))
   }
+
+  private def ictFor(snap: Snapshot): Option[Long] =
+    ictAt(snap, snap.version)
 
   // ---------------- write path ----------------
 
@@ -274,8 +316,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     * advanced mark (reference row_tracking.rs:19-68); such commits are
     * not blind-retryable (a conflicting writer may have consumed ids).
     */
-  def append(df: DataFrame, txn: Option[SetTransaction] = None): Long = {
-    val snap = snapshot()
+  def append(df: DataFrame, txn: Option[SetTransaction] = None): Long =
+    appendFrom(snapshot(), df, txn)
+
+  /** Append against an explicit (possibly stale) snapshot — the
+    * transaction seam conflict tests drive; `append` is this from the
+    * latest snapshot.
+    */
+  private[graft] def appendFrom(snap: Snapshot, df: DataFrame,
+      txn: Option[SetTransaction] = None): Long = {
     writerGate(snap, mutating = false)
     val staged = stageFiles(df, snap)
     val rowTracking = RowTracking.enabled(snap.metadata)
@@ -288,12 +337,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         (assigned, Seq(JsonLog.writeAction(SingleAction(
           domainMetadata = Some(RowTracking.domainMetadataFor(hwm))))))
       }
-    val lines =
-      Seq(commitInfoLine("WRITE", Map("mode" -> "Append"), ictFor(snap))) ++
+    val tail =
       txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
       hwmLine ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
-    val committed = commitActions(v, lines, retryable = !rowTracking)
+    // commitInfo regenerates per attempt: the ICT predecessor after a
+    // rebase is the commit that won the race, not the stale snapshot
+    val committed = commitActions(v,
+      cv => commitInfoLine("WRITE", Map("mode" -> "Append"),
+        ictAt(snap, cv - 1)) +: tail,
+      retryable = !rowTracking, txnAppIds = txn.map(_.appId).toSeq)
     maybeWriteChecksum(committed, adds.map(_.size).sum, adds.size)
     committed
   }
@@ -538,16 +591,43 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       if (f.name == name) f.copy(dataType = to) else f)))
   }
 
-  /** ALTER TABLE SET TBLPROPERTIES (metadata-only commit). */
+  /** ALTER TABLE SET TBLPROPERTIES (metadata-only commit). Enabling
+    * in-commit timestamps mid-log additionally records the enablement
+    * version + timestamp (reference history_manager — time travel needs
+    * the boundary: commits below it order by file mtime, commits at or
+    * above it by ICT) and stamps the enabling commit itself with an
+    * ICT, per protocol.
+    */
   def setProperties(props: Map[String, String]): Long = {
     val snap = snapshot()
+    def ictOn(c: Map[String, String]) =
+      c.get(DeltaTable.ICT_ENABLED_KEY).exists(_.equalsIgnoreCase("true"))
+    val enablingIct =
+      ictOn(props) && !ictOn(snap.metadata.configuration)
+    val v = snap.version + 1
+    val ict =
+      if (enablingIct) Some(math.max(now(),
+        commitIct(snap.version).getOrElse(0L) + 1))
+      else ictFor(snap)
+    val enablementProps =
+      if (enablingIct) Map(
+        DeltaTable.ICT_ENABLEMENT_VERSION_KEY -> v.toString,
+        DeltaTable.ICT_ENABLEMENT_TIMESTAMP_KEY -> ict.get.toString)
+      else Map.empty[String, String]
     val meta = snap.metadata.copy(
-      configuration = snap.metadata.configuration ++ props)
+      configuration = snap.metadata.configuration ++ props ++ enablementProps)
+    val protoLine =
+      if (enablingIct && !snap.protocol.writerFeatures
+          .exists(_.contains("inCommitTimestamp")))
+        Seq(JsonLog.writeAction(SingleAction(protocol = Some(
+          TableFeatures.upgraded(snap.protocol, Nil,
+            Seq("inCommitTimestamp"))))))
+      else Nil
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES"),
-        ictFor(snap)),
+        ict)) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
-    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(v, lines, retryable = false)
     maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
     committed
   }
@@ -916,9 +996,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
   /** Latest version committed at or before `tsMillis` — binary search
     * over the commit files (reference history_manager/mod.rs,
-    * search.rs:266): commit timestamps are monotonic (in-commit
-    * timestamps by contract; file mtimes by convention), so O(log n)
-    * commit reads instead of reading the whole log.
+    * search.rs:266). When ICT was enabled MID-LOG
+    * (`delta.inCommitTimestampEnablementVersion`), the log holds two
+    * independently-monotonic timestamp sequences: file mtimes below the
+    * enablement version and in-commit timestamps at/above it — one
+    * global binary search over both would compare incomparable clocks
+    * and can resolve wrong. The enablement timestamp picks which
+    * régime to search.
     */
   def versionAtTimestamp(tsMillis: Long): Long = {
     val commits = Storage.listSorted(fs, logDir)
@@ -938,8 +1022,32 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         .nextOption()
         .getOrElse(st.getModificationTime)
     }
-    var lo = 0
-    var hi = commits.size - 1
+
+    val conf = snapshot().metadata.configuration
+    val ictOn = conf.get(DeltaTable.ICT_ENABLED_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    val enableV = conf.get(DeltaTable.ICT_ENABLEMENT_VERSION_KEY)
+      .map(_.toLong)
+    val enableTs = conf.get(DeltaTable.ICT_ENABLEMENT_TIMESTAMP_KEY)
+      .map(_.toLong)
+    // index of the first ICT commit (whole log when enabled with no
+    // recorded boundary, i.e. ICT since table creation)
+    val boundary: Int =
+      if (!ictOn) commits.size
+      else enableV.map(ev => commits.indexWhere(_._1.version >= ev))
+        .filter(_ >= 0).getOrElse(0)
+    val (lo0, hi0) =
+      if (!ictOn) (0, commits.size - 1)
+      else if (enableTs.exists(tsMillis < _)) {
+        // strictly before the ICT era: search the mtime-ordered prefix
+        if (boundary == 0)
+          throw new IllegalArgumentException(
+            s"no version at or before timestamp $tsMillis")
+        (0, boundary - 1)
+      } else (boundary, commits.size - 1)
+
+    var lo = lo0
+    var hi = hi0
     var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) / 2
@@ -956,6 +1064,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 object DeltaTable {
 
   val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
+  val ICT_ENABLEMENT_VERSION_KEY =
+    "delta.inCommitTimestampEnablementVersion"
+  val ICT_ENABLEMENT_TIMESTAMP_KEY =
+    "delta.inCommitTimestampEnablementTimestamp"
 
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
