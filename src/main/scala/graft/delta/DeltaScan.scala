@@ -231,14 +231,21 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       val f = schema.fields.find(_.name == c).get
       StructField(ColumnMapping.physicalName(f), f.dataType, f.nullable)
     })
-    if (cmMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-mode needs the parquet field-id read path — passed as a
+    // RELATION option (merged into the per-scan hadoopConf, which is
+    // where ParquetReadSupport reads it), never as session conf: a
+    // session-global flag would leak into concurrent scans of non-CM
+    // tables in the same session
+    val relOptions: Map[String, String] =
+      if (cmMode == "id")
+        Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+      else Map.empty
     val index = new GraftFileIndex(spark, snapshot.tableRoot, adds,
       physPartSchema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, physPartSchema, physDataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      relOptions)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     val relationDF: DataFrame =
       org.apache.spark.sql.graft.StreamingShim.ofRows(spark,
         org.apache.spark.sql.execution.datasources.LogicalRelation(relation))

@@ -29,8 +29,10 @@ import scala.jdk.CollectionConverters._
   *    time.
   *
   * Range contracts (mod.rs:90-135): `delta.enableChangeDataFeed` must
-  * hold and the schema must stay identical at both boundaries and at
-  * every metadata action inside the range.
+  * hold at both boundaries and at every metadata action inside the
+  * range; schemas may evolve COMPATIBLY (add nullable column, widen) —
+  * rows read under the end schema, with NULL for columns that did not
+  * exist yet — but incompatible changes fail the read.
   *
   * Scale: classification is metadata work, O(actions in range) on the
   * driver; each per-commit change class becomes one distributed parquet
@@ -65,8 +67,14 @@ object TableChanges {
       else Snapshot.forTable(spark, tablePath, Some(startVersion))
     require(cdfEnabled(startSnap.metadata) && cdfEnabled(endSnap.metadata),
       s"change data feed is not enabled across [$startVersion, $end]")
-    require(startSnap.metadata.schemaString == endSnap.metadata.schemaString,
-      s"schema changed across CDF range [$startVersion, $end]")
+    // COMPATIBLE schema evolution inside the range is fine (reference
+    // table_changes/mod.rs:90-135 + schema/compare.rs): every in-range
+    // schema must read under the END schema — added nullable columns
+    // surface as NULL on pre-change rows, widened types read natively
+    SchemaEvolution.validate(startSnap.schema, endSnap.schema).foreach(m =>
+      throw new IllegalArgumentException(
+        s"incompatible schema change across CDF range " +
+          s"[$startVersion, $end]: $m"))
 
     val conf = spark.sessionState.newHadoopConf()
     val root = endSnap.tableRoot
@@ -95,8 +103,10 @@ object TableChanges {
           val meta = JsonLog.parseMetadata(m)
           require(cdfEnabled(meta),
             s"change data feed disabled at version $v")
-          require(meta.schemaString == endSnap.metadata.schemaString,
-            s"schema changed at version $v inside the CDF range")
+          SchemaEvolution.validate(meta.schema, endSnap.schema).foreach(
+            msg => throw new IllegalArgumentException(
+              s"incompatible schema change at version $v inside the " +
+                s"CDF range: $msg"))
         }
       }
 

@@ -102,7 +102,11 @@ object PipelineQueries {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= STOP_SHINGLE_DF)
         .select(col("sh"))
-      val sh = raw.join(rare, "sh").cache()
+      // localCheckpoint, not cache(): it materializes once for the three
+      // downstream uses but is NOT pinned in the CacheManager — blocks
+      // free with the DataFrame, instead of leaking across queries in a
+      // long-lived session
+      val sh = raw.join(rare, "sh").localCheckpoint()
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

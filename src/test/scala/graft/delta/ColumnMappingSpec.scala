@@ -65,6 +65,37 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(sortedCollect(t.toDF) == sortedCollect(src))
   }
 
+  test("id-mode is per-relation: session conf untouched, concurrent " +
+      "plain scan unaffected") {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    spark.conf.unset(key)
+    val src = Seq((10L, "aa"), (20L, "bb")).toDF("k", "s")
+
+    val idDir = TestSpark.tmpDir("cm-id2")
+    DeltaTable.create(spark, idDir, src.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "id"))
+    val idT = DeltaTable.forPath(spark, idDir)
+    idT.append(src)
+
+    val plainDir = TestSpark.tmpDir("cm-plain")
+    DeltaTable.create(spark, plainDir, src.schema)
+    val plainT = DeltaTable.forPath(spark, plainDir)
+    plainT.append(src)
+
+    // interleave the two scans: both correct, and the id-mode read must
+    // not have flipped the session conf for the plain one
+    val a = idT.toDF
+    val b = plainT.toDF
+    assert(sortedCollect(a) == sortedCollect(src))
+    assert(sortedCollect(b) == sortedCollect(src))
+    assert(sortedCollect(idT.toDF.filter($"k" > 10)) ==
+      sortedCollect(src.filter($"k" > 10)))
+    // getOption surfaces the registered default ("false") — the scan
+    // must not have flipped it to "true" session-wide
+    assert(!spark.conf.getOption(key).contains("true"),
+      "scan must not mutate session configuration")
+  }
+
   test("unsupported reader feature / mode fails loudly, not NULLs") {
     val dir = TestSpark.tmpDir("cm-bad")
     val src = Seq((1L, "a")).toDF("id", "s")

@@ -108,6 +108,40 @@ class TableChangesSpec extends AnyFunSuite {
       src.filter($"l_quantity" >= 2).count())
   }
 
+  test("CDF range spans a compatible add-column commit, NULL pre-change") {
+    val dir = TestSpark.tmpDir("cdf-evolve")
+    val src1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src1.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src1)                                        // v1
+    t.addColumn("extra", org.apache.spark.sql.types.LongType) // v2
+    val src2 = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "s", "extra")
+    t.append(src2)                                        // v3
+    val cdf = TableChanges.read(spark, dir, 1, Some(3))
+    assert(cdf.count() == 4)
+    assert(cdf.columns.contains("extra"))
+    // pre-change rows read NULL for the added column; post-change rows
+    // carry their values
+    assert(cdf.filter($"_commit_version" === 1)
+      .filter($"extra".isNotNull).count() == 0)
+    assert(cdf.filter($"_commit_version" === 3)
+      .filter($"extra".isNull).count() == 0)
+    assert(cdf.filter($"_commit_version" === 3)
+      .select("extra").as[Long].collect().toSet == Set(30L, 40L))
+    // an INCOMPATIBLE change still fails the range: drop 'extra' again
+    // via a raw metaData commit (our ALTER refuses drops) — the v2/v3
+    // in-range schemas then don't read under the new end schema
+    val dropped = org.apache.spark.sql.types.StructType(
+      t.snapshot().schema.fields.filterNot(_.name == "extra"))
+    t.commitActions(4L, Seq(JsonLog.writeAction(SingleAction(
+      metaData = Some(t.snapshot().metadata.copy(
+        schemaString = dropped.json))))), retryable = false)
+    val ex = intercept[IllegalArgumentException] {
+      TableChanges.read(spark, dir, 1, Some(4))
+    }
+    assert(ex.getMessage.contains("incompatible schema change"))
+  }
+
   test("net changes break same-commit update pre/post ties " +
       "deterministically") {
     import java.sql.Timestamp
