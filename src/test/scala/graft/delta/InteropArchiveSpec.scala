@@ -33,6 +33,48 @@ class InteropArchiveSpec extends AnyFunSuite {
     table.toString
   }
 
+  test("unshredded-variant: the reference's variant fixture decodes " +
+      "across all nesting shapes") {
+    val path = fixture("unshredded-variant")
+    val t = DeltaTable.forPath(spark, path)
+    val df = t.toDF
+    // 100 CTAS rows + re-appended ids 0 and 1 (matches
+    // unshredded-variant.expected.in, 102 data rows)
+    assert(df.count() == 102)
+
+    // every row's v decodes to {"key": id} (expected.in renders the raw
+    // bytes: metadata 010100036b6579 = dict ["key"], value = int8 id)
+    val vBad = df.select(col("id"), to_json(col("v")).as("j")).collect()
+      .filter(r => r.getString(1) != s"""{"key":${r.getLong(0)}}""")
+    assert(vBad.isEmpty, vBad.take(3).mkString(", "))
+
+    // nested shapes for one row, matching the expected.in layout:
+    // array [v, null, v, ...], struct {v}, map {"<id>"->v, nullKey->null},
+    // struct_of_array {v: [null, v]}
+    val r = df.filter(col("id") === 57)
+      .select(
+        to_json(element_at(col("array_of_variants"), 1)).as("a1"),
+        element_at(col("array_of_variants"), 2).isNull.as("a2null"),
+        to_json(col("struct_of_variants.v")).as("sv"),
+        to_json(element_at(col("map_of_variants"), "57")).as("m57"),
+        element_at(col("map_of_variants"), "nullKey").isNull.as("mNull"),
+        to_json(col("array_of_struct_of_variants")(0).getField("v"))
+          .as("asv"),
+        element_at(col("struct_of_array_of_variants.v"), 1).isNull
+          .as("sav0null"),
+        to_json(element_at(col("struct_of_array_of_variants.v"), 2))
+          .as("sav1"))
+      .collect().head
+    assert(r.getAs[String]("a1") == """{"key":57}""")
+    assert(r.getAs[Boolean]("a2null"))
+    assert(r.getAs[String]("sv") == """{"key":57}""")
+    assert(r.getAs[String]("m57") == """{"key":57}""")
+    assert(r.getAs[Boolean]("mNull"))
+    assert(r.getAs[String]("asv") == """{"key":57}""")
+    assert(r.getAs[Boolean]("sav0null"))
+    assert(r.getAs[String]("sav1") == """{"key":57}""")
+  }
+
   test("cdf-table-simple: per-version CDF matches the reference's expectations") {
     val path = fixture("cdf-table-simple")
     def cdf(lo: Long, hi: Long): Seq[(Long, String, Long)] =
