@@ -178,7 +178,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val physDataSchema = ColumnMapping.physicalSchema(snap.dataSchema)
     val physPartCols = partCols.map(c =>
       ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
-    val renamed = physicalProjection(df, snap)
+    // fill generated/default columns and embed constraint checks into
+    // the projection — they ride the staging job, zero extra passes
+    val renamed = physicalProjection(
+      WriteValidation.prepare(df, snap), snap)
 
     // INT96 (Spark's legacy default) carries no usable footer stats and
     // is non-standard; micros is lossless for Spark timestamps. Scoped
@@ -616,19 +619,28 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       else Map.empty[String, String]
     val meta = snap.metadata.copy(
       configuration = snap.metadata.configuration ++ props ++ enablementProps)
-    val protoLine =
-      if (enablingIct && !snap.protocol.writerFeatures
+    val featureAdds =
+      (if (enablingIct && !snap.protocol.writerFeatures
           .exists(_.contains("inCommitTimestamp")))
+        Seq("inCommitTimestamp") else Nil) ++
+      (if (props.keys.exists(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
+          && !TableFeatures.supportsWriterFeature(
+            snap.protocol, "checkConstraints"))
+        Seq("checkConstraints") else Nil)
+    val protoLine =
+      if (featureAdds.nonEmpty)
         Seq(JsonLog.writeAction(SingleAction(protocol = Some(
-          TableFeatures.upgraded(snap.protocol, Nil,
-            Seq("inCommitTimestamp"))))))
+          TableFeatures.upgraded(snap.protocol, Nil, featureAdds)))))
       else Nil
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES"),
         ict)) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(v, lines, retryable = false)
-    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta))
+    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta),
+      newProto = if (featureAdds.nonEmpty)
+        Some(TableFeatures.upgraded(snap.protocol, Nil, featureAdds))
+      else None)
     committed
   }
 
@@ -1116,9 +1128,15 @@ object DeltaTable {
         case _ => false
       }
     val wantsVariant = hasVariant(finalSchema)
+    val hasConstraints = finalConfig.keys
+      .exists(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
+    val hasGenerated =
+      finalSchema.json.contains(WriteValidation.GENERATION_KEY)
     val legacy = Protocol(
       if (cmMode != "none") 2 else 1,
       Seq(2, if (wantsCdf) 4 else 2,
+        if (hasConstraints) 3 else 2,
+        if (hasGenerated) 4 else 2,
         if (cmMode != "none") 5 else 2).max)
     val wantsIct = finalConfig.get(ICT_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))

@@ -49,18 +49,23 @@ object TableFeatures {
         f == feature && v <= p.minWriterVersion
       })
 
-  /** Writer features this engine implements unconditionally. */
+  /** Writer features this engine implements unconditionally —
+    * invariants / CHECK constraints / generated columns are ENFORCED at
+    * write time (WriteValidation embeds them in the staging
+    * projection), so tables using them are writable.
+    */
   private val implementedWriterFeatures = Set(
     "appendOnly", "columnMapping", "deletionVectors", "changeDataFeed",
     "rowTracking", "domainMetadata", "v2Checkpoint", "inCommitTimestamp",
     "timestampNtz", "variantType", "variantType-preview",
-    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
+    "invariants", "checkConstraints", "generatedColumns")
 
   /** Writer-side gate (reference table_features write gates): every
     * declared writer feature must be implemented, or implemented-when-
-    * inactive (invariants / constraints / generated / identity columns
-    * are "supported" exactly when the table defines none — the
-    * delta-spark convention). Returns the features blocking writes.
+    * inactive (identity columns are "supported" exactly when the table
+    * defines none — the delta-spark convention for unimplemented
+    * assignment). Returns the features blocking writes.
     */
   def unsupportedWriterFeatures(p: Protocol,
       m: graft.delta.Metadata): Seq[String] = {
@@ -70,11 +75,6 @@ object TableFeatures {
       })
     val schemaJson = m.schemaString
     def inactive(feature: String): Boolean = feature match {
-      case "invariants" => !schemaJson.contains("delta.invariants")
-      case "checkConstraints" =>
-        !m.configuration.keys.exists(_.startsWith("delta.constraints."))
-      case "generatedColumns" =>
-        !schemaJson.contains("delta.generationExpression")
       case "identityColumns" =>
         !schemaJson.contains("delta.identity.start")
       case _ => false
