@@ -15,7 +15,8 @@ object Checksum {
       tableSizeBytes: Long,
       numFiles: Long,
       protocol: Protocol,
-      metadata: Metadata)
+      metadata: Metadata,
+      fileSizeHistogram: Option[FileSizeHistogram] = None)
 
   def path(logDir: Path, version: Long): Path =
     new Path(logDir, f"$version%020d.crc")
@@ -31,7 +32,9 @@ object Checksum {
           n.get("tableSizeBytes").asLong,
           n.get("numFiles").asLong,
           JsonLog.parseProtocol(n.get("protocol")),
-          JsonLog.parseMetadata(n.get("metadata"))))
+          JsonLog.parseMetadata(n.get("metadata")),
+          Option(n.get("fileSizeHistogram")).filterNot(_.isNull)
+            .flatMap(FileSizeHistogram.fromJson)))
       }
     } catch { case _: Exception => None }
 
@@ -40,6 +43,8 @@ object Checksum {
     Storage.put(fs, path(logDir, version),
       s"""{"tableSizeBytes":${c.tableSizeBytes},""" +
         s""""numFiles":${c.numFiles},""" +
+        c.fileSizeHistogram.map(h =>
+          s""""fileSizeHistogram":${h.toJson},""").getOrElse("") +
         s""""protocol":${JsonLog.writeProtocol(c.protocol)},""" +
         s""""metadata":${JsonLog.writeMetadata(c.metadata)}}""")
 }

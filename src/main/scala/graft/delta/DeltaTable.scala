@@ -105,20 +105,27 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   }
 
   /** Best-effort incremental `.crc` update after a commit (reference
-    * kernel/src/crc/): previous version's checksum + this commit's size
-    * and file-count delta. Skipped when the chain is broken (no prior
-    * crc) — never load-bearing.
+    * kernel/src/crc/): previous version's checksum + this commit's
+    * added/removed file sizes — totals AND the per-bin file-size
+    * histogram advance without listing anything. Skipped when the
+    * chain is broken (no prior crc) — never load-bearing.
     */
-  private def maybeWriteChecksum(v: Long, sizeDelta: Long,
-      fileDelta: Long, newMeta: Option[graft.delta.Metadata] = None,
+  private def maybeWriteChecksum(v: Long, addedSizes: Seq[Long],
+      removedSizes: Seq[Long],
+      newMeta: Option[graft.delta.Metadata] = None,
       newProto: Option[Protocol] = None): Unit =
     try {
       Checksum.read(fs, logDir, v - 1).foreach { prev =>
+        val hist = prev.fileSizeHistogram.map { h0 =>
+          val h1 = addedSizes.foldLeft(h0)(_.insert(_))
+          removedSizes.foldLeft(h1)(_.remove(_))
+        }
         Checksum.write(fs, logDir, v, Checksum.VersionChecksum(
-          prev.tableSizeBytes + sizeDelta,
-          prev.numFiles + fileDelta,
+          prev.tableSizeBytes + addedSizes.sum - removedSizes.sum,
+          prev.numFiles + addedSizes.size - removedSizes.size,
           newProto.getOrElse(prev.protocol),
-          newMeta.getOrElse(prev.metadata)))
+          newMeta.getOrElse(prev.metadata),
+          hist))
       }
     } catch { case _: Exception => () }
 
@@ -350,7 +357,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       cv => commitInfoLine("WRITE", Map("mode" -> "Append"),
         ictAt(snap, cv - 1)) +: tail,
       retryable = !rowTracking, txnAppIds = txn.map(_.appId).toSeq)
-    maybeWriteChecksum(committed, adds.map(_.size).sum, adds.size)
+    maybeWriteChecksum(committed, adds.map(_.size), Nil)
     committed
   }
 
@@ -396,8 +403,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed,
-      newAdds.map(_.size).sum - candidates.map(_.size).sum,
-      newAdds.size - candidates.size)
+      newAdds.map(_.size), candidates.map(_.size))
     committed
   }
 
@@ -505,8 +511,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed,
-      -gone.map(p => byPath(p._1).size).sum,
-      -(removes.size - newAdds.size),
+      newAdds.map(_.size),
+      (gone ++ partialFiles).map(p => byPath(p._1).size),
       newProto = if (needsUpgrade)
         Some(TableFeatures.upgraded(snap.protocol,
           Seq("deletionVectors"), Seq("deletionVectors")))
@@ -569,7 +575,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         ictFor(snap))) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
-    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta),
+    maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta),
       newProto = if (widens)
         Some(TableFeatures.upgraded(snap.protocol,
           Seq("typeWidening"), Seq("typeWidening")))
@@ -637,7 +643,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         ict)) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(v, lines, retryable = false)
-    maybeWriteChecksum(committed, 0L, 0L, newMeta = Some(meta),
+    maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta),
       newProto = if (featureAdds.nonEmpty)
         Some(TableFeatures.upgraded(snap.protocol, Nil, featureAdds))
       else None)
@@ -658,6 +664,27 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val size = state.count() // known before writing; no re-read after
     val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
     state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // the state already holds every live add — re-seed the .crc chain
+    // with EXACT totals + file-size histogram (recovers a chain broken
+    // by a missing/histogram-less crc); one 95-row aggregate
+    try {
+      val binB = FileSizeHistogram.DefaultBinBoundaries
+      val binOf = udf((s: Long) => FileSizeHistogram.empty.binOf(s))
+      val rows = state.filter(col("add").isNotNull)
+        .select(col("add.size").as("sz"))
+        .groupBy(binOf(col("sz")).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("sz")).as("bytes"))
+        .collect()
+      val fc = new Array[Long](binB.length)
+      val tb = new Array[Long](binB.length)
+      rows.foreach { r =>
+        fc(r.getAs[Int]("bin")) = r.getAs[Long]("n")
+        tb(r.getAs[Int]("bin")) = r.getAs[Long]("bytes")
+      }
+      Checksum.write(fs, logDir, v, Checksum.VersionChecksum(
+        tb.sum, fc.sum, snap.protocol, snap.metadata,
+        Some(FileSizeHistogram(binB, fc, tb))))
+    } catch { case _: Exception => () }
     state.unpersist()
     val part = Storage.listFilesRecursive(fs, tmp)
       .filter(_.getPath.getName.endsWith(".parquet")).head
@@ -776,7 +803,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         commitInfoLine("UPGRADE PROTOCOL", Map.empty),
         JsonLog.writeAction(SingleAction(protocol = Some(up)))),
         retryable = false)
-      maybeWriteChecksum(uv, 0L, 0L, newProto = Some(up))
+      maybeWriteChecksum(uv, Nil, Nil, newProto = Some(up))
     }
     val snap = snapshot()
     val v = snap.version
@@ -983,6 +1010,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       m.schemaString, m.partitionColumns, m.configuration,
       m.createdTime.map(Long.box).orNull)
 
+  /** The file-size distribution recorded in the version's `.crc`
+    * checksum (reference crc/file_size_histogram.rs) — table layout
+    * statistics with zero listing; None when the checksum chain has no
+    * histogram at that version (run `checkpoint()` to re-seed).
+    */
+  def fileSizeHistogram(version: Option[Long] = None)
+      : Option[FileSizeHistogram] = {
+    val v = version.getOrElse(snapshot().version)
+    Checksum.read(fs, logDir, v).flatMap(_.fileSizeHistogram)
+  }
+
   // ---------------- history / time travel ----------------
 
   /** (version, file-or-in-commit timestamp millis, operation). */
@@ -1176,7 +1214,8 @@ object DeltaTable {
         lines.mkString("", "\n", "\n")))
       throw new IllegalStateException(s"table already exists at $path")
     Checksum.write(fs, FileNames.logDir(t.root), 0L,
-      Checksum.VersionChecksum(0L, 0L, protocol, meta))
+      Checksum.VersionChecksum(0L, 0L, protocol, meta,
+        Some(FileSizeHistogram.empty)))
     t
   }
 }

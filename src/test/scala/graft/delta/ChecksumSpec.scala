@@ -84,4 +84,56 @@ class ChecksumSpec extends AnyFunSuite {
       t.versionAtTimestamp(h.map(_._2).min - 100000)
     }
   }
+
+  test("file-size histogram maintains incrementally and matches a full " +
+      "recompute") {
+    val dir = TestSpark.tmpDir("crc-hist")
+    val src = (1 to 500).map(i => (i.toLong, s"v$i" * 50)).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, configuration =
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(3))
+    t.append(src.repartition(2))
+    t.deleteWhere("k <= 100")
+
+    def expected = {
+      val sizes = t.scan(None).collectAddFiles(slim = true).map(_.size)
+      FileSizeHistogram.of(sizes)
+    }
+    val incr = t.fileSizeHistogram().get
+    assert(incr.totalFiles == expected.totalFiles)
+    assert(incr.totalSize == expected.totalSize)
+    assert(incr.fileCounts.toSeq == expected.fileCounts.toSeq)
+    assert(incr.totalBytes.toSeq == expected.totalBytes.toSeq)
+
+    // break the chain (delete the crc), then checkpoint re-seeds it
+    val logDir = FileNames.logDir(new org.apache.hadoop.fs.Path(dir))
+    val fs = Storage.fs(logDir, spark.sessionState.newHadoopConf())
+    fs.delete(Checksum.path(logDir, t.snapshot().version), false)
+    assert(t.fileSizeHistogram().isEmpty)
+    t.checkpoint()
+    val reseeded = t.fileSizeHistogram().get
+    assert(reseeded.fileCounts.toSeq == expected.fileCounts.toSeq)
+    assert(reseeded.totalBytes.toSeq == expected.totalBytes.toSeq)
+    // bin placement sanity: small files land in low bins
+    assert(reseeded.fileCounts.take(3).sum == reseeded.totalFiles)
+  }
+
+  test("histogram bin boundaries and saturation semantics") {
+    val h = FileSizeHistogram.empty
+    assert(FileSizeHistogram.DefaultBinBoundaries.size == 95)
+    assert(h.binOf(0) == 0)
+    assert(h.binOf(8191) == 0)
+    assert(h.binOf(8192) == 1)
+    assert(h.binOf(Long.MaxValue) == 94)
+    // remove saturates at zero, never negative
+    val h2 = h.insert(10000).remove(10000).remove(10000)
+    assert(h2.totalFiles == 0 && h2.totalSize == 0)
+    // json round trip
+    val h3 = h.insert(5).insert(9000).insert(3L * 1024 * 1024 * 1024)
+    val parsed = FileSizeHistogram.fromJson(
+      JsonLog.parseLine(h3.toJson)).get
+    assert(parsed.fileCounts.toSeq == h3.fileCounts.toSeq)
+    assert(parsed.totalBytes.toSeq == h3.totalBytes.toSeq)
+  }
 }
