@@ -186,9 +186,19 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val physPartCols = partCols.map(c =>
       ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
     // fill generated/default columns and embed constraint checks into
-    // the projection — they ride the staging job, zero extra passes
+    // the projection — they ride the staging job, zero extra passes;
+    // clustered tables additionally range-partition + sort on the
+    // clustering key so each staged file covers a disjoint range
+    val clusterCols = Clustering.columns(snap)
+    // 0 = let AQE size the range partitions (files track the advisory
+    // partition size — the right default at scale); a fixed count pins
+    // the file count explicitly
+    val clusterFiles = snap.metadata.configuration
+      .get(DeltaTable.CLUSTERING_NUM_FILES_KEY).map(_.toInt).getOrElse(0)
     val renamed = physicalProjection(
-      WriteValidation.prepare(df, snap), snap)
+      Clustering.layout(WriteValidation.prepare(df, snap), clusterCols,
+        clusterFiles),
+      snap)
 
     // INT96 (Spark's legacy default) carries no usable footer stats and
     // is non-standard; micros is lossless for Spark timestamps. Scoped
@@ -238,8 +248,46 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         size = st.getLen,
         modificationTime = st.getModificationTime,
         dataChange = true,
-        stats = Some(statsByPath(abs.toString)))
+        stats = Some(statsByPath(abs.toString)),
+        clusteringProvider =
+          if (clusterCols.nonEmpty) Some(Clustering.PROVIDER) else None)
     }
+  }
+
+  /** Rewrite the whole table range-sorted on its clustering columns
+    * (reference transaction/data_layout.rs; the OPTIMIZE analog).
+    * Adds/removes carry dataChange=false — readers of the change feed
+    * and streaming sources see no row-level change, because there is
+    * none.
+    */
+  def optimizeClustered(): Long = {
+    val snap = snapshot()
+    writerGate(snap, mutating = false)
+    val clusterCols = Clustering.columns(snap)
+    require(clusterCols.nonEmpty,
+      s"table at $pathStr has no clustering columns")
+    require(!RowTracking.enabled(snap.metadata),
+      "OPTIMIZE on a row-tracking table requires materialized row ids, " +
+        "which this engine does not write yet")
+    val existing = new DeltaScan(snap, None).collectAddFiles()
+    if (existing.isEmpty) return snap.version
+    val staged = stageFiles(readFiles(snap, existing), snap)
+    val removes = existing.map { a =>
+      RemoveFile(a.path, Some(now()), dataChange = false,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
+    }
+    val adds = staged.map(_.copy(dataChange = false))
+    val lines =
+      Seq(commitInfoLine("OPTIMIZE",
+        Map("clusterBy" -> clusterCols.mkString(",")), ictFor(snap))) ++
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed, adds.map(_.size),
+      existing.map(_.size))
+    committed
   }
 
   /** Rename logical columns to physical names + field ids for writing
@@ -1114,6 +1162,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 object DeltaTable {
 
   val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
+  /** Fixed file count for clustered writes; unset/0 = AQE-sized. */
+  val CLUSTERING_NUM_FILES_KEY = "graft.clustering.numFiles"
   val ICT_ENABLEMENT_VERSION_KEY =
     "delta.inCommitTimestampEnablementVersion"
   val ICT_ENABLEMENT_TIMESTAMP_KEY =
@@ -1135,9 +1185,20 @@ object DeltaTable {
   def create(spark: SparkSession, path: String, schema: StructType,
       partitionColumns: Seq[String] = Nil,
       configuration: Map[String, String] = Map.empty,
-      name: Option[String] = None): DeltaTable = {
+      name: Option[String] = None,
+      clusterBy: Seq[String] = Nil): DeltaTable = {
     require(partitionColumns.forall(schema.fieldNames.contains),
       "partition column not in schema")
+    require(clusterBy.forall(schema.fieldNames.contains),
+      "clustering column not in schema")
+    require(clusterBy.intersect(partitionColumns).isEmpty,
+      "a column cannot be both a partition and a clustering column")
+    clusterBy.foreach { c =>
+      require(DataSkipping.isEligible(schema(c).dataType),
+        s"clustering column '$c' has no min/max stats " +
+          s"(${schema(c).dataType.simpleString}) — clustering would " +
+          "never help skipping")
+    }
     val t = new DeltaTable(spark, path)
     // column mapping: annotate physical names/ids at CREATE (reference
     // transaction/builder/create_table.rs column mapping assignment)
@@ -1180,7 +1241,9 @@ object DeltaTable {
       .exists(_.equalsIgnoreCase("true"))
     val featureAdds =
       (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
-      (if (wantsIct) Seq("inCommitTimestamp") else Nil)
+      (if (wantsIct) Seq("inCommitTimestamp") else Nil) ++
+      (if (clusterBy.nonEmpty)
+        Seq(Clustering.FEATURE, "domainMetadata") else Nil)
     val readerFeatureAdds =
       if (wantsVariant) Seq("variantType") else Nil
     val protocol =
@@ -1206,7 +1269,14 @@ object DeltaTable {
         Seq(JsonLog.writeAction(SingleAction(domainMetadata = Some(
           RowTracking.domainMetadataFor(
             RowTracking.MISSING_HIGH_WATER_MARK)))))
-      else Nil)
+      else Nil) ++
+      (if (clusterBy.nonEmpty) {
+        // the domain records PHYSICAL column paths (clustering.rs)
+        val physPaths = clusterBy.map(c => Seq(ColumnMapping.physicalName(
+          finalSchema.fields.find(_.name == c).get)))
+        Seq(JsonLog.writeAction(SingleAction(domainMetadata = Some(
+          Clustering.domainFor(physPaths)))))
+      } else Nil)
     val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
     fs.mkdirs(FileNames.logDir(t.root))
     if (!Storage.putIfAbsent(fs,

@@ -59,7 +59,7 @@ object TableFeatures {
     "rowTracking", "domainMetadata", "v2Checkpoint", "inCommitTimestamp",
     "timestampNtz", "variantType", "variantType-preview",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
-    "invariants", "checkConstraints", "generatedColumns")
+    "invariants", "checkConstraints", "generatedColumns", "clustering")
 
   /** Writer-side gate (reference table_features write gates): every
     * declared writer feature must be implemented, or implemented-when-

@@ -234,6 +234,21 @@ object DeltaQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("_change_type"), col("_commit_version"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // clustered table: interleaved appends, OPTIMIZE into disjoint
+    // range-sorted files, range read benefits from min/max skipping
+    "q_delta_clustered" -> ((s, d) => {
+      val src = li(s, d).filter(col("l_quantity") < 20)
+      val dir = tmp("clus")
+      DeltaTable.create(s, dir, src.schema,
+        clusterBy = Seq("l_orderkey"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_orderkey") % 2 === 0))
+      t.append(src.filter(col("l_orderkey") % 2 === 1))
+      t.optimizeClustered()
+      ordered(t.scan(
+        Some("l_orderkey >= 1000 AND l_orderkey < 3000")).toDF)
     })
   )
 
@@ -242,6 +257,11 @@ object DeltaQueries {
   val oracleSql: Map[String, String] = Map(
     "q_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 25
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_clustered" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 20 AND l_orderkey >= 1000 AND l_orderkey < 3000
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_partition_prune" ->

@@ -1,0 +1,116 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Clustered tables (reference kernel/src/clustering.rs +
+  * transaction/data_layout.rs): delta.clustering domain, clustering
+  * writer feature, range-sorted file layout, and the skipping payoff.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def statsRange(a: AddFile, c: String): (Long, Long) = {
+    val n = JsonLog.parseLine(a.stats.get)
+    (n.path("minValues").path(c).asLong, n.path("maxValues").path(c).asLong)
+  }
+
+  test("clustered create: domain + feature; appends range-sort files") {
+    val dir = TestSpark.tmpDir("clus")
+    // deliberately shuffled input: clustering must impose the order
+    val src = scala.util.Random.shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, clusterBy = Seq("k"),
+      configuration =
+        Map(DeltaTable.CLUSTERING_NUM_FILES_KEY -> "4"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot().protocol.writerFeatures.get.contains("clustering"))
+    assert(Clustering.columns(t.snapshot()) == Seq("k"))
+
+    t.append(src.repartition(4)) // 4 random partitions in, ranged out
+    val adds = t.scan(None).collectAddFiles()
+    assert(adds.forall(_.clusteringProvider.contains("liquid")))
+    assert(adds.size > 1)
+    // each file covers a DISJOINT k-range (the whole point of the
+    // layout: min/max stats become perfectly selective)
+    val ranges = adds.map(statsRange(_, "k")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(lo2 > hi,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // skipping: a point predicate reads exactly one file
+    val survivors = t.scan(Some("k = 2345")).filesDF.count()
+    assert(survivors == 1L, s"expected 1 surviving file, got $survivors")
+    assert(t.scan(Some("k = 2345")).toDF.count() == 1L)
+  }
+
+  test("optimizeClustered rewrites multi-append mess into disjoint " +
+      "ranges with dataChange=false") {
+    val dir = TestSpark.tmpDir("clusopt")
+    val src = (1 to 6000).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true",
+        DeltaTable.CLUSTERING_NUM_FILES_KEY -> "3"),
+      clusterBy = Seq("k"))
+    val t = DeltaTable.forPath(spark, dir)
+    // interleaved appends: per-append files are sorted, but ranges
+    // OVERLAP across appends
+    t.append(src.filter($"k" % 2 === 0))
+    t.append(src.filter($"k" % 2 === 1))
+    val before = t.scan(None).collectAddFiles()
+      .map(statsRange(_, "k")).sortBy(_._1)
+    assert(before.sliding(2).exists {
+      case Seq((_, hi), (lo2, _)) => lo2 <= hi
+      case _ => false
+    }, "test premise: pre-optimize ranges overlap")
+
+    val v = t.optimizeClustered()
+    val after = t.scan(None).collectAddFiles()
+    assert(after.forall(a => !a.dataChange))
+    val ranges = after.map(statsRange(_, "k")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(lo2 > hi)
+      case _ =>
+    }
+    // content identical
+    assert(t.toDF.count() == 6000)
+    assert(t.toDF.agg(sum($"k")).as[Long].head ==
+      (1 to 6000).map(_.toLong).sum)
+    // OPTIMIZE is invisible to the change feed (dataChange=false)
+    val cdf = TableChanges.read(spark, dir, v, Some(v))
+    assert(cdf.count() == 0)
+  }
+
+  test("clustering column validation") {
+    val schema = Seq((1L, "a")).toDF("k", "s").schema
+    intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("clusbad"), schema,
+        clusterBy = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("clusbad2"), schema,
+        partitionColumns = Seq("k"), clusterBy = Seq("k"))
+    }
+  }
+
+  test("column-mapped clustered table stores physical paths in the " +
+      "domain") {
+    val dir = TestSpark.tmpDir("cluscm")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"),
+      clusterBy = Seq("k"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val phys = Clustering.physicalColumns(t.snapshot())
+    assert(phys.size == 1 && phys.head.head.startsWith("col-"),
+      s"expected a physical col-<uuid> path, got $phys")
+    assert(Clustering.columns(t.snapshot()) == Seq("k")) // logical view
+    assert(t.toDF.orderBy("k").collect().toSeq ==
+      src.orderBy("k").collect().toSeq)
+  }
+}
