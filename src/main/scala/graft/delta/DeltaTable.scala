@@ -226,7 +226,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val statsByPath = ParquetFooterStats.collect(spark,
       files.map(_.getPath.toString).toSeq, physDataSchema, hconf)
 
-    files.map { st =>
+    val staged = files.map { st =>
       val abs = st.getPath
       // add.path is a URI-ENCODED relative path (protocol contract) —
       // getRawPath keeps %-escapes so a literal '%' or space in a
@@ -252,6 +252,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         clusteringProvider =
           if (clusterCols.nonEmpty) Some(Clustering.PROVIDER) else None)
     }
+    // protocol-contract validation BEFORE anything commits (reference
+    // transaction/stats_verifier.rs): a malformed stat would make
+    // readers silently skip live files
+    StatsVerifier.verifyAll(staged, physDataSchema)
+    staged
   }
 
   /** Rewrite the whole table range-sorted on its clustering columns

@@ -108,3 +108,44 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(rw("c < 3").isEmpty)
   }
 }
+
+/** Write-time stats validation (reference
+  * transaction/stats_verifier.rs).
+  */
+class StatsVerifierSpec extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("s", StringType),
+    StructField("t", TimestampType)))
+
+  private def v(json: String) = StatsVerifier.verify(json, schema)
+
+  test("valid stats pass") {
+    assert(v("""{"numRecords":10,"minValues":{"a":1,"t":"2026-01-01T00:00:00.000Z"},
+      "maxValues":{"a":9,"t":"2026-02-01T00:00:00.000Z"},
+      "nullCount":{"a":0,"s":10}}""").isEmpty)
+    assert(v("""{"numRecords":0,"minValues":{},"maxValues":{},"nullCount":{}}""").isEmpty)
+  }
+
+  test("violations are caught before commit") {
+    assert(v("""not json""").exists(_.contains("not valid JSON")))
+    assert(v("""{"minValues":{}}""").exists(_.contains("numRecords")))
+    assert(v("""{"numRecords":-1}""").exists(_.contains("negative")))
+    assert(v("""{"numRecords":5,"nullCount":{"a":6}}""")
+      .exists(_.contains("outside [0, 5]")))
+    assert(v("""{"numRecords":5,"nullCount":{"zz":1}}""")
+      .exists(_.contains("unknown column")))
+    assert(v("""{"numRecords":5,"minValues":{"a":9},"maxValues":{"a":1}}""")
+      .exists(_.contains(">")))
+    assert(v("""{"numRecords":5,
+      "minValues":{"t":"2026-02-01T00:00:00.000Z"},
+      "maxValues":{"t":"2026-01-01T00:00:00.000Z"}}""")
+      .exists(_.contains(">")))
+  }
+
+  test("plain-string bounds are not falsely rejected (truncation " +
+      "tie-breakers order by code point)") {
+    assert(v("""{"numRecords":5,"minValues":{"s":"zz"},
+      "maxValues":{"s":"aa"}}""").isEmpty)
+  }
+}
