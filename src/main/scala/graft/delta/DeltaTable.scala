@@ -389,7 +389,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   private[graft] def appendFrom(snap: Snapshot, df: DataFrame,
       txn: Option[SetTransaction] = None): Long = {
     writerGate(snap, mutating = false)
-    val staged = stageFiles(df, snap)
+    val (dfComplete, identityCols) = IdentityColumns.assign(df, snap)
+    val staged = stageFiles(dfComplete, snap)
     val rowTracking = RowTracking.enabled(snap.metadata)
     val v = snap.version + 1
     val (adds, hwmLine) =
@@ -400,17 +401,26 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         (assigned, Seq(JsonLog.writeAction(SingleAction(
           domainMetadata = Some(RowTracking.domainMetadataFor(hwm))))))
       }
+    // identity marks advance from the staged stats; the commit then
+    // carries the updated metadata and is no longer blind-retryable
+    // (a concurrent writer may have consumed the same value range)
+    val idHwms = IdentityColumns.hwmFromStats(staged, snap, identityCols)
+    val idMeta = if (idHwms.isEmpty) None
+      else Some(IdentityColumns.advance(snap.metadata, idHwms))
     val tail =
       txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
       hwmLine ++
+      idMeta.map(m =>
+        JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
     // commitInfo regenerates per attempt: the ICT predecessor after a
     // rebase is the commit that won the race, not the stale snapshot
     val committed = commitActions(v,
       cv => commitInfoLine("WRITE", Map("mode" -> "Append"),
         ictAt(snap, cv - 1)) +: tail,
-      retryable = !rowTracking, txnAppIds = txn.map(_.appId).toSeq)
-    maybeWriteChecksum(committed, adds.map(_.size), Nil)
+      retryable = !rowTracking && idMeta.isEmpty,
+      txnAppIds = txn.map(_.appId).toSeq)
+    maybeWriteChecksum(committed, adds.map(_.size), Nil, newMeta = idMeta)
     committed
   }
 
@@ -1236,12 +1246,15 @@ object DeltaTable {
       .exists(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
     val hasGenerated =
       finalSchema.json.contains(WriteValidation.GENERATION_KEY)
+    val hasIdentity =
+      finalSchema.json.contains(IdentityColumns.START_KEY)
     val legacy = Protocol(
       if (cmMode != "none") 2 else 1,
       Seq(2, if (wantsCdf) 4 else 2,
         if (hasConstraints) 3 else 2,
         if (hasGenerated) 4 else 2,
-        if (cmMode != "none") 5 else 2).max)
+        if (cmMode != "none") 5 else 2,
+        if (hasIdentity) 6 else 2).max)
     val wantsIct = finalConfig.get(ICT_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
     val featureAdds =

@@ -59,13 +59,12 @@ object TableFeatures {
     "rowTracking", "domainMetadata", "v2Checkpoint", "inCommitTimestamp",
     "timestampNtz", "variantType", "variantType-preview",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
-    "invariants", "checkConstraints", "generatedColumns", "clustering")
+    "invariants", "checkConstraints", "generatedColumns", "clustering",
+    "identityColumns")
 
   /** Writer-side gate (reference table_features write gates): every
-    * declared writer feature must be implemented, or implemented-when-
-    * inactive (identity columns are "supported" exactly when the table
-    * defines none — the delta-spark convention for unimplemented
-    * assignment). Returns the features blocking writes.
+    * declared writer feature must be implemented. Returns the features
+    * blocking writes.
     */
   def unsupportedWriterFeatures(p: Protocol,
       m: graft.delta.Metadata): Seq[String] = {
@@ -73,13 +72,6 @@ object TableFeatures {
       legacyWriterFeatures.collect {
         case (v, f) if v <= p.minWriterVersion => f
       })
-    val schemaJson = m.schemaString
-    def inactive(feature: String): Boolean = feature match {
-      case "identityColumns" =>
-        !schemaJson.contains("delta.identity.start")
-      case _ => false
-    }
-    declared.distinct.filterNot(f =>
-      implementedWriterFeatures.contains(f) || inactive(f))
+    declared.distinct.filterNot(implementedWriterFeatures.contains)
   }
 }
