@@ -103,6 +103,74 @@ object Similarity {
     }.toDF()
   }
 
+  /** Spherical k-means coarse quantizer training (Lloyd iterations with
+    * cosine assignment): seeds = the `numCentroids` lowest-id vectors
+    * (deterministic), update = per-cell vector mean, empty cells keep
+    * their centroid. Each iteration is one mapPartitions pass with
+    * in-partition accumulation + a `reduceByKey` over at most
+    * `partitions × numCentroids` partial sums — the n×d data never
+    * shuffles and nothing quadratic materializes, so training cost is
+    * `iterations` linear passes regardless of scale.
+    */
+  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, iterations: Int): Array[(Long, Array[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = asVecs(vecs, idCol, vecCol)
+    var cents: Array[(Long, Array[Double], Double)] =
+      ds.filter(_.id < numCentroids).collect().sortBy(_.id)
+        .map(c => (c.id, c.v, norm(c.v)))
+    (1 to iterations).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = ds.rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[Long, (Array[Double], Long)]
+        it.foreach { r =>
+          val nr = norm(r.v)
+          var best = -1L
+          var bestSim = Double.NegativeInfinity
+          bc.value.foreach { case (cid, cv, cn) =>
+            val sim = dot(r.v, cv) / (nr * cn)
+            if (sim > bestSim) { bestSim = sim; best = cid }
+          }
+          val (sum, n) = acc.getOrElseUpdate(best,
+            (new Array[Double](r.v.length), 0L))
+          var i = 0
+          while (i < r.v.length) { sum(i) += r.v(i); i += 1 }
+          acc(best) = (sum, n + 1)
+        }
+        acc.iterator
+      }.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+        val (s1, n1) = a; val (s2, n2) = b
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (s1, n1 + n2)
+      }.collectAsMap()
+      cents = cents.map { case (cid, cv, cn) =>
+        partials.get(cid) match {
+          case Some((sum, n)) if n > 0 =>
+            val mean = sum.map(_ / n)
+            (cid, mean, norm(mean))
+          case _ => (cid, cv, cn) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents.map { case (cid, cv, _) => (cid, cv) }
+  }
+
+  /** IVF approximate nearest neighbors over a TRAINED spherical
+    * k-means quantizer — the production scale path; `ivfTopK` below
+    * keeps the deterministic untrained quantizer the DuckDB oracle can
+    * mirror.
+    */
+  def kmeansIvfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, nprobe: Int, k: Int, queryMaxId: Long,
+      iterations: Int = 5): DataFrame = {
+    val cents = trainCentroids(vecs, idCol, vecCol, numCentroids,
+      iterations).map { case (cid, cv) => (cid, cv, norm(cv)) }
+    ivfSearch(vecs, idCol, vecCol, cents, nprobe, k, queryMaxId)
+  }
+
   /** IVF approximate nearest neighbors: deterministic coarse quantizer
     * (centroids = the `numCentroids` lowest-id vectors; assignment by max
     * cosine, ties to the lowest centroid id), queries = ids <
@@ -114,10 +182,18 @@ object Similarity {
       numCentroids: Int, nprobe: Int, k: Int, queryMaxId: Long): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val ds = asVecs(vecs, idCol, vecCol)
-
-    val centroids = ds.filter(_.id < numCentroids).collect().sortBy(_.id)
+    val centroids = asVecs(vecs, idCol, vecCol)
+      .filter(_.id < numCentroids).collect().sortBy(_.id)
       .map(c => (c.id, c.v, norm(c.v)))
+    ivfSearch(vecs, idCol, vecCol, centroids, nprobe, k, queryMaxId)
+  }
+
+  private def ivfSearch(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Double], Double)], nprobe: Int,
+      k: Int, queryMaxId: Long): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = asVecs(vecs, idCol, vecCol)
     val bcCent = spark.sparkContext.broadcast(centroids)
 
     val assigned = ds.map { r =>
