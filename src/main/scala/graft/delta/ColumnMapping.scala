@@ -82,6 +82,15 @@ object ColumnMapping {
   private def quote(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
+  /** Backtick-quote a column name for parsed contexts — a name with
+    * dots or backticks (legal in Delta schemas) must never reach
+    * `col(...)` raw, or it resolves as a nested path / fails to parse.
+    */
+  def quoted(name: String): String = quote(name)
+
+  /** `col` with backtick-quoting. */
+  def qcol(name: String): Column = col(quote(name))
+
   /** Annotate a logical schema with fresh physical names + ids for CREATE
     * TABLE under mode name/id (reference
     * transaction/builder/create_table.rs column mapping annotation

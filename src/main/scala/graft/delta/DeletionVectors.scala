@@ -54,27 +54,56 @@ object DeletionVectors {
     sb.toString
   }
 
-  def z85Decode(s: String): Array[Byte] = {
+  def z85Decode(s: String): Array[Byte] = z85Decode(s, s.length / 5 * 4)
+
+  /** Decode `expectedLength` bytes. When `expectedLength % 4 != 0` the
+    * FINAL 5-char chunk uses the tail-padding convention of the z85
+    * crate the reference engine encodes inline DVs with: (4-k) '#'
+    * marker chars followed by (k+1) chars holding the last k bytes'
+    * big-endian value. (A plain z85 chunk can never legally start with
+    * '#': the largest 4-byte value only reaches digit 82 — which is
+    * also why wrap-around decoding of such a chunk silently corrupts
+    * the bitmap instead of failing.)
+    */
+  def z85Decode(s: String, expectedLength: Int): Array[Byte] = {
     require(s.length % 5 == 0, s"z85 input length ${s.length} not multiple of 5")
-    val out = new Array[Byte](s.length / 5 * 4)
+    val k = expectedLength % 4
+    val fullChunks = if (k == 0) s.length / 5 else s.length / 5 - 1
+    require(expectedLength <= fullChunks * 4 + (if (k == 0) 0 else k),
+      s"z85 input too short for $expectedLength bytes")
+    def digit(c: Char): Int = {
+      val d = if (c < 128) Z85_DEC(c.toInt) else -1
+      require(d >= 0, s"invalid z85 char '$c'")
+      d
+    }
+    val out = new Array[Byte](expectedLength)
     var i = 0
     var o = 0
-    while (i < s.length) {
+    while (i < fullChunks * 5) {
       var v = 0L
       var j = 0
-      while (j < 5) {
-        val c = s.charAt(i + j)
-        val d = if (c < 128) Z85_DEC(c.toInt) else -1
-        require(d >= 0, s"invalid z85 char '$c'")
-        v = v * 85 + d
-        j += 1
-      }
+      while (j < 5) { v = v * 85 + digit(s.charAt(i + j)); j += 1 }
+      require(v <= 0xffffffffL, s"z85 chunk out of range at $i")
       out(o) = ((v >> 24) & 0xff).toByte
       out(o + 1) = ((v >> 16) & 0xff).toByte
       out(o + 2) = ((v >> 8) & 0xff).toByte
       out(o + 3) = (v & 0xff).toByte
       i += 5
       o += 4
+    }
+    if (k != 0) {
+      val tail = s.substring(fullChunks * 5)
+      val pad = 4 - k
+      require(tail.take(pad).forall(_ == '#'),
+        s"invalid z85 tail chunk '$tail' for $k trailing bytes")
+      var v = 0L
+      tail.drop(pad).foreach(c => v = v * 85 + digit(c))
+      var shift = (k - 1) * 8
+      while (shift >= 0) {
+        out(o) = ((v >> shift) & 0xff).toByte
+        o += 1
+        shift -= 8
+      }
     }
     out
   }
@@ -181,7 +210,9 @@ object DeletionVectors {
   def readBitmapBytes(dv: DeletionVectorDescriptor, tableRoot: Path,
       conf: Configuration): Array[Byte] = dv.storageType match {
     case "i" =>
-      val bytes = z85Decode(dv.pathOrInlineDv)
+      // sizeInBytes = raw data size incl. the 4-byte magic; non-4-aligned
+      // sizes use the tail-padding chunk (see z85Decode)
+      val bytes = z85Decode(dv.pathOrInlineDv, dv.sizeInBytes)
       val magic = leInt(bytes, 0)
       require(magic == PORTABLE_MAGIC, s"invalid inline DV magic $magic")
       bytes.drop(4)

@@ -195,7 +195,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     withMeta.join(broadcast(rtDF), Seq("__path"))
       .withColumn("_row_id", col("__base") + col("__ridx"))
       .withColumn("_row_commit_version", col("__dcv"))
-      .select(schema.fieldNames.map(col) ++
+      .select(schema.fieldNames.map(ColumnMapping.qcol) ++
         Seq(col("_row_id"), col("_row_commit_version")): _*)
   }
 
@@ -252,7 +252,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     var reader = relationDF
       .select(snapshot.dataSchema.fields.map(ColumnMapping.toLogical) ++
         partCols.map(c => col(quoteName(physName(c))).as(c)) ++
-        extraPhysical.map(f => col(f.name)) ++
+        extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++
         Seq(normalizedMetaPath.as("__path"),
           col("_metadata.row_index").as("__ridx")): _*)
 
@@ -277,8 +277,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     }
 
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil
-    reader.select(schema.fieldNames.map(col) ++
-      extraPhysical.map(f => col(f.name)) ++ metaCols: _*)
+    reader.select(schema.fieldNames.map(ColumnMapping.qcol) ++
+      extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++ metaCols: _*)
   }
 
   private def quoteName(name: String): String =

@@ -307,8 +307,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           case _: org.apache.spark.sql.types.StructType |
                _: org.apache.spark.sql.types.ArrayType |
                _: org.apache.spark.sql.types.MapType =>
-            col(lf.name).cast(pf.dataType)
-          case _ => col(lf.name)
+            ColumnMapping.qcol(lf.name).cast(pf.dataType)
+          case _ => ColumnMapping.qcol(lf.name)
         }).as(pf.name, pf.metadata)
       }: _*)
   }

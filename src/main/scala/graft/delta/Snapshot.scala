@@ -52,6 +52,26 @@ class Snapshot(
   }
   private lazy val ckptPaths: Seq[String] = ckptData._1
 
+  /** Checkpoint read schema: LogSchema.checkpoint with `add` extended
+    * by the table-typed `stats_parsed` struct (absent column reads as
+    * NULL on checkpoints that only carry stats JSON).
+    */
+  private lazy val ckptReadSchema: StructType = {
+    val statsParsed = StructType(
+      DataSkipping.statsSchema(ColumnMapping.physicalSchema(dataSchema))
+        .fields :+
+        org.apache.spark.sql.types.StructField("tightBounds",
+          org.apache.spark.sql.types.BooleanType))
+    StructType(LogSchema.checkpoint.fields.map {
+      case f if f.name == "add" =>
+        org.apache.spark.sql.types.StructField("add",
+          StructType(LogSchema.add.fields :+
+            org.apache.spark.sql.types.StructField(
+              "stats_parsed", statsParsed)))
+      case f => f
+    })
+  }
+
   /** Version a log file advances to, from its name: a commit
     * `NNN.json` contributes NNN; a compacted `LO.HI.compacted.json`
     * contributes HI (its actions are the newest in the range).
@@ -102,10 +122,19 @@ class Snapshot(
     val ckptArm: Option[DataFrame] =
       if (ckptPaths.isEmpty) None
       else Some {
-        val reader = spark.read.schema(LogSchema.checkpoint)
+        val reader = spark.read.schema(ckptReadSchema)
         (if (ckptData._2) reader.json(ckptPaths: _*)
          else reader.parquet(ckptPaths: _*))
           .filter(col("add").isNotNull || col("remove").isNotNull)
+          // struct-stats-only checkpoints (reference
+          // scan_plan struct-stats fixtures) carry TYPED stats_parsed
+          // and no stats JSON — render the struct to the JSON shape the
+          // skipping path parses; to_json drops null leaves, which read
+          // back as unknown (file kept), exactly right
+          .withColumn("add", when(col("add").isNotNull,
+            col("add").withField("stats",
+              coalesce(col("add.stats"), to_json(col("add.stats_parsed"))))
+              .dropFields("stats_parsed")))
           .withColumn("key",
             when(col("add").isNotNull, keyExpr("add"))
               .otherwise(keyExpr("remove")))

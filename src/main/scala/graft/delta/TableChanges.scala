@@ -205,7 +205,8 @@ object TableChanges {
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), emptySchema)
     } else {
-      out.map(_.select(outCols.map(col): _*)).reduce(_.unionByName(_))
+      out.map(_.select(outCols.map(ColumnMapping.qcol): _*))
+        .reduce(_.unionByName(_))
     }
   }
 
@@ -243,20 +244,23 @@ object TableChanges {
 
     val preCols = preSnap.schema.fieldNames.toSeq
     val postCols = postSnap.schema.fieldNames.toSeq
+    def q(n: String) = ColumnMapping.quoted(n)
     val pre = new DeltaScan(preSnap, None).toDFWithRowIds
-      .select(struct(preCols.map(col): _*).as("__pre"), col("_row_id"))
+      .select(struct(preCols.map(ColumnMapping.qcol): _*).as("__pre"),
+        col("_row_id"))
     val post = new DeltaScan(postSnap, None).toDFWithRowIds
-      .select(struct(postCols.map(col): _*).as("__post"), col("_row_id"))
+      .select(struct(postCols.map(ColumnMapping.qcol): _*).as("__post"),
+        col("_row_id"))
     val j = pre.join(post, Seq("_row_id"), "full_outer")
 
     // pre image lifted to the post schema (missing added columns = NULL)
     val preAsPost = struct(postCols.map { c =>
-      (if (preCols.contains(c)) col(s"__pre.$c")
+      (if (preCols.contains(c)) col(s"__pre.${q(c)}")
        else lit(null).cast(postSnap.schema(c).dataType)).as(c)
     }: _*)
     val shared = preCols.filter(postCols.contains)
     val sameContent = shared.map(c =>
-      col(s"__pre.$c") <=> col(s"__post.$c")).reduce(_ && _)
+      col(s"__pre.${q(c)}") <=> col(s"__post.${q(c)}")).reduce(_ && _)
 
     def emit(img: org.apache.spark.sql.Column, change: String) =
       Seq(img.as("__row"), lit(change).as(CHANGE_TYPE), col("_row_id"))
@@ -272,7 +276,7 @@ object TableChanges {
 
     inserts.unionByName(deletes).unionByName(updatePre)
       .unionByName(updatePost)
-      .select(postCols.map(c => col(s"__row.$c").as(c)) ++
+      .select(postCols.map(c => col(s"__row.${q(c)}").as(c)) ++
         Seq(col(CHANGE_TYPE), col("_row_id")): _*)
   }
 
@@ -294,13 +298,14 @@ object TableChanges {
         .when(col(CHANGE_TYPE) === "update_preimage", lit(1))
         .when(col(CHANGE_TYPE) === "insert", lit(2))
         .otherwise(lit(3)))
-    val all = struct(cdf.columns.map(col): _*)
-    val grouped = cdf.groupBy(keyCols.map(col): _*)
+    val all = struct(cdf.columns.map(ColumnMapping.qcol): _*)
+    val grouped = cdf.groupBy(keyCols.map(ColumnMapping.qcol): _*)
       .agg(max_by(all, rank).as("__last"),
         min_by(col(CHANGE_TYPE), rank).as("__first"))
     grouped
       .filter(!(col("__first") === "insert" &&
         col(s"__last.$CHANGE_TYPE") === "delete"))
-      .select(cdf.columns.map(c => col(s"__last.$c").as(c)): _*)
+      .select(cdf.columns.map(c =>
+        col(s"__last.${ColumnMapping.quoted(c)}").as(c)): _*)
   }
 }

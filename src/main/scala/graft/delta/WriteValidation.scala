@@ -41,11 +41,12 @@ object WriteValidation {
     }
     val notNull = snap.schema.fields.toSeq.collect {
       case f if !f.nullable =>
-        (s"NOT NULL constraint on ${f.name}", s"`${f.name}` IS NOT NULL")
+        (s"NOT NULL constraint on ${f.name}",
+          s"${ColumnMapping.quoted(f.name)} IS NOT NULL")
     }
     // a generated column supplied explicitly must match its expression
     val genMatch = generated(snap).toSeq.map { case (c, e) =>
-      (s"generated column $c", s"`$c` <=> ($e)")
+      (s"generated column $c", s"${ColumnMapping.quoted(c)} <=> ($e)")
     }
     (fromProps ++ fromInvariants ++ notNull ++ genMatch)
       .filter(_._2.nonEmpty)
@@ -89,7 +90,8 @@ object WriteValidation {
       }
     }
     val cs = checks(snap)
-    if (cs.isEmpty) out.select(snap.schema.fieldNames.map(col): _*)
+    if (cs.isEmpty)
+      out.select(snap.schema.fieldNames.map(ColumnMapping.qcol): _*)
     else {
       val violated = cs.map { case (_, sql) =>
         not(coalesce(expr(sql), lit(false)))
@@ -101,9 +103,11 @@ object WriteValidation {
         })
       val first = snap.schema.fields.head
       val guarded = when(violated,
-        raise_error(msg).cast(first.dataType)).otherwise(col(first.name))
+        raise_error(msg).cast(first.dataType))
+        .otherwise(ColumnMapping.qcol(first.name))
         .as(first.name, first.metadata)
-      out.select(guarded +: snap.schema.fieldNames.tail.map(col): _*)
+      out.select(guarded +:
+        snap.schema.fieldNames.tail.map(ColumnMapping.qcol): _*)
     }
   }
 }

@@ -75,6 +75,62 @@ class InteropArchiveSpec extends AnyFunSuite {
     assert(r.getAs[String]("sav1") == """{"key":57}""")
   }
 
+  test("cdf-table-with-dv: the full DV restore/remove change feed") {
+    // reference features/cdf.rs cdf_with_dv — commits: insert 0..9;
+    // remove [0,9]; restore [0,9]; remove [0,1,4,5]; restore [1,4];
+    // restore [0,5] + remove [3]; restore [3]
+    val path = fixture("cdf-table-with-dv")
+    val got = TableChanges.read(spark, path, 0, None)
+      .select(col("value").cast("long"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val expected = (
+      (0L to 9L).map(v => (v, "insert", 0L)) ++
+      Seq((0L, "delete", 1L), (9L, "delete", 1L)) ++
+      Seq((0L, "insert", 2L), (9L, "insert", 2L)) ++
+      Seq(0L, 1L, 4L, 5L).map(v => (v, "delete", 3L)) ++
+      Seq((1L, "insert", 4L), (4L, "insert", 4L)) ++
+      Seq((3L, "delete", 5L), (0L, "insert", 5L), (5L, "insert", 5L)) ++
+      Seq((3L, "insert", 6L))).sorted
+    assert(got == expected)
+  }
+
+  test("cdf-table-update-ops: cdc files carry writer-native change types") {
+    // reference features/cdf.rs update_operations over [0, 2]
+    val path = fixture("cdf-table-update-ops")
+    val got = TableChanges.read(spark, path, 0, Some(2))
+      .select(col("id").cast("long"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val expected = (
+      (0L to 9L).map(i => (i, "insert", 0L)) ++
+      (20L to 24L).map(i => (i, "update_pre", 1L)) ++
+      (30L to 34L).map(i => (i, "update_post", 2L))).sorted
+    assert(got == expected)
+  }
+
+  test("cdf-table-backtick-column-names: dots and backticks in column " +
+      "names survive the whole pipeline") {
+    // reference features/cdf.rs backtick_column_names: columns are
+    // literally named "id.num" and "id.num`s"; struct fields "field"
+    // and "field.one"
+    val path = fixture("cdf-table-backtick-column-names")
+    val cdf = TableChanges.read(spark, path, 0, None)
+    assert(cdf.columns.toSeq.take(3) ==
+      Seq("id.num", "id.num`s", "struct_col"))
+    val got = cdf.select(
+        col("`id.num`").cast("long"),
+        col("`id.num``s`").cast("long"),
+        col("struct_col.field").cast("long"),
+        col("struct_col.`field.one`").cast("long"),
+        col("_change_type"), col("_commit_version"))
+      .as[(Long, Long, Long, Long, String, Long)].collect().sorted.toSeq
+    val expected = (
+      Seq(2L, 4L).map(i => (i, 10L, 1L, 2L, "insert", 0L)) ++
+      Seq(1L, 3L, 5L).map(i => (i, 10L, 1L, 2L, "insert", 1L))).sorted
+    assert(got == expected)
+  }
+
   test("cdf-table-simple: per-version CDF matches the reference's expectations") {
     val path = fixture("cdf-table-simple")
     def cdf(lo: Long, hi: Long): Seq[(Long, String, Long)] =

@@ -130,4 +130,48 @@ class InteropSpec extends AnyFunSuite {
       assert(t.toDF.count() > 0, name)
     }
   }
+
+  test("struct-stats-only checkpoints: typed stats_parsed drives " +
+      "skipping (no stats JSON anywhere)") {
+    // reference scan_plan/tests.rs declarative_metadata_data_skipping:
+    // id > 3 -> 2 files, id = 2 -> 1 file, id <= 0 -> 0 files
+    Seq("v1-multi-part-struct-stats-only",
+        "v2-json-sidecars-struct-stats-only",
+        "v2-parquet-sidecars-struct-stats-only").foreach { name =>
+      val t = DeltaTable.forPath(spark, s"$base/$name")
+      assert(t.scan(Some("id > 3")).filesDF.count() == 2, name)
+      assert(t.scan(Some("id = 2")).filesDF.count() == 1, name)
+      assert(t.scan(Some("id <= 0")).filesDF.count() == 0, name)
+      // data reads through the '%'-escaped file names
+      assert(t.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 4L, 5L), name)
+      assert(t.scan(Some("id > 3")).toDF.select("value")
+        .collect().map(_.getString(0)).toSet ==
+        Set("value_4", "value_5"), name)
+    }
+  }
+
+  test("with_checkpoint_no_last_checkpoint: the listing finds the " +
+      "checkpoint without a hint") {
+    // reference scan/tests.rs test_scan_with_checkpoint: replay must
+    // produce exactly file-70b (checkpoint@2 + commit 3's swap)
+    val t = DeltaTable.forPath(spark, s"$base/with_checkpoint_no_last_checkpoint")
+    val snap = t.snapshot()
+    assert(snap.version == 3L)
+    assert(snap.segment.checkpointVersion.contains(2L))
+    val files = new DeltaScan(snap, None).collectAddFiles().map(_.path)
+    assert(files ==
+      Seq("part-00000-70b1dcdf-0236-4f63-a072-124cdbafd8a0-c000.snappy.parquet"))
+  }
+
+  test("void-column: void reads as an all-null column") {
+    // reference read/mod.rs read_table_with_void_column
+    val t = DeltaTable.forPath(spark, s"$base/void-column")
+    val df = t.toDF
+    assert(df.schema("void_col").dataType ==
+      org.apache.spark.sql.types.NullType)
+    val rows = df.select("id", "void_col").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(rows.forall(_.isNullAt(1)))
+  }
 }
