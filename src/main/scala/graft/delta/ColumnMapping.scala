@@ -55,6 +55,27 @@ object ColumnMapping {
     case other => other
   }
 
+  /** Remove `parquet.field.id` annotations recursively. Name-mode READS
+    * must resolve by name only — a read schema carrying field ids makes
+    * Spark demand ids from parquet files, and files written by engines
+    * that don't annotate ids in name mode (delta-spark) would fail to
+    * read.
+    */
+  def withoutFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val m = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(PARQUET_ID_KEY).build()
+      f.copy(dataType = typeWithoutFieldIds(f.dataType), metadata = m)
+    })
+
+  private def typeWithoutFieldIds(dt: DataType): DataType = dt match {
+    case s: StructType => withoutFieldIds(s)
+    case a: ArrayType => a.copy(elementType = typeWithoutFieldIds(a.elementType))
+    case m: MapType => m.copy(keyType = typeWithoutFieldIds(m.keyType),
+      valueType = typeWithoutFieldIds(m.valueType))
+    case other => other
+  }
+
   /** Strip metadata so a logical-cast target carries clean field names. */
   private def plainType(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>

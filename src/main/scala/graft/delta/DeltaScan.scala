@@ -225,8 +225,14 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     // mode resolves by parquet field id) and renamed back to logical in
     // the same select — `_metadata` is only reachable directly on the
     // file-source relation.
-    val physDataSchema = StructType(
-      ColumnMapping.physicalSchema(snapshot.dataSchema).fields ++ extraPhysical)
+    // id mode resolves by parquet field id; every other mode resolves
+    // by NAME and must not carry id annotations in the read schema
+    val physDataFields =
+      if (cmMode == "id")
+        ColumnMapping.physicalSchema(snapshot.dataSchema).fields
+      else ColumnMapping.withoutFieldIds(
+        ColumnMapping.physicalSchema(snapshot.dataSchema)).fields
+    val physDataSchema = StructType(physDataFields ++ extraPhysical)
     val physPartSchema = StructType(partCols.map { c =>
       val f = schema.fields.find(_.name == c).get
       StructField(ColumnMapping.physicalName(f), f.dataType, f.nullable)

@@ -29,6 +29,14 @@ class InteropArchiveSpec extends AnyFunSuite {
         s"$archiveDir/$name.tar.zst", "-C", destRoot.toString)
       val rc = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
       require(rc == 0, s"failed to extract $name")
+      // some archives ship stale Hadoop-local `.name.crc` companion
+      // files; LocalFileSystem would fail checksum verification on them
+      // (they are filesystem artifacts, not Delta data)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(table).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".") &&
+          p.getFileName.toString.endsWith(".crc"))
+        .foreach(java.nio.file.Files.delete)
     }
     table.toString
   }
@@ -73,6 +81,68 @@ class InteropArchiveSpec extends AnyFunSuite {
     assert(r.getAs[String]("asv") == """{"key":57}""")
     assert(r.getAs[Boolean]("sav0null"))
     assert(r.getAs[String]("sav1") == """{"key":57}""")
+  }
+
+  test("cdf x column mapping: name mode, name mode on 3/7, id mode") {
+    // reference features/cdf.rs cdf_with_column_mapping_* — CDF enabled
+    // at v1, so ranges start there
+    val nameModeExpected = Seq(
+      (1L, "Alice", 100.0, "delete", 4L),
+      (2L, "Bob", 200.0, "update_preimage", 2L),
+      (2L, "Bob", 250.0, "update_postimage", 2L),
+      (4L, "David", 400.0, "insert", 3L)).sorted
+    Seq(
+      "cdf-column-mapping-name-mode" -> nameModeExpected,
+      "cdf-column-mapping-name-mode-3-7" -> nameModeExpected,
+      "cdf-column-mapping-id-mode" -> Seq(
+        (2L, "Frank", 250.0, "update_preimage", 2L),
+        (2L, "Frank", 275.0, "update_postimage", 2L),
+        (3L, "Grace", 350.0, "delete", 4L),
+        (4L, "Henry", 450.0, "insert", 3L)).sorted
+    ).foreach { case (name, expected) =>
+      val got = TableChanges.read(spark, fixture(name), 1, None)
+        .select(col("id").cast("long"), col("name"),
+          col("value").cast("double"), col("_change_type"),
+          col("_commit_version"))
+        .as[(Long, String, Double, String, Long)].collect().sorted.toSeq
+      assert(got == expected, name)
+    }
+  }
+
+  test("cdf delete patterns + dataChange=false commits are invisible") {
+    // reference features/cdf.rs conditional_delete_* /
+    // false_data_change_is_ignored
+    def feed(name: String, lo: Long, hi: Option[Long]) =
+      TableChanges.read(spark, fixture(name), lo, hi)
+        .select(col("id").cast("long"), col("_change_type"),
+          col("_commit_version"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(feed("cdf-table-delete-conditional-all-rows", 0, None) ==
+      ((0L to 9L).map(i => (i, "insert", 0L)) ++
+        (0L to 9L).map(i => (i, "delete", 1L))).sorted)
+    assert(feed("cdf-table-delete-conditional-two-rows", 0, None) ==
+      ((0L to 9L).map(i => (i, "insert", 0L)) ++
+        Seq((2L, "delete", 1L), (8L, "delete", 1L))).sorted)
+    assert(feed("cdf-table-data-change", 0, Some(1)) ==
+      (0L to 9L).map(i => (i, "insert", 0L)).sorted)
+  }
+
+  test("cdf-table-partitioned: partition column flows through the feed") {
+    // reference features/cdf.rs partition_table over [0, 2]
+    val got = TableChanges.read(spark, fixture("cdf-table-partitioned"),
+        0, Some(2))
+      .select(col("id").cast("long"), col("text"),
+        col("part").cast("long"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, Long, String, Long)].collect().sorted.toSeq
+    val expected = (
+      Seq(0L, 2L, 4L).map(i => (i, "old", 0L, "insert", 0L)) ++
+      Seq(1L, 3L, 5L).map(i => (i, "old", 1L, "insert", 0L)) ++
+      Seq((3L, "old", 1L, "delete", 1L),
+        (1L, "old", 1L, "update_preimage", 1L),
+        (1L, "new", 1L, "update_postimage", 1L)) ++
+      Seq(0L, 2L, 4L).map(i => (i, "old", 0L, "delete", 2L))).sorted
+    assert(got == expected)
   }
 
   test("cdf-table-with-dv: the full DV restore/remove change feed") {

@@ -164,6 +164,29 @@ class InteropSpec extends AnyFunSuite {
       Seq("part-00000-70b1dcdf-0236-4f63-a072-124cdbafd8a0-c000.snappy.parquet"))
   }
 
+  test("crc-full parses the reference's rich checksum; crc-malformed " +
+      "falls back to None") {
+    // reference crc/reader.rs test_read_crc_file expectations
+    val conf = spark.sessionState.newHadoopConf()
+    val fullDir = new org.apache.hadoop.fs.Path(s"$base/crc-full/_delta_log")
+    val fs = Storage.fs(fullDir, conf)
+    val full = Checksum.read(fs, fullDir, 0L).get
+    assert(full.tableSizeBytes == 5259L)
+    assert(full.numFiles == 10L)
+    assert(full.protocol.minReaderVersion == 3 &&
+      full.protocol.minWriterVersion == 7)
+    assert(full.protocol.readerFeatures.get.toSet == Set("deletionVectors"))
+    assert(full.protocol.writerFeatures.get.toSet ==
+      Set("domainMetadata", "clustering", "deletionVectors", "rowTracking"))
+    assert(full.metadata.id == "6ca3020b-3cd9-4048-82e3-1417a0abb98f")
+    assert(full.metadata.schema.fieldNames.toSeq == Seq("id"))
+    // malformed json -> None, never an exception (the fast path is
+    // best-effort; replay takes over)
+    val badDir = new org.apache.hadoop.fs.Path(
+      s"$base/crc-malformed/_delta_log")
+    assert(Checksum.read(Storage.fs(badDir, conf), badDir, 0L).isEmpty)
+  }
+
   test("void-column: void reads as an all-null column") {
     // reference read/mod.rs read_table_with_void_column
     val t = DeltaTable.forPath(spark, s"$base/void-column")
