@@ -36,9 +36,21 @@ class Snapshot(
 
   private lazy val commitPaths = segment.deltas.map(_.path.toString)
 
+  /** V2-checkpoint manifest info. A uuid-named checkpoint is V2 by
+    * construction; a CLASSIC-named single-part checkpoint may still
+    * carry V2 content (checkpointMetadata + sidecar refs — the
+    * protocol's "v2 classic" shape, reference
+    * checkpoint/checkpoint_shape.rs classifies by inspecting the file,
+    * not the name), so sniff it with a column-pruned probe.
+    */
   private[delta] lazy val v2Info: Option[Snapshot.V2Info] =
-    segment.checkpointParts.headOption.filter(_.isV2)
-      .map(top => Snapshot.readV2TopLevel(spark, segment.logDir, top))
+    segment.checkpointParts match {
+      case Seq(top) if top.isV2 =>
+        Some(Snapshot.readV2TopLevel(spark, segment.logDir, top))
+      case Seq(top) if Snapshot.sniffV2(spark, top) =>
+        Some(Snapshot.readV2TopLevel(spark, segment.logDir, top))
+      case _ => None
+    }
 
   /** (paths holding the checkpoint's FILE ACTIONS, are they JSON).
     * Sidecars for V2-with-sidecars; the top-level file otherwise.
@@ -300,13 +312,35 @@ object Snapshot {
       domainMetadatas: Seq[DomainMetadata],
       sidecarPaths: Seq[String])
 
+  /** Does a classic-named single-part checkpoint carry V2 content?
+    * One column-pruned scan for a checkpointMetadata row — cheap even
+    * against a million-add classic checkpoint.
+    */
+  private[delta] def sniffV2(spark: SparkSession,
+      top: FileNames.CheckpointFile): Boolean = {
+    val probeSchema = StructType(Seq(org.apache.spark.sql.types.StructField(
+      "checkpointMetadata", LogSchema.checkpointMetadata)))
+    val reader = spark.read.schema(probeSchema)
+    val df =
+      if (top.path.getName.endsWith(".json")) reader.json(top.path.toString)
+      else reader.parquet(top.path.toString)
+    !df.filter(col("checkpointMetadata").isNotNull).isEmpty
+  }
+
   private[delta] def readV2TopLevel(spark: SparkSession, logDir: Path,
       top: FileNames.CheckpointFile): V2Info = {
     val isJson = top.path.getName.endsWith(".json")
     val reader = spark.read.schema(LogSchema.v2Checkpoint)
+    // manifest rows only — the collect must stay metadata-sized even
+    // when file actions are inlined in the top level
     val rows =
       (if (isJson) reader.json(top.path.toString)
-       else reader.parquet(top.path.toString)).collect().toSeq
+       else reader.parquet(top.path.toString))
+        .filter(col("protocol").isNotNull || col("metaData").isNotNull ||
+          col("txn").isNotNull || col("domainMetadata").isNotNull ||
+          col("sidecar").isNotNull)
+        .select("protocol", "metaData", "txn", "domainMetadata", "sidecar")
+        .collect().toSeq
     def field(r: Row, n: String): Option[Row] = {
       val i = r.fieldIndex(n)
       if (r.isNullAt(i)) None else Some(r.getStruct(i))

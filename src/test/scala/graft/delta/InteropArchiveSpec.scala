@@ -253,6 +253,26 @@ class InteropArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 classic checkpoints (json + parquet): ids 0..19") {
+    // reference log/v2_checkpoints.rs v2_classic_checkpoint_*
+    Seq("v2-classic-checkpoint-json", "v2-classic-checkpoint-parquet")
+      .foreach { name =>
+        val t = DeltaTable.forPath(spark, fixture(name))
+        assert(t.toDF.select("id").collect()
+          .map(_.getLong(0)).toSet == (0L to 19L).toSet, name)
+      }
+  }
+
+  test("v2 checkpoints named via _last_checkpoint (json + parquet)") {
+    // reference log/v2_checkpoints.rs *_with_last_checkpoint: ids 0..9
+    Seq("v2-checkpoints-json-with-last-checkpoint",
+        "v2-checkpoints-parquet-with-last-checkpoint").foreach { name =>
+      val t = DeltaTable.forPath(spark, fixture(name))
+      assert(t.toDF.select("id").collect()
+        .map(_.getLong(0)).toSet == (0L to 9L).toSet, name)
+    }
+  }
+
   test("timestamp-partitioned-table: ':' in partition dir, 1 row") {
     val t = DeltaTable.forPath(spark, fixture("timestamp-partitioned-table"))
     val rows = t.toDF.collect()
