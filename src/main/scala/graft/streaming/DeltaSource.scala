@@ -18,7 +18,12 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *
   * Options:
   *  - `path` (required): table root
-  *  - `startingVersion` (default 0): first version whose adds are emitted
+  *  - `startingVersion` (optional): numeric N = emit adds from version N
+  *    onward; "latest" = only commits after the stream starts. ABSENT =
+  *    delta-spark's default semantics: the FIRST batch is the full
+  *    snapshot at stream start, then per-commit tailing — the only
+  *    mode that works on tables whose early commits were vacuumed or
+  *    compacted away
   *  - `maxVersionsPerTrigger` (default unbounded): rate limit — at most
   *    this many commit versions per microbatch
   *  - `ignoreDeletes` (default false): tolerate commits that ONLY drop
@@ -45,8 +50,6 @@ class DeltaSource(
     options: Map[String, String]) extends Source {
 
   private val spark = sqlContext.sparkSession
-  private val startingVersion =
-    options.getOrElse("startingVersion", "0").toLong
   private val maxVersions =
     options.get("maxVersionsPerTrigger").map(_.toLong)
   private val ignoreChanges =
@@ -61,6 +64,19 @@ class DeltaSource(
   override val schema: StructType =
     if (readChangeFeed) DeltaSource.cdfSchema(initialSnapshot.schema)
     else initialSnapshot.schema
+
+  /** No option = initial-snapshot mode: the first batch carries the
+    * whole table as of stream start (offset = that snapshot's version),
+    * then per-commit tailing.
+    */
+  private val startingVersionOpt: Option[Long] =
+    options.get("startingVersion").map {
+      case s if s.equalsIgnoreCase("latest") => initialSnapshot.version + 1
+      case s => s.toLong
+    }
+  private val initialSnapshotMode = startingVersionOpt.isEmpty
+  private val startingVersion =
+    startingVersionOpt.getOrElse(initialSnapshot.version)
 
   private def latestVersion: Long =
     Snapshot.forTable(spark, tablePath).version
@@ -83,13 +99,29 @@ class DeltaSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val hi = offsetVersion(end)
-    val lo = start.map(offsetVersion(_) + 1).getOrElse(startingVersion)
+    // a fresh stream in initial-snapshot mode emits the snapshot itself
+    // as the first batch; the commit tail begins after it either way
+    val snapshotBatch = start.isEmpty && initialSnapshotMode
+    val lo = start.map(offsetVersion(_) + 1).getOrElse(
+      if (initialSnapshotMode) initialSnapshot.version + 1
+      else startingVersion)
     // restart recovery replays the last committed batch through here —
     // advance the rate-limit watermark so the next getOffset continues
     // from the checkpointed position instead of re-offering old versions
     lastOffered = math.max(lastOffered, hi)
     if (readChangeFeed) {
-      val df = TableChanges.read(spark, tablePath, lo, Some(hi))
+      val tail =
+        if (lo > hi) None
+        else Some(TableChanges.read(spark, tablePath, lo, Some(hi)))
+      val df = (snapshotBatch, tail) match {
+        case (true, t) =>
+          val snapAsInserts = DeltaSource.snapshotAsInserts(
+            spark, initialSnapshot)
+          t.map(snapAsInserts.unionByName(_)).getOrElse(snapAsInserts)
+        case (false, Some(t)) => t
+        case (false, None) =>
+          throw new IllegalStateException(s"empty batch range ($lo, $hi]")
+      }
       return StreamingShim.internalCreateStreamingDF(
         sqlContext, df.queryExecution.toRdd, df.schema)
     }
@@ -100,7 +132,12 @@ class DeltaSource(
 
     val adds = (lo to hi).flatMap { v =>
       val p = FileNames.commitFile(logDir, v)
-      if (!fs.exists(p)) Nil
+      if (!fs.exists(p))
+        // silently skipping would LOSE the commit's rows downstream
+        throw new IllegalStateException(
+          s"commit $v is missing from the log (vacuumed or compacted " +
+            "away) — restart the stream without startingVersion to " +
+            "begin from a fresh snapshot")
       else {
         val lines = Storage.readLines(fs, p).filter(_.nonEmpty)
           .map(JsonLog.parseLine)
@@ -126,8 +163,11 @@ class DeltaSource(
         vAdds
       }
     }
-    val df = new DeltaScan(initialSnapshot, None)
-      .assemble(adds, keepMeta = false)
+    val scan = new DeltaScan(initialSnapshot, None)
+    val tailDF = scan.assemble(adds, keepMeta = false)
+    val df =
+      if (snapshotBatch) scan.toDF.unionByName(tailDF)
+      else tailDF
     StreamingShim.internalCreateStreamingDF(
       sqlContext, df.queryExecution.toRdd, df.schema)
   }
@@ -141,6 +181,28 @@ class DeltaSource(
 }
 
 object DeltaSource {
+
+  /** The initial snapshot rendered as CDF insert rows at its version —
+    * the first batch of a readChangeFeed stream with no startingVersion
+    * (delta-spark's default CDF stream shape).
+    */
+  private[streaming] def snapshotAsInserts(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(snap.tableRoot, conf)
+    val ts =
+      try fs.getFileStatus(FileNames.commitFile(
+        FileNames.logDir(snap.tableRoot), snap.version)).getModificationTime
+      catch { case _: Exception => System.currentTimeMillis() }
+    new DeltaScan(snap, None).toDF
+      .withColumn(TableChanges.CHANGE_TYPE, lit("insert"))
+      .withColumn(TableChanges.COMMIT_VERSION, lit(snap.version))
+      .withColumn(TableChanges.COMMIT_TIMESTAMP,
+        lit(new java.sql.Timestamp(ts)))
+  }
+
   def cdfSchema(table: StructType): StructType = StructType(
     table.fields ++ Seq(
       org.apache.spark.sql.types.StructField(TableChanges.CHANGE_TYPE,

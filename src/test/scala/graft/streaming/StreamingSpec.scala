@@ -44,6 +44,7 @@ class StreamingSpec extends AnyFunSuite {
       val reader = spark.readStream
         .format(classOf[DeltaSourceProvider].getName)
         .option("path", dir)
+        .option("startingVersion", "0") // tail from the log start
       rateLimit.foreach(m =>
         reader.option("maxVersionsPerTrigger", m.toString))
       val q = reader.load()
@@ -82,6 +83,7 @@ class StreamingSpec extends AnyFunSuite {
       val reader = spark.readStream
         .format(classOf[DeltaSourceProvider].getName)
         .option("path", dir)
+        .option("startingVersion", "0") // tail through the delete commits
       opts.foreach { case (k, v) => reader.option(k, v) }
       val q = reader.load()
         .writeStream
@@ -137,6 +139,7 @@ class StreamingSpec extends AnyFunSuite {
       .format(classOf[DeltaSourceProvider].getName)
       .option("path", dir)
       .option("readChangeFeed", "true")
+      .option("startingVersion", "0") // replay the feed from the start
       .load()
       .writeStream
       .option("checkpointLocation", ckpt)
@@ -151,6 +154,145 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(120000)
     assert(rows.toMap == Map("insert" -> 20L, "delete" -> 5L), rows)
+  }
+
+  test("default mode: first batch = initial snapshot, then tailing") {
+    val dir = TestSpark.tmpDir("stream-snap")
+    val ckpt = TestSpark.tmpDir("stream-snap-ckpt")
+    val src = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 10))
+    t.append(src.filter($"k" > 10 && $"k" <= 20))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized { batches += df.count() }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // both pre-stream appends arrive as ONE snapshot batch
+    assert(batches.toSeq == Seq(20L), s"got $batches")
+    t.append(src.filter($"k" > 20)) // post-stream commit tails
+    batches.clear()
+    runOnce()
+    assert(batches.toSeq == Seq(10L), s"got $batches")
+  }
+
+  test("startingVersion=latest skips pre-stream history; missing " +
+      "commits fail instead of losing rows") {
+    val dir = TestSpark.tmpDir("stream-latest")
+    val src = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 10)) // pre-stream: must NOT be emitted
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(opts: Map[String, String], ckpt: String): Unit = {
+      val reader = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.select("k").as[Long].collect() }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val ckpt = TestSpark.tmpDir("stream-latest-ckpt")
+    runOnce(Map("startingVersion" -> "latest"), ckpt)
+    assert(got.isEmpty, s"latest must skip history, got $got")
+
+    // tailing after the anchor needs a RUNNING stream (each AvailableNow
+    // restart without a committed offset re-anchors to the new latest)
+    val reader = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("startingVersion", "latest")
+    val q = reader.load().writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("stream-latest-ckpt2"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("k").as[Long].collect() }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      // wait for the source to anchor, then commit new data
+      q.processAllAvailable()
+      t.append(src.filter($"k" > 10))
+      val deadline = System.currentTimeMillis() + 60000
+      while (got.synchronized(got.size) < 10 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    assert(got.toSet == (11L to 20L).toSet, got)
+
+    // a vacuumed/compacted-away commit must fail the tail loudly
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.delta.Storage.fs(root,
+      spark.sessionState.newHadoopConf())
+    fs.delete(graft.delta.FileNames.commitFile(
+      graft.delta.FileNames.logDir(root), 1L), false)
+    val ex = intercept[Exception] {
+      runOnce(Map("startingVersion" -> "0"),
+        TestSpark.tmpDir("stream-miss-ckpt"))
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(e =>
+        e.getMessage != null && e.getMessage.contains("missing")), ex)
+  }
+
+  test("default CDF mode: snapshot rows arrive as inserts, then " +
+      "row-level changes") {
+    val dir = TestSpark.tmpDir("cdfsnap")
+    val ckpt = TestSpark.tmpDir("cdfsnap-ckpt")
+    val src = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(
+        graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)            // v1, pre-stream
+    t.deleteWhere("k <= 3")  // v2, pre-stream
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows.synchronized {
+            df.groupBy("_change_type").count().collect().foreach(r =>
+              rows += ((r.getString(0), r.getLong(1))))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // snapshot at v2 = 17 live rows as inserts
+    assert(rows.toMap == Map("insert" -> 17L), rows)
+    rows.clear()
+    t.deleteWhere("k <= 6") // post-stream: row-level deletes tail
+    runOnce()
+    assert(rows.toMap == Map("delete" -> 3L), rows)
   }
 
   test("windowed aggregation with watermark over the delta stream") {
