@@ -267,16 +267,38 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   def optimizeClustered(): Long = {
     val snap = snapshot()
-    writerGate(snap, mutating = false)
     val clusterCols = Clustering.columns(snap)
     require(clusterCols.nonEmpty,
       s"table at $pathStr has no clustering columns")
+    optimizeRewrite(snap, df => df,
+      Map("clusterBy" -> clusterCols.mkString(",")))
+  }
+
+  /** Bin-packing OPTIMIZE for any table: rewrite the live file set
+    * into ~`targetFileBytes`-sized files (small-file compaction — the
+    * cure for streaming-ingest file explosions). dataChange=false.
+    */
+  def optimizeCompact(targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val snap = snapshot()
+    val totalBytes = new DeltaScan(snap, None)
+      .collectAddFiles(slim = true).map(_.size).sum
+    val numFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    optimizeRewrite(snap, df => df.repartition(numFiles),
+      Map("targetFileBytes" -> targetFileBytes.toString))
+  }
+
+  private def optimizeRewrite(snap: Snapshot,
+      layout: DataFrame => DataFrame,
+      params: Map[String, String]): Long = {
+    writerGate(snap, mutating = false)
     require(!RowTracking.enabled(snap.metadata),
       "OPTIMIZE on a row-tracking table requires materialized row ids, " +
         "which this engine does not write yet")
     val existing = new DeltaScan(snap, None).collectAddFiles()
     if (existing.isEmpty) return snap.version
-    val staged = stageFiles(readFiles(snap, existing), snap)
+    val staged = stageFiles(layout(readFiles(snap, existing)), snap)
     val removes = existing.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = false,
         extendedFileMetadata = Some(true),
@@ -285,8 +307,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     }
     val adds = staged.map(_.copy(dataChange = false))
     val lines =
-      Seq(commitInfoLine("OPTIMIZE",
-        Map("clusterBy" -> clusterCols.mkString(",")), ictFor(snap))) ++
+      Seq(commitInfoLine("OPTIMIZE", params, ictFor(snap))) ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)

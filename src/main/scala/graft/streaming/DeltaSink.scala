@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.{DataFrame, SQLContext}
+
+import graft.delta.{DeltaTable, SetTransaction, Snapshot}
+
+/** Structured Streaming sink writing microbatches into a Delta table
+  * with EXACTLY-ONCE semantics: every committed batch carries a
+  * SetTransaction marker (appId = the streaming query id, version =
+  * batchId), and a replayed batch whose id is at or below the recorded
+  * marker is skipped — the idempotent-writer contract the reference
+  * implements via `txn` actions (actions/set_transaction.rs) put to
+  * its intended use.
+  *
+  * The table is created from the first batch's schema when absent.
+  * Append output mode only: a Delta table is not a keyed store;
+  * Complete/Update semantics belong to CDF-producing upserts.
+  */
+class DeltaSink(
+    sqlContext: SQLContext,
+    tablePath: String,
+    outputMode: OutputMode) extends Sink {
+
+  require(outputMode == OutputMode.Append(),
+    s"graft-delta sink supports Append output mode only, got $outputMode")
+
+  private val spark = sqlContext.sparkSession
+
+  private def queryId: String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(throw new IllegalStateException(
+        "no streaming query id in task context"))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is streaming-planned; rewrap its rows as a
+    // batch DataFrame before handing it to the transactional writer
+    val batchDF = StreamingShim.internalCreateBatchDF(
+      sqlContext, data.queryExecution.toRdd, data.schema)
+    if (!DeltaTable.isDeltaTable(spark, tablePath))
+      DeltaTable.create(spark, tablePath, data.schema)
+    val t = DeltaTable.forPath(spark, tablePath)
+    val snap = Snapshot.forTable(spark, tablePath)
+    val app = queryId
+    val already = snap.setTransactions
+      .find(_.appId == app).map(_.version)
+    if (already.exists(_ >= batchId)) return // replay after restart
+    t.appendFrom(snap, batchDF, txn = Some(SetTransaction(
+      app, batchId, Some(System.currentTimeMillis()))))
+    ()
+  }
+}

@@ -214,9 +214,22 @@ object DeltaSource {
 }
 
 /** `.format("graft-delta")` / `.format(classOf[DeltaSourceProvider].getName)` */
-class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class DeltaSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    new DeltaSink(sqlContext, path, outputMode)
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,

@@ -17,6 +17,14 @@ object StreamingShim {
     sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Rewrap a microbatch's rows as a BATCH DataFrame (isStreaming off)
+    * so a sink can hand them to a transactional batch writer.
+    */
+  def internalCreateBatchDF(sqlContext: SQLContext,
+      rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Build a DataFrame over a hand-constructed logical plan (the
     * custom-FileIndex relation) — `Dataset.ofRows` is private[sql].
     */

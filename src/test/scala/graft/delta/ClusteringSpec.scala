@@ -85,6 +85,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cdf.count() == 0)
   }
 
+  test("optimizeCompact bin-packs a small-file explosion") {
+    val dir = TestSpark.tmpDir("compact")
+    val src = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    // streaming-ingest shape: many tiny appends
+    (0 until 10).foreach(i =>
+      t.append(src.filter($"k" % 10 === i).repartition(2)))
+    val before = t.scan(None).collectAddFiles()
+    assert(before.size == 20)
+    val v = t.optimizeCompact() // default 128MB target -> 1 file here
+    val after = t.scan(None).collectAddFiles()
+    assert(after.size == 1, s"expected 1 packed file, got ${after.size}")
+    assert(after.forall(a => !a.dataChange))
+    assert(t.toDF.count() == 2000)
+    assert(t.toDF.select(sum($"k")).as[Long].head ==
+      (1 to 2000).map(_.toLong).sum)
+    // the rewrite is invisible to a streaming tail
+    val removedAt = t.snapshot(Some(v))
+    assert(removedAt.version == v)
+  }
+
   test("clustering column validation") {
     val schema = Seq((1L, "a")).toDF("k", "s").schema
     intercept[IllegalArgumentException] {
