@@ -495,6 +495,60 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   private def readFiles(snap: Snapshot, adds: Seq[AddFile]): DataFrame =
     new DeltaScan(snap, None).assemble(adds, keepMeta = false)
 
+  /** UPDATE SET ... WHERE ...: files containing matching rows are
+    * rewritten with the assignments applied (reference
+    * transaction/update.rs file-granular path); untouched files stay.
+    * With CDF enabled the commit stages update_preimage /
+    * update_postimage `_change_data` rows, so the feed reads row-level
+    * updates rather than delete-all + insert-all.
+    */
+  def updateWhere(predicateSql: String, set: Map[String, String]): Long = {
+    val snap = snapshot()
+    writerGate(snap, mutating = true)
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"no such column '$c'"))
+    require(set.keys.toSet.intersect(snap.partitionColumns.toSet).isEmpty,
+      "updating a partition column is not supported")
+    val scan = new DeltaScan(snap, Some(predicateSql))
+    val candidates = scan.collectAddFiles()
+    if (candidates.isEmpty) return snap.version
+
+    val full = readFiles(snap, candidates)
+    val cdf = TableChanges.cdfEnabled(snap.metadata)
+    full.persist()
+    val matched = full.filter(coalesce(expr(predicateSql), lit(false)))
+    val applied = matched.select(snap.schema.fields.map { f =>
+      set.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
+        .getOrElse(ColumnMapping.qcol(f.name))
+    }.toIndexedSeq: _*)
+    val survivors = full.filter(
+      not(coalesce(expr(predicateSql), lit(false))))
+    val newAdds = stageFiles(survivors.unionByName(applied), snap)
+    val cdcActions =
+      if (!cdf) Nil
+      else stageCdcFiles(matched, snap, "update_preimage") ++
+        stageCdcFiles(applied, snap, "update_postimage")
+    full.unpersist()
+    val removes = candidates.map { a =>
+      RemoveFile(a.path, Some(now()), dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
+    }
+    val lines =
+      Seq(commitInfoLine("UPDATE", Map("predicate" -> predicateSql),
+        ictFor(snap))) ++
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+      cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed, newAdds.map(_.size),
+      candidates.map(_.size))
+    committed
+  }
+
   /** DELETE WHERE via deletion vectors (reference
     * transaction/update.rs:275-812): no data rewrite — matching row
     * indexes are merged into each file's bitmap, committed as

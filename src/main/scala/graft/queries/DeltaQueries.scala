@@ -236,6 +236,27 @@ object DeltaQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // UPDATE: rewrite with assignments + CDF pre/post images — the
+    // oracle mirrors the update commit's change feed
+    "q_delta_update" -> ((s, d) => {
+      val dir = tmp("upd")
+      val src = li(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)                                              // v1
+      t.updateWhere("l_quantity < 3",
+        Map("l_quantity" -> "l_quantity + 100"))                 // v2
+      TableChanges.read(s, dir, 2, Some(2))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("_change_type"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("_change_type"))
+    }),
+
     // clustered table: interleaved appends, OPTIMIZE into disjoint
     // range-sorted files, range read benefits from min/max skipping
     "q_delta_clustered" -> ((s, d) => {
@@ -263,6 +284,20 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 20 AND l_orderkey >= 1000 AND l_orderkey < 3000
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_update" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) < 10)
+        |SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         'update_preimage' AS _change_type
+        |  FROM src WHERE l_quantity < 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 100,
+        |         'update_postimage'
+        |  FROM src WHERE l_quantity < 3)
+        |ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
 
     "q_delta_partition_prune" ->
       s"""SELECT $cols FROM lineitem

@@ -108,6 +108,44 @@ class TableChangesSpec extends AnyFunSuite {
       src.filter($"l_quantity" >= 2).count())
   }
 
+  test("updateWhere: rewrite applies assignments; CDF carries pre/post " +
+      "images; net changes keep the post-image") {
+    val dir = TestSpark.tmpDir("upd")
+    val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(2)) // v1
+    val v = t.updateWhere("k <= 2", Map("v" -> "v * 10", "s" -> "'up'"))
+    assert(v == 2L)
+
+    // final state
+    assert(t.toDF.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "up", 100.0), (2L, "up", 200.0),
+        (3L, "c", 30.0), (4L, "d", 40.0)))
+    // untouched rows in untouched FILES are not rewritten? (file-
+    // granular: both files matched here; just assert counts)
+    assert(t.toDF.count() == 4)
+
+    // CDF of the update commit: pre/post image pairs
+    val cdf = TableChanges.read(spark, dir, 2, Some(2))
+      .select($"k", $"v", $"_change_type")
+      .as[(Long, Double, String)].collect().sorted.toSeq
+    assert(cdf == Seq(
+      (1L, 10.0, "update_preimage"), (1L, 100.0, "update_postimage"),
+      (2L, 20.0, "update_preimage"), (2L, 200.0, "update_postimage")))
+
+    // net changes over [1,2]: updated keys surface the POST-image
+    val net = TableChanges.netChanges(
+      TableChanges.read(spark, dir, 1, Some(2)), Seq("k"))
+      .select($"k", $"v", $"_change_type")
+      .as[(Long, Double, String)].collect().sorted.toSeq
+    assert(net == Seq((1L, 100.0, "update_postimage"),
+      (2L, 200.0, "update_postimage"),
+      (3L, 30.0, "insert"), (4L, 40.0, "insert")))
+  }
+
   test("CDF range spans a compatible add-column commit, NULL pre-change") {
     val dir = TestSpark.tmpDir("cdf-evolve")
     val src1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
