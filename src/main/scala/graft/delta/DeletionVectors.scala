@@ -38,18 +38,30 @@ object DeletionVectors {
   }
 
   def z85Encode(bytes: Array[Byte]): String = {
-    require(bytes.length % 4 == 0, "z85 input must be 4-byte aligned")
-    val sb = new StringBuilder(bytes.length / 4 * 5)
+    val full = bytes.length / 4 * 4
+    val k = bytes.length - full
+    val sb = new StringBuilder((bytes.length + 3) / 4 * 5)
     var i = 0
-    while (i < bytes.length) {
+    while (i < full) {
       var v = 0L
       var j = 0
       while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
       val out = new Array[Char](5)
-      var k = 4
-      while (k >= 0) { out(k) = Z85_CHARS((v % 85).toInt); v /= 85; k -= 1 }
+      var c = 4
+      while (c >= 0) { out(c) = Z85_CHARS((v % 85).toInt); v /= 85; c -= 1 }
       sb.appendAll(out)
       i += 4
+    }
+    // tail-padding convention (see z85Decode): (4-k) '#' markers +
+    // (k+1) chars of the last k bytes' big-endian value
+    if (k != 0) {
+      var v = 0L
+      while (i < bytes.length) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+      val out = new Array[Char](k + 1)
+      var c = k
+      while (c >= 0) { out(c) = Z85_CHARS((v % 85).toInt); v /= 85; c -= 1 }
+      sb.appendAll(Array.fill(4 - k)('#'))
+      sb.appendAll(out)
     }
     sb.toString
   }
@@ -247,6 +259,29 @@ object DeletionVectors {
   }
 
   // ---------------- descriptor write ----------------
+
+  /** Bitmaps at or below this raw size (magic included) are stored
+    * INLINE in the log instead of a separate `.bin` file — a small
+    * DELETE then costs zero extra storage objects.
+    */
+  val INLINE_MAX_BYTES: Int = 512
+
+  /** An 'i' descriptor embedding the bitmap in the log line. */
+  def inlineDescriptor(bitmap: Array[Byte],
+      cardinality: Long): DeletionVectorDescriptor = {
+    val data = new Array[Byte](bitmap.length + 4)
+    data(0) = (PORTABLE_MAGIC & 0xff).toByte // LE magic
+    data(1) = ((PORTABLE_MAGIC >> 8) & 0xff).toByte
+    data(2) = ((PORTABLE_MAGIC >> 16) & 0xff).toByte
+    data(3) = ((PORTABLE_MAGIC >> 24) & 0xff).toByte
+    System.arraycopy(bitmap, 0, data, 4, bitmap.length)
+    DeletionVectorDescriptor(
+      storageType = "i",
+      pathOrInlineDv = z85Encode(data),
+      offset = None,
+      sizeInBytes = data.length,
+      cardinality = cardinality)
+  }
 
   /** Write one DV file holding a bitmap per input file; returns
     * descriptors keyed like the input. Packs all DVs into a single

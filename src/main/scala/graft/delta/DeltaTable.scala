@@ -609,9 +609,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           case None => (p, bytes, matched)
         }
     }
+    // small bitmaps inline into the log line (no extra storage object
+    // per DELETE); larger ones pack into one deletion_vector file
+    val (inlineSized, fileSized) = merged.partition {
+      case (_, bytes, _) => bytes.length + 4 <= DeletionVectors.INLINE_MAX_BYTES
+    }
     val descs =
-      if (merged.isEmpty) Map.empty[String, DeletionVectorDescriptor]
-      else DeletionVectors.writeBitmaps(merged, root, conf)
+      inlineSized.map { case (p, bytes, card) =>
+        p -> DeletionVectors.inlineDescriptor(bytes, card)
+      }.toMap ++
+      (if (fileSized.isEmpty) Map.empty[String, DeletionVectorDescriptor]
+       else DeletionVectors.writeBitmaps(fileSized, root, conf))
 
     def removeOf(a: AddFile): RemoveFile = RemoveFile(
       a.path, Some(now()), dataChange = true,

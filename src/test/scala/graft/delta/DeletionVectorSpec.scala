@@ -105,6 +105,46 @@ class DeletionVectorSpec extends AnyFunSuite {
       dvStats.forall(_.contains("\"tightBounds\":false")))
   }
 
+  test("z85 tail-padding round trip for every length 0..64") {
+    val rnd = new scala.util.Random(42)
+    (0 to 64).foreach { n =>
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val enc = DeletionVectors.z85Encode(bytes)
+      assert(enc.length == (n + 3) / 4 * 5)
+      val dec = DeletionVectors.z85Decode(enc, n)
+      assert(java.util.Arrays.equals(dec, bytes), s"length $n")
+    }
+  }
+
+  test("small DV deletes inline into the log: no extra storage object") {
+    val dir = TestSpark.tmpDir("dvinline")
+    val src = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(1))
+    t.deleteWhereDV("k <= 7") // tiny bitmap -> inline descriptor
+    val adds = t.scan(None).collectAddFiles()
+    val dv = adds.flatMap(_.deletionVector)
+    assert(dv.nonEmpty && dv.forall(_.storageType == "i"), dv)
+    assert(dv.map(_.cardinality).sum == 7)
+    // no deletion_vector_*.bin appeared
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val binFiles = Storage.listFilesRecursive(fs,
+      new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("deletion_vector_"))
+    assert(binFiles.isEmpty)
+    // reads respect the inline mask; a second DV delete merges into it
+    assert(t.toDF.count() == 993)
+    t.deleteWhereDV("k <= 12")
+    assert(t.toDF.count() == 988)
+    assert(t.toDF.filter($"k" <= 12).count() == 0)
+    // CDF-style swap resolution handles the inline pre/post pair
+    val latest = t.scan(None).collectAddFiles()
+      .flatMap(_.deletionVector)
+    assert(latest.forall(_.storageType == "i"))
+  }
+
   test("orBitmaps merges at bitmap level") {
     val a = DeletionVectors.serializeBitmap(Array(1L, 5L, (1L << 34) + 1))
     val b = DeletionVectors.serializeBitmap(Array(2L, 5L))

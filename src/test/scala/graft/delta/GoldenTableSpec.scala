@@ -148,6 +148,33 @@ class GoldenTableSpec extends AnyFunSuite {
     test(s"golden: $name") { check(name) }
   }
 
+  test("golden: checkpoint (snapshot at v14, all files behind the " +
+      "checkpoint)") {
+    // reference checkpoint_test: version 14, one scan-metadata batch
+    val root = fixture("checkpoint")
+    val t = DeltaTable.forPath(spark, root.resolve("delta").toString)
+    val snap = t.snapshot()
+    assert(snap.version == 14L)
+    assert(snap.segment.checkpointVersion.isDefined)
+    assert(new DeltaScan(snap, None).collectAddFiles().nonEmpty)
+  }
+
+  test("golden: time travel by version across " +
+      "time-travel-start-start20-start40") {
+    // the table accreted in three batches; each version's row count is
+    // the prefix of appends up to it
+    val root = fixture("time-travel-start-start20-start40")
+    val t = DeltaTable.forPath(spark, root.resolve("delta").toString)
+    val counts = (0L to t.snapshot().version)
+      .map(v => t.snapshot(Some(v)).toDF.count())
+    assert(counts == counts.sorted, s"accreting counts: $counts")
+    assert(counts.distinct.size == counts.size,
+      s"each version adds rows: $counts")
+    // the latest version equals the expected parquet
+    assert(counts.last == spark.read
+      .parquet(root.resolve("expected").toString).count())
+  }
+
   // corrupt logs must fail loudly, never return partial/empty data
   // (reference negative_test! list)
   private val negativeTables = Seq(
