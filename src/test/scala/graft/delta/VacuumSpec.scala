@@ -34,12 +34,13 @@ class VacuumSpec extends AnyFunSuite {
 
   test("vacuum never deletes a live DV file written under a random prefix") {
     val dir = TestSpark.tmpDir("vacdv")
-    val src = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    val src = (1 to 50000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
     DeltaTable.create(spark, dir, src.schema, configuration =
       Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
     val t = DeltaTable.forPath(spark, dir)
     t.append(src.repartition(1))
-    t.deleteWhereDV("k <= 10") // v2: partial delete -> DV at table root
+    // scattered deletions -> bitmap too large to inline -> DV FILE
+    t.deleteWhereDV("k % 3 = 0")
 
     // simulate a writer that used a random directory prefix (delta-spark
     // randomPrefixLength): move the DV file under ab/ and patch the
@@ -61,7 +62,7 @@ class VacuumSpec extends AnyFunSuite {
 
     Thread.sleep(50)
     val before = t.toDF.orderBy("k").collect().toSeq
-    assert(before.size == 30)
+    assert(before.size == 50000 - 50000 / 3)
     assert(!t.vacuum(dryRun = true).exists(_.contains("deletion_vector")))
     t.vacuum()
     // the live prefixed DV survived; the table reads identically
