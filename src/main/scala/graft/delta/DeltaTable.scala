@@ -1036,6 +1036,50 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     v
   }
 
+  /** RESTORE TABLE TO VERSION: one commit re-adding the target
+    * version's file set and tombstoning everything newer — pure log
+    * arithmetic, no data movement (files must still exist, i.e. not
+    * vacuumed). Also restores the target's metadata when it differs.
+    */
+  def restore(version: Long): Long = {
+    val snap = snapshot()
+    require(version <= snap.version,
+      s"cannot restore to future version $version (latest ${snap.version})")
+    if (version == snap.version) return snap.version
+    writerGate(snap, mutating = true)
+    val target = snapshot(Some(version))
+    def key(a: AddFile) =
+      a.path + "@" + a.deletionVector.map(_.uniqueId).getOrElse("")
+    val current = new DeltaScan(snap, None).collectAddFiles()
+      .map(a => key(a) -> a).toMap
+    val wanted = new DeltaScan(target, None).collectAddFiles()
+      .map(a => key(a) -> a).toMap
+    val removes = (current.keySet -- wanted.keySet).toSeq.sorted.map { k =>
+      val a = current(k)
+      RemoveFile(a.path, Some(now()), dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
+    }
+    val adds = (wanted.keySet -- current.keySet).toSeq.sorted
+      .map(k => wanted(k).copy(dataChange = true))
+    val metaLine =
+      if (target.metadata.schemaString == snap.metadata.schemaString &&
+          target.metadata.configuration == snap.metadata.configuration) Nil
+      else Seq(JsonLog.writeAction(SingleAction(metaData =
+        Some(target.metadata))))
+    val lines =
+      Seq(commitInfoLine("RESTORE", Map("version" -> version.toString),
+        ictFor(snap))) ++ metaLine ++
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    maybeWriteChecksum(committed, adds.map(_.size),
+      removes.map(_.size.getOrElse(0L)),
+      newMeta = if (metaLine.nonEmpty) Some(target.metadata) else None)
+    committed
+  }
+
   // ---------------- vacuum ----------------
 
   /** Delete data files no longer referenced by the current snapshot

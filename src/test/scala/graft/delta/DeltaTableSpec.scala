@@ -184,6 +184,33 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(t.toDF.count() == 40)
   }
 
+  test("restore rewinds the live set and metadata by pure log " +
+      "arithmetic") {
+    val dir = TestSpark.tmpDir("restore")
+    val src = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 50))  // v1
+    t.append(src.filter($"k" > 50))   // v2
+    t.deleteWhere("k % 2 = 0")        // v3
+    t.setProperties(Map("custom.x" -> "y")) // v4
+
+    val v = t.restore(1L)             // v5
+    assert(v == 5L)
+    assert(sortedCollect(t.toDF) ==
+      sortedCollect(t.snapshot(Some(1L)).toDF))
+    assert(t.toDF.count() == 50)
+    // the restored metadata drops the later property
+    assert(!t.snapshot().metadata.configuration.contains("custom.x"))
+    // restore is itself a version: travelling back to v3 still works
+    assert(t.snapshot(Some(3L)).toDF.count() == 50)
+    // restoring to the latest is a no-op
+    assert(t.restore(5L) == 5L)
+    // the restore commit reads as inserts/deletes in a file-level diff
+    val diff = IncrementalScan.fileDiff(spark, dir, 4, 5).collect()
+    assert(diff.nonEmpty)
+  }
+
   test("versionAtTimestamp finds latest commit <= ts") {
     val dir = TestSpark.tmpDir("ts")
     val src = li.limit(5)
