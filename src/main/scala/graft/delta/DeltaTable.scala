@@ -281,6 +281,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   def optimizeCompact(targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val snap = snapshot()
+    // a clustered table's staging already range-partitions on the
+    // cluster key — adding a hash repartition first would just be a
+    // wasted extra shuffle
+    if (Clustering.columns(snap).nonEmpty) return optimizeClustered()
     val totalBytes = new DeltaScan(snap, None)
       .collectAddFiles(slim = true).map(_.size).sum
     val numFiles = math.max(1L,

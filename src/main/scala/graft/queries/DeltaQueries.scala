@@ -236,6 +236,20 @@ object DeltaQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // RESTORE: delete half, then rewind — the final read must equal the
+    // pre-delete state exactly
+    "q_delta_restore" -> ((s, d) => {
+      val src = li(s, d).filter(col("l_quantity") < 15)
+      val dir = tmp("restore")
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 7))   // v1
+      t.append(src.filter(col("l_quantity") >= 7))  // v2
+      t.deleteWhere("l_quantity < 5")               // v3
+      t.restore(2L)                                 // v4: rewind
+      ordered(t.toDF)
+    }),
+
     // UPDATE: rewrite with assignments + CDF pre/post images — the
     // oracle mirrors the update commit's change feed
     "q_delta_update" -> ((s, d) => {
@@ -283,6 +297,10 @@ object DeltaQueries {
     "q_delta_clustered" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 20 AND l_orderkey >= 1000 AND l_orderkey < 3000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_restore" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 15
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_update" ->
