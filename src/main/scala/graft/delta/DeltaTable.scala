@@ -479,9 +479,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       else Nil
     if (cdf) full.unpersist()
     val removes = candidates.map { a =>
+      // the tombstone MUST carry the candidate's DV descriptor: the
+      // replay dedup key is (path, dvUniqueId), so a DV-less remove
+      // would never shadow a DV-carrying add — its rows would resurrect
       RemoveFile(a.path, Some(now()), dataChange = true,
         extendedFileMetadata = Some(true),
-        partitionValues = Some(a.partitionValues), size = Some(a.size))
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
     }
     val lines =
       Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql),

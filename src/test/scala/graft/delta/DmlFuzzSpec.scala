@@ -1,0 +1,98 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Randomized DML sequences verified against an in-memory model after
+  * EVERY commit: append / rewrite-delete / DV-delete / update /
+  * checkpoint / compaction / OPTIMIZE / restore compose in arbitrary
+  * order and the table must read exactly like the model at each step —
+  * including model rollback on restore. Fixed seed: reproducible.
+  */
+class DmlFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("randomized DML sequence matches the model at every version") {
+    val rnd = new scala.util.Random(7)
+    val dir = TestSpark.tmpDir("fuzz")
+    val schema = Seq((0L, 0.0)).toDF("k", "v").schema
+    DeltaTable.create(spark, dir, schema, configuration =
+      Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+
+    var model = Vector.empty[(Long, Double)]
+    var nextK = 0L
+    // model state at each committed version (restore targets)
+    val history = scala.collection.mutable.Map(0L -> model)
+    var version = 0L
+
+    def record(v: Long): Unit = { version = v; history(v) = model }
+
+    def checkTable(context: String): Unit = {
+      val got = t.toDF.select($"k", $"v").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(got == model.sorted.toSeq,
+        s"$context diverged at version $version: " +
+          s"got ${got.take(5)}... model ${model.sorted.take(5)}...")
+    }
+
+    (1 to 24).foreach { step =>
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 | 2 => // append a fresh batch
+          val n = 20 + rnd.nextInt(80)
+          val rows = (nextK until nextK + n)
+            .map(k => (k, (k % 13).toDouble))
+          nextK += n
+          val v = t.append(rows.toDF("k", "v").repartition(
+            1 + rnd.nextInt(3)))
+          model = model ++ rows
+          record(v)
+        case 3 => // rewrite delete
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          val v = t.deleteWhere(s"k % $m = $r")
+          model = model.filterNot { case (k, _) => k % m == r }
+          record(v)
+        case 4 => // DV delete
+          val c = rnd.nextInt(math.max(1, nextK.toInt))
+          val v = t.deleteWhereDV(s"k < $c AND v > 5")
+          model = model.filterNot { case (k, vv) => k < c && vv > 5 }
+          record(v)
+        case 5 => // update
+          val c = rnd.nextInt(math.max(1, nextK.toInt))
+          val v = t.updateWhere(s"k >= $c AND v < 4",
+            Map("v" -> "v + 100"))
+          model = model.map { case (k, vv) =>
+            if (k >= c && vv < 4) (k, vv + 100) else (k, vv)
+          }
+          record(v)
+        case 6 => // checkpoint (no data change)
+          t.checkpoint(); history(version) = model
+        case 7 => // compaction / optimize (no data change)
+          if (rnd.nextBoolean()) record(t.optimizeCompact())
+          else try { t.compactLog(math.max(1, version - 2), version); () }
+            catch { case _: IllegalStateException => () } // range exists
+        case 8 => // restore to a random earlier version
+          val targets = history.keys.filter(_ < version)
+          if (targets.nonEmpty) {
+            val target = targets.toSeq(rnd.nextInt(targets.size))
+            val v = t.restore(target)
+            model = history(target)
+            record(v)
+          }
+        case 9 => // no-op ops must not corrupt anything
+          record(t.setProperties(Map(s"fuzz.step" -> step.toString)))
+      }
+      checkTable(s"step $step (op $op)")
+    }
+    // the log survives a final checkpoint + full reread from scratch
+    t.checkpoint()
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.toDF.select($"k", $"v").as[(Long, Double)]
+      .collect().sorted.toSeq == model.sorted.toSeq)
+  }
+}
