@@ -15,8 +15,13 @@ class DmlFuzzSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("randomized DML sequence matches the model at every version") {
-    val rnd = new scala.util.Random(7)
+  Seq((7, 24), (23, 14)).foreach { case (seed, steps) =>
+    test(s"randomized DML sequence matches the model at every version " +
+        s"(seed $seed)") { run(seed, steps) }
+  }
+
+  private def run(seed: Int, steps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
     val dir = TestSpark.tmpDir("fuzz")
     val schema = Seq((0L, 0.0)).toDF("k", "v").schema
     DeltaTable.create(spark, dir, schema, configuration =
@@ -39,7 +44,7 @@ class DmlFuzzSpec extends AnyFunSuite {
           s"got ${got.take(5)}... model ${model.sorted.take(5)}...")
     }
 
-    (1 to 24).foreach { step =>
+    (1 to steps).foreach { step =>
       val op = rnd.nextInt(10)
       op match {
         case 0 | 1 | 2 => // append a fresh batch
@@ -73,7 +78,7 @@ class DmlFuzzSpec extends AnyFunSuite {
         case 6 => // checkpoint (no data change)
           t.checkpoint(); history(version) = model
         case 7 => // compaction / optimize (no data change)
-          if (rnd.nextBoolean()) record(t.optimizeCompact())
+          if (rnd.nextBoolean() || version < 1) record(t.optimizeCompact())
           else try { t.compactLog(math.max(1, version - 2), version); () }
             catch { case _: IllegalStateException => () } // range exists
         case 8 => // restore to a random earlier version
