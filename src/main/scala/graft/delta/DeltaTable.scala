@@ -1056,8 +1056,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     if (version == snap.version) return snap.version
     writerGate(snap, mutating = true)
     val target = snapshot(Some(version))
-    def key(a: AddFile) =
-      a.path + "@" + a.deletionVector.map(_.uniqueId).getOrElse("")
+    def key(a: AddFile) = Storage.canonicalPathKey(a.path) + "@" +
+      a.deletionVector.map(_.uniqueId).getOrElse("")
     val current = new DeltaScan(snap, None).collectAddFiles()
       .map(a => key(a) -> a).toMap
     val wanted = new DeltaScan(target, None).collectAddFiles()
@@ -1186,7 +1186,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           val a = n.get(side)
           val dvId = Option(a.get("deletionVector")).filterNot(_.isNull)
             .map(RowCodec.jsonToDv).map(_.uniqueId).getOrElse("")
-          val key = a.get("path").asText + "@" + dvId
+          val key = Storage.canonicalPathKey(a.get("path").asText) +
+            "@" + dvId
           if (seen.add(key)) fileLines += line
         }
       }

@@ -96,12 +96,14 @@ class Snapshot(
       .cast("long")
 
   /** DV-aware dedup key (reference log_replay/deduplicator.rs:153
-    * FileActionKey{path, dv_unique_id}).
+    * FileActionKey{path, dv_unique_id}); the path CANONICALIZES first
+    * so a remove naming `file:/p` shadows an add naming `/p`.
     */
   private def keyExpr(side: String): Column = {
     val dv = col(s"$side.deletionVector")
     concat(
-      col(s"$side.path"), lit("@"),
+      regexp_replace(col(s"$side.path"),
+        Storage.URI_PREFIX_REGEX, ""), lit("@"),
       when(dv.isNull, lit("")).otherwise(concat(
         dv.getField("storageType"), dv.getField("pathOrInlineDv"),
         coalesce(dv.getField("offset").cast("string"), lit("")))))
@@ -205,11 +207,13 @@ class Snapshot(
           val addN = n.get("add"); val remN = n.get("remove")
           if (addN != null && !addN.isNull) {
             val a = RowCodec.jsonToAdd(addN)
-            val key = a.path + "@" + a.deletionVector.map(_.uniqueId).getOrElse("")
+            val key = Storage.canonicalPathKey(a.path) + "@" +
+              a.deletionVector.map(_.uniqueId).getOrElse("")
             if (seen.add(key)) out += ((a, LogSegment.endVersion(c)))
           } else if (remN != null && !remN.isNull) {
             val r = RowCodec.jsonToRemove(remN)
-            val key = r.path + "@" + r.deletionVector.map(_.uniqueId).getOrElse("")
+            val key = Storage.canonicalPathKey(r.path) + "@" +
+              r.deletionVector.map(_.uniqueId).getOrElse("")
             seen.add(key)
           }
         }

@@ -67,6 +67,19 @@ object Storage {
     try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
     catch { case _: IllegalArgumentException => p }
 
+  /** Scheme/authority prefix of a URI-shaped path (for canonical
+    * replay keys: `/p`, `file:/p` and `file:///p` all name one file).
+    */
+  val URI_PREFIX_REGEX = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?"
+
+  /** Canonical form of an action path for replay dedup matching —
+    * scheme/authority stripped, escapes untouched (the delta-spark
+    * canonicalization the reference's canonicalized-paths golden
+    * tables pin; their own kernel still fails them).
+    */
+  def canonicalPathKey(p: String): String =
+    p.replaceFirst(URI_PREFIX_REGEX, "")
+
   /** Commit-path atomicity: put-if-absent (reference
     * committer/filesystem.rs:31-115; lib.rs:636-642 `put` contract).
     * On HDFS/ABFS `create(overwrite=false)` is atomic; on local FS the

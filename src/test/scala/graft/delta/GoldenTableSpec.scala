@@ -175,6 +175,23 @@ class GoldenTableSpec extends AnyFunSuite {
       .parquet(root.resolve("expected").toString).count())
   }
 
+  // the reference's own kernel still FAILS these four (skip_test! "BUG:
+  // path canonicalization"); its intended semantics
+  // (canonicalized_paths_test): `/p`, `file:/p` and `file:///p` name
+  // the same file, so the remove cancels the add — version 1, an EMPTY
+  // live set
+  Seq("canonicalized-paths-normal-a", "canonicalized-paths-normal-b",
+      "canonicalized-paths-special-a", "canonicalized-paths-special-b")
+    .foreach { name =>
+      test(s"golden: $name (the reference itself cannot pass this)") {
+        val root = fixture(name)
+        val t = DeltaTable.forPath(spark, root.resolve("delta").toString)
+        val snap = t.snapshot()
+        assert(snap.version == 1L)
+        assert(new DeltaScan(snap, None).collectAddFiles().isEmpty)
+      }
+    }
+
   // corrupt logs must fail loudly, never return partial/empty data
   // (reference negative_test! list)
   private val negativeTables = Seq(
