@@ -526,11 +526,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     val cdf = TableChanges.cdfEnabled(snap.metadata)
     full.persist()
     val matched = full.filter(coalesce(expr(predicateSql), lit(false)))
-    val applied = matched.select(snap.schema.fields.map { f =>
+    val assigned = matched.select(snap.schema.fields.map { f =>
       set.get(f.name)
         .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
         .getOrElse(ColumnMapping.qcol(f.name))
     }.toIndexedSeq: _*)
+    // generated columns recompute from the post-assignment row (the
+    // stored value is stale once a base column changes and would trip
+    // the staging guard); explicit assignments to them still win
+    val regen = WriteValidation.generated(snap) -- set.keys
+    val applied =
+      if (regen.isEmpty) assigned
+      else assigned.select(snap.schema.fields.map { f =>
+        regen.get(f.name)
+          .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
+          .getOrElse(ColumnMapping.qcol(f.name))
+      }.toIndexedSeq: _*)
     val survivors = full.filter(
       not(coalesce(expr(predicateSql), lit(false))))
     val newAdds = stageFiles(survivors.unionByName(applied), snap)

@@ -83,9 +83,11 @@ object IdentityColumns {
     val ids = specs(snap.schema).filter(s => suppliedCols.contains(s.name))
     if (ids.isEmpty) return Map.empty
     ids.flatMap { s =>
+      // stats keys are PHYSICAL names on column-mapped tables
+      val statsKey = ColumnMapping.physicalName(snap.schema(s.name))
       val bounds = adds.flatMap(_.stats).map(JsonLog.parseLine).flatMap { n =>
         val side = if (s.step > 0) "maxValues" else "minValues"
-        val v = n.path(side).path(s.name)
+        val v = n.path(side).path(statsKey)
         if (v.isIntegralNumber) Some(v.asLong) else None
       }
       if (bounds.isEmpty) None

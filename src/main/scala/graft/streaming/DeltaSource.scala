@@ -83,8 +83,21 @@ class DeltaSource(
 
   /** Highest version already handed out (rate-limit bookkeeping). */
   private var lastOffered: Long = startingVersion - 1
+  /** Version delivered (or to be delivered) as a full snapshot, so
+    * later offsets at that version keep a stable JSON encoding.
+    */
+  private var snapshotVersion: Option[Long] =
+    if (initialSnapshotMode) Some(initialSnapshot.version) else None
 
   override def getOffset: Option[Offset] = {
+    // initial-snapshot mode: the first offer is the PINNED snapshot
+    // version, flagged so a restart replays the same snapshot instead
+    // of re-resolving the table (which may have advanced)
+    if (initialSnapshotMode && lastOffered < startingVersion) {
+      lastOffered = initialSnapshot.version
+      return Some(DeltaSourceOffset(initialSnapshot.version,
+        isInitialSnapshot = true))
+    }
     val latest = latestVersion
     val capped = maxVersions match {
       case Some(m) => math.min(latest, math.max(lastOffered, startingVersion - 1) + m)
@@ -93,18 +106,28 @@ class DeltaSource(
     if (capped < startingVersion) None
     else {
       lastOffered = math.max(lastOffered, capped)
-      Some(LongOffset(capped))
+      Some(DeltaSourceOffset(capped, snapshotVersion.contains(capped)))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val hi = offsetVersion(end)
-    // a fresh stream in initial-snapshot mode emits the snapshot itself
-    // as the first batch; the commit tail begins after it either way
-    val snapshotBatch = start.isEmpty && initialSnapshotMode
-    val lo = start.map(offsetVersion(_) + 1).getOrElse(
-      if (initialSnapshotMode) initialSnapshot.version + 1
-      else startingVersion)
+    val endOff = parseOffset(end)
+    val hi = endOff.version
+    // a fresh stream (or a restart replaying batch 0) in
+    // initial-snapshot mode emits the snapshot AT THE OFFSET'S PINNED
+    // VERSION — never a re-resolved one, which may have advanced and
+    // would duplicate rows of the next commit range downstream
+    val snapshotBatch =
+      start.isEmpty && (endOff.isInitialSnapshot || initialSnapshotMode)
+    val snapAt =
+      if (!snapshotBatch) initialSnapshot
+      else if (hi == initialSnapshot.version) initialSnapshot
+      else Snapshot.forTable(spark, tablePath, Some(hi))
+    if (snapshotBatch) snapshotVersion = Some(hi)
+    // the snapshot batch covers everything through hi; no tail inside it
+    val lo =
+      if (snapshotBatch) hi + 1
+      else start.map(parseOffset(_).version + 1).getOrElse(startingVersion)
     // restart recovery replays the last committed batch through here —
     // advance the rate-limit watermark so the next getOffset continues
     // from the checkpointed position instead of re-offering old versions
@@ -115,12 +138,13 @@ class DeltaSource(
         else Some(TableChanges.read(spark, tablePath, lo, Some(hi)))
       val df = (snapshotBatch, tail) match {
         case (true, t) =>
-          val snapAsInserts = DeltaSource.snapshotAsInserts(
-            spark, initialSnapshot)
+          val snapAsInserts = DeltaSource.snapshotAsInserts(spark, snapAt)
           t.map(snapAsInserts.unionByName(_)).getOrElse(snapAsInserts)
         case (false, Some(t)) => t
         case (false, None) =>
-          throw new IllegalStateException(s"empty batch range ($lo, $hi]")
+          // offset-encoding changes across restarts can produce an
+          // empty replay range; an empty batch is correct, not an error
+          DeltaSource.snapshotAsInserts(spark, snapAt).limit(0)
       }
       return StreamingShim.internalCreateStreamingDF(
         sqlContext, df.queryExecution.toRdd, df.schema)
@@ -166,18 +190,42 @@ class DeltaSource(
     val scan = new DeltaScan(initialSnapshot, None)
     val tailDF = scan.assemble(adds, keepMeta = false)
     val df =
-      if (snapshotBatch) scan.toDF.unionByName(tailDF)
+      if (snapshotBatch) new DeltaScan(snapAt, None).toDF.unionByName(tailDF)
       else tailDF
     StreamingShim.internalCreateStreamingDF(
       sqlContext, df.queryExecution.toRdd, df.schema)
   }
 
-  private def offsetVersion(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
+  private def parseOffset(o: Offset): DeltaSourceOffset = o match {
+    case d: DeltaSourceOffset => d
+    case LongOffset(v) => DeltaSourceOffset(v, isInitialSnapshot = false)
+    case other => DeltaSourceOffset.fromJson(other.json)
   }
 
   override def stop(): Unit = {}
+}
+
+/** Offset = table version + whether that position was delivered as a
+  * full initial snapshot (delta-spark's reservoirVersion /
+  * isInitialSnapshot pair): replaying batch 0 after a restart rebuilds
+  * the snapshot at the PINNED version, immune to the table advancing
+  * between stream start and the first checkpoint.
+  */
+case class DeltaSourceOffset(version: Long, isInitialSnapshot: Boolean)
+    extends Offset {
+  override def json: String =
+    s"""{"version":$version,"isInitialSnapshot":$isInitialSnapshot}"""
+}
+
+object DeltaSourceOffset {
+  def fromJson(s: String): DeltaSourceOffset = {
+    val t = s.trim
+    if (t.startsWith("{")) {
+      val n = JsonLog.parseLine(t)
+      DeltaSourceOffset(n.path("version").asLong,
+        n.path("isInitialSnapshot").asBoolean(false))
+    } else DeltaSourceOffset(t.toLong, isInitialSnapshot = false)
+  }
 }
 
 object DeltaSource {

@@ -86,6 +86,20 @@ class IdentityColumnsSpec extends AnyFunSuite {
     assert(t.toDF.select(min("id")).as[Long].head == -20L)
   }
 
+  test("high-water mark advances on column-mapped tables") {
+    val dir = TestSpark.tmpDir("id-cm")
+    val schema = StructType(Seq(idField(1, 1), StructField("v", StringType)))
+    DeltaTable.create(spark, dir, schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(Seq("a", "b", "c").toDF("v"))
+    // stats carry PHYSICAL keys — the mark must still advance
+    assert(hwmOf(t).contains(3L))
+    t.append(Seq("d", "e").toDF("v"))
+    val ids = t.toDF.select("id").as[Long].collect().toSeq.sorted
+    assert(ids == (1L to 5L), s"duplicate identity values: $ids")
+  }
+
   test("a declared identityColumns feature no longer blocks writes") {
     val dir = TestSpark.tmpDir("idfeat")
     val schema = StructType(Seq(idField(1, 1), StructField("s", StringType)))

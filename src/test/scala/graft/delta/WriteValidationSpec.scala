@@ -107,6 +107,22 @@ class WriteValidationSpec extends AnyFunSuite {
     assert(t.toDF.count() == 4)
   }
 
+  test("UPDATE recomputes generated columns from the new row") {
+    val dir = TestSpark.tmpDir("wv-gen-upd")
+    val meta = new MetadataBuilder()
+      .putString("delta.generationExpression", "k * 2").build()
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("doubled", LongType, nullable = true, meta)))
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(Seq(1L, 2L, 3L).toDF("k"))
+    // updating the base column must regenerate, not carry stale values
+    t.updateWhere("k = 2", Map("k" -> "20"))
+    assert(t.toDF.orderBy("k").select("k", "doubled").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 2L), (3L, 6L), (20L, 40L)))
+  }
+
   test("CURRENT_DEFAULT fills columns absent from the input") {
     val dir = TestSpark.tmpDir("wv-def")
     val meta = new MetadataBuilder()

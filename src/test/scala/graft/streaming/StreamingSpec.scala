@@ -295,6 +295,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toMap == Map("delete" -> 3L), rows)
   }
 
+  test("initial-snapshot replay is pinned: restart before batch 0 " +
+      "commits does not duplicate rows") {
+    val dir = TestSpark.tmpDir("stream-pin")
+    val src = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 5)) // v1
+
+    // drive the Source contract directly so the crash timing is exact
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    try {
+      def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        org.apache.spark.sql.graft.StreamingShim.internalCreateBatchDF(
+          spark.sqlContext, df.queryExecution.toRdd, df.schema)
+          .select("k").as[Long].collect().toSeq.sorted
+
+      // stream starts in initial-snapshot mode; offset 0 reaches the
+      // WAL, then the app dies before batch 0 commits …
+      val a = new DeltaSource(spark.sqlContext, dir, Map.empty)
+      val o0 = a.getOffset.get
+      // … and the table advances meanwhile
+      t.append(src.filter($"k" > 5)) // v2
+
+      // restart: a NEW source replays batch 0 from the checkpointed
+      // offset — it must pin the snapshot at v1, not re-resolve to v2
+      val b = new DeltaSource(spark.sqlContext, dir, Map.empty)
+      val batch0 = keys(b.getBatch(None, o0))
+      assert(batch0 == (1L to 5L), s"snapshot not pinned: $batch0")
+      val o1 = b.getOffset.get
+      val batch1 = keys(b.getBatch(Some(o0), o1))
+      assert(batch1 == (6L to 10L), s"tail duplicated rows: $batch1")
+    } finally
+      spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+  }
+
   test("delta sink: exactly-once microbatch writes with txn markers") {
     val dir = TestSpark.tmpDir("sink")
     val ckpt = TestSpark.tmpDir("sink-ckpt")
