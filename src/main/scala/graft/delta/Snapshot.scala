@@ -31,8 +31,12 @@ class Snapshot(
   private def hconf = spark.sessionState.newHadoopConf()
   private def fsys = Storage.fs(tableRoot, hconf)
 
-  /** Max total commit-JSON bytes for driver-side (non-distributed) replay. */
-  private val DRIVER_REPLAY_MAX_BYTES = 4L << 20
+  /** Max total commit-JSON bytes for driver-side (non-distributed)
+    * replay; conf-overridable so tests can force either path.
+    */
+  private val DRIVER_REPLAY_MAX_BYTES =
+    spark.conf.getOption("graft.replay.driverMaxBytes")
+      .map(_.toLong).getOrElse(4L << 20)
 
   private lazy val commitPaths = segment.deltas.map(_.path.toString)
 
@@ -84,6 +88,23 @@ class Snapshot(
     })
   }
 
+  /** Whether the checkpoint parquet carries a typed `add.stats_parsed`
+    * column — one driver-side footer peek (parts share a schema);
+    * errs toward true so the normalizing rewrite still runs.
+    */
+  private lazy val ckptHasStructStats: Boolean =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(ckptPaths.head), fsys.getConf))
+      val s = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      s.containsField("add") && (s.getType(Seq("add"): _*) match {
+        case g: org.apache.parquet.schema.GroupType =>
+          g.containsField("stats_parsed")
+        case _ => false
+      })
+    } catch { case _: Exception => true }
+
   /** Version a log file advances to, from its name: a commit
     * `NNN.json` contributes NNN; a compacted `LO.HI.compacted.json`
     * contributes HI (its actions are the newest in the range).
@@ -109,13 +130,51 @@ class Snapshot(
         coalesce(dv.getField("offset").cast("string"), lit("")))))
   }
 
-  /** Latest file action per (path, dvId): columns
-    * (key, add, remove, version). Distributed log replay — the groupBy
-    * shuffles only the commit arm (small); the checkpoint arm joins
-    * against a broadcast of the commit keys (reference scan_plan.rs
-    * anti-join shape; SURVEY.md §2.2).
+  /** Whether the segment is small enough to replay on the driver: no
+    * checkpoint parts and commit bytes under the cap. Metadata-sized
+    * logs pay JSON-scan planning + a shuffle in the distributed plan —
+    * pure overhead at this size (reference keeps an iterator mode for
+    * exactly this, log_replay/mod.rs).
     */
-  lazy val latestActions: DataFrame = {
+  private lazy val smallLog: Boolean =
+    segment.checkpointParts.isEmpty &&
+      segment.deltas.map(c => fsys.getFileStatus(c.path).getLen).sum <
+        DRIVER_REPLAY_MAX_BYTES
+
+  private lazy val latestActionsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("add", LogSchema.add),
+    org.apache.spark.sql.types.StructField("remove", LogSchema.remove),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Driver-side mirror of [[keyExpr]]. */
+  private def driverKey(path: String,
+      dv: Option[DeletionVectorDescriptor]): String =
+    Storage.canonicalPathKey(path) + "@" + dv.map(d =>
+      d.storageType + d.pathOrInlineDv +
+        d.offset.map(_.toString).getOrElse("")).getOrElse("")
+
+  /** Latest file action per (path, dvId): columns
+    * (key, add, remove, version). Small-log fast path replays on the
+    * driver and lifts the result into a local relation; otherwise
+    * distributed log replay — the groupBy shuffles only the commit arm
+    * (small); the checkpoint arm joins against a broadcast of the
+    * commit keys (reference scan_plan.rs anti-join shape; SURVEY.md
+    * §2.2).
+    */
+  lazy val latestActions: DataFrame = if (smallLog) {
+    val rows = driverReplayActions().map { case (a, r, v) =>
+      val key = a.map(x => driverKey(x.path, x.deletionVector))
+        .orElse(r.map(x => driverKey(x.path, x.deletionVector))).get
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](key, a.map(RowCodec.addToRow).orNull,
+          r.map(RowCodec.removeToRow).orNull, v),
+        latestActionsSchema): Row
+    }
+    spark.createDataFrame(rows.asJava, latestActionsSchema)
+  } else {
     val commitArm: Option[DataFrame] =
       if (commitPaths.isEmpty) None
       else Some {
@@ -136,19 +195,28 @@ class Snapshot(
     val ckptArm: Option[DataFrame] =
       if (ckptPaths.isEmpty) None
       else Some {
-        val reader = spark.read.schema(ckptReadSchema)
-        (if (ckptData._2) reader.json(ckptPaths: _*)
-         else reader.parquet(ckptPaths: _*))
+        // struct-stats-only checkpoints (reference scan_plan
+        // struct-stats fixtures) carry TYPED stats_parsed and no stats
+        // JSON — render the struct to the JSON shape the skipping path
+        // parses; to_json drops null leaves, which read back as
+        // unknown (file kept), exactly right. The rewrite is gated on
+        // the file actually HAVING stats_parsed: the withField/
+        // dropFields over a table-width struct codegens O(columns²)
+        // and most checkpoints carry plain JSON stats.
+        val hasStructStats = !ckptData._2 && ckptHasStructStats
+        val readSchema =
+          if (hasStructStats) ckptReadSchema else LogSchema.checkpoint
+        val reader = spark.read.schema(readSchema)
+        val base = (if (ckptData._2) reader.json(ckptPaths: _*)
+          else reader.parquet(ckptPaths: _*))
           .filter(col("add").isNotNull || col("remove").isNotNull)
-          // struct-stats-only checkpoints (reference
-          // scan_plan struct-stats fixtures) carry TYPED stats_parsed
-          // and no stats JSON — render the struct to the JSON shape the
-          // skipping path parses; to_json drops null leaves, which read
-          // back as unknown (file kept), exactly right
-          .withColumn("add", when(col("add").isNotNull,
+        val normalized =
+          if (!hasStructStats) base
+          else base.withColumn("add", when(col("add").isNotNull,
             col("add").withField("stats",
               coalesce(col("add.stats"), to_json(col("add.stats_parsed"))))
               .dropFields("stats_parsed")))
+        normalized
           .withColumn("key",
             when(col("add").isNotNull, keyExpr("add"))
               .otherwise(keyExpr("remove")))
@@ -174,11 +242,8 @@ class Snapshot(
     * (reference iterator mode) and lifts the result into a DataFrame.
     */
   lazy val allAdds: DataFrame = {
-    val smallLog = segment.checkpointParts.isEmpty &&
-      segment.deltas.map(c => fsys.getFileStatus(c.path).getLen).sum <
-        DRIVER_REPLAY_MAX_BYTES
     if (smallLog) {
-      val rows = driverReplayAdds().map { case (a, v) =>
+      val rows = driverReplayActions().collect { case (Some(a), _, v) =>
         new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           Array[Any](RowCodec.addToRow(a), v), addsSchema): Row
       }
@@ -195,11 +260,15 @@ class Snapshot(
       org.apache.spark.sql.types.LongType)))
 
   /** Newest-first driver replay with first-seen-key-wins (mirrors
-    * FileActionDeduplicator, log_replay/mod.rs:32-116).
+    * FileActionDeduplicator, log_replay/mod.rs:32-116) — keeps the
+    * winning action of BOTH kinds so checkpoint reconciliation sees
+    * the tombstones too.
     */
-  private def driverReplayAdds(): Seq[(AddFile, Long)] = {
+  private def driverReplayActions()
+      : Seq[(Option[AddFile], Option[RemoveFile], Long)] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
-    val out = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Long)]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[AddFile], Option[RemoveFile], Long)]
     segment.deltas.sortBy(f => -LogSegment.endVersion(f)).foreach { c =>
       Storage.readLines(fsys, c.path).foreach { line =>
         if (line.nonEmpty) {
@@ -209,12 +278,14 @@ class Snapshot(
             val a = RowCodec.jsonToAdd(addN)
             val key = Storage.canonicalPathKey(a.path) + "@" +
               a.deletionVector.map(_.uniqueId).getOrElse("")
-            if (seen.add(key)) out += ((a, LogSegment.endVersion(c)))
+            if (seen.add(key))
+              out += ((Some(a), None, LogSegment.endVersion(c)))
           } else if (remN != null && !remN.isNull) {
             val r = RowCodec.jsonToRemove(remN)
             val key = Storage.canonicalPathKey(r.path) + "@" +
               r.deletionVector.map(_.uniqueId).getOrElse("")
-            seen.add(key)
+            if (seen.add(key))
+              out += ((None, Some(r), LogSegment.endVersion(c)))
           }
         }
       }

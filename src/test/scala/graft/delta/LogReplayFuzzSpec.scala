@@ -61,4 +61,30 @@ class LogReplayFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("driver and distributed latestActions agree on the same log") {
+    val dir = TestSpark.tmpDir("parity")
+    DeltaTable.create(spark, dir, Seq((0L, "x")).toDF("k", "s").schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append((1L to 200L).map(k => (k, s"v$k")).toDF("k", "s"))
+    t.append((201L to 400L).map(k => (k, s"v$k")).toDF("k", "s"))
+    t.deleteWhere("k >= 100 AND k <= 120")
+    t.deleteWhereDV("k >= 300 AND k <= 330")
+
+    def actionsKeyed(): Map[String, (Boolean, Long)] =
+      t.snapshot().latestActions
+        .select("key", "add", "version").collect()
+        .map(r => r.getString(0) -> (!r.isNullAt(1), r.getLong(2)))
+        .toMap
+
+    val driver = actionsKeyed()            // small log → driver path
+    spark.conf.set("graft.replay.driverMaxBytes", "0")
+    try {
+      val dist = actionsKeyed()            // forced distributed path
+      assert(driver == dist,
+        s"paths diverged: driver=${driver.size} dist=${dist.size}")
+      assert(driver.nonEmpty && driver.exists(!_._2._1),
+        "expected at least one winning tombstone in the parity log")
+    } finally spark.conf.unset("graft.replay.driverMaxBytes")
+  }
 }
