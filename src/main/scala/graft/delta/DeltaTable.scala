@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** User-facing Delta table handle: ACID writes (CREATE/append/DELETE),
   * snapshot reads with time travel, checkpointing.
@@ -683,6 +683,221 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           Seq("deletionVectors"), Seq("deletionVectors")))
       else None)
     committed
+  }
+
+  /** MERGE INTO (upsert): clauses evaluate in order per row, first
+    * whose condition holds wins (Delta MERGE contract; the kernel
+    * supplies the building blocks — file-granular remove+add rewrite,
+    * reference transaction/mod.rs — and delta-spark defines clause
+    * semantics). Spark-first shape: ONE inner join finds touched
+    * files; only those files rewrite; matched/survivor/insert row sets
+    * are plain joins over the candidate rows, so everything stays
+    * distributed and the source is free to broadcast when small.
+    *
+    * `condSql` and clause expressions reference the target as `t` and
+    * the source as `s`. With CDF enabled the commit stages
+    * update_preimage/update_postimage/delete/insert `_change_data`
+    * rows. A target row matching multiple source rows is an error when
+    * any matched clause exists (ambiguous update — Delta contract).
+    */
+  def merge(source: DataFrame, condSql: String,
+      clauses: Seq[MergeClause]): Long = {
+    import MergeClause._
+    val snap = snapshot()
+    writerGate(snap, mutating = true)
+    require(clauses.nonEmpty, "MERGE requires at least one clause")
+    val matchedClauses = clauses.filter {
+      case _: MatchedUpdate | _: MatchedDelete => true
+      case _ => false
+    }
+    val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+    val fieldNames = snap.schema.fieldNames.toSet
+    clauses.foreach {
+      case MatchedUpdate(_, set) => set.keys.foreach(c => require(
+        fieldNames.contains(c), s"no such column '$c'"))
+      case NotMatchedInsert(_, values) => values.keys.foreach(c => require(
+        fieldNames.contains(c), s"no such column '$c'"))
+      case _ => ()
+    }
+
+    val scan = new DeltaScan(snap, None)
+    val allAdds = scan.collectAddFiles()
+    val cond = expr(condSql)
+    val src = source.alias("s")
+    src.persist()
+    var fullId: DataFrame = null
+    try {
+      // -- touched files: the only full-table join; candidate files
+      //    contain every matching target row by construction
+      val candidates: Seq[AddFile] =
+        if (allAdds.isEmpty || matchedClauses.isEmpty) Nil
+        else {
+          val withMeta = scan.assemble(allAdds, keepMeta = true)
+          val touched = withMeta.alias("t").join(src, cond, "inner")
+            .select(col("__path")).distinct()
+            .collect().map(_.getString(0)).toSet
+          allAdds.filter(a => touched(fs.makeQualified(
+            Storage.childPath(root, Storage.decodeUriPath(a.path)))
+            .toUri.getPath))
+        }
+
+      val cdf = TableChanges.cdfEnabled(snap.metadata)
+      fullId = readFiles(snap, candidates)
+        .withColumn("_tid", monotonically_increasing_id()).persist()
+      val tgt = fullId.alias("t")
+      def tcol(f: StructField): Column =
+        col("t." + ColumnMapping.quoted(f.name))
+      val preCols = snap.schema.fields.toIndexedSeq
+        .map(f => tcol(f).as(f.name, f.metadata))
+
+      // -- matched rows, tagged with the first applicable clause
+      val matchedTagged: DataFrame = {
+        var action: Column = lit("keep")
+        matchedClauses.zipWithIndex.reverse.foreach { case (c, i) =>
+          val cc = c match {
+            case MatchedUpdate(cnd, _) => cnd
+            case MatchedDelete(cnd) => cnd
+            case _ => None
+          }
+          action = when(cc.map(expr).getOrElse(lit(true)), lit(s"a$i"))
+            .otherwise(action)
+        }
+        tgt.join(src, cond, "inner").withColumn("_action", action)
+      }
+      if (matchedClauses.nonEmpty && candidates.nonEmpty) {
+        val dup = matchedTagged.groupBy(col("_tid")).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0, "MERGE: a target row matched multiple " +
+          "source rows with matched clauses present (ambiguous)")
+      }
+      val updateTags = matchedClauses.zipWithIndex.collect {
+        case (_: MatchedUpdate, i) => s"a$i" }
+      val deleteTags = matchedClauses.zipWithIndex.collect {
+        case (_: MatchedDelete, i) => s"a$i" }
+
+      val updatedPre =
+        if (updateTags.isEmpty) None
+        else Some(matchedTagged.filter(col("_action").isin(updateTags: _*)))
+      // post-update rows: per-column clause cascade, then recompute
+      // generated columns not explicitly assigned (stored values are
+      // stale once a base column changes — same contract as UPDATE)
+      val updatedPost = updatedPre.map { rows =>
+        val postCols = snap.schema.fields.toIndexedSeq.map { f =>
+          var v: Column = tcol(f)
+          matchedClauses.zipWithIndex.foreach {
+            case (MatchedUpdate(_, set), i) if set.contains(f.name) =>
+              v = when(col("_action") === s"a$i",
+                expr(set(f.name)).cast(f.dataType)).otherwise(v)
+            case _ => ()
+          }
+          v.as(f.name, f.metadata)
+        }
+        val assigned = rows.select(postCols: _*)
+        val regen = WriteValidation.generated(snap) --
+          matchedClauses.flatMap {
+            case MatchedUpdate(_, set) => set.keys
+            case _ => Nil
+          }
+        if (regen.isEmpty) assigned
+        else assigned.select(snap.schema.fields.toIndexedSeq.map { f =>
+          regen.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
+            .getOrElse(ColumnMapping.qcol(f.name))
+        }: _*)
+      }
+      val deletedRows =
+        if (deleteTags.isEmpty) None
+        else Some(matchedTagged.filter(col("_action").isin(deleteTags: _*))
+          .select(preCols: _*))
+      val keptMatched = matchedTagged.filter(col("_action") === "keep")
+        .select(preCols: _*)
+      val survivors = tgt.join(src, cond, "left_anti").select(preCols: _*)
+
+      // -- not-matched source rows → insert projections. Columns no
+      //    clause supplies stay ABSENT when identity/generated/default
+      //    machinery fills them, NULL otherwise.
+      val genCols = WriteValidation.generated(snap)
+      val idCols = IdentityColumns.specs(snap.schema).map(_.name).toSet
+      val (insertRaw, identityCols): (Option[DataFrame], Set[String]) =
+        if (insertClauses.isEmpty) (None, Set.empty)
+        else {
+          val antiTarget =
+            if (matchedClauses.isEmpty && allAdds.nonEmpty)
+              scan.assemble(allAdds, keepMeta = false).alias("t")
+            else tgt
+          val unmatched =
+            if (allAdds.isEmpty) src
+            else src.join(antiTarget, cond, "left_anti")
+          var action: Column = lit("skip")
+          insertClauses.zipWithIndex.reverse.foreach { case (c, i) =>
+            action = when(c.condition.map(expr).getOrElse(lit(true)),
+              lit(s"i$i")).otherwise(action)
+          }
+          val tagged = unmatched.withColumn("_action", action)
+            .filter(col("_action") =!= "skip")
+          val supplied = insertClauses.flatMap(_.values.keys).toSet
+          val outFields = snap.schema.fields.toIndexedSeq.filter { f =>
+            supplied.contains(f.name) ||
+              !(idCols.contains(f.name) || genCols.contains(f.name) ||
+                WriteValidation.defaultOf(f).isDefined)
+          }
+          val insCols = outFields.map { f =>
+            var v: Column = lit(null).cast(f.dataType)
+            insertClauses.zipWithIndex.foreach { case (c, i) =>
+              if (c.values.contains(f.name))
+                v = when(col("_action") === s"i$i",
+                  expr(c.values(f.name)).cast(f.dataType)).otherwise(v)
+            }
+            v.as(f.name, f.metadata)
+          }
+          val raw = tagged.select(insCols: _*)
+          val (assigned, idents) = IdentityColumns.assign(raw, snap)
+          (Some(WriteValidation.prepare(assigned, snap)), idents)
+        }
+
+      val outParts = Seq(Some(survivors), Some(keptMatched),
+        updatedPost, insertRaw).flatten
+      val out = outParts.reduce(_ unionByName _)
+      val newAdds =
+        if (candidates.isEmpty && insertRaw.isEmpty) Nil
+        else stageFiles(out, snap)
+      if (candidates.isEmpty && newAdds.isEmpty) return snap.version
+
+      val cdcActions =
+        if (!cdf) Nil
+        else updatedPre.toSeq.flatMap(r =>
+            stageCdcFiles(r.select(preCols: _*), snap, "update_preimage")) ++
+          updatedPost.toSeq.flatMap(stageCdcFiles(_, snap,
+            "update_postimage")) ++
+          deletedRows.toSeq.flatMap(stageCdcFiles(_, snap, "delete")) ++
+          insertRaw.toSeq.flatMap(stageCdcFiles(_, snap, "insert"))
+
+      val removes = candidates.map { a =>
+        RemoveFile(a.path, Some(now()), dataChange = true,
+          extendedFileMetadata = Some(true),
+          partitionValues = Some(a.partitionValues), size = Some(a.size),
+          deletionVector = a.deletionVector)
+      }
+      val idHwms = IdentityColumns.hwmFromStats(newAdds, snap, identityCols)
+      val idMeta = if (idHwms.isEmpty) None
+        else Some(IdentityColumns.advance(snap.metadata, idHwms))
+      val lines =
+        Seq(commitInfoLine("MERGE", Map("predicate" -> condSql),
+          ictFor(snap))) ++
+        idMeta.map(m =>
+          JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
+        removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+        newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+        cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
+      val committed = commitActions(snap.version + 1, lines,
+        retryable = false)
+      maybeWriteChecksum(committed, newAdds.map(_.size),
+        candidates.map(_.size), newMeta = idMeta)
+      committed
+    } finally {
+      src.unpersist()
+      if (fullId != null) fullId.unpersist()
+    }
   }
 
   // ---------------- ALTER TABLE ----------------

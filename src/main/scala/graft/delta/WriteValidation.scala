@@ -59,7 +59,7 @@ object WriteValidation {
         f.name -> f.metadata.getString(GENERATION_KEY)
     }.toMap
 
-  private def defaultOf(f: StructField): Option[String] =
+  def defaultOf(f: StructField): Option[String] =
     if (f.metadata.contains(DEFAULT_KEY))
       Some(f.metadata.getString(DEFAULT_KEY))
     else None

@@ -271,6 +271,36 @@ object DeltaQueries {
           col("_change_type"))
     }),
 
+    // MERGE: matched-delete + matched-update + not-matched-insert in
+    // one commit — the oracle recomputes the post-merge state from the
+    // raw parquet
+    "q_delta_merge" -> ((s, d) => {
+      import graft.delta.MergeClause._
+      val dir = tmp("mrg")
+      val base = li(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+      val tgt0 = base.filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, tgt0.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(tgt0)                                             // v1
+      val src = base.filter(
+        col("l_quantity") >= 8 && col("l_quantity") < 12)
+      t.merge(src,
+        "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
+        Seq(
+          MatchedDelete(Some("s.l_quantity < 9")),
+          MatchedUpdate(None,
+            Map("l_quantity" -> "s.l_quantity + 100")),
+          NotMatchedInsert(None, Map(
+            "l_orderkey" -> "s.l_orderkey",
+            "l_linenumber" -> "s.l_linenumber",
+            "l_quantity" -> "s.l_quantity"))))                   // v2
+      t.toDF.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // clustered table: interleaved appends, OPTIMIZE into disjoint
     // range-sorted files, range read benefits from min/max skipping
     "q_delta_clustered" -> ((s, d) => {
@@ -316,6 +346,18 @@ object DeltaQueries {
         |         'update_postimage'
         |  FROM src WHERE l_quantity < 3)
         |ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
+
+    "q_delta_merge" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity >= 9 AND l_quantity < 10
+        |            THEN l_quantity + 100 ELSE l_quantity END AS l_quantity
+        |FROM base
+        |WHERE l_quantity < 12
+        |  AND NOT (l_quantity >= 8 AND l_quantity < 9)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_partition_prune" ->
       s"""SELECT $cols FROM lineitem
