@@ -119,6 +119,37 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order: multi-column clustering preserves data exactly") {
+    val dir = TestSpark.tmpDir("zdata")
+    val src = (0 until 4096).map(i => (i % 64L, i / 64L, s"r$i"))
+      .toDF("x", "y", "s")
+    DeltaTable.create(spark, dir, src.schema, clusterBy = Seq("x", "y"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.optimizeClustered()
+    assert(t.toDF.orderBy("x", "y").collect().toSeq ==
+      src.orderBy("x", "y").collect().toSeq)
+  }
+
+  test("z-order: skipping stays effective on BOTH clustering columns") {
+    val dir = TestSpark.tmpDir("zskip")
+    // a 64x64 grid — lexicographic sort on (x,y) would put every y
+    // value in every file, making y-predicates unskippable
+    val src = (0 until 4096).map(i => (i % 64L, i / 64L, s"r$i"))
+      .toDF("x", "y", "s")
+    DeltaTable.create(spark, dir, src.schema, clusterBy = Seq("x", "y"),
+      configuration = Map(DeltaTable.CLUSTERING_NUM_FILES_KEY -> "16"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.optimizeClustered()
+    val total = t.scan(None).collectAddFiles().size
+    assert(total >= 8, s"expected >=8 z-ordered files, got $total")
+    val xHit = t.scan(Some("x < 8")).collectAddFiles().size
+    val yHit = t.scan(Some("y < 8")).collectAddFiles().size
+    assert(xHit <= total / 2, s"x-predicate read $xHit of $total files")
+    assert(yHit <= total / 2, s"y-predicate read $yHit of $total files")
+  }
+
   test("column-mapped clustered table stores physical paths in the " +
       "domain") {
     val dir = TestSpark.tmpDir("cluscm")
