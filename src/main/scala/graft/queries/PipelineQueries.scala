@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity}
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: exact + near deduplication (MinHash, SimHash,
@@ -293,6 +293,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sampling: md5-prefix thresholding — the
+    // same rows survive in every engine at any cluster size, and a
+    // lower-rate sample is a prefix of a higher-rate one. Pure narrow
+    // filter: no shuffle, no RNG state.
+    "q_sample_stratified" -> ((s, d) => {
+      Sampling.stratified(t(s, d, "documents"),
+          col("doc_id"), col("lang"), Map("en" -> 0.5), 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing (concat-then-chunk): per-bucket windows only —
+    // no global sort; buckets are independent shards
+    "q_token_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      Packing.assignSequences(docs, col("doc_id"), col("n_tokens"),
+          budget = 2048, numBuckets = 8)
+        .groupBy(col("bucket"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_total"))
+        .orderBy(col("bucket"), col("seq"))
+    }),
+
     // Window-function dedup policy: keep the longest doc per (source, lang)
     "q_window_dedup_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("source"), col("lang"))
@@ -483,6 +507,28 @@ object PipelineQueries {
         |  substr(md5(text), 1, 8) AS content_hash,
         |  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <
+        |      CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT bucket,
+        |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tok_total
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_dedup_rank" ->
       """SELECT source, lang, doc_id, n_chars FROM (

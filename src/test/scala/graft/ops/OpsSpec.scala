@@ -179,4 +179,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L))
     assert(got.size == 41)
   }
+
+  test("deterministic sampling: low-rate sample is a prefix of high-rate") {
+    val df = (1L to 2000L).toDF("id")
+    val s10 = Sampling.uniform(df, col("id"), 0.10)
+      .as[Long].collect().toSet
+    val s30 = Sampling.uniform(df, col("id"), 0.30)
+      .as[Long].collect().toSet
+    assert(s10.subsetOf(s30), "10% sample must be a prefix of 30%")
+    // md5 is uniform: 2000 trials at 10% land well within 5 sigma
+    assert(s10.size > 120 && s10.size < 280, s"10% kept ${s10.size}/2000")
+    // rerun is byte-identical (no RNG)
+    assert(Sampling.uniform(df, col("id"), 0.10)
+      .as[Long].collect().toSet == s10)
+  }
+
+  test("sequence packing: budgets respected at chunk starts, all docs kept") {
+    val docs = (1L to 500L).map(i => (i, 10L + (i % 7) * 30L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.assignSequences(docs, col("doc_id"),
+      col("n_tokens"), budget = 512, numBuckets = 4)
+    assert(packed.count() == 500)
+    val perSeq = packed.groupBy("bucket", "seq")
+      .agg(sum("n_tokens").as("tok"), min("seq").as("s0"))
+      .collect()
+    // every chunk's START offset is below (seq+1)*budget by
+    // construction; totals only exceed the budget by the final doc
+    // spilling over the boundary
+    perSeq.foreach { r =>
+      assert(r.getLong(2) < 512 + 512, s"runaway chunk: $r")
+    }
+    // buckets partition the docs by pmod
+    val buckets = packed.select("bucket").distinct()
+      .as[Int].collect().toSet
+    assert(buckets == Set(0, 1, 2, 3))
+  }
 }
