@@ -52,6 +52,41 @@ object Prof {
     t("del-delete")(tb2.deleteWhere("l_returnflag = 'A' AND l_quantity < 5"))
     t("del-read")(tb2.toDF.orderBy("l_orderkey", "l_linenumber")
       .queryExecution.toRdd.count())
+
+    // exact q_delta_delete replica through the bench entry point
+    t("q_delta_delete")(graft.SparkEntry.queries("q_delta_delete")(spark, d)
+      .queryExecution.toRdd.count())
+    t("q_delta_delete-2")(graft.SparkEntry.queries("q_delta_delete")(spark, d)
+      .queryExecution.toRdd.count())
+    t("q_delta_merge")(graft.SparkEntry.queries("q_delta_merge")(spark, d)
+      .queryExecution.toRdd.count())
+    t("q_cdf_net")(graft.SparkEntry.queries("q_delta_cdf_net")(spark, d)
+      .queryExecution.toRdd.count())
+
+    // merge phase breakdown
+    {
+      import graft.delta.MergeClause._
+      val dir3 = "/tmp/prof/mrg" + System.nanoTime()
+      val base = graft.Tables.load(spark, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+      t("mrg-base-count")(base.count())
+      val tgt0 = base.filter(col("l_quantity") < 10)
+      t("mrg-create")(graft.delta.DeltaTable.create(spark, dir3, tgt0.schema))
+      val t3 = graft.delta.DeltaTable.forPath(spark, dir3)
+      t("mrg-append")(t3.append(tgt0))
+      val src3 = base.filter(
+        col("l_quantity") >= 8 && col("l_quantity") < 12)
+      t("mrg-merge")(t3.merge(src3,
+        "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
+        Seq(MatchedDelete(Some("s.l_quantity < 9")),
+          MatchedUpdate(None, Map("l_quantity" -> "s.l_quantity + 100")),
+          NotMatchedInsert(None, Map(
+            "l_orderkey" -> "s.l_orderkey",
+            "l_linenumber" -> "s.l_linenumber",
+            "l_quantity" -> "s.l_quantity")))))
+      t("mrg-read")(t3.toDF.queryExecution.toRdd.count())
+    }
     spark.stop()
   }
 }

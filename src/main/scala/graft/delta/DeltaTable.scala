@@ -695,10 +695,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     * distributed and the source is free to broadcast when small.
     *
     * `condSql` and clause expressions reference the target as `t` and
-    * the source as `s`. With CDF enabled the commit stages
+    * the source as `s` (NOT MATCHED BY SOURCE clauses see `t` only).
+    * With CDF enabled the commit stages
     * update_preimage/update_postimage/delete/insert `_change_data`
     * rows. A target row matching multiple source rows is an error when
     * any matched clause exists (ambiguous update — Delta contract).
+    * NOT MATCHED BY SOURCE clauses force a full-table candidate set
+    * (every unmatched target row is potentially affected).
     */
   def merge(source: DataFrame, condSql: String,
       clauses: Seq[MergeClause]): Long = {
@@ -711,10 +714,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       case _ => false
     }
     val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+    val bySourceClauses = clauses.filter {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
     val fieldNames = snap.schema.fieldNames.toSet
     clauses.foreach {
       case MatchedUpdate(_, set) => set.keys.foreach(c => require(
         fieldNames.contains(c), s"no such column '$c'"))
+      case NotMatchedBySourceUpdate(_, set) => set.keys.foreach(c =>
+        require(fieldNames.contains(c), s"no such column '$c'"))
       case NotMatchedInsert(_, values) => values.keys.foreach(c => require(
         fieldNames.contains(c), s"no such column '$c'"))
       case _ => ()
@@ -728,9 +737,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     var fullId: DataFrame = null
     try {
       // -- touched files: the only full-table join; candidate files
-      //    contain every matching target row by construction
+      //    contain every matching target row by construction. BY SOURCE
+      //    clauses can hit any unmatched row anywhere → all files
       val candidates: Seq[AddFile] =
-        if (allAdds.isEmpty || matchedClauses.isEmpty) Nil
+        if (allAdds.isEmpty) Nil
+        else if (bySourceClauses.nonEmpty) allAdds
+        else if (matchedClauses.isEmpty) Nil
         else {
           val withMeta = scan.assemble(allAdds, keepMeta = true)
           val touched = withMeta.alias("t").join(src, cond, "inner")
@@ -762,7 +774,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           action = when(cc.map(expr).getOrElse(lit(true)), lit(s"a$i"))
             .otherwise(action)
         }
-        tgt.join(src, cond, "inner").withColumn("_action", action)
+        // persisted: the dup check, update pre/post, delete and keep
+        // row sets plus their CDF stagings all derive from this one
+        // join — without caching each job re-executes it
+        tgt.join(src, cond, "inner").withColumn("_action", action).persist()
       }
       if (matchedClauses.nonEmpty && candidates.nonEmpty) {
         val dup = matchedTagged.groupBy(col("_tid")).count()
@@ -775,29 +790,29 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       val deleteTags = matchedClauses.zipWithIndex.collect {
         case (_: MatchedDelete, i) => s"a$i" }
 
-      val updatedPre =
-        if (updateTags.isEmpty) None
-        else Some(matchedTagged.filter(col("_action").isin(updateTags: _*)))
+      def setOf(c: MergeClause): Map[String, String] = c match {
+        case MatchedUpdate(_, set) => set
+        case NotMatchedBySourceUpdate(_, set) => set
+        case _ => Map.empty
+      }
       // post-update rows: per-column clause cascade, then recompute
       // generated columns not explicitly assigned (stored values are
       // stale once a base column changes — same contract as UPDATE)
-      val updatedPost = updatedPre.map { rows =>
+      def updateCascade(rows: DataFrame, cls: Seq[MergeClause],
+          prefix: String): DataFrame = {
         val postCols = snap.schema.fields.toIndexedSeq.map { f =>
           var v: Column = tcol(f)
-          matchedClauses.zipWithIndex.foreach {
-            case (MatchedUpdate(_, set), i) if set.contains(f.name) =>
-              v = when(col("_action") === s"a$i",
-                expr(set(f.name)).cast(f.dataType)).otherwise(v)
-            case _ => ()
+          cls.zipWithIndex.foreach { case (c, i) =>
+            setOf(c).get(f.name).foreach { e =>
+              v = when(col("_action") === s"$prefix$i",
+                expr(e).cast(f.dataType)).otherwise(v)
+            }
           }
           v.as(f.name, f.metadata)
         }
         val assigned = rows.select(postCols: _*)
         val regen = WriteValidation.generated(snap) --
-          matchedClauses.flatMap {
-            case MatchedUpdate(_, set) => set.keys
-            case _ => Nil
-          }
+          cls.flatMap(setOf(_).keys)
         if (regen.isEmpty) assigned
         else assigned.select(snap.schema.fields.toIndexedSeq.map { f =>
           regen.get(f.name)
@@ -805,13 +820,50 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
             .getOrElse(ColumnMapping.qcol(f.name))
         }: _*)
       }
+      val updatedPre =
+        if (updateTags.isEmpty) None
+        else Some(matchedTagged.filter(col("_action").isin(updateTags: _*)))
+      val updatedPost =
+        updatedPre.map(updateCascade(_, matchedClauses, "a"))
       val deletedRows =
         if (deleteTags.isEmpty) None
         else Some(matchedTagged.filter(col("_action").isin(deleteTags: _*))
           .select(preCols: _*))
       val keptMatched = matchedTagged.filter(col("_action") === "keep")
         .select(preCols: _*)
-      val survivors = tgt.join(src, cond, "left_anti").select(preCols: _*)
+
+      // -- target rows with no source match: plain survivors, or the
+      //    NOT MATCHED BY SOURCE cascade when such clauses exist
+      val unmatchedTgt = tgt.join(src, cond, "left_anti")
+      val (survivors, bsUpdatedPre, bsUpdatedPost, bsDeleted) =
+        if (bySourceClauses.isEmpty)
+          (unmatchedTgt.select(preCols: _*), None, None, None)
+        else {
+          var action: Column = lit("keep")
+          bySourceClauses.zipWithIndex.reverse.foreach { case (c, i) =>
+            val cc = c match {
+              case NotMatchedBySourceUpdate(cnd, _) => cnd
+              case NotMatchedBySourceDelete(cnd) => cnd
+              case _ => None
+            }
+            action = when(cc.map(expr).getOrElse(lit(true)), lit(s"b$i"))
+              .otherwise(action)
+          }
+          val tagged = unmatchedTgt.withColumn("_action", action).persist()
+          val updTags = bySourceClauses.zipWithIndex.collect {
+            case (_: NotMatchedBySourceUpdate, i) => s"b$i" }
+          val delTags = bySourceClauses.zipWithIndex.collect {
+            case (_: NotMatchedBySourceDelete, i) => s"b$i" }
+          val pre =
+            if (updTags.isEmpty) None
+            else Some(tagged.filter(col("_action").isin(updTags: _*)))
+          (tagged.filter(col("_action") === "keep").select(preCols: _*),
+            pre,
+            pre.map(updateCascade(_, bySourceClauses, "b")),
+            if (delTags.isEmpty) None
+            else Some(tagged.filter(col("_action").isin(delTags: _*))
+              .select(preCols: _*)))
+        }
 
       // -- not-matched source rows → insert projections. Columns no
       //    clause supplies stay ABSENT when identity/generated/default
@@ -821,8 +873,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       val (insertRaw, identityCols): (Option[DataFrame], Set[String]) =
         if (insertClauses.isEmpty) (None, Set.empty)
         else {
+          // NOT MATCHED means unmatched against the WHOLE target; when
+          // no file was a rewrite candidate the anti-join reads the
+          // full table directly (matching rows only live in candidate
+          // files, so candidate rows suffice otherwise)
           val antiTarget =
-            if (matchedClauses.isEmpty && allAdds.nonEmpty)
+            if (candidates.isEmpty && allAdds.nonEmpty)
               scan.assemble(allAdds, keepMeta = false).alias("t")
             else tgt
           val unmatched =
@@ -852,11 +908,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
           }
           val raw = tagged.select(insCols: _*)
           val (assigned, idents) = IdentityColumns.assign(raw, snap)
-          (Some(WriteValidation.prepare(assigned, snap)), idents)
+          // persisted: staged once for data, once more for CDF inserts
+          (Some(WriteValidation.prepare(assigned, snap).persist()), idents)
         }
 
       val outParts = Seq(Some(survivors), Some(keptMatched),
-        updatedPost, insertRaw).flatten
+        updatedPost, bsUpdatedPost, insertRaw).flatten
       val out = outParts.reduce(_ unionByName _)
       val newAdds =
         if (candidates.isEmpty && insertRaw.isEmpty) Nil
@@ -865,11 +922,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
       val cdcActions =
         if (!cdf) Nil
-        else updatedPre.toSeq.flatMap(r =>
+        else (updatedPre.toSeq ++ bsUpdatedPre).flatMap(r =>
             stageCdcFiles(r.select(preCols: _*), snap, "update_preimage")) ++
-          updatedPost.toSeq.flatMap(stageCdcFiles(_, snap,
-            "update_postimage")) ++
-          deletedRows.toSeq.flatMap(stageCdcFiles(_, snap, "delete")) ++
+          (updatedPost.toSeq ++ bsUpdatedPost).flatMap(
+            stageCdcFiles(_, snap, "update_postimage")) ++
+          (deletedRows.toSeq ++ bsDeleted).flatMap(
+            stageCdcFiles(_, snap, "delete")) ++
           insertRaw.toSeq.flatMap(stageCdcFiles(_, snap, "insert"))
 
       val removes = candidates.map { a =>
@@ -891,6 +949,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
       val committed = commitActions(snap.version + 1, lines,
         retryable = false)
+      matchedTagged.unpersist()
+      insertRaw.foreach(_.unpersist())
       maybeWriteChecksum(committed, newAdds.map(_.size),
         candidates.map(_.size), newMeta = idMeta)
       committed

@@ -29,4 +29,15 @@ object MergeClause {
   final case class NotMatchedInsert(
       condition: Option[String],
       values: Map[String, String]) extends MergeClause
+
+  /** WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET —
+    * target rows with no source match. Conditions/exprs see `t` only.
+    */
+  final case class NotMatchedBySourceUpdate(
+      condition: Option[String],
+      set: Map[String, String]) extends MergeClause
+
+  /** WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE. */
+  final case class NotMatchedBySourceDelete(
+      condition: Option[String]) extends MergeClause
 }

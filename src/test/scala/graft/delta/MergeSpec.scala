@@ -144,6 +144,38 @@ class MergeSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("not matched by source: update + delete with conditions") {
+    val t = freshTable(TestSpark.tmpDir("mrg_bys"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("k", "s", "v"))
+    val src = Seq((1L, "A", 10.0)).toDF("k", "s", "v")
+    // k=1 matched->update; k=2 unmatched v<=2.5 -> stale-mark;
+    // k=3,4 unmatched v>2.5 -> deleted
+    t.merge(src, "t.k = s.k", Seq(
+      MatchedUpdate(None, Map("s" -> "s.s", "v" -> "s.v")),
+      NotMatchedBySourceDelete(Some("t.v > 2.5")),
+      NotMatchedBySourceUpdate(None, Map("s" -> "'stale'"))))
+    assert(rows(t) == Set((1L, "A", 10.0), (2L, "stale", 2.0)))
+  }
+
+  test("by source sync: full mirror of the source via all three groups") {
+    val dir = TestSpark.tmpDir("mrg_sync")
+    val t = freshTable(dir, cdf = true)
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"))
+    val src = Seq((2L, "B", 20.0), (3L, "C", 30.0)).toDF("k", "s", "v")
+    val v = t.merge(src, "t.k = s.k", Seq(
+      MatchedUpdate(None, Map("s" -> "s.s", "v" -> "s.v")),
+      NotMatchedInsert(None,
+        Map("k" -> "s.k", "s" -> "s.s", "v" -> "s.v")),
+      NotMatchedBySourceDelete(None)))
+    assert(rows(t) == Set((2L, "B", 20.0), (3L, "C", 30.0)))
+    val feed = TableChanges.read(spark, dir, v, Some(v))
+      .select($"k", $"_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(feed == Set((1L, "delete"), (2L, "update_preimage"),
+      (2L, "update_postimage"), (3L, "insert")))
+  }
+
   test("partitioned table: merge moves rows across partitions") {
     val dir = TestSpark.tmpDir("mrg_part")
     val df = Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
