@@ -278,8 +278,13 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       }
       val masks = DvMasks.load(spark, snapshot.tableRoot, refs, conf)
       val bc = spark.sparkContext.broadcast(masks)
-      val live = udf((p: String, r: Long) => !bc.value.contains(p, r))
-      reader = reader.filter(live(col("__path"), col("__ridx")))
+      // codegen'd probe (DvExprs) — a Scala UDF here would sever the
+      // WholeStageCodegen span on every DV scan
+      reader = reader.filter(org.apache.spark.sql.graft.StreamingShim
+        .column(DvLiveExpr(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__path"),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__ridx"),
+          bc)))
     }
 
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil

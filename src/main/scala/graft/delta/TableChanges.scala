@@ -184,9 +184,15 @@ object TableChanges {
           if (pairFiles.nonEmpty) {
             val bc = spark.sparkContext.broadcast(
               new DvSwapMasks(swaps.toMap))
-            val tag = udf((p: String, r: Long) => bc.value.changeOf(p, r))
+            val tag = org.apache.spark.sql.graft.StreamingShim.column(
+              DvChangeExpr(
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute("__path"),
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute("__ridx"),
+                bc))
             val rows = scan.assemble(pairFiles.toSeq, keepMeta = true)
-              .withColumn(CHANGE_TYPE, tag(col("__path"), col("__ridx")))
+              .withColumn(CHANGE_TYPE, tag)
               .filter(col(CHANGE_TYPE).isNotNull)
               .drop("__path", "__ridx")
             out += stamp(rows)

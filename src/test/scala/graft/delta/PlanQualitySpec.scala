@@ -61,6 +61,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // probes broadcast bitmap bytes inside the scan stage
     assert(!plan.contains("Join"), plan.take(800))
     assert(!plan.contains("Exchange"), plan.take(800))
+    // the probe is a native codegen'd expression: the filter stage
+    // stays inside WholeStageCodegen, and no ScalaUDF appears
+    assert(plan.contains("dv_live"), plan.take(800))
+    assert(!plan.contains("UDF"), plan.take(800))
+    assert(plan.contains("*(1)"), plan.take(800))
   }
 
   test("log replay checkpoint arm broadcasts the commit keys") {
