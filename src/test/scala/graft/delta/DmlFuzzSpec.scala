@@ -89,8 +89,30 @@ class DmlFuzzSpec extends AnyFunSuite {
             model = history(target)
             record(v)
           }
-        case 9 => // no-op ops must not corrupt anything
-          record(t.setProperties(Map(s"fuzz.step" -> step.toString)))
+        case 9 => // merge: update-matched + delete-matched + insert
+          import MergeClause._
+          val n = 10 + rnd.nextInt(30)
+          val lo = if (nextK > 0) rnd.nextLong(nextK) else 0L
+          // source: half overlaps existing keys, half is fresh
+          val overlap = (lo until math.min(lo + n / 2, nextK))
+            .map(k => (k, -1.0))
+          val fresh = (nextK until nextK + n / 2).map(k => (k, -2.0))
+          nextK += n / 2
+          val srcRows = overlap ++ fresh
+          val v = t.merge(srcRows.toDF("k", "v"), "t.k = s.k", Seq(
+            MatchedDelete(Some("t.v > 200")),
+            MatchedUpdate(None, Map("v" -> "t.v + s.v")),
+            NotMatchedInsert(None, Map("k" -> "s.k", "v" -> "s.v"))))
+          if (v > version) {
+            val srcMap = srcRows.toMap
+            val matchedKeys = model.map(_._1).toSet
+            model = model.flatMap { case (k, vv) =>
+              if (!srcMap.contains(k)) Some((k, vv))
+              else if (vv > 200) None
+              else Some((k, vv + srcMap(k)))
+            } ++ srcRows.filterNot { case (k, _) => matchedKeys(k) }
+            record(v)
+          }
       }
       checkTable(s"step $step (op $op)")
     }
