@@ -12,12 +12,23 @@ package graft.delta
   *  - [[ConcurrentTransactionException]]: the winning commit carries a
   *    SetTransaction for the same appId — the idempotency marker this
   *    transaction relies on is stale.
-  *  - [[ConcurrentWriteException]]: any reads-based transaction
-  *    (DELETE/UPDATE) racing another writer — the read snapshot may no
-  *    longer hold.
+  *  - [[ConcurrentAppendException]]: a winning commit added files that
+  *    MAY contain rows matching a reads-based transaction's predicate
+  *    (files whose stats prove no match are rebased past instead —
+  *    delta's Serializable conflict check).
+  *  - [[ConcurrentDeleteDeleteException]]: the winning commit removed a
+  *    file this transaction also removes — both acted on the same data.
+  *  - [[ConcurrentWriteException]]: any other reads-based conflict the
+  *    checks above cannot prove safe.
   */
 class ConcurrentWriteException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+class ConcurrentAppendException(msg: String)
+    extends ConcurrentWriteException(msg)
+
+class ConcurrentDeleteDeleteException(msg: String)
+    extends ConcurrentWriteException(msg)
 
 class MetadataChangedException(msg: String)
     extends ConcurrentWriteException(msg)

@@ -81,8 +81,15 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
   lazy val filesDF: DataFrame = if (staticallyFalse) {
     spark.createDataFrame(
       java.util.Collections.emptyList[Row](), snapshot.addsSchema)
-  } else {
-    var df = snapshot.allAdds
+  } else pruneAdds(snapshot.allAdds)
+
+  /** Apply this scan's partition pruning + stats skipping to an
+    * arbitrary adds DataFrame (same shape as [[Snapshot.allAdds]]).
+    * Besides the scan itself, conflict resolution reuses this to prove
+    * a winning commit's adds cannot match a DML predicate.
+    */
+  private[delta] def pruneAdds(df0: DataFrame): DataFrame = {
+    var df = df0
     if (partCols.nonEmpty && partConjuncts.nonEmpty) {
       val pp = partConjuncts.map { c =>
         c.transform {

@@ -2,6 +2,8 @@ package graft.delta
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,7 +48,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     */
   private[delta] def commitActions(startVersion: Long,
       mkLines: Long => Seq[String], retryable: Boolean,
-      txnAppIds: Seq[String]): Long = {
+      txnAppIds: Seq[String],
+      readCheck: Option[DeltaTable.ReadSet] = None): Long = {
     var v = startVersion
     var attempts = 0
     while (true) {
@@ -73,9 +76,44 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
             s"concurrent transaction for appId '$app' at version $v " +
               s"for $pathStr"))
       }
-      if (!retryable || attempts > 1000)
+      if (attempts > 1000)
         throw new ConcurrentWriteException(
-          s"commit conflict at version $v for $pathStr")
+          s"commit conflict at version $v for $pathStr (gave up)")
+      readCheck match {
+        case Some(rs) =>
+          // delete/delete: the winner removed a file we also remove —
+          // both transactions acted on the same rows
+          winnerField("remove").map(RowCodec.jsonToRemove)
+            .map(r => Storage.canonicalPathKey(r.path))
+            .find(rs.removedKeys.contains)
+            .foreach(p => throw new ConcurrentDeleteDeleteException(
+              s"concurrent removal of '$p' at version $v for $pathStr"))
+          // append check: winner adds are safe only when partition
+          // pruning + stats skipping PROVE no added file can hold a row
+          // matching our predicate (delta's Serializable check; the
+          // reference surfaces the same cases via CommitResult)
+          val winAdds = winnerField("add").map(RowCodec.jsonToAdd).toSeq
+          if (winAdds.nonEmpty) {
+            val disjoint = rs.predicateSql.isDefined && {
+              val rows: Seq[org.apache.spark.sql.Row] = winAdds.map(a =>
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericRowWithSchema(
+                    Array[Any](RowCodec.addToRow(a), v),
+                    rs.snap.addsSchema))
+              val df = spark.createDataFrame(
+                rows.asJava, rs.snap.addsSchema)
+              new DeltaScan(rs.snap, rs.predicateSql)
+                .pruneAdds(df).limit(1).count() == 0
+            }
+            if (!disjoint) throw new ConcurrentAppendException(
+              s"concurrent append at version $v for $pathStr may match " +
+                s"the predicate ${rs.predicateSql.getOrElse("<none>")}")
+          }
+          // provably disjoint winner → rebase past it
+        case None =>
+          if (!retryable) throw new ConcurrentWriteException(
+            s"commit conflict at version $v for $pathStr")
+      }
       v += 1
     }
     v // unreachable
@@ -487,13 +525,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         partitionValues = Some(a.partitionValues), size = Some(a.size),
         deletionVector = a.deletionVector)
     }
-    val lines =
-      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql),
-        ictFor(snap))) ++
+    val tail =
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
-    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(snap.version + 1,
+      cv => commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+        ictAt(snap, cv - 1)) +: tail,
+      retryable = false, Nil,
+      Some(DeltaTable.ReadSet(snap, Some(predicateSql),
+        candidates.map(a => Storage.canonicalPathKey(a.path)).toSet)))
     maybeWriteChecksum(committed,
       newAdds.map(_.size), candidates.map(_.size))
     committed
@@ -556,13 +597,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
         partitionValues = Some(a.partitionValues), size = Some(a.size),
         deletionVector = a.deletionVector)
     }
-    val lines =
-      Seq(commitInfoLine("UPDATE", Map("predicate" -> predicateSql),
-        ictFor(snap))) ++
+    val tail =
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
-    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    val committed = commitActions(snap.version + 1,
+      cv => commitInfoLine("UPDATE", Map("predicate" -> predicateSql),
+        ictAt(snap, cv - 1)) +: tail,
+      retryable = false, Nil,
+      Some(DeltaTable.ReadSet(snap, Some(predicateSql),
+        candidates.map(a => Storage.canonicalPathKey(a.path)).toSet)))
     maybeWriteChecksum(committed, newAdds.map(_.size),
       candidates.map(_.size))
     committed
@@ -668,13 +712,24 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
             Seq("deletionVectors"), Seq("deletionVectors"))))))
       else Nil
 
-    val lines =
-      Seq(commitInfoLine("DELETE", Map("predicate" -> predicateSql),
-        ictFor(snap))) ++
+    val tail =
       protoLine ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
-    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    // a commit carrying its own protocol upgrade can never rebase —
+    // winnerField("protocol") would be OUR line; keep those strict
+    val committed =
+      if (needsUpgrade)
+        commitActions(snap.version + 1,
+          cv => commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+            ictAt(snap, cv - 1)) +: tail, retryable = false, Nil)
+      else commitActions(snap.version + 1,
+        cv => commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+          ictAt(snap, cv - 1)) +: tail,
+        retryable = false, Nil,
+        Some(DeltaTable.ReadSet(snap, Some(predicateSql),
+          (gone.map(_._1) ++ partialFiles.map(_._1))
+            .map(p => Storage.canonicalPathKey(byPath(p).path)).toSet)))
     maybeWriteChecksum(committed,
       newAdds.map(_.size),
       (gone ++ partialFiles).map(p => byPath(p._1).size),
@@ -939,16 +994,23 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       val idHwms = IdentityColumns.hwmFromStats(newAdds, snap, identityCols)
       val idMeta = if (idHwms.isEmpty) None
         else Some(IdentityColumns.advance(snap.metadata, idHwms))
-      val lines =
-        Seq(commitInfoLine("MERGE", Map("predicate" -> condSql),
-          ictFor(snap))) ++
+      val tail =
         idMeta.map(m =>
           JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
         removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
         newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
         cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
-      val committed = commitActions(snap.version + 1, lines,
-        retryable = false)
+      // MERGE reads under a join condition, not a single-table
+      // predicate — no stats proof possible, so any concurrent add is
+      // a conflict (predicateSql = None keeps the check conservative);
+      // identity-advancing merges also change metadata and stay strict
+      val committed = commitActions(snap.version + 1,
+        cv => commitInfoLine("MERGE", Map("predicate" -> condSql),
+          ictAt(snap, cv - 1)) +: tail,
+        retryable = false, Nil,
+        if (idMeta.isDefined) None
+        else Some(DeltaTable.ReadSet(snap, None,
+          candidates.map(a => Storage.canonicalPathKey(a.path)).toSet)))
       matchedTagged.unpersist()
       insertRaw.foreach(_.unpersist())
       maybeWriteChecksum(committed, newAdds.map(_.size),
@@ -1597,6 +1659,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 }
 
 object DeltaTable {
+
+  /** Read footprint of a reads-based (DML) transaction, for commit
+    * conflict checks: the snapshot it planned against, the predicate
+    * it read under, and the canonical keys of the files it removes.
+    */
+  case class ReadSet(snap: Snapshot, predicateSql: Option[String],
+      removedKeys: Set[String])
 
   val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
   /** Fixed file count for clustered writes; unset/0 = AQE-sized. */

@@ -89,6 +89,69 @@ class ConflictSpec extends AnyFunSuite {
     assert(!ex.isInstanceOf[MetadataChangedException])
   }
 
+  test("DELETE rebases past a provably-disjoint concurrent append") {
+    val dir = TestSpark.tmpDir("cf-disjoint")
+    DeltaTable.create(spark, dir, src(1, 1).schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src(1, 10).repartition(1)) // v1: ONE file our DELETE rewrites
+    val snap = t.snapshot()
+    val victim = t.scan(None).collectAddFiles().head
+    t.append(src(100, 110))          // v2 lands first: k stats 100..110
+    // our DELETE (k < 50) planned against v1 tries v2 — the winner's
+    // stats prove no added row can match, so it must land at v3
+    val v = t.commitActions(2L, (_: Long) => Seq(
+      JsonLog.writeAction(SingleAction(remove = Some(RemoveFile(
+        victim.path, Some(System.currentTimeMillis()),
+        dataChange = true))))),
+      retryable = false, Nil,
+      Some(DeltaTable.ReadSet(snap, Some("k < 50"),
+        Set(Storage.canonicalPathKey(victim.path)))))
+    assert(v == 3L)
+    // the delete landed after the disjoint append: only 100..110 remain
+    assert(t.toDF.select("k").as[Long].collect().toSet ==
+      (100L to 110L).toSet)
+  }
+
+  test("DELETE racing an overlapping append surfaces " +
+      "ConcurrentAppendException") {
+    val dir = TestSpark.tmpDir("cf-overlap")
+    DeltaTable.create(spark, dir, src(1, 1).schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src(1, 10))
+    val snap = t.snapshot()
+    val victim = t.scan(None).collectAddFiles().head
+    t.append(src(20, 60)) // overlaps predicate k < 50
+    intercept[ConcurrentAppendException] {
+      t.commitActions(2L, (_: Long) => Seq(
+        JsonLog.writeAction(SingleAction(remove = Some(RemoveFile(
+          victim.path, Some(System.currentTimeMillis()),
+          dataChange = true))))),
+        retryable = false, Nil,
+        Some(DeltaTable.ReadSet(snap, Some("k < 50"),
+          Set(Storage.canonicalPathKey(victim.path)))))
+    }
+  }
+
+  test("two DELETEs removing the same file surface " +
+      "ConcurrentDeleteDeleteException") {
+    val dir = TestSpark.tmpDir("cf-deldel")
+    DeltaTable.create(spark, dir, src(1, 1).schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src(1, 10))
+    val snap = t.snapshot()
+    val victim = t.scan(None).collectAddFiles().head
+    t.deleteWhere("k <= 10") // winner removes the same file
+    intercept[ConcurrentDeleteDeleteException] {
+      t.commitActions(2L, (_: Long) => Seq(
+        JsonLog.writeAction(SingleAction(remove = Some(RemoveFile(
+          victim.path, Some(System.currentTimeMillis()),
+          dataChange = true))))),
+        retryable = false, Nil,
+        Some(DeltaTable.ReadSet(snap, Some("k < 5"),
+          Set(Storage.canonicalPathKey(victim.path)))))
+    }
+  }
+
   test("rebased append keeps in-commit timestamps strictly monotonic") {
     val dir = TestSpark.tmpDir("cf-ict")
     DeltaTable.create(spark, dir, src(1, 1).schema,
