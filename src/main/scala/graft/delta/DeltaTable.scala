@@ -487,6 +487,33 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     committed
   }
 
+  /** Replace the table's contents atomically: one commit removes every
+    * live file and adds the staged replacement (mode("overwrite")
+    * semantics — reference transaction/mod.rs remove+add reconciliation;
+    * readers at older versions still see the old data).
+    */
+  def overwrite(df: DataFrame): Long = {
+    val snap = snapshot()
+    writerGate(snap, mutating = true)
+    val existing = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    val staged = stageFiles(df, snap)
+    val removes = existing.map { a =>
+      RemoveFile(a.path, Some(now()), dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
+    }
+    val tail =
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      staged.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    val committed = commitActions(snap.version + 1,
+      cv => commitInfoLine("WRITE", Map("mode" -> "Overwrite"),
+        ictAt(snap, cv - 1)) +: tail,
+      retryable = false, Nil)
+    maybeWriteChecksum(committed, staged.map(_.size), existing.map(_.size))
+    committed
+  }
+
   /** DELETE WHERE: files whose rows all survive are untouched; files with
     * any matching row are rewritten without the matching rows
     * (remove+add pairs — reference transaction/update.rs:188-812 file-

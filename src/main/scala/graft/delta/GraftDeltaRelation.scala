@@ -1,0 +1,81 @@
+package graft.delta
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Row, SQLContext}
+
+/** DSv1 batch relation over a Delta table: `spark.read
+  * .format("graft-delta").load(path)` (+ `versionAsOf`/`timestampAsOf`
+  * time travel). Supported pushed filters are translated to a
+  * predicate for the log-level skipping path (partition pruning +
+  * stats), then Spark re-applies every filter exactly on the rows —
+  * translation only ever REDUCES the files read, never the rows
+  * returned (the DataSkipping contract: unknown ⇒ keep).
+  */
+class GraftDeltaRelation(
+    override val sqlContext: SQLContext,
+    path: String,
+    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = sqlContext.sparkSession
+  private lazy val snap = Snapshot.forTable(spark, path, version)
+
+  override def schema: StructType = snap.schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(GraftDeltaRelation.toSql)
+      .reduceOption((a, b) => s"($a) AND ($b)")
+    val df = new DeltaScan(snap, pred).toDF
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scans: any single cheap column serves
+        df.select(ColumnMapping.qcol(schema.fieldNames.head))
+      else df.select(requiredColumns.map(ColumnMapping.qcol).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+object GraftDeltaRelation {
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'")
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long |
+              _: Float | _: Double) => Some(n.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case _ => None // timestamps etc.: skip — Spark still filters rows
+  }
+
+  private def q(attr: String): String =
+    "`" + attr.replace("`", "``") + "`"
+
+  /** Best-effort Filter → SQL for file skipping; None = not translated
+    * (the file set stays a superset — correctness unaffected).
+    */
+  private[delta] def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => lit(v).map(l => s"${q(a)} = $l")
+    case GreaterThan(a, v) => lit(v).map(l => s"${q(a)} > $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} >= $l")
+    case LessThan(a, v) => lit(v).map(l => s"${q(a)} < $l")
+    case LessThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} <= $l")
+    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      val ls = vs.toSeq.map(lit)
+      if (ls.forall(_.isDefined))
+        Some(s"${q(a)} IN (${ls.flatten.mkString(", ")})")
+      else None
+    case IsNull(a) => Some(s"${q(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${q(a)} IS NOT NULL")
+    case And(l, r) => (toSql(l), toSql(r)) match {
+      case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
+      case (a, b) => a.orElse(b) // AND may drop a side (skipping-safe)
+      }
+    case Or(l, r) => for { a <- toSql(l); b <- toSql(r) }
+      yield s"($a) OR ($b)" // OR needs BOTH sides
+    case _ => None
+  }
+}

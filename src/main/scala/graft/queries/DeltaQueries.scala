@@ -271,6 +271,18 @@ object DeltaQueries {
           col("_change_type"))
     }),
 
+    // batch DataSource surface: write/append via
+    // .format("graft-delta"), read back with a pushed filter
+    "q_delta_format_io" -> ((s, d) => {
+      val dir = tmp("fmtio")
+      li(s, d).filter(col("l_quantity") < 8)
+        .write.format("graft-delta").save(dir)
+      li(s, d).filter(col("l_quantity") >= 8 && col("l_quantity") < 14)
+        .write.format("graft-delta").mode("append").save(dir)
+      ordered(s.read.format("graft-delta").load(dir)
+        .filter(col("l_returnflag") === "R"))
+    }),
+
     // MERGE: matched-delete + matched-update + not-matched-insert in
     // one commit — the oracle recomputes the post-merge state from the
     // raw parquet
@@ -346,6 +358,11 @@ object DeltaQueries {
         |         'update_postimage'
         |  FROM src WHERE l_quantity < 3)
         |ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
+
+    "q_delta_format_io" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 14 AND l_returnflag = 'R'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_merge" ->
       """WITH base AS (

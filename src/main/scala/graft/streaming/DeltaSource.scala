@@ -261,12 +261,66 @@ object DeltaSource {
         org.apache.spark.sql.types.TimestampType)))
 }
 
-/** `.format("graft-delta")` / `.format(classOf[DeltaSourceProvider].getName)` */
+/** `.format("graft-delta")` / `.format(classOf[DeltaSourceProvider].getName)`
+  * — streaming source + sink AND batch read/write: `spark.read
+  * .format("graft-delta").load(path)` scans through the log-backed
+  * skipping path (with `versionAsOf`/`timestampAsOf` time travel);
+  * `df.write.format("graft-delta").mode(...).save(path)` creates or
+  * appends/overwrites through the transactional commit path.
+  */
 class DeltaSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val millis =
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch { case _: IllegalArgumentException => ts.toLong }
+        graft.delta.DeltaTable.forPath(sqlContext.sparkSession, path)
+          .versionAtTimestamp(millis)
+      })
+    new graft.delta.GraftDeltaRelation(sqlContext, path, version)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    val exists = graft.delta.DeltaTable.isDeltaTable(spark, path)
+    if (!exists) {
+      val partitionCols = parameters.get("partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      graft.delta.DeltaTable.create(spark, path, data.schema, partitionCols)
+      graft.delta.DeltaTable.forPath(spark, path).append(data)
+    } else mode match {
+      case SaveMode.Append =>
+        graft.delta.DeltaTable.forPath(spark, path).append(data)
+      case SaveMode.Overwrite =>
+        graft.delta.DeltaTable.forPath(spark, path).overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalStateException(s"delta table already exists: $path")
+      case SaveMode.Ignore => ()
+    }
+    new graft.delta.GraftDeltaRelation(sqlContext, path, None)
+  }
 
   override def createSink(
       sqlContext: SQLContext,
