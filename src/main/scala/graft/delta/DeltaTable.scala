@@ -14,14 +14,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * (reference: kernel/src/transaction/mod.rs — append txn :199-322,
   * commit :327-590; create_table.rs; history_manager/mod.rs)
   */
-class DeltaTable(val spark: SparkSession, val pathStr: String) {
+class DeltaTable(val spark: SparkSession, val pathStr: String,
+    val catalog: Option[CatalogClient] = None) {
   val root = new Path(pathStr)
   private def hconf = spark.sessionState.newHadoopConf()
   private def fs = Storage.fs(root, hconf)
   private val logDir = FileNames.logDir(root)
 
-  def snapshot(version: Option[Long] = None): Snapshot =
-    Snapshot.forTable(spark, pathStr, version)
+  /** The commit authority for this handle (reference committer/mod.rs):
+    * stage-and-ratify when a catalog manages the table, put-if-absent
+    * otherwise.
+    */
+  private def committer: Committer =
+    catalog.map(c => new CatalogCommitter(c, pathStr))
+      .getOrElse(FileSystemCommitter)
+
+  def snapshot(version: Option[Long] = None): Snapshot = catalog match {
+    case Some(c) => Snapshot.forTable(spark, pathStr, version,
+      c.logTail(pathStr), c.maxRatifiedVersion(pathStr))
+    case None => Snapshot.forTable(spark, pathStr, version)
+  }
 
   def toDF: DataFrame = snapshot().toDF
 
@@ -54,10 +66,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
     var attempts = 0
     while (true) {
       val content = mkLines(v).mkString("", "\n", "\n")
-      if (Storage.putIfAbsent(fs, FileNames.commitFile(logDir, v), content))
-        return v
+      committer.commit(fs, logDir, v, content) match {
+        case CommitResponse.Committed(cv, _) => return cv
+        case CommitResponse.Conflict(_) => ()
+      }
       attempts += 1
-      val winner = Storage.readLines(fs, FileNames.commitFile(logDir, v))
+      val winner = Storage.readLines(fs, resolveCommitPath(v))
         .filter(_.nonEmpty)
       def winnerField(field: String) = winner.iterator
         .filter(_.contains("\"" + field + "\""))
@@ -132,6 +146,14 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
   private def writerGate(snap: Snapshot, mutating: Boolean): Unit = {
     require(snap.protocol.minWriterVersion <= 7,
       s"unsupported minWriterVersion ${snap.protocol.minWriterVersion}")
+    // reference committer/filesystem.rs test contract: a filesystem
+    // committer must never write to a catalog-managed table — its
+    // put-if-absent "win" would bypass the catalog's arbitration
+    if (CatalogManaged.isCatalogManaged(snap.protocol) &&
+        !committer.isCatalogCommitter)
+      throw new IllegalStateException(
+        "This table is catalog-managed and requires a catalog " +
+          "committer: open it with DeltaTable.forPath(spark, path, catalog)")
     val bad = TableFeatures.unsupportedWriterFeatures(
       snap.protocol, snap.metadata)
     require(bad.isEmpty,
@@ -174,9 +196,18 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
       engineInfo = Some("graft-spark/0.1.0"),
       inCommitTimestamp = ict))))
 
+  /** Where the commit for `version` lives: the catalog's ratified
+    * staged file when one exists (it is the authority — the published
+    * copy may not exist yet), the published path otherwise.
+    */
+  private def resolveCommitPath(version: Long): Path =
+    catalog.flatMap(_.logTail(pathStr)
+        .find(_.version == version).map(_.location))
+      .getOrElse(FileNames.commitFile(logDir, version))
+
   /** In-commit timestamp of the commit file at `version`, if any. */
   private def commitIct(version: Long): Option[Long] = {
-    val p = FileNames.commitFile(logDir, version)
+    val p = resolveCommitPath(version)
     if (version < 0 || !fs.exists(p)) None
     else Storage.readLines(fs, p).iterator
       .filter(_.contains("\"commitInfo\""))
@@ -202,6 +233,25 @@ class DeltaTable(val spark: SparkSession, val pathStr: String) {
 
   private def ictFor(snap: Snapshot): Option[Long] =
     ictAt(snap, snap.version)
+
+  /** Publish ratified catalog commits `<= upToVersion` (default: all)
+    * to their `_delta_log/{version}.json` locations (reference
+    * Committer::publish + publish_types.rs PublishMetadata). Publishing
+    * is an optimization — reads through the catalog are correct before
+    * and after — so it is idempotent and safe to race.
+    */
+  def publish(upToVersion: Option[Long] = None): Long = {
+    val cat = catalog.getOrElse(throw new IllegalStateException(
+      s"table at $pathStr has no catalog: nothing to publish"))
+    val tail = cat.logTail(pathStr)
+    require(tail.nonEmpty, s"no unpublished catalog commits for $pathStr")
+    val upTo = upToVersion.getOrElse(tail.last.version)
+    val toPublish = tail.filter(_.version <= upTo)
+    require(toPublish.nonEmpty && toPublish.last.version == upTo,
+      s"version $upTo is not an unpublished ratified version of $pathStr")
+    committer.publish(fs, logDir, toPublish)
+    upTo
+  }
 
   // ---------------- write path ----------------
 
@@ -1705,6 +1755,13 @@ object DeltaTable {
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
 
+  /** Handle to a catalog-managed table: snapshots read through the
+    * catalog's log tail, commits stage-and-ratify.
+    */
+  def forPath(spark: SparkSession, path: String,
+      catalog: CatalogClient): DeltaTable =
+    new DeltaTable(spark, path, Some(catalog))
+
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
     val p = FileNames.logDir(new Path(path))
     val fs = Storage.fs(p, spark.sessionState.newHadoopConf())
@@ -1719,7 +1776,8 @@ object DeltaTable {
       partitionColumns: Seq[String] = Nil,
       configuration: Map[String, String] = Map.empty,
       name: Option[String] = None,
-      clusterBy: Seq[String] = Nil): DeltaTable = {
+      clusterBy: Seq[String] = Nil,
+      catalog: Option[CatalogClient] = None): DeltaTable = {
     require(partitionColumns.forall(schema.fieldNames.contains),
       "partition column not in schema")
     require(clusterBy.forall(schema.fieldNames.contains),
@@ -1732,18 +1790,24 @@ object DeltaTable {
           s"(${schema(c).dataType.simpleString}) — clustering would " +
           "never help skipping")
     }
-    val t = new DeltaTable(spark, path)
+    val t = new DeltaTable(spark, path, catalog)
+    // catalog-managed tables REQUIRE in-commit timestamps (reference
+    // table_features CATALOG_MANAGED_INFO feature dependency — file
+    // mtimes of staged commits are meaningless to readers)
+    val configuration0 =
+      if (catalog.isDefined) configuration + (ICT_ENABLED_KEY -> "true")
+      else configuration
     // column mapping: annotate physical names/ids at CREATE (reference
     // transaction/builder/create_table.rs column mapping assignment)
-    val cmMode = configuration.getOrElse(ColumnMapping.MODE_KEY, "none")
+    val cmMode = configuration0.getOrElse(ColumnMapping.MODE_KEY, "none")
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported ${ColumnMapping.MODE_KEY} '$cmMode'")
     val (finalSchema, finalConfig) =
-      if (cmMode == "none") (schema, configuration)
+      if (cmMode == "none") (schema, configuration0)
       else {
         val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
         (annotated,
-          configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString))
+          configuration0 + (ColumnMapping.MAX_ID_KEY -> maxId.toString))
       }
     val wantsCdf = finalConfig.get(TableChanges.CDF_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
@@ -1778,10 +1842,12 @@ object DeltaTable {
     val featureAdds =
       (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
       (if (wantsIct) Seq("inCommitTimestamp") else Nil) ++
+      (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
       (if (clusterBy.nonEmpty)
         Seq(Clustering.FEATURE, "domainMetadata") else Nil)
     val readerFeatureAdds =
-      if (wantsVariant) Seq("variantType") else Nil
+      (if (wantsVariant) Seq("variantType") else Nil) ++
+      (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil)
     val protocol =
       if (featureAdds.nonEmpty || wantsVariant || wantsIct)
         TableFeatures.upgraded(legacy, readerFeatureAdds,
@@ -1794,11 +1860,13 @@ object DeltaTable {
       partitionColumns = partitionColumns,
       configuration = finalConfig,
       createdTime = Some(System.currentTimeMillis()))
+    val createTs = System.currentTimeMillis()
     val lines = Seq(
       JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
-        System.currentTimeMillis(), "CREATE TABLE",
+        createTs, "CREATE TABLE",
         Map("partitionBy" -> partitionColumns.mkString(",")),
-        Some("graft-spark/0.1.0"))))),
+        Some("graft-spark/0.1.0"),
+        inCommitTimestamp = if (wantsIct) Some(createTs) else None)))),
       JsonLog.writeAction(SingleAction(protocol = Some(protocol))),
       JsonLog.writeAction(SingleAction(metaData = Some(meta)))) ++
       (if (wantsRowTracking)
@@ -1815,10 +1883,12 @@ object DeltaTable {
       } else Nil)
     val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
     fs.mkdirs(FileNames.logDir(t.root))
-    if (!Storage.putIfAbsent(fs,
-        FileNames.commitFile(FileNames.logDir(t.root), 0L),
-        lines.mkString("", "\n", "\n")))
-      throw new IllegalStateException(s"table already exists at $path")
+    t.committer.commit(fs, FileNames.logDir(t.root), 0L,
+        lines.mkString("", "\n", "\n")) match {
+      case CommitResponse.Committed(_, _) => ()
+      case CommitResponse.Conflict(_) =>
+        throw new IllegalStateException(s"table already exists at $path")
+    }
     Checksum.write(fs, FileNames.logDir(t.root), 0L,
       Checksum.VersionChecksum(0L, 0L, protocol, meta,
         Some(FileSizeHistogram.empty)))

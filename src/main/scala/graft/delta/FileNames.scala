@@ -8,6 +8,13 @@ import org.apache.hadoop.fs.Path
 object FileNames {
   val LOG_DIR = "_delta_log"
   val LAST_CHECKPOINT = "_last_checkpoint"
+  /** Staged (catalog-managed) commits subdir (reference
+    * kernel/src/path.rs:28 STAGED_COMMITS_DIR). Listing of `_delta_log`
+    * itself never surfaces these — only a catalog-provided log tail may
+    * name them (path.rs:124: staged commits seen in a listing MUST NOT
+    * be used).
+    */
+  val STAGED_COMMITS_DIR = "_staged_commits"
 
   private val commitRe = raw"(\d{20})\.json".r
   private val classicCkptRe = raw"(\d{20})\.checkpoint\.parquet".r
@@ -19,6 +26,13 @@ object FileNames {
 
   def commitFile(logDir: Path, version: Long): Path =
     new Path(logDir, f"$version%020d.json")
+
+  /** `_delta_log/_staged_commits/{version}.{uuid}.json` (reference
+    * kernel/src/path.rs:262-263, log_path.rs staged_commit).
+    */
+  def stagedCommitFile(logDir: Path, version: Long, uuid: String): Path =
+    new Path(new Path(logDir, STAGED_COMMITS_DIR),
+      f"$version%020d.$uuid%s.json")
 
   def classicCheckpointFile(logDir: Path, version: Long): Path =
     new Path(logDir, f"$version%020d.checkpoint.parquet")

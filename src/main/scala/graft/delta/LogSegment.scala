@@ -70,27 +70,42 @@ object LogSegment {
     * version 0), and the target version must exist.
     */
   def forVersion(fs: FileSystem, logDir: Path,
-      targetVersion: Option[Long] = None): LogSegment = {
+      targetVersion: Option[Long] = None,
+      logTail: Seq[CatalogCommit] = Nil): LogSegment = {
+    // Catalog log tail (reference snapshot/builder.rs + log_segment
+    // for_snapshot with log_tail): ratified staged commits supersede
+    // any published commit at the same version — a published commit is
+    // a byte-identical copy of the ratified one, so preferring the
+    // catalog's copy is always safe and covers the not-yet-published
+    // suffix.
+    val tailFiles: Seq[LogFile] =
+      logTail.map(c => CommitFile(c.version, c.location))
+    val tailVersions = logTail.map(_.version).toSet
+    def merge(listed: Seq[LogFile]): Seq[LogFile] =
+      listed.filterNot {
+        case c: CommitFile => tailVersions.contains(c.version)
+        case _ => false
+      } ++ tailFiles
     val hinted = readLastCheckpointHint(fs, logDir)
       .filter(h => targetVersion.forall(_ >= h.version))
       .flatMap { h =>
         try {
-          Some(assemble(
+          Some(assemble(logDir, merge(
             Storage.listSortedFrom(fs, logDir, f"${h.version}%020d")
-              .flatMap(st => FileNames.parse(st.getPath)),
+              .flatMap(st => FileNames.parse(st.getPath))),
             targetVersion))
         } catch { case _: IllegalStateException => None }
       }
-    hinted.getOrElse(assemble(
-      Storage.listSorted(fs, logDir).flatMap(st => FileNames.parse(st.getPath)),
+    hinted.getOrElse(assemble(logDir, merge(
+      Storage.listSorted(fs, logDir)
+        .flatMap(st => FileNames.parse(st.getPath))),
       targetVersion))
   }
 
-  private def assemble(listed: Seq[LogFile],
+  private def assemble(logDir: Path, listed: Seq[LogFile],
       targetVersion: Option[Long]): LogSegment = {
     if (listed.isEmpty)
       throw new IllegalStateException("no delta log entries in listing")
-    val logDir = listed.head.path.getParent
 
     val inRange: LogFile => Boolean = lf =>
       targetVersion.forall(lf.version <= _)

@@ -107,12 +107,15 @@ class Snapshot(
 
   /** Version a log file advances to, from its name: a commit
     * `NNN.json` contributes NNN; a compacted `LO.HI.compacted.json`
-    * contributes HI (its actions are the newest in the range).
+    * contributes HI (its actions are the newest in the range); a
+    * staged catalog commit `NNN.{uuid}.json` contributes NNN.
     */
   private def versionFromFileName: Column =
     coalesce(
       nullif(regexp_extract(col("_metadata.file_path"),
         raw"(\d{20})\.(\d{20})\.compacted\.json", 2), lit("")),
+      nullif(regexp_extract(col("_metadata.file_path"),
+        raw"_staged_commits/(\d{20})\.[^/]+\.json", 1), lit("")),
       regexp_extract(col("_metadata.file_path"), raw"(\d{20})\.json", 1))
       .cast("long")
 
@@ -450,17 +453,56 @@ object Snapshot {
     * assemble segment, replay P&M newest-first, validate protocol.
     */
   def forTable(spark: SparkSession, tablePath: String,
-      version: Option[Long] = None): Snapshot = {
+      version: Option[Long] = None): Snapshot =
+    forTable(spark, tablePath, version, Nil, None)
+
+  /** Catalog-aware build (reference snapshot/builder.rs
+    * `with_log_tail` / `with_max_catalog_version` + its pre/post
+    * validations): `logTail` is the catalog's ratified-but-unpublished
+    * commits, `maxCatalogVersion` its max ratified version. Required
+    * for catalog-managed tables; forbidden otherwise.
+    */
+  def forTable(spark: SparkSession, tablePath: String,
+      version: Option[Long], logTail: Seq[CatalogCommit],
+      maxCatalogVersion: Option[Long]): Snapshot = {
+    // pre-build validations (builder.rs:326-392)
+    logTail.sliding(2).foreach {
+      case Seq(a, b) => require(a.version + 1 == b.version,
+        s"log tail versions not contiguous: ${a.version} then ${b.version}")
+      case _ => ()
+    }
+    require(logTail.isEmpty || maxCatalogVersion.isDefined,
+      "max catalog version is required when providing staged commits " +
+        "in the log tail")
+    for (v <- version; m <- maxCatalogVersion)
+      require(v <= m, s"requested version $v exceeds max catalog version $m")
+    (maxCatalogVersion, logTail.lastOption) match {
+      case (Some(m), Some(last)) => version match {
+        case Some(v) => require(last.version >= v,
+          s"log tail ends at ${last.version}, below requested version $v")
+        case None => require(last.version == m,
+          s"log tail ends at ${last.version}, expected max catalog " +
+            s"version $m")
+      }
+      case _ => ()
+    }
+    val hasCatalog = maxCatalogVersion.isDefined
+    // time travel within the tail still bounds by the requested
+    // version; otherwise the catalog's max version is the target
+    // (builder.rs effective_version)
+    val effectiveVersion = version.orElse(maxCatalogVersion)
+
     val root = new Path(tablePath)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(root, conf)
     val logDir = FileNames.logDir(root)
-    val segment = LogSegment.forVersion(fs, logDir, version)
+    val segment = LogSegment.forVersion(fs, logDir, effectiveVersion, logTail)
 
     // CRC fast path (reference crc/mod.rs): a valid checksum at the
     // snapshot version supplies P&M without any replay
     Checksum.read(fs, logDir, segment.version).foreach { c =>
-      return gated(new Snapshot(spark, root, segment, c.protocol, c.metadata))
+      return gated(new Snapshot(spark, root, segment, c.protocol, c.metadata),
+        hasCatalog)
     }
 
     // newest-first P&M replay over commits
@@ -508,7 +550,7 @@ object Snapshot {
       s"no protocol action found for $tablePath@${segment.version}"))
     val m = metadata.getOrElse(throw new IllegalStateException(
       s"no metaData action found for $tablePath@${segment.version}"))
-    gated(new Snapshot(spark, root, segment, p, m))
+    gated(new Snapshot(spark, root, segment, p, m), hasCatalog)
   }
 
   /** Advance `prev` with commits past its version without relisting the
@@ -553,9 +595,23 @@ object Snapshot {
   /** Reader-version + feature gate, applied to every constructed
     * snapshot (reference table_features/mod.rs:102-185).
     */
-  private def gated(s: Snapshot): Snapshot = {
+  private def gated(s: Snapshot, hasCatalog: Boolean = false): Snapshot = {
     val p = s.protocol
     val m = s.metadata
+
+    // Catalog-managed post-build validation (reference
+    // snapshot/builder.rs validate_catalog_managed_build_result): a
+    // catalog-managed table built without catalog information could
+    // silently miss ratified-but-unpublished commits; a path-based
+    // table given catalog information indicates a caller bug.
+    if (CatalogManaged.isCatalogManaged(p))
+      require(hasCatalog,
+        "table is catalog-managed: snapshot builds require the " +
+          "catalog's log tail and max ratified version")
+    else
+      require(!hasCatalog,
+        "catalog information was provided for a table that is not " +
+          "catalog-managed")
 
     // Reader-version gate (reference table_features/mod.rs:102-185).
     // Only features the scan actually implements are accepted — an
@@ -567,7 +623,8 @@ object Snapshot {
       Set("deletionVectors", "timestampNtz", "columnMapping",
         "vacuumProtocolCheck", "v2Checkpoint",
         "variantType", "variantType-preview",
-        "typeWidening", "typeWidening-preview")
+        "typeWidening", "typeWidening-preview",
+        CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")

@@ -60,7 +60,7 @@ object TableFeatures {
     "timestampNtz", "variantType", "variantType-preview",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
     "invariants", "checkConstraints", "generatedColumns", "clustering",
-    "identityColumns")
+    "identityColumns", "catalogManaged", "catalogOwned-preview")
 
   /** Writer-side gate (reference table_features write gates): every
     * declared writer feature must be implemented. Returns the features

@@ -68,6 +68,24 @@ object DeltaQueries {
       ordered(t.snapshot(Some(1L)).toDF)
     }),
 
+    // catalog-managed table: staged commits ratified by a catalog,
+    // partial publish, reads through published log + catalog log tail
+    // (reference kernel/src/committer/ + snapshot/builder.rs log_tail)
+    "q_delta_catalog_managed" -> ((s, d) => {
+      val src = li(s, d).filter(col("l_quantity") < 16)
+      val dir = tmp("cm")
+      val cat = new graft.delta.InMemoryCatalog
+      graft.delta.DeltaTable.create(s, dir, src.schema,
+        catalog = Some(cat))
+      val t = graft.delta.DeltaTable.forPath(s, dir, cat)
+      t.append(src.filter(col("l_quantity") < 6))          // v1 staged
+      t.append(src.filter(col("l_quantity") >= 6 &&
+        col("l_quantity") < 11))                           // v2 staged
+      t.publish(Some(1L))  // v0..v1 published; v2 stays catalog-only
+      t.append(src.filter(col("l_quantity") >= 11))        // v3 staged
+      ordered(t.toDF)
+    }),
+
     // checkpoint mid-log: snapshot = checkpoint + trailing commit
     "q_delta_checkpoint" -> ((s, d) => {
       val dir = tmp("ck")
@@ -387,6 +405,10 @@ object DeltaQueries {
 
     "q_delta_checkpoint" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 15
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_catalog_managed" ->
+      s"""SELECT $cols FROM lineitem WHERE l_quantity < 16
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_column_mapping" ->
