@@ -396,6 +396,21 @@ object Snapshot {
     */
   private[delta] def sniffV2(spark: SparkSession,
       top: FileNames.CheckpointFile): Boolean = {
+    // fast path: a parquet checkpoint whose FOOTER schema lacks a
+    // checkpointMetadata column cannot be V2 — a driver-side footer
+    // read answers that without launching a Spark job (the common case:
+    // every V1 classic checkpoint, including our own)
+    if (!top.path.getName.endsWith(".json")) {
+      val hasColumn = try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(top.path, spark.sessionState.newHadoopConf())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getFileMetaData.getSchema
+          .containsField("checkpointMetadata")
+        finally reader.close()
+      } catch { case _: Exception => true } // unreadable footer → probe
+      if (!hasColumn) return false
+    }
     val probeSchema = StructType(Seq(org.apache.spark.sql.types.StructField(
       "checkpointMetadata", LogSchema.checkpointMetadata)))
     val reader = spark.read.schema(probeSchema)
