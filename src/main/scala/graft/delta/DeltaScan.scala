@@ -140,13 +140,17 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * (the custom-FileIndex handoff is the v2 path beyond this).
     */
   private[graft] def collectAddFiles(slim: Boolean): Seq[AddFile] = {
+    val t0 = Metrics.now()
     val df =
       if (!slim) filesDF
       else filesDF.withColumn("add", col("add")
         .withField("stats", lit(null).cast(StringType))
         .withField("tags",
           lit(null).cast(MapType(StringType, StringType))))
-    df.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
+    val out = df.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
+    Metrics.report(MetricEvent.ScanFilesCollected(Metrics.newId(),
+      Metrics.now() - t0, out.size, predicateSql))
+    out
   }
 
   /** URI path (no scheme/authority) of `_metadata.file_path` — the join

@@ -62,12 +62,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       mkLines: Long => Seq[String], retryable: Boolean,
       txnAppIds: Seq[String],
       readCheck: Option[DeltaTable.ReadSet] = None): Long = {
+    val opId = Metrics.newId()
+    val t0 = Metrics.now()
     var v = startVersion
     var attempts = 0
+    def fail(e: Exception): Nothing = {
+      Metrics.report(MetricEvent.TransactionCommitFailure(opId,
+        Metrics.now() - t0, v, attempts, e.getClass.getSimpleName))
+      throw e
+    }
     while (true) {
       val content = mkLines(v).mkString("", "\n", "\n")
       committer.commit(fs, logDir, v, content) match {
-        case CommitResponse.Committed(cv, _) => return cv
+        case CommitResponse.Committed(cv, _) =>
+          Metrics.report(MetricEvent.TransactionCommitSuccess(opId,
+            Metrics.now() - t0, cv, attempts))
+          return cv
         case CommitResponse.Conflict(_) => ()
       }
       attempts += 1
@@ -78,21 +88,21 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         .map(JsonLog.parseLine)
         .flatMap(n => Option(n.get(field)).filterNot(_.isNull))
       if (winnerField("protocol").nonEmpty)
-        throw new ProtocolChangedException(
-          s"concurrent protocol change at version $v for $pathStr")
+        fail(new ProtocolChangedException(
+          s"concurrent protocol change at version $v for $pathStr"))
       if (winnerField("metaData").nonEmpty)
-        throw new MetadataChangedException(
-          s"concurrent metadata change at version $v for $pathStr")
+        fail(new MetadataChangedException(
+          s"concurrent metadata change at version $v for $pathStr"))
       if (txnAppIds.nonEmpty) {
         winnerField("txn").map(_.get("appId").asText)
           .find(txnAppIds.contains)
-          .foreach(app => throw new ConcurrentTransactionException(
+          .foreach(app => fail(new ConcurrentTransactionException(
             s"concurrent transaction for appId '$app' at version $v " +
-              s"for $pathStr"))
+              s"for $pathStr")))
       }
       if (attempts > 1000)
-        throw new ConcurrentWriteException(
-          s"commit conflict at version $v for $pathStr (gave up)")
+        fail(new ConcurrentWriteException(
+          s"commit conflict at version $v for $pathStr (gave up)"))
       readCheck match {
         case Some(rs) =>
           // delete/delete: the winner removed a file we also remove —
@@ -100,8 +110,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           winnerField("remove").map(RowCodec.jsonToRemove)
             .map(r => Storage.canonicalPathKey(r.path))
             .find(rs.removedKeys.contains)
-            .foreach(p => throw new ConcurrentDeleteDeleteException(
-              s"concurrent removal of '$p' at version $v for $pathStr"))
+            .foreach(p => fail(new ConcurrentDeleteDeleteException(
+              s"concurrent removal of '$p' at version $v for $pathStr")))
           // append check: winner adds are safe only when partition
           // pruning + stats skipping PROVE no added file can hold a row
           // matching our predicate (delta's Serializable check; the
@@ -119,14 +129,14 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
               new DeltaScan(rs.snap, rs.predicateSql)
                 .pruneAdds(df).limit(1).count() == 0
             }
-            if (!disjoint) throw new ConcurrentAppendException(
+            if (!disjoint) fail(new ConcurrentAppendException(
               s"concurrent append at version $v for $pathStr may match " +
-                s"the predicate ${rs.predicateSql.getOrElse("<none>")}")
+                s"the predicate ${rs.predicateSql.getOrElse("<none>")}"))
           }
           // provably disjoint winner → rebase past it
         case None =>
-          if (!retryable) throw new ConcurrentWriteException(
-            s"commit conflict at version $v for $pathStr")
+          if (!retryable) fail(new ConcurrentWriteException(
+            s"commit conflict at version $v for $pathStr"))
       }
       v += 1
     }

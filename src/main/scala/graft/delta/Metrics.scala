@@ -1,0 +1,96 @@
+package graft.delta
+
+import java.util.UUID
+
+/** Operation metrics (reference kernel/src/metrics/ — `MetricsReporter`
+  * trait in reporter.rs, `MetricEvent` enum in events.rs): significant
+  * operations — log segment assembly, snapshot builds, commits, scan
+  * file listing, `.crc` reads — emit typed events tagged with an
+  * operation id so a reporter can correlate an operation's lifecycle.
+  * Reporting is fire-and-forget: a throwing reporter never fails the
+  * operation it observes.
+  */
+sealed trait MetricEvent { def operationId: String }
+
+object MetricEvent {
+  /** Log segment assembled (reference events.rs LogSegmentLoadSuccess). */
+  case class LogSegmentLoadSuccess(operationId: String, durationNs: Long,
+      version: Long, numDeltas: Int, numCheckpointParts: Int)
+    extends MetricEvent
+
+  /** Snapshot built; `pmSource` says where Protocol+Metadata came from:
+    * "crc", "commit", or "checkpoint" (reference events.rs
+    * SnapshotBuildSuccess + ProtocolMetadataSource).
+    */
+  case class SnapshotBuildSuccess(operationId: String, durationNs: Long,
+      version: Long, pmSource: String) extends MetricEvent
+
+  /** Snapshot build failed (reference events.rs SnapshotBuildFailure). */
+  case class SnapshotBuildFailure(operationId: String, durationNs: Long,
+      error: String) extends MetricEvent
+
+  /** Commit landed; `attempts` counts conflict-rebase retries
+    * (reference events.rs TransactionCommitSuccess).
+    */
+  case class TransactionCommitSuccess(operationId: String,
+      durationNs: Long, version: Long, attempts: Int) extends MetricEvent
+
+  /** Commit surfaced a conflict it could not rebase past (reference
+    * events.rs TransactionCommitFailure + CommitFailureReason).
+    */
+  case class TransactionCommitFailure(operationId: String,
+      durationNs: Long, version: Long, attempts: Int,
+      reason: String) extends MetricEvent
+
+  /** Scan file listing resolved (reference events.rs
+    * ScanMetadataCompleted): how many live files survive partition
+    * pruning + stats skipping for the scan's predicate.
+    */
+  case class ScanFilesCollected(operationId: String, durationNs: Long,
+      numFiles: Int, predicate: Option[String]) extends MetricEvent
+
+  /** A version checksum served the P&M fast path (reference events.rs
+    * CrcReadSuccess).
+    */
+  case class CrcReadSuccess(operationId: String, version: Long)
+    extends MetricEvent
+}
+
+/** Receives every metric event (reference metrics/reporter.rs). Keep
+  * `report` cheap and non-blocking — it runs inline on the driver.
+  */
+trait MetricsReporter { def report(event: MetricEvent): Unit }
+
+object NoOpReporter extends MetricsReporter {
+  override def report(event: MetricEvent): Unit = ()
+}
+
+/** Collects events in memory for tests and programmatic inspection
+  * (the reference models the same in its doctest reporters).
+  */
+class InMemoryReporter extends MetricsReporter {
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedQueue[MetricEvent]()
+  override def report(event: MetricEvent): Unit = buf.add(event)
+  def events: Seq[MetricEvent] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[MetricEvent]
+    buf.forEach(e => out += e)
+    out.toSeq
+  }
+  def clear(): Unit = buf.clear()
+}
+
+object Metrics {
+  /** The process-global reporter; default drops everything. Composite
+    * reporting = a reporter that fans out (reference metrics/mod.rs
+    * composite example).
+    */
+  @volatile var reporter: MetricsReporter = NoOpReporter
+
+  def newId(): String = UUID.randomUUID().toString
+
+  def report(e: MetricEvent): Unit =
+    try reporter.report(e) catch { case _: Exception => () }
+
+  def now(): Long = System.nanoTime()
+}

@@ -507,17 +507,40 @@ object Snapshot {
     // (builder.rs effective_version)
     val effectiveVersion = version.orElse(maxCatalogVersion)
 
+    val opId = Metrics.newId()
+    val t0 = Metrics.now()
+    try forTableTimed(spark, tablePath, effectiveVersion, logTail,
+      hasCatalog, opId, t0)
+    catch {
+      case e: Exception =>
+        Metrics.report(MetricEvent.SnapshotBuildFailure(opId,
+          Metrics.now() - t0, e.toString))
+        throw e
+    }
+  }
+
+  private def forTableTimed(spark: SparkSession, tablePath: String,
+      effectiveVersion: Option[Long], logTail: Seq[CatalogCommit],
+      hasCatalog: Boolean, opId: String, t0: Long): Snapshot = {
     val root = new Path(tablePath)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(root, conf)
     val logDir = FileNames.logDir(root)
     val segment = LogSegment.forVersion(fs, logDir, effectiveVersion, logTail)
+    Metrics.report(MetricEvent.LogSegmentLoadSuccess(opId,
+      Metrics.now() - t0, segment.version, segment.deltas.size,
+      segment.checkpointParts.size))
 
     // CRC fast path (reference crc/mod.rs): a valid checksum at the
     // snapshot version supplies P&M without any replay
     Checksum.read(fs, logDir, segment.version).foreach { c =>
-      return gated(new Snapshot(spark, root, segment, c.protocol, c.metadata),
+      Metrics.report(MetricEvent.CrcReadSuccess(opId, segment.version))
+      val s = gated(
+        new Snapshot(spark, root, segment, c.protocol, c.metadata),
         hasCatalog)
+      Metrics.report(MetricEvent.SnapshotBuildSuccess(opId,
+        Metrics.now() - t0, segment.version, "crc"))
+      return s
     }
 
     // newest-first P&M replay over commits
@@ -541,8 +564,8 @@ object Snapshot {
         }
       }
     // fall back to the checkpoint (V2: the top-level file carries P&M)
-    if ((protocol.isEmpty || metadata.isEmpty) &&
-        segment.checkpointParts.nonEmpty) {
+    val pmFromCheckpoint = protocol.isEmpty || metadata.isEmpty
+    if (pmFromCheckpoint && segment.checkpointParts.nonEmpty) {
       if (segment.isV2Checkpoint) {
         val info = readV2TopLevel(spark, segment.logDir,
           segment.checkpointParts.head)
@@ -565,7 +588,11 @@ object Snapshot {
       s"no protocol action found for $tablePath@${segment.version}"))
     val m = metadata.getOrElse(throw new IllegalStateException(
       s"no metaData action found for $tablePath@${segment.version}"))
-    gated(new Snapshot(spark, root, segment, p, m), hasCatalog)
+    val s = gated(new Snapshot(spark, root, segment, p, m), hasCatalog)
+    Metrics.report(MetricEvent.SnapshotBuildSuccess(opId,
+      Metrics.now() - t0, segment.version,
+      if (pmFromCheckpoint) "checkpoint" else "commit"))
+    s
   }
 
   /** Advance `prev` with commits past its version without relisting the

@@ -1,0 +1,104 @@
+package graft.delta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Operation metrics (reference kernel/src/metrics/): snapshot builds,
+  * commits, scans and crc reads emit correlated typed events to the
+  * registered reporter; a broken reporter never breaks the operation.
+  */
+class MetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import MetricEvent._
+
+  private def src(lo: Int, hi: Int) =
+    (lo to hi).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+
+  private def withReporter[A](f: InMemoryReporter => A): A = {
+    val r = new InMemoryReporter
+    val prev = Metrics.reporter
+    Metrics.reporter = r
+    try f(r) finally Metrics.reporter = prev
+  }
+
+  test("snapshot build, commit and scan emit correlated events") {
+    val dir = TestSpark.tmpDir("mx")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 10))
+      r.clear()
+
+      val cnt = t.toDF.count()
+      assert(cnt == 10)
+      val events = r.events
+
+      val seg = events.collect { case e: LogSegmentLoadSuccess => e }
+      assert(seg.nonEmpty && seg.head.version == 1L
+        && seg.head.numDeltas == 2 && seg.head.numCheckpointParts == 0)
+
+      val snapBuilt = events.collect { case e: SnapshotBuildSuccess => e }
+      assert(snapBuilt.nonEmpty && snapBuilt.head.version == 1L)
+      // crc chain is intact after create+append → crc fast path
+      assert(snapBuilt.head.pmSource == "crc")
+      assert(events.exists { case e: CrcReadSuccess => e.version == 1L
+        case _ => false })
+      // the build's events share one operation id
+      assert(seg.head.operationId == snapBuilt.head.operationId)
+
+      val scans = events.collect { case e: ScanFilesCollected => e }
+      assert(scans.nonEmpty && scans.head.numFiles >= 1
+        && scans.head.predicate.isEmpty)
+    }
+  }
+
+  test("commit success counts rebase attempts; typed conflicts report " +
+      "failure") {
+    val dir = TestSpark.tmpDir("mx-c")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      val stale = t.snapshot()
+      t.append(src(1, 5)) // v1
+      r.clear()
+      t.appendFrom(stale, src(6, 9)) // conflict at v1 → rebase to v2
+      val ok = r.events.collect { case e: TransactionCommitSuccess => e }
+      assert(ok.nonEmpty && ok.head.version == 2L && ok.head.attempts == 1)
+
+      r.clear()
+      val stale2 = t.snapshot()
+      t.setProperties(Map("foo" -> "bar"))
+      intercept[MetadataChangedException] { t.appendFrom(stale2, src(1, 2)) }
+      val bad = r.events.collect { case e: TransactionCommitFailure => e }
+      assert(bad.nonEmpty
+        && bad.head.reason == "MetadataChangedException"
+        && bad.head.attempts == 1)
+    }
+  }
+
+  test("a throwing reporter never fails the operation") {
+    val dir = TestSpark.tmpDir("mx-t")
+    val prev = Metrics.reporter
+    Metrics.reporter = new MetricsReporter {
+      override def report(event: MetricEvent): Unit =
+        throw new RuntimeException("boom")
+    }
+    try {
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 5))
+      assert(t.toDF.count() == 5)
+    } finally Metrics.reporter = prev
+  }
+
+  test("failed snapshot builds report SnapshotBuildFailure") {
+    withReporter { r =>
+      intercept[Exception] {
+        Snapshot.forTable(spark, TestSpark.tmpDir("mx-f") + "/absent")
+      }
+      assert(r.events.exists(_.isInstanceOf[SnapshotBuildFailure]))
+    }
+  }
+}
