@@ -300,17 +300,28 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
     // INT96 (Spark's legacy default) carries no usable footer stats and
     // is non-standard; micros is lossless for Spark timestamps. Scoped
-    // set/restore around this one write job.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // set/restore around this one write job. Tables that opted into
+    // variantShredding additionally write variant columns shredded
+    // ({metadata, value, typed_value}) with an inferred typed_value
+    // schema, so downstream scans prune into the typed subcolumns.
+    val shred = snap.metadata.configuration
+      .get(DeltaTable.VARIANT_SHREDDING_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    val scopedConfs: Seq[(String, String)] =
+      Seq("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
+      (if (shred)
+        Seq("spark.sql.variant.writeShredding.enabled" -> "true",
+          "spark.sql.variant.inferShreddingSchema" -> "true")
+       else Nil)
+    val prev = scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val writer = renamed.write.mode("overwrite")
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
        else writer).parquet(stagePath.toString)
-    } finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
 
     // remove committer markers, list the staged data files
@@ -1755,6 +1766,10 @@ object DeltaTable {
       removedKeys: Set[String])
 
   val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
+  /** Opt-in to shredded variant data files (delta-spark's property;
+    * reference table_features/mod.rs:630-645 variantShredding).
+    */
+  val VARIANT_SHREDDING_KEY = "delta.enableVariantShredding"
   /** Fixed file count for clustered writes; unset/0 = AQE-sized. */
   val CLUSTERING_NUM_FILES_KEY = "graft.clustering.numFiles"
   val ICT_ENABLEMENT_VERSION_KEY =
@@ -1834,6 +1849,13 @@ object DeltaTable {
         case _ => false
       }
     val wantsVariant = hasVariant(finalSchema)
+    // variantShredding (reference table_features/mod.rs:630-645,
+    // ReaderWriter): files may store variant as
+    // {metadata, value, typed_value} — opt-in via table property
+    val wantsShredding = finalConfig.get(VARIANT_SHREDDING_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    require(!wantsShredding || wantsVariant,
+      s"$VARIANT_SHREDDING_KEY=true requires a variant column")
     val hasConstraints = finalConfig.keys
       .exists(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
     val hasGenerated =
@@ -1857,6 +1879,7 @@ object DeltaTable {
         Seq(Clustering.FEATURE, "domainMetadata") else Nil)
     val readerFeatureAdds =
       (if (wantsVariant) Seq("variantType") else Nil) ++
+      (if (wantsShredding) Seq("variantShredding") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil)
     val protocol =
       if (featureAdds.nonEmpty || wantsVariant || wantsIct)

@@ -665,6 +665,7 @@ object Snapshot {
       Set("deletionVectors", "timestampNtz", "columnMapping",
         "vacuumProtocolCheck", "v2Checkpoint",
         "variantType", "variantType-preview",
+        "variantShredding", "variantShredding-preview",
         "typeWidening", "typeWidening-preview",
         CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
     p.readerFeatures.getOrElse(Nil).foreach { f =>

@@ -58,6 +58,7 @@ object TableFeatures {
     "appendOnly", "columnMapping", "deletionVectors", "changeDataFeed",
     "rowTracking", "domainMetadata", "v2Checkpoint", "inCommitTimestamp",
     "timestampNtz", "variantType", "variantType-preview",
+    "variantShredding", "variantShredding-preview",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
     "invariants", "checkConstraints", "generatedColumns", "clustering",
     "identityColumns", "catalogManaged", "catalogOwned-preview")

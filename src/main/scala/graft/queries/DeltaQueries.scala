@@ -344,6 +344,26 @@ object DeltaQueries {
       t.optimizeClustered()
       ordered(t.scan(
         Some("l_orderkey >= 1000 AND l_orderkey < 3000")).toDF)
+    }),
+
+    // shredded variant roundtrip: the table opts into variantShredding,
+    // staged files store {metadata, value, typed_value}, and the scan
+    // reassembles + reads typed fields back out (reference
+    // table_features/mod.rs:630-645; schema/mod.rs:2298-2301)
+    "q_delta_variant_shred" -> ((s, d) => {
+      val src = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          parse_json(concat(lit("{\"c\":"), col("o_custkey"),
+            lit(",\"s\":\""), col("o_orderstatus"), lit("\"}"))).as("v"))
+      val dir = tmp("vs")
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(DeltaTable.VARIANT_SHREDDING_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.toDF.select(col("o_orderkey"),
+          expr("cast(variant_get(v, '$.c', 'long') as long)").as("c"),
+          expr("variant_get(v, '$.s', 'string')").as("s"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -398,6 +418,11 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 20 AND l_returnflag = 'R' AND l_quantity < 10
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_variant_shred" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS c,
+        |       o_orderstatus AS s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_delta_time_travel" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 5
