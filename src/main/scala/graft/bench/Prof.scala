@@ -21,72 +21,73 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val d = "/root/testdata/sf0.1"
-    val src = graft.Tables.load(spark, d, "lineitem")
-      .filter(col("l_quantity") < 15)
-    t("warm-src")(src.count())
+    val li = graft.Tables.load(spark, d, "lineitem")
+    t("warm-src")(li.count())
 
-    val dir = "/tmp/prof/ck" + System.nanoTime()
-    t("create")(graft.delta.DeltaTable.create(spark, dir, src.schema))
+    // ---- q_delta_format_io breakdown ----
+    val dir = "/tmp/prof/fmt" + System.nanoTime()
+    t("fmt-write1")(li.filter(col("l_quantity") < 8)
+      .write.format("graft-delta").save(dir))
+    t("fmt-write2")(li.filter(col("l_quantity") >= 8 && col("l_quantity") < 14)
+      .write.format("graft-delta").mode("append").save(dir))
+    val rel = t("fmt-plan")(spark.read.format("graft-delta").load(dir)
+      .filter(col("l_returnflag") === "R"))
+    t("fmt-read-rdd")(rel
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .queryExecution.toRdd.count())
+    t("fmt-read-rdd-2")(rel
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .queryExecution.toRdd.count())
+    // same table through the direct scan path, for comparison
     val tb = graft.delta.DeltaTable.forPath(spark, dir)
-    t("append1")(tb.append(src.filter(col("l_quantity") < 6)))
-    t("append2")(tb.append(
-      src.filter(col("l_quantity") >= 6 && col("l_quantity") < 11)))
-    val snapPre = t("snapshot-pre")(tb.snapshot())
-    t("latestActions-1")(snapPre.latestActions.count())
-    t("latestActions-2")(snapPre.latestActions.count())
-    t("checkpoint")(tb.checkpoint())
-    t("append3")(tb.append(src.filter(col("l_quantity") >= 11)))
-    t("read")(tb.toDF.orderBy("l_orderkey", "l_linenumber")
-      .queryExecution.toRdd.count())
-    t("read-again")(tb.toDF.orderBy("l_orderkey", "l_linenumber")
+    t("fmt-read-direct")(tb.toDF.filter(col("l_returnflag") === "R")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .queryExecution.toRdd.count())
 
-    // DELETE profile
-    val dir2 = "/tmp/prof/del" + System.nanoTime()
-    val src2 = graft.Tables.load(spark, d, "lineitem")
-      .filter(col("l_quantity") < 10)
-    t("del-create")(graft.delta.DeltaTable.create(spark, dir2, src2.schema,
-      Seq("l_returnflag")))
-    val tb2 = graft.delta.DeltaTable.forPath(spark, dir2)
-    t("del-append")(tb2.append(src2))
-    t("del-delete")(tb2.deleteWhere("l_returnflag = 'A' AND l_quantity < 5"))
-    t("del-read")(tb2.toDF.orderBy("l_orderkey", "l_linenumber")
+    // ---- ngram jaccard stage breakdown ----
+    val docs = t("jac-docs-load")(graft.Tables.load(spark, d, "documents"))
+    t("jac-docs-count")(docs.count())
+    val raw0 = docs
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w)-3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+    t("jac-shingle-count")(raw0.count())
+    val raw = t("jac-localckpt")(raw0.localCheckpoint())
+    val rare = raw.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select(col("sh"))
+    t("jac-rare-count")(rare.count())
+    val sh = raw.join(rare, "sh")
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .select(explode(expr(
+        "flatten(transform(docs, (a, i) -> " +
+          "transform(slice(docs, i + 2, size(docs)), " +
+          "b -> struct(a, b))))")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val grouped = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    t("jac-grouped-count")(grouped.count())
+    val exploded = grouped.select(explode(expr(
+      "flatten(transform(docs, (a, i) -> " +
+        "transform(slice(docs, i + 2, size(docs)), " +
+        "b -> struct(a, b))))")).as("p"))
+    t("jac-exploded-count")(exploded.count())
+    t("jac-pairs-count")(pairs.count())
+    t("jac-pairs-count-2")(pairs.count())
+    t("q_ngram_jaccard")(graft.SparkEntry.queries("q_ngram_jaccard")(spark, d)
+      .queryExecution.toRdd.count())
+    t("q_ngram_jaccard-2")(graft.SparkEntry.queries("q_ngram_jaccard")(spark, d)
       .queryExecution.toRdd.count())
 
-    // exact q_delta_delete replica through the bench entry point
-    t("q_delta_delete")(graft.SparkEntry.queries("q_delta_delete")(spark, d)
-      .queryExecution.toRdd.count())
-    t("q_delta_delete-2")(graft.SparkEntry.queries("q_delta_delete")(spark, d)
-      .queryExecution.toRdd.count())
+    // ---- merge ----
     t("q_delta_merge")(graft.SparkEntry.queries("q_delta_merge")(spark, d)
       .queryExecution.toRdd.count())
-    t("q_cdf_net")(graft.SparkEntry.queries("q_delta_cdf_net")(spark, d)
-      .queryExecution.toRdd.count())
 
-    // merge phase breakdown
-    {
-      import graft.delta.MergeClause._
-      val dir3 = "/tmp/prof/mrg" + System.nanoTime()
-      val base = graft.Tables.load(spark, d, "lineitem")
-        .groupBy(col("l_orderkey"), col("l_linenumber"))
-        .agg(min(col("l_quantity")).as("l_quantity"))
-      t("mrg-base-count")(base.count())
-      val tgt0 = base.filter(col("l_quantity") < 10)
-      t("mrg-create")(graft.delta.DeltaTable.create(spark, dir3, tgt0.schema))
-      val t3 = graft.delta.DeltaTable.forPath(spark, dir3)
-      t("mrg-append")(t3.append(tgt0))
-      val src3 = base.filter(
-        col("l_quantity") >= 8 && col("l_quantity") < 12)
-      t("mrg-merge")(t3.merge(src3,
-        "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
-        Seq(MatchedDelete(Some("s.l_quantity < 9")),
-          MatchedUpdate(None, Map("l_quantity" -> "s.l_quantity + 100")),
-          NotMatchedInsert(None, Map(
-            "l_orderkey" -> "s.l_orderkey",
-            "l_linenumber" -> "s.l_linenumber",
-            "l_quantity" -> "s.l_quantity")))))
-      t("mrg-read")(t3.toDF.queryExecution.toRdd.count())
-    }
     spark.stop()
   }
 }

@@ -23,6 +23,14 @@ class GraftDeltaRelation(
 
   override def schema: StructType = snap.schema
 
+  /** The scan already produces InternalRow — skip Spark's
+    * Row↔InternalRow double conversion (the DSv1 idiom: with
+    * needConversion=false the engine consumes the RDD[Row] as
+    * RDD[InternalRow] directly, keeping the parquet scan's unsafe rows
+    * on the codegen path).
+    */
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(GraftDeltaRelation.toSql)
@@ -33,7 +41,7 @@ class GraftDeltaRelation(
         // COUNT(*)-style scans: any single cheap column serves
         df.select(ColumnMapping.qcol(schema.fieldNames.head))
       else df.select(requiredColumns.map(ColumnMapping.qcol).toIndexedSeq: _*)
-    projected.rdd
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 

@@ -24,6 +24,23 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The test corpus ships `documents`/`embeddings` as a SINGLE parquet
+    * row group — unsplittable, so every scan-side computation would run
+    * in one task. Spread to the cluster's parallelism when the scan is
+    * narrower than the core count (at real scale the input has
+    * thousands of row groups and this is a no-op — the condition keeps
+    * it from ever SHRINKING a wide scan).
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(s, t(s, dir, "documents"))
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    spread(s, t(s, dir, "embeddings"))
+
   /** Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT. */
   private def h60(colSql: String): String =
     s"cast(conv(substring(md5($colSql), 1, 15), 16, 10) as bigint)"
@@ -49,7 +66,7 @@ object PipelineQueries {
     * doc_id (bounded: #docs), jaccard join shuffles on shingle.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    docs(s, d)
       .select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
@@ -73,7 +90,7 @@ object PipelineQueries {
     // cluster representative. One shuffle on the hash; at 100 TB this is
     // the standard map-side-combine groupBy.
     "q_dedup_exact" -> ((s, d) => {
-      t(s, d, "documents")
+      docs(s, d)
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .orderBy(col("h"))
@@ -97,20 +114,28 @@ object PipelineQueries {
     // that keeps a web-scale hot 3-gram from exploding one join bucket.
     // Join shuffles on shingle; pair generation is bucket-local.
     "q_ngram_jaccard" -> ((s, d) => {
-      val raw = shingles(s, d)
+      // localCheckpoint, not cache(): it materializes the (expensive)
+      // shingling pass once for the two downstream uses but is NOT
+      // pinned in the CacheManager — blocks free with the DataFrame,
+      // instead of leaking across queries in a long-lived session
+      val raw = shingles(s, d).localCheckpoint()
       val rare = raw.groupBy(col("sh"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= STOP_SHINGLE_DF)
         .select(col("sh"))
-      // localCheckpoint, not cache(): it materializes once for the three
-      // downstream uses but is NOT pinned in the CacheManager — blocks
-      // free with the DataFrame, instead of leaking across queries in a
-      // long-lived session
-      val sh = raw.join(rare, "sh").localCheckpoint()
+      val sh = raw.join(rare, "sh")
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // pair generation is GROUP-LOCAL: each df-capped shingle bucket
+      // emits its own ≤ df²/2 doc pairs in place (docs sorted, so
+      // a < b) — no shingle-keyed self-join, one shuffle instead of
+      // three. The df cap above bounds the collect_list row.
+      val pairs = sh.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .select(explode(expr(
+          "flatten(transform(docs, (a, i) -> " +
+            "transform(slice(docs, i + 2, size(docs)), " +
+            "b -> struct(a, b))))")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       val ca = counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
       val cb = counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
@@ -126,7 +151,7 @@ object PipelineQueries {
     // ops.Dedup.simHash64 is the 64-bit production variant): per-word
     // hash bits are summed ±1 per position, sign → fingerprint bit.
     "q_simhash" -> ((s, d) => {
-      val words = t(s, d, "documents")
+      val words = docs(s, d)
         .select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
         .withColumn("h", expr(h60("word")))
@@ -150,7 +175,7 @@ object PipelineQueries {
     // probabilistic LSH cannot reproduce the exact pair set — exactness
     // requires covering all pairs, and this spreads that work evenly.
     "q_dedup_embedding" -> ((s, d) => {
-      Similarity.cosinePairs(t(s, d, "embeddings"),
+      Similarity.cosinePairs(embs(s, d),
           "vec_id", "embedding", 0.35, numBlocks = 8)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -176,7 +201,7 @@ object PipelineQueries {
     // scan; per-query top-k via window. At 100 TB the candidate side stays
     // partitioned, queries broadcast — no shuffle of the big side.
     "q_knn_brute" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val e = embs(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
       val q = e.filter(col("vec_id") < 10)
@@ -204,7 +229,7 @@ object PipelineQueries {
     // min-label propagation; the oracle computes the same components
     // via a recursive transitive closure.
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = Similarity.cosinePairs(t(s, d, "embeddings"),
+      val pairs = Similarity.cosinePairs(embs(s, d),
         "vec_id", "embedding", 0.35, numBlocks = 8)
       Dedup.connectedComponents(pairs, "vec_a", "vec_b")
         .orderBy(col("id"))
@@ -217,7 +242,7 @@ object PipelineQueries {
     // candidate side is ~nprobe/C of the data and stays partitioned; the
     // oracle replicates the same algorithm, so the comparison is exact.
     "q_knn_ivf" -> ((s, d) => {
-      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding",
           numCentroids = 16, nprobe = 4, k = 5, queryMaxId = 10)
         .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
         .orderBy(col("qid"), col("nid"))
@@ -225,7 +250,7 @@ object PipelineQueries {
 
     // ---- Text analysis --------------------------------------------------
     "q_token_count" -> ((s, d) => {
-      t(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("n_tokens"),
           length(col("text")).as("n_chars_computed"))
@@ -233,7 +258,7 @@ object PipelineQueries {
     }),
 
     "q_quality_score" -> ((s, d) => {
-      t(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           expr("regexp_count(text, '\\\\b(the|and|of|to|a)\\\\b')").as("stop_hits"),
           size(split(trim(col("text")), "\\s+")).as("n_tokens"),
@@ -248,7 +273,7 @@ object PipelineQueries {
 
     // Language-ID heuristic (stopword densities; deterministic tie-breaks)
     "q_lang_id" -> ((s, d) => {
-      t(s, d, "documents")
+      docs(s, d)
         .withColumn("en_hits", expr("regexp_count(text, '\\\\b(the|and|a)\\\\b')"))
         .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
         .select(col("doc_id"),
@@ -261,7 +286,7 @@ object PipelineQueries {
     // Document fingerprinting: 60-bit content hash of whitespace-normalized
     // text + hex prefix (rolling-hash analog, engine-portable)
     "q_doc_fingerprint" -> ((s, d) => {
-      t(s, d, "documents")
+      docs(s, d)
         .withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
         .select(col("doc_id"),
           expr(h60("norm")).as("fp64"),
@@ -275,7 +300,7 @@ object PipelineQueries {
     // is stubbed deterministically, the Dataset plumbing is real).
     "q_multimodal_decode" -> ((s, d) => {
       Multimodal.extractFeatures(
-          Multimodal.ingest(t(s, d, "documents"), "doc_id", "text",
+          Multimodal.ingest(docs(s, d), "doc_id", "text",
             "text/plain"))
         .toDF()
         .orderBy(col("doc_id"))
@@ -285,7 +310,7 @@ object PipelineQueries {
     // content hash + fake frame count (column-level sibling of
     // q_multimodal_decode's typed path).
     "q_multimodal_bytes" -> ((s, d) => {
-      t(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           octet_length(col("text")).as("n_bytes"),
           substring(md5(col("text")), 1, 8).as("content_hash"),
@@ -298,7 +323,7 @@ object PipelineQueries {
     // lower-rate sample is a prefix of a higher-rate one. Pure narrow
     // filter: no shuffle, no RNG state.
     "q_sample_stratified" -> ((s, d) => {
-      Sampling.stratified(t(s, d, "documents"),
+      Sampling.stratified(docs(s, d),
           col("doc_id"), col("lang"), Map("en" -> 0.5), 0.25)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
@@ -307,9 +332,9 @@ object PipelineQueries {
     // Sequence packing (concat-then-chunk): per-bucket windows only —
     // no global sort; buckets are independent shards
     "q_token_pack" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("n_tokens",
+      val toks = docs(s, d).withColumn("n_tokens",
         size(split(trim(col("text")), "\\s+")).cast("long"))
-      Packing.assignSequences(docs, col("doc_id"), col("n_tokens"),
+      Packing.assignSequences(toks, col("doc_id"), col("n_tokens"),
           budget = 2048, numBuckets = 8)
         .groupBy(col("bucket"), col("seq"))
         .agg(count(lit(1)).as("n_docs"),
@@ -321,7 +346,7 @@ object PipelineQueries {
     "q_window_dedup_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("source"), col("lang"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      t(s, d, "documents")
+      docs(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
