@@ -298,6 +298,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         clusterFiles),
       snap)
 
+    // materializePartitionColumns / icebergCompatV3: partition values
+    // must ALSO live in the data files (reference
+    // table_configuration.rs:510-523). Spark's partitionBy strips the
+    // partitioning column from file content, so partition on a
+    // duplicate alias and keep the physical column in the data; the
+    // alias prefix is stripped back off when dir names are parsed into
+    // partitionValues below. Readers are unaffected either way: the
+    // requested data schema never includes partition columns.
+    val materialize = IcebergCompat.materializePartitionColumns(
+      snap.protocol, snap.metadata) && physPartCols.nonEmpty
+    val (toWrite, partByCols) =
+      if (!materialize) (renamed, physPartCols)
+      else (physPartCols.foldLeft(renamed)((d, c) =>
+              d.withColumn(DeltaTable.MAT_PART_PREFIX + c, col(s"`$c`"))),
+            physPartCols.map(DeltaTable.MAT_PART_PREFIX + _))
+
     // INT96 (Spark's legacy default) carries no usable footer stats and
     // is non-standard; micros is lossless for Spark timestamps. Scoped
     // set/restore around this one write job. Tables that opted into
@@ -316,8 +332,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val prev = scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
     scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val writer = renamed.write.mode("overwrite")
-      (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
+      val writer = toWrite.write.mode("overwrite")
+      (if (partByCols.nonEmpty) writer.partitionBy(partByCols: _*)
        else writer).parquet(stagePath.toString)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
@@ -346,7 +362,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         .map(uriDecodeSegment)
         .filter(_.contains('='))
         .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
+          val Array(k0, v) = seg.split("=", 2)
+          // materialized-partition writes partition on an alias of the
+          // physical column (see above) — strip it back off
+          val k = if (k0.startsWith(DeltaTable.MAT_PART_PREFIX))
+            k0.stripPrefix(DeltaTable.MAT_PART_PREFIX) else k0
           k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
                 else unescapePathName(v))
         }.toMap
@@ -365,6 +385,14 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // transaction/stats_verifier.rs): a malformed stat would make
     // readers silently skip live files
     StatsVerifier.verifyAll(staged, physDataSchema)
+    // V3 requires every add to carry numRecords (reference
+    // table_configuration.rs:900-907)
+    if (IcebergCompat.requiresStatsNumRecords(snap.protocol, snap.metadata))
+      staged.foreach { a =>
+        require(a.stats.exists(_.contains("\"numRecords\"")),
+          s"icebergCompatV3 requires stats.numRecords on every add " +
+            s"(missing for ${a.path})")
+      }
     staged
   }
 
@@ -1770,6 +1798,10 @@ object DeltaTable {
     * reference table_features/mod.rs:630-645 variantShredding).
     */
   val VARIANT_SHREDDING_KEY = "delta.enableVariantShredding"
+  /** partitionBy alias prefix used when partition columns are
+    * materialized into data files (IcebergCompat).
+    */
+  val MAT_PART_PREFIX = "__gpm_"
   /** Fixed file count for clustered writes; unset/0 = AQE-sized. */
   val CLUSTERING_NUM_FILES_KEY = "graft.clustering.numFiles"
   val ICT_ENABLEMENT_VERSION_KEY =
@@ -1871,10 +1903,22 @@ object DeltaTable {
         if (hasIdentity) 6 else 2).max)
     val wantsIct = finalConfig.get(ICT_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
+    val wantsIcebergV3 = finalConfig.get(IcebergCompat.V3_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    // `delta.feature.<name>=supported` convention: declare a feature in
+    // the protocol without a dedicated enablement property (e.g.
+    // materializePartitionColumns, which is AlwaysIfSupported)
+    val explicitFeatures = finalConfig.collect {
+      case (k, v) if k.startsWith("delta.feature.") &&
+          v.equalsIgnoreCase("supported") =>
+        k.stripPrefix("delta.feature.")
+    }.toSeq
     val featureAdds =
       (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
       (if (wantsIct) Seq("inCommitTimestamp") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
+      (if (wantsIcebergV3) Seq(IcebergCompat.V3_FEATURE) else Nil) ++
+      explicitFeatures ++
       (if (clusterBy.nonEmpty)
         Seq(Clustering.FEATURE, "domainMetadata") else Nil)
     val readerFeatureAdds =
@@ -1893,6 +1937,9 @@ object DeltaTable {
       partitionColumns = partitionColumns,
       configuration = finalConfig,
       createdTime = Some(System.currentTimeMillis()))
+    // V3 invariants fail the CREATE before anything reaches the log
+    // (reference table_configuration.rs:235)
+    IcebergCompat.validateV3(protocol, meta, finalSchema)
     val createTs = System.currentTimeMillis()
     val lines = Seq(
       JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(

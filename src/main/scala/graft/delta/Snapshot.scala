@@ -675,6 +675,9 @@ object Snapshot {
     val cmMode = ColumnMapping.mode(m)
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported delta.columnMapping.mode '$cmMode'")
+    // V3 invariants run on every configuration build (reference
+    // table_configuration.rs:235)
+    IcebergCompat.validateV3(p, m, s.schema)
     s
   }
 }

@@ -61,7 +61,13 @@ object TableFeatures {
     "variantShredding", "variantShredding-preview",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
     "invariants", "checkConstraints", "generatedColumns", "clustering",
-    "identityColumns", "catalogManaged", "catalogOwned-preview")
+    "identityColumns", "catalogManaged", "catalogOwned-preview",
+    // column defaults are FILLED by the staging projection
+    // (WriteValidation.prepare); iceberg V3 invariants are enforced by
+    // IcebergCompat.validateV3 + materialized partition columns +
+    // required numRecords stats in stageFiles
+    "allowColumnDefaults", "icebergCompatV3",
+    "materializePartitionColumns")
 
   /** Writer-side gate (reference table_features write gates): every
     * declared writer feature must be implemented. Returns the features

@@ -346,6 +346,23 @@ object DeltaQueries {
         Some("l_orderkey >= 1000 AND l_orderkey < 3000")).toDF)
     }),
 
+    // icebergCompatV3 table: column mapping + row tracking + partition
+    // values materialized into the data files; the read path must see
+    // the exact same rows through the physical layout (reference
+    // table_features/iceberg_compat/v3.rs + table_configuration.rs:510)
+    "q_delta_iceberg_v3" -> ((s, d) => {
+      val src = li(s, d).filter(col("l_quantity") < 10)
+      val dir = tmp("icv3")
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"),
+        configuration = Map(
+          graft.delta.IcebergCompat.V3_KEY -> "true",
+          graft.delta.ColumnMapping.MODE_KEY -> "name",
+          graft.delta.RowTracking.ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      ordered(t.scan(Some("l_returnflag <> 'N' AND l_quantity < 6")).toDF)
+    }),
+
     // shredded variant roundtrip: the table opts into variantShredding,
     // staged files store {metadata, value, typed_value}, and the scan
     // reassembles + reads typed fields back out (reference
@@ -423,6 +440,11 @@ object DeltaQueries {
       """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS c,
         |       o_orderstatus AS s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_delta_iceberg_v3" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 10 AND l_returnflag <> 'N' AND l_quantity < 6
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_time_travel" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 5

@@ -351,6 +351,42 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // Intra-document repetition ratio (Gopher-style boilerplate
+    // signal): fraction of duplicated word-bigrams within each doc.
+    // Purely narrow — per-row higher-order functions, no shuffle at
+    // all before the final sort; trivially 100 TB-safe.
+    "q_doc_repetition" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, size(w)-2), " +
+            "i -> concat_ws(' ', w[i], w[i+1]))").as("g"))
+        .select(col("doc_id"),
+          round(lit(1.0) -
+            size(array_distinct(col("g"))).cast("double") /
+            size(col("g")).cast("double"), 6).as("rep_ratio"))
+        .withColumn("keep", col("rep_ratio") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Decontamination: flag training docs sharing any word-3-gram with
+    // the held-out eval slice (doc_id % 97 == 0 stands in for the
+    // benchmark set). The eval side of the join is tiny by construction
+    // → broadcast equi-join on the shingle; the train side never
+    // shuffles its text, only (doc_id, shingle) pairs.
+    "q_decontaminate" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -560,6 +596,29 @@ object PipelineQueries {
         |  SELECT source, lang, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source, lang
         |      ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents) WHERE rn = 1 ORDER BY source, lang""".stripMargin
+        |  FROM documents) WHERE rn = 1 ORDER BY source, lang""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g
+        |  FROM wrds WHERE len(w) >= 2)
+        |SELECT doc_id,
+        |  round(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)
+        |    AS rep_ratio,
+        |  round(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)
+        |    <= 0.2 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$shinglesDuck,
+         |ev AS (SELECT DISTINCT sh.sh AS esh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN ev ON sh.sh = ev.esh
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -266,15 +266,19 @@ class InteropSpec extends AnyFunSuite {
     }
   }
 
-  test("partitioned_with_materialize_feature: readable, write-gated") {
+  test("partitioned_with_materialize_feature: readable AND writable " +
+      "(materialization implemented)") {
     val t = DeltaTable.forPath(spark,
       s"$base/partitioned_with_materialize_feature")
     val snap = t.snapshot()
     assert(t.toDF.count() > 0)
-    // the unimplemented materializePartitionColumns WRITER feature must
-    // block writes without blocking this read
-    assert(TableFeatures.unsupportedWriterFeatures(
+    // materializePartitionColumns is now an implemented writer feature:
+    // stageFiles writes partition values into the data files for this
+    // table (IcebergCompatSpec covers the physical layout)
+    assert(!TableFeatures.unsupportedWriterFeatures(
       snap.protocol, snap.metadata).contains("materializePartitionColumns"))
+    assert(IcebergCompat.materializePartitionColumns(
+      snap.protocol, snap.metadata))
   }
 
   test("struct-stats variants: single-part and multi-part-partitioned") {
