@@ -201,6 +201,57 @@ class InteropArchiveSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("cdf-table-delete-unconditional: an unconditional DELETE feeds " +
+      "10 deletes") {
+    // reference features/cdf.rs unconditional_delete
+    val got = TableChanges.read(spark,
+        fixture("cdf-table-delete-unconditional"), 0, None)
+      .select(col("id").cast("long"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got ==
+      ((0L to 9L).map(i => (i, "insert", 0L)) ++
+        (0L to 9L).map(i => (i, "delete", 1L))).sorted)
+  }
+
+  test("cdf-table-non-partitioned: the full 7-column feed matches the " +
+      "reference row for row") {
+    // reference features/cdf.rs cdf_non_partitioned (27 rows over v0..v4)
+    val got = TableChanges.read(spark,
+        fixture("cdf-table-non-partitioned"), 0, None)
+      .select(col("id").cast("long"), col("name"),
+        col("birthday").cast("string"), col("long_field"),
+        col("boolean_field"), col("double_field"),
+        col("smallint_field").cast("int"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, String, Long, Boolean, Double, Int, String, Long)]
+      .collect().sorted.toSeq
+    val people0 = Seq(
+      (1L, "Steve", "2024-04-14", 1L), (2L, "Bob", "2024-04-15", 1L),
+      (3L, "Dave", "2024-04-15", 2L), (4L, "Kate", "2024-04-15", 3L),
+      (5L, "Emily", "2024-04-16", 4L), (6L, "Carl", "2024-04-16", 5L),
+      (7L, "Dennis", "2024-04-16", 6L), (8L, "Claire", "2024-04-17", 7L),
+      (9L, "Ada", "2024-04-17", 8L),
+      (10L, "Borb", "2024-04-17", 99999999999999999L))
+    def row(id: Long, name: String, bday: String, lf: Long, ct: String,
+        cv: Long) = (id, name, bday, lf, true, 3.14, 1, ct, cv)
+    val inserts0 = people0.map { case (i, n, b, l) =>
+      row(i, n, b, l, "insert", 0L) }
+    val upd1 = Seq((2L, "Bob", 1L), (3L, "Dave", 2L), (4L, "Kate", 3L))
+      .flatMap { case (i, n, l) => Seq(
+        row(i, n, "2024-04-15", l, "update_preimage", 1L),
+        row(i, n, "2024-04-14", l, "update_postimage", 1L)) }
+    val upd2 = Seq((5L, "Emily", 4L), (6L, "Carl", 5L), (7L, "Dennis", 6L))
+      .flatMap { case (i, n, l) => Seq(
+        row(i, n, "2024-04-16", l, "update_preimage", 2L),
+        row(i, n, "2024-04-14", l, "update_postimage", 2L)) }
+    val expected = (inserts0 ++ upd1 ++ upd2 ++ Seq(
+      row(7L, "Dennis", "2024-04-14", 6L, "delete", 3L),
+      row(1L, "Alex", "2024-04-14", 1L, "insert", 4L),
+      row(2L, "Alan", "2024-04-15", 1L, "insert", 4L))).sorted
+    assert(got == expected)
+  }
+
   test("cdf-table-simple: per-version CDF matches the reference's expectations") {
     val path = fixture("cdf-table-simple")
     def cdf(lo: Long, hi: Long): Seq[(Long, String, Long)] =

@@ -137,7 +137,8 @@ class InteropSpec extends AnyFunSuite {
     // id > 3 -> 2 files, id = 2 -> 1 file, id <= 0 -> 0 files
     Seq("v1-multi-part-struct-stats-only",
         "v2-json-sidecars-struct-stats-only",
-        "v2-parquet-sidecars-struct-stats-only").foreach { name =>
+        "v2-parquet-sidecars-struct-stats-only",
+        "v2-classic-parquet-struct-stats-only").foreach { name =>
       val t = DeltaTable.forPath(spark, s"$base/$name")
       assert(t.scan(Some("id > 3")).filesDF.count() == 2, name)
       assert(t.scan(Some("id = 2")).filesDF.count() == 1, name)
@@ -308,6 +309,85 @@ class InteropSpec extends AnyFunSuite {
     val snap = Snapshot.forTable(spark, table.toString)
     assert(snap.schema.fields.length >= 100)
     assert(snap.allAdds.count() == 300000L)
+  }
+
+  test("table-with-cdf: CDF range validation over the enable/disable/" +
+      "re-enable log") {
+    // reference table_changes/mod.rs table_changes_checks_enable_cdf_flag:
+    // CDF on at v0/v1, OFF at v2, back on at v3; v4 tightens `id` to
+    // non-nullable. Valid ranges build; ranges touching v2 or spanning
+    // the nullability tightening fail validation. The fixture's file
+    // paths are fake — validation must not need the data files.
+    val path = s"$base/table-with-cdf"
+    Seq((0L, 1L), (0L, 0L), (1L, 1L)).foreach { case (lo, hi) =>
+      val df = TableChanges.read(spark, path, lo, Some(hi))
+      assert(df.columns.contains("_change_type"), s"[$lo,$hi]")
+    }
+    Seq((0L, 2L), (1L, 2L), (2L, 2L), (2L, 3L)).foreach { case (lo, hi) =>
+      val e = intercept[IllegalArgumentException] {
+        TableChanges.read(spark, path, lo, Some(hi))
+      }
+      assert(e.getMessage.contains("change data feed"), s"[$lo,$hi]: $e")
+    }
+    // nullable -> non-nullable between v3 and v4 is an incompatible
+    // schema change (mod.rs schema_evolution_fails)
+    val e = intercept[IllegalArgumentException] {
+      TableChanges.read(spark, path, 3, Some(4))
+    }
+    assert(e.getMessage.contains("nullability"), e.getMessage)
+  }
+
+  test("partition_cm: partitioned writes onto the reference's CM write " +
+      "fixtures use physical partitionValues keys") {
+    // reference write/column_mapping.rs
+    // test_column_mapping_partitioned_write(cm_none|cm_id|cm_name):
+    // append with a partition value, assert add.partitionValues (and the
+    // remove after a delete) key by the PHYSICAL column name.
+    Seq("none", "id", "name").foreach { mode =>
+      val srcDir = java.nio.file.Paths.get(s"$base/partition_cm/$mode")
+      val destRoot = java.nio.file.Paths.get("target", "tmp", "fixtures",
+        s"partition_cm-$mode-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.createDirectories(destRoot)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcDir).iterator().asScala.foreach { p =>
+        val dest = destRoot.resolve(srcDir.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dest)
+        else java.nio.file.Files.copy(p, dest)
+      }
+      val t = DeltaTable.forPath(spark, destRoot.toString)
+      val snap0 = t.snapshot()
+      val physName = ColumnMapping.physicalName(snap0.schema("category"))
+      if (mode == "none") assert(physName == "category", mode)
+      else assert(physName != "category", mode)
+
+      t.append(Seq((1, "A"), (2, "A")).toDF("value", "category"))
+
+      def actions(v: Long, kind: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+        val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
+        Storage.readLines(fs, FileNames.commitFile(
+            FileNames.logDir(t.root), v))
+          .filter(_.nonEmpty).map(JsonLog.parseLine)
+          .flatMap(n => Option(n.get(kind)).filterNot(_.isNull))
+      }
+      val adds = actions(1L, "add")
+      assert(adds.nonEmpty, mode)
+      adds.foreach { a =>
+        val pv = a.get("partitionValues")
+        assert(pv.has(physName) && pv.get(physName).asText == "A",
+          s"$mode: $pv")
+      }
+
+      t.deleteWhere("value >= 0")
+      val removes = actions(2L, "remove")
+      assert(removes.nonEmpty, mode)
+      removes.foreach { r =>
+        val pv = r.get("partitionValues")
+        assert(pv != null && pv.has(physName) &&
+          pv.get(physName).asText == "A", s"$mode: $pv")
+      }
+      assert(t.toDF.count() == 0, mode)
+    }
   }
 
   test("void-column: void reads as an all-null column") {
