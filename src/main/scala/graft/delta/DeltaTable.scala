@@ -1837,6 +1837,20 @@ object DeltaTable {
       catalog: Option[CatalogClient] = None): DeltaTable = {
     require(partitionColumns.forall(schema.fieldNames.contains),
       "partition column not in schema")
+    // ANSI interval columns may exist in the schema but cannot key the
+    // layout: no serialized partition-value form and no ordering stats
+    // (reference create_table/interval.rs
+    // test_create_table_rejects_interval_clustering)
+    partitionColumns.foreach { c =>
+      val bad = schema(c).dataType match {
+        case _: org.apache.spark.sql.types.YearMonthIntervalType => true
+        case _: org.apache.spark.sql.types.DayTimeIntervalType => true
+        case org.apache.spark.sql.types.CalendarIntervalType => true
+        case _ => false
+      }
+      require(!bad, s"partition column '$c' has unsupported type " +
+        schema(c).dataType.simpleString)
+    }
     require(clusterBy.forall(schema.fieldNames.contains),
       "clustering column not in schema")
     require(clusterBy.intersect(partitionColumns).isEmpty,

@@ -363,6 +363,25 @@ object DeltaQueries {
       ordered(t.scan(Some("l_returnflag <> 'N' AND l_quantity < 6")).toDF)
     }),
 
+    // ANSI interval columns: year-month + day-time intervals round-trip
+    // through the Delta write/read path (stats carry only nullCount);
+    // the oracle recomputes the interval arithmetic from raw parquet
+    // (reference schema/mod.rs:1996-2026, integration/write/interval.rs)
+    "q_delta_interval" -> ((s, d) => {
+      val src = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          expr("make_ym_interval(0, cast(o_custkey % 25 as int))").as("ym"),
+          expr("make_dt_interval(cast(o_custkey % 10 as int), 0, 0, 0)")
+            .as("dt"))
+      val dir = tmp("iv")
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.toDF.select(col("o_orderkey"),
+          (col("o_orderdate") + col("ym") + col("dt")).cast("date").as("dd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // shredded variant roundtrip: the table opts into variantShredding,
     // staged files store {metadata, value, typed_value}, and the scan
     // reassembles + reads typed fields back out (reference
@@ -435,6 +454,12 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 20 AND l_returnflag = 'R' AND l_quantity < 10
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_interval" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate + INTERVAL 1 MONTH * (o_custkey % 25)
+        |            + INTERVAL 1 DAY * (o_custkey % 10) AS DATE) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_delta_variant_shred" ->
       """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS c,
