@@ -348,8 +348,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
     // footer stats (stats JSON keys are PHYSICAL names on column-mapped
     // tables); fans out to executors when the append staged many files
+    val statsSel = ParquetFooterStats.selection(snap,
+      clusterCols.map(c => ColumnMapping.physicalName(
+        snap.schema.fields.find(_.name == c).get)).toSet)
     val statsByPath = ParquetFooterStats.collect(spark,
-      files.map(_.getPath.toString).toSeq, physDataSchema, hconf)
+      files.map(_.getPath.toString).toSeq, physDataSchema, hconf, statsSel)
 
     val staged = files.map { st =>
       val abs = st.getPath
@@ -1938,7 +1941,11 @@ object DeltaTable {
     val readerFeatureAdds =
       (if (wantsVariant) Seq("variantType") else Nil) ++
       (if (wantsShredding) Seq("variantShredding") else Nil) ++
-      (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil)
+      (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
+      // reader-writer features declared via delta.feature.<name> must
+      // appear on the reader side too (a v2Checkpoint-only writer list
+      // would let legacy readers miss the checkpoint format)
+      explicitFeatures.filter(TableFeatures.readerWriterFeatures.contains)
     val protocol =
       if (featureAdds.nonEmpty || wantsVariant || wantsIct)
         TableFeatures.upgraded(legacy, readerFeatureAdds,

@@ -38,12 +38,67 @@ object ParquetFooterStats {
     */
   private val DRIVER_READ_MAX = 32
 
-  /** path string (as given) → stats JSON. */
+  /** Top-level PHYSICAL column names to collect stats for, honoring
+    * `delta.dataSkippingStatsColumns` (explicit list, wins) and
+    * `delta.dataSkippingNumIndexedCols` (first N leaf columns in schema
+    * order, default 32, -1 = all) — reference
+    * scan/data_skipping/stats_schema/mod.rs + table_properties/mod.rs:38.
+    * Clustering columns are ALWAYS included (the protocol requires
+    * stats on clustering keys regardless of the properties). None = no
+    * filtering. At 100 TB this is what keeps the log metadata-sized on
+    * 1000-column tables: stats are per-file × per-column.
+    */
+  def selection(snap: Snapshot,
+      clusterPhys: Set[String]): Option[Set[String]] = {
+    val conf = snap.metadata.configuration
+    val logical = snap.dataSchema
+    def phys(name: String): Option[String] =
+      logical.fields.find(_.name == name).map(ColumnMapping.physicalName)
+    conf.get("delta.dataSkippingStatsColumns") match {
+      case Some(csv) =>
+        // names may be backtick-quoted; a dotted path selects into a
+        // struct — our stats are top-level, so the root field is the
+        // selection unit (nested leaves carry no flat stats anyway)
+        val names = csv.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map { s =>
+            if (s.startsWith("`") && s.endsWith("`") && s.length > 1)
+              s.substring(1, s.length - 1)
+            else s.split("\\.").head
+          }.toSeq
+        Some(names.flatMap(phys).toSet ++ clusterPhys)
+      case None =>
+        val n = conf.get("delta.dataSkippingNumIndexedCols")
+          .map(_.trim.toInt).getOrElse(32)
+        if (n < 0) None
+        else {
+          def leaves(dt: DataType): Int = dt match {
+            case s: StructType => s.fields.map(f => leaves(f.dataType)).sum
+            case _ => 1
+          }
+          // a top-level field is included iff its FIRST leaf falls
+          // below the indexed-column limit (leaf count is depth-first)
+          var leaf = 0
+          val keep = Set.newBuilder[String]
+          logical.fields.foreach { f =>
+            if (leaf < n) keep += ColumnMapping.physicalName(f)
+            leaf += leaves(f.dataType)
+          }
+          Some(keep.result() ++ clusterPhys)
+        }
+    }
+  }
+
+  /** path string (as given) → stats JSON. `statsCols` filters which
+    * top-level physical columns get min/max/nullCount (None = all);
+    * numRecords is always collected.
+    */
   def collect(spark: SparkSession, paths: Seq[String],
-      physSchema: StructType, conf: Configuration): Map[String, String] = {
+      physSchema: StructType, conf: Configuration,
+      statsCols: Option[Set[String]] = None): Map[String, String] = {
     if (paths.isEmpty) return Map.empty
     if (paths.size <= DRIVER_READ_MAX)
-      paths.map(p => p -> statsJson(new Path(p), physSchema, conf)).toMap
+      paths.map(p =>
+        p -> statsJson(new Path(p), physSchema, conf, statsCols)).toMap
     else {
       val bconf = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(conf))
@@ -52,13 +107,13 @@ object ParquetFooterStats {
         .parallelize(paths, math.min(paths.size, 256))
         .map { p =>
           val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-          p -> statsJson(new Path(p), schema, bconf.value.value)
+          p -> statsJson(new Path(p), schema, bconf.value.value, statsCols)
         }.collect().toMap
     }
   }
 
   def statsJson(file: Path, physSchema: StructType,
-      conf: Configuration): String = {
+      conf: Configuration, statsCols: Option[Set[String]] = None): String = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     val footer = try reader.getFooter finally reader.close()
     val blocks = footer.getBlocks.asScala.toSeq
@@ -71,7 +126,11 @@ object ParquetFooterStats {
       .filter(_.getPath.size == 1)
       .groupBy(_.getPath.toArray.head)
 
-    val eligible = physSchema.fields
+    val included = statsCols match {
+      case Some(set) => physSchema.fields.filter(f => set(f.name))
+      case None => physSchema.fields
+    }
+    val eligible = included
       .filter(f => DataSkipping.isEligible(f.dataType)).map(_.name).toSeq
     val bounds = eligible.map(c =>
       c -> minMax(chunksByCol.get(c), physSchema(c).dataType)).toMap
@@ -79,7 +138,7 @@ object ParquetFooterStats {
       .flatMap(v => StatsJson.renderSide(v, isMax = false)))
     val maxs = eligible.map(c => c -> bounds(c).map(_._2)
       .flatMap(v => StatsJson.renderSide(v, isMax = true)))
-    val nulls = physSchema.fieldNames.toSeq.map(c => c ->
+    val nulls = included.map(_.name).toSeq.map(c => c ->
       nullCount(chunksByCol.get(c)).flatMap(v => StatsJson.renderValue(v)))
 
     StatsJson.render(numRecords, mins, maxs, nulls)

@@ -69,6 +69,19 @@ object TableFeatures {
     "allowColumnDefaults", "icebergCompatV3",
     "materializePartitionColumns")
 
+  /** Reader-writer features: declaring one (e.g. via
+    * `delta.feature.<name>=supported`) must land it in BOTH feature
+    * lists — a reader that cannot interpret it would read the table
+    * wrong (reference table_features/mod.rs ReaderWriterFeature).
+    */
+  val readerWriterFeatures = Set(
+    "columnMapping", "deletionVectors", "timestampNtz",
+    "typeWidening", "typeWidening-preview",
+    "v2Checkpoint", "vacuumProtocolCheck",
+    "variantType", "variantType-preview",
+    "variantShredding", "variantShredding-preview",
+    "catalogManaged", "catalogOwned-preview")
+
   /** Writer-side gate (reference table_features write gates): every
     * declared writer feature must be implemented. Returns the features
     * blocking writes.
