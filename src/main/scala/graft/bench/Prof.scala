@@ -88,6 +88,31 @@ object Prof {
     t("q_delta_merge")(graft.SparkEntry.queries("q_delta_merge")(spark, d)
       .queryExecution.toRdd.count())
 
+    // phase breakdown of the merge query
+    {
+      import graft.delta.MergeClause._
+      val dir = "/tmp/prof/mrg" + System.nanoTime()
+      val base = li
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+      val tgt0 = base.filter(col("l_quantity") < 10)
+      t("mrg-create")(graft.delta.DeltaTable.create(spark, dir, tgt0.schema))
+      val tb = graft.delta.DeltaTable.forPath(spark, dir)
+      t("mrg-append")(tb.append(tgt0))
+      val src = base.filter(
+        col("l_quantity") >= 8 && col("l_quantity") < 12)
+      t("mrg-merge")(tb.merge(src,
+        "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
+        Seq(
+          MatchedDelete(Some("s.l_quantity < 9")),
+          MatchedUpdate(None, Map("l_quantity" -> "s.l_quantity + 100")),
+          NotMatchedInsert(None, Map(
+            "l_orderkey" -> "s.l_orderkey",
+            "l_linenumber" -> "s.l_linenumber",
+            "l_quantity" -> "s.l_quantity")))))
+      t("mrg-read")(tb.toDF.queryExecution.toRdd.count())
+    }
+
     spark.stop()
   }
 }

@@ -237,16 +237,20 @@ object DeltaQueries {
     // to deletes; in-range inserts survive; untouched keys are absent
     "q_delta_cdf_net" -> ((s, d) => {
       val dir = tmp("cdfnet")
+      // two appends slice the same agg — persist across the write phase
       val src = li(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(min(col("l_quantity")).as("l_quantity"))
         .filter(col("l_quantity") < 10)
+        .persist()
       DeltaTable.create(s, dir, src.schema,
         configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 4))
-      t.append(src.filter(col("l_quantity") >= 4))
-      t.deleteWhere("l_quantity < 2")
+      try {
+        t.append(src.filter(col("l_quantity") < 4))
+        t.append(src.filter(col("l_quantity") >= 4))
+        t.deleteWhere("l_quantity < 2")
+      } finally src.unpersist()
       TableChanges.netChanges(TableChanges.read(s, dir, 2, Some(3)),
           Seq("l_orderkey", "l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -307,28 +311,34 @@ object DeltaQueries {
     "q_delta_merge" -> ((s, d) => {
       import graft.delta.MergeClause._
       val dir = tmp("mrg")
+      // the input agg feeds both the seed append and the merge source —
+      // persist for the duration of the (eager) write phase, released
+      // before the read DataFrame is returned
       val base = li(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(min(col("l_quantity")).as("l_quantity"))
-      val tgt0 = base.filter(col("l_quantity") < 10)
-      DeltaTable.create(s, dir, tgt0.schema)
-      val t = DeltaTable.forPath(s, dir)
-      t.append(tgt0)                                             // v1
-      val src = base.filter(
-        col("l_quantity") >= 8 && col("l_quantity") < 12)
-      t.merge(src,
-        "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
-        Seq(
-          MatchedDelete(Some("s.l_quantity < 9")),
-          MatchedUpdate(None,
-            Map("l_quantity" -> "s.l_quantity + 100")),
-          NotMatchedInsert(None, Map(
-            "l_orderkey" -> "s.l_orderkey",
-            "l_linenumber" -> "s.l_linenumber",
-            "l_quantity" -> "s.l_quantity"))))                   // v2
-      t.toDF.select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .persist()
+      try {
+        val tgt0 = base.filter(col("l_quantity") < 10)
+        DeltaTable.create(s, dir, tgt0.schema)
+        val t = DeltaTable.forPath(s, dir)
+        t.append(tgt0)                                           // v1
+        val src = base.filter(
+          col("l_quantity") >= 8 && col("l_quantity") < 12)
+        t.merge(src,
+          "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
+          Seq(
+            MatchedDelete(Some("s.l_quantity < 9")),
+            MatchedUpdate(None,
+              Map("l_quantity" -> "s.l_quantity + 100")),
+            NotMatchedInsert(None, Map(
+              "l_orderkey" -> "s.l_orderkey",
+              "l_linenumber" -> "s.l_linenumber",
+              "l_quantity" -> "s.l_quantity"))))                 // v2
+        t.toDF.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      } finally base.unpersist()
     }),
 
     // clustered table: interleaved appends, OPTIMIZE into disjoint
