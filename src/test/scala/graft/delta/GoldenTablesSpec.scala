@@ -60,12 +60,15 @@ class GoldenTablesSpec extends AnyFunSuite {
     mapsSorted.toJSON.collect().sorted.toSeq
   }
 
-  private def assertMatchesExpected(name: String): Unit = {
+  private def assertMatchesExpected(name: String,
+      dropCols: Seq[String] = Nil): Unit = {
     val root = fixture(name)
     val table = root.resolve("delta").toString
     val expectedDir = root.resolve("expected")
     val expected = spark.read.parquet(expectedDir.toString)
+      .drop(dropCols: _*)
     val actual = DeltaTable.forPath(spark, table).toDF
+      .drop(dropCols: _*)
     assert(actual.columns.sorted.toSeq == expected.columns.sorted.toSeq,
       s"$name: column sets differ: ${actual.columns.toSeq} vs " +
         s"${expected.columns.toSeq}")
@@ -135,6 +138,16 @@ class GoldenTablesSpec extends AnyFunSuite {
       "data-skipping-basic-stats-all-types-columnmapping-id") {
     assertMatchesExpected(
       "data-skipping-basic-stats-all-types-columnmapping-id")
+  }
+
+  test("golden (reference skips, we read): data-reader-partition-values " +
+      "minus the known-bad as_timestamp column") {
+    // golden_tables.rs:320 skips the whole table because the golden
+    // expected value for as_timestamp is wrong; every OTHER partition
+    // value type (14 columns incl. decimal, date, nested structs) must
+    // still round-trip exactly
+    assertMatchesExpected("data-reader-partition-values",
+      dropCols = Seq("as_timestamp"))
   }
 
   test("golden (reference skips, we read): delete-re-add-same-file-" +
