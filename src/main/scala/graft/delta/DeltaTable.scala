@@ -919,6 +919,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val src = source.alias("s")
     src.persist()
     var fullId: DataFrame = null
+    var bsTagged: DataFrame = null
     try {
       // -- touched files: the only full-table join; candidate files
       //    contain every matching target row by construction. BY SOURCE
@@ -1034,6 +1035,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
               .otherwise(action)
           }
           val tagged = unmatchedTgt.withColumn("_action", action).persist()
+          bsTagged = tagged
           val updTags = bySourceClauses.zipWithIndex.collect {
             case (_: NotMatchedBySourceUpdate, i) => s"b$i" }
           val delTags = bySourceClauses.zipWithIndex.collect {
@@ -1148,6 +1150,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     } finally {
       src.unpersist()
       if (fullId != null) fullId.unpersist()
+      if (bsTagged != null) bsTagged.unpersist()
     }
   }
 
