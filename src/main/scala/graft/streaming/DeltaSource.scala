@@ -26,6 +26,13 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *    compacted away
   *  - `maxVersionsPerTrigger` (default unbounded): rate limit — at most
   *    this many commit versions per microbatch
+  *  - `maxFilesPerTrigger` (default unbounded): rate limit — at most
+  *    this many data FILES per microbatch, splitting WITHIN a version
+  *    (and within the initial snapshot) via (version, fileIndex)
+  *    offsets, delta-spark's DeltaSourceOffset design. At 100 TB the
+  *    initial snapshot is millions of files — it must stream as many
+  *    bounded batches, not one. Ignored in readChangeFeed mode (CDF
+  *    batches stay version-granular)
   *  - `ignoreDeletes` (default false): tolerate commits that ONLY drop
   *    whole files (remove actions with no accompanying adds — e.g. a
   *    partition delete). A commit that both removes and adds data files
@@ -47,11 +54,14 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
 class DeltaSource(
     sqlContext: SQLContext,
     tablePath: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val spark = sqlContext.sparkSession
   private val maxVersions =
     options.get("maxVersionsPerTrigger").map(_.toLong)
+  private val maxFiles =
+    options.get("maxFilesPerTrigger").map(_.toLong)
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.equalsIgnoreCase("true"))
   private val ignoreDeletes = ignoreChanges ||
@@ -81,32 +91,187 @@ class DeltaSource(
   private def latestVersion: Long =
     Snapshot.forTable(spark, tablePath).version
 
-  /** Highest version already handed out (rate-limit bookkeeping). */
-  private var lastOffered: Long = startingVersion - 1
   /** Version delivered (or to be delivered) as a full snapshot, so
     * later offsets at that version keep a stable JSON encoding.
     */
   private var snapshotVersion: Option[Long] =
     if (initialSnapshotMode) Some(initialSnapshot.version) else None
 
-  override def getOffset: Option[Offset] = {
+  /** Furthest position OFFERED: `included` = number of `version`'s
+    * files already covered when partial, -1 = version complete;
+    * `inSnapshot` = still inside the (possibly partial) initial
+    * snapshot.
+    */
+  private case class Cursor(version: Long, included: Long,
+    inSnapshot: Boolean)
+
+  private var offeredCursor: Cursor =
+    if (initialSnapshotMode)
+      Cursor(initialSnapshot.version, 0L, inSnapshot = true)
+    else Cursor(startingVersion - 1, -1L, inSnapshot = false)
+
+  /** Sorted add list of the pinned snapshot at `v` (deterministic order
+    * for stable sub-snapshot offsets across restarts). Driver memory =
+    * file metadata, the TahoeFileIndex-size envelope.
+    */
+  private val snapFilesCache =
+    scala.collection.mutable.Map.empty[Long, IndexedSeq[graft.delta.AddFile]]
+  private def snapshotFilesAt(v: Long): IndexedSeq[graft.delta.AddFile] =
+    snapFilesCache.getOrElseUpdate(v, {
+      val snap = if (v == initialSnapshot.version) initialSnapshot
+        else Snapshot.forTable(spark, tablePath, Some(v))
+      new DeltaScan(snap, None).collectAddFiles()
+        .sortBy(_.path).toIndexedSeq
+    })
+
+  /** One commit's streamed adds (validated for delete/rewrite
+    * boundaries), in commit-file order — deterministic across restarts.
+    */
+  private val tailAddsCache =
+    scala.collection.mutable.Map.empty[Long, IndexedSeq[graft.delta.AddFile]]
+  private def tailAdds(v: Long): IndexedSeq[graft.delta.AddFile] =
+    tailAddsCache.getOrElseUpdate(v, {
+      if (tailAddsCache.size > 256) tailAddsCache.clear() // bounded
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(tablePath)
+      val fs = Storage.fs(root, conf)
+      val p = FileNames.commitFile(FileNames.logDir(root), v)
+      if (!fs.exists(p))
+        // silently skipping would LOSE the commit's rows downstream
+        throw new IllegalStateException(
+          s"commit $v is missing from the log (vacuumed or compacted " +
+            "away) — restart the stream without startingVersion to " +
+            "begin from a fresh snapshot")
+      val lines = Storage.readLines(fs, p).filter(_.nonEmpty)
+        .map(JsonLog.parseLine)
+      val vAdds = lines.flatMap(n =>
+        Option(n.get("add")).filterNot(_.isNull))
+        .map(RowCodec.jsonToAdd).filter(_.dataChange)
+      val hasRemoves = lines.exists { n =>
+        val rem = n.get("remove")
+        rem != null && !rem.isNull && RowCodec.jsonToRemove(rem).dataChange
+      }
+      if (hasRemoves && !ignoreDeletes)
+        throw new IllegalStateException(
+          s"delete detected in streamed commit $v — appends-only " +
+            "source (set ignoreDeletes=true to skip whole-file deletes)")
+      // a commit that removes AND adds data files rewrote rows already
+      // streamed in earlier batches — silently re-emitting its adds
+      // duplicates downstream, so ignoreDeletes alone must not pass it
+      if (hasRemoves && vAdds.nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
+          s"commit $v rewrites data files (DELETE/UPDATE rewrite or " +
+            "DV swap) — set ignoreChanges=true to accept re-emitted " +
+            "rows, or consume readChangeFeed for row-level changes")
+      vAdds.toIndexedSeq
+    })
+
+  private def toOffset(c: Cursor): DeltaSourceOffset =
+    if (c.inSnapshot) {
+      val n = snapshotFilesAt(c.version).size
+      DeltaSourceOffset(c.version, isInitialSnapshot = true,
+        index = if (c.included >= n) -1 else c.included - 1)
+    } else DeltaSourceOffset(c.version,
+      isInitialSnapshot = snapshotVersion.contains(c.version),
+      index = if (c.included < 0) -1 else c.included - 1)
+
+  private def toCursor(o: DeltaSourceOffset): Cursor =
+    if (o.isInitialSnapshot && o.index >= 0)
+      Cursor(o.version, o.index + 1, inSnapshot = true)
+    else Cursor(o.version, if (o.index < 0) -1 else o.index + 1,
+      inSnapshot = false)
+
+  /** `a` strictly behind `b`? (partial positions rank below complete) */
+  private def behind(a: Cursor, b: Cursor): Boolean = {
+    def rank(c: Cursor): (Long, Long) =
+      (c.version, if (c.included < 0) Long.MaxValue else c.included)
+    val (av, ai) = rank(a); val (bv, bi) = rank(b)
+    av < bv || (av == bv && ai < bi)
+  }
+
+  override def getOffset: Option[Offset] =
+    if (maxFiles.isEmpty || readChangeFeed) legacyGetOffset()
+    else fileCappedGetOffset()
+
+  /** Whole-version offsets (no file cap): the original behavior. */
+  private def legacyGetOffset(): Option[Offset] = {
     // initial-snapshot mode: the first offer is the PINNED snapshot
     // version, flagged so a restart replays the same snapshot instead
     // of re-resolving the table (which may have advanced)
-    if (initialSnapshotMode && lastOffered < startingVersion) {
-      lastOffered = initialSnapshot.version
+    if (initialSnapshotMode && offeredCursor.inSnapshot) {
+      offeredCursor = Cursor(initialSnapshot.version, -1L, inSnapshot = false)
       return Some(DeltaSourceOffset(initialSnapshot.version,
         isInitialSnapshot = true))
     }
     val latest = latestVersion
+    val base = math.max(offeredCursor.version, startingVersion - 1)
     val capped = maxVersions match {
-      case Some(m) => math.min(latest, math.max(lastOffered, startingVersion - 1) + m)
+      case Some(m) => math.min(latest, base + m)
       case None => latest
     }
-    if (capped < startingVersion) None
-    else {
-      lastOffered = math.max(lastOffered, capped)
-      Some(DeltaSourceOffset(capped, snapshotVersion.contains(capped)))
+    if (capped < startingVersion || capped <= offeredCursor.version) {
+      if (offeredCursor.version < startingVersion) None
+      else Some(toOffset(offeredCursor)) // re-offer the stable position
+    } else {
+      offeredCursor = Cursor(capped, -1L, inSnapshot = false)
+      Some(toOffset(offeredCursor))
+    }
+  }
+
+  /** File-capped offsets: advance through the snapshot's file list,
+    * then through per-commit add lists, stopping mid-version when the
+    * budget runs out.
+    */
+  private def fileCappedGetOffset(): Option[Offset] = {
+    var cur = offeredCursor
+    var fBudget = maxFiles.get
+    var vBudget = maxVersions.getOrElse(Long.MaxValue)
+    var advanced = false
+
+    if (cur.inSnapshot) {
+      val n = snapshotFilesAt(cur.version).size.toLong
+      if (cur.included < n) {
+        val take = math.min(fBudget, n - cur.included)
+        if (take > 0) {
+          cur = cur.copy(included = cur.included + take)
+          fBudget -= take
+          advanced = true
+        }
+      }
+      if (cur.included >= n) // snapshot fully covered — tail may follow
+        cur = Cursor(cur.version, -1L, inSnapshot = false)
+    }
+
+    if (!cur.inSnapshot) {
+      // continue a partially-offered tail version first
+      if (cur.included >= 0) {
+        val n = tailAdds(cur.version).size.toLong
+        val take = math.min(fBudget, n - cur.included)
+        if (take > 0) { advanced = true; fBudget -= take }
+        cur =
+          if (cur.included + math.max(take, 0) >= n)
+            Cursor(cur.version, -1L, inSnapshot = false)
+          else cur.copy(included = cur.included + take)
+      }
+      val latest = latestVersion
+      while (fBudget > 0 && vBudget > 0 && cur.included < 0 &&
+          cur.version < latest) {
+        val v = cur.version + 1
+        val n = tailAdds(v).size.toLong
+        if (n <= fBudget) { cur = Cursor(v, -1L, inSnapshot = false); fBudget -= n }
+        else { cur = Cursor(v, fBudget, inSnapshot = false); fBudget = 0 }
+        vBudget -= 1
+        advanced = true
+      }
+    }
+
+    if (!advanced) {
+      if (offeredCursor.inSnapshot && offeredCursor.included == 0) None
+      else if (offeredCursor.version < startingVersion) None
+      else Some(toOffset(offeredCursor)) // stable re-offer
+    } else {
+      offeredCursor = cur
+      Some(toOffset(cur))
     }
   }
 
@@ -131,7 +296,16 @@ class DeltaSource(
     // restart recovery replays the last committed batch through here —
     // advance the rate-limit watermark so the next getOffset continues
     // from the checkpointed position instead of re-offering old versions
-    lastOffered = math.max(lastOffered, hi)
+    val endCursor = toCursor(endOff)
+    if (behind(offeredCursor, endCursor)) offeredCursor = endCursor
+    // sub-version (file-sliced) offsets: either boundary carries a
+    // file index — assemble the exact file slice instead of whole
+    // version ranges
+    val startOffOpt = start.map(parseOffset)
+    val sliced = endOff.index >= 0 ||
+      startOffOpt.exists(o => o.index >= 0)
+    if (sliced && !readChangeFeed)
+      return slicedBatch(startOffOpt, endOff)
     if (readChangeFeed) {
       val tail =
         if (lo > hi) None
@@ -149,49 +323,79 @@ class DeltaSource(
       return StreamingShim.internalCreateStreamingDF(
         sqlContext, df.queryExecution.toRdd, df.schema)
     }
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(tablePath)
-    val fs = Storage.fs(root, conf)
-    val logDir = FileNames.logDir(root)
-
-    val adds = (lo to hi).flatMap { v =>
-      val p = FileNames.commitFile(logDir, v)
-      if (!fs.exists(p))
-        // silently skipping would LOSE the commit's rows downstream
-        throw new IllegalStateException(
-          s"commit $v is missing from the log (vacuumed or compacted " +
-            "away) — restart the stream without startingVersion to " +
-            "begin from a fresh snapshot")
-      else {
-        val lines = Storage.readLines(fs, p).filter(_.nonEmpty)
-          .map(JsonLog.parseLine)
-        val vAdds = lines.flatMap(n =>
-          Option(n.get("add")).filterNot(_.isNull))
-          .map(RowCodec.jsonToAdd).filter(_.dataChange)
-        val hasRemoves = lines.exists { n =>
-          val rem = n.get("remove")
-          rem != null && !rem.isNull && RowCodec.jsonToRemove(rem).dataChange
-        }
-        if (hasRemoves && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"delete detected in streamed commit $v — appends-only " +
-              "source (set ignoreDeletes=true to skip whole-file deletes)")
-        // a commit that removes AND adds data files rewrote rows already
-        // streamed in earlier batches — silently re-emitting its adds
-        // duplicates downstream, so ignoreDeletes alone must not pass it
-        if (hasRemoves && vAdds.nonEmpty && !ignoreChanges)
-          throw new IllegalStateException(
-            s"commit $v rewrites data files (DELETE/UPDATE rewrite or " +
-              "DV swap) — set ignoreChanges=true to accept re-emitted " +
-              "rows, or consume readChangeFeed for row-level changes")
-        vAdds
-      }
-    }
+    val adds = (lo to hi).flatMap(tailAdds)
     val scan = new DeltaScan(initialSnapshot, None)
     val tailDF = scan.assemble(adds, keepMeta = false)
     val df =
       if (snapshotBatch) new DeltaScan(snapAt, None).toDF.unionByName(tailDF)
       else tailDF
+    StreamingShim.internalCreateStreamingDF(
+      sqlContext, df.queryExecution.toRdd, df.schema)
+  }
+
+  /** Batch content when either boundary is a sub-version (file-sliced)
+    * offset: exact file slices of the pinned snapshot list and/or
+    * per-commit add lists — deterministic across restarts because both
+    * lists have stable order.
+    */
+  private def slicedBatch(startOff: Option[DeltaSourceOffset],
+      endOff: DeltaSourceOffset): DataFrame = {
+    val snapParts =
+      scala.collection.mutable.ArrayBuffer.empty[graft.delta.AddFile]
+    val tailParts =
+      scala.collection.mutable.ArrayBuffer.empty[graft.delta.AddFile]
+    var snapVer: Option[Long] = None
+
+    if (endOff.isInitialSnapshot) {
+      // the whole batch lies inside the pinned snapshot
+      snapVer = Some(endOff.version)
+      val files = snapshotFilesAt(endOff.version)
+      val eCnt = if (endOff.index < 0) files.size else endOff.index.toInt + 1
+      val sCnt = startOff match {
+        case Some(o) if o.isInitialSnapshot && o.index >= 0 => o.index.toInt + 1
+        case Some(_) => files.size // start already past the snapshot
+        case None => 0
+      }
+      if (sCnt < eCnt) snapParts ++= files.slice(sCnt, eCnt)
+    } else {
+      val tailFrom = startOff match {
+        case Some(o) if o.isInitialSnapshot && o.index >= 0 =>
+          // finish the pinned snapshot's remainder, then tail
+          snapVer = Some(o.version)
+          val files = snapshotFilesAt(o.version)
+          snapParts ++= files.slice(o.index.toInt + 1, files.size)
+          o.version + 1
+        case Some(o) if o.index >= 0 =>
+          val n = tailAdds(o.version)
+          tailParts ++= n.slice(o.index.toInt + 1, n.size)
+          o.version + 1
+        case Some(o) => o.version + 1
+        case None => startingVersion
+      }
+      (tailFrom to endOff.version).foreach { v =>
+        val n = tailAdds(v)
+        if (v == endOff.version && endOff.index >= 0)
+          tailParts ++= n.slice(0, endOff.index.toInt + 1)
+        else tailParts ++= n
+      }
+    }
+    snapVer.foreach(v => snapshotVersion = Some(v))
+
+    val dfSnap = snapVer.filter(_ => snapParts.nonEmpty).map { sv =>
+      val snap = if (sv == initialSnapshot.version) initialSnapshot
+        else Snapshot.forTable(spark, tablePath, Some(sv))
+      new DeltaScan(snap, None).assemble(snapParts.toSeq, keepMeta = false)
+    }
+    val scanTail = new DeltaScan(initialSnapshot, None)
+    val dfTail =
+      if (tailParts.isEmpty) None
+      else Some(scanTail.assemble(tailParts.toSeq, keepMeta = false))
+    val df = (dfSnap, dfTail) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => scanTail.assemble(Nil, keepMeta = false)
+    }
     StreamingShim.internalCreateStreamingDF(
       sqlContext, df.queryExecution.toRdd, df.schema)
   }
@@ -211,10 +415,19 @@ class DeltaSource(
   * the snapshot at the PINNED version, immune to the table advancing
   * between stream start and the first checkpoint.
   */
-case class DeltaSourceOffset(version: Long, isInitialSnapshot: Boolean)
-    extends Offset {
+case class DeltaSourceOffset(version: Long, isInitialSnapshot: Boolean,
+    index: Long = -1) extends Offset {
+  /** `index` = last file index of `version` (or of the pinned snapshot
+    * when `isInitialSnapshot`) included by this offset; -1 = the whole
+    * version. Complete offsets keep the original two-field encoding so
+    * checkpoints from earlier versions of this source parse unchanged.
+    */
   override def json: String =
-    s"""{"version":$version,"isInitialSnapshot":$isInitialSnapshot}"""
+    if (index < 0)
+      s"""{"version":$version,"isInitialSnapshot":$isInitialSnapshot}"""
+    else
+      s"""{"version":$version,"isInitialSnapshot":$isInitialSnapshot,""" +
+        s""""index":$index}"""
 }
 
 object DeltaSourceOffset {
@@ -223,7 +436,8 @@ object DeltaSourceOffset {
     if (t.startsWith("{")) {
       val n = JsonLog.parseLine(t)
       DeltaSourceOffset(n.path("version").asLong,
-        n.path("isInitialSnapshot").asBoolean(false))
+        n.path("isInitialSnapshot").asBoolean(false),
+        if (n.has("index")) n.path("index").asLong else -1L)
     } else DeltaSourceOffset(t.toLong, isInitialSnapshot = false)
   }
 }

@@ -77,6 +77,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(1L), s"got $batches")
   }
 
+  test("maxFilesPerTrigger splits the initial snapshot and tail commits " +
+      "into bounded file batches") {
+    val dir = TestSpark.tmpDir("mft")
+    // 1 row per file: 6 snapshot files (v1) + 4 more (v2)
+    val src = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 6).repartition(6))  // v1: 6 files
+    t.append(src.filter($"k" > 6).repartition(4))   // v2: 4 files
+
+    val ckpt = TestSpark.tmpDir("mft-ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("maxFilesPerTrigger", "4")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ks = df.select($"k").collect().map(_.getLong(0)).toSeq.sorted
+          seen.synchronized { seen += ks }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // initial snapshot = 10 files at the pinned version; cap 4 →
+    // 4 + 4 + 2 files across three runs, rows exact, no duplicates
+    runOnce(); runOnce(); runOnce()
+    val flat = seen.flatten
+    assert(seen.map(_.size).toSeq == Seq(4, 4, 2), s"got ${seen.map(_.size)}")
+    assert(flat.sorted == (1L to 10L), s"got $flat")
+
+    // a drained source offers nothing new
+    runOnce()
+    assert(seen.size == 3 || seen.drop(3).forall(_.isEmpty), s"got $seen")
+
+    // tail: one 6-file commit splits 4 + 2
+    t.append((11 to 16).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(6))                               // v3: 6 files
+    seen.clear()
+    runOnce(); runOnce()
+    assert(seen.map(_.size).toSeq.filter(_ > 0) == Seq(4, 2),
+      s"got ${seen.map(_.size)}")
+    assert(seen.flatten.sorted == (11L to 16L), s"got ${seen.flatten}")
+  }
+
+  test("maxFilesPerTrigger: restart mid-snapshot stays pinned and the " +
+      "advancing table tails without duplicates") {
+    val dir = TestSpark.tmpDir("mft2")
+    val src = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(6))                     // v1: 6 files
+
+    val ckpt = TestSpark.tmpDir("mft2-ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("maxFilesPerTrigger", "4")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ks = df.select($"k").collect().map(_.getLong(0)).toSeq.sorted
+          seen.synchronized { seen += ks }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    runOnce() // 4 of 6 snapshot files, snapshot pinned at v1
+    assert(seen.map(_.size).toSeq == Seq(4), s"got $seen")
+
+    // the table advances while the snapshot is partially delivered
+    t.append(Seq((7L, "v7"), (8L, "v8")).toDF("k", "s").repartition(2)) // v2
+
+    runOnce() // snapshot remainder (2) + the new commit (2)
+    val flat = seen.flatten
+    assert(flat.sorted == (1L to 8L), s"got $flat")
+    assert(flat.size == flat.distinct.size, s"duplicates in $flat")
+  }
+
   test("streaming source: ignoreDeletes covers whole-file deletes only; " +
       "rewrites need ignoreChanges") {
     def run(dir: String, opts: Map[String, String]): Unit = {
