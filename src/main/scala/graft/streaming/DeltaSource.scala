@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.connector.read.streaming.{
+  CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles,
+  SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.graft.StreamingShim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -10,11 +12,21 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 
 import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, TableChanges}
 
-/** Structured Streaming source over a Delta table: offsets are table
-  * VERSIONS, each microbatch is the add-file diff of a commit range
+/** Structured Streaming source over a Delta table: offsets are
+  * (version, fileIndex) positions, each microbatch is a file slice of
+  * the pinned initial snapshot or the add-file diff of a commit range
   * (reference: kernel/src/incremental_scan/mod.rs:26-60 — the file-action
   * diff over (base, target] — exposed the way delta-spark's DeltaSource
-  * does, as a v1 `Source`).
+  * does, as a v1 `Source` with `SupportsAdmissionControl`).
+  *
+  * Rate limiting speaks Spark's admission-control protocol: the engine
+  * hands `latestOffset(start, limit)` the CHECKPOINTED start position
+  * each cycle, so the next offset is a pure function of the checkpoint —
+  * a restarted source can never lose or duplicate rows to stale
+  * instance state. `SupportsTriggerAvailableNow` makes
+  * `Trigger.AvailableNow` drain everything available at query start as
+  * a sequence of rate-limited batches (without it, Spark's wrapper
+  * ignores read limits under AvailableNow).
   *
   * Options:
   *  - `path` (required): table root
@@ -31,8 +43,9 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *    (and within the initial snapshot) via (version, fileIndex)
   *    offsets, delta-spark's DeltaSourceOffset design. At 100 TB the
   *    initial snapshot is millions of files — it must stream as many
-  *    bounded batches, not one. Ignored in readChangeFeed mode (CDF
-  *    batches stay version-granular)
+  *    bounded batches, not one. In readChangeFeed mode the cap packs
+  *    WHOLE versions by their change-file count (at least one per
+  *    batch), and file-slices the initial snapshot's insert rows
   *  - `ignoreDeletes` (default false): tolerate commits that ONLY drop
   *    whole files (remove actions with no accompanying adds — e.g. a
   *    partition delete). A commit that both removes and adds data files
@@ -55,7 +68,7 @@ class DeltaSource(
     sqlContext: SQLContext,
     tablePath: String,
     options: Map[String, String]) extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private val maxVersions =
@@ -91,25 +104,6 @@ class DeltaSource(
   private def latestVersion: Long =
     Snapshot.forTable(spark, tablePath).version
 
-  /** Version delivered (or to be delivered) as a full snapshot, so
-    * later offsets at that version keep a stable JSON encoding.
-    */
-  private var snapshotVersion: Option[Long] =
-    if (initialSnapshotMode) Some(initialSnapshot.version) else None
-
-  /** Furthest position OFFERED: `included` = number of `version`'s
-    * files already covered when partial, -1 = version complete;
-    * `inSnapshot` = still inside the (possibly partial) initial
-    * snapshot.
-    */
-  private case class Cursor(version: Long, included: Long,
-    inSnapshot: Boolean)
-
-  private var offeredCursor: Cursor =
-    if (initialSnapshotMode)
-      Cursor(initialSnapshot.version, 0L, inSnapshot = true)
-    else Cursor(startingVersion - 1, -1L, inSnapshot = false)
-
   /** Sorted add list of the pinned snapshot at `v` (deterministic order
     * for stable sub-snapshot offsets across restarts). Driver memory =
     * file metadata, the TahoeFileIndex-size envelope.
@@ -118,11 +112,27 @@ class DeltaSource(
     scala.collection.mutable.Map.empty[Long, IndexedSeq[graft.delta.AddFile]]
   private def snapshotFilesAt(v: Long): IndexedSeq[graft.delta.AddFile] =
     snapFilesCache.getOrElseUpdate(v, {
-      val snap = if (v == initialSnapshot.version) initialSnapshot
-        else Snapshot.forTable(spark, tablePath, Some(v))
-      new DeltaScan(snap, None).collectAddFiles()
+      new DeltaScan(snapAt(v), None).collectAddFiles()
         .sortBy(_.path).toIndexedSeq
     })
+
+  private def snapAt(v: Long): Snapshot =
+    if (v == initialSnapshot.version) initialSnapshot
+    else Snapshot.forTable(spark, tablePath, Some(v))
+
+  private def commitLines(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = Storage.fs(root, conf)
+    val p = FileNames.commitFile(FileNames.logDir(root), v)
+    if (!fs.exists(p))
+      // silently skipping would LOSE the commit's rows downstream
+      throw new IllegalStateException(
+        s"commit $v is missing from the log (vacuumed or compacted " +
+          "away) — restart the stream without startingVersion to " +
+          "begin from a fresh snapshot")
+    Storage.readLines(fs, p).filter(_.nonEmpty).map(JsonLog.parseLine)
+  }
 
   /** One commit's streamed adds (validated for delete/rewrite
     * boundaries), in commit-file order — deterministic across restarts.
@@ -132,18 +142,7 @@ class DeltaSource(
   private def tailAdds(v: Long): IndexedSeq[graft.delta.AddFile] =
     tailAddsCache.getOrElseUpdate(v, {
       if (tailAddsCache.size > 256) tailAddsCache.clear() // bounded
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(tablePath)
-      val fs = Storage.fs(root, conf)
-      val p = FileNames.commitFile(FileNames.logDir(root), v)
-      if (!fs.exists(p))
-        // silently skipping would LOSE the commit's rows downstream
-        throw new IllegalStateException(
-          s"commit $v is missing from the log (vacuumed or compacted " +
-            "away) — restart the stream without startingVersion to " +
-            "begin from a fresh snapshot")
-      val lines = Storage.readLines(fs, p).filter(_.nonEmpty)
-        .map(JsonLog.parseLine)
+      val lines = commitLines(v)
       val vAdds = lines.flatMap(n =>
         Option(n.get("add")).filterNot(_.isNull))
         .map(RowCodec.jsonToAdd).filter(_.dataChange)
@@ -166,254 +165,283 @@ class DeltaSource(
       vAdds.toIndexedSeq
     })
 
-  private def toOffset(c: Cursor): DeltaSourceOffset =
-    if (c.inSnapshot) {
-      val n = snapshotFilesAt(c.version).size
-      DeltaSourceOffset(c.version, isInitialSnapshot = true,
-        index = if (c.included >= n) -1 else c.included - 1)
-    } else DeltaSourceOffset(c.version,
-      isInitialSnapshot = snapshotVersion.contains(c.version),
-      index = if (c.included < 0) -1 else c.included - 1)
+  /** How many change files commit `v` contributes to a CDF batch —
+    * cdc files when the commit wrote them, else its data-changing
+    * add/remove files. Used only to PACK whole versions under
+    * `maxFilesPerTrigger`; CDF batches stay version-granular.
+    */
+  private val cdfCountCache =
+    scala.collection.mutable.Map.empty[Long, Long]
+  private def cdfFileCount(v: Long): Long =
+    cdfCountCache.getOrElseUpdate(v, {
+      if (cdfCountCache.size > 4096) cdfCountCache.clear() // bounded
+      val lines = commitLines(v)
+      val cdc = lines.count(n =>
+        Option(n.get("cdc")).exists(!_.isNull))
+      if (cdc > 0) cdc.toLong
+      else lines.count { n =>
+        def changed(field: String): Boolean =
+          Option(n.get(field)).filterNot(_.isNull)
+            .exists(a => !a.has("dataChange") || a.get("dataChange").asBoolean(true))
+        changed("add") || changed("remove")
+      }.toLong
+    })
 
-  private def toCursor(o: DeltaSourceOffset): Cursor =
-    if (o.isInitialSnapshot && o.index >= 0)
-      Cursor(o.version, o.index + 1, inSnapshot = true)
-    else Cursor(o.version, if (o.index < 0) -1 else o.index + 1,
-      inSnapshot = false)
+  // ------------------------------------------------------------------
+  // Offset arithmetic: the next end offset is a PURE function of the
+  // start offset (None = fresh stream). The checkpointed position is
+  // authoritative — nothing here reads mutable instance state, so a
+  // restart resumes exactly where the checkpoint says, even if the
+  // table advanced in between.
+  // ------------------------------------------------------------------
+
+  /** Compute the next end offset after `start` under the given file /
+    * version budgets, bounded by the AvailableNow ceiling when one was
+    * prepared. None = no progress available.
+    */
+  private def advance(start: Option[DeltaSourceOffset], fileCap: Long,
+      versionCap: Long): Option[DeltaSourceOffset] = {
+    val hi = math.min(latestVersion,
+      availableNowCeil.getOrElse(Long.MaxValue))
+
+    // phase 1: the (possibly partially delivered) initial snapshot.
+    // A snapshot batch never mixes with tail commits — the tail starts
+    // in the NEXT batch — so slicing stays trivially deterministic.
+    val snapPos: Option[(Long, Long)] = start match {
+      case None if initialSnapshotMode =>
+        Some((initialSnapshot.version, 0L))
+      case Some(o) if o.isInitialSnapshot && o.index >= 0 =>
+        Some((o.version, o.index + 1)) // mid-snapshot at the PINNED version
+      case _ => None
+    }
+    snapPos.foreach { case (sv, from) =>
+      val n = snapshotFilesAt(sv).size.toLong
+      val covered = math.min(n, from + fileCap)
+      return Some(
+        if (covered >= n) DeltaSourceOffset(sv, isInitialSnapshot = true)
+        else DeltaSourceOffset(sv, isInitialSnapshot = true,
+          index = covered - 1))
+    }
+
+    // position after `start` in the tail: last covered version, plus
+    // partial file progress within it
+    var (v, partial) = start match {
+      case None => (startingVersion - 1, -1L)
+      case Some(o) if o.isInitialSnapshot => (o.version, -1L)
+      case Some(o) => (o.version, if (o.index < 0) -1L else o.index + 1)
+    }
+
+    var fBudget = fileCap
+    var vBudget = versionCap
+    var advanced = false
+    var end: DeltaSourceOffset = null
+
+    // phase 2: finish a partially streamed tail version first
+    if (partial >= 0) {
+      val n = tailAdds(v).size.toLong
+      val take = math.min(fBudget, n - partial)
+      if (take > 0) { advanced = true; fBudget -= take }
+      if (partial + math.max(take, 0L) >= n)
+        end = DeltaSourceOffset(v, isInitialSnapshot = false)
+      else return if (advanced)
+        Some(DeltaSourceOffset(v, isInitialSnapshot = false,
+          index = partial + take - 1))
+      else None
+    }
+
+    // phase 3: subsequent versions under the remaining budget
+    while (fBudget > 0 && vBudget > 0 && v < hi) {
+      val next = v + 1
+      if (readChangeFeed) {
+        // version-granular: pack whole versions by change-file count,
+        // but always take at least one version per batch
+        val n = cdfFileCount(next)
+        if (n <= fBudget || !advanced) {
+          v = next
+          fBudget -= math.min(n, fBudget)
+          end = DeltaSourceOffset(v, isInitialSnapshot = false)
+          advanced = true
+          vBudget -= 1
+        } else fBudget = 0
+      } else {
+        val n = tailAdds(next).size.toLong
+        if (n <= fBudget) {
+          v = next; fBudget -= n
+          end = DeltaSourceOffset(v, isInitialSnapshot = false)
+        } else {
+          end = DeltaSourceOffset(next, isInitialSnapshot = false,
+            index = fBudget - 1)
+          fBudget = 0
+        }
+        advanced = true
+        vBudget -= 1
+      }
+    }
+    if (advanced) Some(end) else None
+  }
+
+  // ---- SupportsAdmissionControl / SupportsTriggerAvailableNow ----
+
+  /** Table version pinned when an AvailableNow run starts: the run
+    * drains through this version in rate-limited batches and ignores
+    * commits landing while it runs (Spark calls this once per query
+    * start, before the first latestOffset).
+    */
+  private var availableNowCeil: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeil = Some(latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = maxFiles match {
+    case Some(f) => ReadLimit.maxFiles(f.toInt)
+    case None => ReadLimit.allAvailable()
+  }
+
+  private def fileCapOf(limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => Long.MaxValue
+    case m: ReadMaxFiles => m.maxFiles().toLong
+    case c: CompositeReadLimit => c.getReadLimits.map(fileCapOf).min
+    case _ => maxFiles.getOrElse(Long.MaxValue)
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    advance(Option(start).map(parseOffset), fileCapOf(limit),
+      maxVersions.getOrElse(Long.MaxValue)).orNull
+
+  override def reportLatestOffset(): OffsetV2 =
+    DeltaSourceOffset(
+      math.min(latestVersion, availableNowCeil.getOrElse(Long.MaxValue)),
+      isInitialSnapshot = false)
+
+  // ---- v1 Source contract (admission control supersedes getOffset in
+  // MicroBatchExecution; kept for direct driving and API completeness) ----
+
+  /** Furthest position offered through the v1 getOffset path. */
+  private var lastOffered: Option[DeltaSourceOffset] = None
+
+  override def getOffset: Option[Offset] = {
+    val next = advance(lastOffered, maxFiles.getOrElse(Long.MaxValue),
+      maxVersions.getOrElse(Long.MaxValue))
+    next.foreach(o => lastOffered = Some(o))
+    next.orElse(lastOffered) // stable re-offer of the drained position
+  }
 
   /** `a` strictly behind `b`? (partial positions rank below complete) */
-  private def behind(a: Cursor, b: Cursor): Boolean = {
-    def rank(c: Cursor): (Long, Long) =
-      (c.version, if (c.included < 0) Long.MaxValue else c.included)
+  private def behindOff(a: DeltaSourceOffset, b: DeltaSourceOffset): Boolean = {
+    def rank(o: DeltaSourceOffset): (Long, Long) =
+      (o.version, if (o.index < 0) Long.MaxValue else o.index)
     val (av, ai) = rank(a); val (bv, bi) = rank(b)
     av < bv || (av == bv && ai < bi)
   }
 
-  override def getOffset: Option[Offset] =
-    if (maxFiles.isEmpty || readChangeFeed) legacyGetOffset()
-    else fileCappedGetOffset()
-
-  /** Whole-version offsets (no file cap): the original behavior. */
-  private def legacyGetOffset(): Option[Offset] = {
-    // initial-snapshot mode: the first offer is the PINNED snapshot
-    // version, flagged so a restart replays the same snapshot instead
-    // of re-resolving the table (which may have advanced)
-    if (initialSnapshotMode && offeredCursor.inSnapshot) {
-      offeredCursor = Cursor(initialSnapshot.version, -1L, inSnapshot = false)
-      return Some(DeltaSourceOffset(initialSnapshot.version,
-        isInitialSnapshot = true))
-    }
-    val latest = latestVersion
-    val base = math.max(offeredCursor.version, startingVersion - 1)
-    val capped = maxVersions match {
-      case Some(m) => math.min(latest, base + m)
-      case None => latest
-    }
-    if (capped < startingVersion || capped <= offeredCursor.version) {
-      if (offeredCursor.version < startingVersion) None
-      else Some(toOffset(offeredCursor)) // re-offer the stable position
-    } else {
-      offeredCursor = Cursor(capped, -1L, inSnapshot = false)
-      Some(toOffset(offeredCursor))
-    }
-  }
-
-  /** File-capped offsets: advance through the snapshot's file list,
-    * then through per-commit add lists, stopping mid-version when the
-    * budget runs out.
-    */
-  private def fileCappedGetOffset(): Option[Offset] = {
-    var cur = offeredCursor
-    var fBudget = maxFiles.get
-    var vBudget = maxVersions.getOrElse(Long.MaxValue)
-    var advanced = false
-
-    if (cur.inSnapshot) {
-      val n = snapshotFilesAt(cur.version).size.toLong
-      if (cur.included < n) {
-        val take = math.min(fBudget, n - cur.included)
-        if (take > 0) {
-          cur = cur.copy(included = cur.included + take)
-          fBudget -= take
-          advanced = true
-        }
-      }
-      if (cur.included >= n) // snapshot fully covered — tail may follow
-        cur = Cursor(cur.version, -1L, inSnapshot = false)
-    }
-
-    if (!cur.inSnapshot) {
-      // continue a partially-offered tail version first
-      if (cur.included >= 0) {
-        val n = tailAdds(cur.version).size.toLong
-        val take = math.min(fBudget, n - cur.included)
-        if (take > 0) { advanced = true; fBudget -= take }
-        cur =
-          if (cur.included + math.max(take, 0) >= n)
-            Cursor(cur.version, -1L, inSnapshot = false)
-          else cur.copy(included = cur.included + take)
-      }
-      val latest = latestVersion
-      while (fBudget > 0 && vBudget > 0 && cur.included < 0 &&
-          cur.version < latest) {
-        val v = cur.version + 1
-        val n = tailAdds(v).size.toLong
-        if (n <= fBudget) { cur = Cursor(v, -1L, inSnapshot = false); fBudget -= n }
-        else { cur = Cursor(v, fBudget, inSnapshot = false); fBudget = 0 }
-        vBudget -= 1
-        advanced = true
-      }
-    }
-
-    if (!advanced) {
-      if (offeredCursor.inSnapshot && offeredCursor.included == 0) None
-      else if (offeredCursor.version < startingVersion) None
-      else Some(toOffset(offeredCursor)) // stable re-offer
-    } else {
-      offeredCursor = cur
-      Some(toOffset(cur))
-    }
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endOff = parseOffset(end)
-    val hi = endOff.version
-    // a fresh stream (or a restart replaying batch 0) in
-    // initial-snapshot mode emits the snapshot AT THE OFFSET'S PINNED
-    // VERSION — never a re-resolved one, which may have advanced and
-    // would duplicate rows of the next commit range downstream
-    val snapshotBatch =
-      start.isEmpty && (endOff.isInitialSnapshot || initialSnapshotMode)
-    val snapAt =
-      if (!snapshotBatch) initialSnapshot
-      else if (hi == initialSnapshot.version) initialSnapshot
-      else Snapshot.forTable(spark, tablePath, Some(hi))
-    if (snapshotBatch) snapshotVersion = Some(hi)
-    // the snapshot batch covers everything through hi; no tail inside it
-    val lo =
-      if (snapshotBatch) hi + 1
-      else start.map(parseOffset(_).version + 1).getOrElse(startingVersion)
-    // restart recovery replays the last committed batch through here —
-    // advance the rate-limit watermark so the next getOffset continues
-    // from the checkpointed position instead of re-offering old versions
-    val endCursor = toCursor(endOff)
-    if (behind(offeredCursor, endCursor)) offeredCursor = endCursor
-    // sub-version (file-sliced) offsets: either boundary carries a
-    // file index — assemble the exact file slice instead of whole
-    // version ranges
-    val startOffOpt = start.map(parseOffset)
-    val sliced = endOff.index >= 0 ||
-      startOffOpt.exists(o => o.index >= 0)
-    if (sliced && !readChangeFeed)
-      return slicedBatch(startOffOpt, endOff)
-    if (readChangeFeed) {
-      val tail =
-        if (lo > hi) None
-        else Some(TableChanges.read(spark, tablePath, lo, Some(hi)))
-      val df = (snapshotBatch, tail) match {
-        case (true, t) =>
-          val snapAsInserts = DeltaSource.snapshotAsInserts(spark, snapAt)
-          t.map(snapAsInserts.unionByName(_)).getOrElse(snapAsInserts)
-        case (false, Some(t)) => t
-        case (false, None) =>
-          // offset-encoding changes across restarts can produce an
-          // empty replay range; an empty batch is correct, not an error
-          DeltaSource.snapshotAsInserts(spark, snapAt).limit(0)
-      }
-      return StreamingShim.internalCreateStreamingDF(
-        sqlContext, df.queryExecution.toRdd, df.schema)
-    }
-    val adds = (lo to hi).flatMap(tailAdds)
-    val scan = new DeltaScan(initialSnapshot, None)
-    val tailDF = scan.assemble(adds, keepMeta = false)
+    val startOff = start.map(parseOffset)
+    // the checkpointed end offset is authoritative: a restart replaying
+    // the last committed batch advances the v1 watermark unconditionally
+    // so a subsequent getOffset continues from the checkpoint, never
+    // from this (fresh) instance's pristine position
+    if (lastOffered.forall(o => behindOff(o, endOff) || o == endOff))
+      lastOffered = Some(endOff)
     val df =
-      if (snapshotBatch) new DeltaScan(snapAt, None).toDF.unionByName(tailDF)
-      else tailDF
+      if (readChangeFeed) cdfBatch(startOff, endOff)
+      else addsBatch(startOff, endOff)
     StreamingShim.internalCreateStreamingDF(
       sqlContext, df.queryExecution.toRdd, df.schema)
   }
 
-  /** Batch content when either boundary is a sub-version (file-sliced)
-    * offset: exact file slices of the pinned snapshot list and/or
-    * per-commit add lists — deterministic across restarts because both
-    * lists have stable order.
+  /** Files of the pinned snapshot at `sv` covered by (start, end]. */
+  private def snapshotSlice(sv: Long, startOff: Option[DeltaSourceOffset],
+      endIdx: Long): Seq[graft.delta.AddFile] = {
+    val files = snapshotFilesAt(sv)
+    val from = startOff match {
+      case Some(o) if o.isInitialSnapshot && o.index >= 0 => o.index.toInt + 1
+      case Some(_) => files.size // start already past the snapshot
+      case None => 0
+    }
+    val until = if (endIdx < 0) files.size else endIdx.toInt + 1
+    if (from >= until) Nil else files.slice(from, until)
+  }
+
+  /** Non-CDF batch content for (start, end]: either a file slice of the
+    * snapshot PINNED at the end offset's version, or a tail range of
+    * per-commit adds (with sub-version slices at either boundary). The
+    * two never mix within one batch.
     */
-  private def slicedBatch(startOff: Option[DeltaSourceOffset],
+  private def addsBatch(startOff: Option[DeltaSourceOffset],
       endOff: DeltaSourceOffset): DataFrame = {
-    val snapParts =
-      scala.collection.mutable.ArrayBuffer.empty[graft.delta.AddFile]
-    val tailParts =
-      scala.collection.mutable.ArrayBuffer.empty[graft.delta.AddFile]
-    var snapVer: Option[Long] = None
-
     if (endOff.isInitialSnapshot) {
-      // the whole batch lies inside the pinned snapshot
-      snapVer = Some(endOff.version)
-      val files = snapshotFilesAt(endOff.version)
-      val eCnt = if (endOff.index < 0) files.size else endOff.index.toInt + 1
-      val sCnt = startOff match {
-        case Some(o) if o.isInitialSnapshot && o.index >= 0 => o.index.toInt + 1
-        case Some(_) => files.size // start already past the snapshot
-        case None => 0
-      }
-      if (sCnt < eCnt) snapParts ++= files.slice(sCnt, eCnt)
-    } else {
-      val tailFrom = startOff match {
-        case Some(o) if o.isInitialSnapshot && o.index >= 0 =>
-          // finish the pinned snapshot's remainder, then tail
-          snapVer = Some(o.version)
-          val files = snapshotFilesAt(o.version)
-          snapParts ++= files.slice(o.index.toInt + 1, files.size)
-          o.version + 1
-        case Some(o) if o.index >= 0 =>
-          val n = tailAdds(o.version)
-          tailParts ++= n.slice(o.index.toInt + 1, n.size)
-          o.version + 1
-        case Some(o) => o.version + 1
-        case None => startingVersion
-      }
-      (tailFrom to endOff.version).foreach { v =>
-        val n = tailAdds(v)
-        if (v == endOff.version && endOff.index >= 0)
-          tailParts ++= n.slice(0, endOff.index.toInt + 1)
-        else tailParts ++= n
-      }
+      val sv = endOff.version
+      val slice = snapshotSlice(sv, startOff, endOff.index)
+      return new DeltaScan(snapAt(sv), None)
+        .assemble(slice, keepMeta = false)
     }
-    snapVer.foreach(v => snapshotVersion = Some(v))
-
-    val dfSnap = snapVer.filter(_ => snapParts.nonEmpty).map { sv =>
-      val snap = if (sv == initialSnapshot.version) initialSnapshot
-        else Snapshot.forTable(spark, tablePath, Some(sv))
-      new DeltaScan(snap, None).assemble(snapParts.toSeq, keepMeta = false)
+    // tail range; a snapshot-partial start (possible only with offsets
+    // written by older versions of this source) contributes the pinned
+    // snapshot's remainder first
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val tailFrom = startOff match {
+      case Some(o) if o.isInitialSnapshot && o.index >= 0 =>
+        val rest = snapshotSlice(o.version, startOff, -1)
+        if (rest.nonEmpty)
+          parts += new DeltaScan(snapAt(o.version), None)
+            .assemble(rest, keepMeta = false)
+        o.version + 1
+      case Some(o) if o.index >= 0 =>
+        val n = tailAdds(o.version)
+        val rest = n.slice(o.index.toInt + 1, n.size)
+        if (rest.nonEmpty)
+          parts += new DeltaScan(initialSnapshot, None)
+            .assemble(rest, keepMeta = false)
+        o.version + 1
+      case Some(o) => o.version + 1
+      case None => startingVersion
     }
-    val scanTail = new DeltaScan(initialSnapshot, None)
-    val dfTail =
-      if (tailParts.isEmpty) None
-      else Some(scanTail.assemble(tailParts.toSeq, keepMeta = false))
-    val df = (dfSnap, dfTail) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => scanTail.assemble(Nil, keepMeta = false)
+    val adds = (tailFrom to endOff.version).flatMap { v =>
+      val n = tailAdds(v)
+      if (v == endOff.version && endOff.index >= 0)
+        n.slice(0, endOff.index.toInt + 1)
+      else n
     }
-    StreamingShim.internalCreateStreamingDF(
-      sqlContext, df.queryExecution.toRdd, df.schema)
+    val scan = new DeltaScan(initialSnapshot, None)
+    parts += scan.assemble(adds, keepMeta = false)
+    parts.reduceLeft(_.unionByName(_))
   }
 
-  private def parseOffset(o: Offset): DeltaSourceOffset = o match {
+  /** CDF batch content for (start, end]: a file slice of the pinned
+    * snapshot rendered as insert rows, or a whole-version change range.
+    */
+  private def cdfBatch(startOff: Option[DeltaSourceOffset],
+      endOff: DeltaSourceOffset): DataFrame = {
+    if (endOff.isInitialSnapshot) {
+      val sv = endOff.version
+      val slice = snapshotSlice(sv, startOff, endOff.index)
+      return DeltaSource.filesAsInserts(spark, snapAt(sv), slice)
+    }
+    val lo = startOff match {
+      case Some(o) => o.version + 1
+      case None => startingVersion
+    }
+    if (lo > endOff.version)
+      // offset-encoding changes across restarts can produce an empty
+      // replay range; an empty batch is correct, not an error
+      DeltaSource.filesAsInserts(spark, initialSnapshot, Nil).limit(0)
+    else TableChanges.read(spark, tablePath, lo, Some(endOff.version))
+  }
+
+  private def parseOffset(o: OffsetV2): DeltaSourceOffset = o match {
     case d: DeltaSourceOffset => d
-    case LongOffset(v) => DeltaSourceOffset(v, isInitialSnapshot = false)
     case other => DeltaSourceOffset.fromJson(other.json)
   }
 
   override def stop(): Unit = {}
 }
 
-/** Offset = table version + whether that position was delivered as a
-  * full initial snapshot (delta-spark's reservoirVersion /
-  * isInitialSnapshot pair): replaying batch 0 after a restart rebuilds
-  * the snapshot at the PINNED version, immune to the table advancing
-  * between stream start and the first checkpoint.
+/** Offset = (table version, file index) + whether that position lies in
+  * the initial snapshot (delta-spark's reservoirVersion /
+  * isInitialSnapshot / index triple): replaying batch 0 after a restart
+  * rebuilds the snapshot at the PINNED version, immune to the table
+  * advancing between stream start and the first checkpoint.
   */
 case class DeltaSourceOffset(version: Long, isInitialSnapshot: Boolean,
     index: Long = -1) extends Offset {
@@ -444,13 +472,14 @@ object DeltaSourceOffset {
 
 object DeltaSource {
 
-  /** The initial snapshot rendered as CDF insert rows at its version —
-    * the first batch of a readChangeFeed stream with no startingVersion
-    * (delta-spark's default CDF stream shape).
+  /** A set of the snapshot's files rendered as CDF insert rows at the
+    * snapshot's version — the initial batches of a readChangeFeed
+    * stream with no startingVersion (delta-spark's default CDF shape).
     */
-  private[streaming] def snapshotAsInserts(
+  private[streaming] def filesAsInserts(
       spark: org.apache.spark.sql.SparkSession,
-      snap: Snapshot): DataFrame = {
+      snap: Snapshot,
+      files: Seq[graft.delta.AddFile]): DataFrame = {
     import org.apache.spark.sql.functions._
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(snap.tableRoot, conf)
@@ -458,7 +487,7 @@ object DeltaSource {
       try fs.getFileStatus(FileNames.commitFile(
         FileNames.logDir(snap.tableRoot), snap.version)).getModificationTime
       catch { case _: Exception => System.currentTimeMillis() }
-    new DeltaScan(snap, None).toDF
+    new DeltaScan(snap, None).assemble(files, keepMeta = false)
       .withColumn(TableChanges.CHANGE_TYPE, lit("insert"))
       .withColumn(TableChanges.COMMIT_VERSION, lit(snap.version))
       .withColumn(TableChanges.COMMIT_TIMESTAMP,
@@ -485,10 +514,30 @@ object DeltaSource {
 class DeltaSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.SchemaRelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  /** Schema-carrying resolution: the session catalog resolves
+    * `CREATE TABLE t (...) USING graft-delta` metastore entries through
+    * here with the declared schema. A location without a log yet is the
+    * freshly created (never written) table — create version 0 from the
+    * declared schema so INSERT/SELECT work immediately after CREATE.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    if (!graft.delta.DeltaTable.isDeltaTable(spark, path))
+      graft.delta.DeltaTable.create(spark, path, schema, Nil)
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -59,16 +59,16 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination(120000)
     }
 
-    // rate-limited runs: one commit version per microbatch run
-    runOnce(Some(1)) // commit 0: metadata only -> 0 rows
-    runOnce(Some(1)) // commit 1
-    runOnce(Some(1)) // commit 2
-    assert(batches.toSeq == Seq(0L, 10L, 10L), s"got $batches")
+    // rate-limited AvailableNow run: drains ALL available commits as a
+    // sequence of one-version microbatches (Spark's admission-control
+    // semantics — the cap bounds each batch, not the run)
+    runOnce(Some(1)) // v0 (metadata only), v1, v2, v3 — four batches
+    assert(batches.toSeq == Seq(0L, 10L, 10L, 10L), s"got $batches")
 
-    // unbounded run drains the rest in one batch
+    // a drained source offers nothing new
     batches.clear()
     runOnce(None)
-    assert(batches.toSeq == Seq(10L), s"got $batches")
+    assert(batches.isEmpty, s"got $batches")
 
     // restart picks up only NEW commits
     t.append(Seq((31L, "v31")).toDF("k", "s")) // v4
@@ -80,15 +80,20 @@ class StreamingSpec extends AnyFunSuite {
   test("maxFilesPerTrigger splits the initial snapshot and tail commits " +
       "into bounded file batches") {
     val dir = TestSpark.tmpDir("mft")
-    // 1 row per file: 6 snapshot files (v1) + 4 more (v2)
+    // partitioned by k → exactly 1 file per key per append: 6 snapshot
+    // files (v1) + 4 more (v2), deterministically
     val src = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
-    DeltaTable.create(spark, dir, src.schema)
+    DeltaTable.create(spark, dir, src.schema, Seq("k"))
     val t = DeltaTable.forPath(spark, dir)
-    t.append(src.filter($"k" <= 6).repartition(6))  // v1: 6 files
-    t.append(src.filter($"k" > 6).repartition(4))   // v2: 4 files
+    t.append(src.filter($"k" <= 6))                 // v1: 6 files
+    t.append(src.filter($"k" > 6))                  // v2: 4 files
 
     val ckpt = TestSpark.tmpDir("mft-ckpt")
-    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    // per-batch (file count, sorted keys); the cap bounds FILES, and
+    // repartition(n) does not promise n non-empty files, so assert on
+    // the files each batch actually read
+    val seen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     def runOnce(): Unit = {
       val q = spark.readStream
         .format(classOf[DeltaSourceProvider].getName)
@@ -98,74 +103,149 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val nf = df.select(input_file_name()).distinct().count()
           val ks = df.select($"k").collect().map(_.getLong(0)).toSeq.sorted
-          seen.synchronized { seen += ks }
+          seen.synchronized { seen += ((nf, ks)) }
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(120000)
     }
+    def tableFiles(): Long = spark.read
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir).load()
+      .select(input_file_name()).distinct().count()
 
-    // initial snapshot = 10 files at the pinned version; cap 4 →
-    // 4 + 4 + 2 files across three runs, rows exact, no duplicates
-    runOnce(); runOnce(); runOnce()
-    val flat = seen.flatten
-    assert(seen.map(_.size).toSeq == Seq(4, 4, 2), s"got ${seen.map(_.size)}")
+    // ONE AvailableNow run drains the snapshot as ceil(n/4) batches of
+    // at most 4 files (all but the last exactly 4), rows exact, no dups
+    val snapFiles = tableFiles()
+    assert(snapFiles > 4, s"need >4 files to split, got $snapFiles")
+    runOnce()
+    val sizes = seen.map(_._1).toSeq
+    assert(sizes.init.forall(_ == 4) && sizes.last <= 4 &&
+      sizes.sum == snapFiles, s"got $sizes for $snapFiles files")
+    assert(sizes.length == ((snapFiles + 3) / 4).toInt, s"got $sizes")
+    val flat = seen.flatMap(_._2)
     assert(flat.sorted == (1L to 10L), s"got $flat")
 
     // a drained source offers nothing new
     runOnce()
-    assert(seen.size == 3 || seen.drop(3).forall(_.isEmpty), s"got $seen")
+    assert(seen.map(_._1).toSeq == sizes, s"got $seen")
 
-    // tail: one 6-file commit splits 4 + 2
-    t.append((11 to 16).map(i => (i.toLong, s"v$i")).toDF("k", "s")
-      .repartition(6))                               // v3: 6 files
+    // tail: one multi-file commit splits under the same cap
+    t.append((11 to 16).map(i => (i.toLong, s"v$i")).toDF("k", "s")) // v3: 6 files
+    val v3Files = tableFiles() - snapFiles
+    assert(v3Files > 4, s"need >4 files to split, got $v3Files")
     seen.clear()
-    runOnce(); runOnce()
-    assert(seen.map(_.size).toSeq.filter(_ > 0) == Seq(4, 2),
-      s"got ${seen.map(_.size)}")
-    assert(seen.flatten.sorted == (11L to 16L), s"got ${seen.flatten}")
+    runOnce()
+    val tailSizes = seen.map(_._1).toSeq.filter(_ > 0)
+    assert(tailSizes.init.forall(_ == 4) && tailSizes.last <= 4 &&
+      tailSizes.sum == v3Files, s"got $tailSizes for $v3Files files")
+    assert(seen.flatMap(_._2).sorted == (11L to 16L),
+      s"got ${seen.flatMap(_._2)}")
   }
 
   test("maxFilesPerTrigger: restart mid-snapshot stays pinned and the " +
       "advancing table tails without duplicates") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = TestSpark.tmpDir("mft2")
     val src = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
-    DeltaTable.create(spark, dir, src.schema)
+    // partitioned by k → exactly 1 file per key per append
+    DeltaTable.create(spark, dir, src.schema, Seq("k"))
     val t = DeltaTable.forPath(spark, dir)
-    t.append(src.repartition(6))                     // v1: 6 files
+    t.append(src)                                    // v1: 6 files
 
-    val ckpt = TestSpark.tmpDir("mft2-ckpt")
+    // drive the admission-control contract directly so the crash
+    // timing is exact (a query-level restart can't stop mid-snapshot
+    // deterministically — AvailableNow drains all batches)
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    try {
+      def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        org.apache.spark.sql.graft.StreamingShim.internalCreateBatchDF(
+          spark.sqlContext, df.queryExecution.toRdd, df.schema)
+          .select("k").as[Long].collect().toSeq.sorted
+      val lim = ReadLimit.maxFiles(4)
+      val opts = Map("maxFilesPerTrigger" -> "4")
+
+      // batch 0: 4 of the 6 snapshot files, snapshot pinned at v1; the
+      // offset reaches the WAL, then the app dies before committing
+      val a = new DeltaSource(spark.sqlContext, dir, opts)
+      val o0 = a.latestOffset(null, lim)
+      assert(o0 != null)
+      val batch0 = keys(a.getBatch(None,
+        o0.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]))
+      assert(batch0.size == 4, s"got $batch0")
+
+      // the table advances while the snapshot is partially delivered
+      t.append(Seq((7L, "v7"), (8L, "v8")).toDF("k", "s")) // v2: 2 files
+
+      // restart: a NEW source replays batch 0 from the checkpointed
+      // offset — it must emit the SAME slice of the v1-pinned list
+      val b = new DeltaSource(spark.sqlContext, dir, opts)
+      val replay0 = keys(b.getBatch(None,
+        o0.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]))
+      assert(replay0 == batch0, s"replay diverged: $replay0 vs $batch0")
+
+      // next offsets: snapshot remainder (2 files of the v1 list),
+      // then the v2 commit — no losses, no duplicates
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      got ++= replay0
+      var prev = o0
+      var next = b.latestOffset(prev, lim)
+      while (next != null) {
+        got ++= keys(b.getBatch(
+          Some(prev.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]),
+          next.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]))
+        prev = next
+        next = b.latestOffset(prev, lim)
+      }
+      assert(got.sorted.toSeq == (1L to 8L), s"got $got")
+      assert(got.size == got.distinct.size, s"duplicates in $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+  }
+
+  test("CDF streaming honors maxFilesPerTrigger: a multi-commit " +
+      "backfill arrives as bounded version-packed batches") {
+    val dir = TestSpark.tmpDir("cdfrate")
+    val ckpt = TestSpark.tmpDir("cdfrate-ckpt")
+    // partitioned by b = k%2 → exactly 2 files per append
+    val src = (1 to 30).map(i => (i.toLong, s"v$i", i % 2))
+      .toDF("k", "s", "b")
+    DeltaTable.create(spark, dir, src.schema, Seq("b"),
+      configuration = Map(
+        graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 10))              // v1: 2 files
+    t.append(src.filter($"k" > 10 && $"k" <= 20)) // v2: 2 files
+    t.append(src.filter($"k" > 20))               // v3: 2 files
+
     val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-    def runOnce(): Unit = {
-      val q = spark.readStream
-        .format(classOf[DeltaSourceProvider].getName)
-        .option("path", dir)
-        .option("maxFilesPerTrigger", "4")
-        .load()
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          val ks = df.select($"k").collect().map(_.getLong(0)).toSeq.sorted
-          seen.synchronized { seen += ks }
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
-    }
+    val q = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.select($"k").collect().map(_.getLong(0)).toSeq.sorted
+        seen.synchronized { seen += ks }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
 
-    runOnce() // 4 of 6 snapshot files, snapshot pinned at v1
-    assert(seen.map(_.size).toSeq == Seq(4), s"got $seen")
-
-    // the table advances while the snapshot is partially delivered
-    t.append(Seq((7L, "v7"), (8L, "v8")).toDF("k", "s").repartition(2)) // v2
-
-    runOnce() // snapshot remainder (2) + the new commit (2)
-    val flat = seen.flatten
-    assert(flat.sorted == (1L to 8L), s"got $flat")
-    assert(flat.size == flat.distinct.size, s"duplicates in $flat")
+    // 3 commits × 2 change files at cap 2 → three bounded batches (plus
+    // possibly an empty v0 batch), exact rows, no duplicates
+    val nonEmpty = seen.filter(_.nonEmpty)
+    assert(nonEmpty.map(_.size).toSeq == Seq(10, 10, 10),
+      s"got ${seen.map(_.size)}")
+    assert(nonEmpty.flatten.sorted == (1L to 30L), s"got ${seen.flatten}")
   }
 
   test("streaming source: ignoreDeletes covers whole-file deletes only; " +
