@@ -16,12 +16,32 @@ import org.apache.spark.sql.{Row, SQLContext}
 class GraftDeltaRelation(
     override val sqlContext: SQLContext,
     path: String,
-    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+    version: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
 
   private val spark = sqlContext.sparkSession
-  private lazy val snap = Snapshot.forTable(spark, path, version)
 
-  override def schema: StructType = snap.schema
+  /** Resolved per SCAN, not pinned at relation creation: Spark caches
+    * resolved v1 relations (the session catalog's tableRelationCache),
+    * so a pinned snapshot would serve stale reads after an INSERT
+    * through the same cached relation. The schema IS pinned (analysis
+    * needs a stable schema; Spark invalidates the cache on ALTER).
+    */
+  private def resolveSnap: Snapshot =
+    Snapshot.forTable(spark, path, version)
+
+  override val schema: StructType = resolveSnap.schema
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` on a session-catalog table
+    * `CREATE TABLE ... USING graft-delta` routes here — same
+    * transactional commit path as the DataFrame writer.
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(version.isEmpty, "cannot write to a time-travelled table")
+    val t = DeltaTable.forPath(spark, path)
+    if (overwrite) t.overwrite(data) else t.append(data)
+  }
 
   /** The scan already produces InternalRow — skip Spark's
     * Row↔InternalRow double conversion (the DSv1 idiom: with
@@ -35,7 +55,7 @@ class GraftDeltaRelation(
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(GraftDeltaRelation.toSql)
       .reduceOption((a, b) => s"($a) AND ($b)")
-    val df = new DeltaScan(snap, pred).toDF
+    val df = new DeltaScan(resolveSnap, pred).toDF
     val projected =
       if (requiredColumns.isEmpty)
         // COUNT(*)-style scans: any single cheap column serves
@@ -65,7 +85,7 @@ object GraftDeltaRelation {
   /** Best-effort Filter → SQL for file skipping; None = not translated
     * (the file set stays a superset — correctness unaffected).
     */
-  private[delta] def toSql(f: Filter): Option[String] = f match {
+  private[graft] def toSql(f: Filter): Option[String] = f match {
     case EqualTo(a, v) => lit(v).map(l => s"${q(a)} = $l")
     case GreaterThan(a, v) => lit(v).map(l => s"${q(a)} > $l")
     case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} >= $l")

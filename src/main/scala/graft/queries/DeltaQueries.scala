@@ -305,6 +305,28 @@ object DeltaQueries {
         .filter(col("l_returnflag") === "R"))
     }),
 
+    // Spark SQL surface end-to-end: CTAS into the graft-delta DSv2
+    // catalog, INSERT INTO, read back + time travel through spark.sql
+    // (the engine-integration layer the reference leaves to engines,
+    // kernel/src/lib.rs:1075-1107)
+    "q_delta_sql_io" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gd_sqlio",
+        "graft.sql.GraftDeltaCatalog")
+      s.conf.set("spark.sql.catalog.gd_sqlio.warehouse",
+        "/root/repo/target/tmp/gd-warehouse")
+      val tbl = s"gd_sqlio.default.sqlio_${UUID.randomUUID().toString.take(8)}"
+      val view = s"li_sqlio_${UUID.randomUUID().toString.take(8)}"
+      li(s, d).createOrReplaceTempView(view)
+      s.sql(s"""CREATE TABLE $tbl USING `graft-delta`
+        PARTITIONED BY (l_returnflag) AS
+        SELECT ${liCols.mkString(", ")} FROM $view WHERE l_quantity < 8""")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT ${liCols.mkString(", ")} FROM $view
+        WHERE l_quantity >= 8 AND l_quantity < 14""")
+      s.sql(s"""SELECT ${liCols.mkString(", ")} FROM $tbl
+        WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // MERGE: matched-delete + matched-update + not-matched-insert in
     // one commit — the oracle recomputes the post-merge state from the
     // raw parquet
@@ -444,6 +466,11 @@ object DeltaQueries {
         |ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
 
     "q_delta_format_io" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 14 AND l_returnflag = 'R'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_sql_io" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 14 AND l_returnflag = 'R'
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,

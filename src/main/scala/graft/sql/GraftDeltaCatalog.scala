@@ -1,0 +1,375 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.NamespaceChange
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+
+import graft.delta.{ColumnMapping, DeltaScan, DeltaTable, GraftDeltaRelation, JsonLog, Snapshot, Storage}
+
+/** Spark SQL surface for graft-delta tables: a DSv2 `TableCatalog`
+  * (register as `spark.sql.catalog.<name> = graft.sql.GraftDeltaCatalog`
+  * with `spark.sql.catalog.<name>.warehouse = <dir>`) so the engine
+  * speaks plain SQL end-to-end:
+  *
+  *   CREATE TABLE gd.default.t (k BIGINT, s STRING) USING graft-delta
+  *     [PARTITIONED BY (k)] [LOCATION '...'] [TBLPROPERTIES (...)]
+  *   INSERT INTO / INSERT OVERWRITE gd.default.t ...
+  *   SELECT ... FROM gd.default.t [VERSION AS OF n | TIMESTAMP AS OF ts]
+  *   SELECT ... FROM gd.default.`/abs/path`       -- path-addressed
+  *   CREATE TABLE gd.default.t2 USING graft-delta AS SELECT ...
+  *   ALTER TABLE / DROP TABLE / SHOW TABLES
+  *
+  * This is the engine-integration layer the reference leaves to its
+  * embedding engines (kernel/src/lib.rs:1075-1107): table resolution +
+  * DDL live in the catalog; reads and writes delegate to the same
+  * log-replay scan and transactional commit paths the DataFrame API
+  * uses, via Spark's V1Scan/V1Write bridges (so plans, pushdown, and
+  * commit semantics are identical across the SQL and DataFrame
+  * surfaces — one code path to keep correct at 100 TB, not two).
+  *
+  * Catalog state is a directory: each table is a pointer file
+  * `<warehouse>/_graft_catalog/<ns>/<name>.json` naming the table
+  * location (managed tables live under `<warehouse>/<ns>/<name>`); the
+  * Delta log remains the source of truth for schema and data.
+  */
+class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def pointerRoot = new Path(warehouse, "_graft_catalog")
+  private def fs = Storage.fs(pointerRoot, hconf)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      spark.sessionState.conf.getConfString(
+        "spark.sql.warehouse.dir", "spark-warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(pointerRoot)((p, n) => new Path(p, n))
+
+  private def pointerFile(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name + ".json")
+
+  private def managedLocation(ident: Identifier): String =
+    (ident.namespace :+ ident.name)
+      .foldLeft(new Path(warehouse))((p, n) => new Path(p, n)).toString
+
+  /** A name containing '/' addresses a table by path, delta-spark's
+    * `delta.`/path`` idiom.
+    */
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.name.contains("/")
+
+  private def locationOf(ident: Identifier): String =
+    if (isPathIdent(ident)) ident.name
+    else {
+      val p = pointerFile(ident)
+      if (!fs.exists(p)) throw new NoSuchTableException(ident)
+      JsonLog.parseLine(Storage.readLines(fs, p).mkString)
+        .get("location").asText
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    if (isPathIdent(ident)) DeltaTable.isDeltaTable(spark, ident.name)
+    else fs.exists(pointerFile(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftSqlTable(spark, locationOf(ident), None,
+      (catalogName +: ident.namespace :+ ident.name).mkString("."))
+
+  /** `VERSION AS OF <v>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF expects a numeric Delta version, got '$version'")
+    }
+    new GraftSqlTable(spark, locationOf(ident), Some(v),
+      (catalogName +: ident.namespace :+ ident.name).mkString("."))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` time travel (Spark hands MICROseconds). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = locationOf(ident)
+    val v = DeltaTable.forPath(spark, loc)
+      .versionAtTimestamp(timestamp / 1000L)
+    new GraftSqlTable(spark, loc, Some(v),
+      (catalogName +: ident.namespace :+ ident.name).mkString("."))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    val external = props.get(TableCatalog.PROP_LOCATION)
+    val location = external.getOrElse(managedLocation(ident))
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft-delta supports identity partitioning only, got $t")
+    }
+    val reserved = Set(TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val config = props.view
+      .filterKeys(k => !reserved.contains(k) &&
+        !k.startsWith(TableCatalog.OPTION_PREFIX)).toMap
+    // CREATE over an existing log (external) adopts the table; a fresh
+    // location gets version 0 through the transactional create path
+    if (!DeltaTable.isDeltaTable(spark, location))
+      DeltaTable.create(spark, location, schema, partitionCols, config)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pointer =
+      s"""{"location":${mapper.writeValueAsString(location)},""" +
+        s""""external":${external.isDefined}}"""
+    fs.mkdirs(nsPath(ident.namespace))
+    if (!Storage.putIfAbsent(fs, pointerFile(ident), pointer))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = DeltaTable.forPath(spark, locationOf(ident))
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    if (setProps.nonEmpty) t.setProperties(setProps)
+    changes.foreach {
+      case _: TableChange.SetProperty => ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        t.addColumn(a.fieldNames.head, a.dataType)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "nested ALTER COLUMN is not supported")
+        t.widenColumn(u.fieldNames.head, u.newDataType)
+      case c => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $c")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (isPathIdent(ident) || !fs.exists(pointerFile(ident))) return false
+    val p = pointerFile(ident)
+    val node = JsonLog.parseLine(Storage.readLines(fs, p).mkString)
+    val managed = !node.get("external").asBoolean(false)
+    fs.delete(p, false)
+    if (managed) // managed data lives under the warehouse: drop deletes it
+      fs.delete(new Path(node.get("location").asText), true)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!fs.exists(pointerFile(oldIdent)))
+      throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(nsPath(newIdent.namespace))
+    if (!fs.rename(pointerFile(oldIdent), pointerFile(newIdent)))
+      throw new IllegalStateException(
+        s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(s => Identifier.of(namespace,
+        s.getPath.getName.stripSuffix(".json")))
+      .toArray
+  }
+
+  // ---- namespaces: directories under the pointer root ----
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default")) ||
+      fs.exists(nsPath(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val found =
+      if (!fs.exists(pointerRoot)) Array.empty[Array[String]]
+      else fs.listStatus(pointerRoot).toSeq.filter(_.isDirectory)
+        .map(s => Array(s.getPath.getName)).toArray
+    if (found.exists(_.sameElements(Array("default")))) found
+    else found :+ Array("default")
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace not empty: $dir")
+    fs.delete(dir, true)
+  }
+}
+
+/** DSv2 Table over a graft-delta location (optionally pinned to a
+  * time-travel version). Reads and writes bridge to the engine's DSv1
+  * scan/commit paths (V1Scan / V1Write): identical plans and commit
+  * semantics as the DataFrame API.
+  */
+class GraftSqlTable(spark: SparkSession, location: String,
+    version: Option[Long], identName: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private lazy val snap: Snapshot =
+    Snapshot.forTable(spark, location, version)
+
+  override def name(): String = identName
+
+  override def schema(): StructType = snap.schema
+
+  override def partitioning(): Array[Transform] =
+    snap.metadata.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    (snap.metadata.configuration ++ Map(
+      TableCatalog.PROP_LOCATION -> location,
+      TableCatalog.PROP_PROVIDER -> "graft-delta")).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, snap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty, "cannot write to a time-travelled table")
+    new GraftWriteBuilder(spark, location)
+  }
+}
+
+/** Column pruning + filter pushdown: every filter stays a residual
+  * (Spark re-applies rows exactly); the translatable subset prunes
+  * FILES through the log-level skipping path — same contract as the
+  * DSv1 relation (skipping only ever reduces the files read).
+  */
+private[sql] class GraftScanBuilder(spark: SparkSession, snap: Snapshot)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = snap.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftDeltaRelation.toSql(f).isDefined)
+    filters // all residual: row-level filtering is Spark's, exactly
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    private val readCols = required.fieldNames.toSeq
+    private val predSql = pushed.toSeq
+      .flatMap(GraftDeltaRelation.toSql)
+      .reduceOption((a, b) => s"($a) AND ($b)")
+
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def needConversion: Boolean = false
+        override def buildScan(): RDD[Row] = {
+          val df = new DeltaScan(snap, predSql).toDF
+          val projected =
+            if (readCols.isEmpty)
+              df.select(ColumnMapping.qcol(snap.schema.fieldNames.head))
+            else df.select(readCols.map(ColumnMapping.qcol): _*)
+          projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+/** INSERT INTO appends; INSERT OVERWRITE / truncate replaces the table
+  * through the transactional overwrite commit.
+  */
+private[sql] class GraftWriteBuilder(spark: SparkSession, location: String)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (!filters.forall(_.isInstanceOf[AlwaysTrue]))
+      throw new UnsupportedOperationException(
+        "graft-delta supports full-table INSERT OVERWRITE only " +
+          s"(got ${filters.mkString(", ")})")
+    replace = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val t = DeltaTable.forPath(spark, location)
+          if (replace || overwrite) t.overwrite(data)
+          else t.append(data)
+        }
+      }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+
+/** The Spark SQL surface: DDL/DML/queries through `spark.sql` against
+  * the GraftDeltaCatalog (DSv2 TableCatalog with V1 scan/write bridges)
+  * and the session catalog (`USING graft-delta` v1 datasource tables).
+  * The reference leaves this layer to its embedding engines
+  * (kernel/src/lib.rs:1075-1107); a Spark-native engine must speak SQL.
+  */
+class SQLSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gd", classOf[GraftDeltaCatalog].getName)
+    s.conf.set("spark.sql.catalog.gd.warehouse", TestSpark.tmpDir("gd-wh"))
+    s
+  }
+  import spark.implicits._
+
+  test("CREATE / INSERT / SELECT / time travel through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gd.ns1")
+    spark.sql("""CREATE TABLE gd.ns1.t (k BIGINT, s STRING, p STRING)
+      USING `graft-delta` PARTITIONED BY (p)
+      TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+
+    spark.sql("INSERT INTO gd.ns1.t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    spark.sql("INSERT INTO gd.ns1.t VALUES (3, 'c', 'x')")
+
+    val rows = spark.sql(
+      "SELECT k, s FROM gd.ns1.t WHERE p = 'x' ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (3L, "c")))
+    assert(spark.sql("SELECT count(*) AS n FROM gd.ns1.t")
+      .as[Long].head() == 3L)
+
+    // time travel: version 1 = first INSERT only
+    assert(spark.sql("SELECT count(*) AS n FROM gd.ns1.t VERSION AS OF 1")
+      .as[Long].head() == 2L)
+
+    // the table is a real delta table with the declared property
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.ns1.t")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    val t = DeltaTable.forPath(spark, loc)
+    assert(t.snapshot().metadata.configuration
+      .get("delta.enableChangeDataFeed").contains("true"))
+    assert(t.snapshot().metadata.partitionColumns == Seq("p"))
+  }
+
+  test("INSERT OVERWRITE replaces; filter pushdown prunes files") {
+    spark.sql("""CREATE TABLE gd.default.ow (k BIGINT, p STRING)
+      USING `graft-delta` PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO gd.default.ow VALUES (1, 'x'), (2, 'y')")
+    spark.sql("INSERT OVERWRITE gd.default.ow VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM gd.default.ow").as[Long]
+      .collect().toSeq == Seq(9L))
+
+    // partition filter reaches the skipping path: the v1-bridged scan
+    // prunes files before the parquet read
+    spark.sql("INSERT INTO gd.default.ow VALUES (10, 'w')")
+    val plan = spark.sql("SELECT k FROM gd.default.ow WHERE p = 'z'")
+      .queryExecution.executedPlan.toString
+    assert(spark.sql("SELECT k FROM gd.default.ow WHERE p = 'z'")
+      .as[Long].collect().toSeq == Seq(9L), plan)
+  }
+
+  test("CTAS, SHOW TABLES, DROP TABLE, path-addressed tables") {
+    spark.sql("""CREATE TABLE gd.default.src (k BIGINT, v DOUBLE)
+      USING `graft-delta`""")
+    spark.sql(
+      "INSERT INTO gd.default.src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    spark.sql("""CREATE TABLE gd.default.agg USING `graft-delta` AS
+      SELECT k % 2 AS odd, sum(v) AS total FROM gd.default.src GROUP BY 1""")
+    val agg = spark.sql("SELECT odd, total FROM gd.default.agg ORDER BY odd")
+      .as[(Long, Double)].collect().toSeq
+    assert(agg == Seq((0L, 2.5), (1L, 5.0)))
+
+    val names = spark.sql("SHOW TABLES IN gd.default")
+      .select("tableName").as[String].collect().toSet
+    assert(names.contains("src") && names.contains("agg"))
+
+    // path-addressed read of an existing table (delta-spark's
+    // `delta.`/path`` idiom)
+    val dir = TestSpark.tmpDir("sql-path")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, df.schema)
+    DeltaTable.forPath(spark, dir).append(df)
+    assert(spark.sql(s"SELECT count(*) AS n FROM gd.default.`$dir`")
+      .as[Long].head() == 2L)
+
+    spark.sql("DROP TABLE gd.default.agg")
+    assert(!spark.sql("SHOW TABLES IN gd.default")
+      .select("tableName").as[String].collect().contains("agg"))
+    intercept[Exception] { spark.sql("SELECT * FROM gd.default.agg") }
+  }
+
+  test("ALTER TABLE: properties and ADD COLUMN") {
+    spark.sql("""CREATE TABLE gd.default.alt (k BIGINT)
+      USING `graft-delta`""")
+    spark.sql("INSERT INTO gd.default.alt VALUES (1)")
+    spark.sql(
+      "ALTER TABLE gd.default.alt SET TBLPROPERTIES ('foo.bar' = 'baz')")
+    spark.sql("ALTER TABLE gd.default.alt ADD COLUMN extra STRING")
+    spark.sql("INSERT INTO gd.default.alt VALUES (2, 'e')")
+    val rows = spark.sql(
+      "SELECT k, extra FROM gd.default.alt ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some("e"))))
+  }
+
+  test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
+    val loc = new java.io.File(TestSpark.tmpDir("sql-v1-tbl"))
+      .getAbsolutePath
+    spark.sql(s"""CREATE TABLE sess_t (k BIGINT, s STRING)
+      USING `graft-delta` LOCATION '$loc'""")
+    try {
+      spark.sql("INSERT INTO sess_t VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT count(*) AS n FROM sess_t")
+        .as[Long].head() == 2L)
+      spark.sql("INSERT OVERWRITE sess_t VALUES (9, 'z')")
+      assert(spark.sql("SELECT k FROM sess_t").as[Long]
+        .collect().toSeq == Seq(9L))
+      // it's a plain delta table underneath
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED sess_t")
+        .collect().mkString("\n")
+      assert(DeltaTable.isDeltaTable(spark, loc), desc)
+      assert(DeltaTable.forPath(spark, loc).toDF.count() == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS sess_t")
+  }
+}
