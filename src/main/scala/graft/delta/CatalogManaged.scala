@@ -156,6 +156,84 @@ class InMemoryCatalog extends CatalogClient {
     }
 }
 
+/** Durable directory-backed catalog: the same arbitration contract as
+  * [[InMemoryCatalog]] serialized through an external store, proving
+  * the [[CatalogClient]] abstraction beyond one process. Layout under
+  * `dir` (one subdirectory per table, keyed by a sanitized table id):
+  *
+  *   <dir>/<table>/ratified/<version>.json  — one file per ratified
+  *     commit ({"version":N,"location":"..."}); RATIFICATION IS
+  *     put-if-absent ON THIS FILE, so exactly one writer wins a
+  *     version (the same atomic-create primitive a production catalog
+  *     implements transactionally; reference committer/mod.rs — the
+  *     catalog, not the filesystem, is the commit authority)
+  *   <dir>/<table>/published/<version>      — publish watermarks; the
+  *     high-water mark is the max (marker files are immutable, so a
+  *     slow publisher can never REGRESS the watermark)
+  *
+  * Scale note: the catalog holds one tiny file per commit — metadata
+  * growth is the log's own growth, and `markPublished` lets an
+  * implementation garbage-collect ratified entries below the mark.
+  */
+class FileCatalog(fs: FileSystem, dir: Path) extends CatalogClient {
+
+  private def key(table: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(table.getBytes("UTF-8"))
+
+  private def ratifiedDir(table: String) =
+    new Path(new Path(dir, key(table)), "ratified")
+  private def publishedDir(table: String) =
+    new Path(new Path(dir, key(table)), "published")
+
+  private def ratifiedVersions(table: String): Seq[Long] = {
+    val d = ratifiedDir(table)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  override def maxRatifiedVersion(table: String): Option[Long] =
+    ratifiedVersions(table).lastOption
+
+  private def publishedUpTo(table: String): Long = {
+    val d = publishedDir(table)
+    if (!fs.exists(d)) -1L
+    else fs.listStatus(d).toSeq.map(_.getPath.getName.toLong)
+      .maxOption.getOrElse(-1L)
+  }
+
+  override def logTail(table: String): Seq[CatalogCommit] = {
+    val published = publishedUpTo(table)
+    ratifiedVersions(table).filter(_ > published).map { v =>
+      val p = new Path(ratifiedDir(table), s"$v.json")
+      val node = JsonLog.parseLine(Storage.readLines(fs, p).mkString)
+      CatalogCommit(v, new Path(node.get("location").asText))
+    }
+  }
+
+  override def ratify(table: String, commit: CatalogCommit): Boolean = {
+    val expected = maxRatifiedVersion(table).map(_ + 1).getOrElse(0L)
+    if (commit.version != expected) return false
+    fs.mkdirs(ratifiedDir(table))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val content = s"""{"version":${commit.version},"location":""" +
+      s"""${mapper.writeValueAsString(commit.location.toString)}}"""
+    // atomic create arbitrates the race: one winner per version
+    Storage.putIfAbsent(fs,
+      new Path(ratifiedDir(table), s"${commit.version}.json"), content)
+  }
+
+  override def markPublished(table: String, upTo: Long): Unit = {
+    require(upTo <= maxRatifiedVersion(table).getOrElse(-1L),
+      s"cannot mark unratified version $upTo published")
+    fs.mkdirs(publishedDir(table))
+    Storage.putIfAbsent(fs, new Path(publishedDir(table), upTo.toString), "")
+    ()
+  }
+}
+
 /** Stage-then-ratify committer for catalog-managed tables (reference
   * committer/mod.rs catalog-committer semantics): the actions are
   * durably staged under `_delta_log/_staged_commits/` with a UUID name

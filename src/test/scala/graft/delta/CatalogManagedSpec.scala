@@ -205,6 +205,63 @@ class CatalogManagedSpec extends AnyFunSuite {
     assert(t.toDF.select("k").as[Long].collect().toSet == (1L to 30L).toSet)
   }
 
+  test("file-backed catalog: create/append/read/publish round trip " +
+      "across independent catalog handles") {
+    val dir = TestSpark.tmpDir("cm-file")
+    val catDir = TestSpark.tmpDir("cm-file-cat")
+    val f = fs(catDir)
+    val cat = new FileCatalog(f, new Path(catDir))
+    DeltaTable.create(spark, dir, src(1, 1).schema, catalog = Some(cat))
+    val t = DeltaTable.forPath(spark, dir, cat)
+    t.append(src(1, 10))   // v1
+    t.append(src(11, 20))  // v2
+
+    assert(publishedCommits(dir).isEmpty)
+    assert(cat.maxRatifiedVersion(dir).contains(2L))
+    assert(cat.logTail(dir).map(_.version) == Seq(0L, 1L, 2L))
+    assert(t.toDF.select("k").as[Long].collect().toSet == (1L to 20L).toSet)
+
+    // a SECOND handle over the same directory sees the same state —
+    // the catalog is the external store, not process memory
+    val cat2 = new FileCatalog(f, new Path(catDir))
+    val t2 = DeltaTable.forPath(spark, dir, cat2)
+    assert(cat2.logTail(dir).map(_.version) == Seq(0L, 1L, 2L))
+    assert(t2.toDF.count() == 20)
+
+    // partial publish through one handle is visible through the other
+    assert(t.publish(Some(1L)) == 1L)
+    assert(publishedCommits(dir) == Seq(0L, 1L))
+    assert(cat2.logTail(dir).map(_.version) == Seq(2L))
+    assert(t2.toDF.count() == 20)
+    assert(t2.snapshot(Some(1L)).toDF.count() == 10) // tail time travel
+  }
+
+  test("file-backed catalog: two-writer race — the catalog arbitrates " +
+      "one winner per version, the loser rebases") {
+    val dir = TestSpark.tmpDir("cm-file-race")
+    val catDir = TestSpark.tmpDir("cm-file-race-cat")
+    val f = fs(catDir)
+    // two independent handles simulate two writers with separate clients
+    val catA = new FileCatalog(f, new Path(catDir))
+    val catB = new FileCatalog(f, new Path(catDir))
+    DeltaTable.create(spark, dir, src(1, 1).schema, catalog = Some(catA))
+    val a = DeltaTable.forPath(spark, dir, catA)
+    val b = DeltaTable.forPath(spark, dir, catB)
+
+    val staleA = a.snapshot()        // A reads v0
+    b.append(src(1, 10))             // B ratifies v1 first
+    val v = a.appendFrom(staleA, src(11, 20)) // A: conflict -> rebase -> v2
+    assert(v == 2L)
+    assert(catB.maxRatifiedVersion(dir).contains(2L))
+    assert(a.toDF.select("k").as[Long].collect().toSet == (1L to 20L).toSet)
+
+    // raw arbitration: ratifying an already-taken version loses
+    val taken = catA.logTail(dir).head
+    assert(!catB.ratify(dir, CatalogCommit(taken.version, taken.location)))
+    // ... and a gap is refused (versions ratify in order)
+    assert(!catB.ratify(dir, CatalogCommit(99L, taken.location)))
+  }
+
   test("DML (delete) works through the catalog committer") {
     val dir = TestSpark.tmpDir("cm-del")
     val cat = new InMemoryCatalog
