@@ -52,8 +52,16 @@ object ParquetFooterStats {
       clusterPhys: Set[String]): Option[Set[String]] = {
     val conf = snap.metadata.configuration
     val logical = snap.dataSchema
-    def phys(name: String): Option[String] =
-      logical.fields.find(_.name == name).map(ColumnMapping.physicalName)
+    // Delta column names resolve case-insensitively; an entry that
+    // resolves to nothing is a user error and must FAIL, not silently
+    // disable skipping for that column (delta-spark validates the
+    // property the same way)
+    def phys(name: String): String =
+      logical.fields.find(_.name.equalsIgnoreCase(name))
+        .map(ColumnMapping.physicalName)
+        .getOrElse(throw new IllegalArgumentException(
+          s"delta.dataSkippingStatsColumns names unknown column '$name'" +
+            s" (schema: ${logical.fieldNames.mkString(", ")})"))
     conf.get("delta.dataSkippingStatsColumns") match {
       case Some(csv) =>
         // names may be backtick-quoted; a dotted path selects into a
@@ -65,7 +73,7 @@ object ParquetFooterStats {
               s.substring(1, s.length - 1)
             else s.split("\\.").head
           }.toSeq
-        Some(names.flatMap(phys).toSet ++ clusterPhys)
+        Some(names.map(phys).toSet ++ clusterPhys)
       case None =>
         val n = conf.get("delta.dataSkippingNumIndexedCols")
           .map(_.trim.toInt).getOrElse(32)

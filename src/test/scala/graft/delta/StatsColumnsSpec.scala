@@ -50,6 +50,26 @@ class StatsColumnsSpec extends AnyFunSuite {
       t.scan(None).filesDF.count())
   }
 
+  test("dataSkippingStatsColumns resolves case-insensitively and fails " +
+      "on unknown names instead of silently disabling skipping") {
+    // case-insensitive resolution (Delta column-name semantics)
+    val dir = tmp()
+    DeltaTable.create(spark, dir, df4.schema, configuration =
+      Map("delta.dataSkippingStatsColumns" -> "C1"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df4)
+    addStats(t, 1L).foreach(s => assert(s.get("minValues").has("c1"), s))
+
+    // a typo must raise, not quietly drop the column from the index
+    val dir2 = tmp()
+    DeltaTable.create(spark, dir2, df4.schema, configuration =
+      Map("delta.dataSkippingStatsColumns" -> "c1, nope"))
+    val t2 = DeltaTable.forPath(spark, dir2)
+    val ex = intercept[Exception] { t2.append(df4) }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(e => e.getMessage != null && e.getMessage.contains("nope")), ex)
+  }
+
   test("dataSkippingNumIndexedCols=2 keeps stats for the first two " +
       "columns only; 0 drops all per-column stats; -1 keeps everything") {
     def statsFor(n: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
