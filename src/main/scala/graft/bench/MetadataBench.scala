@@ -6,25 +6,37 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-import graft.delta.{FileNames, Snapshot, Storage}
+import graft.delta.{DeltaScan, FileNames, Snapshot, Storage}
 
-/** Kernel-equivalent metadata benchmark (reference
+/** Kernel-equivalent metadata benchmarks (reference
   * kernel/benches/metadata_bench.rs:33-50: table
-  * `300k-add-files-100-col-partitioned`, log-only): generates a synthetic
-  * `_delta_log` with 300k add actions across 30 commits over a 100-column
-  * partitioned schema, then measures
-  *  - snapshot_300k: snapshot construction (listing + P&M replay)
-  *  - replay_300k:   full distributed log replay to the live file set
-  * The log is generated once and cached under target/bench.
+  * `300k-add-files-100-col-partitioned`, log-only):
+  *
+  *  - snapshot_300k / replay_300k — snapshot construction (listing +
+  *    P&M replay) and full distributed log replay over a synthetic
+  *    300k-add, 100-column partitioned log (the reference's shape).
+  *  - snapshot_1m / plan_prune_1m — the scaling frontier: a 1M-add log
+  *    (~10 TB of data behind it at 10 MB/file) must still SNAPSHOT and
+  *    PLAN A PRUNED SCAN with driver memory bounded to the slim file
+  *    list (path/size/partition only — stats and tags stay distributed;
+  *    the pruned collect is ~1/64 of the table).
+  *
+  * Logs are generated once and cached under target/bench.
   */
 object MetadataBench {
 
-  val NUM_COMMITS = 30
-  val ADDS_PER_COMMIT = 10000
   val NUM_COLS = 100
   val STATS_COLS = 20
 
+  /** The reference bench shape: 30 × 10k adds. */
+  val NUM_COMMITS = 30
+  val ADDS_PER_COMMIT = 10000
+
+  /** The scaling frontier shape: 100 × 10k = 1M adds. */
+  val NUM_COMMITS_1M = 100
+
   def tableDir = "/root/repo/target/bench/meta300k"
+  def tableDir1m = "/root/repo/target/bench/meta1m"
 
   private def schemaJson: String = {
     val dataCols = (0 until NUM_COLS).map(i =>
@@ -33,8 +45,12 @@ object MetadataBench {
     s"""{"type":"struct","fields":[${(dataCols :+ p).mkString(",")}]}"""
   }
 
-  def ensureLog(spark: SparkSession): Unit = {
-    val root = new Path(tableDir)
+  def ensureLog(spark: SparkSession): Unit =
+    ensureLog(spark, tableDir, NUM_COMMITS)
+
+  private def ensureLog(spark: SparkSession, dir: String,
+      commits: Int): Unit = {
+    val root = new Path(dir)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(root, conf)
     val logDir = FileNames.logDir(root)
@@ -45,16 +61,16 @@ object MetadataBench {
 
     // commit 0: protocol + metadata
     val meta =
-      s"""{"metaData":{"id":"bench-meta300k","format":{"provider":"parquet",""" +
+      s"""{"metaData":{"id":"bench-${root.getName}","format":{"provider":"parquet",""" +
       s""""options":{}},"schemaString":${jstr(schemaJson)},""" +
       s""""partitionColumns":["p"],"configuration":{},"createdTime":1700000000000}}"""
     Storage.put(fs, FileNames.commitFile(logDir, 0L),
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
         meta + "\n")
 
-    // commits 1..NUM_COMMITS: ADDS_PER_COMMIT adds each, streamed out
+    // commits 1..commits: ADDS_PER_COMMIT adds each, streamed out
     var fileIdx = 0
-    (1 to NUM_COMMITS).foreach { v =>
+    (1 to commits).foreach { v =>
       val out = fs.create(FileNames.commitFile(logDir, v.toLong), false)
       val w = new BufferedWriter(
         new OutputStreamWriter(out, StandardCharsets.UTF_8), 1 << 20)
@@ -92,7 +108,7 @@ object MetadataBench {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   private def esc(s: String): String = s.replace("\"", "\\\"")
 
-  /** Run the two metrics; returns name -> seconds. */
+  /** Run the metrics; returns name -> seconds. */
   def run(spark: SparkSession): Map[String, Double] = {
     ensureLog(spark)
     val t0 = System.nanoTime()
@@ -103,6 +119,29 @@ object MetadataBench {
     val tReplay = (System.nanoTime() - t1) / 1e9
     require(n == NUM_COMMITS.toLong * ADDS_PER_COMMIT,
       s"replay_300k returned $n adds")
-    Map("snapshot_300k" -> tSnap, "replay_300k" -> tReplay)
+    Map("snapshot_300k" -> tSnap, "replay_300k" -> tReplay) ++ run1m(spark)
+  }
+
+  /** The 1M-add planning guard: snapshot build + a partition-pruned,
+    * stats-filtered scan plan whose driver-side collect is the SLIM
+    * pruned subset only. A regression that collects the full fat list
+    * (or forgets pruning) shows up as a multi-second jump here long
+    * before it kills a 1000-executor job.
+    */
+  def run1m(spark: SparkSession): Map[String, Double] = {
+    ensureLog(spark, tableDir1m, NUM_COMMITS_1M)
+    val total = NUM_COMMITS_1M.toLong * ADDS_PER_COMMIT
+    val t0 = System.nanoTime()
+    val snap = Snapshot.forTable(spark, tableDir1m)
+    val tSnap = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val scan = new DeltaScan(snap, Some("p = '7' AND c0 >= 0"))
+    val files = scan.collectAddFiles(slim = true)
+    val tPlan = (System.nanoTime() - t1) / 1e9
+    require(files.size == total / 64,
+      s"plan_prune_1m pruned to ${files.size} files, want ${total / 64}")
+    require(files.forall(_.stats.isEmpty),
+      "plan_prune_1m collected fat adds — slim collect regressed")
+    Map("snapshot_1m" -> tSnap, "plan_prune_1m" -> tPlan)
   }
 }
