@@ -171,6 +171,46 @@ object Similarity {
     ivfSearch(vecs, idCol, vecCol, cents, nprobe, k, queryMaxId)
   }
 
+  /** Persist a trained quantizer as a (tiny) Delta table so an index
+    * built once serves every subsequent query — training is linear
+    * passes over the corpus, far too expensive to repeat per query at
+    * 100 TB. The table IS the index metadata: versioned, transactional,
+    * time-travelable like any other table.
+    */
+  def persistCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[(Long, Array[Double])]): Unit = {
+    import spark.implicits._
+    val df = cents.toSeq.toDF("cid", "cv")
+    if (!graft.delta.DeltaTable.isDeltaTable(spark, path))
+      graft.delta.DeltaTable.create(spark, path, df.schema)
+    graft.delta.DeltaTable.forPath(spark, path).overwrite(df)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    graft.delta.DeltaTable.forPath(spark, path).toDF
+      .select(col("cid").cast("long"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+  }
+
+  /** IVF search against a PERSISTED quantizer: train-once (first call
+    * creates the centroid table), search-many (every later call loads
+    * it — no training passes).
+    */
+  def kmeansIvfTopKPersisted(vecs: DataFrame, idCol: String,
+      vecCol: String, centroidsPath: String, numCentroids: Int,
+      nprobe: Int, k: Int, queryMaxId: Long,
+      iterations: Int = 5): DataFrame = {
+    val spark = vecs.sparkSession
+    if (!graft.delta.DeltaTable.isDeltaTable(spark, centroidsPath))
+      persistCentroids(spark, centroidsPath,
+        trainCentroids(vecs, idCol, vecCol, numCentroids, iterations))
+    val cents = loadCentroids(spark, centroidsPath)
+      .map { case (cid, cv) => (cid, cv, norm(cv)) }
+    ivfSearch(vecs, idCol, vecCol, cents, nprobe, k, queryMaxId)
+  }
+
   /** IVF approximate nearest neighbors: deterministic coarse quantizer
     * (centroids = the `numCentroids` lowest-id vectors; assignment by max
     * cosine, ties to the lowest centroid id), queries = ids <

@@ -248,6 +248,21 @@ object PipelineQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // trained + PERSISTED quantizer: spherical k-means centroids live
+    // in a Delta table (train once, search many). No SQL oracle —
+    // k-means means are float-summation-order sensitive across engines
+    // — so the driver records rows-only; SimilaritySpec asserts recall
+    // vs brute force and reload determinism.
+    "q_knn_ivf_trained" -> ((s, d) => {
+      val centDir = java.nio.file.Files.createTempDirectory("ivfcent")
+        .toString
+      Similarity.kmeansIvfTopKPersisted(embs(s, d), "vec_id", "embedding",
+          centroidsPath = centDir, numCentroids = 16, nprobe = 4, k = 5,
+          queryMaxId = 10, iterations = 3)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     // ---- Text analysis --------------------------------------------------
     "q_token_count" -> ((s, d) => {
       docs(s, d)

@@ -112,6 +112,35 @@ class OpsSpec extends AnyFunSuite {
     assert(untrained >= 0.5)
   }
 
+  test("persisted quantizer: train-once search-many, reload is " +
+      "deterministic, centroid table is a real delta table") {
+    val centDir = TestSpark.tmpDir("ivf-cent")
+    def run() = Similarity.kmeansIvfTopKPersisted(emb, "vec_id",
+        "embedding", centroidsPath = centDir, numCentroids = 16,
+        nprobe = 4, k = 5, queryMaxId = 10, iterations = 3)
+      .select($"qid", $"nid", round($"sim", 9).as("sim"))
+      .orderBy($"qid", $"nid")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val first = run()   // trains + persists
+    assert(first.size == 50)
+    val v1 = graft.delta.DeltaTable.forPath(spark, centDir)
+      .snapshot().version
+    val second = run()  // loads the persisted quantizer — no retrain
+    assert(second == first, "reload must reproduce results exactly")
+    assert(graft.delta.DeltaTable.forPath(spark, centDir)
+      .snapshot().version == v1, "second search must not retrain")
+
+    // persisted centroids == the in-memory training result
+    val trained = Similarity.trainCentroids(
+      emb, "vec_id", "embedding", 16, iterations = 3)
+    val loaded = Similarity.loadCentroids(spark, centDir)
+    assert(loaded.map(_._1).toSeq == trained.map(_._1).toSeq)
+    assert(loaded.zip(trained).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq })
+  }
+
   test("minhash band pairs: candidates share a band; high-sig_sim pairs kept") {
     val sigs = Seq(
       (1L, 10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L),
