@@ -32,7 +32,11 @@ object Bench {
       try graft.bench.MetadataBench.run(spark)
       catch { case _: Throwable =>
         Map("snapshot_300k" -> -1.0, "replay_300k" -> -1.0) }
-    val all = results ++ metaBench
+    // spec-driven workload matrix (per-shape metadata timings)
+    val workloads =
+      try graft.bench.Workloads.run(spark)
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val all = results ++ metaBench ++ workloads
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0

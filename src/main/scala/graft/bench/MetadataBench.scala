@@ -48,6 +48,9 @@ object MetadataBench {
   def ensureLog(spark: SparkSession): Unit =
     ensureLog(spark, tableDir, NUM_COMMITS)
 
+  def ensureLog1m(spark: SparkSession): Unit =
+    ensureLog(spark, tableDir1m, NUM_COMMITS_1M)
+
   private def ensureLog(spark: SparkSession, dir: String,
       commits: Int): Unit = {
     val root = new Path(dir)
@@ -129,7 +132,7 @@ object MetadataBench {
     * before it kills a 1000-executor job.
     */
   def run1m(spark: SparkSession): Map[String, Double] = {
-    ensureLog(spark, tableDir1m, NUM_COMMITS_1M)
+    ensureLog1m(spark)
     val total = NUM_COMMITS_1M.toLong * ADDS_PER_COMMIT
     val t0 = System.nanoTime()
     val snap = Snapshot.forTable(spark, tableDir1m)
