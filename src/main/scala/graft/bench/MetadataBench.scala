@@ -48,8 +48,23 @@ object MetadataBench {
   def ensureLog(spark: SparkSession): Unit =
     ensureLog(spark, tableDir, NUM_COMMITS)
 
-  def ensureLog1m(spark: SparkSession): Unit =
+  /** The 1M-add table carries a checkpoint at v90 (no real table this
+    * size runs checkpoint-less): snapshot_1m/plan_prune_1m measure the
+    * REALISTIC path — distributed checkpoint-arm replay + a 10-commit
+    * JSON tail — while meta300k stays pure-JSON to mirror the
+    * reference's metadata_bench shape exactly.
+    */
+  def ensureLog1m(spark: SparkSession): Unit = {
+    val root = new Path(tableDir1m)
+    val fs = Storage.fs(root, spark.sessionState.newHadoopConf())
+    val marker = new Path(FileNames.logDir(root), ".bench-ckpt-done")
     ensureLog(spark, tableDir1m, NUM_COMMITS_1M)
+    if (!fs.exists(marker)) {
+      graft.delta.DeltaTable.forPath(spark, tableDir1m)
+        .checkpoint(Some(90L)) // checkpoint below a 10-commit JSON tail
+      Storage.put(fs, marker, "done")
+    }
+  }
 
   private def ensureLog(spark: SparkSession, dir: String,
       commits: Int): Unit = {

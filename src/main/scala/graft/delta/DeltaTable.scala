@@ -1286,12 +1286,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
   // ---------------- checkpoint ----------------
 
-  /** Write a classic single-file V1 checkpoint at the current version +
-    * `_last_checkpoint` hint (reference kernel/src/checkpoint/mod.rs,
-    * action reconciliation in action_reconciliation/log_replay.rs).
+  /** Write a classic single-file V1 checkpoint at the current version
+    * (or at `version`) + `_last_checkpoint` hint (reference
+    * kernel/src/checkpoint/mod.rs, action reconciliation in
+    * action_reconciliation/log_replay.rs).
     */
-  def checkpoint(): Long = {
-    val snap = snapshot()
+  def checkpoint(version: Option[Long] = None): Long = {
+    val snap = snapshot(version)
     val v = snap.version
     val state = checkpointState(snap)
     state.persist()
