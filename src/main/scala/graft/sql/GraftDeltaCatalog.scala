@@ -45,7 +45,8 @@ import graft.delta.{ColumnMapping, DeltaScan, DeltaTable, GraftDeltaRelation, Js
   * location (managed tables live under `<warehouse>/<ns>/<name>`); the
   * Delta log remains the source of truth for schema and data.
   */
-class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces {
+class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -208,6 +209,35 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces {
         s.getPath.getName.stripSuffix(".json")))
       .toArray
   }
+
+  // ---- procedures: CALL <catalog>.system.<proc>('ns.table') ----
+
+  /** Resolve a procedure's `table` argument: a path, or `ns.name` /
+    * `name` against this catalog's pointer files.
+    */
+  private def resolveTableArg(arg: String): String =
+    if (arg.contains("/")) arg
+    else {
+      val parts = arg.split("\\.")
+      val ident =
+        if (parts.length == 1) Identifier.of(Array("default"), parts(0))
+        else Identifier.of(parts.init, parts.last)
+      locationOf(ident)
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system")),
+      s"procedures live in the system namespace, got $ident")
+    GraftProcedures.load(ident.name, resolveTableArg, () => spark)
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces: directories under the pointer root ----
 

@@ -1,0 +1,91 @@
+package graft.sql
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.delta.DeltaTable
+
+/** Maintenance operations as SQL procedures
+  * (`CALL gd.system.optimize('default.t')`): the DSv2 ProcedureCatalog
+  * surface over the engine's OPTIMIZE / VACUUM / CHECKPOINT / history
+  * paths — the operational verbs a table needs at 100 TB, callable
+  * from plain SQL like delta-spark's equivalents.
+  */
+private[sql] object GraftProcedures {
+
+  def load(name: String, resolve: String => String,
+      spark: () => SparkSession): Option[UnboundProcedure] = name match {
+    case "optimize" => Some(proc("optimize",
+      Seq(in("table", StringType), inDefault("zorder", BooleanType, "false")),
+      new StructType().add("version", LongType)) { args =>
+      val t = DeltaTable.forPath(spark(), resolve(args.getString(0)))
+      val v = if (!args.isNullAt(1) && args.getBoolean(1))
+        t.optimizeClustered()
+      else t.optimizeCompact()
+      Seq(InternalRow(v))
+    })
+    case "vacuum" => Some(proc("vacuum",
+      Seq(in("table", StringType), inDefault("dry_run", BooleanType, "false")),
+      new StructType().add("path", StringType)) { args =>
+      val dry = !args.isNullAt(1) && args.getBoolean(1)
+      DeltaTable.forPath(spark(), resolve(args.getString(0)))
+        .vacuum(dryRun = dry)
+        .map(p => InternalRow(UTF8String.fromString(p)))
+    })
+    case "checkpoint" => Some(proc("checkpoint",
+      Seq(in("table", StringType)),
+      new StructType().add("version", LongType)) { args =>
+      Seq(InternalRow(DeltaTable
+        .forPath(spark(), resolve(args.getString(0))).checkpoint()))
+    })
+    case "history" => Some(proc("history",
+      Seq(in("table", StringType)),
+      new StructType().add("version", LongType)
+        .add("timestamp", LongType).add("operation", StringType)) { args =>
+      DeltaTable.forPath(spark(), resolve(args.getString(0))).history()
+        .map { case (v, ts, op) =>
+          InternalRow(v, ts, UTF8String.fromString(op)) }
+    })
+    case _ => None
+  }
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "checkpoint", "history")
+
+  private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String,
+      dt: org.apache.spark.sql.types.DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      outSchema: StructType)(body: InternalRow => Seq[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"graft-delta maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"graft-delta maintenance procedure $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val out = body(input).toArray
+            Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = out
+              override def readSchema(): StructType = outSchema
+            }).iterator()
+          }
+        }
+    }
+}

@@ -111,6 +111,36 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(rows == Seq((1L, None), (2L, Some("e"))))
   }
 
+  test("CALL procedures: checkpoint, optimize, history, vacuum dry run") {
+    spark.sql("""CREATE TABLE gd.default.maint (k BIGINT)
+      USING `graft-delta`""")
+    spark.sql("INSERT INTO gd.default.maint VALUES (1), (2)")
+    spark.sql("INSERT INTO gd.default.maint VALUES (3)")
+
+    val ckptV = spark.sql("CALL gd.system.checkpoint('default.maint')")
+      .as[Long].head()
+    assert(ckptV == 2L)
+
+    val optV = spark.sql("CALL gd.system.optimize('default.maint')")
+      .as[Long].head()
+    assert(optV == 3L) // compaction commit
+    assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
+      .as[Long].head() == 6L)
+
+    val ops = spark.sql("CALL gd.system.history('default.maint')")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.exists(_.contains("OPTIMIZE")) ||
+      ops.exists(_.contains("WRITE")), ops)
+
+    // dry-run vacuum lists the compacted-away files without deleting
+    val candidates = spark.sql(
+      "CALL gd.system.vacuum('default.maint', dry_run => true)")
+      .as[String].collect()
+    assert(spark.sql("SELECT count(*) AS n FROM gd.default.maint")
+      .as[Long].head() == 3L, s"vacuum dry run must not delete: " +
+        candidates.mkString(", "))
+  }
+
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
     val loc = new java.io.File(TestSpark.tmpDir("sql-v1-tbl"))
       .getAbsolutePath
