@@ -15,6 +15,51 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Incremental exact dedup against a persisted Delta state table of
+    * content hashes — the production shape for a pipeline that ingests
+    * in batches: each batch drops documents whose content was EVER seen
+    * (this run or any prior run), then registers its own survivors'
+    * hashes transactionally. State lives in a Delta table, so a crashed
+    * batch retries cleanly and concurrent writers go through the commit
+    * protocol.
+    *
+    * Scale: the state table holds one 32-char hash per unique document
+    * — at 10B docs that's a few hundred GB, and the anti-join
+    * hash-partitions both sides on `h` (one shuffle each side, no
+    * broadcast of the big state). Within-batch dupes keep the minimum
+    * id (deterministic representative).
+    *
+    * Returns the unseen rows of `batch` (all original columns).
+    */
+  def incrementalNew(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.delta.DeltaTable
+    val withH = batch.withColumn("__h", md5(col(textCol)))
+    // within-batch representative: minimum id per hash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+      .orderBy(col(idCol))
+    val batchUnique = withH
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh =
+      if (!DeltaTable.isDeltaTable(spark, statePath)) batchUnique
+      else {
+        val seen = DeltaTable.forPath(spark, statePath).toDF
+          .select(col("h").as("__h"))
+        batchUnique.join(seen, Seq("__h"), "left_anti")
+      }
+    // register survivors BEFORE returning (restart-safe: re-running the
+    // batch re-derives the same survivors and the append is idempotent
+    // in content)
+    val newHashes = fresh.select(col("__h").as("h")).distinct()
+    if (!DeltaTable.isDeltaTable(spark, statePath))
+      DeltaTable.create(spark, statePath, newHashes.schema)
+    DeltaTable.forPath(spark, statePath).append(newHashes)
+    fresh.drop("__h")
+  }
+
   /** Banded LSH over MinHash signature columns: `sigCols` are split into
     * bands of `rowsPerBand`; two docs are candidates iff some band
     * agrees on every signature in it. Output: (doc_a < doc_b, sig_sim)

@@ -305,6 +305,44 @@ object DeltaQueries {
         .filter(col("l_returnflag") === "R"))
     }),
 
+    // Incremental view maintenance over CDF: a per-key aggregate is
+    // maintained by applying a commit's change rows as +/- deltas to
+    // the previous materialization — never rescanning the base table
+    // (the MATERIALIZED VIEW maintenance shape; at 100 TB the delta is
+    // the day's commits, not the table). Oracle recomputes the final
+    // state from scratch and must hash-match the incrementally
+    // maintained result.
+    "q_delta_ivm_agg" -> ((s, d) => {
+      val dir = tmp("ivm")
+      val src = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(15,2)").as("price"))
+      DeltaTable.create(s, dir, src.schema, configuration =
+        Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val tb = DeltaTable.forPath(s, dir)
+      tb.append(src)                           // v1: base
+      // materialize the aggregate at v1
+      val agg0 = tb.snapshot(Some(1L)).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n0"), sum(col("price")).as("sum0"))
+      tb.deleteWhere("o_orderkey % 7 = 0")     // v2: the change
+      val sign = when(col(TableChanges.CHANGE_TYPE)
+        .isin("insert", "update_postimage"), lit(1)).otherwise(lit(-1))
+      val delta = TableChanges.read(s, dir, 2L, Some(2L))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(sign).as("dn"), sum(sign * col("price")).as("dsum"))
+      agg0.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("sum0"), lit(BigDecimal(0))) +
+            coalesce(col("dsum"), lit(BigDecimal(0)))).as("total"))
+        .filter(col("n") > 0)
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("decimal(25,2)").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Spark SQL surface end-to-end: CTAS into the graft-delta DSv2
     // catalog, INSERT INTO, read back + time travel through spark.sql
     // (the engine-integration layer the reference leaves to engines,
@@ -469,6 +507,13 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 14 AND l_returnflag = 'R'
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_ivm_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)))
+        |       AS DECIMAL(25,2)) AS total
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_delta_sql_io" ->
       s"""SELECT $cols FROM lineitem

@@ -96,6 +96,70 @@ object PipelineQueries {
         .orderBy(col("h"))
     }),
 
+    // Incremental exact dedup against a persisted Delta hash-state
+    // table: batch 2 drops documents whose content batch 1 (or batch 2
+    // itself) already contributed, and registers survivors
+    // transactionally — the restart-safe shape for batched ingestion.
+    // One hash-partitioned anti-join per batch; the state table is
+    // hashes only.
+    "q_dedup_incremental" -> ((s, d) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("dedup-state").toString
+      val all = docs(s, d)
+      Dedup.incrementalNew(s, state,
+        all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      Dedup.incrementalNew(s, state,
+        all.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Composed quality-filter pipeline (C4/Gopher-style): length,
+    // alphabetic ratio, stopword presence, mean token length, then
+    // exact dedup keeping the lowest id. All narrow per-row scoring +
+    // one hash shuffle for the dedup — the canonical pretraining
+    // cleanup pass.
+    "q_pipeline_filter" -> ((s, d) => {
+      val scored = docs(s, d)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("alpha_ratio", expr(
+          "cast(length(regexp_replace(text, '[^a-z]', '')) as double)" +
+            " / length(text)"))
+        .withColumn("stop_hits",
+          expr("regexp_count(text, '\\\\b(the|and|of|to|a)\\\\b')"))
+        .withColumn("mean_tok_len", expr(
+          "cast(length(regexp_replace(text, '\\\\s+', '')) as double)")
+          / col("n_tokens"))
+      val kept = scored.filter(
+        col("n_tokens").between(10, 5000) &&
+          col("alpha_ratio") >= 0.5 &&
+          col("stop_hits") >= 1 &&
+          col("mean_tok_len").between(2.0, 12.0))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // int8 scalar quantization of embeddings (4x memory cut for ANN
+    // serving): per-vector max-abs scale, symmetric rounding — purely
+    // narrow, no shuffle.
+    "q_embed_quantize" -> ((s, d) => {
+      embs(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("scale", greatest(
+          expr("aggregate(v, 0.0D, (a, x) -> greatest(a, abs(x)))"),
+          lit(1e-30)))
+        .withColumn("q", expr(
+          "transform(v, x -> cast(floor(x / scale * 127.0 + 0.5) as bigint))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // MinHash signatures: k=8 permutations over word-3-gram shingles.
     // explode → single shuffle on doc_id with 8 min() partial aggs.
     "q_minhash_sig" -> ((s, d) => {
@@ -420,6 +484,57 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH b1 AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |b2 AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id % 3 = 0 GROUP BY 1)
+        |SELECT doc_id FROM b2 WHERE h NOT IN (SELECT h FROM b1)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+        |      / length(text) AS alpha_ratio,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|a)\b'))
+        |      AS stop_hits,
+        |    length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |      / len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS mean_tok_len
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, n_tokens, md5(text) AS h,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM scored
+        |  WHERE n_tokens BETWEEN 10 AND 5000
+        |    AND alpha_ratio >= 0.5 AND stop_hits >= 1
+        |    AND mean_tok_len BETWEEN 2.0 AND 12.0)
+        |SELECT doc_id, n_tokens FROM kept WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+        |      AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v,
+        |      x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_minhash_sig" ->
       s"""$shinglesDuck,
