@@ -143,6 +143,7 @@ class DeltaSource(
     tailAddsCache.getOrElseUpdate(v, {
       if (tailAddsCache.size > 256) tailAddsCache.clear() // bounded
       val lines = commitLines(v)
+      requireSchemaUnchanged(v, lines)
       val vAdds = lines.flatMap(n =>
         Option(n.get("add")).filterNot(_.isNull))
         .map(RowCodec.jsonToAdd).filter(_.dataChange)
@@ -164,6 +165,37 @@ class DeltaSource(
             "rows, or consume readChangeFeed for row-level changes")
       vAdds.toIndexedSeq
     })
+
+  /** A streamed commit that REDEFINES the table schema must fail the
+    * stream rather than silently projecting new-schema files into the
+    * pinned schema (delta-spark fails the same way; the fix is a
+    * restart, which re-pins the evolved schema). Column-mapping
+    * annotations and table properties may change freely — only the
+    * data shape is load-bearing here.
+    */
+  private def requireSchemaUnchanged(v: Long,
+      lines: Seq[com.fasterxml.jackson.databind.JsonNode]): Unit = {
+    // commits at or below the pinned snapshot carry HISTORY (e.g. the
+    // CREATE's metaData when replaying startingVersion=0): the pinned
+    // schema is the latest there, and the schema-first read reconciles
+    // old files into it — only changes AFTER the pin are unsafe
+    if (v <= initialSnapshot.version) return
+    lines.iterator
+      .map(_.get("metaData")).find(m => m != null && !m.isNull)
+      .foreach { m =>
+        val newSchema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schemaString").asText)
+          .asInstanceOf[StructType]
+        def shape(st: StructType): Seq[(String, String)] =
+          st.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+        if (shape(newSchema) != shape(initialSnapshot.schema))
+          throw new IllegalStateException(
+            s"schema of the streamed table changed at commit $v " +
+              s"(${initialSnapshot.schema.simpleString} -> " +
+              s"${newSchema.simpleString}) — restart the stream to " +
+              "pick up the new schema")
+      }
+  }
 
   /** How many change files commit `v` contributes to a CDF batch —
     * cdc files when the commit wrote them, else its data-changing

@@ -248,6 +248,153 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonEmpty.flatten.sorted == (1L to 30L), s"got ${seen.flatten}")
   }
 
+  test("a mid-stream schema change fails loudly; pre-stream history " +
+      "replays fine") {
+    val dir = TestSpark.tmpDir("schemachg")
+    val src = (1 to 4).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 2))   // v1
+    t.addColumn("extra", org.apache.spark.sql.types.StringType) // v2
+    t.append(src.filter($"k" > 2)
+      .withColumn("extra", lit("e"))) // v3, new schema
+
+    // stream created AFTER the evolution replays history fine (the
+    // pinned schema is the latest; old files reconcile into it)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(ckpt: String): Unit = {
+      val q = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.select("k").as[Long].collect() }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce(TestSpark.tmpDir("schemachg-ckpt"))
+    assert(got.sorted.toSeq == (1L to 4L), s"got $got")
+
+    // a RUNNING stream that encounters a schema change must fail
+    // loudly, not silently project into its pinned shape (a restart
+    // then re-pins the evolved schema — the remedy in the error)
+    val q = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("schemachg-ckpt2"))
+      .format("noop")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable() // pinned at the pre-evolution schema
+      t.addColumn("extra2", org.apache.spark.sql.types.LongType) // v4
+      t.append(src.filter($"k" === 1)
+        .withColumn("extra", lit("e")).withColumn("extra2", lit(9L))) // v5
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(60000)
+        throw q.exception.getOrElse(
+          fail("stream must fail on the schema change"))
+      }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(e => e.getMessage != null &&
+          e.getMessage.contains("schema of the streamed table changed")), ex)
+    } finally q.stop()
+  }
+
+  test("CDF + maxFilesPerTrigger: the initial snapshot itself arrives " +
+      "as bounded insert batches") {
+    val dir = TestSpark.tmpDir("cdfsnapcap")
+    val ckpt = TestSpark.tmpDir("cdfsnapcap-ckpt")
+    val src = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    // partitioned by k → 6 one-row files in the snapshot
+    DeltaTable.create(spark, dir, src.schema, Seq("k"),
+      configuration = Map(
+        graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
+    DeltaTable.forPath(spark, dir).append(src) // v1: 6 files
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    val q = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "4")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select($"k", $"_change_type")
+          .as[(Long, String)].collect().toSeq.sortBy(_._1)
+        seen.synchronized { seen += rows }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    assert(seen.map(_.size).toSeq == Seq(4, 2), s"got ${seen.map(_.size)}")
+    val flat = seen.flatten
+    assert(flat.map(_._1).sorted == (1L to 6L), s"got $flat")
+    assert(flat.forall(_._2 == "insert"), s"got $flat")
+  }
+
+  test("AvailableNow pins a ceiling: commits landing mid-run wait for " +
+      "the next run") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = TestSpark.tmpDir("ceil")
+    val src = (1 to 9).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 3)) // v1
+
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    try {
+      val s1 = new DeltaSource(spark.sqlContext, dir,
+        Map("startingVersion" -> "0"))
+      s1.prepareForTriggerAvailableNow() // ceiling = v1
+      t.append(src.filter($"k" > 3 && $"k" <= 6)) // v2, lands mid-run
+      val o1 = s1.latestOffset(null, ReadLimit.allAvailable())
+      assert(o1 != null)
+      // drained through the ceiling: nothing more this run
+      assert(s1.latestOffset(o1, ReadLimit.allAvailable()) == null)
+      val batch = org.apache.spark.sql.graft.StreamingShim
+        .internalCreateBatchDF(spark.sqlContext,
+          s1.getBatch(None, o1.asInstanceOf[
+            org.apache.spark.sql.execution.streaming.Offset])
+            .queryExecution.toRdd,
+          s1.schema)
+        .select("k").as[Long].collect().toSeq.sorted
+      assert(batch == (1L to 3L), s"ceiling leaked: $batch")
+
+      // the next run (new prepare) picks up the mid-run commit
+      val s2 = new DeltaSource(spark.sqlContext, dir,
+        Map("startingVersion" -> "0"))
+      s2.prepareForTriggerAvailableNow()
+      val o2 = s2.latestOffset(o1, ReadLimit.allAvailable())
+      assert(o2 != null)
+      val batch2 = org.apache.spark.sql.graft.StreamingShim
+        .internalCreateBatchDF(spark.sqlContext,
+          s2.getBatch(Some(o1.asInstanceOf[
+            org.apache.spark.sql.execution.streaming.Offset]),
+            o2.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset])
+            .queryExecution.toRdd,
+          s2.schema)
+        .select("k").as[Long].collect().toSeq.sorted
+      assert(batch2 == (4L to 6L), s"got $batch2")
+    } finally
+      spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+  }
+
   test("streaming source: ignoreDeletes covers whole-file deletes only; " +
       "rewrites need ignoreChanges") {
     def run(dir: String, opts: Map[String, String]): Unit = {
