@@ -331,8 +331,23 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
        else Nil)
     val prev = scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
     scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // Optimized write (delta.autoOptimize.optimizeWrite): shuffle on
+    // the partition columns before a partitioned write, so every
+    // partition VALUE lands in one task and writes ONE file instead of
+    // inputPartitions × values small files — the small-file defense at
+    // streaming-ingest scale. AQE coalesces tiny shuffle partitions
+    // into shared tasks without changing the one-file-per-value shape.
+    // Clustered tables already range-partition (their own layout);
+    // unpartitioned tables bin-pack via OPTIMIZE instead — a blind
+    // repartition there would just serialize the write.
+    val optimizeWrite = snap.metadata.configuration
+      .get(DeltaTable.OPTIMIZE_WRITE_KEY).exists(_.equalsIgnoreCase("true"))
+    val laidOut =
+      if (optimizeWrite && clusterCols.isEmpty && partByCols.nonEmpty)
+        toWrite.repartition(partByCols.map(c => col(s"`$c`")): _*)
+      else toWrite
     try {
-      val writer = toWrite.write.mode("overwrite")
+      val writer = laidOut.write.mode("overwrite")
       (if (partByCols.nonEmpty) writer.partitionBy(partByCols: _*)
        else writer).parquet(stagePath.toString)
     } finally prev.foreach {
@@ -1805,6 +1820,7 @@ object DeltaTable {
     * reference table_features/mod.rs:630-645 variantShredding).
     */
   val VARIANT_SHREDDING_KEY = "delta.enableVariantShredding"
+  val OPTIMIZE_WRITE_KEY = "delta.autoOptimize.optimizeWrite"
   /** partitionBy alias prefix used when partition columns are
     * materialized into data files (IcebergCompat).
     */

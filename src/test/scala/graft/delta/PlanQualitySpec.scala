@@ -68,6 +68,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan.take(800))
   }
 
+  test("optimized write: a partitioned append collapses to one file " +
+      "per partition value") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("p", StringType)))
+    val src = spark.range(0, 1000).select($"id".as("k"),
+      concat(lit("p"), ($"id" % 3).cast("string")).as("p"))
+      .repartition(8) // 8 input partitions x 3 values = up to 24 files
+
+    def filesOf(dir: String): Int =
+      new DeltaScan(DeltaTable.forPath(spark, dir).snapshot(), None)
+        .collectAddFiles().size
+
+    val owDir = TestSpark.tmpDir("ow-on")
+    DeltaTable.create(spark, owDir, schema, Seq("p"),
+      configuration = Map(DeltaTable.OPTIMIZE_WRITE_KEY -> "true"))
+    DeltaTable.forPath(spark, owDir).append(src)
+    assert(filesOf(owDir) == 3, "optimized write must emit one file " +
+      s"per partition value, got ${filesOf(owDir)}")
+
+    val plainDir = TestSpark.tmpDir("ow-off")
+    DeltaTable.create(spark, plainDir, schema, Seq("p"))
+    DeltaTable.forPath(spark, plainDir).append(src)
+    assert(filesOf(plainDir) > 3, "control append should fragment " +
+      s"(got ${filesOf(plainDir)} files)")
+
+    // rows identical either way
+    assert(DeltaTable.forPath(spark, owDir).toDF.count() == 1000)
+    assert(DeltaTable.forPath(spark, owDir).toDF.select(sum($"k"))
+      .head().getLong(0) ==
+      DeltaTable.forPath(spark, plainDir).toDF.select(sum($"k"))
+        .head().getLong(0))
+  }
+
   test("log replay checkpoint arm broadcasts the commit keys") {
     val dir = TestSpark.tmpDir("bjoin")
     val src = li.filter($"l_quantity" < 6)

@@ -59,12 +59,17 @@ class SQLSurfaceSpec extends AnyFunSuite {
       .collect().toSeq == Seq(9L))
 
     // partition filter reaches the skipping path: the v1-bridged scan
-    // prunes files before the parquet read
+    // prunes to ONE file before the parquet read
     spark.sql("INSERT INTO gd.default.ow VALUES (10, 'w')")
-    val plan = spark.sql("SELECT k FROM gd.default.ow WHERE p = 'z'")
-      .queryExecution.executedPlan.toString
-    assert(spark.sql("SELECT k FROM gd.default.ow WHERE p = 'z'")
-      .as[Long].collect().toSeq == Seq(9L), plan)
+    val pruned = spark.sql(
+      "SELECT k, input_file_name() AS f FROM gd.default.ow WHERE p = 'z'")
+    assert(pruned.select($"k").as[Long].collect().toSeq == Seq(9L))
+    assert(pruned.select($"f").distinct().count() == 1L,
+      "partition filter must prune the file set")
+    val allFiles = spark.sql(
+      "SELECT input_file_name() AS f FROM gd.default.ow")
+      .distinct().count()
+    assert(allFiles >= 2L, s"fixture needs >1 file, got $allFiles")
   }
 
   test("CTAS, SHOW TABLES, DROP TABLE, path-addressed tables") {
