@@ -448,14 +448,70 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       Map("targetFileBytes" -> targetFileBytes.toString))
   }
 
+  /** Auto-compaction (delta.autoOptimize.autoCompact): after a
+    * data-adding commit, bin-pack any partition that has accumulated
+    * `minNumFiles`+ files below half the target size. dataChange=false,
+    * so CDF readers and streams see no row change. Optimized write
+    * fixes ONE commit's layout; this fixes the accumulation ACROSS
+    * commits — the other half of the streaming-ingest small-file
+    * defense. Rewrites only the small files (a partition's full-sized
+    * files are never touched), so the write amplification is bounded
+    * by the small-file volume, not table size.
+    */
+  def autoCompact(minNumFiles: Int = 50,
+      targetFileBytes: Long = 128L << 20): Option[Long] = {
+    require(minNumFiles > 0 && targetFileBytes > 0,
+      "minNumFiles and targetFileBytes must be positive")
+    val snap = snapshot()
+    if (RowTracking.enabled(snap.metadata)) return None
+    val small = new DeltaScan(snap, None).collectAddFiles()
+      .filter(_.size < targetFileBytes / 2)
+    val toCompact = small.groupBy(_.partitionValues).values
+      .filter(_.size >= minNumFiles).toSeq.flatten
+    if (toCompact.isEmpty) return None
+    val numFiles = math.max(1L,
+      (toCompact.map(_.size).sum + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    // repartition(n, partCols) still lands each partition VALUE in one
+    // task → one compacted file per value; plain repartition(n) would
+    // re-fragment every value across n tasks
+    val partCols = snap.partitionColumns
+    val layout: DataFrame => DataFrame =
+      if (partCols.nonEmpty)
+        df => df.repartition(numFiles, partCols.map(c => col(s"`$c`")): _*)
+      else df => df.repartition(numFiles)
+    Some(optimizeRewrite(snap, layout,
+      Map("auto" -> "true", "minNumFiles" -> minNumFiles.toString,
+        "targetFileBytes" -> targetFileBytes.toString),
+      subset = Some(toCompact)))
+  }
+
+  /** Post-commit hook: run [[autoCompact]] when the table property asks
+    * for it. Thresholds come from session confs so tests and operators
+    * can tune without a metadata commit.
+    */
+  private def maybeAutoCompact(metadata: graft.delta.Metadata): Unit = {
+    val on = metadata.configuration
+      .get(DeltaTable.AUTO_COMPACT_KEY).exists(_.equalsIgnoreCase("true"))
+    if (!on || RowTracking.enabled(metadata)) return
+    val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
+      .map(_.toInt).getOrElse(50)
+    val target = spark.conf
+      .getOption("spark.graft.autoCompact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    autoCompact(minN, target)
+  }
+
   private def optimizeRewrite(snap: Snapshot,
       layout: DataFrame => DataFrame,
-      params: Map[String, String]): Long = {
+      params: Map[String, String],
+      subset: Option[Seq[AddFile]] = None): Long = {
     writerGate(snap, mutating = false)
     require(!RowTracking.enabled(snap.metadata),
       "OPTIMIZE on a row-tracking table requires materialized row ids, " +
         "which this engine does not write yet")
-    val existing = new DeltaScan(snap, None).collectAddFiles()
+    val existing =
+      subset.getOrElse(new DeltaScan(snap, None).collectAddFiles())
     if (existing.isEmpty) return snap.version
     val staged = stageFiles(layout(readFiles(snap, existing)), snap)
     val removes = existing.map { a =>
@@ -601,6 +657,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       retryable = !rowTracking && idMeta.isEmpty,
       txnAppIds = txn.map(_.appId).toSeq)
     maybeWriteChecksum(committed, adds.map(_.size), Nil, newMeta = idMeta)
+    maybeAutoCompact(snap.metadata)
     committed
   }
 
@@ -1821,6 +1878,7 @@ object DeltaTable {
     */
   val VARIANT_SHREDDING_KEY = "delta.enableVariantShredding"
   val OPTIMIZE_WRITE_KEY = "delta.autoOptimize.optimizeWrite"
+  val AUTO_COMPACT_KEY = "delta.autoOptimize.autoCompact"
   /** partitionBy alias prefix used when partition columns are
     * materialized into data files (IcebergCompat).
     */

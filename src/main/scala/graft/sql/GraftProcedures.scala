@@ -30,6 +30,15 @@ private[sql] object GraftProcedures {
       else t.optimizeCompact()
       Seq(InternalRow(v))
     })
+    case "auto_compact" => Some(proc("auto_compact",
+      Seq(in("table", StringType),
+        inDefault("min_num_files", LongType, "50")),
+      new StructType().add("version", LongType)) { args =>
+      val minN = if (args.isNullAt(1)) 50 else args.getLong(1).toInt
+      DeltaTable.forPath(spark(), resolve(args.getString(0)))
+        .autoCompact(minNumFiles = minN)
+        .map(InternalRow(_)).toSeq
+    })
     case "vacuum" => Some(proc("vacuum",
       Seq(in("table", StringType), inDefault("dry_run", BooleanType, "false")),
       new StructType().add("path", StringType)) { args =>
@@ -55,7 +64,8 @@ private[sql] object GraftProcedures {
     case _ => None
   }
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "checkpoint", "history")
+  val names: Seq[String] =
+    Seq("optimize", "auto_compact", "vacuum", "checkpoint", "history")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()

@@ -107,6 +107,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(removedAt.version == v)
   }
 
+  test("auto-compact: appends trigger partition-scoped bin-packing") {
+    val dir = TestSpark.tmpDir("autocompact")
+    val src0 = Seq((0L, "a")).toDF("k", "p")
+    DeltaTable.create(spark, dir, src0.schema, Seq("p"),
+      configuration = Map(DeltaTable.AUTO_COMPACT_KEY -> "true",
+        TableChanges.CDF_ENABLED_KEY -> "true"))
+    spark.conf.set("spark.graft.autoCompact.minNumFiles", "4")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      (1 to 3).foreach(i => t.append(Seq((i.toLong, "a")).toDF("k", "p")))
+      def files(p: String) = t.scan(None).collectAddFiles()
+        .filter(_.partitionValues.get("p").contains(p))
+      // below the threshold: nothing compacts
+      assert(files("a").size == 3)
+      // 4th small file in 'a' crosses the threshold -> 'a' packs to 1;
+      // 'b' stays below and keeps accumulating untouched
+      t.append(Seq((4L, "a"), (5L, "b")).toDF("k", "p"))
+      assert(files("a").size == 1,
+        s"partition a should auto-compact, got ${files("a").size}")
+      t.append(Seq((6L, "b")).toDF("k", "p"))
+      assert(files("a").size == 1 && files("b").size == 2)
+      assert(t.toDF.count() == 6)
+      assert(t.toDF.select(sum($"k")).as[Long].head == 21L)
+      // the compaction commit is dataChange=false: a change-feed read
+      // across the whole history sees exactly the 6 inserted rows
+      val cdf = TableChanges.read(spark, dir, 0, None)
+      assert(cdf.filter($"_change_type" === "insert").count() == 6)
+      assert(cdf.count() == 6)
+    } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
+  }
+
   test("clustering column validation") {
     val schema = Seq((1L, "a")).toDF("k", "s").schema
     intercept[IllegalArgumentException] {

@@ -144,6 +144,21 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM gd.default.maint")
       .as[Long].head() == 3L, s"vacuum dry run must not delete: " +
         candidates.mkString(", "))
+
+    // auto_compact: the table is already packed (optimize ran above),
+    // so the threshold is not met and no commit happens
+    assert(spark.sql(
+      "CALL gd.system.auto_compact('default.maint', min_num_files => 2)")
+      .count() == 0L)
+    // fragment it again: two more single-row inserts cross min_num_files
+    spark.sql("INSERT INTO gd.default.maint VALUES (4)")
+    spark.sql("INSERT INTO gd.default.maint VALUES (5)")
+    val acV = spark.sql(
+      "CALL gd.system.auto_compact('default.maint', min_num_files => 2)")
+      .as[Long].collect()
+    assert(acV.length == 1, "auto_compact should commit once")
+    assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
+      .as[Long].head() == 15L)
   }
 
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
