@@ -615,8 +615,46 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * advanced mark (reference row_tracking.rs:19-68); such commits are
     * not blind-retryable (a conflicting writer may have consumed ids).
     */
-  def append(df: DataFrame, txn: Option[SetTransaction] = None): Long =
-    appendFrom(snapshot(), df, txn)
+  def append(df: DataFrame, txn: Option[SetTransaction] = None,
+      mergeSchema: Boolean = false): Long = {
+    val snap0 = snapshot()
+    if (!mergeSchema) return appendFrom(snap0, df, txn)
+    // writer-side schema evolution (delta-spark's `mergeSchema`): the
+    // merged schema rides the validated ALTER path (column-mapping id
+    // assignment, typeWidening feature), then the batch appends aligned
+    // to it — old files read added columns as NULL, widened columns
+    // natively
+    val merged = SchemaEvolution.merge(snap0.schema, df.schema)
+    val snap = if (merged == snap0.schema) snap0
+      else { alterSchema(merged); snapshot() }
+    appendFrom(snap, alignTo(df, snap.schema), txn)
+  }
+
+  /** Schema enforcement: a write carrying columns the table does not
+    * have is rejected, never silently dropped (the staging projection
+    * would otherwise discard them — data loss masquerading as
+    * success). `mergeSchema` is the sanctioned escape hatch.
+    */
+  private def enforceNoExtraColumns(df: DataFrame, snap: Snapshot): Unit = {
+    val table = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    val extra = df.columns.filterNot(c => table.contains(c.toLowerCase))
+    require(extra.isEmpty, s"schema mismatch: column(s) " +
+      s"${extra.mkString(", ")} do not exist in the table " +
+      "(set mergeSchema to evolve the schema)")
+  }
+
+  /** Project `df` onto `schema`: case-insensitive column match, upcast
+    * narrower incoming types, fill absent columns with NULL.
+    */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(c) if c.dataType == f.dataType =>
+          col(s"`${c.name}`").as(f.name)
+        case Some(c) => col(s"`${c.name}`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
 
   /** Append against an explicit (possibly stale) snapshot — the
     * transaction seam conflict tests drive; `append` is this from the
@@ -625,6 +663,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   private[graft] def appendFrom(snap: Snapshot, df: DataFrame,
       txn: Option[SetTransaction] = None): Long = {
     writerGate(snap, mutating = false)
+    enforceNoExtraColumns(df, snap)
     val (dfComplete, identityCols) = IdentityColumns.assign(df, snap)
     val staged = stageFiles(dfComplete, snap)
     val rowTracking = RowTracking.enabled(snap.metadata)
@@ -666,9 +705,34 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * semantics — reference transaction/mod.rs remove+add reconciliation;
     * readers at older versions still see the old data).
     */
-  def overwrite(df: DataFrame): Long = {
-    val snap = snapshot()
+  def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
+    val snap0 = snapshot()
+    writerGate(snap0, mutating = true)
+    // `overwriteSchema`: replacing every row may also replace the
+    // schema wholesale (delta-spark's writer option). Not merged —
+    // REPLACED: dropped and retyped columns are fine because no old
+    // data survives to be read under them. Column-mapped tables keep
+    // surviving fields' physical identity via the ALTER machinery's
+    // annotation rules, so this routes schema replacement through a
+    // metadata commit first (old readers of old versions are
+    // unaffected; time travel still resolves their schema).
+    val snap = if (overwriteSchema && df.schema != snap0.schema) {
+      require(ColumnMapping.mode(snap0.metadata) == "none",
+        "overwriteSchema on a column-mapped table is not supported")
+      require(snap0.partitionColumns.forall(df.schema.fieldNames.contains),
+        s"overwriteSchema cannot drop partition columns " +
+          snap0.partitionColumns.mkString("(", ",", ")"))
+      val meta = snap0.metadata.copy(schemaString = df.schema.json)
+      val lines = Seq(
+        commitInfoLine("ALTER TABLE",
+          Map("operation" -> "REPLACE SCHEMA"), ictFor(snap0)),
+        JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+      val v = commitActions(snap0.version + 1, lines, retryable = false)
+      maybeWriteChecksum(v, Nil, Nil, newMeta = Some(meta))
+      snapshot()
+    } else snap0
     writerGate(snap, mutating = true)
+    enforceNoExtraColumns(df, snap)
     val existing = new DeltaScan(snap, None).collectAddFiles(slim = true)
     val staged = stageFiles(df, snap)
     val removes = existing.map { a =>

@@ -80,4 +80,35 @@ object SchemaEvolution {
         .nextOption()
     }
   }
+
+  /** Merge an incoming write schema into the table schema
+    * (delta-spark's `mergeSchema` writer option semantics): table
+    * column order is preserved; a column present in both keeps the
+    * WIDER of the two types per [[canWiden]] (a narrower incoming
+    * column upcasts at write time instead); incoming-only columns
+    * append as nullable. Incompatible type pairs fail loudly — a
+    * silent cast would corrupt data.
+    * Name matching is case-insensitive, like Spark's resolution.
+    */
+  def merge(table: StructType, incoming: StructType): StructType = {
+    def find(s: StructType, name: String): Option[StructField] =
+      s.fields.find(_.name.equalsIgnoreCase(name))
+    val kept = table.fields.map { tf =>
+      find(incoming, tf.name) match {
+        case Some(inf) if inf.dataType == tf.dataType => tf
+        case Some(inf) if canWiden(tf.dataType, inf.dataType) =>
+          tf.copy(dataType = inf.dataType)
+        case Some(inf) if canWiden(inf.dataType, tf.dataType) => tf
+        case Some(inf) => throw new IllegalArgumentException(
+          s"mergeSchema: column '${tf.name}' " +
+            s"${tf.dataType.simpleString} cannot merge with incoming " +
+            inf.dataType.simpleString)
+        case None => tf
+      }
+    }
+    val added = incoming.fields
+      .filter(f => find(table, f.name).isEmpty)
+      .map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
 }

@@ -22,7 +22,8 @@ import graft.delta.{DeltaTable, SetTransaction, Snapshot}
 class DeltaSink(
     sqlContext: SQLContext,
     tablePath: String,
-    outputMode: OutputMode) extends Sink {
+    outputMode: OutputMode,
+    mergeSchema: Boolean = false) extends Sink {
 
   require(outputMode == OutputMode.Append(),
     s"graft-delta sink supports Append output mode only, got $outputMode")
@@ -47,8 +48,13 @@ class DeltaSink(
     val already = snap.setTransactions
       .find(_.appId == app).map(_.version)
     if (already.exists(_ >= batchId)) return // replay after restart
-    t.appendFrom(snap, batchDF, txn = Some(SetTransaction(
-      app, batchId, Some(System.currentTimeMillis()))))
+    val txn = SetTransaction(app, batchId, Some(System.currentTimeMillis()))
+    // sink-side schema evolution (`.option("mergeSchema", "true")`):
+    // an upstream that grew a column evolves the table instead of
+    // failing the query (a stream is the writer that can least afford
+    // a schema mismatch abort mid-run)
+    if (mergeSchema) t.append(batchDF, txn = Some(txn), mergeSchema = true)
+    else t.appendFrom(snap, batchDF, txn = Some(txn))
     ()
   }
 }

@@ -607,9 +607,13 @@ class DeltaSourceProvider extends StreamSourceProvider
       graft.delta.DeltaTable.forPath(spark, path).append(data)
     } else mode match {
       case SaveMode.Append =>
-        graft.delta.DeltaTable.forPath(spark, path).append(data)
+        graft.delta.DeltaTable.forPath(spark, path).append(data,
+          mergeSchema = parameters.get("mergeSchema")
+            .exists(_.equalsIgnoreCase("true")))
       case SaveMode.Overwrite =>
-        graft.delta.DeltaTable.forPath(spark, path).overwrite(data)
+        graft.delta.DeltaTable.forPath(spark, path).overwrite(data,
+          overwriteSchema = parameters.get("overwriteSchema")
+            .exists(_.equalsIgnoreCase("true")))
       case SaveMode.ErrorIfExists =>
         throw new IllegalStateException(s"delta table already exists: $path")
       case SaveMode.Ignore => ()
@@ -625,7 +629,9 @@ class DeltaSourceProvider extends StreamSourceProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
-    new DeltaSink(sqlContext, path, outputMode)
+    new DeltaSink(sqlContext, path, outputMode,
+      mergeSchema = parameters.get("mergeSchema")
+        .exists(_.equalsIgnoreCase("true")))
   }
 
   override def sourceSchema(

@@ -94,4 +94,69 @@ class AlterTableSpec extends AnyFunSuite {
     assert(t.toDF.count() == 2)
     assert(t.toDF.schema("k").dataType == LongType)
   }
+
+  test("mergeSchema append: new column, widening, null fill") {
+    val dir = TestSpark.tmpDir("mergesch")
+    val v1 = Seq((1, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    // extra column WITHOUT the option: rejected, table untouched
+    intercept[Exception] {
+      t.append(Seq((2, "b", 9.9)).toDF("k", "s", "x"))
+    }
+    assert(t.toDF.count() == 1)
+    // with mergeSchema: k widens int->long, x appends nullable
+    t.append(Seq((3000000000L, "c", 9.9)).toDF("k", "s", "x"),
+      mergeSchema = true)
+    val snap = t.snapshot()
+    assert(snap.schema("k").dataType == LongType)
+    assert(snap.schema("x").dataType == DoubleType && snap.schema("x").nullable)
+    assert(snap.protocol.writerFeatures.exists(_.contains("typeWidening")))
+    // old rows read x as NULL
+    val rows = t.toDF.orderBy("k").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.9)
+    // a narrower batch missing a column: k upcasts, s fills NULL
+    t.append(Seq((7, 1.1)).toDF("k", "x"), mergeSchema = true)
+    assert(t.toDF.filter($"k" === 7).select($"s").head().isNullAt(0))
+    assert(t.toDF.count() == 3)
+    // incompatible type pair fails loudly
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("oops", "d")).toDF("k", "s"), mergeSchema = true)
+    }
+  }
+
+  test("mergeSchema on a column-mapped table assigns fresh ids") {
+    val dir = TestSpark.tmpDir("mergecm")
+    val v1 = Seq((1L, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, v1.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.append(Seq((2L, "b", 5L)).toDF("k", "s", "n"), mergeSchema = true)
+    val snap = t.snapshot()
+    assert(ColumnMapping.physicalName(snap.schema("n")).startsWith("col-"))
+    assert(t.toDF.orderBy("k").select($"n").as[java.lang.Long]
+      .collect().toSeq == Seq(null, java.lang.Long.valueOf(5L)))
+  }
+
+  test("writer options: mergeSchema append and overwriteSchema replace") {
+    val dir = TestSpark.tmpDir("wropts")
+    Seq((1L, "a")).toDF("k", "s").write.format("graft-delta").save(dir)
+    // append a wider frame through the format writer
+    Seq((2L, "b", 1.5)).toDF("k", "s", "x").write.format("graft-delta")
+      .mode("append").option("mergeSchema", "true").save(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.columns.toSeq == Seq("k", "s", "x"))
+    assert(t.toDF.count() == 2)
+    // overwriteSchema: schema REPLACED (s dropped, v introduced)
+    Seq((9L, 42L)).toDF("k", "v").write.format("graft-delta")
+      .mode("overwrite").option("overwriteSchema", "true").save(dir)
+    assert(t.toDF.columns.toSeq == Seq("k", "v"))
+    assert(t.toDF.as[(Long, Long)].collect().toSeq == Seq((9L, 42L)))
+    // time travel still reads the OLD schema at the old version
+    val old = DeltaTable.forPath(spark, dir)
+      .snapshot(Some(t.snapshot().version - 2))
+    assert(old.schema.fieldNames.toSeq == Seq("k", "s", "x"))
+  }
 }

@@ -688,6 +688,51 @@ class StreamingSpec extends AnyFunSuite {
       "sql.streaming.queryId", null)
   }
 
+  test("delta sink: a restarted query with a wider schema evolves the " +
+      "table under mergeSchema and fails loudly without it") {
+    val dir = TestSpark.tmpDir("sink-ev")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem1.addData((1L, "a"))
+    val q1 = mem1.toDF().toDF("k", "s").writeStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("checkpointLocation", TestSpark.tmpDir("sink-ev-c1"))
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+
+    // same table, upstream grew a column: without mergeSchema -> abort
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    mem2.addData((2L, "b", 1.5))
+    val qBad = mem2.toDF().toDF("k", "s", "x").writeStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("checkpointLocation", TestSpark.tmpDir("sink-ev-c2"))
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.awaitTermination(120000)
+    }
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+
+    // with mergeSchema -> table evolves, old row reads NULL
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    mem3.addData((3L, "c", 2.5))
+    val qOk = mem3.toDF().toDF("k", "s", "x").writeStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("mergeSchema", "true")
+      .option("checkpointLocation", TestSpark.tmpDir("sink-ev-c3"))
+      .trigger(Trigger.AvailableNow()).start()
+    qOk.awaitTermination(120000)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.columns.toSeq == Seq("k", "s", "x"))
+    val byK = t.toDF.orderBy("k").collect()
+    assert(byK(0).isNullAt(2) && byK(1).getDouble(2) == 2.5)
+  }
+
   test("windowed aggregation with watermark over the delta stream") {
     val dir = TestSpark.tmpDir("winagg")
     val ckpt = TestSpark.tmpDir("winagg-ckpt")
