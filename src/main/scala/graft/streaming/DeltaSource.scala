@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.streaming.{
-  CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles,
+  CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles,
   SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.graft.StreamingShim
@@ -46,6 +46,13 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *    bounded batches, not one. In readChangeFeed mode the cap packs
   *    WHOLE versions by their change-file count (at least one per
   *    batch), and file-slices the initial snapshot's insert rows
+  *  - `maxBytesPerTrigger` (default unbounded): soft byte cap per
+  *    microbatch — files are admitted until their cumulative size
+  *    reaches the cap, always at least one (so a file larger than the
+  *    cap still streams instead of stalling). Accepts byte strings
+  *    ("512m", "10g"). Composes with maxFilesPerTrigger: a batch ends
+  *    at whichever budget runs out first. Not applied in
+  *    readChangeFeed mode (CDF batches pack whole versions by count)
   *  - `ignoreDeletes` (default false): tolerate commits that ONLY drop
   *    whole files (remove actions with no accompanying adds — e.g. a
   *    partition delete). A commit that both removes and adds data files
@@ -75,6 +82,8 @@ class DeltaSource(
     options.get("maxVersionsPerTrigger").map(_.toLong)
   private val maxFiles =
     options.get("maxFilesPerTrigger").map(_.toLong)
+  private val maxBytes = options.get("maxBytesPerTrigger")
+    .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.equalsIgnoreCase("true"))
   private val ignoreDeletes = ignoreChanges ||
@@ -227,12 +236,29 @@ class DeltaSource(
   // table advanced in between.
   // ------------------------------------------------------------------
 
+  /** Admit files from `files(from..)` under a file-count budget and a
+    * SOFT byte budget: take while cumulative bytes stay below the cap,
+    * always at least one file when any budget remains (a file larger
+    * than the byte cap must stream, not stall). Returns (count, bytes).
+    */
+  private def admit(files: IndexedSeq[graft.delta.AddFile], from: Long,
+      fileCap: Long, byteCap: Long): (Long, Long) = {
+    var take = 0L
+    var bytes = 0L
+    while (from + take < files.size && take < fileCap && bytes < byteCap) {
+      bytes += files((from + take).toInt).size
+      take += 1
+    }
+    (take, bytes)
+  }
+
   /** Compute the next end offset after `start` under the given file /
-    * version budgets, bounded by the AvailableNow ceiling when one was
-    * prepared. None = no progress available.
+    * byte / version budgets, bounded by the AvailableNow ceiling when
+    * one was prepared. None = no progress available.
     */
   private def advance(start: Option[DeltaSourceOffset], fileCap: Long,
-      versionCap: Long): Option[DeltaSourceOffset] = {
+      versionCap: Long, byteCap: Long = Long.MaxValue)
+      : Option[DeltaSourceOffset] = {
     val hi = math.min(latestVersion,
       availableNowCeil.getOrElse(Long.MaxValue))
 
@@ -247,8 +273,9 @@ class DeltaSource(
       case _ => None
     }
     snapPos.foreach { case (sv, from) =>
-      val n = snapshotFilesAt(sv).size.toLong
-      val covered = math.min(n, from + fileCap)
+      val files = snapshotFilesAt(sv)
+      val n = files.size.toLong
+      val covered = math.min(n, from + admit(files, from, fileCap, byteCap)._1)
       return Some(
         if (covered >= n) DeltaSourceOffset(sv, isInitialSnapshot = true)
         else DeltaSourceOffset(sv, isInitialSnapshot = true,
@@ -264,16 +291,21 @@ class DeltaSource(
     }
 
     var fBudget = fileCap
+    var bBudget = byteCap
     var vBudget = versionCap
     var advanced = false
     var end: DeltaSourceOffset = null
 
     // phase 2: finish a partially streamed tail version first
     if (partial >= 0) {
-      val n = tailAdds(v).size.toLong
-      val take = math.min(fBudget, n - partial)
-      if (take > 0) { advanced = true; fBudget -= take }
-      if (partial + math.max(take, 0L) >= n)
+      val files = tailAdds(v)
+      val n = files.size.toLong
+      val (take, bytes) = admit(files, partial, fBudget, bBudget)
+      if (take > 0) {
+        advanced = true; fBudget -= take
+        bBudget = math.max(0L, bBudget - bytes)
+      }
+      if (partial + take >= n)
         end = DeltaSourceOffset(v, isInitialSnapshot = false)
       else return if (advanced)
         Some(DeltaSourceOffset(v, isInitialSnapshot = false,
@@ -282,7 +314,7 @@ class DeltaSource(
     }
 
     // phase 3: subsequent versions under the remaining budget
-    while (fBudget > 0 && vBudget > 0 && v < hi) {
+    while (fBudget > 0 && bBudget > 0 && vBudget > 0 && v < hi) {
       val next = v + 1
       if (readChangeFeed) {
         // version-granular: pack whole versions by change-file count,
@@ -296,13 +328,16 @@ class DeltaSource(
           vBudget -= 1
         } else fBudget = 0
       } else {
-        val n = tailAdds(next).size.toLong
-        if (n <= fBudget) {
+        val files = tailAdds(next)
+        val n = files.size.toLong
+        val (take, bytes) = admit(files, 0, fBudget, bBudget)
+        if (take >= n) { // empty commit or whole version fits
           v = next; fBudget -= n
+          bBudget = math.max(0L, bBudget - bytes)
           end = DeltaSourceOffset(v, isInitialSnapshot = false)
         } else {
           end = DeltaSourceOffset(next, isInitialSnapshot = false,
-            index = fBudget - 1)
+            index = take - 1)
           fBudget = 0
         }
         advanced = true
@@ -324,21 +359,33 @@ class DeltaSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCeil = Some(latestVersion)
 
-  override def getDefaultReadLimit: ReadLimit = maxFiles match {
-    case Some(f) => ReadLimit.maxFiles(f.toInt)
-    case None => ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFiles.map(f => ReadLimit.maxFiles(f.toInt)).toSeq ++
+      maxBytes.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
   }
 
   private def fileCapOf(limit: ReadLimit): Long = limit match {
     case _: ReadAllAvailable => Long.MaxValue
     case m: ReadMaxFiles => m.maxFiles().toLong
     case c: CompositeReadLimit => c.getReadLimits.map(fileCapOf).min
+    case _: ReadMaxBytes => Long.MaxValue
     case _ => maxFiles.getOrElse(Long.MaxValue)
+  }
+
+  private def byteCapOf(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxBytes => m.maxBytes()
+    case c: CompositeReadLimit => c.getReadLimits.map(byteCapOf).min
+    case _ => Long.MaxValue
   }
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
     advance(Option(start).map(parseOffset), fileCapOf(limit),
-      maxVersions.getOrElse(Long.MaxValue)).orNull
+      maxVersions.getOrElse(Long.MaxValue), byteCapOf(limit)).orNull
 
   override def reportLatestOffset(): OffsetV2 =
     DeltaSourceOffset(
@@ -353,7 +400,8 @@ class DeltaSource(
 
   override def getOffset: Option[Offset] = {
     val next = advance(lastOffered, maxFiles.getOrElse(Long.MaxValue),
-      maxVersions.getOrElse(Long.MaxValue))
+      maxVersions.getOrElse(Long.MaxValue),
+      maxBytes.getOrElse(Long.MaxValue))
     next.foreach(o => lastOffered = Some(o))
     next.orElse(lastOffered) // stable re-offer of the drained position
   }

@@ -146,6 +146,53 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${seen.flatMap(_._2)}")
   }
 
+  test("maxBytesPerTrigger bounds batches by size; a file larger than " +
+      "the cap still streams") {
+    val dir = TestSpark.tmpDir("mbt")
+    val src = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, Seq("k"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // 6 one-row files, each far larger than a 1-byte cap
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def runOnce(ckpt: String, opts: Map[String, String]): Unit = {
+      val reader = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val nf = df.select(input_file_name()).distinct().count()
+          val ks = df.select($"k").collect().map(_.getLong(0)).toSeq.sorted
+          seen.synchronized { seen += ((nf, ks)) }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // a 1-byte cap forces one file per batch (soft cap: the first file
+    // always streams even though it exceeds the budget)
+    runOnce(TestSpark.tmpDir("mbt-c1"), Map("maxBytesPerTrigger" -> "1b"))
+    assert(seen.map(_._1).toSeq.filter(_ > 0) == Seq.fill(6)(1L),
+      s"got ${seen.map(_._1)}")
+    assert(seen.flatMap(_._2).sorted == (1L to 6L))
+
+    // a generous cap drains the snapshot in one batch
+    seen.clear()
+    runOnce(TestSpark.tmpDir("mbt-c2"), Map("maxBytesPerTrigger" -> "1g"))
+    assert(seen.map(_._1).toSeq == Seq(6L), s"got ${seen.map(_._1)}")
+
+    // composed with maxFilesPerTrigger: the tighter budget wins
+    seen.clear()
+    runOnce(TestSpark.tmpDir("mbt-c3"),
+      Map("maxBytesPerTrigger" -> "1g", "maxFilesPerTrigger" -> "2"))
+    assert(seen.map(_._1).toSeq.filter(_ > 0) == Seq(2L, 2L, 2L),
+      s"got ${seen.map(_._1)}")
+  }
+
   test("maxFilesPerTrigger: restart mid-snapshot stays pinned and the " +
       "advancing table tails without duplicates") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
