@@ -215,6 +215,48 @@ object DeltaQueries {
         col("l_quantity"))
     }),
 
+    // mergeSchema writer option: narrow commit, then an evolved append
+    // carrying an extra column — old rows read it as NULL
+    "q_delta_merge_schema" -> ((s, d) => {
+      val dir = tmp("msch")
+      val src = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      val narrow = src.filter(col("l_quantity") < 5)
+        .drop("l_extendedprice")
+      DeltaTable.create(s, dir, narrow.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(narrow)
+      t.append(src.filter(col("l_quantity") >= 5 && col("l_quantity") < 8),
+        mergeSchema = true)
+      t.toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // optimized write + auto-compact across six appends: data exact
+    // through the dataChange=false rewrites, file count provably
+    // bounded (each partition stays under minNumFiles)
+    "q_delta_auto_compact" -> ((s, d) => {
+      val dir = tmp("ac")
+      val src = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"),
+        configuration = Map(
+          DeltaTable.OPTIMIZE_WRITE_KEY -> "true",
+          DeltaTable.AUTO_COMPACT_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      s.conf.set("spark.graft.autoCompact.minNumFiles", "3")
+      try (1 to 6).foreach(i =>
+        t.append(src.filter(col("l_linenumber") === i)))
+      finally s.conf.unset("spark.graft.autoCompact.minNumFiles")
+      val nParts = 3 // l_returnflag in {A, N, R}
+      val filesOk =
+        t.scan(None).collectAddFiles().size <= nParts * 2
+      t.toDF.agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_keys"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"))
+        .withColumn("files_bounded", lit(filesOk))
+    }),
+
     // CDF: two insert commits + a cdc-file delete commit, read [1,3]
     "q_delta_cdf" -> ((s, d) => {
       val dir = tmp("cdf")
@@ -606,6 +648,19 @@ object DeltaQueries {
         |       l_quantity
         |FROM lineitem WHERE l_quantity < 8
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_delta_merge_schema" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_quantity >= 5 THEN l_extendedprice END
+        |    AS l_extendedprice
+        |FROM lineitem WHERE l_quantity < 8
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_auto_compact" ->
+      """SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_keys,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  TRUE AS files_bounded
+        |FROM lineitem WHERE l_linenumber <= 6""".stripMargin,
 
     "q_delta_cdf" ->
       s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)
