@@ -69,8 +69,7 @@ case class Metadata(
     configuration: Map[String, String],
     createdTime: Option[Long]) {
 
-  def schema: StructType =
-    DataType.fromJson(schemaString).asInstanceOf[StructType]
+  def schema: StructType = GeoTypes.parseSchemaString(schemaString)
 }
 
 case class Protocol(

@@ -722,7 +722,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       require(snap0.partitionColumns.forall(df.schema.fieldNames.contains),
         s"overwriteSchema cannot drop partition columns " +
           snap0.partitionColumns.mkString("(", ",", ")"))
-      val meta = snap0.metadata.copy(schemaString = df.schema.json)
+      val meta = snap0.metadata.copy(
+        schemaString = GeoTypes.toSchemaString(df.schema))
       val lines = Seq(
         commitInfoLine("ALTER TABLE",
           Map("operation" -> "REPLACE SCHEMA"), ictFor(snap0)),
@@ -1336,7 +1337,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           (ColumnMapping.MAX_ID_KEY -> maxId.toString))
       }
     val meta = snap.metadata.copy(
-      schemaString = finalSchema.json, configuration = newConfig)
+      schemaString = GeoTypes.toSchemaString(finalSchema),
+      configuration = newConfig)
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map(
         "operation" -> "CHANGE SCHEMA",
@@ -2040,6 +2042,7 @@ object DeltaTable {
         case _ => false
       }
     val wantsVariant = hasVariant(finalSchema)
+    val wantsGeo = GeoTypes.containsGeo(finalSchema)
     // variantShredding (reference table_features/mod.rs:630-645,
     // ReaderWriter): files may store variant as
     // {metadata, value, typed_value} — opt-in via table property
@@ -2082,6 +2085,7 @@ object DeltaTable {
         Seq(Clustering.FEATURE, "domainMetadata") else Nil)
     val readerFeatureAdds =
       (if (wantsVariant) Seq("variantType") else Nil) ++
+      (if (wantsGeo) Seq(GeoTypes.FEATURE) else Nil) ++
       (if (wantsShredding) Seq("variantShredding") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
       // reader-writer features declared via delta.feature.<name> must
@@ -2089,14 +2093,14 @@ object DeltaTable {
       // would let legacy readers miss the checkpoint format)
       explicitFeatures.filter(TableFeatures.readerWriterFeatures.contains)
     val protocol =
-      if (featureAdds.nonEmpty || wantsVariant || wantsIct)
+      if (featureAdds.nonEmpty || wantsVariant || wantsGeo || wantsIct)
         TableFeatures.upgraded(legacy, readerFeatureAdds,
           featureAdds ++ readerFeatureAdds)
       else legacy
     val meta = graft.delta.Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
-      schemaString = finalSchema.json,
+      schemaString = GeoTypes.toSchemaString(finalSchema),
       partitionColumns = partitionColumns,
       configuration = finalConfig,
       createdTime = Some(System.currentTimeMillis()))

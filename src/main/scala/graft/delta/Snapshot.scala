@@ -666,12 +666,20 @@ object Snapshot {
         "vacuumProtocolCheck", "v2Checkpoint",
         "variantType", "variantType-preview",
         "variantShredding", "variantShredding-preview",
-        "typeWidening", "typeWidening-preview",
+        "typeWidening", "typeWidening-preview", GeoTypes.FEATURE,
         CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")
     }
+    // geo columns require the feature in BOTH lists (reference
+    // table_features/geospatial.rs validate_geospatial_feature_support)
+    if (GeoTypes.containsGeo(s.schema))
+      require(
+        p.readerFeatures.exists(_.contains(GeoTypes.FEATURE)) &&
+          p.writerFeatures.exists(_.contains(GeoTypes.FEATURE)),
+        "table contains geometry or geography columns but does not " +
+          s"declare the '${GeoTypes.FEATURE}' reader+writer feature")
     val cmMode = ColumnMapping.mode(m)
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported delta.columnMapping.mode '$cmMode'")

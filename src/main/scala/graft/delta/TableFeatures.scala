@@ -67,7 +67,7 @@ object TableFeatures {
     // IcebergCompat.validateV3 + materialized partition columns +
     // required numRecords stats in stageFiles
     "allowColumnDefaults", "icebergCompatV3",
-    "materializePartitionColumns")
+    "materializePartitionColumns", "geospatial")
 
   /** Reader-writer features: declaring one (e.g. via
     * `delta.feature.<name>=supported`) must land it in BOTH feature
@@ -80,7 +80,7 @@ object TableFeatures {
     "v2Checkpoint", "vacuumProtocolCheck",
     "variantType", "variantType-preview",
     "variantShredding", "variantShredding-preview",
-    "catalogManaged", "catalogOwned-preview")
+    "catalogManaged", "catalogOwned-preview", "geospatial")
 
   /** Writer-side gate (reference table_features write gates): every
     * declared writer feature must be implemented. Returns the features

@@ -1,0 +1,106 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Geospatial columns (reference kernel/src/schema/mod.rs:1867-1935,
+  * table_features/geospatial.rs): parameterized primitive spellings in
+  * schemaString, WKB-as-binary physical layout, and the dual-sided
+  * `geospatial` feature gate.
+  */
+class GeoTypesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("schemaString round-trip preserves the exact geo spellings") {
+    val s = """{"type":"struct","fields":[
+      {"name":"id","type":"long","nullable":true,"metadata":{}},
+      {"name":"geom","type":"geometry(EPSG:4326)","nullable":true,"metadata":{}},
+      {"name":"geog","type":"geography(OGC:CRS84, vincenty)","nullable":true,"metadata":{}}]}"""
+    val st = GeoTypes.parseSchemaString(s)
+    assert(st("geom").dataType == BinaryType)
+    assert(st("geog").dataType == BinaryType)
+    assert(st("geom").metadata.getString(GeoTypes.GEO_KEY) ==
+      "geometry(EPSG:4326)")
+    val back = GeoTypes.toSchemaString(st)
+    assert(back.contains("\"geometry(EPSG:4326)\""), back)
+    assert(back.contains("\"geography(OGC:CRS84, vincenty)\""), back)
+    assert(!back.contains(GeoTypes.GEO_KEY), back)
+  }
+
+  test("create + WKB round trip; feature lands in BOTH feature lists") {
+    val dir = TestSpark.tmpDir("geo")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      GeoTypes.geoField("g", "geometry(EPSG:4326)")))
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    val p = t.snapshot().protocol
+    assert(p.readerFeatures.get.contains(GeoTypes.FEATURE))
+    assert(p.writerFeatures.get.contains(GeoTypes.FEATURE))
+    assert(t.snapshot().metadata.schemaString
+      .contains("\"geometry(EPSG:4326)\""))
+
+    val wkb: Array[Byte] =
+      Array(0x01, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    t.append(Seq((1L, wkb), (2L, null)).toDF("id", "g"))
+    val rows = t.toDF.orderBy("id").collect()
+    assert(rows(0).getAs[Array[Byte]]("g").toSeq == wkb.toSeq)
+    assert(rows(1).isNullAt(1))
+    // the logical schema still carries the geo annotation after replay
+    assert(t.snapshot().schema("g").metadata.getString(GeoTypes.GEO_KEY) ==
+      "geometry(EPSG:4326)")
+  }
+
+  test("a geo table without the feature declared fails loudly") {
+    val dir = TestSpark.tmpDir("geo-nofeat")
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val geoSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"g\",""" +
+      """\"type\":\"geometry(EPSG:4326)\",\"nullable\":true,\"metadata\":{}}]}"""
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":[],"writerFeatures":[]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"$geoSchema",""" +
+        """"partitionColumns":[],"configuration":{},"createdTime":1}}""")
+    Files.write(log.resolve("00000000000000000000.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.forTable(spark, dir)
+    }
+    assert(e.getMessage.contains("geospatial"), e.getMessage)
+  }
+
+  test("invalid CRS and unknown algorithms are rejected") {
+    intercept[IllegalArgumentException] {
+      GeoTypes.geoField("g", "geometry(EPSG4326)")
+    }
+    intercept[IllegalArgumentException] {
+      GeoTypes.geoField("g", "geometry( EPSG:4326)")
+    }
+    intercept[IllegalArgumentException] {
+      GeoTypes.geoField("g", "geography(EPSG:4326, cubic)")
+    }
+    intercept[IllegalArgumentException] {
+      GeoTypes.geoField("g", "geography(EPSG:4326)")
+    }
+    GeoTypes.geoField("g", "geography(EPSG:4326, karney)") // fine
+  }
+
+  test("geo inside array/map element slots is rejected, not corrupted") {
+    val s = """{"type":"struct","fields":[
+      {"name":"gs","type":{"type":"array",
+        "elementType":"geometry(EPSG:4326)","containsNull":true},
+       "nullable":true,"metadata":{}}]}"""
+    val e = intercept[IllegalArgumentException] {
+      GeoTypes.parseSchemaString(s)
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+}
