@@ -433,19 +433,43 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * into ~`targetFileBytes`-sized files (small-file compaction — the
     * cure for streaming-ingest file explosions). dataChange=false.
     */
-  def optimizeCompact(targetFileBytes: Long = 128L << 20): Long = {
+  def optimizeCompact(targetFileBytes: Long = 128L << 20,
+      where: Option[String] = None): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val snap = snapshot()
     // a clustered table's staging already range-partitions on the
     // cluster key — adding a hash repartition first would just be a
     // wasted extra shuffle
-    if (Clustering.columns(snap).nonEmpty) return optimizeClustered()
-    val totalBytes = new DeltaScan(snap, None)
-      .collectAddFiles(slim = true).map(_.size).sum
+    if (Clustering.columns(snap).nonEmpty) {
+      require(where.isEmpty,
+        "OPTIMIZE WHERE on a clustered table is not supported — " +
+          "clustering rewrites the whole layout")
+      return optimizeClustered()
+    }
+    // OPTIMIZE WHERE: a partition predicate scopes the rewrite to
+    // matching partitions (delta-spark's contract — a non-partition
+    // predicate would force row-level reasoning OPTIMIZE cannot do)
+    where.foreach { w =>
+      val refs = spark.sessionState.sqlParser.parseExpression(w)
+        .references.map(_.name).toSet
+      val partCols = snap.partitionColumns.toSet
+      require(refs.nonEmpty && refs.subsetOf(partCols),
+        s"OPTIMIZE WHERE predicate may reference only partition " +
+          s"columns ${partCols.mkString("(", ",", ")")}, got '$w'")
+    }
+    val candidates = new DeltaScan(snap, where).collectAddFiles()
+    val totalBytes = candidates.map(_.size).sum
     val numFiles = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    optimizeRewrite(snap, df => df.repartition(numFiles),
-      Map("targetFileBytes" -> targetFileBytes.toString))
+    val partCols = snap.partitionColumns
+    val layout: DataFrame => DataFrame =
+      if (partCols.nonEmpty)
+        df => df.repartition(numFiles, partCols.map(c => col(s"`$c`")): _*)
+      else df => df.repartition(numFiles)
+    optimizeRewrite(snap, layout,
+      Map("targetFileBytes" -> targetFileBytes.toString) ++
+        where.map("where" -> _),
+      subset = where.map(_ => candidates))
   }
 
   /** Auto-compaction (delta.autoOptimize.autoCompact): after a

@@ -22,12 +22,15 @@ private[sql] object GraftProcedures {
   def load(name: String, resolve: String => String,
       spark: () => SparkSession): Option[UnboundProcedure] = name match {
     case "optimize" => Some(proc("optimize",
-      Seq(in("table", StringType), inDefault("zorder", BooleanType, "false")),
+      Seq(in("table", StringType), inDefault("zorder", BooleanType, "false"),
+        inDefault("where", StringType, "NULL")),
       new StructType().add("version", LongType)) { args =>
       val t = DeltaTable.forPath(spark(), resolve(args.getString(0)))
+      val where =
+        if (args.isNullAt(2)) None else Some(args.getString(2))
       val v = if (!args.isNullAt(1) && args.getBoolean(1))
         t.optimizeClustered()
-      else t.optimizeCompact()
+      else t.optimizeCompact(where = where)
       Seq(InternalRow(v))
     })
     case "auto_compact" => Some(proc("auto_compact",

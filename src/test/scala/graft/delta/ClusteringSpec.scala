@@ -107,6 +107,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(removedAt.version == v)
   }
 
+  test("OPTIMIZE WHERE compacts only matching partitions") {
+    val dir = TestSpark.tmpDir("optwhere")
+    val src = Seq((0L, "a")).toDF("k", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    (1 to 3).foreach { i =>
+      t.append(Seq((i.toLong, "a"), (i.toLong + 10, "b")).toDF("k", "p"))
+    }
+    def files(p: String) = t.scan(None).collectAddFiles()
+      .filter(_.partitionValues.get("p").contains(p))
+    assert(files("a").size == 3 && files("b").size == 3)
+    t.optimizeCompact(where = Some("p = 'a'"))
+    assert(files("a").size == 1, s"got ${files("a").size}")
+    assert(files("b").size == 3, "non-matching partition must be untouched")
+    assert(t.toDF.count() == 6)
+    // a non-partition predicate is rejected
+    intercept[IllegalArgumentException] {
+      t.optimizeCompact(where = Some("k > 1"))
+    }
+  }
+
   test("auto-compact: appends trigger partition-scoped bin-packing") {
     val dir = TestSpark.tmpDir("autocompact")
     val src0 = Seq((0L, "a")).toDF("k", "p")

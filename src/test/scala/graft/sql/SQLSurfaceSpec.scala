@@ -159,6 +159,14 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(acV.length == 1, "auto_compact should commit once")
     assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
       .as[Long].head() == 15L)
+
+    // optimize with a where predicate (unpartitioned table: the only
+    // legal predicates reference partition columns, so this rejects)
+    intercept[Exception] {
+      spark.sql(
+        "CALL gd.system.optimize('default.maint', where => 'k > 1')")
+        .collect()
+    }
   }
 
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
