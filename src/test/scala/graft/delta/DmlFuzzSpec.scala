@@ -52,8 +52,11 @@ class DmlFuzzSpec extends AnyFunSuite {
           val rows = (nextK until nextK + n)
             .map(k => (k, (k % 13).toDouble))
           nextK += n
-          val v = t.append(rows.toDF("k", "v").repartition(
-            1 + rnd.nextInt(3)))
+          val df0 = rows.toDF("k", "v").repartition(1 + rnd.nextInt(3))
+          // half the time, reorder columns and go through the
+          // mergeSchema path (no-op evolution + alignment projection)
+          val v = if (rnd.nextBoolean()) t.append(df0)
+            else t.append(df0.select($"v", $"k"), mergeSchema = true)
           model = model ++ rows
           record(v)
         case 3 => // rewrite delete
@@ -77,10 +80,15 @@ class DmlFuzzSpec extends AnyFunSuite {
           record(v)
         case 6 => // checkpoint (no data change)
           t.checkpoint(); history(version) = model
-        case 7 => // compaction / optimize (no data change)
-          if (rnd.nextBoolean() || version < 1) record(t.optimizeCompact())
-          else try { t.compactLog(math.max(1, version - 2), version); () }
-            catch { case _: IllegalStateException => () } // range exists
+        case 7 => // compaction / optimize / auto-compact (no data change)
+          rnd.nextInt(3) match {
+            case 0 => record(t.optimizeCompact())
+            case 1 => t.autoCompact(minNumFiles = 2).foreach(record)
+            case _ =>
+              if (version < 1) record(t.optimizeCompact())
+              else try { t.compactLog(math.max(1, version - 2), version); () }
+                catch { case _: IllegalStateException => () } // range exists
+          }
         case 8 => // restore to a random earlier version
           val targets = history.keys.filter(_ < version)
           if (targets.nonEmpty) {
