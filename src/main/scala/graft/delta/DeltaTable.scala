@@ -1731,6 +1731,64 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     committed
   }
 
+  /** SHALLOW CLONE: a new table at `targetPath` whose version-0 commit
+    * re-adds THIS snapshot's live files by absolute URI — zero bytes
+    * copied, reads served straight from the source's data files
+    * (delta-spark's CREATE TABLE ... SHALLOW CLONE; the protocol's
+    * absolute-path add form). Relative-UUID deletion vectors are
+    * re-addressed as absolute ('p') descriptors so they keep resolving
+    * from the clone. Protocol, schema, table configuration, and domain
+    * metadata (clustering, row-tracking marks) carry over; the clone
+    * then evolves independently — its DML lands under its own root,
+    * and vacuum only lists the clone's directory, so the source's
+    * files are structurally out of reach.
+    */
+  def cloneShallow(targetPath: String): Long = {
+    val snap = snapshot()
+    require(!DeltaTable.isDeltaTable(spark, targetPath),
+      s"clone target is already a delta table: $targetPath")
+    val srcRootQ = fs.makeQualified(root)
+    val srcUri = srcRootQ.toUri.toString.stripSuffix("/")
+    val adds = new DeltaScan(snap, None).collectAddFiles().map { a =>
+      val dv = a.deletionVector.map { d =>
+        d.storageType match {
+          case "u" =>
+            val rel = DeletionVectors.relativePath(
+              "u", d.pathOrInlineDv, "").get
+            d.copy(storageType = "p",
+              pathOrInlineDv = new Path(srcRootQ, rel).toString)
+          case _ => d
+        }
+      }
+      a.copy(path = srcUri + "/" + a.path, deletionVector = dv,
+        dataChange = true)
+    }
+    val targetRoot = new Path(targetPath)
+    val tfs = Storage.fs(targetRoot, spark.sessionState.newHadoopConf())
+    val ts = System.currentTimeMillis()
+    val ictOn = snap.metadata.configuration
+      .get(DeltaTable.ICT_ENABLED_KEY).exists(_.equalsIgnoreCase("true"))
+    val meta = snap.metadata.copy(id = UUID.randomUUID().toString,
+      createdTime = Some(ts))
+    val lines = Seq(
+      JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
+        ts, "CLONE",
+        Map("source" -> pathStr, "sourceVersion" -> snap.version.toString),
+        Some("graft-spark/0.1.0"),
+        inCommitTimestamp = if (ictOn) Some(ts) else None)))),
+      JsonLog.writeAction(SingleAction(protocol = Some(snap.protocol))),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta)))) ++
+      snap.domainMetadatas.filterNot(_.removed).map(d =>
+        JsonLog.writeAction(SingleAction(domainMetadata = Some(d)))) ++
+      adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    tfs.mkdirs(FileNames.logDir(targetRoot))
+    require(Storage.putIfAbsent(tfs,
+      FileNames.commitFile(FileNames.logDir(targetRoot), 0L),
+      lines.mkString("", "\n", "\n")),
+      s"clone target log already exists: $targetPath")
+    0L
+  }
+
   // ---------------- vacuum ----------------
 
   /** Delete data files no longer referenced by the current snapshot

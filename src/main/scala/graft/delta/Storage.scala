@@ -53,10 +53,21 @@ object Storage {
     * parses the child as a URI), but ':' is a legal filesystem char
     * that real timestamp-partitioned tables use in directory names.
     */
+  /** Resolve an action path against the table root. The protocol
+    * allows `path` to be an ABSOLUTE percent-encoded URI instead of a
+    * root-relative one (how shallow clones reference the source
+    * table's files) — those pass through instead of being glued under
+    * the root.
+    */
   def childPath(parent: Path, relativeDecoded: String): Path = {
     val u = parent.toUri
-    new Path(u.getScheme, u.getAuthority,
-      u.getPath.stripSuffix("/") + "/" + relativeDecoded)
+    if (relativeDecoded.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*"))
+      new Path(relativeDecoded) // absolute URI (e.g. a shallow clone)
+    else if (relativeDecoded.startsWith("/"))
+      new Path(u.getScheme, u.getAuthority, relativeDecoded)
+    else
+      new Path(u.getScheme, u.getAuthority,
+        u.getPath.stripSuffix("/") + "/" + relativeDecoded)
   }
 
   /** Decode a URI-encoded path (add/remove/cdc `path` fields are
