@@ -42,6 +42,13 @@ private[sql] object GraftProcedures {
         .autoCompact(minNumFiles = minN)
         .map(InternalRow(_)).toSeq
     })
+    case "clone" => Some(proc("clone",
+      Seq(in("table", StringType), in("target_path", StringType)),
+      new StructType().add("version", LongType)) { args =>
+      Seq(InternalRow(DeltaTable
+        .forPath(spark(), resolve(args.getString(0)))
+        .cloneShallow(args.getString(1))))
+    })
     case "vacuum" => Some(proc("vacuum",
       Seq(in("table", StringType), inDefault("dry_run", BooleanType, "false")),
       new StructType().add("path", StringType)) { args =>
@@ -68,7 +75,8 @@ private[sql] object GraftProcedures {
   }
 
   val names: Seq[String] =
-    Seq("optimize", "auto_compact", "vacuum", "checkpoint", "history")
+    Seq("optimize", "auto_compact", "clone", "vacuum", "checkpoint",
+      "history")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()

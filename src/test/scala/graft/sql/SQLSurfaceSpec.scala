@@ -167,6 +167,14 @@ class SQLSurfaceSpec extends AnyFunSuite {
         "CALL gd.system.optimize('default.maint', where => 'k > 1')")
         .collect()
     }
+
+    // shallow clone through SQL: zero-copy fork reads identically
+    val cloneDir = graft.TestSpark.tmpDir("sql-clone")
+    assert(spark.sql(
+      s"CALL gd.system.clone('default.maint', '$cloneDir')")
+      .as[Long].head() == 0L)
+    assert(graft.delta.DeltaTable.forPath(spark, cloneDir)
+      .toDF.count() == 5L)
   }
 
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
