@@ -149,7 +149,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
           lit(null).cast(MapType(StringType, StringType))))
     val out = df.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
     Metrics.report(MetricEvent.ScanFilesCollected(Metrics.newId(),
-      Metrics.now() - t0, out.size, predicateSql))
+      Metrics.now() - t0, out.size, predicateSql, slim))
     out
   }
 

@@ -47,7 +47,8 @@ object MetricEvent {
     * pruning + stats skipping for the scan's predicate.
     */
   case class ScanFilesCollected(operationId: String, durationNs: Long,
-      numFiles: Int, predicate: Option[String]) extends MetricEvent
+      numFiles: Int, predicate: Option[String],
+      slim: Boolean = false) extends MetricEvent
 
   /** A version checksum served the P&M fast path (reference events.rs
     * CrcReadSuccess).

@@ -121,7 +121,10 @@ class DeltaSource(
     scala.collection.mutable.Map.empty[Long, IndexedSeq[graft.delta.AddFile]]
   private def snapshotFilesAt(v: Long): IndexedSeq[graft.delta.AddFile] =
     snapFilesCache.getOrElseUpdate(v, {
-      new DeltaScan(snapAt(v), None).collectAddFiles()
+      // slim: admission needs only path+size, and the batch read re-derives
+      // everything else from the snapshot — collecting stats JSON + tags for
+      // 10⁷ files would put gigabytes on the driver for nothing.
+      new DeltaScan(snapAt(v), None).collectAddFiles(slim = true)
         .sortBy(_.path).toIndexedSeq
     })
 

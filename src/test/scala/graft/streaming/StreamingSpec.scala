@@ -554,6 +554,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(10L), s"got $batches")
   }
 
+  test("streaming never collects fat adds: every driver-side file " +
+      "collect on the stream path is slim (no stats/tags payloads)") {
+    val dir = TestSpark.tmpDir("stream-slim")
+    val ckpt = TestSpark.tmpDir("stream-slim-ckpt")
+    val src = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 10))  // pre-stream: initial snapshot path
+    t.append(src.filter($"k" > 10 && $"k" <= 20))
+    val reporter = new graft.delta.InMemoryReporter
+    val prev = graft.delta.Metrics.reporter
+    graft.delta.Metrics.reporter = reporter
+    try {
+      val total = new java.util.concurrent.atomic.AtomicLong(0)
+      def runOnce(): Unit = {
+        val q = spark.readStream
+          .format(classOf[DeltaSourceProvider].getName)
+          .option("path", dir)
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            total.addAndGet(df.count()); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      runOnce()                        // snapshot batch
+      t.append(src.filter($"k" > 20))  // tail batch on restart
+      runOnce()
+      assert(total.get() == 30L)
+      val collects = reporter.events.collect {
+        case e: graft.delta.MetricEvent.ScanFilesCollected => e
+      }
+      assert(collects.nonEmpty, "expected at least the snapshot collect")
+      val fat = collects.filterNot(_.slim)
+      assert(fat.isEmpty,
+        s"streaming path collected FAT adds (stats/tags on the driver): $fat")
+    } finally graft.delta.Metrics.reporter = prev
+  }
+
   test("startingVersion=latest skips pre-stream history; missing " +
       "commits fail instead of losing rows") {
     val dir = TestSpark.tmpDir("stream-latest")
