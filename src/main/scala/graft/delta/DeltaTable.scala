@@ -518,12 +518,21 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val on = metadata.configuration
       .get(DeltaTable.AUTO_COMPACT_KEY).exists(_.equalsIgnoreCase("true"))
     if (!on || RowTracking.enabled(metadata)) return
-    val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
-      .map(_.toInt).getOrElse(50)
-    val target = spark.conf
-      .getOption("spark.graft.autoCompact.targetFileBytes")
-      .map(_.toLong).getOrElse(128L << 20)
-    autoCompact(minN, target)
+    // best-effort (delta-spark semantics): the triggering write already
+    // committed, so losing the OPTIMIZE version race to a concurrent
+    // writer — or any IO error here — must not surface as a failed
+    // append (a caller retrying the "failed" append would duplicate data)
+    try {
+      val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
+        .map(_.toInt).getOrElse(50)
+      val target = spark.conf
+        .getOption("spark.graft.autoCompact.targetFileBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      autoCompact(minN, target)
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"auto-compact after commit failed (best-effort): $e")
+    }
   }
 
   private def optimizeRewrite(snap: Snapshot,
@@ -740,25 +749,26 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // annotation rules, so this routes schema replacement through a
     // metadata commit first (old readers of old versions are
     // unaffected; time travel still resolves their schema).
-    val snap = if (overwriteSchema && df.schema != snap0.schema) {
+    // schema replacement and data replacement must land in ONE commit:
+    // a separate metadata commit would durably pair the new schema with
+    // the old data files (time travel / a concurrent reader / a crash
+    // between the commits would read old parquet under a retyped
+    // schema). Stage against a synthetic snapshot carrying the new
+    // schema, then commit metaData + removes + adds together.
+    val replacing = overwriteSchema && df.schema != snap0.schema
+    val newMeta = if (replacing) {
       require(ColumnMapping.mode(snap0.metadata) == "none",
         "overwriteSchema on a column-mapped table is not supported")
       require(snap0.partitionColumns.forall(df.schema.fieldNames.contains),
         s"overwriteSchema cannot drop partition columns " +
           snap0.partitionColumns.mkString("(", ",", ")"))
-      val meta = snap0.metadata.copy(
-        schemaString = GeoTypes.toSchemaString(df.schema))
-      val lines = Seq(
-        commitInfoLine("ALTER TABLE",
-          Map("operation" -> "REPLACE SCHEMA"), ictFor(snap0)),
-        JsonLog.writeAction(SingleAction(metaData = Some(meta))))
-      val v = commitActions(snap0.version + 1, lines, retryable = false)
-      maybeWriteChecksum(v, Nil, Nil, newMeta = Some(meta))
-      snapshot()
-    } else snap0
-    writerGate(snap, mutating = true)
+      Some(snap0.metadata.copy(
+        schemaString = GeoTypes.toSchemaString(df.schema)))
+    } else None
+    val snap = newMeta.fold(snap0)(m =>
+      new Snapshot(spark, snap0.tableRoot, snap0.segment, snap0.protocol, m))
     enforceNoExtraColumns(df, snap)
-    val existing = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    val existing = new DeltaScan(snap0, None).collectAddFiles(slim = true)
     val staged = stageFiles(df, snap)
     val removes = existing.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = true,
@@ -767,13 +777,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         deletionVector = a.deletionVector)
     }
     val tail =
+      newMeta.map(m =>
+        JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       staged.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
-    val committed = commitActions(snap.version + 1,
+    val committed = commitActions(snap0.version + 1,
       cv => commitInfoLine("WRITE", Map("mode" -> "Overwrite"),
-        ictAt(snap, cv - 1)) +: tail,
+        ictAt(snap0, cv - 1)) +: tail,
       retryable = false, Nil)
-    maybeWriteChecksum(committed, staged.map(_.size), existing.map(_.size))
+    maybeWriteChecksum(committed, staged.map(_.size), existing.map(_.size),
+      newMeta = newMeta)
     committed
   }
 
@@ -1328,16 +1341,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     writerGate(snap, mutating = false)
     SchemaEvolution.validate(snap.schema, newSchema).foreach(msg =>
       throw new IllegalArgumentException(s"illegal schema evolution: $msg"))
-    // widening a column requires the typeWidening table feature
     val schemaDiff = SchemaEvolution.diff(snap.schema, newSchema)
     val widens = schemaDiff.changed.nonEmpty
-    val protoLine =
-      if (widens && !snap.protocol.writerFeatures
-          .exists(_.contains("typeWidening")))
-        Seq(JsonLog.writeAction(SingleAction(protocol = Some(
-          TableFeatures.upgraded(snap.protocol,
-            Seq("typeWidening"), Seq("typeWidening"))))))
-      else Nil
     val cmMode = ColumnMapping.mode(snap.metadata)
     // preserve column-mapping annotations on surviving fields; assign
     // fresh physical names/ids to added ones
@@ -1363,6 +1368,20 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val meta = snap.metadata.copy(
       schemaString = GeoTypes.toSchemaString(finalSchema),
       configuration = newConfig)
+    // widening requires typeWidening; a geo column arriving via evolution
+    // (e.g. a mergeSchema append of a field read from another geo table)
+    // requires 'geospatial' in BOTH feature lists — committing the schema
+    // without it would leave every later snapshot load failing validation
+    val featureAdds =
+      (if (widens && !snap.protocol.writerFeatures
+          .exists(_.contains("typeWidening"))) Seq("typeWidening") else Nil) ++
+      (if (GeoTypes.containsGeo(finalSchema) &&
+          !snap.protocol.readerFeatures.exists(_.contains(GeoTypes.FEATURE)))
+        Seq(GeoTypes.FEATURE) else Nil)
+    val newProto = if (featureAdds.isEmpty) None
+      else Some(TableFeatures.upgraded(snap.protocol, featureAdds, featureAdds))
+    val protoLine = newProto.map(p =>
+      JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map(
         "operation" -> "CHANGE SCHEMA",
@@ -1372,10 +1391,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta),
-      newProto = if (widens)
-        Some(TableFeatures.upgraded(snap.protocol,
-          Seq("typeWidening"), Seq("typeWidening")))
-      else None)
+      newProto = newProto)
     committed
   }
 
@@ -1757,11 +1773,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
               "u", d.pathOrInlineDv, "").get
             d.copy(storageType = "p",
               pathOrInlineDv = new Path(srcRootQ, rel).toString)
-          case _ => d
+          case _ => d // "p" is already absolute; "i" is inline bytes
         }
       }
-      a.copy(path = srcUri + "/" + a.path, deletionVector = dv,
-        dataChange = true)
+      // a source that is ITSELF a shallow clone already carries
+      // absolute-URI paths — prefixing those again would produce an
+      // unreadable 'file:/tgt/file:/orig/...' second-generation clone
+      val abs = if (Storage.isAbsoluteUri(Storage.decodeUriPath(a.path)))
+        a.path else srcUri + "/" + a.path
+      a.copy(path = abs, deletionVector = dv, dataChange = true)
     }
     val targetRoot = new Path(targetPath)
     val tfs = Storage.fs(targetRoot, spark.sessionState.newHadoopConf())

@@ -48,20 +48,40 @@ object Storage {
     finally in.close()
   }
 
-  /** Resolve a DECODED relative path against a parent without URI
-    * parsing — `new Path(parent, child)` rejects ':' in the child (it
-    * parses the child as a URI), but ':' is a legal filesystem char
-    * that real timestamp-partitioned tables use in directory names.
+  /** Filesystem schemes an absolute action path can plausibly carry
+    * (what cloneShallow and other writers actually emit). A bare
+    * `scheme:rest` with an unknown "scheme" is treated as a RELATIVE
+    * path instead: ':' is a legal filesystem char that real
+    * timestamp-partitioned tables use in directory names (`ts:2024/...`
+    * must resolve under the table root, not as a URI).
     */
-  /** Resolve an action path against the table root. The protocol
-    * allows `path` to be an ABSOLUTE percent-encoded URI instead of a
-    * root-relative one (how shallow clones reference the source
-    * table's files) — those pass through instead of being glued under
-    * the root.
+  private val KNOWN_SCHEMES = Set("file", "hdfs", "viewfs", "webhdfs",
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "o3fs", "ofs", "swift")
+
+  /** Whether an action path is an absolute URI: an explicit authority
+    * (`scheme://...`) always qualifies; without one (`file:/p` — how
+    * Hadoop renders authority-less local URIs) only a known filesystem
+    * scheme does.
+    */
+  def isAbsoluteUri(p: String): Boolean = {
+    val i = p.indexOf(':')
+    i > 0 && p.substring(0, i).matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*$") && {
+      p.regionMatches(i + 1, "//", 0, 2) ||
+        KNOWN_SCHEMES.contains(p.substring(0, i).toLowerCase)
+    }
+  }
+
+  /** Resolve a DECODED action path against the table root without URI
+    * parsing — `new Path(parent, child)` rejects ':' in the child (it
+    * parses the child as a URI). The protocol allows `path` to be an
+    * ABSOLUTE percent-encoded URI instead of a root-relative one (how
+    * shallow clones reference the source table's files) — those pass
+    * through instead of being glued under the root.
     */
   def childPath(parent: Path, relativeDecoded: String): Path = {
     val u = parent.toUri
-    if (relativeDecoded.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*"))
+    if (isAbsoluteUri(relativeDecoded))
       new Path(relativeDecoded) // absolute URI (e.g. a shallow clone)
     else if (relativeDecoded.startsWith("/"))
       new Path(u.getScheme, u.getAuthority, relativeDecoded)

@@ -150,13 +150,17 @@ class AlterTableSpec extends AnyFunSuite {
     assert(t.toDF.columns.toSeq == Seq("k", "s", "x"))
     assert(t.toDF.count() == 2)
     // overwriteSchema: schema REPLACED (s dropped, v introduced)
+    val vBefore = t.snapshot().version
     Seq((9L, 42L)).toDF("k", "v").write.format("graft-delta")
       .mode("overwrite").option("overwriteSchema", "true").save(dir)
     assert(t.toDF.columns.toSeq == Seq("k", "v"))
     assert(t.toDF.as[(Long, Long)].collect().toSeq == Seq((9L, 42L)))
-    // time travel still reads the OLD schema at the old version
-    val old = DeltaTable.forPath(spark, dir)
-      .snapshot(Some(t.snapshot().version - 2))
+    // schema replacement and data replacement land in ONE commit — no
+    // intermediate version durably pairs the new schema with old files
+    assert(t.snapshot().version == vBefore + 1)
+    // time travel still reads the OLD schema over the OLD data
+    val old = DeltaTable.forPath(spark, dir).snapshot(Some(vBefore))
     assert(old.schema.fieldNames.toSeq == Seq("k", "s", "x"))
+    assert(new DeltaScan(old, None).toDF.count() == 2)
   }
 }

@@ -63,4 +63,32 @@ class CloneSpec extends AnyFunSuite {
     // cloning onto an existing table fails loudly
     intercept[IllegalArgumentException] { t.cloneShallow(tgt) }
   }
+
+  test("clone of a clone: absolute paths pass through un-prefixed") {
+    val src = TestSpark.tmpDir("clone3-src")
+    val data = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, src, data.schema)
+    val t = DeltaTable.forPath(spark, src)
+    t.append(data)
+    t.deleteWhereDV("k % 9 = 0")
+    val expect = t.toDF.select($"k").as[Long].collect().sorted.toSeq
+
+    val gen1 = TestSpark.tmpDir("clone3-g1")
+    t.cloneShallow(gen1)
+    val c1 = DeltaTable.forPath(spark, gen1)
+    c1.append(Seq((9999L, "new")).toDF("k", "s")) // gen1-local file
+    // second generation: gen0 files stay addressed at gen0 (no
+    // 'file:/g2/file:/src/...' double prefix), gen1's own file at gen1
+    val gen2 = TestSpark.tmpDir("clone3-g2")
+    c1.cloneShallow(gen2)
+    val c2 = DeltaTable.forPath(spark, gen2)
+    assert(c2.toDF.select($"k").as[Long].collect().sorted.toSeq ==
+      (expect :+ 9999L).sorted)
+    val paths = c2.scan(None).collectAddFiles(slim = true).map(_.path)
+    assert(paths.forall(p => Storage.isAbsoluteUri(Storage.decodeUriPath(p))),
+      paths.take(3).toString)
+    assert(paths.forall(p => !p.drop(6).contains("file:")),
+      s"double-prefixed path in second-generation clone: " +
+        paths.filter(_.drop(6).contains("file:")).take(3))
+  }
 }

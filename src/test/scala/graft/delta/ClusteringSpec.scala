@@ -159,6 +159,24 @@ class ClusteringSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
   }
 
+  test("auto-compact is best-effort: a failure after the append " +
+      "committed never fails the append") {
+    val dir = TestSpark.tmpDir("autocompact-err")
+    val src0 = Seq((0L, "a")).toDF("k", "p")
+    DeltaTable.create(spark, dir, src0.schema,
+      configuration = Map(DeltaTable.AUTO_COMPACT_KEY -> "true"))
+    // a hostile conf makes the compaction step itself throw — the
+    // already-committed append must still succeed (a caller retrying a
+    // "failed" append would duplicate data)
+    spark.conf.set("spark.graft.autoCompact.minNumFiles", "not-a-number")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      (1 to 3).foreach(i => t.append(Seq((i.toLong, "a")).toDF("k", "p")))
+      assert(t.toDF.count() == 3)
+      assert(t.snapshot().version == 3L)
+    } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
+  }
+
   test("clustering column validation") {
     val schema = Seq((1L, "a")).toDF("k", "s").schema
     intercept[IllegalArgumentException] {

@@ -57,6 +57,28 @@ class GeoTypesSpec extends AnyFunSuite {
       "geometry(EPSG:4326)")
   }
 
+  test("schema evolution introducing a geo column upgrades the " +
+      "protocol in the same commit — table stays readable") {
+    val dir = TestSpark.tmpDir("geo-evolve")
+    val base = Seq((1L, "a")).toDF("id", "s")
+    DeltaTable.create(spark, dir, base.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(base)
+    assert(!t.snapshot().protocol.readerFeatures
+      .exists(_.contains(GeoTypes.FEATURE)))
+    // evolution (the mergeSchema-append path routes through alterSchema)
+    t.alterSchema(StructType(t.snapshot().schema.fields :+
+      GeoTypes.geoField("g", "geometry(EPSG:4326)")))
+    // without the protocol upgrade every subsequent snapshot load would
+    // throw geo-feature validation — the table would be bricked
+    val snap = Snapshot.forTable(spark, dir)
+    assert(snap.protocol.readerFeatures.get.contains(GeoTypes.FEATURE))
+    assert(snap.protocol.writerFeatures.get.contains(GeoTypes.FEATURE))
+    assert(snap.schema("g").metadata.getString(GeoTypes.GEO_KEY) ==
+      "geometry(EPSG:4326)")
+    assert(t.toDF.count() == 1) // old rows read NULL under the new column
+  }
+
   test("a geo table without the feature declared fails loudly") {
     val dir = TestSpark.tmpDir("geo-nofeat")
     val log = Paths.get(dir, "_delta_log")

@@ -39,6 +39,46 @@ class JsonLogSpec extends AnyFunSuite {
   }
 }
 
+class StoragePathSpec extends AnyFunSuite {
+  private val root = new org.apache.hadoop.fs.Path("file:/tbl")
+
+  test("childPath: ':' in a directory name resolves under the root, " +
+      "not as a URI scheme") {
+    // the ':'-in-directory-name hazard: 'ts:2024' is NOT a scheme
+    assert(Storage.childPath(root, "ts:2024/part-0.parquet").toString ==
+      "file:/tbl/ts:2024/part-0.parquet")
+    assert(Storage.childPath(root, "time:12:30/f.parquet").toString ==
+      "file:/tbl/time:12:30/f.parquet")
+    // plain relative + rooted-relative forms
+    assert(Storage.childPath(root, "p=1/f.parquet").toString ==
+      "file:/tbl/p=1/f.parquet")
+    assert(Storage.childPath(root, "/abs/f.parquet").toString ==
+      "file:/abs/f.parquet")
+  }
+
+  test("childPath: genuine absolute URIs pass through") {
+    assert(Storage.childPath(root, "file:/other/f.parquet").toString ==
+      "file:/other/f.parquet")
+    assert(Storage.childPath(root, "s3a://bucket/k/f.parquet").toString ==
+      "s3a://bucket/k/f.parquet")
+    assert(Storage.childPath(root, "hdfs://nn:8020/d/f.parquet").toString ==
+      "hdfs://nn:8020/d/f.parquet")
+    // an unknown scheme WITH an authority is still a URI
+    assert(Storage.childPath(root, "weird://h/f.parquet").toString ==
+      "weird://h/f.parquet")
+  }
+
+  test("isAbsoluteUri classification") {
+    assert(Storage.isAbsoluteUri("file:/x"))
+    assert(Storage.isAbsoluteUri("s3://b/k"))
+    assert(Storage.isAbsoluteUri("abfss://c@a.dfs.core.windows.net/p"))
+    assert(!Storage.isAbsoluteUri("ts:2024/f"))
+    assert(!Storage.isAbsoluteUri("p=1/f.parquet"))
+    assert(!Storage.isAbsoluteUri("/rooted/f.parquet"))
+    assert(!Storage.isAbsoluteUri(":broken"))
+  }
+}
+
 class PartitionValuesSpec extends AnyFunSuite {
   test("serialize/parse round trips") {
     assert(PartitionValues.serialize(42, IntegerType) == "42")
