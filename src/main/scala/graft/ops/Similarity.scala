@@ -111,6 +111,13 @@ object Similarity {
     * `partitions × numCentroids` partial sums — the n×d data never
     * shuffles and nothing quadratic materializes, so training cost is
     * `iterations` linear passes regardless of scale.
+    *
+    * Every iteration's centroid means are quantized to 9 decimal places
+    * (ties away from zero, DuckDB `round` semantics) so the trained
+    * centroids are ENGINE-REPRODUCIBLE: float summation order — Spark's
+    * partition-merge order vs any other engine's — perturbs a mean only
+    * below 1e-12, so the quantized value is identical and the next
+    * iteration starts from bit-equal centroids everywhere.
     */
   def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, iterations: Int): Array[(Long, Array[Double])] = {
@@ -149,7 +156,8 @@ object Similarity {
       cents = cents.map { case (cid, cv, cn) =>
         partials.get(cid) match {
           case Some((sum, n)) if n > 0 =>
-            val mean = sum.map(_ / n)
+            val mean = sum.map(s => BigDecimal(s / n)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
             (cid, mean, norm(mean))
           case _ => (cid, cv, cn) // empty cell keeps its centroid
         }

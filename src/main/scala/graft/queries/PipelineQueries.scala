@@ -313,10 +313,10 @@ object PipelineQueries {
     }),
 
     // trained + PERSISTED quantizer: spherical k-means centroids live
-    // in a Delta table (train once, search many). No SQL oracle —
-    // k-means means are float-summation-order sensitive across engines
-    // — so the driver records rows-only; SimilaritySpec asserts recall
-    // vs brute force and reload determinism.
+    // in a Delta table (train once, search many). Training quantizes
+    // each iteration's centroid means to 9 decimals, which makes the
+    // trained quantizer engine-reproducible — the DuckDB oracle mirrors
+    // the full 3-iteration Lloyd loop and hash-matches exactly.
     "q_knn_ivf_trained" -> ((s, d) => {
       val centDir = java.nio.file.Files.createTempDirectory("ivfcent")
         .toString
@@ -479,6 +479,34 @@ object PipelineQueries {
   private val minhashAggsDuck = minhashParams.zipWithIndex.map {
     case ((a, b), j) => s"min((h * $a + $b) % $P) AS mh$j"
   }.mkString(", ")
+
+  /** One Lloyd iteration of the spherical k-means mirror: assign every
+    * vector to its max-cosine centroid (ties to the lowest cid — the
+    * Spark side's strict `>` scan in ascending cid order), recompute
+    * per-cell element-wise means quantized to 9 decimals (the same
+    * quantization `Similarity.trainCentroids` applies, which is what
+    * makes the trained centroids engine-reproducible), empty cells keep
+    * their previous centroid.
+    */
+  private def lloydIterDuck(i: Int): String = {
+    val p = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT e.vec_id, c.cid AS cell, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $p c) WHERE rn = 1),
+       |m$i AS (
+       |  SELECT cell, list(m ORDER BY idx) AS cv FROM (
+       |    SELECT cell, idx, round(sum(x) / count(*), 9) AS m
+       |    FROM (SELECT cell, unnest(v) AS x,
+       |            unnest(range(1, len(v) + 1)) AS idx FROM a$i)
+       |    GROUP BY cell, idx)
+       |  GROUP BY cell),
+       |c$i AS (
+       |  SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+       |  FROM $p p LEFT JOIN m$i m ON m.cell = p.cid)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -650,6 +678,39 @@ object PipelineQueries {
         |      ORDER BY sim DESC, nid) AS rk
         |  FROM cand) WHERE rk <= 5
         |ORDER BY qid, nid""".stripMargin,
+
+    "q_knn_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |${lloydIterDuck(1)},
+         |${lloydIterDuck(2)},
+         |${lloydIterDuck(3)},
+         |asg AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c3 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT q.qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+         |    FROM q CROSS JOIN c3 c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |         list_cosine_similarity(q.qv, e.v) AS sim
+         |  FROM pr JOIN asg ON pr.cell = asg.cell
+         |       JOIN q ON q.qid = pr.qid
+         |       JOIN e ON e.vec_id = asg.vec_id
+         |  WHERE e.vec_id <> q.qid)
+         |SELECT qid, nid, round(sim, 6) AS sim FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid) AS rk
+         |  FROM cand) WHERE rk <= 5
+         |ORDER BY qid, nid""".stripMargin,
 
     "q_multimodal_decode" ->
       """SELECT doc_id, 'text/plain' AS mime, strlen(text) AS n_bytes,
