@@ -216,6 +216,69 @@ object TableChanges {
     }
   }
 
+  /** One commit's CDF rows restricted to its change files `[from,
+    * until)` — the streaming source's intra-version admission unit, so
+    * a single huge cdc commit can arrive as several bounded microbatches
+    * instead of one (reference analog: file-granular incremental scan,
+    * kernel/src/incremental_scan/mod.rs:26-60).
+    *
+    * Only SLICEABLE commits may be sliced: those whose change content
+    * is cdc files (they supersede add/remove and each file's rows are
+    * independent), or pure appends (data-changing adds, no data-changing
+    * removes). A rewrite/DV-swap commit pairs adds with removes at
+    * bitmap level — not file-separable — and must stream atomically;
+    * calling this on one throws rather than mis-slicing.
+    */
+  def readVersionSlice(spark: SparkSession, tablePath: String,
+      version: Long, from: Int, until: Int): DataFrame = {
+    require(from >= 0 && from < until, s"empty slice [$from, $until)")
+    val snap = Snapshot.forTable(spark, tablePath, Some(version))
+    require(cdfEnabled(snap.metadata),
+      s"change data feed is not enabled at version $version")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = snap.tableRoot
+    val fs = Storage.fs(root, conf)
+    val cf = FileNames.commitFile(FileNames.logDir(root), version)
+    val st = fs.getFileStatus(cf)
+    val lines = Storage.readLines(fs, cf).filter(_.nonEmpty)
+      .map(JsonLog.parseLine)
+    val ict = lines.iterator.flatMap { n =>
+      Option(n.get("commitInfo")).filterNot(_.isNull)
+        .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+          .filterNot(_.isNull).map(_.asLong))
+    }.nextOption()
+    val tsCol = lit(new java.sql.Timestamp(
+      ict.getOrElse(st.getModificationTime)))
+    val scan = new DeltaScan(snap, None)
+    def stamp(df: DataFrame): DataFrame = df
+      .withColumn(COMMIT_VERSION, lit(version))
+      .withColumn(COMMIT_TIMESTAMP, tsCol)
+
+    val cdcs = lines.flatMap(n => Option(n.get("cdc")).filterNot(_.isNull))
+      .map(RowCodec.jsonToCdc)
+    val body = if (cdcs.nonEmpty) {
+      val asAdds = cdcs.slice(from, until).map(c => AddFile(c.path,
+        c.partitionValues, c.size, 0L, dataChange = false))
+      stamp(scan.assemble(asAdds, keepMeta = false,
+        extraPhysical = Seq(StructField(CHANGE_TYPE, StringType))))
+    } else {
+      val adds = lines.flatMap(n =>
+          Option(n.get("add")).filterNot(_.isNull)).map(RowCodec.jsonToAdd)
+        .filter(_.dataChange)
+      val removes = lines.flatMap(n =>
+          Option(n.get("remove")).filterNot(_.isNull))
+        .map(RowCodec.jsonToRemove).filter(_.dataChange)
+      require(removes.isEmpty,
+        s"commit $version rewrites or deletes data files without cdc " +
+          "files — it is not file-sliceable and must stream atomically")
+      stamp(scan.assemble(adds.slice(from, until), keepMeta = false)
+        .withColumn(CHANGE_TYPE, lit("insert")))
+    }
+    val outCols = snap.schema.fieldNames.toSeq ++
+      Seq(CHANGE_TYPE, COMMIT_VERSION, COMMIT_TIMESTAMP)
+    body.select(outCols.map(ColumnMapping.qcol): _*)
+  }
+
   private def removeAsAdd(r: RemoveFile): AddFile = AddFile(
     path = r.path,
     partitionValues = r.partitionValues.getOrElse(Map.empty),

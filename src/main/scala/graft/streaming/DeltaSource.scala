@@ -43,16 +43,17 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *    (and within the initial snapshot) via (version, fileIndex)
   *    offsets, delta-spark's DeltaSourceOffset design. At 100 TB the
   *    initial snapshot is millions of files — it must stream as many
-  *    bounded batches, not one. In readChangeFeed mode the cap packs
-  *    WHOLE versions by their change-file count (at least one per
-  *    batch), and file-slices the initial snapshot's insert rows
+  *    bounded batches, not one. In readChangeFeed mode the cap
+  *    file-slices WITHIN sliceable versions too (cdc commits and pure
+  *    appends; a rewrite's add/remove DV pairing is not file-separable,
+  *    so those versions stay atomic, at least one per batch)
   *  - `maxBytesPerTrigger` (default unbounded): soft byte cap per
   *    microbatch — files are admitted until their cumulative size
   *    reaches the cap, always at least one (so a file larger than the
   *    cap still streams instead of stalling). Accepts byte strings
   *    ("512m", "10g"). Composes with maxFilesPerTrigger: a batch ends
-  *    at whichever budget runs out first. Not applied in
-  *    readChangeFeed mode (CDF batches pack whole versions by count)
+  *    at whichever budget runs out first. Applies in readChangeFeed
+  *    mode with the same sliceable/atomic boundary as maxFilesPerTrigger
   *  - `ignoreDeletes` (default false): tolerate commits that ONLY drop
   *    whole files (remove actions with no accompanying adds — e.g. a
   *    partition delete). A commit that both removes and adds data files
@@ -209,26 +210,36 @@ class DeltaSource(
       }
   }
 
-  /** How many change files commit `v` contributes to a CDF batch —
-    * cdc files when the commit wrote them, else its data-changing
-    * add/remove files. Used only to PACK whole versions under
-    * `maxFilesPerTrigger`; CDF batches stay version-granular.
+  /** CDF admission info for commit `v`: the ordered change-file SIZES
+    * (cdc files when the commit wrote them, else its data-changing
+    * add/remove files, in commit-file order — the same order
+    * `TableChanges.readVersionSlice` slices by) and whether the version
+    * is file-SLICEABLE across batches. cdc commits and pure appends
+    * slice cleanly (each file's change rows are independent); a
+    * rewrite/DV-swap commit without cdc files pairs adds with removes
+    * at bitmap level and must stream atomically.
     */
-  private val cdfCountCache =
-    scala.collection.mutable.Map.empty[Long, Long]
-  private def cdfFileCount(v: Long): Long =
-    cdfCountCache.getOrElseUpdate(v, {
-      if (cdfCountCache.size > 4096) cdfCountCache.clear() // bounded
+  private val cdfInfoCache =
+    scala.collection.mutable.Map.empty[Long, (IndexedSeq[Long], Boolean)]
+  private def cdfInfo(v: Long): (IndexedSeq[Long], Boolean) =
+    cdfInfoCache.getOrElseUpdate(v, {
+      if (cdfInfoCache.size > 4096) cdfInfoCache.clear() // bounded
       val lines = commitLines(v)
-      val cdc = lines.count(n =>
-        Option(n.get("cdc")).exists(!_.isNull))
-      if (cdc > 0) cdc.toLong
-      else lines.count { n =>
-        def changed(field: String): Boolean =
-          Option(n.get(field)).filterNot(_.isNull)
-            .exists(a => !a.has("dataChange") || a.get("dataChange").asBoolean(true))
-        changed("add") || changed("remove")
-      }.toLong
+      def acts(field: String) = lines
+        .flatMap(n => Option(n.get(field)).filterNot(_.isNull))
+        .filter(a =>
+          !a.has("dataChange") || a.get("dataChange").asBoolean(true))
+      val cdcs = lines.flatMap(n =>
+        Option(n.get("cdc")).filterNot(_.isNull))
+      def sizeOf(a: com.fasterxml.jackson.databind.JsonNode): Long =
+        Option(a.get("size")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+      if (cdcs.nonEmpty) (cdcs.map(sizeOf).toIndexedSeq, true)
+      else {
+        val adds = acts("add")
+        val removes = acts("remove")
+        if (removes.isEmpty) (adds.map(sizeOf).toIndexedSeq, true)
+        else ((adds ++ removes).map(sizeOf).toIndexedSeq, false)
+      }
     })
 
   // ------------------------------------------------------------------
@@ -239,17 +250,18 @@ class DeltaSource(
   // table advanced in between.
   // ------------------------------------------------------------------
 
-  /** Admit files from `files(from..)` under a file-count budget and a
-    * SOFT byte budget: take while cumulative bytes stay below the cap,
-    * always at least one file when any budget remains (a file larger
-    * than the byte cap must stream, not stall). Returns (count, bytes).
+  /** Admit files (by size) from `sizes(from..)` under a file-count
+    * budget and a SOFT byte budget: take while cumulative bytes stay
+    * below the cap, always at least one file when any budget remains (a
+    * file larger than the byte cap must stream, not stall). Returns
+    * (count, bytes).
     */
-  private def admit(files: IndexedSeq[graft.delta.AddFile], from: Long,
+  private def admit(sizes: IndexedSeq[Long], from: Long,
       fileCap: Long, byteCap: Long): (Long, Long) = {
     var take = 0L
     var bytes = 0L
-    while (from + take < files.size && take < fileCap && bytes < byteCap) {
-      bytes += files((from + take).toInt).size
+    while (from + take < sizes.size && take < fileCap && bytes < byteCap) {
+      bytes += sizes((from + take).toInt)
       take += 1
     }
     (take, bytes)
@@ -278,7 +290,8 @@ class DeltaSource(
     snapPos.foreach { case (sv, from) =>
       val files = snapshotFilesAt(sv)
       val n = files.size.toLong
-      val covered = math.min(n, from + admit(files, from, fileCap, byteCap)._1)
+      val covered = math.min(n,
+        from + admit(files.map(_.size), from, fileCap, byteCap)._1)
       return Some(
         if (covered >= n) DeltaSourceOffset(sv, isInitialSnapshot = true)
         else DeltaSourceOffset(sv, isInitialSnapshot = true,
@@ -299,11 +312,13 @@ class DeltaSource(
     var advanced = false
     var end: DeltaSourceOffset = null
 
-    // phase 2: finish a partially streamed tail version first
+    // phase 2: finish a partially streamed tail version first (in CDF
+    // mode a partial position exists only on sliceable versions)
     if (partial >= 0) {
-      val files = tailAdds(v)
-      val n = files.size.toLong
-      val (take, bytes) = admit(files, partial, fBudget, bBudget)
+      val sizes =
+        if (readChangeFeed) cdfInfo(v)._1 else tailAdds(v).map(_.size)
+      val n = sizes.size.toLong
+      val (take, bytes) = admit(sizes, partial, fBudget, bBudget)
       if (take > 0) {
         advanced = true; fBudget -= take
         bBudget = math.max(0L, bBudget - bytes)
@@ -320,20 +335,39 @@ class DeltaSource(
     while (fBudget > 0 && bBudget > 0 && vBudget > 0 && v < hi) {
       val next = v + 1
       if (readChangeFeed) {
-        // version-granular: pack whole versions by change-file count,
-        // but always take at least one version per batch
-        val n = cdfFileCount(next)
-        if (n <= fBudget || !advanced) {
-          v = next
-          fBudget -= math.min(n, fBudget)
-          end = DeltaSourceOffset(v, isInitialSnapshot = false)
+        val (sizes, sliceable) = cdfInfo(next)
+        val n = sizes.size.toLong
+        if (!sliceable) {
+          // atomic version (rewrite/DV swap without cdc): admit whole
+          // when both budgets fit, and always at least one per batch
+          if ((n <= fBudget && sizes.sum <= bBudget) || !advanced) {
+            v = next
+            fBudget -= math.min(n, fBudget)
+            bBudget = math.max(0L, bBudget - sizes.sum)
+            end = DeltaSourceOffset(v, isInitialSnapshot = false)
+            advanced = true
+            vBudget -= 1
+          } else fBudget = 0
+        } else {
+          // file-granular: slice WITHIN the version via (version, index)
+          // offsets, so one huge cdc commit streams as bounded batches
+          val (take, bytes) = admit(sizes, 0, fBudget, bBudget)
+          if (take >= n) { // empty commit or whole version fits
+            v = next; fBudget -= n
+            bBudget = math.max(0L, bBudget - bytes)
+            end = DeltaSourceOffset(v, isInitialSnapshot = false)
+          } else {
+            end = DeltaSourceOffset(next, isInitialSnapshot = false,
+              index = take - 1)
+            fBudget = 0
+          }
           advanced = true
           vBudget -= 1
-        } else fBudget = 0
+        }
       } else {
         val files = tailAdds(next)
         val n = files.size.toLong
-        val (take, bytes) = admit(files, 0, fBudget, bBudget)
+        val (take, bytes) = admit(files.map(_.size), 0, fBudget, bBudget)
         if (take >= n) { // empty commit or whole version fits
           v = next; fBudget -= n
           bBudget = math.max(0L, bBudget - bytes)
@@ -492,7 +526,10 @@ class DeltaSource(
   }
 
   /** CDF batch content for (start, end]: a file slice of the pinned
-    * snapshot rendered as insert rows, or a whole-version change range.
+    * snapshot rendered as insert rows, or a change range composed of an
+    * optional partial-version head (finishing the start offset's
+    * sliced version), a whole-version middle, and an optional
+    * partial-version tail (the end offset's in-progress slice).
     */
   private def cdfBatch(startOff: Option[DeltaSourceOffset],
       endOff: DeltaSourceOffset): DataFrame = {
@@ -501,15 +538,33 @@ class DeltaSource(
       val slice = snapshotSlice(sv, startOff, endOff.index)
       return DeltaSource.filesAsInserts(spark, snapAt(sv), slice)
     }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val lo = startOff match {
+      case Some(o) if !o.isInitialSnapshot && o.index >= 0 =>
+        // head: the rest of the partially streamed version (bounded by
+        // the end offset when it sits in the SAME version)
+        val until =
+          if (endOff.version == o.version && endOff.index >= 0)
+            endOff.index.toInt + 1
+          else cdfInfo(o.version)._1.size
+        if (o.index + 1 < until)
+          parts += TableChanges.readVersionSlice(spark, tablePath,
+            o.version, o.index.toInt + 1, until)
+        o.version + 1
       case Some(o) => o.version + 1
       case None => startingVersion
     }
-    if (lo > endOff.version)
+    val hiFull = if (endOff.index >= 0) endOff.version - 1 else endOff.version
+    if (lo <= hiFull)
+      parts += TableChanges.read(spark, tablePath, lo, Some(hiFull))
+    if (endOff.index >= 0 && endOff.version >= lo)
+      parts += TableChanges.readVersionSlice(spark, tablePath,
+        endOff.version, 0, endOff.index.toInt + 1)
+    if (parts.isEmpty)
       // offset-encoding changes across restarts can produce an empty
       // replay range; an empty batch is correct, not an error
       DeltaSource.filesAsInserts(spark, initialSnapshot, Nil).limit(0)
-    else TableChanges.read(spark, tablePath, lo, Some(endOff.version))
+    else parts.reduceLeft(_.unionByName(_))
   }
 
   private def parseOffset(o: OffsetV2): DeltaSourceOffset = o match {

@@ -264,9 +264,11 @@ class StreamingSpec extends AnyFunSuite {
       configuration = Map(
         graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
     val t = DeltaTable.forPath(spark, dir)
-    t.append(src.filter($"k" <= 10))              // v1: 2 files
-    t.append(src.filter($"k" > 10 && $"k" <= 20)) // v2: 2 files
-    t.append(src.filter($"k" > 20))               // v3: 2 files
+    // coalesce(1): exactly one file per partition value → 2 files per
+    // version, so the file cap of 2 packs whole versions deterministically
+    t.append(src.filter($"k" <= 10).coalesce(1))              // v1: 2 files
+    t.append(src.filter($"k" > 10 && $"k" <= 20).coalesce(1)) // v2: 2 files
+    t.append(src.filter($"k" > 20).coalesce(1))               // v3: 2 files
 
     val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
     val q = spark.readStream
@@ -293,6 +295,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonEmpty.map(_.size).toSeq == Seq(10, 10, 10),
       s"got ${seen.map(_.size)}")
     assert(nonEmpty.flatten.sorted == (1L to 30L), s"got ${seen.flatten}")
+  }
+
+  test("CDF streaming slices WITHIN a large cdc commit: one huge " +
+      "delete arrives as several bounded batches with exact rows") {
+    val dir = TestSpark.tmpDir("cdfslice")
+    // partitioned by p = k%4 → a delete touching every partition writes
+    // (at least) 4 cdc files in ONE commit
+    val src = (1 to 40).map(i => (i.toLong, s"v$i", i % 4)).toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"),
+      configuration = Map(
+        graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                 // v1
+    t.deleteWhere("k <= 20")      // v2: >= 4 cdc delete files
+    val expected = (1L to 20L)
+
+    def runFrom(opts: Map[String, String]): Seq[Seq[Long]] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val reader = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2") // the cdc commit only
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load()
+        .writeStream
+        .option("checkpointLocation", TestSpark.tmpDir("cdfslice-ckpt"))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ks = df.filter($"_change_type" === "delete")
+            .select($"k").collect().map(_.getLong(0)).toSeq.sorted
+          seen.synchronized { seen += ks }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      seen.toSeq.filter(_.nonEmpty)
+    }
+
+    // file cap 1: the single cdc commit must arrive as >= 4 batches
+    val byFiles = runFrom(Map("maxFilesPerTrigger" -> "1"))
+    assert(byFiles.size >= 4,
+      s"one cdc commit should slice into >=4 batches, got ${byFiles.size}")
+    assert(byFiles.flatten.sorted == expected, s"got ${byFiles.flatten}")
+
+    // byte cap of 1 byte: every batch admits exactly one file — the
+    // byte budget is honored in readChangeFeed mode
+    val byBytes = runFrom(Map("maxBytesPerTrigger" -> "1"))
+    assert(byBytes.size == byFiles.size,
+      s"byte-capped run should match file-capped slicing: " +
+        s"${byBytes.size} vs ${byFiles.size}")
+    assert(byBytes.flatten.sorted == expected, s"got ${byBytes.flatten}")
+  }
+
+  test("CDF slicing restart: a checkpoint mid-cdc-version resumes " +
+      "exactly-once across update and delete commits") {
+    val dir = TestSpark.tmpDir("cdfslice-rs")
+    val src = (1 to 24).map(i => (i.toLong, s"v$i", i % 3)).toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"),
+      configuration = Map(
+        graft.delta.TableChanges.CDF_ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                                  // v1
+    t.updateWhere("k <= 6", Map("s" -> "'u'"))     // v2: cdc pre+post files
+    t.deleteWhere("k > 18")                        // v3: cdc delete files
+
+    // drive the admission-control contract directly so the "restart"
+    // lands exactly mid-version (a query-level stop can't cut there
+    // deterministically — the batch/checkpoint race duplicates batches)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+        org.apache.spark.sql.graft.StreamingShim.internalCreateBatchDF(
+          spark.sqlContext, df.queryExecution.toRdd, df.schema)
+          .select($"_change_type", $"k").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val lim = ReadLimit.maxFiles(1)
+      val opts = Map("readChangeFeed" -> "true",
+        "startingVersion" -> "2", "maxFilesPerTrigger" -> "1")
+      def off(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+        o.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]
+
+      // first instance: two single-file batches, then the app "dies"
+      // with the second offset checkpointed — mid-way into v2's cdc list
+      val a = new DeltaSource(spark.sqlContext, dir, opts)
+      val o0 = a.latestOffset(null, lim)
+      all ++= rows(a.getBatch(None, off(o0)))
+      val o1 = a.latestOffset(o0, lim)
+      all ++= rows(a.getBatch(Some(off(o0)), off(o1)))
+
+      // restart: a NEW source resumes from the checkpointed offset and
+      // drains the rest one file at a time
+      val b = new DeltaSource(spark.sqlContext, dir, opts)
+      var prev = o1
+      var next = b.latestOffset(prev, lim)
+      while (next != null) {
+        all ++= rows(b.getBatch(Some(off(prev)), off(next)))
+        prev = next
+        next = b.latestOffset(prev, lim)
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+    // exactly-once despite the mid-version restart: 6 update_preimage,
+    // 6 update_postimage, 6 deletes — no row lost or duplicated
+    assert(all.count(_._1 == "update_preimage") == 6, s"got $all")
+    assert(all.count(_._1 == "update_postimage") == 6, s"got $all")
+    assert(all.count(_._1 == "delete") == 6, s"got $all")
+    assert(all.filter(_._1 == "delete").map(_._2).sorted == (19L to 24L))
+    assert(all.distinct.size == all.size,
+      s"duplicated rows after restart: $all")
   }
 
   test("a mid-stream schema change fails loudly; pre-stream history " +
