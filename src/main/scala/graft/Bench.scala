@@ -27,20 +27,37 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // kernel-equivalent metadata benchmark (BASELINE.md: snapshot build +
-    // full replay over a synthetic 300k-add log)
-    val metaBench =
+    // full replay over a synthetic 300k-add log) and the spec-driven
+    // workload matrix. These run REPS times and report MEDIANS: a single
+    // run can't distinguish environmental drift from a plan regression
+    // (the log build is idempotent, so repeats measure only the query).
+    val REPS = 3
+    def medianOf(xs: Seq[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0 // preserve the error marker
+      else xs.sorted.apply(xs.size / 2)
+    val metaRuns = (1 to REPS).map { _ =>
       try graft.bench.MetadataBench.run(spark)
       catch { case _: Throwable =>
         Map("snapshot_300k" -> -1.0, "replay_300k" -> -1.0) }
-    // spec-driven workload matrix (per-shape metadata timings)
-    val workloads =
+    }
+    val wlRuns = (1 to REPS).map { _ =>
       try graft.bench.Workloads.run(spark)
       catch { case _: Throwable => Map.empty[String, Double] }
-    val all = results ++ metaBench ++ workloads
+    }
+    def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
+      runs.flatMap(_.keys).distinct
+        .map(k => k -> runs.flatMap(_.get(k))).toMap
+    val repeated = agg(metaRuns) ++ agg(wlRuns)
+    val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
+    val all = results ++ medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val stats = repeated.toSeq.sortBy(_._1).map { case (k, xs) =>
+      s"\"" + k + "\":{\"median\":" + medianOf(xs) +
+        ",\"min\":" + xs.min + ",\"n\":" + xs.size + "}"
+    }.mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
