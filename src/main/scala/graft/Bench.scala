@@ -44,10 +44,16 @@ object Bench {
       try graft.bench.Workloads.run(spark)
       catch { case _: Throwable => Map.empty[String, Double] }
     }
+    // the 5M-add frontier runs ONCE: it is a completes-inside-the-heap
+    // guard, not a drift tracker, and its log build dominates repeats
+    val meta5m =
+      try graft.bench.MetadataBench.run5m(spark)
+      catch { case _: Throwable =>
+        Map("snapshot_5m" -> -1.0, "plan_df_5m" -> -1.0) }
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
-    val repeated = agg(metaRuns) ++ agg(wlRuns)
+    val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(Seq(meta5m))
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
     val all = results ++ medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -35,8 +35,17 @@ object MetadataBench {
   /** The scaling frontier shape: 100 × 10k = 1M adds. */
   val NUM_COMMITS_1M = 100
 
+  /** The driver-memory frontier: 500 × 10k = 5M adds (~50 TB of data
+    * behind it at 10 MB/file). Exists to prove the streaming file-list
+    * handoff keeps planning inside a modest driver heap — the
+    * collect-then-index path held ~3 copies of the list and failed
+    * here first.
+    */
+  val NUM_COMMITS_5M = 500
+
   def tableDir = "/root/repo/target/bench/meta300k"
   def tableDir1m = "/root/repo/target/bench/meta1m"
+  def tableDir5m = "/root/repo/target/bench/meta5m"
 
   private def schemaJson: String = {
     val dataCols = (0 until NUM_COLS).map(i =>
@@ -54,20 +63,35 @@ object MetadataBench {
     * JSON tail — while meta300k stays pure-JSON to mirror the
     * reference's metadata_bench shape exactly.
     */
-  def ensureLog1m(spark: SparkSession): Unit = {
-    val root = new Path(tableDir1m)
+  def ensureLog1m(spark: SparkSession): Unit =
+    ensureCheckpointed(spark, tableDir1m, NUM_COMMITS_1M, STATS_COLS)
+
+  /** The 5M table carries stats for only 4 columns: it guards DRIVER
+    * MEMORY and planning throughput (the pruning predicate touches c0
+    * only), and the thinner lines keep its one-time generation fast —
+    * the 300k/1M tables keep the reference's full 20-stats-col shape.
+    */
+  def ensureLog5m(spark: SparkSession): Unit =
+    ensureCheckpointed(spark, tableDir5m, NUM_COMMITS_5M, 4)
+
+  private def ensureCheckpointed(spark: SparkSession, dir: String,
+      commits: Int, statsCols: Int): Unit = {
+    val root = new Path(dir)
     val fs = Storage.fs(root, spark.sessionState.newHadoopConf())
     val marker = new Path(FileNames.logDir(root), ".bench-ckpt-done")
-    ensureLog(spark, tableDir1m, NUM_COMMITS_1M)
+    ensureLog(spark, dir, commits, statsCols)
     if (!fs.exists(marker)) {
-      graft.delta.DeltaTable.forPath(spark, tableDir1m)
-        .checkpoint(Some(90L)) // checkpoint below a 10-commit JSON tail
+      graft.delta.DeltaTable.forPath(spark, dir)
+        .checkpoint(Some(commits - 10L)) // a 10-commit JSON tail remains
       Storage.put(fs, marker, "done")
     }
   }
 
   private def ensureLog(spark: SparkSession, dir: String,
-      commits: Int): Unit = {
+      commits: Int): Unit = ensureLog(spark, dir, commits, STATS_COLS)
+
+  private def ensureLog(spark: SparkSession, dir: String,
+      commits: Int, statsCols: Int): Unit = {
     val root = new Path(dir)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(root, conf)
@@ -99,11 +123,11 @@ object MetadataBench {
       while (i < ADDS_PER_COMMIT) {
         val part = fileIdx % 64
         val lo = fileIdx.toLong * 1000
-        val mins = (0 until STATS_COLS)
+        val mins = (0 until statsCols)
           .map(c => s""""c$c":${lo + c}""").mkString(",")
-        val maxs = (0 until STATS_COLS)
+        val maxs = (0 until statsCols)
           .map(c => s""""c$c":${lo + c + 999}""").mkString(",")
-        val nulls = (0 until STATS_COLS)
+        val nulls = (0 until statsCols)
           .map(c => s""""c$c":0""").mkString(",")
         w.write(
           s"""{"add":{"path":"p=$part/part-$fileIdx.parquet",""" +
@@ -160,6 +184,41 @@ object MetadataBench {
       s"plan_prune_1m pruned to ${files.size} files, want ${total / 64}")
     require(files.forall(_.stats.isEmpty),
       "plan_prune_1m collected fat adds — slim collect regressed")
-    Map("snapshot_1m" -> tSnap, "plan_prune_1m" -> tPlan)
+    Map("snapshot_1m" -> tSnap, "plan_prune_1m" -> tPlan,
+      "plan_df_1m" -> planDataFrame(spark, snap, total / 64))
+  }
+
+  /** Build the full pruned scan DATAFRAME and force physical planning
+    * (FileSourceScanExec materializes its split list) — the end-to-end
+    * planning cost of the streaming file-list handoff, measured without
+    * reading any data (the bench log is log-only).
+    */
+  private def planDataFrame(spark: SparkSession, snap: Snapshot,
+      expectFiles: Long): Double = {
+    val t0 = System.nanoTime()
+    val df = new DeltaScan(snap, Some("p = '7' AND c0 >= 0")).toDF
+    val planned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.sum
+    val t = (System.nanoTime() - t0) / 1e9
+    require(planned == expectFiles,
+      s"planned $planned files, want $expectFiles")
+    t
+  }
+
+  /** The 5M-add driver-memory frontier: snapshot + full pruned-plan
+    * construction must complete inside the default 8g driver heap —
+    * possible because the file list streams into ONE compact index
+    * instead of materializing collect()+decode+index copies.
+    */
+  def run5m(spark: SparkSession): Map[String, Double] = {
+    ensureLog5m(spark)
+    val total = NUM_COMMITS_5M.toLong * ADDS_PER_COMMIT
+    val t0 = System.nanoTime()
+    val snap = Snapshot.forTable(spark, tableDir5m)
+    val tSnap = (System.nanoTime() - t0) / 1e9
+    Map("snapshot_5m" -> tSnap,
+      "plan_df_5m" -> planDataFrame(spark, snap, total / 64))
   }
 }

@@ -168,13 +168,37 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
 
   private def decodePath(p: String): String = Storage.decodeUriPath(p)
 
+  /** Stream the surviving SLIM adds to the driver one partition at a
+    * time (`toLocalIterator`): the metadata query stays distributed and
+    * the driver never holds a collected `Row` array plus a decoded
+    * `Seq[AddFile]` — each row becomes its compact FileIndex entry and
+    * is dropped. With millions of files this caps planning memory at
+    * the index itself (the envelope Spark's scan exec requires anyway)
+    * instead of ~3× it.
+    */
+  private[graft] def addFileIterator(): Iterator[AddFile] = {
+    val slim = filesDF.withColumn("add", col("add")
+        .withField("stats", lit(null).cast(StringType))
+        .withField("tags",
+          lit(null).cast(MapType(StringType, StringType))))
+      .select("add.*")
+    slim.toLocalIterator().asScala.map(RowCodec.rowToAdd)
+  }
+
   /** The distributed data read: schema-first parquet scan over the live
     * files; partition columns are injected by a broadcast join on the
     * normalized file path (O(1) plan size regardless of partition count —
-    * per-file literal unions would blow up the plan at 100 TB).
+    * per-file literal unions would blow up the plan at 100 TB). The
+    * file-list handoff streams through [[addFileIterator]] — driver
+    * memory is O(index), with no transient full-list copies.
     */
   def toDF: DataFrame = {
-    val projected = assemble(collectAddFiles(slim = true), keepMeta = false)
+    val t0 = Metrics.now()
+    val index = GraftFileIndex.fromAdds(spark, snapshot.tableRoot,
+      addFileIterator(), physPartitionSchema)
+    Metrics.report(MetricEvent.ScanFilesCollected(Metrics.newId(),
+      Metrics.now() - t0, index.fileCount.toInt, predicateSql, slim = true))
+    val projected = assembleIndexed(index, keepMeta = false)
     // residual predicate: skipping is best-effort, row filtering is exact
     predicateSql.map(p => projected.filter(expr(p))).getOrElse(projected)
   }
@@ -218,11 +242,23 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * `_change_data` files).
     */
   private[graft] def assemble(adds: Seq[AddFile], keepMeta: Boolean,
+      extraPhysical: Seq[StructField] = Nil): DataFrame =
+    assembleIndexed(GraftFileIndex.fromAdds(spark, snapshot.tableRoot,
+      adds.iterator, physPartitionSchema), keepMeta, extraPhysical)
+
+  /** Physical-name partition schema served by the FileIndex. */
+  private lazy val physPartitionSchema: StructType =
+    StructType(partCols.map { c =>
+      val f = schema.fields.find(_.name == c).get
+      StructField(ColumnMapping.physicalName(f), f.dataType, f.nullable)
+    })
+
+  private[graft] def assembleIndexed(index: GraftFileIndex,
+      keepMeta: Boolean,
       extraPhysical: Seq[StructField] = Nil): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val fs = Storage.fs(snapshot.tableRoot, conf)
 
-    if (adds.isEmpty) {
+    if (index.fileCount == 0) {
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
     }
@@ -244,10 +280,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       else ColumnMapping.withoutFieldIds(
         ColumnMapping.physicalSchema(snapshot.dataSchema)).fields
     val physDataSchema = StructType(physDataFields ++ extraPhysical)
-    val physPartSchema = StructType(partCols.map { c =>
-      val f = schema.fields.find(_.name == c).get
-      StructField(ColumnMapping.physicalName(f), f.dataType, f.nullable)
-    })
+    val physPartSchema = physPartitionSchema
     // id-mode needs the parquet field-id read path — passed as a
     // RELATION option (merged into the per-scan hadoopConf, which is
     // where ParquetReadSupport reads it), never as session conf: a
@@ -257,8 +290,6 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       if (cmMode == "id")
         Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
       else Map.empty
-    val index = new GraftFileIndex(spark, snapshot.tableRoot, adds,
-      physPartSchema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, physPartSchema, physDataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -280,14 +311,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     // same plan shape as a ten-row one: scan → filter, no join, no
     // exchange. Partition values need no join either — the FileIndex
     // serves them as native partition columns.
-    val dvAdds = adds.filter(_.deletionVector.isDefined)
-    if (dvAdds.nonEmpty) {
-      val qualifiedRoot = fs.makeQualified(snapshot.tableRoot)
-      val refs = dvAdds.map { a =>
-        Storage.childPath(qualifiedRoot, decodePath(a.path)).toUri.getPath ->
-          a.deletionVector.get
-      }
-      val masks = DvMasks.load(spark, snapshot.tableRoot, refs, conf)
+    if (index.dvRefs.nonEmpty) {
+      val masks = DvMasks.load(spark, snapshot.tableRoot, index.dvRefs, conf)
       val bc = spark.sparkContext.broadcast(masks)
       // codegen'd probe (DvExprs) — a Scala UDF here would sever the
       // WholeStageCodegen span on every DV scan
