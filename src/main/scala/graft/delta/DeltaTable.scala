@@ -2099,6 +2099,11 @@ object DeltaTable {
       }
       require(!bad, s"partition column '$c' has unsupported type " +
         schema(c).dataType.simpleString)
+      // WKB payloads have no partition-value string form and no
+      // meaningful equality-based layout
+      require(!schema(c).metadata.contains(GeoTypes.GEO_KEY),
+        s"partition column '$c' has unsupported geospatial type " +
+          schema(c).metadata.getString(GeoTypes.GEO_KEY))
     }
     require(clusterBy.forall(schema.fieldNames.contains),
       "clustering column not in schema")

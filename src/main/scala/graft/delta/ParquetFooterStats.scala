@@ -56,12 +56,33 @@ object ParquetFooterStats {
     // resolves to nothing is a user error and must FAIL, not silently
     // disable skipping for that column (delta-spark validates the
     // property the same way)
-    def phys(name: String): String =
-      logical.fields.find(_.name.equalsIgnoreCase(name))
-        .map(ColumnMapping.physicalName)
+    def phys(name: String): String = {
+      val f = logical.fields.find(_.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"delta.dataSkippingStatsColumns names unknown column '$name'" +
             s" (schema: ${logical.fieldNames.mkString(", ")})"))
+      // geo columns carry no ordered stats — the reference feature-gates
+      // the type as in-dev and excludes it from skipping entirely
+      // (kernel/src/schema/mod.rs:2009-2016); naming one here is a user
+      // error, rejected like an unknown column rather than silently
+      // collecting nothing
+      if (f.metadata.contains(GeoTypes.GEO_KEY))
+        throw new IllegalArgumentException(
+          s"delta.dataSkippingStatsColumns cannot include geospatial " +
+            s"column '$name' (${f.metadata.getString(GeoTypes.GEO_KEY)})" +
+            ": geometry/geography values have no min/max ordering")
+      // same for other types with no flat min/max (binary, boolean,
+      // array/map) — struct roots are allowed (selection unit for a
+      // dotted path; their eligible leaves may gain stats later)
+      val ok = f.dataType match {
+        case _: StructType => true
+        case dt => DataSkipping.isEligible(dt)
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"delta.dataSkippingStatsColumns names column '$name' of type " +
+          s"${f.dataType.simpleString}, which has no min/max stats")
+      ColumnMapping.physicalName(f)
+    }
     conf.get("delta.dataSkippingStatsColumns") match {
       case Some(csv) =>
         // names may be backtick-quoted; a dotted path selects into a

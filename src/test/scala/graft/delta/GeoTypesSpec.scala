@@ -125,4 +125,91 @@ class GeoTypesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not supported"), e.getMessage)
   }
+
+  private def geoSchema = StructType(Seq(
+    StructField("id", LongType),
+    GeoTypes.geoField("g", "geometry(EPSG:4326)")))
+
+  private def wkbPoint(i: Int): Array[Byte] =
+    Array(0x01, 0x01, 0x00, 0x00, 0x00, i).map(_.toByte)
+
+  private def addStats(t: DeltaTable, v: Long)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val fs = Storage.fs(t.root, spark.sessionState.newHadoopConf())
+    Storage.readLines(fs, FileNames.commitFile(FileNames.logDir(t.root), v))
+      .filter(_.nonEmpty).map(JsonLog.parseLine)
+      .flatMap(n => Option(n.get("add")).filterNot(_.isNull))
+      .map(a => JsonLog.parseLine(a.get("stats").asText))
+  }
+
+  test("geo columns are excluded from stats: no min/max ever; naming " +
+      "one in dataSkippingStatsColumns is rejected") {
+    // written stats carry numRecords + nullCount for the geo column
+    // but never WKB min/max (no ordering; reference feature-gates the
+    // type and collects nothing, kernel/src/schema/mod.rs:2009-2016)
+    val dir = TestSpark.tmpDir("geo-stats")
+    DeltaTable.create(spark, dir, geoSchema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(Seq((1L, wkbPoint(1)), (2L, null)).toDF("id", "g"))
+    addStats(t, 1L).foreach { s =>
+      assert(s.get("minValues").has("id") && s.get("maxValues").has("id"), s)
+      assert(!s.get("minValues").has("g") && !s.get("maxValues").has("g"), s)
+      assert(s.get("nullCount").has("g"), s) // null counting is exact
+    }
+
+    // delta.dataSkippingStatsColumns naming the geo column fails loudly
+    // at write time, like an unknown column — not a silent no-op
+    val dir2 = TestSpark.tmpDir("geo-statscols")
+    DeltaTable.create(spark, dir2, geoSchema,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "id,g"))
+    val t2 = DeltaTable.forPath(spark, dir2)
+    val e = intercept[IllegalArgumentException] {
+      t2.append(Seq((1L, wkbPoint(1))).toDF("id", "g"))
+    }
+    assert(e.getMessage.contains("geospatial") &&
+      e.getMessage.contains("geometry(EPSG:4326)"), e.getMessage)
+    // without the geo column the same property works
+    val dir3 = TestSpark.tmpDir("geo-statscols-ok")
+    DeltaTable.create(spark, dir3, geoSchema,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "id"))
+    DeltaTable.forPath(spark, dir3)
+      .append(Seq((1L, wkbPoint(1))).toDF("id", "g"))
+  }
+
+  test("clustering or partitioning by a geo column is rejected") {
+    intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("geo-clus"), geoSchema,
+        clusterBy = Seq("g"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("geo-part"), geoSchema,
+        partitionColumns = Seq("g"))
+    }
+    assert(e.getMessage.contains("geospatial"), e.getMessage)
+  }
+
+  test("DV deletes and row tracking compose with geo tables") {
+    val dir = TestSpark.tmpDir("geo-dv")
+    DeltaTable.create(spark, dir, geoSchema,
+      configuration = Map(RowTracking.ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append((1 to 10).map(i => (i.toLong, wkbPoint(i))).toDF("id", "g"))
+    val idsBefore = t.scan(None).toDFWithRowIds
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.deleteWhereDV("id <= 4")
+
+    // DV masked the rows in-scan; surviving WKB payloads are intact
+    val rows = t.toDF.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (5L to 10L))
+    assert(rows.head.getAs[Array[Byte]]("g").toSeq == wkbPoint(5).toSeq)
+    // row ids stayed stable across the DV delete (no rewrite)
+    val idsAfter = t.scan(None).toDFWithRowIds
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idsAfter == idsBefore.filter(_._1 > 4))
+    // the geo spelling survived both commits
+    assert(t.snapshot().metadata.schemaString
+      .contains("\"geometry(EPSG:4326)\""))
+  }
 }
