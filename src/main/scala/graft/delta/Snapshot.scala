@@ -68,16 +68,40 @@ class Snapshot(
   }
   private lazy val ckptPaths: Seq[String] = ckptData._1
 
+  /** The table-typed `stats_parsed` struct struct-stats checkpoints
+    * carry instead of stats JSON.
+    */
+  private lazy val statsParsedSchema: StructType = StructType(
+    DataSkipping.statsSchema(ColumnMapping.physicalSchema(dataSchema))
+      .fields :+
+      org.apache.spark.sql.types.StructField("tightBounds",
+        org.apache.spark.sql.types.BooleanType))
+
   /** Checkpoint read schema: LogSchema.checkpoint with `add` extended
-    * by the table-typed `stats_parsed` struct (absent column reads as
-    * NULL on checkpoints that only carry stats JSON).
+    * by `stats_parsed` (absent column reads as NULL on checkpoints that
+    * only carry stats JSON). Leaves some writers stored as UNANNOTATED
+    * int32/int64 (see [[ckptStatsCompat]]) are read under their
+    * physical type — Spark's vectorized reader refuses plain INT64 as
+    * timestamp — and cast back after the read.
     */
   private lazy val ckptReadSchema: StructType = {
-    val statsParsed = StructType(
-      DataSkipping.statsSchema(ColumnMapping.physicalSchema(dataSchema))
-        .fields :+
-        org.apache.spark.sql.types.StructField("tightBounds",
-          org.apache.spark.sql.types.BooleanType))
+    val compat = ckptStructStats._2
+      .map { case (side, name, _) => (side, name) }.toSet
+    val statsParsed =
+      if (compat.isEmpty) statsParsedSchema
+      else StructType(statsParsedSchema.fields.map {
+        case f @ org.apache.spark.sql.types.StructField(
+            side @ ("minValues" | "maxValues"), st: StructType, _, _) =>
+          f.copy(dataType = StructType(st.fields.map { lf =>
+            if (!compat((side, lf.name))) lf
+            else lf.copy(dataType = lf.dataType match {
+              case org.apache.spark.sql.types.DateType =>
+                org.apache.spark.sql.types.IntegerType
+              case _ => org.apache.spark.sql.types.LongType
+            })
+          }))
+        case f => f
+      })
     StructType(LogSchema.checkpoint.fields.map {
       case f if f.name == "add" =>
         org.apache.spark.sql.types.StructField("add",
@@ -88,22 +112,92 @@ class Snapshot(
     })
   }
 
-  /** Whether the checkpoint parquet carries a typed `add.stats_parsed`
-    * column — one driver-side footer peek (parts share a schema);
-    * errs toward true so the normalizing rewrite still runs.
+  /** One driver-side footer peek (parts share a schema): does the
+    * checkpoint carry typed `add.stats_parsed`, and which min/max
+    * leaves need a checkpoint-compat cast — date/timestamp columns
+    * some checkpoint writers store as plain INT32/INT64 with no
+    * logical annotation (reference is_checkpoint_cast_compatible,
+    * kernel/src/schema/mod.rs:2059-2075: Integer→Date,
+    * Long→Timestamp/TimestampNtz, checkpoint interop ONLY — never a
+    * protocol widening rule). Errs toward (true, none) so the
+    * normalizing rewrite still runs.
     */
-  private lazy val ckptHasStructStats: Boolean =
+  private lazy val ckptStructStats
+      : (Boolean, Seq[(String, String, org.apache.spark.sql.types.DataType)]) =
     try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(ckptPaths.head), fsys.getConf))
       val s = try r.getFooter.getFileMetaData.getSchema finally r.close()
-      s.containsField("add") && (s.getType(Seq("add"): _*) match {
-        case g: org.apache.parquet.schema.GroupType =>
-          g.containsField("stats_parsed")
-        case _ => false
-      })
-    } catch { case _: Exception => true }
+      val sp = if (!s.containsField("add")) None
+        else s.getType(Seq("add"): _*) match {
+          case g: org.apache.parquet.schema.GroupType
+              if g.containsField("stats_parsed") =>
+            Some(g.getType("stats_parsed")
+              .asInstanceOf[org.apache.parquet.schema.GroupType])
+          case _ => None
+        }
+      val compat = sp.toSeq.flatMap { spg =>
+        Seq("minValues", "maxValues").flatMap { side =>
+          val expected = statsParsedSchema(side).dataType
+            .asInstanceOf[StructType]
+          if (!spg.containsField(side)) Nil
+          else spg.getType(side) match {
+            case grp: org.apache.parquet.schema.GroupType =>
+              expected.fields.toSeq.flatMap { ef =>
+                if (!grp.containsField(ef.name)) None
+                else {
+                  val pt = grp.getType(ef.name)
+                  if (!pt.isPrimitive ||
+                      pt.asPrimitiveType.getLogicalTypeAnnotation != null)
+                    None
+                  else (ef.dataType,
+                      pt.asPrimitiveType.getPrimitiveTypeName) match {
+                    case (DateType, INT32) => Some((side, ef.name, DateType))
+                    case (TimestampType, INT64) =>
+                      Some((side, ef.name, TimestampType))
+                    case (TimestampNTZType, INT64) =>
+                      Some((side, ef.name, TimestampNTZType))
+                    case _ => None
+                  }
+                }
+              }
+            case _ => Nil
+          }
+        }
+      }
+      (sp.isDefined, compat)
+    } catch { case _: Exception => (true, Nil) }
+
+  private def ckptHasStructStats: Boolean = ckptStructStats._1
+
+  /** Restore checkpoint-compat leaves to their logical types so the
+    * stats JSON renders dates/timestamps, not raw epoch numbers
+    * (which the skipping parser would treat as unknown and lose the
+    * pruning the stats exist for).
+    */
+  private def applyCkptCompatCasts(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    if (ckptStructStats._2.isEmpty) return df
+    // ONE projection: chained withField over a single base collapses
+    // in the optimizer; folding whole-struct when()-wrapped rewrites
+    // instead nests the wide `add` expression exponentially and blows
+    // up codegen
+    val patched = ckptStructStats._2.foldLeft(col("add")) {
+      case (acc, (side, name, dt)) =>
+        val leaf = col(s"add.stats_parsed.$side.$name")
+        val restored = dt match {
+          case DateType => date_add(to_date(lit("1970-01-01")), leaf)
+          case TimestampNTZType =>
+            timestamp_micros(leaf).cast(TimestampNTZType)
+          case _ => timestamp_micros(leaf)
+        }
+        acc.withField(s"stats_parsed.$side.$name", restored)
+    }
+    df.withColumn("add", when(col("add").isNotNull, patched))
+  }
 
   /** Version a log file advances to, from its name: a commit
     * `NNN.json` contributes NNN; a compacted `LO.HI.compacted.json`
@@ -215,7 +309,8 @@ class Snapshot(
           .filter(col("add").isNotNull || col("remove").isNotNull)
         val normalized =
           if (!hasStructStats) base
-          else base.withColumn("add", when(col("add").isNotNull,
+          else applyCkptCompatCasts(base)
+            .withColumn("add", when(col("add").isNotNull,
             col("add").withField("stats",
               coalesce(col("add.stats"), to_json(col("add.stats_parsed"))))
               .dropFields("stats_parsed")))

@@ -215,6 +215,37 @@ object DeltaQueries {
         col("l_quantity"))
     }),
 
+    // the full widening matrix in one table: l_linenumber walks
+    // byte->short->long, l_quantity walks float->double, with a data
+    // commit at every width — every file generation reads natively
+    // under the final schema (reference widening matrix
+    // schema/mod.rs:2030-2055). Quantities < 8 are small whole
+    // numbers, so the float32 hop is exact and the oracle can compare
+    // doubles bit-for-bit.
+    "q_delta_widen_chain" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, ShortType}
+      val dir = tmp("widenchain")
+      val src = li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      def slice(lo: Double, hi: Double) =
+        src.filter(col("l_quantity") >= lo && col("l_quantity") < hi)
+      val narrow = slice(0, 3)
+        .withColumn("l_linenumber", col("l_linenumber").cast("tinyint"))
+        .withColumn("l_quantity", col("l_quantity").cast("float"))
+      DeltaTable.create(s, dir, narrow.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(narrow)
+      t.widenColumn("l_linenumber", ShortType)
+      t.append(slice(3, 5)
+        .withColumn("l_linenumber", col("l_linenumber").cast("smallint"))
+        .withColumn("l_quantity", col("l_quantity").cast("float")))
+      t.widenColumn("l_linenumber", LongType)
+      t.widenColumn("l_quantity", DoubleType)
+      t.append(slice(5, 8))
+      t.toDF.orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    }),
+
     // mergeSchema writer option: narrow commit, then an evolved append
     // carrying an extra column — old rows read it as NULL
     "q_delta_merge_schema" -> ((s, d) => {
@@ -644,6 +675,14 @@ object DeltaQueries {
         |FROM lineitem WHERE l_quantity < 10""".stripMargin,
 
     "q_delta_alter_widen" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_quantity
+        |FROM lineitem WHERE l_quantity < 8
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    // quantities < 8 in the corpus are whole numbers, so the
+    // float32 hop in the Spark-side chain reproduces them exactly
+    "q_delta_widen_chain" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       l_quantity
         |FROM lineitem WHERE l_quantity < 8

@@ -51,6 +51,58 @@ class AlterTableSpec extends AnyFunSuite {
     assert(t.scan(Some("f > 3.0")).toDF.count() == 1)
   }
 
+  test("widening chain byte->short->int->long: every file generation " +
+      "reads natively under the final schema") {
+    val dir = TestSpark.tmpDir("widenchain")
+    val v1 = Seq((1.toByte, "a"), (2.toByte, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot().schema("k").dataType == ByteType)
+    t.append(v1)
+    t.widenColumn("k", ShortType)
+    t.append(Seq((300.toShort, "c")).toDF("k", "s"))
+    t.widenColumn("k", IntegerType)
+    t.append(Seq((70000, "d")).toDF("k", "s"))
+    t.widenColumn("k", LongType)
+    t.append(Seq((3000000000L, "e")).toDF("k", "s"))
+
+    assert(t.toDF.schema("k").dataType == LongType)
+    assert(t.toDF.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 300L, 70000L, 3000000000L))
+    // stats written under narrower types still skip under the wide
+    // schema (mixed-generation min/max comparisons)
+    assert(t.scan(Some("k > 200")).toDF.count() == 3)
+    assert(t.scan(Some("k <= 2")).toDF.count() == 2)
+    // the protocol carries typeWidening exactly once
+    assert(t.snapshot().protocol.writerFeatures.get.count(
+      _ == "typeWidening") == 1)
+    // skipped-ahead widening is also one legal step: byte -> long
+    val dir2 = TestSpark.tmpDir("widenskip")
+    DeltaTable.create(spark, dir2, v1.schema)
+    val t2 = DeltaTable.forPath(spark, dir2)
+    t2.append(v1)
+    t2.widenColumn("k", LongType)
+    t2.append(Seq((3000000000L, "z")).toDF("k", "s"))
+    assert(t2.toDF.count() == 3)
+  }
+
+  test("timestamp <-> timestamp_ntz interchange reads i64 micros " +
+      "either way") {
+    val dir = TestSpark.tmpDir("widents")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
+    val v1 = Seq((1L, ts)).toDF("k", "t")
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.widenColumn("t", TimestampNTZType)
+    assert(t.toDF.schema("t").dataType == TimestampNTZType)
+    assert(t.toDF.count() == 1)
+    // and back: the physical int64 micros are identical
+    t.widenColumn("t", TimestampType)
+    assert(t.toDF.schema("t").dataType == TimestampType)
+    assert(t.toDF.select("t").collect().head.getTimestamp(0) == ts)
+  }
+
   test("illegal evolutions rejected") {
     val dir = TestSpark.tmpDir("illegal")
     val v1 = Seq((1L, "a")).toDF("k", "s")
