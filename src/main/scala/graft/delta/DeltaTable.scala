@@ -561,6 +561,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed, adds.map(_.size),
       existing.map(_.size))
+    maybeAutoCheckpoint(committed, snap.metadata)
     committed
   }
 
@@ -729,6 +730,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       retryable = !rowTracking && idMeta.isEmpty,
       txnAppIds = txn.map(_.appId).toSeq)
     maybeWriteChecksum(committed, adds.map(_.size), Nil, newMeta = idMeta)
+    maybeAutoCheckpoint(committed, idMeta.getOrElse(snap.metadata))
     maybeAutoCompact(snap.metadata)
     committed
   }
@@ -787,6 +789,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       retryable = false, Nil)
     maybeWriteChecksum(committed, staged.map(_.size), existing.map(_.size),
       newMeta = newMeta)
+    maybeAutoCheckpoint(committed, newMeta.getOrElse(snap0.metadata))
     committed
   }
 
@@ -840,6 +843,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         candidates.map(a => Storage.canonicalPathKey(a.path)).toSet)))
     maybeWriteChecksum(committed,
       newAdds.map(_.size), candidates.map(_.size))
+    maybeAutoCheckpoint(committed, snap.metadata)
     committed
   }
 
@@ -912,6 +916,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         candidates.map(a => Storage.canonicalPathKey(a.path)).toSet)))
     maybeWriteChecksum(committed, newAdds.map(_.size),
       candidates.map(_.size))
+    maybeAutoCheckpoint(committed, snap.metadata)
     committed
   }
 
@@ -1040,6 +1045,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         Some(TableFeatures.upgraded(snap.protocol,
           Seq("deletionVectors"), Seq("deletionVectors")))
       else None)
+    maybeAutoCheckpoint(committed, snap.metadata)
     committed
   }
 
@@ -1320,6 +1326,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       insertRaw.foreach(_.unpersist())
       maybeWriteChecksum(committed, newAdds.map(_.size),
         candidates.map(_.size), newMeta = idMeta)
+      maybeAutoCheckpoint(committed, idMeta.getOrElse(snap.metadata))
       committed
     } finally {
       src.unpersist()
@@ -1392,6 +1399,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val committed = commitActions(snap.version + 1, lines, retryable = false)
     maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta),
       newProto = newProto)
+    maybeAutoCheckpoint(committed, meta)
     committed
   }
 
@@ -1459,6 +1467,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       newProto = if (featureAdds.nonEmpty)
         Some(TableFeatures.upgraded(snap.protocol, Nil, featureAdds))
       else None)
+    maybeAutoCheckpoint(committed, meta)
     committed
   }
 
@@ -1507,30 +1516,90 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     fs.delete(tmp, true)
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
       s"""{"version":$v,"size":$size}""")
+    // log files the new checkpoint supersedes expire after the
+    // retention window (delta's operational behavior on checkpoint;
+    // best-effort — failures never fail the checkpoint). Catalog-managed
+    // logs are the catalog's to garbage-collect, never touched here.
+    if (!committer.isCatalogCommitter &&
+        !snap.metadata.configuration.get("delta.enableExpiredLogCleanup")
+          .exists(_.equalsIgnoreCase("false")))
+      try cleanupExpiredLogs(v, snap.metadata)
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"expired-log cleanup after checkpoint failed: $e") }
     v
   }
 
-  /** `delta.deletedFileRetentionDuration` in millis (default 1 week).
-    * Accepts the `interval N (hours|days|weeks)` forms delta uses.
+  /** Delete log files strictly below `ckptVersion` whose modification
+    * time fell past `delta.logRetentionDuration` (default 30 days) —
+    * they are fully covered by the checkpoint, and keeping them forever
+    * grows `_delta_log` without bound (10⁶ commits = 10⁶ driver-listed
+    * objects at snapshot time; the listing, not the data, becomes the
+    * scale ceiling). Time travel below the horizon is the documented
+    * trade. V2 sidecar files are left alone: orphans are inert, and a
+    * manifest may be shared by a checkpoint that survives.
     */
-  private def tombstoneRetentionMillis(m: graft.delta.Metadata): Long = {
-    val default = 7L * 24 * 3600 * 1000
-    m.configuration.get("delta.deletedFileRetentionDuration")
-      .flatMap { s =>
-        raw"(?i)interval\s+(\d+)\s+(\w+)".r.findFirstMatchIn(s).flatMap { mm =>
-          val n = mm.group(1).toLong
-          mm.group(2).toLowerCase.stripSuffix("s") match {
-            case "millisecond" => Some(n)
-            case "second" => Some(n * 1000)
-            case "minute" => Some(n * 60000)
-            case "hour" => Some(n * 3600000)
-            case "day" => Some(n * 86400000)
-            case "week" => Some(n * 7 * 86400000)
-            case _ => None
-          }
+  private def cleanupExpiredLogs(ckptVersion: Long,
+      m: graft.delta.Metadata): Unit = {
+    val retention = m.configuration.get("delta.logRetentionDuration")
+      .flatMap(intervalMillis).getOrElse(30L * 86400000)
+    val cutoff = now() - retention
+    val crcRe = raw"(\d{20})\.crc".r
+    Storage.listSorted(fs, logDir).foreach { st =>
+      val deletable = FileNames.parse(st.getPath) match {
+        case Some(FileNames.CommitFile(ver, _)) => ver < ckptVersion
+        case Some(FileNames.CheckpointFile(ver, _, _, _, _)) =>
+          ver < ckptVersion
+        case Some(FileNames.CompactedFile(_, hi, _)) => hi < ckptVersion
+        case None => st.getPath.getName match {
+          case crcRe(ver) => ver.toLong < ckptVersion
+          case _ => false
         }
-      }.getOrElse(default)
+      }
+      if (deletable && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, false)
+    }
   }
+
+  /** Post-commit hook: when `delta.checkpointInterval` is set (> 0),
+    * checkpoint every Nth version automatically (then expire old log
+    * files, see [[checkpoint]]). Best-effort like auto-compact: the
+    * triggering commit already succeeded, so nothing here may throw.
+    * The reference keeps checkpointing an explicit API; the interval
+    * property opts a long-lived table into delta's operational
+    * behavior, without which replay cost grows without bound.
+    */
+  private def maybeAutoCheckpoint(v: Long,
+      m: graft.delta.Metadata): Unit = {
+    val interval = m.configuration.get("delta.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(0)
+    if (interval <= 0 || v <= 0 || v % interval != 0) return
+    try checkpoint(Some(v))
+    catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"auto-checkpoint at version $v failed (best-effort): $e")
+    }
+  }
+
+  /** Parse delta's `interval N (hours|days|weeks|...)` duration form. */
+  private def intervalMillis(s: String): Option[Long] =
+    raw"(?i)interval\s+(\d+)\s+(\w+)".r.findFirstMatchIn(s).flatMap { mm =>
+      val n = mm.group(1).toLong
+      mm.group(2).toLowerCase.stripSuffix("s") match {
+        case "millisecond" => Some(n)
+        case "second" => Some(n * 1000)
+        case "minute" => Some(n * 60000)
+        case "hour" => Some(n * 3600000)
+        case "day" => Some(n * 86400000)
+        case "week" => Some(n * 7 * 86400000)
+        case _ => None
+      }
+    }
+
+  /** `delta.deletedFileRetentionDuration` in millis (default 1 week). */
+  private def tombstoneRetentionMillis(m: graft.delta.Metadata): Long =
+    m.configuration.get("delta.deletedFileRetentionDuration")
+      .flatMap(intervalMillis).getOrElse(7L * 24 * 3600 * 1000)
 
   /** Reconciled checkpoint state: live adds + UNEXPIRED remove
     * tombstones + P&M + txns (reference
@@ -1744,6 +1813,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     maybeWriteChecksum(committed, adds.map(_.size),
       removes.map(_.size.getOrElse(0L)),
       newMeta = if (metaLine.nonEmpty) Some(target.metadata) else None)
+    maybeAutoCheckpoint(committed,
+      if (metaLine.nonEmpty) target.metadata else snap.metadata)
     committed
   }
 

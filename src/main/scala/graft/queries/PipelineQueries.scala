@@ -397,6 +397,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: email / phone / IPv4 redaction with per-doc
+    // redaction counts — the standard pre-training hygiene pass. The
+    // corpus carries no real PII, so the query plants deterministic
+    // doc_id-derived PII first and then scrubs it: the oracle proves
+    // the patterns actually fire (counts >= 1 per kind per doc), not
+    // just that nothing matched. Purely narrow (no shuffle); patterns
+    // stay in the RE2-and-Java-compatible subset so any engine scrubs
+    // identically at 100 TB.
+    "q_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      docs(s, d)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199 from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")))
+        .select(col("doc_id"),
+          expr(s"regexp_count(aug, '${email.replace("\\", "\\\\")}')")
+            .cast("long").as("n_emails"),
+          expr(s"regexp_count(aug, '${phone.replace("\\", "\\\\")}')")
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+            .as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: md5-prefix thresholding — the
     // same rows survive in every engine at any cluster size, and a
     // lower-rate sample is a prefix of a higher-rate one. Pure narrow
@@ -759,6 +788,28 @@ object PipelineQueries {
         |  substr(md5(text), 1, 8) AS content_hash,
         |  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB string literals keep backslashes literally (no escape
+    // processing), so the regexes are singly-escaped here; 'g' makes
+    // regexp_replace global like Spark's
+    "q_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', doc_id, '@example.com or ',
+        |      '555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+        |      '-0199 from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')
+        |      AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS scrubbed
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
