@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.delta.DeltaTable
@@ -63,6 +63,47 @@ private[sql] object GraftProcedures {
       Seq(InternalRow(DeltaTable
         .forPath(spark(), resolve(args.getString(0))).checkpoint()))
     })
+    case "detail" => Some(proc("detail",
+      Seq(in("table", StringType)),
+      new StructType().add("format", StringType).add("id", StringType)
+        .add("location", StringType).add("version", LongType)
+        .add("num_files", LongType).add("size_bytes", LongType)
+        .add("partition_columns", StringType)
+        .add("min_reader_version", IntegerType)
+        .add("min_writer_version", IntegerType)
+        .add("table_features", StringType)) { args =>
+      val path = resolve(args.getString(0))
+      val t = DeltaTable.forPath(spark(), path)
+      val snap = t.snapshot()
+      // live-file totals straight from the checksum when the chain is
+      // intact (O(1)); one distributed count/sum over the replay
+      // otherwise — never a driver collect of the file list
+      val (nf, sz) = graft.delta.Checksum
+        .read(graft.delta.Storage.fs(snap.tableRoot,
+            spark().sessionState.newHadoopConf()),
+          graft.delta.FileNames.logDir(snap.tableRoot), snap.version)
+        .map(c => (c.numFiles, c.tableSizeBytes))
+        .getOrElse {
+          val r = new graft.delta.DeltaScan(snap, None).filesDF
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("add.size"),
+                org.apache.spark.sql.functions.lit(0L)))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+      val feats = (snap.protocol.readerFeatures.getOrElse(Nil) ++
+        snap.protocol.writerFeatures.getOrElse(Nil)).distinct.sorted
+      Seq(InternalRow(
+        UTF8String.fromString("delta"),
+        UTF8String.fromString(snap.metadata.id),
+        UTF8String.fromString(path),
+        snap.version, nf, sz,
+        UTF8String.fromString(snap.metadata.partitionColumns.mkString(",")),
+        snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+        UTF8String.fromString(feats.mkString(","))))
+    })
     case "history" => Some(proc("history",
       Seq(in("table", StringType)),
       new StructType().add("version", LongType)
@@ -76,7 +117,7 @@ private[sql] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "auto_compact", "clone", "vacuum", "checkpoint",
-      "history")
+      "detail", "history")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()

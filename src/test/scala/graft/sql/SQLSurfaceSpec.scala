@@ -175,6 +175,19 @@ class SQLSurfaceSpec extends AnyFunSuite {
       .as[Long].head() == 0L)
     assert(graft.delta.DeltaTable.forPath(spark, cloneDir)
       .toDF.count() == 5L)
+
+    // DESCRIBE DETAIL analog: one row of table facts; file totals
+    // match the data (checksum fast path or one distributed agg)
+    val det = spark.sql("CALL gd.system.detail('default.maint')").head()
+    assert(det.getAs[String]("format") == "delta")
+    assert(det.getAs[String]("id").nonEmpty)
+    assert(det.getAs[Long]("num_files") >= 1L)
+    assert(det.getAs[Long]("size_bytes") > 0L)
+    assert(det.getAs[Int]("min_writer_version") >= 2)
+    assert(det.getAs[Long]("version") ==
+      spark.sql("CALL gd.system.history('default.maint')")
+        .agg(org.apache.spark.sql.functions.max("version"))
+        .as[Long].head())
   }
 
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
