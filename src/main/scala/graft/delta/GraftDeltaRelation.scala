@@ -106,4 +106,26 @@ object GraftDeltaRelation {
       yield s"($a) OR ($b)" // OR needs BOTH sides
     case _ => None
   }
+
+  /** EXACT Filter → SQL, for row-mutating paths (SQL DELETE): every
+    * conjunct must translate — unlike [[toSql]], which may DROP an AND
+    * side because skipping only ever keeps extra files. Dropping a
+    * conjunct here would delete rows the user did not name. None =
+    * refuse the operation (Spark reports it unsupported) rather than
+    * run a wider delete.
+    */
+  private[graft] def toExactSql(f: Filter): Option[String] = f match {
+    case And(l, r) => for { a <- toExactSql(l); b <- toExactSql(r) }
+      yield s"($a) AND ($b)"
+    case Or(l, r) => for { a <- toExactSql(l); b <- toExactSql(r) }
+      yield s"($a) OR ($b)"
+    case Not(c) => toExactSql(c).map(s => s"NOT ($s)")
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    case other => toSql(other) match {
+      // the leaf cases in toSql are exact; only the junctions differ
+      case some @ Some(_) => some
+      case None => None
+    }
+  }
 }

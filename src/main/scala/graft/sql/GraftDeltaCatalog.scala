@@ -289,9 +289,29 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
   * scan/commit paths (V1Scan / V1Write): identical plans and commit
   * semantics as the DataFrame API.
   */
-class GraftSqlTable(spark: SparkSession, location: String,
+class GraftSqlTable(spark: SparkSession, val location: String,
     version: Option[Long], identName: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
+
+  /** SQL `DELETE FROM ... WHERE ...` (DSv2 filter-based delete): the
+    * condition routes through the engine's transactional deleteWhere —
+    * file rewrite or DV swap per table feature, CDF images, conflict
+    * rebase. Translation must be EXACT (toExactSql): refusing an
+    * untranslatable predicate beats deleting a superset.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty &&
+      filters.forall(f => GraftDeltaRelation.toExactSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty, "cannot DELETE from a time-travelled table")
+    val sql =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(f => GraftDeltaRelation.toExactSql(f))
+        .map(s => s"($s)").mkString(" AND ")
+    DeltaTable.forPath(spark, location).deleteWhere(sql)
+  }
 
   private lazy val snap: Snapshot =
     Snapshot.forTable(spark, location, version)

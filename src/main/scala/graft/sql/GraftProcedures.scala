@@ -63,6 +63,21 @@ private[sql] object GraftProcedures {
       Seq(InternalRow(DeltaTable
         .forPath(spark(), resolve(args.getString(0))).checkpoint()))
     })
+    case "restore" => Some(proc("restore",
+      Seq(in("table", StringType), in("version", LongType)),
+      new StructType().add("version", LongType)) { args =>
+      Seq(InternalRow(DeltaTable
+        .forPath(spark(), resolve(args.getString(0)))
+        .restore(args.getLong(1))))
+    })
+    case "compact_log" => Some(proc("compact_log",
+      Seq(in("table", StringType), in("lo", LongType),
+        in("hi", LongType)),
+      new StructType().add("version", LongType)) { args =>
+      Seq(InternalRow(DeltaTable
+        .forPath(spark(), resolve(args.getString(0)))
+        .compactLog(args.getLong(1), args.getLong(2))))
+    })
     case "detail" => Some(proc("detail",
       Seq(in("table", StringType)),
       new StructType().add("format", StringType).add("id", StringType)
@@ -117,7 +132,7 @@ private[sql] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "auto_compact", "clone", "vacuum", "checkpoint",
-      "detail", "history")
+      "compact_log", "detail", "history", "restore")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()

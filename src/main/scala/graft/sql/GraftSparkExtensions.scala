@@ -1,0 +1,129 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.delta.{DeltaTable, MergeClause}
+
+/** SQL `UPDATE` / `MERGE INTO` for graft-delta tables
+  * (`spark.sql.extensions=graft.sql.GraftSparkExtensions`): a post-hoc
+  * resolution rule rewrites the analyzed UpdateTable / MergeIntoTable
+  * commands into engine calls — the same mechanism delta-spark uses
+  * for its DML (its PreprocessTableUpdate/Merge rules), since plain
+  * DSv2 only carries filter-based DELETE. The engine's transactional
+  * updateWhere / merge paths do the real work: touched-file discovery,
+  * CDF images, conflict rebase, constraint + generated-column
+  * enforcement.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(s => new GraftDmlRewrite(s))
+}
+
+class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def graftTarget(plan: LogicalPlan)
+      : Option[(GraftSqlTable, AttributeSet)] =
+    plan.collectFirst {
+      case r @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) =>
+        (t, r.outputSet)
+    }
+
+  /** Render an analyzed expression as SQL the engine re-parses, with
+    * each attribute re-qualified by WHICH SIDE it resolves to — the
+    * engine's merge evaluates clause expressions against frames
+    * aliased `t` (target) and `s` (source), the user's own aliases
+    * having served their purpose during analysis.
+    */
+  private def sqlWith(e: Expression, tgt: AttributeSet,
+      src: AttributeSet): String =
+    e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        a.withQualifier(Seq("t"))
+      case a: AttributeReference if src.contains(a) =>
+        a.withQualifier(Seq("s"))
+    }.sql
+
+  /** Bare-name SQL for single-table UPDATE (no aliases in play). */
+  private def bareSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
+
+  private def colName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case other => throw new IllegalArgumentException(
+      s"unsupported assignment target ${other.sql} " +
+        "(nested-field assignment is not supported)")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(tbl, assignments, condition)
+        if u.resolved && graftTarget(tbl).isDefined =>
+      val (t, _) = graftTarget(tbl).get
+      GraftUpdateCommand(t.location,
+        condition.map(bareSql).getOrElse("true"),
+        assignments.map(a => colName(a.key) -> bareSql(a.value)).toMap)
+
+    case m @ MergeIntoTable(tgt, src, cond, matched, notMatched,
+        bySource, _) if m.resolved && graftTarget(tgt).isDefined =>
+      val (t, tset) = graftTarget(tgt).get
+      val sset = src.outputSet
+      def sql(e: Expression) = sqlWith(e, tset, sset)
+      def assigns(as: Seq[Assignment]): Map[String, String] =
+        as.map(a => colName(a.key) -> sql(a.value)).toMap
+      def starAssigns: Map[String, String] =
+        t.schema().fieldNames.map(f => f -> s"s.`$f`").toMap
+      import MergeClause._
+      val clauses: Seq[MergeClause] =
+        matched.map {
+          case UpdateAction(c, as, _) => MatchedUpdate(c.map(sql), assigns(as))
+          case UpdateStarAction(c) => MatchedUpdate(c.map(sql), starAssigns)
+          case DeleteAction(c) => MatchedDelete(c.map(sql))
+          case other => throw new IllegalArgumentException(
+            s"unsupported WHEN MATCHED action $other")
+        } ++ notMatched.map {
+          case InsertAction(c, as) =>
+            NotMatchedInsert(c.map(sql), assigns(as))
+          case InsertStarAction(c) =>
+            NotMatchedInsert(c.map(sql), starAssigns)
+          case other => throw new IllegalArgumentException(
+            s"unsupported WHEN NOT MATCHED action $other")
+        } ++ bySource.map {
+          case UpdateAction(c, as, _) =>
+            NotMatchedBySourceUpdate(c.map(sql), assigns(as))
+          case DeleteAction(c) => NotMatchedBySourceDelete(c.map(sql))
+          case other => throw new IllegalArgumentException(
+            s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+        }
+      GraftMergeCommand(t.location, src, sql(cond), clauses)
+
+    case _ => plan
+  }
+}
+
+case class GraftUpdateCommand(location: String, conditionSql: String,
+    set: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaTable.forPath(spark, location).updateWhere(conditionSql, set)
+    Nil
+  }
+}
+
+case class GraftMergeCommand(location: String, source: LogicalPlan,
+    conditionSql: String, clauses: Seq[MergeClause])
+    extends LeafRunnableCommand {
+  // the analyzed source plan rides along as an inner child is NOT
+  // desired: a leaf command keeps the analyzer from re-touching it
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDf = org.apache.spark.sql.classic.GraftShims.ofRows(spark, source)
+    DeltaTable.forPath(spark, location)
+      .merge(srcDf, conditionSql, clauses)
+    Nil
+  }
+}

@@ -683,14 +683,40 @@ class DeltaSourceProvider extends StreamSourceProvider
       : org.apache.spark.sql.sources.BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
-    val version = parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map { ts =>
-        val millis =
-          try java.sql.Timestamp.valueOf(ts).getTime
-          catch { case _: IllegalArgumentException => ts.toLong }
-        graft.delta.DeltaTable.forPath(sqlContext.sparkSession, path)
-          .versionAtTimestamp(millis)
-      })
+    val params = new java.util.TreeMap[String, String](
+      String.CASE_INSENSITIVE_ORDER)
+    parameters.foreach { case (k, v) => params.put(k, v) }
+    def opt(k: String) = Option(params.get(k))
+    def versionAt(ts: String): Long = {
+      val millis =
+        try java.sql.Timestamp.valueOf(ts).getTime
+        catch { case _: IllegalArgumentException => ts.toLong }
+      graft.delta.DeltaTable.forPath(sqlContext.sparkSession, path)
+        .versionAtTimestamp(millis)
+    }
+    // batch CDF read (delta-spark's readChangeFeed batch surface):
+    // version/timestamp bounds select the commit range; the result is
+    // the same TableChanges plan the streaming CDF mode slices
+    if (opt("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      val start = opt("startingVersion").map(_.toLong)
+        .orElse(opt("startingTimestamp").map(versionAt))
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion or startingTimestamp"))
+      val end = opt("endingVersion").map(_.toLong)
+        .orElse(opt("endingTimestamp").map(versionAt))
+      val ctx = sqlContext
+      val df = graft.delta.TableChanges.read(
+        ctx.sparkSession, path, start, end)
+      return new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = df.rdd
+      }
+    }
+    val version = opt("versionAsOf").map(_.toLong)
+      .orElse(opt("timestampAsOf").map(versionAt))
     new graft.delta.GraftDeltaRelation(sqlContext, path, version)
   }
 

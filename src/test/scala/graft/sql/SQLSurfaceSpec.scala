@@ -176,6 +176,24 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(graft.delta.DeltaTable.forPath(spark, cloneDir)
       .toDF.count() == 5L)
 
+    // SQL DELETE routes through the transactional deleteWhere
+    spark.sql("DELETE FROM gd.default.maint WHERE k >= 4")
+    assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
+      .as[Long].head() == 6L)
+    // complex but exact predicates translate (AND/OR/NOT/IN)
+    spark.sql(
+      "DELETE FROM gd.default.maint WHERE k IN (2, 3) AND NOT (k = 2)")
+    assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
+      .as[Long].head() == 3L)
+
+    // RESTORE back to before the deletes, through SQL
+    val preDeleteV = spark.sql("CALL gd.system.history('default.maint')")
+      .select("version").as[Long].collect().max - 2
+    spark.sql(
+      s"CALL gd.system.restore('default.maint', $preDeleteV)").collect()
+    assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
+      .as[Long].head() == 15L)
+
     // DESCRIBE DETAIL analog: one row of table facts; file totals
     // match the data (checksum fast path or one distributed agg)
     val det = spark.sql("CALL gd.system.detail('default.maint')").head()
@@ -188,6 +206,49 @@ class SQLSurfaceSpec extends AnyFunSuite {
       spark.sql("CALL gd.system.history('default.maint')")
         .agg(org.apache.spark.sql.functions.max("version"))
         .as[Long].head())
+  }
+
+  test("SQL UPDATE and MERGE INTO rewrite to the engine's " +
+      "transactional DML (extension rule)") {
+    spark.sql("""CREATE TABLE gd.default.dml (k BIGINT, v DOUBLE,
+      s STRING) USING `graft-delta`
+      TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+    spark.sql(
+      "INSERT INTO gd.default.dml VALUES (1, 1.0, 'a'), (2, 2.0, 'b')," +
+        " (3, 3.0, 'c')")
+
+    // UPDATE with expression assignments and a predicate
+    spark.sql(
+      "UPDATE gd.default.dml SET v = v * 10, s = concat(s, '!') " +
+        "WHERE k >= 2")
+    assert(spark.sql(
+      "SELECT k, v, s FROM gd.default.dml ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 1.0, "a"), (2L, 20.0, "b!"), (3L, 30.0, "c!")))
+
+    // MERGE: user aliases, all three clause families
+    Seq((2L, 200.0), (3L, 300.0), (9L, 900.0))
+      .toDF("k", "v").createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO gd.default.dml AS tgt
+      USING dml_src AS src ON tgt.k = src.k
+      WHEN MATCHED AND tgt.k = 2 THEN UPDATE SET v = src.v, s = 'merged'
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (src.k, src.v, 'new')
+      WHEN NOT MATCHED BY SOURCE AND tgt.k = 1 THEN UPDATE SET s = 'kept'
+      """)
+    assert(spark.sql(
+      "SELECT k, v, s FROM gd.default.dml ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 1.0, "kept"), (2L, 200.0, "merged"), (9L, 900.0, "new")))
+
+    // CDF recorded the SQL DML like the API DML
+    val types = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(spark.sql("CALL gd.system.detail('default.dml')")
+        .head().getAs[String]("location"))
+      .select("_change_type").as[String].collect().toSet
+    assert(types.contains("update_preimage") &&
+      types.contains("update_postimage") && types.contains("delete"))
   }
 
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
