@@ -290,7 +290,7 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
   * semantics as the DataFrame API.
   */
 class GraftSqlTable(spark: SparkSession, val location: String,
-    version: Option[Long], identName: String)
+    val pinnedVersion: Option[Long], identName: String)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
@@ -301,11 +301,12 @@ class GraftSqlTable(spark: SparkSession, val location: String,
     * untranslatable predicate beats deleting a superset.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    version.isEmpty &&
+    pinnedVersion.isEmpty &&
       filters.forall(f => GraftDeltaRelation.toExactSql(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(version.isEmpty, "cannot DELETE from a time-travelled table")
+    require(pinnedVersion.isEmpty,
+      "cannot DELETE from a time-travelled table")
     val sql =
       if (filters.isEmpty) "true"
       else filters.flatMap(f => GraftDeltaRelation.toExactSql(f))
@@ -314,7 +315,7 @@ class GraftSqlTable(spark: SparkSession, val location: String,
   }
 
   private lazy val snap: Snapshot =
-    Snapshot.forTable(spark, location, version)
+    Snapshot.forTable(spark, location, pinnedVersion)
 
   override def name(): String = identName
 
@@ -340,7 +341,8 @@ class GraftSqlTable(spark: SparkSession, val location: String,
     new GraftScanBuilder(spark, snap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(version.isEmpty, "cannot write to a time-travelled table")
+    require(pinnedVersion.isEmpty,
+      "cannot write to a time-travelled table")
     new GraftWriteBuilder(spark, location)
   }
 }

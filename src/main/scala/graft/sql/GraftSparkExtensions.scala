@@ -65,6 +65,8 @@ class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(tbl, assignments, condition)
         if u.resolved && graftTarget(tbl).isDefined =>
       val (t, _) = graftTarget(tbl).get
+      require(t.pinnedVersion.isEmpty,
+        "cannot UPDATE a time-travelled table")
       GraftUpdateCommand(t.location,
         condition.map(bareSql).getOrElse("true"),
         assignments.map(a => colName(a.key) -> bareSql(a.value)).toMap)
@@ -72,6 +74,8 @@ class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(tgt, src, cond, matched, notMatched,
         bySource, _) if m.resolved && graftTarget(tgt).isDefined =>
       val (t, tset) = graftTarget(tgt).get
+      require(t.pinnedVersion.isEmpty,
+        "cannot MERGE into a time-travelled table")
       val sset = src.outputSet
       def sql(e: Expression) = sqlWith(e, tset, sset)
       def assigns(as: Seq[Assignment]): Map[String, String] =
