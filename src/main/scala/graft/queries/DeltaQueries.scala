@@ -438,6 +438,39 @@ object DeltaQueries {
         WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""")
     }),
 
+    // SQL DML surface: UPDATE and MERGE INTO typed in SQL, rewritten
+    // by GraftSparkExtensions into the same transactional engine paths
+    // the DataFrame API uses — the oracle recomputes the final state
+    // from the raw parquet, proving the SQL-typed DML mutates exactly
+    // like the API-typed DML
+    "q_delta_sql_dml" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gd_dml", "graft.sql.GraftDeltaCatalog")
+      s.conf.set("spark.sql.catalog.gd_dml.warehouse",
+        "/root/repo/target/tmp/gd-warehouse")
+      val tbl = s"gd_dml.default.dml_${UUID.randomUUID().toString.take(8)}"
+      val view = s"li_dml_${UUID.randomUUID().toString.take(8)}"
+      li(s, d).createOrReplaceTempView(view)
+      // per-order rollup: l_orderkey is unique after GROUP BY (the raw
+      // (orderkey, linenumber) pair is NOT unique in this corpus — a
+      // row-keyed merge trips the engine's multi-match ambiguity check)
+      s.sql(s"""CREATE TABLE $tbl USING `graft-delta` AS
+        SELECT l_orderkey, count(*) AS n_lines,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        FROM $view WHERE l_quantity < 10 GROUP BY l_orderkey""")
+      s.sql(s"UPDATE $tbl SET q_total = q_total + 100 WHERE n_lines >= 3")
+      s.sql(s"""MERGE INTO $tbl AS t USING
+        (SELECT l_orderkey, count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+         FROM $view WHERE l_quantity >= 10 AND l_quantity < 14
+         GROUP BY l_orderkey) AS u
+        ON t.l_orderkey = u.l_orderkey
+        WHEN MATCHED THEN UPDATE SET q_total = t.q_total + u.q_total
+        WHEN NOT MATCHED THEN INSERT (l_orderkey, n_lines, q_total)
+          VALUES (u.l_orderkey, u.n_lines, u.q_total)""")
+      s.sql(
+        s"SELECT l_orderkey, n_lines, q_total FROM $tbl ORDER BY l_orderkey")
+    }),
+
     // MERGE: matched-delete + matched-update + not-matched-insert in
     // one commit — the oracle recomputes the post-merge state from the
     // raw parquet
@@ -587,6 +620,27 @@ object DeltaQueries {
         |       AS DECIMAL(25,2)) AS total
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // replay the UPDATE (+100 where n_lines>=3) then the MERGE
+    // (matched adds the new batch's total, unmatched inserts it)
+    "q_delta_sql_dml" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        |  FROM lineitem WHERE l_quantity < 10 GROUP BY l_orderkey),
+        |b AS (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        |  FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 14
+        |  GROUP BY l_orderkey)
+        |SELECT coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+        |  coalesce(a.n_lines, b.n_lines) AS n_lines,
+        |  CASE WHEN a.l_orderkey IS NULL THEN b.q_total
+        |       ELSE a.q_total
+        |         + CASE WHEN a.n_lines >= 3 THEN 100 ELSE 0 END
+        |         + coalesce(b.q_total, 0) END AS q_total
+        |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q_delta_sql_io" ->
       s"""SELECT $cols FROM lineitem
