@@ -20,13 +20,30 @@ class DmlFuzzSpec extends AnyFunSuite {
         s"(seed $seed)") { run(seed, steps) }
   }
 
-  private def run(seed: Int, steps: Int): Unit = {
+  // the same model check with HALF the mutations routed through the
+  // SQL surface (UPDATE/DELETE/MERGE INTO via the extension rule and
+  // DSv2 delete) and delta.checkpointInterval auto-checkpoints firing
+  // mid-sequence — SQL-typed and API-typed DML must be one engine
+  test("randomized DML via SQL + API with auto-checkpoint interleaved " +
+      "(seed 41)") { run(41, 20, sqlRoute = true) }
+
+  private def run(seed: Int, steps: Int,
+      sqlRoute: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = TestSpark.tmpDir("fuzz")
     val schema = Seq((0L, 0.0)).toDF("k", "v").schema
     DeltaTable.create(spark, dir, schema, configuration =
-      Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      Map(TableChanges.CDF_ENABLED_KEY -> "true") ++
+        (if (sqlRoute) Map("delta.checkpointInterval" -> "4") else Map.empty))
     val t = DeltaTable.forPath(spark, dir)
+    val sqlName = s"gd_fuzz.default.`$dir`"
+    if (sqlRoute) {
+      spark.conf.set("spark.sql.catalog.gd_fuzz",
+        "graft.sql.GraftDeltaCatalog")
+      spark.conf.set("spark.sql.catalog.gd_fuzz.warehouse",
+        TestSpark.tmpDir("fuzz-wh"))
+    }
+    def viaSql(): Boolean = sqlRoute && rnd.nextBoolean()
 
     var model = Vector.empty[(Long, Double)]
     var nextK = 0L
@@ -59,20 +76,33 @@ class DmlFuzzSpec extends AnyFunSuite {
             else t.append(df0.select($"v", $"k"), mergeSchema = true)
           model = model ++ rows
           record(v)
-        case 3 => // rewrite delete
-          val m = 2 + rnd.nextInt(5)
-          val r = rnd.nextInt(m)
-          val v = t.deleteWhere(s"k % $m = $r")
-          model = model.filterNot { case (k, _) => k % m == r }
-          record(v)
+        case 3 => // rewrite delete (sometimes as SQL DELETE FROM)
+          if (viaSql()) {
+            // DSv2 DELETE needs a source-Filter-translatable predicate
+            val lo = rnd.nextInt(math.max(1, nextK.toInt)).toLong
+            val hi = lo + 1 + rnd.nextInt(40)
+            spark.sql(s"DELETE FROM $sqlName WHERE k >= $lo AND k < $hi")
+            model = model.filterNot { case (k, _) => k >= lo && k < hi }
+            record(t.snapshot().version)
+          } else {
+            val m = 2 + rnd.nextInt(5)
+            val r = rnd.nextInt(m)
+            val v = t.deleteWhere(s"k % $m = $r")
+            model = model.filterNot { case (k, _) => k % m == r }
+            record(v)
+          }
         case 4 => // DV delete
           val c = rnd.nextInt(math.max(1, nextK.toInt))
           val v = t.deleteWhereDV(s"k < $c AND v > 5")
           model = model.filterNot { case (k, vv) => k < c && vv > 5 }
           record(v)
-        case 5 => // update
+        case 5 => // update (sometimes as SQL UPDATE)
           val c = rnd.nextInt(math.max(1, nextK.toInt))
-          val v = t.updateWhere(s"k >= $c AND v < 4",
+          val v = if (viaSql()) {
+            spark.sql(
+              s"UPDATE $sqlName SET v = v + 100 WHERE k >= $c AND v < 4")
+            t.snapshot().version
+          } else t.updateWhere(s"k >= $c AND v < 4",
             Map("v" -> "v + 100"))
           model = model.map { case (k, vv) =>
             if (k >= c && vv < 4) (k, vv + 100) else (k, vv)
@@ -107,7 +137,15 @@ class DmlFuzzSpec extends AnyFunSuite {
           val fresh = (nextK until nextK + n / 2).map(k => (k, -2.0))
           nextK += n / 2
           val srcRows = overlap ++ fresh
-          val v = t.merge(srcRows.toDF("k", "v"), "t.k = s.k", Seq(
+          val v = if (viaSql()) {
+            srcRows.toDF("k", "v").createOrReplaceTempView("fuzz_src")
+            spark.sql(s"""MERGE INTO $sqlName AS tg USING fuzz_src AS sr
+              ON tg.k = sr.k
+              WHEN MATCHED AND tg.v > 200 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET v = tg.v + sr.v
+              WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.v)""")
+            t.snapshot().version
+          } else t.merge(srcRows.toDF("k", "v"), "t.k = s.k", Seq(
             MatchedDelete(Some("t.v > 200")),
             MatchedUpdate(None, Map("v" -> "t.v + s.v")),
             NotMatchedInsert(None, Map("k" -> "s.k", "v" -> "s.v"))))
