@@ -215,10 +215,20 @@ object MetadataBench {
   def run5m(spark: SparkSession): Map[String, Double] = {
     ensureLog5m(spark)
     val total = NUM_COMMITS_5M.toLong * ADDS_PER_COMMIT
+    val rt = Runtime.getRuntime
+    def usedMb: Double = {
+      System.gc()
+      (rt.totalMemory() - rt.freeMemory()) / 1e6
+    }
+    val heap0 = usedMb
     val t0 = System.nanoTime()
     val snap = Snapshot.forTable(spark, tableDir5m)
     val tSnap = (System.nanoTime() - t0) / 1e9
-    Map("snapshot_5m" -> tSnap,
-      "plan_df_5m" -> planDataFrame(spark, snap, total / 64))
+    val tPlan = planDataFrame(spark, snap, total / 64)
+    // informational: planning-phase heap growth. The hard guard is
+    // completing at all inside the default heap — a regression to
+    // collect+decode+index copies of 5M adds would OOM first.
+    Map("snapshot_5m" -> tSnap, "plan_df_5m" -> tPlan,
+      "heap_delta_mb_5m" -> (usedMb - heap0))
   }
 }

@@ -251,6 +251,24 @@ class SQLSurfaceSpec extends AnyFunSuite {
       types.contains("update_postimage") && types.contains("delete"))
   }
 
+  test("CHECK constraint added via SQL TBLPROPERTIES gates SQL INSERT") {
+    spark.sql("""CREATE TABLE gd.default.con (k BIGINT, v DOUBLE)
+      USING `graft-delta`""")
+    spark.sql("ALTER TABLE gd.default.con SET TBLPROPERTIES " +
+      "('delta.constraints.positive_k' = 'k > 0')")
+    spark.sql("INSERT INTO gd.default.con VALUES (1, 1.0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gd.default.con VALUES (-5, 2.0)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("positive_k")), msgs(e))
+    // the failed INSERT committed nothing
+    assert(spark.sql("SELECT count(*) AS n FROM gd.default.con")
+      .as[Long].head() == 1L)
+  }
+
   test("session catalog: CREATE ... USING graft-delta + INSERT + SELECT") {
     val loc = new java.io.File(TestSpark.tmpDir("sql-v1-tbl"))
       .getAbsolutePath
