@@ -429,6 +429,32 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       Map("clusterBy" -> clusterCols.mkString(",")))
   }
 
+  /** Ad-hoc `OPTIMIZE ... ZORDER BY (cols)` (delta-spark's one-off
+    * z-ordering): lays the rewrite out on the NAMED columns without
+    * touching the table's clustering metadata — for tables whose read
+    * pattern differs from their physical layout. Tables with DECLARED
+    * clustering refuse (the staging path would re-sort on the declared
+    * keys and silently undo the requested order — use
+    * [[optimizeClustered]] there).
+    */
+  def optimizeZorderBy(cols: Seq[String], numFiles: Int = 0): Long = {
+    val snap = snapshot()
+    require(cols.nonEmpty, "ZORDER BY requires at least one column")
+    require(Clustering.columns(snap).isEmpty,
+      s"table at $pathStr declares clustering columns — " +
+        "use optimizeClustered()")
+    cols.foreach { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column '$c'"))
+      require(DataSkipping.isEligible(f.dataType),
+        s"ZORDER BY column '$c' has no min/max stats " +
+          s"(${f.dataType.simpleString})")
+    }
+    optimizeRewrite(snap,
+      df => Clustering.zorderLayout(df, cols, numFiles),
+      Map("zorderBy" -> cols.mkString(",")))
+  }
+
   /** Bin-packing OPTIMIZE for any table: rewrite the live file set
     * into ~`targetFileBytes`-sized files (small-file compaction — the
     * cure for streaming-ingest file explosions). dataChange=false.

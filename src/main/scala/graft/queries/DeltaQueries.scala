@@ -215,6 +215,27 @@ object DeltaQueries {
         col("l_quantity"))
     }),
 
+    // geospatial storage round trip under the oracle: WKB-shaped
+    // binary payloads (deterministic md5 bytes) written through a
+    // geometry(EPSG:4326)-annotated table, read back, and hex-compared
+    // — proving the geo-typed binary path stores bytes EXACTLY and the
+    // schema spelling survives commit->replay (the oracle sees only
+    // the raw parquet, so a hash match covers the whole write/read)
+    "q_delta_geo" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = tmp("geo")
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("g"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        graft.delta.GeoTypes.geoField("g", "geometry(EPSG:4326)")))
+      DeltaTable.create(s, dir, schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.toDF.select(col("doc_id"), hex(col("g")).as("g_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full widening matrix in one table: l_linenumber walks
     // byte->short->long, l_quantity walks float->double, with a data
     // commit at every width — every file generation reads natively
@@ -733,6 +754,10 @@ object DeltaQueries {
         |       l_quantity
         |FROM lineitem WHERE l_quantity < 8
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_delta_geo" ->
+      """SELECT doc_id, upper(md5(text)) AS g_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // quantities < 8 in the corpus are whole numbers, so the
     // float32 hop in the Spark-side chain reproduces them exactly

@@ -23,12 +23,17 @@ private[sql] object GraftProcedures {
       spark: () => SparkSession): Option[UnboundProcedure] = name match {
     case "optimize" => Some(proc("optimize",
       Seq(in("table", StringType), inDefault("zorder", BooleanType, "false"),
-        inDefault("where", StringType, "NULL")),
+        inDefault("where", StringType, "NULL"),
+        inDefault("zorder_by", StringType, "NULL")),
       new StructType().add("version", LongType)) { args =>
       val t = DeltaTable.forPath(spark(), resolve(args.getString(0)))
       val where =
         if (args.isNullAt(2)) None else Some(args.getString(2))
-      val v = if (!args.isNullAt(1) && args.getBoolean(1))
+      val zorderBy =
+        if (args.isNullAt(3)) Nil
+        else args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = if (zorderBy.nonEmpty) t.optimizeZorderBy(zorderBy)
+      else if (!args.isNullAt(1) && args.getBoolean(1))
         t.optimizeClustered()
       else t.optimizeCompact(where = where)
       Seq(InternalRow(v))

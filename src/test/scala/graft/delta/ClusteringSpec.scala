@@ -220,6 +220,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(yHit <= total / 2, s"y-predicate read $yHit of $total files")
   }
 
+  test("ad-hoc OPTIMIZE ZORDER BY on an unclustered table: skipping " +
+      "gains without metadata change; declared clustering refuses") {
+    val dir = TestSpark.tmpDir("zadhoc")
+    val src = (0 until 4096).map(i => (i % 64L, i / 64L, s"r$i"))
+      .toDF("x", "y", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(8)) // scattered: both columns everywhere
+    t.optimizeZorderBy(Seq("x", "y"), numFiles = 16)
+    val total = t.scan(None).collectAddFiles().size
+    assert(total >= 8, s"expected >=8 z-ordered files, got $total")
+    assert(t.scan(Some("x < 8")).collectAddFiles().size <= total / 2)
+    assert(t.scan(Some("y < 8")).collectAddFiles().size <= total / 2)
+    // data intact; clustering metadata NOT declared
+    assert(t.toDF.count() == 4096)
+    assert(Clustering.columns(t.snapshot()).isEmpty)
+    // declared-clustering tables refuse the ad-hoc path
+    val dir2 = TestSpark.tmpDir("zadhoc2")
+    DeltaTable.create(spark, dir2, src.schema, clusterBy = Seq("x"))
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, dir2).optimizeZorderBy(Seq("y"))
+    }
+    // ineligible / unknown columns refuse
+    intercept[IllegalArgumentException] {
+      t.optimizeZorderBy(Seq("nope"))
+    }
+  }
+
   test("column-mapped clustered table stores physical paths in the " +
       "domain") {
     val dir = TestSpark.tmpDir("cluscm")
