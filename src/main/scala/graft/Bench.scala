@@ -63,7 +63,12 @@ object Bench {
       s"\"" + k + "\":{\"median\":" + medianOf(xs) +
         ",\"min\":" + xs.min + ",\"n\":" + xs.size + "}"
     }.mkString("{", ",", "}")
-    val total = if (all.nonEmpty) all.values.sum else 0.0
+    // the headline total sums SECONDS only — non-time gauges (the _mb_
+    // heap metric) report in `queries`/`stats` but must not pollute it
+    val total =
+      if (all.nonEmpty)
+        all.filterNot(_._1.contains("_mb_")).values.sum
+      else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}""")
     spark.stop()
   }

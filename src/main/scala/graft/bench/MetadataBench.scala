@@ -228,7 +228,9 @@ object MetadataBench {
     // informational: planning-phase heap growth. The hard guard is
     // completing at all inside the default heap — a regression to
     // collect+decode+index copies of 5M adds would OOM first.
+    // clamped at 0: GC may free MORE than planning retained, and a
+    // negative value would read as the bench error marker
     Map("snapshot_5m" -> tSnap, "plan_df_5m" -> tPlan,
-      "heap_delta_mb_5m" -> (usedMb - heap0))
+      "heap_delta_mb_5m" -> math.max(0.0, usedMb - heap0))
   }
 }

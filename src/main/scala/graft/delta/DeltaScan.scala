@@ -139,14 +139,20 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * distributed either way; only the final file list materializes
     * (the custom-FileIndex handoff is the v2 path beyond this).
     */
+  /** filesDF with the heavyweight add payloads nulled — the ONE
+    * definition of "slim" both the collecting and streaming handoffs
+    * share (diverging copies would let the two paths strip different
+    * payloads silently).
+    */
+  private def slimFilesDF: DataFrame =
+    filesDF.withColumn("add", col("add")
+      .withField("stats", lit(null).cast(StringType))
+      .withField("tags",
+        lit(null).cast(MapType(StringType, StringType))))
+
   private[graft] def collectAddFiles(slim: Boolean): Seq[AddFile] = {
     val t0 = Metrics.now()
-    val df =
-      if (!slim) filesDF
-      else filesDF.withColumn("add", col("add")
-        .withField("stats", lit(null).cast(StringType))
-        .withField("tags",
-          lit(null).cast(MapType(StringType, StringType))))
+    val df = if (!slim) filesDF else slimFilesDF
     val out = df.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
     Metrics.report(MetricEvent.ScanFilesCollected(Metrics.newId(),
       Metrics.now() - t0, out.size, predicateSql, slim))
@@ -176,14 +182,9 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * the index itself (the envelope Spark's scan exec requires anyway)
     * instead of ~3× it.
     */
-  private[graft] def addFileIterator(): Iterator[AddFile] = {
-    val slim = filesDF.withColumn("add", col("add")
-        .withField("stats", lit(null).cast(StringType))
-        .withField("tags",
-          lit(null).cast(MapType(StringType, StringType))))
-      .select("add.*")
-    slim.toLocalIterator().asScala.map(RowCodec.rowToAdd)
-  }
+  private[graft] def addFileIterator(): Iterator[AddFile] =
+    slimFilesDF.select("add.*")
+      .toLocalIterator().asScala.map(RowCodec.rowToAdd)
 
   /** The distributed data read: schema-first parquet scan over the live
     * files; partition columns are injected by a broadcast join on the

@@ -804,7 +804,20 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         partitionValues = Some(a.partitionValues), size = Some(a.size),
         deletionVector = a.deletionVector)
     }
+    // a replaced schema can INTRODUCE geo columns (e.g. a df read from
+    // another geo table): the same dual-sided feature upgrade the
+    // alterSchema path emits must ride this commit too, or every later
+    // snapshot load fails the geo gate on an unreadable table
+    val newProto =
+      if (newMeta.exists(m => GeoTypes.containsGeo(df.schema)) &&
+          !snap0.protocol.readerFeatures.exists(_.contains(GeoTypes.FEATURE)))
+        Some(TableFeatures.upgraded(snap0.protocol,
+          Seq(GeoTypes.FEATURE), Seq(GeoTypes.FEATURE)))
+      else None
+    val protoLine = newProto.map(p =>
+      JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val tail =
+      protoLine ++
       newMeta.map(m =>
         JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
@@ -813,8 +826,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       cv => commitInfoLine("WRITE", Map("mode" -> "Overwrite"),
         ictAt(snap0, cv - 1)) +: tail,
       retryable = false, Nil)
+    // the CRC must carry the upgraded protocol too: its fast path
+    // serves P&M verbatim, and a stale protocol under a geo schema
+    // fails the gate on the very next read
     maybeWriteChecksum(committed, staged.map(_.size), existing.map(_.size),
-      newMeta = newMeta)
+      newMeta = newMeta, newProto = newProto)
     maybeAutoCheckpoint(committed, newMeta.getOrElse(snap0.metadata))
     committed
   }

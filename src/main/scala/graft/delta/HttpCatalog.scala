@@ -123,15 +123,21 @@ class HttpCatalogClient(base: String) extends CatalogClient {
   import HttpCatalogProtocol._
 
   private val mapper = new ObjectMapper()
-  private val http = JHttpClient.newHttpClient()
+  // bounded waits: a wedged catalog must surface as an ERROR the
+  // transaction layer can retry, never an indefinitely hung commit
+  private val http = JHttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private val requestTimeout = java.time.Duration.ofSeconds(60)
 
   private def get(table: String, action: String): String =
     send(HttpRequest.newBuilder(
-      URI.create(s"$base$BASE${key(table)}/$action")).GET().build())
+      URI.create(s"$base$BASE${key(table)}/$action"))
+      .timeout(requestTimeout).GET().build())
 
   private def post(table: String, action: String, json: String): String =
     send(HttpRequest.newBuilder(
       URI.create(s"$base$BASE${key(table)}/$action"))
+      .timeout(requestTimeout)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(json, UTF_8)).build())
 

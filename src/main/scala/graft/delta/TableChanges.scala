@@ -230,9 +230,19 @@ object TableChanges {
     * calling this on one throws rather than mis-slicing.
     */
   def readVersionSlice(spark: SparkSession, tablePath: String,
-      version: Long, from: Int, until: Int): DataFrame = {
+      version: Long, from: Int, until: Int): DataFrame =
+    readVersionSlice(
+      Snapshot.forTable(spark, tablePath, Some(version)), from, until)
+
+  /** Snapshot-reusing variant for the streaming hot path: slicing one
+    * huge commit into N bounded microbatches must not pay N listings +
+    * replays — the source hands its cached pinned snapshot in.
+    */
+  def readVersionSlice(snap: Snapshot, from: Int, until: Int)
+      : DataFrame = {
+    val spark = snap.spark
+    val version = snap.version
     require(from >= 0 && from < until, s"empty slice [$from, $until)")
-    val snap = Snapshot.forTable(spark, tablePath, Some(version))
     require(cdfEnabled(snap.metadata),
       s"change data feed is not enabled at version $version")
     val conf = spark.sessionState.newHadoopConf()

@@ -309,7 +309,9 @@ class GraftSqlTable(spark: SparkSession, val location: String,
       "cannot DELETE from a time-travelled table")
     val sql =
       if (filters.isEmpty) "true"
-      else filters.flatMap(f => GraftDeltaRelation.toExactSql(f))
+      else filters.map(f => GraftDeltaRelation.toExactSql(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"cannot translate DELETE predicate $f exactly")))
         .map(s => s"($s)").mkString(" AND ")
     DeltaTable.forPath(spark, location).deleteWhere(sql)
   }

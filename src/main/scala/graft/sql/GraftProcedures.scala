@@ -32,6 +32,10 @@ private[sql] object GraftProcedures {
       val zorderBy =
         if (args.isNullAt(3)) Nil
         else args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // conflicting arguments are user error, never silently dropped
+      val zorderFlag = !args.isNullAt(1) && args.getBoolean(1)
+      require(zorderBy.isEmpty || (where.isEmpty && !zorderFlag),
+        "optimize: zorder_by cannot combine with 'where' or 'zorder'")
       val v = if (zorderBy.nonEmpty) t.optimizeZorderBy(zorderBy)
       else if (!args.isNullAt(1) && args.getBoolean(1))
         t.optimizeClustered()

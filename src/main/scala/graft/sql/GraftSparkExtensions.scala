@@ -72,7 +72,11 @@ class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         assignments.map(a => colName(a.key) -> bareSql(a.value)).toMap)
 
     case m @ MergeIntoTable(tgt, src, cond, matched, notMatched,
-        bySource, _) if m.resolved && graftTarget(tgt).isDefined =>
+        bySource, withSchemaEvolution)
+        if m.resolved && graftTarget(tgt).isDefined =>
+      if (withSchemaEvolution) throw new UnsupportedOperationException(
+        "MERGE ... WITH SCHEMA EVOLUTION is not supported - evolve the " +
+          "schema first (ALTER TABLE / mergeSchema append), then MERGE")
       val (t, tset) = graftTarget(tgt).get
       require(t.pinnedVersion.isEmpty,
         "cannot MERGE into a time-travelled table")

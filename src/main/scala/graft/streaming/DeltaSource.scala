@@ -129,9 +129,19 @@ class DeltaSource(
         .sortBy(_.path).toIndexedSeq
     })
 
+  // microbatches advance monotonically; a tiny bounded memo keeps
+  // repeated slicing of the same version (byte/file budgets) from
+  // paying a fresh listing + P&M replay per batch
+  private val snapMemo =
+    scala.collection.mutable.LinkedHashMap.empty[Long, Snapshot]
   private def snapAt(v: Long): Snapshot =
     if (v == initialSnapshot.version) initialSnapshot
-    else Snapshot.forTable(spark, tablePath, Some(v))
+    else synchronized {
+      val s = snapMemo.getOrElseUpdate(v,
+        Snapshot.forTable(spark, tablePath, Some(v)))
+      while (snapMemo.size > 4) snapMemo.remove(snapMemo.head._1)
+      s
+    }
 
   private def commitLines(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -548,8 +558,8 @@ class DeltaSource(
             endOff.index.toInt + 1
           else cdfInfo(o.version)._1.size
         if (o.index + 1 < until)
-          parts += TableChanges.readVersionSlice(spark, tablePath,
-            o.version, o.index.toInt + 1, until)
+          parts += TableChanges.readVersionSlice(snapAt(o.version),
+            o.index.toInt + 1, until)
         o.version + 1
       case Some(o) => o.version + 1
       case None => startingVersion
@@ -558,8 +568,8 @@ class DeltaSource(
     if (lo <= hiFull)
       parts += TableChanges.read(spark, tablePath, lo, Some(hiFull))
     if (endOff.index >= 0 && endOff.version >= lo)
-      parts += TableChanges.readVersionSlice(spark, tablePath,
-        endOff.version, 0, endOff.index.toInt + 1)
+      parts += TableChanges.readVersionSlice(snapAt(endOff.version),
+        0, endOff.index.toInt + 1)
     if (parts.isEmpty)
       // offset-encoding changes across restarts can produce an empty
       // replay range; an empty batch is correct, not an error

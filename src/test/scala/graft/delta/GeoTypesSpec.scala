@@ -188,6 +188,32 @@ class GeoTypesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geospatial"), e.getMessage)
   }
 
+  test("overwriteSchema introducing a geo column upgrades the " +
+      "protocol in the SAME commit (table stays readable)") {
+    val dir = TestSpark.tmpDir("geo-ow")
+    val plain = Seq((1L, "a")).toDF("id", "s")
+    DeltaTable.create(spark, dir, plain.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(plain)
+    assert(!t.snapshot().protocol.readerFeatures
+      .exists(_.contains(GeoTypes.FEATURE)))
+    // replacement frame carries a geo-annotated column (as a df read
+    // from another geo table would)
+    val geoDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(5L, wkbPoint(5))),
+      geoSchema)
+    t.overwrite(geoDf, overwriteSchema = true)
+    // the table MUST still load: feature upgraded with the schema
+    val snap = DeltaTable.forPath(spark, dir).snapshot()
+    assert(snap.protocol.readerFeatures.get.contains(GeoTypes.FEATURE))
+    assert(snap.protocol.writerFeatures.get.contains(GeoTypes.FEATURE))
+    assert(snap.metadata.schemaString.contains("\"geometry(EPSG:4326)\""))
+    val rows = DeltaTable.forPath(spark, dir).toDF.collect()
+    assert(rows.length == 1 &&
+      rows.head.getAs[Array[Byte]]("g").toSeq == wkbPoint(5).toSeq)
+  }
+
   test("DV deletes and row tracking compose with geo tables") {
     val dir = TestSpark.tmpDir("geo-dv")
     DeltaTable.create(spark, dir, geoSchema,
