@@ -766,7 +766,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * semantics — reference transaction/mod.rs remove+add reconciliation;
     * readers at older versions still see the old data).
     */
-  def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
+  def overwrite(df: DataFrame, overwriteSchema: Boolean = false,
+      txn: Option[SetTransaction] = None): Long = {
     val snap0 = snapshot()
     writerGate(snap0, mutating = true)
     // `overwriteSchema`: replacing every row may also replace the
@@ -817,6 +818,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val protoLine = newProto.map(p =>
       JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val tail =
+      txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
       protoLine ++
       newMeta.map(m =>
         JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
@@ -825,7 +827,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val committed = commitActions(snap0.version + 1,
       cv => commitInfoLine("WRITE", Map("mode" -> "Overwrite"),
         ictAt(snap0, cv - 1)) +: tail,
-      retryable = false, Nil)
+      retryable = false, txn.map(_.appId).toSeq)
     // the CRC must carry the upgraded protocol too: its fast path
     // serves P&M verbatim, and a stale protocol under a geo schema
     // fails the gate on the very next read

@@ -16,8 +16,10 @@ import graft.delta.{DeltaTable, SetTransaction, Snapshot}
   * its intended use.
   *
   * The table is created from the first batch's schema when absent.
-  * Append output mode only: a Delta table is not a keyed store;
-  * Complete/Update semantics belong to CDF-producing upserts.
+  * Append mode appends each microbatch; Complete mode (streaming
+  * aggregations) atomically REPLACES the table with each batch's full
+  * result, same idempotency marker. Update mode belongs to
+  * CDF-producing upserts and is rejected.
   */
 class DeltaSink(
     sqlContext: SQLContext,
@@ -25,8 +27,10 @@ class DeltaSink(
     outputMode: OutputMode,
     mergeSchema: Boolean = false) extends Sink {
 
-  require(outputMode == OutputMode.Append(),
-    s"graft-delta sink supports Append output mode only, got $outputMode")
+  require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+    s"graft-delta sink supports Append and Complete output modes, " +
+      s"got $outputMode")
 
   private val spark = sqlContext.sparkSession
 
@@ -53,7 +57,10 @@ class DeltaSink(
     // an upstream that grew a column evolves the table instead of
     // failing the query (a stream is the writer that can least afford
     // a schema mismatch abort mid-run)
-    if (mergeSchema) t.append(batchDF, txn = Some(txn), mergeSchema = true)
+    if (outputMode == OutputMode.Complete())
+      t.overwrite(batchDF, txn = Some(txn))
+    else if (mergeSchema)
+      t.append(batchDF, txn = Some(txn), mergeSchema = true)
     else t.appendFrom(snap, batchDF, txn = Some(txn))
     ()
   }

@@ -106,7 +106,17 @@ class DeltaSource(
     options.get("startingVersion").map {
       case s if s.equalsIgnoreCase("latest") => initialSnapshot.version + 1
       case s => s.toLong
-    }
+    }.orElse(options.get("startingTimestamp").map { ts =>
+      // delta-spark semantics: changes committed AT OR AFTER ts. The
+      // first such version is (max version at-or-before ts-1) + 1;
+      // a timestamp preceding the whole log reads everything
+      val millis =
+        try java.sql.Timestamp.valueOf(ts).getTime
+        catch { case _: IllegalArgumentException => ts.toLong }
+      try graft.delta.DeltaTable.forPath(spark, tablePath)
+        .versionAtTimestamp(millis - 1) + 1
+      catch { case _: IllegalArgumentException => 0L }
+    })
   private val initialSnapshotMode = startingVersionOpt.isEmpty
   private val startingVersion =
     startingVersionOpt.getOrElse(initialSnapshot.version)

@@ -891,6 +891,88 @@ class StreamingSpec extends AnyFunSuite {
       "sql.streaming.queryId", null)
   }
 
+  test("delta sink: Complete mode replaces the table with each " +
+      "aggregation batch; replays skip") {
+    val dir = TestSpark.tmpDir("sink-complete")
+    val ckpt = TestSpark.tmpDir("sink-complete-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val agg = mem.toDF().toDF("g", "n")
+      .groupBy($"g").agg(sum($"n").as("total"))
+    val q = agg.writeStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    val r1 = q.start(); r1.awaitTermination(120000)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 10L))
+
+    // next batch REPLACES: totals reflect all input, row count stays
+    // one-per-group (an append-mode sink would accumulate stale rows)
+    mem.addData(("a", 4L), ("c", 7L))
+    val r2 = q.start(); r2.awaitTermination(120000)
+    assert(t.toDF.as[(String, Long)].collect().toMap ==
+      Map("a" -> 7L, "b" -> 10L, "c" -> 7L))
+    assert(t.toDF.count() == 3)
+
+    // a replayed Complete batch id skips, leaving the table untouched
+    val sink = new DeltaSink(spark.sqlContext, dir,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val marker = t.snapshot().setTransactions.map(_.version).max
+    val vBefore = t.snapshot().version
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId",
+      t.snapshot().setTransactions.head.appId)
+    try {
+      sink.addBatch(marker, Seq(("z", 1L)).toDF("g", "total"))
+      assert(t.snapshot().version == vBefore)
+    } finally spark.sparkContext.setLocalProperty(
+      "sql.streaming.queryId", null)
+    // Update mode stays rejected
+    intercept[IllegalArgumentException] {
+      new DeltaSink(spark.sqlContext, dir,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+  }
+
+  test("startingTimestamp streams changes committed at or after the " +
+      "timestamp; a pre-log timestamp reads everything") {
+    val dir = TestSpark.tmpDir("start-ts")
+    val t = DeltaTable.forPath(spark,
+      { DeltaTable.create(spark,
+          dir, Seq((0L, "x")).toDF("k", "s").schema); dir })
+    t.append(Seq((1L, "a")).toDF("k", "s"))  // v1
+    Thread.sleep(30)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.append(Seq((2L, "b")).toDF("k", "s"))  // v2 (after cut)
+    t.append(Seq((3L, "c")).toDF("k", "s"))  // v3
+
+    def streamed(ts: String): Set[Long] = {
+      val out = TestSpark.tmpDir("start-ts-out")
+      val ckpt = TestSpark.tmpDir("start-ts-ckpt")
+      val q = spark.readStream
+        .format(classOf[DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("startingTimestamp", ts)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).select("k").as[Long].collect().toSet
+    }
+    // millis form: only versions committed after the cut
+    assert(streamed(cut.toString) == Set(2L, 3L))
+    // a timestamp before the table existed: everything
+    assert(streamed("1970-01-02 00:00:00") == Set(1L, 2L, 3L))
+  }
+
   test("delta sink: a restarted query with a wider schema evolves the " +
       "table under mergeSchema and fails loudly without it") {
     val dir = TestSpark.tmpDir("sink-ev")
