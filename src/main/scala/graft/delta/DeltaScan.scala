@@ -132,13 +132,6 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
 
   def collectAddFiles(): Seq[AddFile] = collectAddFiles(slim = false)
 
-  /** Collect the surviving adds to the driver. `slim = true` nulls out
-    * the heavyweight payloads (stats JSON, tags) before collecting —
-    * at millions of files that is the difference between collecting
-    * gigabytes and collecting path metadata. The metadata QUERY stays
-    * distributed either way; only the final file list materializes
-    * (the custom-FileIndex handoff is the v2 path beyond this).
-    */
   /** filesDF with the heavyweight add payloads nulled — the ONE
     * definition of "slim" both the collecting and streaming handoffs
     * share (diverging copies would let the two paths strip different
@@ -150,6 +143,13 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       .withField("tags",
         lit(null).cast(MapType(StringType, StringType))))
 
+  /** Collect the surviving adds to the driver. `slim = true` strips
+    * stats JSON + tags first — at millions of files that is the
+    * difference between collecting gigabytes and collecting path
+    * metadata. The metadata QUERY stays distributed either way; only
+    * the final file list materializes ([[addFileIterator]] is the
+    * streaming handoff beyond even that).
+    */
   private[graft] def collectAddFiles(slim: Boolean): Seq[AddFile] = {
     val t0 = Metrics.now()
     val df = if (!slim) filesDF else slimFilesDF

@@ -798,7 +798,18 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       new Snapshot(spark, snap0.tableRoot, snap0.segment, snap0.protocol, m))
     enforceNoExtraColumns(df, snap)
     val existing = new DeltaScan(snap0, None).collectAddFiles(slim = true)
-    val staged = stageFiles(df, snap)
+    val stagedRaw = stageFiles(df, snap)
+    // row-tracking tables assign fresh baseRowIds + advance the HWM on
+    // EVERY data-adding commit — an overwrite without them would serve
+    // null _row_ids and break row-tracking CDF (appendFrom parity)
+    val (staged, hwmLine) =
+      if (!RowTracking.enabled(snap0.metadata)) (stagedRaw, Nil)
+      else {
+        val (assigned, hwm) = RowTracking.assign(stagedRaw,
+          RowTracking.highWaterMark(snap0), snap0.version + 1)
+        (assigned, Seq(JsonLog.writeAction(SingleAction(
+          domainMetadata = Some(RowTracking.domainMetadataFor(hwm))))))
+      }
     val removes = existing.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = true,
         extendedFileMetadata = Some(true),
@@ -819,6 +830,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val tail =
       txn.map(t => JsonLog.writeAction(SingleAction(txn = Some(t)))).toSeq ++
+      hwmLine ++
       protoLine ++
       newMeta.map(m =>
         JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++

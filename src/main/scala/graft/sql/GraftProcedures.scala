@@ -32,10 +32,14 @@ private[sql] object GraftProcedures {
       val zorderBy =
         if (args.isNullAt(3)) Nil
         else args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      // conflicting arguments are user error, never silently dropped
+      // conflicting arguments are user error, never silently dropped:
+      // 'where' scopes bin-packing compaction only
       val zorderFlag = !args.isNullAt(1) && args.getBoolean(1)
       require(zorderBy.isEmpty || (where.isEmpty && !zorderFlag),
         "optimize: zorder_by cannot combine with 'where' or 'zorder'")
+      require(!zorderFlag || where.isEmpty,
+        "optimize: 'where' cannot combine with 'zorder' " +
+          "(clustered rewrites are whole-table)")
       val v = if (zorderBy.nonEmpty) t.optimizeZorderBy(zorderBy)
       else if (!args.isNullAt(1) && args.getBoolean(1))
         t.optimizeClustered()

@@ -58,7 +58,11 @@ class DeltaSink(
     // failing the query (a stream is the writer that can least afford
     // a schema mismatch abort mid-run)
     if (outputMode == OutputMode.Complete())
-      t.overwrite(batchDF, txn = Some(txn))
+      // mergeSchema in Complete mode = the batch's schema IS the
+      // table's next schema (the table is the aggregation result);
+      // without it an evolved aggregation fails loudly as in Append
+      t.overwrite(batchDF, overwriteSchema = mergeSchema,
+        txn = Some(txn))
     else if (mergeSchema)
       t.append(batchDF, txn = Some(txn), mergeSchema = true)
     else t.appendFrom(snap, batchDF, txn = Some(txn))

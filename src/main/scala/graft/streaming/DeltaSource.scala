@@ -102,6 +102,9 @@ class DeltaSource(
     * whole table as of stream start (offset = that snapshot's version),
     * then per-commit tailing.
     */
+  require(!(options.contains("startingVersion") &&
+      options.contains("startingTimestamp")),
+    "startingVersion and startingTimestamp cannot both be set")
   private val startingVersionOpt: Option[Long] =
     options.get("startingVersion").map {
       case s if s.equalsIgnoreCase("latest") => initialSnapshot.version + 1
@@ -110,11 +113,8 @@ class DeltaSource(
       // delta-spark semantics: changes committed AT OR AFTER ts. The
       // first such version is (max version at-or-before ts-1) + 1;
       // a timestamp preceding the whole log reads everything
-      val millis =
-        try java.sql.Timestamp.valueOf(ts).getTime
-        catch { case _: IllegalArgumentException => ts.toLong }
       try graft.delta.DeltaTable.forPath(spark, tablePath)
-        .versionAtTimestamp(millis - 1) + 1
+        .versionAtTimestamp(DeltaSource.parseTsMillis(ts) - 1) + 1
       catch { case _: IllegalArgumentException => 0L }
     })
   private val initialSnapshotMode = startingVersionOpt.isEmpty
@@ -630,6 +630,13 @@ object DeltaSourceOffset {
 
 object DeltaSource {
 
+  /** `yyyy-MM-dd HH:mm:ss[.f]` or epoch millis — the one timestamp
+    * grammar every option surface shares.
+    */
+  def parseTsMillis(ts: String): Long =
+    try java.sql.Timestamp.valueOf(ts).getTime
+    catch { case _: IllegalArgumentException => ts.toLong }
+
   /** A set of the snapshot's files rendered as CDF insert rows at the
     * snapshot's version — the initial batches of a readChangeFeed
     * stream with no startingVersion (delta-spark's default CDF shape).
@@ -707,13 +714,9 @@ class DeltaSourceProvider extends StreamSourceProvider
       String.CASE_INSENSITIVE_ORDER)
     parameters.foreach { case (k, v) => params.put(k, v) }
     def opt(k: String) = Option(params.get(k))
-    def versionAt(ts: String): Long = {
-      val millis =
-        try java.sql.Timestamp.valueOf(ts).getTime
-        catch { case _: IllegalArgumentException => ts.toLong }
+    def versionAt(ts: String): Long =
       graft.delta.DeltaTable.forPath(sqlContext.sparkSession, path)
-        .versionAtTimestamp(millis)
-    }
+        .versionAtTimestamp(DeltaSource.parseTsMillis(ts))
     // batch CDF read (delta-spark's readChangeFeed batch surface):
     // version/timestamp bounds select the commit range; the result is
     // the same TableChanges plan the streaming CDF mode slices

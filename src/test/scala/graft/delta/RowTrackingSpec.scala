@@ -108,4 +108,24 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(t.versionAtTimestamp(icts.last) == 3L)
     assert(t.versionAtTimestamp(icts(2)) == 2L)
   }
+  test("overwrite assigns fresh row ids and advances the HWM " +
+      "(Complete-mode sink parity with append)") {
+    val dir = TestSpark.tmpDir("rt-ow")
+    val a = (1 to 30).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+    DeltaTable.create(spark, dir, a.schema, configuration = conf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(a)
+    val hwm1 = RowTracking.highWaterMark(t.snapshot())
+    assert(hwm1 == 29L)
+    t.overwrite((1 to 10).map(i => (i.toLong, i * 2.0)).toDF("k", "x"))
+    val snap = t.snapshot()
+    // replacement rows got FRESH ids past the old range; HWM advanced
+    assert(RowTracking.highWaterMark(snap) == 39L)
+    val adds = t.scan(None).collectAddFiles()
+    assert(adds.forall(_.baseRowId.exists(_ > hwm1)))
+    val ids = t.scan(None).toDFWithRowIds
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == 10 && ids.forall(_ > hwm1))
+    assert(ids.distinct.length == 10)
+  }
 }
