@@ -143,4 +143,65 @@ object ColumnMapping {
     val out = annotate(schema)
     (out, next)
   }
+
+  /** Largest column-mapping id actually present in the schema, at any
+    * nesting depth. Used to self-heal a stale persisted
+    * `delta.columnMapping.maxColumnId` before assigning new ids — a
+    * fresh id seeded from a stale property would collide with an
+    * existing field (reference
+    * kernel/src/transaction/schema_evolution.rs:764-783, delta-spark's
+    * `findMaxColumnId`).
+    */
+  def maxAssignedId(schema: StructType): Long = {
+    def ofType(dt: DataType): Long = dt match {
+      case s: StructType => maxAssignedId(s)
+      case a: ArrayType => ofType(a.elementType)
+      case m: MapType => math.max(ofType(m.keyType), ofType(m.valueType))
+      case _ => 0L
+    }
+    schema.fields.foldLeft(0L) { (acc, f) =>
+      val own = if (f.metadata.contains(ID_KEY))
+        f.metadata.getLong(ID_KEY) else 0L
+      math.max(acc, math.max(own, ofType(f.dataType)))
+    }
+  }
+
+  /** Reconcile column-mapping annotations across a schema evolution:
+    * fields surviving from `old` (matched by name at each depth) keep
+    * their id + physical name; fields NEW at any depth — including a
+    * field added inside an existing struct — get fresh annotations
+    * starting after `startId`. A widened leaf keeps its annotation (the
+    * physical column is the same). Returns (annotated schema, max id
+    * used).
+    */
+  def reconcile(old: StructType, nu: StructType,
+      startId: Long): (StructType, Long) = {
+    var next = startId
+    def fresh(f: StructField): StructField = {
+      val (annotated, m2) = assignMetadata(StructType(Seq(f)), next)
+      next = m2
+      annotated.fields.head
+    }
+    def recType(o: DataType, n: DataType): DataType = (o, n) match {
+      case (os: StructType, ns: StructType) => rec(os, ns)
+      case (oa: ArrayType, na: ArrayType) =>
+        na.copy(elementType = recType(oa.elementType, na.elementType))
+      case (om: MapType, nm: MapType) =>
+        nm.copy(valueType = recType(om.valueType, nm.valueType))
+      case (_, n) => n
+    }
+    def rec(os: StructType, ns: StructType): StructType = {
+      val oldByName = os.fields.map(f => f.name -> f).toMap
+      StructType(ns.fields.map { f =>
+        oldByName.get(f.name) match {
+          case Some(of) =>
+            f.copy(dataType = recType(of.dataType, f.dataType),
+              metadata = of.metadata)
+          case None => fresh(f)
+        }
+      })
+    }
+    val out = rec(old, nu)
+    (out, next)
+  }
 }

@@ -704,17 +704,45 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   }
 
   /** Project `df` onto `schema`: case-insensitive column match, upcast
-    * narrower incoming types, fill absent columns with NULL.
+    * narrower incoming types, fill absent columns with NULL. Structs
+    * rebuild BY NAME at every depth (a plain struct cast is
+    * positional — after a nested evolution the incoming field order
+    * can differ from the merged schema, and a positional cast would
+    * silently shift values across fields); arrays/maps of structs
+    * align element-wise through `transform`/`transform_values` (all
+    * codegen'd built-ins, no UDFs).
     */
-  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    def alignExpr(c: Column, from: DataType, to: DataType): Column =
+      (from, to) match {
+        case (f, t) if f == t => c
+        case (fs: StructType, ts: StructType) =>
+          val inner = ts.fields.map { tf =>
+            fs.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+              case Some(ff) =>
+                alignExpr(c.getField(ff.name), ff.dataType, tf.dataType)
+                  .as(tf.name)
+              case None => lit(null).cast(tf.dataType).as(tf.name)
+            }
+          }
+          // a NULL struct stays NULL, not a struct of NULLs
+          when(c.isNull, lit(null).cast(ts))
+            .otherwise(struct(inner.toIndexedSeq: _*))
+        case (fa: ArrayType, ta: ArrayType) =>
+          transform(c, x => alignExpr(x, fa.elementType, ta.elementType))
+        case (fm: MapType, tm: MapType) =>
+          transform_values(c,
+            (_, v) => alignExpr(v, fm.valueType, tm.valueType))
+        case (_, t) => c.cast(t)
+      }
     df.select(schema.fields.map { f =>
       df.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-        case Some(c) if c.dataType == f.dataType =>
-          col(s"`${c.name}`").as(f.name)
-        case Some(c) => col(s"`${c.name}`").cast(f.dataType).as(f.name)
+        case Some(c) =>
+          alignExpr(col(s"`${c.name}`"), c.dataType, f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
-    }: _*)
+    }.toIndexedSeq: _*)
+  }
 
   /** Append against an explicit (possibly stale) snapshot — the
     * transaction seam conflict tests drive; `append` is this from the
@@ -1124,8 +1152,43 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * (every unmatched target row is potentially affected).
     */
   def merge(source: DataFrame, condSql: String,
-      clauses: Seq[MergeClause]): Long = {
+      clauses: Seq[MergeClause]): Long =
+    merge(source, condSql, clauses, schemaEvolution = false)
+
+  /** MERGE with writer-side schema evolution (delta-spark's
+    * `withSchemaEvolution()` builder flag; reference
+    * kernel/src/transaction/schema_evolution.rs:784): any clause
+    * assignment targeting a column absent from the table is added
+    * first — nullable, typed from the same-named SOURCE column (the
+    * only place a new merge column's values can come from) — via the
+    * validated alterSchema commit, then the merge runs against the
+    * evolved snapshot. Rows the merge does not touch read the new
+    * column as NULL. The SQL surface (`MERGE ... WITH SCHEMA
+    * EVOLUTION`) reaches the same alterSchema path through Spark's
+    * ResolveMergeIntoSchemaEvolution + the catalog's alterTable.
+    */
+  def merge(source: DataFrame, condSql: String,
+      clauses: Seq[MergeClause], schemaEvolution: Boolean): Long = {
     import MergeClause._
+    if (schemaEvolution) {
+      val cur = snapshot().schema
+      val have = cur.fieldNames.toSet
+      val assignedNew = clauses.flatMap {
+        case MatchedUpdate(_, set) => set.keys
+        case NotMatchedBySourceUpdate(_, set) => set.keys
+        case NotMatchedInsert(_, values) => values.keys
+        case _ => Nil
+      }.distinct.filterNot(have)
+      if (assignedNew.nonEmpty) {
+        val srcByName = source.schema.fields.map(f => f.name -> f).toMap
+        val added = assignedNew.map(n => srcByName.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"schema evolution: assigned column '$n' exists in neither " +
+              "the table nor the merge source")))
+          .map(f => f.copy(nullable = true))
+        alterSchema(StructType(cur.fields.toIndexedSeq ++ added))
+      }
+    }
     val snap = snapshot()
     writerGate(snap, mutating = true)
     require(clauses.nonEmpty, "MERGE requires at least one clause")
@@ -1407,25 +1470,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val schemaDiff = SchemaEvolution.diff(snap.schema, newSchema)
     val widens = schemaDiff.changed.nonEmpty
     val cmMode = ColumnMapping.mode(snap.metadata)
-    // preserve column-mapping annotations on surviving fields; assign
-    // fresh physical names/ids to added ones
+    // preserve column-mapping annotations on surviving fields (at any
+    // nesting depth); assign fresh physical names/ids to added ones.
+    // The id seed self-heals against the schema's actual max id — a
+    // stale persisted maxColumnId must not collide a new id with an
+    // existing field (reference schema_evolution.rs:764-783,
+    // delta-spark findMaxColumnId)
     val (finalSchema, newConfig) =
       if (cmMode == "none") (newSchema, snap.metadata.configuration)
       else {
-        val oldByName = snap.schema.fields.map(f => f.name -> f).toMap
-        var maxId = snap.metadata.configuration
-          .get(ColumnMapping.MAX_ID_KEY).map(_.toLong).getOrElse(0L)
-        val fields = newSchema.fields.map { f =>
-          oldByName.get(f.name) match {
-            case Some(of) => f.copy(metadata = of.metadata)
-            case None =>
-              val (annotated, m2) =
-                ColumnMapping.assignMetadata(StructType(Seq(f)), maxId)
-              maxId = m2
-              annotated.fields.head
-          }
-        }
-        (StructType(fields), snap.metadata.configuration +
+        val seed = math.max(
+          snap.metadata.configuration
+            .get(ColumnMapping.MAX_ID_KEY).map(_.toLong).getOrElse(0L),
+          ColumnMapping.maxAssignedId(snap.schema))
+        val (annotated, maxId) =
+          ColumnMapping.reconcile(snap.schema, newSchema, seed)
+        (annotated, snap.metadata.configuration +
           (ColumnMapping.MAX_ID_KEY -> maxId.toString))
       }
     val meta = snap.metadata.copy(
@@ -1460,20 +1520,69 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   }
 
   /** ALTER TABLE ADD COLUMN (nullable — required for old files). */
-  def addColumn(name: String, dataType: DataType): Long = {
+  def addColumn(name: String, dataType: DataType): Long =
+    addColumn(Seq(name), dataType)
+
+  /** ADD COLUMN at a nested path: `Seq("a", "b")` adds field `b`
+    * inside struct column `a` (old files read it as NULL). Every
+    * intermediate path step must be an existing struct — or a struct
+    * nested directly under arrays/maps, matching Spark's
+    * `element`/`value`-free ADD COLUMN path addressing (reference
+    * schema_evolution.rs modify_field_at_path: descending through a
+    * non-struct is an error, never a silent no-op).
+    */
+  def addColumn(path: Seq[String], dataType: DataType): Long = {
+    require(path.nonEmpty, "empty column path")
     val snap = snapshot()
-    require(!snap.schema.fieldNames.contains(name),
-      s"column '$name' already exists")
-    alterSchema(StructType(
-      snap.schema.fields :+ StructField(name, dataType, nullable = true)))
+    def insert(s: StructType, p: Seq[String]): StructType = p match {
+      case Seq(leaf) =>
+        require(!s.fieldNames.contains(leaf),
+          s"column '${path.mkString(".")}' already exists")
+        StructType(s.fields :+ StructField(leaf, dataType, nullable = true))
+      case step +: rest =>
+        val i = s.fieldNames.indexOf(step)
+        require(i >= 0, s"no struct column '$step'")
+        def descend(dt: DataType): DataType = dt match {
+          case inner: StructType => insert(inner, rest)
+          case a: ArrayType => a.copy(elementType = descend(a.elementType))
+          case m: MapType => m.copy(valueType = descend(m.valueType))
+          case other => throw new IllegalArgumentException(
+            s"cannot add '${path.mkString(".")}': '$step' is " +
+              s"${other.simpleString}, not a struct")
+        }
+        val f = s.fields(i)
+        StructType(s.fields.updated(i,
+          f.copy(dataType = descend(f.dataType))))
+    }
+    alterSchema(insert(snap.schema, path))
   }
 
   /** ALTER TABLE ALTER COLUMN TYPE (widening only). */
-  def widenColumn(name: String, to: DataType): Long = {
+  def widenColumn(name: String, to: DataType): Long =
+    widenColumn(Seq(name), to)
+
+  /** Widen a column at a nested path (same addressing as
+    * [[addColumn(path:Seq[String]*]]).
+    */
+  def widenColumn(path: Seq[String], to: DataType): Long = {
+    require(path.nonEmpty, "empty column path")
     val snap = snapshot()
-    require(snap.schema.fieldNames.contains(name), s"no column '$name'")
-    alterSchema(StructType(snap.schema.fields.map(f =>
-      if (f.name == name) f.copy(dataType = to) else f)))
+    def patch(s: StructType, p: Seq[String]): StructType = {
+      val i = s.fieldNames.indexOf(p.head)
+      require(i >= 0, s"no column '${p.head}'")
+      val f = s.fields(i)
+      def descend(dt: DataType): DataType = dt match {
+        case inner: StructType => patch(inner, p.tail)
+        case a: ArrayType => a.copy(elementType = descend(a.elementType))
+        case m: MapType => m.copy(valueType = descend(m.valueType))
+        case other => throw new IllegalArgumentException(
+          s"cannot widen '${path.mkString(".")}': '${p.head}' is " +
+            s"${other.simpleString}, not a struct")
+      }
+      StructType(s.fields.updated(i, f.copy(dataType =
+        if (p.tail.isEmpty) to else descend(f.dataType))))
+    }
+    alterSchema(patch(snap.schema, path))
   }
 
   /** ALTER TABLE SET TBLPROPERTIES (metadata-only commit). Enabling

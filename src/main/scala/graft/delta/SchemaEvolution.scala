@@ -57,28 +57,55 @@ object SchemaEvolution {
   /** Validate that `newSchema` is a legal evolution of `oldSchema`:
     * every old column present (same name), type equal or widened,
     * nullability never tightened; new columns must be nullable.
-    * Returns the offending description on failure.
+    * Recurses into structs (including struct-typed array elements and
+    * map values), so nested field adds/widenings validate by the same
+    * rules at any depth (reference
+    * kernel/src/transaction/schema_evolution.rs nested
+    * modify_field_at_path + nested add tests). Returns the offending
+    * description on failure.
     */
-  def validate(oldSchema: StructType, newSchema: StructType): Option[String] = {
+  def validate(oldSchema: StructType, newSchema: StructType): Option[String] =
+    validateAt(oldSchema, newSchema, "")
+
+  private def validateAt(oldSchema: StructType, newSchema: StructType,
+      prefix: String): Option[String] = {
     val newByName = newSchema.fields.map(f => f.name -> f).toMap
     oldSchema.fields.iterator.flatMap { of =>
+      val path = prefix + of.name
       newByName.get(of.name) match {
-        case None => Some(s"column '${of.name}' was dropped")
+        case None => Some(s"column '$path' was dropped")
         case Some(nf) =>
-          if (!canWiden(of.dataType, nf.dataType))
-            Some(s"column '${of.name}': ${of.dataType.simpleString} cannot " +
-              s"widen to ${nf.dataType.simpleString}")
-          else if (of.nullable && !nf.nullable)
-            Some(s"column '${of.name}': nullability cannot tighten")
-          else None
+          if (of.nullable && !nf.nullable)
+            Some(s"column '$path': nullability cannot tighten")
+          else validateType(of.dataType, nf.dataType, path)
       }
     }.nextOption().orElse {
       val oldNames = oldSchema.fieldNames.toSet
       newSchema.fields.iterator
         .filter(f => !oldNames.contains(f.name) && !f.nullable)
-        .map(f => s"new column '${f.name}' must be nullable")
+        .map(f => s"new column '$prefix${f.name}' must be nullable")
         .nextOption()
     }
+  }
+
+  private def validateType(old: DataType, nu: DataType,
+      path: String): Option[String] = (old, nu) match {
+    case (os: StructType, ns: StructType) =>
+      validateAt(os, ns, path + ".")
+    case (oa: ArrayType, na: ArrayType) =>
+      if (oa.containsNull && !na.containsNull)
+        Some(s"column '$path': array element nullability cannot tighten")
+      else validateType(oa.elementType, na.elementType, path + ".element")
+    case (om: MapType, nm: MapType) =>
+      if (om.keyType != nm.keyType)
+        Some(s"column '$path': map key type cannot change")
+      else if (om.valueContainsNull && !nm.valueContainsNull)
+        Some(s"column '$path': map value nullability cannot tighten")
+      else validateType(om.valueType, nm.valueType, path + ".value")
+    case (o, n) =>
+      if (canWiden(o, n)) None
+      else Some(s"column '$path': ${o.simpleString} cannot " +
+        s"widen to ${n.simpleString}")
   }
 
   /** Merge an incoming write schema into the table schema
@@ -93,16 +120,31 @@ object SchemaEvolution {
   def merge(table: StructType, incoming: StructType): StructType = {
     def find(s: StructType, name: String): Option[StructField] =
       s.fields.find(_.name.equalsIgnoreCase(name))
+    def mergeType(tName: String, t: DataType, in: DataType): DataType =
+      (t, in) match {
+        // nested structs merge field-wise at any depth (reference
+        // schema_evolution.rs nested add; delta-spark mergeSchemas)
+        case (ts: StructType, is: StructType) => merge(ts, is)
+        case (ta: ArrayType, ia: ArrayType) =>
+          ta.copy(elementType =
+            mergeType(tName + ".element", ta.elementType, ia.elementType),
+            containsNull = ta.containsNull || ia.containsNull)
+        case (tm: MapType, im: MapType) if tm.keyType == im.keyType =>
+          tm.copy(valueType =
+            mergeType(tName + ".value", tm.valueType, im.valueType),
+            valueContainsNull = tm.valueContainsNull || im.valueContainsNull)
+        case (a, b) if a == b => a
+        case (a, b) if canWiden(a, b) => b
+        case (a, b) if canWiden(b, a) => a
+        case (a, b) => throw new IllegalArgumentException(
+          s"mergeSchema: column '$tName' " +
+            s"${a.simpleString} cannot merge with incoming " +
+            b.simpleString)
+      }
     val kept = table.fields.map { tf =>
       find(incoming, tf.name) match {
-        case Some(inf) if inf.dataType == tf.dataType => tf
-        case Some(inf) if canWiden(tf.dataType, inf.dataType) =>
-          tf.copy(dataType = inf.dataType)
-        case Some(inf) if canWiden(inf.dataType, tf.dataType) => tf
-        case Some(inf) => throw new IllegalArgumentException(
-          s"mergeSchema: column '${tf.name}' " +
-            s"${tf.dataType.simpleString} cannot merge with incoming " +
-            inf.dataType.simpleString)
+        case Some(inf) =>
+          tf.copy(dataType = mergeType(tf.name, tf.dataType, inf.dataType))
         case None => tf
       }
     }

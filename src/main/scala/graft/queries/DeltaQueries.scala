@@ -492,6 +492,38 @@ object DeltaQueries {
         s"SELECT l_orderkey, n_lines, q_total FROM $tbl ORDER BY l_orderkey")
     }),
 
+    // MERGE ... WITH SCHEMA EVOLUTION: the source carries a column the
+    // target lacks (n_hi); Spark's ResolveMergeIntoSchemaEvolution
+    // routes it through the catalog's alterTable (a validated
+    // metadata-only engine commit), then the merge assigns it — rows
+    // the merge never touches read it as NULL. The oracle recomputes
+    // the evolved final state from the raw parquet.
+    "q_delta_merge_evolve" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gd_mev", "graft.sql.GraftDeltaCatalog")
+      s.conf.set("spark.sql.catalog.gd_mev.warehouse",
+        "/root/repo/target/tmp/gd-warehouse")
+      val tbl = s"gd_mev.default.mev_${UUID.randomUUID().toString.take(8)}"
+      val view = s"li_mev_${UUID.randomUUID().toString.take(8)}"
+      li(s, d).createOrReplaceTempView(view)
+      s.sql(s"""CREATE TABLE $tbl USING `graft-delta` AS
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        FROM $view WHERE l_quantity < 10 GROUP BY l_orderkey""")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl AS t USING
+        (SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_hi,
+           count(*) AS n_hi
+         FROM $view WHERE l_quantity >= 10 AND l_quantity < 14
+         GROUP BY l_orderkey) AS u
+        ON t.l_orderkey = u.l_orderkey
+        WHEN MATCHED THEN UPDATE SET q_total = t.q_total + u.q_hi,
+          n_hi = u.n_hi
+        WHEN NOT MATCHED THEN INSERT (l_orderkey, q_total, n_hi)
+          VALUES (u.l_orderkey, u.q_hi, u.n_hi)""")
+      s.sql(
+        s"SELECT l_orderkey, q_total, n_hi FROM $tbl ORDER BY l_orderkey")
+    }),
+
     // MERGE: matched-delete + matched-update + not-matched-insert in
     // one commit — the oracle recomputes the post-merge state from the
     // raw parquet
@@ -667,6 +699,28 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 14 AND l_returnflag = 'R'
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // replay the evolving merge: matched rows add the new batch's
+    // total and take its line count into the evolved column, unmatched
+    // source rows insert, untouched target rows read the new column
+    // as NULL
+    "q_delta_merge_evolve" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        |  FROM lineitem WHERE l_quantity < 10 GROUP BY l_orderkey),
+        |b AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_hi,
+        |    count(*) AS n_hi
+        |  FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 14
+        |  GROUP BY l_orderkey)
+        |SELECT coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+        |  CASE WHEN a.l_orderkey IS NULL THEN b.q_hi
+        |       ELSE a.q_total + coalesce(b.q_hi, 0) END AS q_total,
+        |  b.n_hi AS n_hi
+        |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q_delta_merge" ->
       """WITH base AS (

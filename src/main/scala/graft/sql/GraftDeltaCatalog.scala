@@ -163,13 +163,9 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case _: TableChange.SetProperty => ()
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "nested ADD COLUMN is not supported")
-        t.addColumn(a.fieldNames.head, a.dataType)
+        t.addColumn(a.fieldNames.toSeq, a.dataType)
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames.length == 1,
-          "nested ALTER COLUMN is not supported")
-        t.widenColumn(u.fieldNames.head, u.newDataType)
+        t.widenColumn(u.fieldNames.toSeq, u.newDataType)
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $c")
     }
@@ -331,12 +327,19 @@ class GraftSqlTable(spark: SparkSession, val location: String,
       TableCatalog.PROP_LOCATION -> location,
       TableCatalog.PROP_PROVIDER -> "graft-delta")).asJava
 
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's analyzer-driven
+  // MERGE ... WITH SCHEMA EVOLUTION: ResolveMergeIntoSchemaEvolution
+  // diffs source vs target, routes the new columns through this
+  // catalog's alterTable (a validated metadata-only engine commit),
+  // and reloads the table before the merge itself resolves
+  // (reference: kernel/src/transaction/schema_evolution.rs:784)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =

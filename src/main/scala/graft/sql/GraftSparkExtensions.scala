@@ -71,12 +71,15 @@ class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         condition.map(bareSql).getOrElse("true"),
         assignments.map(a => colName(a.key) -> bareSql(a.value)).toMap)
 
+    // `WITH SCHEMA EVOLUTION` needs no handling here: the target
+    // table advertises AUTOMATIC_SCHEMA_EVOLUTION, so by the time the
+    // plan is resolved Spark's ResolveMergeIntoSchemaEvolution has
+    // already committed the new columns through the catalog's
+    // alterTable and star/explicit assignments resolve against the
+    // evolved schema — the rewrite below sees an ordinary merge.
     case m @ MergeIntoTable(tgt, src, cond, matched, notMatched,
-        bySource, withSchemaEvolution)
+        bySource, _)
         if m.resolved && graftTarget(tgt).isDefined =>
-      if (withSchemaEvolution) throw new UnsupportedOperationException(
-        "MERGE ... WITH SCHEMA EVOLUTION is not supported - evolve the " +
-          "schema first (ALTER TABLE / mergeSchema append), then MERGE")
       val (t, tset) = graftTarget(tgt).get
       require(t.pinnedVersion.isEmpty,
         "cannot MERGE into a time-travelled table")

@@ -39,6 +39,113 @@ class AlterTableSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.9)
   }
 
+  test("nested ADD COLUMN: field added inside a struct, old rows NULL, " +
+      "mergeSchema append evolves nested too") {
+    val dir = TestSpark.tmpDir("addnested")
+    val v1 = Seq((1L, ("a", 10))).toDF("k", "st")
+      .select($"k", $"st".cast("struct<s:string,n:int>").as("st"))
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.addColumn(Seq("st", "extra"), DoubleType)
+    val st1 = t.snapshot().schema("st").dataType.asInstanceOf[StructType]
+    assert(st1.fieldNames.toSeq == Seq("s", "n", "extra"))
+    assert(st1("extra").dataType == DoubleType && st1("extra").nullable)
+    // old file reads the new nested field as NULL
+    val r0 = t.toDF.select($"st.extra").collect()
+    assert(r0.length == 1 && r0(0).isNullAt(0))
+    // mergeSchema append: incoming struct carries ANOTHER new nested
+    // field, in a different inner order — aligned by name, not position
+    val v2 = spark.sql(
+      """SELECT CAST(2 AS BIGINT) AS k,
+        |named_struct('extra', 7.5D, 'n', 20, 's', 'b', 'deep', 99L)
+        |  AS st""".stripMargin)
+    t.append(v2, mergeSchema = true)
+    val schema2 = t.snapshot().schema("st").dataType.asInstanceOf[StructType]
+    assert(schema2.fieldNames.toSeq == Seq("s", "n", "extra", "deep"))
+    val rows = t.toDF.orderBy("k")
+      .select($"k", $"st.s", $"st.n", $"st.extra", $"st.deep").collect()
+    assert(rows(0).getString(1) == "a" && rows(0).getInt(2) == 10 &&
+      rows(0).isNullAt(3) && rows(0).isNullAt(4))
+    assert(rows(1).getString(1) == "b" && rows(1).getInt(2) == 20 &&
+      rows(1).getDouble(3) == 7.5 && rows(1).getLong(4) == 99L)
+    // dropping a nested field is rejected
+    val bad = StructType(Seq(StructField("k", LongType),
+      StructField("st", StructType(Seq(StructField("s", StringType))))))
+    val e = intercept[IllegalArgumentException] { t.alterSchema(bad) }
+    assert(e.getMessage.contains("st.n"))
+  }
+
+  test("nested widen through struct / array-of-struct paths") {
+    val dir = TestSpark.tmpDir("widennested")
+    val v1 = spark.sql(
+      """SELECT 1L AS k, named_struct('n', CAST(5 AS INT)) AS st,
+        |array(named_struct('m', CAST(6 AS INT))) AS arr""".stripMargin)
+    DeltaTable.create(spark, dir, v1.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.widenColumn(Seq("st", "n"), LongType)
+    t.widenColumn(Seq("arr", "m"), LongType)
+    val s = t.snapshot().schema
+    assert(s("st").dataType.asInstanceOf[StructType]("n")
+      .dataType == LongType)
+    assert(s("arr").dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]("m").dataType == LongType)
+    val r = t.toDF.select($"st.n", $"arr"(0)("m")).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 6L)
+  }
+
+  test("column mapping: nested add gets a fresh id; stale maxColumnId " +
+      "self-heals against the schema walk") {
+    // reconcile: survivors keep ids, the new nested field gets a fresh
+    // one seeded past the ACTUAL schema max even when the persisted
+    // property is stale (reference schema_evolution.rs:764-783)
+    val base = StructType(Seq(
+      StructField("k", LongType),
+      StructField("st", StructType(Seq(StructField("s", StringType))))))
+    val (annotated, max0) = ColumnMapping.assignMetadata(base)
+    assert(max0 == 3 && ColumnMapping.maxAssignedId(annotated) == 3)
+    val evolved = StructType(Seq(
+      annotated("k"),
+      annotated("st").copy(dataType = StructType(
+        annotated("st").dataType.asInstanceOf[StructType].fields :+
+          StructField("extra", DoubleType)))))
+    // stale seed (1) must rebase on the schema max (3), not collide
+    val seed = math.max(1L, ColumnMapping.maxAssignedId(annotated))
+    val (rec, maxId) = ColumnMapping.reconcile(annotated, evolved, seed)
+    assert(maxId == 4)
+    val st = rec("st").dataType.asInstanceOf[StructType]
+    val ids = Seq(rec("k"), rec("st"), st("s"), st("extra"))
+      .map(_.metadata.getLong(ColumnMapping.ID_KEY))
+    assert(ids.distinct.length == 4, s"id collision: $ids")
+    assert(st("extra").metadata.getLong(ColumnMapping.ID_KEY) == 4)
+    // survivors keep their physical names
+    assert(rec("k").metadata.getString(ColumnMapping.PHYS_NAME_KEY) ==
+      annotated("k").metadata.getString(ColumnMapping.PHYS_NAME_KEY))
+  }
+
+  test("column-mapped table: nested add end-to-end keeps old data " +
+      "readable and annotates the new field") {
+    val dir = TestSpark.tmpDir("cmnested")
+    val v1 = Seq((1L, ("a", 10))).toDF("k", "st")
+      .select($"k", $"st".cast("struct<s:string,n:int>").as("st"))
+    DeltaTable.create(spark, dir, v1.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.addColumn(Seq("st", "extra"), DoubleType)
+    t.append(spark.sql(
+      """SELECT 2L AS k, named_struct('s', 'b', 'n', 20,
+        |'extra', 1.25D) AS st""".stripMargin))
+    val rows = t.toDF.orderBy("k")
+      .select($"st.s", $"st.n", $"st.extra").collect()
+    assert(rows(0).getString(0) == "a" && rows(0).isNullAt(2))
+    assert(rows(1).getString(0) == "b" && rows(1).getDouble(2) == 1.25)
+    val st = t.snapshot().schema("st").dataType.asInstanceOf[StructType]
+    assert(st("extra").metadata.contains(ColumnMapping.ID_KEY) &&
+      st("extra").metadata.contains(ColumnMapping.PHYS_NAME_KEY))
+  }
+
   test("float->double widening and stats skipping still work") {
     val dir = TestSpark.tmpDir("widenf")
     val v1 = Seq((1, 1.5f), (2, 2.5f)).toDF("k", "f")

@@ -41,6 +41,42 @@ class MergeSpec extends AnyFunSuite {
       (3L, "c", 3.0), (4L, "D", 40.0)))
   }
 
+  test("schemaEvolution=true: assigned source-only column is added " +
+      "nullable and untouched rows read NULL") {
+    val t = freshTable(TestSpark.tmpDir("mrg_evolve"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v"))
+    val src = Seq((2L, "B", 20.0, 7), (4L, "D", 40.0, 9))
+      .toDF("k", "s", "v", "n")
+    t.merge(src, "t.k = s.k", Seq(
+      MatchedUpdate(None, Map("v" -> "s.v", "n" -> "s.n")),
+      NotMatchedInsert(None, Map(
+        "k" -> "s.k", "s" -> "s.s", "v" -> "s.v", "n" -> "s.n"))),
+      schemaEvolution = true)
+    // new column exists, typed from the source, nullable
+    val f = t.snapshot().schema("n")
+    assert(f.dataType == org.apache.spark.sql.types.IntegerType
+      && f.nullable)
+    val got = t.toDF.select($"k", $"s", $"v", $"n")
+      .as[(Long, String, Double, Option[Int])].collect().toSet
+    assert(got == Set(
+      (1L, "a", 1.0, None), (2L, "b", 20.0, Some(7)),
+      (3L, "c", 3.0, None), (4L, "D", 40.0, Some(9))))
+    // without the flag the same merge still refuses the unknown column
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src, "t.k = s.k",
+        Seq(MatchedUpdate(None, Map("n2" -> "s.n"))))
+    }
+    assert(e.getMessage.contains("no such column"))
+    // and with the flag, a column in neither table nor source is an error
+    val e2 = intercept[IllegalArgumentException] {
+      t.merge(src, "t.k = s.k",
+        Seq(MatchedUpdate(None, Map("n2" -> "s.n"))),
+        schemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("neither"))
+  }
+
   test("clause order: first matching clause wins") {
     val t = freshTable(TestSpark.tmpDir("mrg_order"))
     t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))

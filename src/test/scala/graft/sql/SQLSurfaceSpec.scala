@@ -251,6 +251,72 @@ class SQLSurfaceSpec extends AnyFunSuite {
       types.contains("update_postimage") && types.contains("delete"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source-only column " +
+      "through the catalog and merges against the evolved schema") {
+    spark.sql("""CREATE TABLE gd.default.mev (k BIGINT, v DOUBLE)
+      USING `graft-delta`""")
+    spark.sql(
+      "INSERT INTO gd.default.mev VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    Seq((2L, 20.0, "B"), (4L, 40.0, "D")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("mev_src")
+
+    // explicit assignment of the new column
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gd.default.mev AS t
+      USING mev_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+      """)
+    assert(spark.sql(
+      "SELECT k, v, tag FROM gd.default.mev ORDER BY k")
+      .as[(Long, Double, Option[String])].collect().toSeq ==
+      Seq((1L, 1.0, None), (2L, 20.0, Some("B")),
+        (3L, 3.0, None), (4L, 40.0, Some("D"))))
+    // the evolution is a real validated engine commit: nullable column
+    val loc = spark.sql("CALL gd.system.detail('default.mev')")
+      .head().getAs[String]("location")
+    val f = DeltaTable.forPath(spark, loc).snapshot().schema("tag")
+    assert(f.nullable)
+
+    // star actions under evolution: UPDATE SET * / INSERT * pick up a
+    // second new column from the source
+    Seq((1L, 100.0, "A2", 5L), (9L, 900.0, "N", 6L))
+      .toDF("k", "v", "tag", "extra").createOrReplaceTempView("mev_src2")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gd.default.mev AS t
+      USING mev_src2 AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(
+      "SELECT k, v, tag, extra FROM gd.default.mev ORDER BY k")
+      .as[(Long, Double, Option[String], Option[Long])].collect().toSeq ==
+      Seq((1L, 100.0, Some("A2"), Some(5L)), (2L, 20.0, Some("B"), None),
+        (3L, 3.0, None, None), (4L, 40.0, Some("D"), None),
+        (9L, 900.0, Some("N"), Some(6L))))
+
+    // plain MERGE (no evolution clause) still refuses unknown columns
+    Seq((1L, 0.0, "x", 0L, "boom")).toDF("k", "v", "tag", "extra", "zz")
+      .createOrReplaceTempView("mev_src3")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gd.default.mev AS t
+        USING mev_src3 AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET zz = s.zz""")
+    }
+    assert(e.getMessage.toLowerCase.contains("zz"), e.getMessage)
+  }
+
+  test("nested ALTER TABLE ADD COLUMNS through SQL: st.extra") {
+    spark.sql("""CREATE TABLE gd.default.nst
+      (k BIGINT, st STRUCT<s: STRING, n: INT>) USING `graft-delta`""")
+    spark.sql(
+      "INSERT INTO gd.default.nst VALUES (1, named_struct('s','a','n',10))")
+    spark.sql("ALTER TABLE gd.default.nst ADD COLUMNS (st.extra DOUBLE)")
+    spark.sql("""INSERT INTO gd.default.nst VALUES
+      (2, named_struct('s','b','n',20,'extra',7.5D))""")
+    assert(spark.sql(
+      "SELECT k, st.s, st.extra FROM gd.default.nst ORDER BY k")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(7.5))))
+  }
+
   test("CHECK constraint added via SQL TBLPROPERTIES gates SQL INSERT") {
     spark.sql("""CREATE TABLE gd.default.con (k BIGINT, v DOUBLE)
       USING `graft-delta`""")
