@@ -1585,6 +1585,201 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     alterSchema(patch(snap.schema, path))
   }
 
+  /** ALTER TABLE RENAME COLUMN (reference
+    * kernel/src/table_features/column_mapping.rs:28-35 — physical names
+    * decouple the logical schema from data files, which is exactly what
+    * makes a rename metadata-only). The field keeps its column-mapping
+    * id and physical name, so existing parquet — and stats JSON keyed by
+    * physical name — keep serving the renamed column. Requires column
+    * mapping mode `name` or `id`. A renamed top-level partition column
+    * updates its LOGICAL name in `partitionColumns`; add-file
+    * `partitionValues` stay keyed by the unchanged physical name.
+    */
+  def renameColumn(path: Seq[String], newName: String): Long = {
+    require(path.nonEmpty, "empty column path")
+    val snap = snapshot()
+    writerGate(snap, mutating = false)
+    require(ColumnMapping.mode(snap.metadata) != "none",
+      "RENAME COLUMN requires column mapping (set " +
+        s"'${ColumnMapping.MODE_KEY}' to 'name' or 'id' first)")
+    rejectIfReferenced(snap, path, "rename")
+    def rec(s: StructType, p: Seq[String]): StructType = {
+      val i = s.fieldNames.indexOf(p.head)
+      require(i >= 0, s"no column '${p.head}'")
+      val f = s.fields(i)
+      if (p.tail.isEmpty) {
+        require(!s.fields.exists(x =>
+            (x ne f) && x.name.equalsIgnoreCase(newName)),
+          s"column '$newName' already exists")
+        StructType(s.fields.updated(i, f.copy(name = newName)))
+      } else {
+        def descend(dt: DataType): DataType = dt match {
+          case inner: StructType => rec(inner, p.tail)
+          case a: ArrayType => a.copy(elementType = descend(a.elementType))
+          case m: MapType => m.copy(valueType = descend(m.valueType))
+          case other => throw new IllegalArgumentException(
+            s"cannot rename '${path.mkString(".")}': '${p.head}' is " +
+              s"${other.simpleString}, not a struct")
+        }
+        StructType(s.fields.updated(i,
+          f.copy(dataType = descend(f.dataType))))
+      }
+    }
+    val finalSchema = rec(snap.schema, path)
+    val newPartCols =
+      if (path.length == 1)
+        snap.partitionColumns.map(c => if (c == path.head) newName else c)
+      else snap.partitionColumns
+    val oldDotted = path.mkString(".")
+    val newDotted = (path.init :+ newName).mkString(".")
+    val newConfig = statsColumnsEdit(snap.metadata.configuration) { entry =>
+      if (entry == oldDotted) Some(newDotted)
+      else if (entry.startsWith(oldDotted + "."))
+        Some(newDotted + entry.stripPrefix(oldDotted))
+      else Some(entry)
+    }
+    commitSchemaOnly(snap, finalSchema, newPartCols, newConfig,
+      Map("operation" -> "RENAME COLUMN",
+        "from" -> oldDotted, "to" -> newDotted))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: the physical column stays
+    * in existing parquet but vanishes from the logical schema. A later
+    * `addColumn` with the SAME logical name gets a FRESH column-mapping
+    * id + physical name (alterSchema reconcile), so dropped data never
+    * resurfaces. Requires column mapping; partition / clustering
+    * columns and the last field of a struct refuse.
+    */
+  def dropColumn(path: Seq[String]): Long = {
+    require(path.nonEmpty, "empty column path")
+    val snap = snapshot()
+    writerGate(snap, mutating = false)
+    require(ColumnMapping.mode(snap.metadata) != "none",
+      "DROP COLUMN requires column mapping (set " +
+        s"'${ColumnMapping.MODE_KEY}' to 'name' or 'id' first)")
+    require(!(path.length == 1 && snap.partitionColumns.contains(path.head)),
+      s"cannot drop partition column '${path.head}'")
+    rejectIfReferenced(snap, path, "drop")
+    val physPath = physicalPathOf(snap.schema, path)
+    require(!Clustering.physicalColumns(snap).contains(physPath),
+      s"cannot drop clustering column '${path.mkString(".")}' — " +
+        "re-cluster without it first")
+    def rec(s: StructType, p: Seq[String]): StructType = {
+      val i = s.fieldNames.indexOf(p.head)
+      require(i >= 0, s"no column '${p.head}'")
+      if (p.tail.isEmpty) {
+        require(s.fields.length > 1,
+          s"cannot drop '${path.mkString(".")}': a struct must keep " +
+            "at least one column")
+        StructType(s.fields.patch(i, Nil, 1))
+      } else {
+        val f = s.fields(i)
+        def descend(dt: DataType): DataType = dt match {
+          case inner: StructType => rec(inner, p.tail)
+          case a: ArrayType => a.copy(elementType = descend(a.elementType))
+          case m: MapType => m.copy(valueType = descend(m.valueType))
+          case other => throw new IllegalArgumentException(
+            s"cannot drop '${path.mkString(".")}': '${p.head}' is " +
+              s"${other.simpleString}, not a struct")
+        }
+        StructType(s.fields.updated(i,
+          f.copy(dataType = descend(f.dataType))))
+      }
+    }
+    val finalSchema = rec(snap.schema, path)
+    val dotted = path.mkString(".")
+    val newConfig = statsColumnsEdit(snap.metadata.configuration) { entry =>
+      if (entry == dotted || entry.startsWith(dotted + ".")) None
+      else Some(entry)
+    }
+    commitSchemaOnly(snap, finalSchema, snap.partitionColumns, newConfig,
+      Map("operation" -> "DROP COLUMNS", "columns" -> dotted))
+  }
+
+  /** Refuse rename/drop of a column referenced by a CHECK constraint or
+    * another column's generation expression — the stored SQL text would
+    * silently break (delta-spark parity). Conservative word-boundary
+    * match on the TOP-LEVEL name.
+    */
+  private def rejectIfReferenced(snap: Snapshot, path: Seq[String],
+      op: String): Unit = {
+    val word = java.util.regex.Pattern
+      .compile("(?i)\\b" + java.util.regex.Pattern.quote(path.head) + "\\b")
+    snap.metadata.configuration.foreach { case (k, sql) =>
+      if (k.startsWith(WriteValidation.CONSTRAINT_PREFIX) &&
+          word.matcher(sql).find())
+        throw new IllegalArgumentException(
+          s"cannot $op column '${path.mkString(".")}': referenced by " +
+            s"CHECK constraint ${k.stripPrefix(
+              WriteValidation.CONSTRAINT_PREFIX)} ($sql) — drop the " +
+            "constraint first")
+    }
+    snap.schema.fields.foreach { f =>
+      if (f.metadata.contains(WriteValidation.GENERATION_KEY) &&
+          f.name != path.head &&
+          word.matcher(
+            f.metadata.getString(WriteValidation.GENERATION_KEY)).find())
+        throw new IllegalArgumentException(
+          s"cannot $op column '${path.mkString(".")}': referenced by " +
+            s"generation expression of '${f.name}'")
+    }
+  }
+
+  /** Physical path of a (possibly nested) logical column. */
+  private def physicalPathOf(schema: StructType,
+      path: Seq[String]): Seq[String] = {
+    var cur: DataType = schema
+    path.map { step =>
+      cur match {
+        case st: StructType =>
+          val f = st.fields.find(_.name == step).getOrElse(
+            throw new IllegalArgumentException(s"no column '$step'"))
+          cur = f.dataType
+          ColumnMapping.physicalName(f)
+        case other => throw new IllegalArgumentException(
+          s"'$step' addresses into ${other.simpleString}, not a struct")
+      }
+    }
+  }
+
+  /** Map each `delta.dataSkippingStatsColumns` entry through `f`
+    * (None = remove); the key disappears when the list empties.
+    */
+  private def statsColumnsEdit(config: Map[String, String])(
+      f: String => Option[String]): Map[String, String] =
+    config.get(ParquetFooterStats.STATS_COLUMNS_KEY) match {
+      case None => config
+      case Some(list) =>
+        val edited = list.split(",").map(_.trim).filter(_.nonEmpty)
+          .flatMap(e => f(e))
+        if (edited.isEmpty) config - ParquetFooterStats.STATS_COLUMNS_KEY
+        else config + (ParquetFooterStats.STATS_COLUMNS_KEY ->
+          edited.mkString(","))
+    }
+
+  /** Metadata-only schema commit shared by RENAME/DROP COLUMN. No
+    * SchemaEvolution.validate here — these are explicit non-additive
+    * DDL whose legality the callers establish, and they preserve
+    * column-mapping annotations by construction (fields are copied,
+    * never re-annotated).
+    */
+  private def commitSchemaOnly(snap: Snapshot, finalSchema: StructType,
+      partCols: Seq[String], config: Map[String, String],
+      params: Map[String, String]): Long = {
+    val meta = snap.metadata.copy(
+      schemaString = GeoTypes.toSchemaString(finalSchema),
+      partitionColumns = partCols,
+      configuration = config)
+    val lines = Seq(
+      commitInfoLine("ALTER TABLE", params, ictFor(snap)),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+    val committed = commitActions(snap.version + 1, lines,
+      retryable = false)
+    maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta))
+    maybeAutoCheckpoint(committed, meta)
+    committed
+  }
+
   /** ALTER TABLE SET TBLPROPERTIES (metadata-only commit). Enabling
     * in-commit timestamps mid-log additionally records the enablement
     * version + timestamp (reference history_manager — time travel needs

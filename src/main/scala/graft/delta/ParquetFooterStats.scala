@@ -33,6 +33,8 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetFooterStats {
 
+  val STATS_COLUMNS_KEY = "delta.dataSkippingStatsColumns"
+
   /** Files below this count are footer-read serially on the driver;
     * above it a Spark job fans the footer reads across executors.
     */
@@ -83,7 +85,7 @@ object ParquetFooterStats {
           s"${f.dataType.simpleString}, which has no min/max stats")
       ColumnMapping.physicalName(f)
     }
-    conf.get("delta.dataSkippingStatsColumns") match {
+    conf.get(STATS_COLUMNS_KEY) match {
       case Some(csv) =>
         // names may be backtick-quoted; a dotted path selects into a
         // struct — our stats are top-level, so the root field is the

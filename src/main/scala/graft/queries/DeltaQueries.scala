@@ -5,6 +5,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.delta.{DeltaTable, RowTracking, TableChanges}
@@ -109,6 +110,31 @@ object DeltaQueries {
       val t = DeltaTable.forPath(s, dir)
       t.append(src)
       ordered(t.scan(Some("l_returnflag = 'N' AND l_quantity < 6")).toDF)
+    }),
+
+    // RENAME + DROP COLUMN under column mapping: metadata-only
+    // commits — the rename keeps serving old parquet through the
+    // unchanged physical name; the re-added column with the dropped
+    // name gets a FRESH physical column, so dropped values read NULL
+    // on old rows and only the post-drop append fills them. The
+    // oracle replays the final logical state from the raw parquet.
+    "q_delta_rename_drop" -> ((s, d) => {
+      val dir = tmp("renamedrop")
+      val src = li(s, d).filter(col("l_quantity") < 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+      DeltaTable.create(s, dir, src.schema, Nil,
+        Map("delta.columnMapping.mode" -> "name"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.renameColumn(Seq("l_quantity"), "qty")
+      t.dropColumn(Seq("l_tax"))
+      t.addColumn("l_tax", DoubleType)
+      t.append(li(s, d)
+        .filter(col("l_quantity") >= 8 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_tax")))
+      t.toDF.select("l_orderkey", "l_linenumber", "qty", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // DELETE: file rewrite of matching files, others untouched
@@ -771,6 +797,17 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 8 AND l_returnflag = 'N' AND l_quantity < 6
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // pre-drop rows read the re-added l_tax as NULL; post-drop append
+    // rows carry real values under the fresh physical column
+    "q_delta_rename_drop" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |  CAST(NULL AS DOUBLE) AS l_tax
+        |FROM lineitem WHERE l_quantity < 8
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_tax
+        |FROM lineitem WHERE l_quantity >= 8 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_delete" ->
       s"""SELECT $cols FROM lineitem

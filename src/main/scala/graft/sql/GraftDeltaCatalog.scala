@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 
@@ -166,6 +166,10 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
         t.addColumn(a.fieldNames.toSeq, a.dataType)
       case u: TableChange.UpdateColumnType =>
         t.widenColumn(u.fieldNames.toSeq, u.newDataType)
+      case r: TableChange.RenameColumn =>
+        t.renameColumn(r.fieldNames.toSeq, r.newName)
+      case d: TableChange.DeleteColumn =>
+        t.dropColumn(d.fieldNames.toSeq)
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $c")
     }
@@ -374,8 +378,41 @@ private[sql] class GraftScanBuilder(spark: SparkSession, snap: Snapshot)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Rebuild `e` (typed `full` in the table schema) to the NESTED-pruned
+    * shape `want` BY NAME. Spark's nested schema pruning hands
+    * `pruneColumns` a struct with inner fields dropped (e.g.
+    * `st:struct<s,extra>` out of `st:struct<s,n,extra>`); serving the
+    * full struct while DECLARING the pruned schema would make downstream
+    * UnsafeRow accessors read the wrong field slots (an int slot
+    * bit-read as a double). A positional cast is equally wrong — only a
+    * by-name rebuild keeps fields aligned. The GetStructField chains
+    * this emits also let the inner plan's SchemaPruning push the
+    * narrowed struct into the parquet scan itself.
+    */
+  private def pruneShape(e: org.apache.spark.sql.Column, full: DataType,
+      want: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, transform, transform_values, when}
+    (full, want) match {
+      // structural equality ignoring nullability/metadata (sameType is
+      // private[sql]); equal shapes need no rebuild
+      case (f, w) if f.catalogString == w.catalogString => e
+      case (fs: StructType, ws: StructType) =>
+        val rebuilt = struct(ws.fields.map { wf =>
+          pruneShape(e.getField(wf.name), fs(wf.name).dataType,
+            wf.dataType).as(wf.name)
+        }.toSeq: _*)
+        when(e.isNotNull, rebuilt) // a NULL struct must stay NULL
+      case (fa: ArrayType, wa: ArrayType) =>
+        transform(e, x => pruneShape(x, fa.elementType, wa.elementType))
+      case (fm: MapType, wm: MapType) =>
+        transform_values(e,
+          (_, v) => pruneShape(v, fm.valueType, wm.valueType))
+      case _ => e
+    }
+  }
+
   override def build(): Scan = new V1Scan {
-    private val readCols = required.fieldNames.toSeq
+    private val readFields = required.fields.toSeq
     private val predSql = pushed.toSeq
       .flatMap(GraftDeltaRelation.toSql)
       .reduceOption((a, b) => s"($a) AND ($b)")
@@ -391,9 +428,12 @@ private[sql] class GraftScanBuilder(spark: SparkSession, snap: Snapshot)
         override def buildScan(): RDD[Row] = {
           val df = new DeltaScan(snap, predSql).toDF
           val projected =
-            if (readCols.isEmpty)
+            if (readFields.isEmpty)
               df.select(ColumnMapping.qcol(snap.schema.fieldNames.head))
-            else df.select(readCols.map(ColumnMapping.qcol): _*)
+            else df.select(readFields.map { rf =>
+              pruneShape(ColumnMapping.qcol(rf.name),
+                snap.schema(rf.name).dataType, rf.dataType).as(rf.name)
+            }: _*)
           projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
         }
       }.asInstanceOf[T]

@@ -143,4 +143,131 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(up2.readerFeatures.get.contains("columnMapping"))
     assert(up2.writerFeatures.get.contains("columnMapping"))
   }
+
+  test("RENAME COLUMN: metadata-only, old parquet + stats keep serving") {
+    val dir = TestSpark.tmpDir("cm-rename")
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "tag", "score")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val nFiles = t.scan(None).collectAddFiles().size
+    t.renameColumn(Seq("tag"), "label")
+    assert(t.toDF.schema.fieldNames.toSeq == Seq("id", "label", "score"))
+    assert(t.toDF.where("label = 'b'").select("id")
+      .as[Long].collect().toSeq == Seq(2L))
+    // metadata-only: no data files were rewritten
+    assert(t.scan(None).collectAddFiles().size == nFiles)
+    // stats (keyed by physical name) still skip on the renamed column
+    assert(t.scan(Some("id > 100")).collectAddFiles().isEmpty)
+    // append under the new logical name round-trips
+    t.append(Seq((3L, "c", 3.5)).toDF("id", "label", "score"))
+    assert(t.toDF.where("label = 'c'").count() == 1)
+  }
+
+  test("RENAME partition column: partitionColumns updates, pruning holds") {
+    val dir = TestSpark.tmpDir("cm-renamepart")
+    val src = Seq((1L, "p1"), (2L, "p2"), (3L, "p1")).toDF("id", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"),
+      Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.renameColumn(Seq("p"), "bucket")
+    val snap = t.snapshot()
+    assert(snap.partitionColumns == Seq("bucket"))
+    val scan = t.scan(Some("bucket = 'p1'"))
+    assert(scan.collectAddFiles().size <
+      t.scan(None).collectAddFiles().size)
+    assert(scan.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("DROP COLUMN then re-ADD same name: fresh physical, old data " +
+      "does not resurface") {
+    val dir = TestSpark.tmpDir("cm-drop")
+    val src = Seq((1L, "secret1", 10), (2L, "secret2", 20))
+      .toDF("id", "s", "n")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.dropColumn(Seq("s"))
+    assert(t.toDF.schema.fieldNames.toSeq == Seq("id", "n"))
+    t.addColumn("s", org.apache.spark.sql.types.StringType)
+    // old rows must read NULL — NOT the dropped physical data
+    assert(t.toDF.where("s IS NOT NULL").count() == 0)
+    t.append(Seq((3L, 30, "fresh")).toDF("id", "n", "s"))
+    assert(t.toDF.where("s = 'fresh'").select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+    // time travel still shows the pre-drop schema + data
+    val old = t.snapshot(Some(1)).toDF
+    assert(old.schema.fieldNames.contains("s"))
+    assert(old.where("s = 'secret1'").count() == 1)
+  }
+
+  test("nested rename + drop inside a struct") {
+    val dir = TestSpark.tmpDir("cm-nested-rd")
+    val src = spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS k,
+        |named_struct('a', 'x', 'b', 10) AS st""".stripMargin)
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.renameColumn(Seq("st", "a"), "alpha")
+    assert(t.toDF.select("st.alpha").as[String].collect().toSeq ==
+      Seq("x"))
+    t.dropColumn(Seq("st", "b"))
+    val stT = t.snapshot().schema("st").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(stT.fieldNames.toSeq == Seq("alpha"))
+    assert(t.toDF.select("st.alpha").as[String].collect().toSeq ==
+      Seq("x"))
+  }
+
+  test("rename/drop guards: no column mapping, duplicate name, " +
+      "partition drop, constraint reference, last struct field") {
+    val plainDir = TestSpark.tmpDir("rd-plain")
+    val src = Seq((1L, "a", "p1")).toDF("id", "s", "p")
+    DeltaTable.create(spark, plainDir, src.schema)
+    val plain = DeltaTable.forPath(spark, plainDir)
+    plain.append(src)
+    intercept[IllegalArgumentException](plain.renameColumn(Seq("s"), "x"))
+    intercept[IllegalArgumentException](plain.dropColumn(Seq("s")))
+
+    val dir = TestSpark.tmpDir("rd-guards")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"),
+      Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    intercept[IllegalArgumentException](t.renameColumn(Seq("s"), "ID"))
+    intercept[IllegalArgumentException](t.dropColumn(Seq("p")))
+    t.setProperties(Map("delta.constraints.spos" -> "id > 0"))
+    intercept[IllegalArgumentException](t.dropColumn(Seq("id")))
+    intercept[IllegalArgumentException](t.renameColumn(Seq("id"), "id2"))
+
+    val oneDir = TestSpark.tmpDir("rd-one")
+    val one = Seq(Tuple1(1L)).toDF("only")
+    DeltaTable.create(spark, oneDir, one.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val ot = DeltaTable.forPath(spark, oneDir)
+    ot.append(one)
+    intercept[IllegalArgumentException](ot.dropColumn(Seq("only")))
+  }
+
+  test("rename updates dataSkippingStatsColumns; drop removes the entry") {
+    val dir = TestSpark.tmpDir("rd-statscols")
+    val src = Seq((1L, "a", 1.5)).toDF("id", "s", "x")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name",
+        ParquetFooterStats.STATS_COLUMNS_KEY -> "id,x"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.renameColumn(Seq("x"), "score")
+    assert(t.snapshot().metadata.configuration(
+      ParquetFooterStats.STATS_COLUMNS_KEY) == "id,score")
+    t.dropColumn(Seq("score"))
+    assert(t.snapshot().metadata.configuration(
+      ParquetFooterStats.STATS_COLUMNS_KEY) == "id")
+  }
 }

@@ -354,4 +354,33 @@ class SQLSurfaceSpec extends AnyFunSuite {
       assert(DeltaTable.forPath(spark, loc).toDF.count() == 1L)
     } finally spark.sql("DROP TABLE IF EXISTS sess_t")
   }
+
+  test("ALTER TABLE RENAME/DROP COLUMN through SQL (column mapping)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gd.ns_rd")
+    spark.sql("""CREATE TABLE gd.ns_rd.t (k BIGINT, s STRING, n INT)
+      USING `graft-delta`
+      TBLPROPERTIES ('delta.columnMapping.mode' = 'name')""")
+    spark.sql("INSERT INTO gd.ns_rd.t VALUES (1, 'a', 10), (2, 'b', 20)")
+
+    spark.sql("ALTER TABLE gd.ns_rd.t RENAME COLUMN s TO label")
+    assert(spark.sql("SELECT k FROM gd.ns_rd.t WHERE label = 'b'")
+      .as[Long].collect().toSeq == Seq(2L))
+
+    spark.sql("ALTER TABLE gd.ns_rd.t DROP COLUMN n")
+    assert(spark.sql("SELECT * FROM gd.ns_rd.t").columns.toSeq ==
+      Seq("k", "label"))
+
+    // re-added column with the dropped name reads NULL for old rows
+    spark.sql("ALTER TABLE gd.ns_rd.t ADD COLUMN n INT")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM gd.ns_rd.t WHERE n IS NOT NULL")
+      .as[Long].head() == 0L)
+
+    // without column mapping the rename refuses with a clear error
+    spark.sql("""CREATE TABLE gd.ns_rd.plain (k BIGINT, s STRING)
+      USING `graft-delta`""")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gd.ns_rd.plain RENAME COLUMN s TO x"))
+    assert(e.getMessage.contains("columnMapping"))
+  }
 }
