@@ -498,6 +498,34 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       subset = where.map(_ => candidates))
   }
 
+  /** REORG TABLE ... APPLY (PURGE) (delta-spark surface; the kernel
+    * leaves maintenance to engines — reference
+    * kernel/src/transaction/mod.rs keeps remove+add commits generic):
+    * rewrite ONLY the files carrying deletion vectors, physically
+    * dropping the soft-deleted rows — the staged replacements carry no
+    * DV descriptor. Files without DVs are untouched (contrast
+    * [[optimizeCompact]], which rewrites the whole live set).
+    * dataChange=false: readers and CDF see identical rows; vacuum can
+    * then reclaim the old files AND their DV files past retention.
+    */
+  def reorgPurge(where: Option[String] = None): Long = {
+    val snap = snapshot()
+    where.foreach { w =>
+      val refs = spark.sessionState.sqlParser.parseExpression(w)
+        .references.map(_.name).toSet
+      val partCols = snap.partitionColumns.toSet
+      require(refs.nonEmpty && refs.subsetOf(partCols),
+        s"REORG WHERE predicate may reference only partition columns " +
+          s"${partCols.mkString("(", ",", ")")} — got '$w'")
+    }
+    val dvFiles = new DeltaScan(snap, where).collectAddFiles()
+      .filter(_.deletionVector.isDefined)
+    if (dvFiles.isEmpty) return snap.version
+    optimizeRewrite(snap, df => df,
+      Map("applyPurge" -> "true") ++ where.map("predicate" -> _),
+      subset = Some(dvFiles))
+  }
+
   /** Auto-compaction (delta.autoOptimize.autoCompact): after a
     * data-adding commit, bin-pack any partition that has accumulated
     * `minNumFiles`+ files below half the target size. dataChange=false,

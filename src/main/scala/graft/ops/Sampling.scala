@@ -45,4 +45,33 @@ object Sampling {
   /** Uniform deterministic sample at `rate` keyed by `key`. */
   def uniform(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(hashCoord(key) < lit(hexThreshold(rate)))
+
+  /** Epoch-replicated weighted mixture — the "data mixing" step of a
+    * training pipeline, where weights may EXCEED 1: a group with
+    * weight w contributes floor(w) full copies of itself (epochs
+    * 0..floor(w)-1) plus a deterministically hash-sampled fraction at
+    * the final epoch. w = 2.5 means every row twice and a reproducible
+    * half of rows a third time. The keep decision hashes (key, epoch),
+    * so fractional epochs are independent samples yet stable across
+    * engines, runs and cluster sizes. Scale: an explode over
+    * ≤ceil(w) ints plus a narrow filter — no shuffle, no RNG; output
+    * cardinality is w × input within hash tolerance.
+    */
+  def mixture(df: DataFrame, key: Column, group: Column,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && w <= 64, s"mixture weight $w out of [0, 64]"))
+    def chain(f: Double => Column): Column =
+      weights.foldLeft(f(defaultWeight)) { case (acc, (value, w)) =>
+        when(group === value, f(w)).otherwise(acc)
+      }
+    val fullCopies = chain(w => lit(math.floor(w).toInt))
+    val numEpochs = chain(w => lit(math.ceil(w).toInt))
+    val fracThr = chain(w => lit(hexThreshold(w - math.floor(w))))
+    df.filter(numEpochs > 0)
+      .withColumn("epoch", explode(sequence(lit(0), numEpochs - 1)))
+      .filter(col("epoch") < fullCopies ||
+        hashCoord(concat(key.cast("string"), lit(":"),
+          col("epoch").cast("string"))) < fracThr)
+  }
 }

@@ -137,6 +137,21 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // REORG PURGE: DV soft-delete, then materialize — the purged read
+    // must serve the identical surviving rows with zero DV descriptors
+    "q_delta_reorg_purge" -> ((s, d) => {
+      val dir = tmp("reorg")
+      val src = li(s, d).filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.deleteWhereDV("l_returnflag = 'A' AND l_quantity < 4")
+      t.reorgPurge()
+      require(t.scan(None).collectAddFiles()
+        .forall(_.deletionVector.isEmpty), "purge left DV descriptors")
+      ordered(t.toDF)
+    }),
+
     // DELETE: file rewrite of matching files, others untouched
     "q_delta_delete" -> ((s, d) => {
       val dir = tmp("del")
@@ -808,6 +823,12 @@ object DeltaQueries {
         |SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_tax
         |FROM lineitem WHERE l_quantity >= 8 AND l_quantity < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_reorg_purge" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 10
+         |  AND NOT (l_returnflag = 'A' AND l_quantity < 4)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_delete" ->
       s"""SELECT $cols FROM lineitem

@@ -260,6 +260,34 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- End-to-end fuzzy dedup ----------------------------------------
+    // The full MinHash pipeline composed into ONE query: signatures →
+    // banded LSH candidates → signature-similarity edge filter (≥ 0.5) →
+    // connected components → canonical mapping for EVERY document
+    // (singletons map to themselves; a dedup job keeps doc_id ==
+    // canonical). Every stage keeps its 100 TB shape: the signature agg
+    // is one map-side-combined shuffle, candidates are bucket-local
+    // equi-joins, CC is min-label propagation (driver union-find at this
+    // scale), and the final mapping joins a component table that is tiny
+    // relative to the corpus — broadcast.
+    "q_dedup_e2e" -> ((s, d) => {
+      val withH = shingles(s, d)
+        .withColumn("h", expr(s"${h60("sh")} % $P"))
+      val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min(expr(s"(h * ${a}L + ${b}L) % ${P}L")).as(s"mh$j")
+      }
+      val sigs = withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val edges = Dedup.minhashBandPairs(sigs, "doc_id",
+          (0 until 8).map(i => s"mh$i"), rowsPerBand = 2)
+        .filter(col("sig_sim") >= 0.5)
+      val comp = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      docs(s, d).select(col("doc_id"))
+        .join(broadcast(comp), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Similarity search ---------------------------------------------
     // Brute-force cosine top-k: queries broadcast against the candidate
     // scan; per-query top-k via window. At 100 TB the candidate side stays
@@ -495,8 +523,43 @@ object PipelineQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Weighted epoch-replicated mixture: src3 upsampled 2.5× (two full
+    // copies + a deterministic half), src7 kept 1×, the long tail
+    // downsampled to 0.25×. Narrow explode+filter — the exact output
+    // every engine at every cluster size reproduces.
+    "q_mix_weighted" -> ((s, d) => {
+      Sampling.mixture(docs(s, d), col("doc_id"), col("source"),
+          Map("src3" -> 2.5, "src7" -> 1.0), 0.25)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // Cross-document boilerplate detection (CCNet-style repeated-segment
+    // removal, on word 3-grams): a shingle in ≥ BOILER_DF distinct docs
+    // is corpus boilerplate; report per doc how much of it is
+    // boilerplate. Scale shape: per-doc-distinct shingles → ONE
+    // map-side-combined count per shingle; the boilerplate set is tiny
+    // by construction → broadcast joined back, then one per-doc agg.
+    "q_boilerplate" -> ((s, d) => {
+      val sh = shingles(s, d) // already distinct within each doc
+      val boiler = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BOILER_DF)
+        .select(col("sh"), lit(1).as("is_b"))
+      sh.join(broadcast(boiler), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Shingles appearing in at least this many distinct documents count
+    * as corpus boilerplate (the synthetic corpus tops out near df=7).
+    */
+  private val BOILER_DF = 5
 
   private val simhashBitSumsDuck = (0 until SIMHASH_BITS).map { i =>
     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
@@ -616,6 +679,46 @@ object PipelineQueries {
          |FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
          |            JOIN sig sb ON c.doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same sig/band CTEs as q_minhash_pairs, then: edge filter at
+    // sig_sim >= 0.5, symmetric closure, recursive min-reachable-label
+    // components, and a left join mapping every document (singletons
+    // canonicalize to themselves)
+    "q_dedup_e2e" ->
+      s"""$shinglesDuck,
+         |hh AS (SELECT doc_id, ${h60Duck("sh")} % $P AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashAggsDuck FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 3 AS band, mh6::VARCHAR || '_' || mh7::VARCHAR AS bkey FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |p0 AS (SELECT c.doc_a AS va, c.doc_b AS vb
+         |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+         |              JOIN sig sb ON c.doc_b = sb.doc_id
+         |  WHERE ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT +
+         |         (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT +
+         |         (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
+         |         (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0
+         |        >= 0.5),
+         |edges AS (SELECT va AS a, vb AS b FROM p0
+         |          UNION SELECT vb, va FROM p0),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  SELECT n.id, min(r.b) AS rep FROM nodes n
+         |  JOIN (
+         |    WITH RECURSIVE reach(a, b) AS (
+         |      SELECT id AS a, id AS b FROM nodes
+         |      UNION
+         |      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+         |    SELECT a, b FROM reach) r ON r.a = n.id
+         |  GROUP BY n.id)
+         |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""$shinglesDuck,
@@ -861,6 +964,37 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_shared
          |FROM sh JOIN ev ON sh.sh = ev.esh
          |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // epoch < floor(wt): full copies; the ceil(wt)-th epoch keeps a row
+    // iff md5(key:epoch) clears the fractional threshold — thresholds
+    // precomputed: frac(2.5)=0.5->'80000000', frac(0.25)->'40000000'
+    "q_mix_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src3' THEN 2.5 WHEN 'src7' THEN 1.0
+        |      ELSE 0.25 END AS wt,
+        |    CASE source WHEN 'src3' THEN '80000000' WHEN 'src7' THEN
+        |      '00000000' ELSE '40000000' END AS thr
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, wt, thr,
+        |    unnest(range(CAST(ceil(wt) AS BIGINT))) AS epoch
+        |  FROM w WHERE ceil(wt) > 0)
+        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM e
+        |WHERE epoch < floor(wt)
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(epoch AS VARCHAR)), 1, 8) < thr
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""$shinglesDuck,
+         |b AS (SELECT sh.sh AS bsh FROM sh GROUP BY sh.sh
+         |      HAVING count(*) >= 5)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN bsh IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boiler
+         |FROM sh LEFT JOIN b ON sh.sh = b.bsh
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

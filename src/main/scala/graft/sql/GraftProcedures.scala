@@ -46,6 +46,15 @@ private[sql] object GraftProcedures {
       else t.optimizeCompact(where = where)
       Seq(InternalRow(v))
     })
+    case "reorg_purge" => Some(proc("reorg_purge",
+      Seq(in("table", StringType),
+        inDefault("where", StringType, "NULL")),
+      new StructType().add("version", LongType)) { args =>
+      val where =
+        if (args.isNullAt(1)) None else Some(args.getString(1))
+      Seq(InternalRow(DeltaTable.forPath(spark(),
+        resolve(args.getString(0))).reorgPurge(where)))
+    })
     case "auto_compact" => Some(proc("auto_compact",
       Seq(in("table", StringType),
         inDefault("min_num_files", LongType, "50")),
@@ -144,8 +153,8 @@ private[sql] object GraftProcedures {
   }
 
   val names: Seq[String] =
-    Seq("optimize", "auto_compact", "clone", "vacuum", "checkpoint",
-      "compact_log", "detail", "history", "restore")
+    Seq("optimize", "reorg_purge", "auto_compact", "clone", "vacuum",
+      "checkpoint", "compact_log", "detail", "history", "restore")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()

@@ -167,4 +167,61 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.snapshot().segment.checkpointVersion.contains(2L))
     assert(t.toDF.count() == expected)
   }
+
+  test("REORG PURGE: only DV-carrying files rewritten, DVs gone, " +
+      "rows identical, no CDF rows for the reorg commit") {
+    val dir = TestSpark.tmpDir("reorg")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, li.schema, Seq("l_returnflag"),
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(li)
+    t.deleteWhereDV("l_returnflag = 'A' AND l_quantity < 3")
+    val before = t.scan(None).collectAddFiles()
+    val dvPaths = before.filter(_.deletionVector.isDefined).map(_.path).toSet
+    val cleanPaths = before.filter(_.deletionVector.isEmpty).map(_.path).toSet
+    assert(dvPaths.nonEmpty && cleanPaths.nonEmpty)
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus,
+    // so compare fully-sorted row renderings, not an orderBy collect
+    val rowsBefore = t.toDF.collect().map(_.toString).sorted
+
+    val v = t.reorgPurge()
+    val after = t.scan(None).collectAddFiles()
+    // no DV descriptors anywhere; untouched files keep their paths
+    assert(after.forall(_.deletionVector.isEmpty))
+    assert(cleanPaths.subsetOf(after.map(_.path).toSet))
+    assert(after.map(_.path).toSet.intersect(dvPaths).isEmpty)
+    // identical rows
+    assert(t.toDF.collect().map(_.toString).sorted.sameElements(rowsBefore))
+    // dataChange=false: the reorg commit contributes no CDF rows
+    val cdf = TableChanges.read(spark, dir, v, Some(v))
+    assert(cdf.count() == 0)
+    // idempotent: nothing left to purge
+    assert(t.reorgPurge() == v)
+  }
+
+  test("REORG PURGE WHERE scopes to matching partitions; rejects " +
+      "non-partition predicates") {
+    val dir = TestSpark.tmpDir("reorgw")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter($"l_quantity" < 10)
+    DeltaTable.create(spark, dir, li.schema, Seq("l_returnflag"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(li)
+    t.deleteWhereDV("l_quantity < 2") // DVs across partitions
+    val dvByPart = t.scan(None).collectAddFiles()
+      .filter(_.deletionVector.isDefined)
+    assert(dvByPart.map(_.partitionValues.values.head).toSet.size > 1)
+
+    t.reorgPurge(Some("l_returnflag = 'A'"))
+    val after = t.scan(None).collectAddFiles()
+    // 'A' partition purged; other partitions still carry DVs
+    assert(!after.exists(a => a.deletionVector.isDefined &&
+      a.partitionValues.values.head == "A"))
+    assert(after.exists(_.deletionVector.isDefined))
+
+    intercept[IllegalArgumentException](
+      t.reorgPurge(Some("l_quantity < 5")))
+  }
 }

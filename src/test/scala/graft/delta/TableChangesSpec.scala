@@ -236,4 +236,32 @@ class TableChangesSpec extends AnyFunSuite {
     assert(deletes.filter(col("p").isNull).count() == 0)
     assert(cdf.filter(col("_change_type") === "insert").count() == 40)
   }
+
+  test("CDF range crossing a RENAME/DROP COLUMN refuses loudly " +
+      "(non-additive schema change), sub-ranges on each side work") {
+    val dir = TestSpark.tmpDir("cdf-rename")
+    val src = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "x")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map("delta.enableChangeDataFeed" -> "true",
+        "delta.columnMapping.mode" -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    t.renameColumn(Seq("s"), "label") // v2
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "label", "x")) // v3
+    val e = intercept[IllegalArgumentException](
+      TableChanges.read(spark, dir, 0, Some(3)).collect())
+    assert(e.getMessage.contains("incompatible schema change"),
+      e.getMessage)
+    // each side of the rename reads fine, under its own schema
+    assert(TableChanges.read(spark, dir, 0, Some(1))
+      .filter(col("_change_type") === "insert").count() == 2)
+    assert(TableChanges.read(spark, dir, 3, Some(3))
+      .filter(col("_change_type") === "insert").count() == 1)
+    // drop is equally non-additive across the range
+    t.dropColumn(Seq("x")) // v4
+    val e2 = intercept[IllegalArgumentException](
+      TableChanges.read(spark, dir, 3, Some(4)).collect())
+    assert(e2.getMessage.contains("incompatible schema change"),
+      e2.getMessage)
+  }
 }

@@ -243,4 +243,32 @@ class OpsSpec extends AnyFunSuite {
       .as[Int].collect().toSet
     assert(buckets == Set(0, 1, 2, 3))
   }
+
+  test("weighted mixture: floor(w) full copies + deterministic " +
+      "fractional epoch; zero-weight groups vanish; reproducible") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 3 == 0) "up" else if (i % 3 == 1) "keep" else "down"))
+      .toDF("id", "src")
+    val mixed = Sampling.mixture(df, col("id"), col("src"),
+      Map("up" -> 2.5, "keep" -> 1.0, "down" -> 0.0), 0.25)
+    val byEpoch = mixed.groupBy("src", "epoch").count()
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    // full epochs carry every row of the group
+    assert(byEpoch(("up", 0)) == 334 && byEpoch(("up", 1)) == 334)
+    assert(byEpoch(("keep", 0)) == 333)
+    // fractional epoch ~50% of 334 up-rows; hash tolerance
+    val frac = byEpoch(("up", 2))
+    assert(frac > 100 && frac < 234, s"fractional epoch kept $frac")
+    // zero weight drops the group entirely
+    assert(!byEpoch.keys.exists(_._1 == "down"))
+    // keep=1.0 has exactly one epoch
+    assert(!byEpoch.contains(("keep", 1)))
+    // deterministic: same output on re-run
+    val again = Sampling.mixture(df, col("id"), col("src"),
+      Map("up" -> 2.5, "keep" -> 1.0, "down" -> 0.0), 0.25)
+    assert(again.orderBy("id", "epoch").collect()
+      .sameElements(mixed.orderBy("id", "epoch").collect()))
+  }
 }

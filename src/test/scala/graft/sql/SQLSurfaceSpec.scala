@@ -206,6 +206,21 @@ class SQLSurfaceSpec extends AnyFunSuite {
       spark.sql("CALL gd.system.history('default.maint')")
         .agg(org.apache.spark.sql.functions.max("version"))
         .as[Long].head())
+
+    // reorg_purge: DV-delete a row, then materialize the delete —
+    // remaining rows identical, no DV descriptors left (table is
+    // k=1..5 after the RESTORE above)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.maint")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    DeltaTable.forPath(spark, loc).deleteWhereDV("k = 4")
+    val purgeV = spark.sql(
+      "CALL gd.system.reorg_purge('default.maint')").as[Long].head()
+    assert(purgeV > 0)
+    assert(DeltaTable.forPath(spark, loc).scan(None)
+      .collectAddFiles().forall(_.deletionVector.isEmpty))
+    assert(spark.sql("SELECT sum(k) AS s FROM gd.default.maint")
+      .as[Long].head() == 11L)
   }
 
   test("SQL UPDATE and MERGE INTO rewrite to the engine's " +
