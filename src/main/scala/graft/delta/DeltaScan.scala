@@ -210,9 +210,21 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * row_tracking.rs / table_changes/mod.rs:450-493). Requires the
     * table's adds to carry baseRowId (rowTracking feature).
     */
-  def toDFWithRowIds: DataFrame = {
-    val adds = collectAddFiles()
-    val withMeta = assemble(adds, keepMeta = true)
+  def toDFWithRowIds: DataFrame = toDFWithRowIds(collectAddFiles())
+
+  /** Row-id read over an explicit file subset. When the table fixes
+    * materialized row-tracking columns (rewritten files carry the
+    * ORIGINAL ids under those physical names), the materialized value
+    * wins and baseRowId + row_index is the fallback — the protocol's
+    * override rule, which is what keeps row ids stable across
+    * OPTIMIZE/REORG rewrites.
+    */
+  def toDFWithRowIds(adds: Seq[AddFile]): DataFrame = {
+    val mat = RowTracking.materializedCols(snapshot.metadata)
+    val extraPhys = mat.toSeq.flatMap { case (idCol, vCol) =>
+      Seq(StructField(idCol, LongType), StructField(vCol, LongType))
+    }
+    val withMeta = assemble(adds, keepMeta = true, extraPhys)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(snapshot.tableRoot, conf)
     val rtSchema = StructType(Seq(
@@ -228,9 +240,17 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
         a.defaultRowCommitVersion.map(Long.box).orNull), rtSchema): Row
     }
     val rtDF = spark.createDataFrame(rtRows.asJava, rtSchema)
+    val (rowIdExpr, rcvExpr) = mat match {
+      case Some((idCol, vCol)) =>
+        (coalesce(ColumnMapping.qcol(idCol),
+           col("__base") + col("__ridx")),
+         coalesce(ColumnMapping.qcol(vCol), col("__dcv")))
+      case None =>
+        (col("__base") + col("__ridx"), col("__dcv"))
+    }
     withMeta.join(broadcast(rtDF), Seq("__path"))
-      .withColumn("_row_id", col("__base") + col("__ridx"))
-      .withColumn("_row_commit_version", col("__dcv"))
+      .withColumn("_row_id", rowIdExpr)
+      .withColumn("_row_commit_version", rcvExpr)
       .select(schema.fieldNames.map(ColumnMapping.qcol) ++
         Seq(col("_row_id"), col("_row_commit_version")): _*)
   }

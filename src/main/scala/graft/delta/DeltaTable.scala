@@ -273,7 +273,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * default-engine/src/stats.rs, which accumulates stats while
     * writing).
     */
-  private def stageFiles(df: DataFrame, snap: Snapshot): Seq[AddFile] = {
+  private def stageFiles(df: DataFrame, snap: Snapshot,
+      passthrough: Seq[String] = Nil): Seq[AddFile] = {
     val partCols = snap.partitionColumns
     val stage = "part-" + UUID.randomUUID().toString.substring(0, 8)
     val stagePath = new Path(root, stage)
@@ -294,9 +295,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val clusterFiles = snap.metadata.configuration
       .get(DeltaTable.CLUSTERING_NUM_FILES_KEY).map(_.toInt).getOrElse(0)
     val renamed = physicalProjection(
-      Clustering.layout(WriteValidation.prepare(df, snap), clusterCols,
+      Clustering.layout(
+        WriteValidation.prepare(df, snap, passthrough), clusterCols,
         clusterFiles),
-      snap)
+      snap, passthrough)
 
     // materializePartitionColumns / icebergCompatV3: partition values
     // must ALSO live in the data files (reference
@@ -594,13 +596,42 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       params: Map[String, String],
       subset: Option[Seq[AddFile]] = None): Long = {
     writerGate(snap, mutating = false)
-    require(!RowTracking.enabled(snap.metadata),
-      "OPTIMIZE on a row-tracking table requires materialized row ids, " +
-        "which this engine does not write yet")
+    val rtEnabled = RowTracking.enabled(snap.metadata)
+    val matCols = RowTracking.materializedCols(snap.metadata)
+    require(!rtEnabled || matCols.isDefined,
+      "OPTIMIZE on a row-tracking table requires the materialized " +
+        s"row-id column names (${RowTracking.MAT_ROW_ID_KEY}) in the " +
+        "table configuration")
     val existing =
       subset.getOrElse(new DeltaScan(snap, None).collectAddFiles())
     if (existing.isEmpty) return snap.version
-    val staged = stageFiles(layout(readFiles(snap, existing)), snap)
+    // row tracking: read the ORIGINAL row ids alongside the data and
+    // write them into the staged files under the materialized column
+    // names — readers prefer the materialized value over
+    // baseRowId + row_index, so ids survive the rewrite (the protocol's
+    // stability contract for dataChange=false rewrites)
+    val input =
+      if (!rtEnabled) readFiles(snap, existing)
+      else {
+        val (idCol, vCol) = matCols.get
+        new DeltaScan(snap, None).toDFWithRowIds(existing)
+          .withColumnRenamed("_row_id", idCol)
+          .withColumnRenamed("_row_commit_version", vCol)
+      }
+    val passthrough =
+      if (rtEnabled) matCols.toSeq.flatMap(c => Seq(c._1, c._2)) else Nil
+    val staged0 = stageFiles(layout(input), snap, passthrough)
+    // fresh default ids for the new files + an advanced high-water mark
+    // (adds still REQUIRE baseRowId per protocol; the materialized
+    // columns override them row-by-row on read)
+    val (staged, rtLines) =
+      if (!rtEnabled) (staged0, Nil)
+      else {
+        val (assigned, hwm) = RowTracking.assign(staged0,
+          RowTracking.highWaterMark(snap), snap.version + 1)
+        (assigned, Seq(JsonLog.writeAction(SingleAction(domainMetadata =
+          Some(RowTracking.domainMetadataFor(hwm))))))
+      }
     val removes = existing.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = false,
         extendedFileMetadata = Some(true),
@@ -609,7 +640,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     }
     val adds = staged.map(_.copy(dataChange = false))
     val lines =
-      Seq(commitInfoLine("OPTIMIZE", params, ictFor(snap))) ++
+      Seq(commitInfoLine("OPTIMIZE", params, ictFor(snap))) ++ rtLines ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
     val committed = commitActions(snap.version + 1, lines, retryable = false)
@@ -623,7 +654,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * (struct casts rename nested fields positionally; identity when
     * column mapping is off).
     */
-  private def physicalProjection(df: DataFrame, snap: Snapshot): DataFrame = {
+  private def physicalProjection(df: DataFrame, snap: Snapshot,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val physSchema = ColumnMapping.physicalSchema(snap.schema)
     df.select(
       snap.schema.fields.zip(physSchema.fields).map { case (lf, pf) =>
@@ -634,7 +666,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
             ColumnMapping.qcol(lf.name).cast(pf.dataType)
           case _ => ColumnMapping.qcol(lf.name)
         }).as(pf.name, pf.metadata)
-      }: _*)
+      } ++ passthrough.map(ColumnMapping.qcol): _*)
   }
 
   /** Stage CDF `_change_data` files for `df` (logical table columns):
@@ -918,15 +950,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     if (candidates.isEmpty) return snap.version
 
     // one read of the candidate files feeds both the survivor rewrite
-    // and the CDF delete staging
-    val full = readFiles(snap, candidates)
+    // and the CDF delete staging; survivors keep their row ids through
+    // the materialized columns on row-tracking tables
+    val (full, rtCols) = readFilesForRewrite(snap, candidates)
     val cdf = TableChanges.cdfEnabled(snap.metadata)
     if (cdf) full.persist()
     // survivors: NOT(cond) OR cond IS NULL  (DELETE's 3VL contract)
     val survivors = full.filter(
       not(coalesce(expr(predicateSql), lit(false))))
     val newAdds =
-      if (survivors.isEmpty) Nil else stageFiles(survivors, snap)
+      if (survivors.isEmpty) Nil
+      else stageFiles(survivors, snap, rtCols)
     // CDF: a rewrite commit without cdc actions would read as
     // delete-all + insert-survivors; stage the actually-deleted rows as
     // _change_data instead
@@ -943,9 +977,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         partitionValues = Some(a.partitionValues), size = Some(a.size),
         deletionVector = a.deletionVector)
     }
-    val tail =
+    val (newAddsRt, rtLines) =
+      assignRowIds(snap, newAdds, snap.version + 1)
+    val tail = rtLines ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
-      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+      newAddsRt.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
     val committed = commitActions(snap.version + 1,
       cv => commitInfoLine("DELETE", Map("predicate" -> predicateSql),
@@ -962,6 +998,40 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   /** Read specific add files with partition values injected. */
   private def readFiles(snap: Snapshot, adds: Seq[AddFile]): DataFrame =
     new DeltaScan(snap, None).assemble(adds, keepMeta = false)
+
+  /** Row-tracking DML read: the original row ids ride along RENAMED to
+    * the table's materialized column names, so a rewrite stages them
+    * straight through and unchanged rows keep their ids (the
+    * protocol's preservation contract). Returns (frame, passthrough
+    * names) — (plain read, Nil) when row tracking is off.
+    */
+  private def readFilesForRewrite(snap: Snapshot,
+      adds: Seq[AddFile]): (DataFrame, Seq[String]) =
+    RowTracking.materializedCols(snap.metadata) match {
+      case Some((idCol, vCol))
+          if RowTracking.enabled(snap.metadata) && adds.nonEmpty =>
+        (new DeltaScan(snap, None).toDFWithRowIds(adds)
+           .withColumnRenamed("_row_id", idCol)
+           .withColumnRenamed("_row_commit_version", vCol),
+         Seq(idCol, vCol))
+      case _ => (readFiles(snap, adds), Nil)
+    }
+
+  /** Row-tracking commit invariant: EVERY add carries
+    * baseRowId/defaultRowCommitVersion when the feature is enabled
+    * (reference row_tracking.rs assignment). Fresh defaults; rows that
+    * must keep their ids do so via the materialized columns staged into
+    * the files. Returns the annotated adds + the HWM domain line.
+    */
+  private def assignRowIds(snap: Snapshot, adds: Seq[AddFile],
+      v: Long): (Seq[AddFile], Seq[String]) =
+    if (!RowTracking.enabled(snap.metadata) || adds.isEmpty) (adds, Nil)
+    else {
+      val (assigned, hwm) = RowTracking.assign(adds,
+        RowTracking.highWaterMark(snap), v)
+      (assigned, Seq(JsonLog.writeAction(SingleAction(domainMetadata =
+        Some(RowTracking.domainMetadataFor(hwm))))))
+    }
 
   /** UPDATE SET ... WHERE ...: files containing matching rows are
     * rewritten with the assignments applied (reference
@@ -982,15 +1052,24 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
 
-    val full = readFiles(snap, candidates)
+    // row-tracking tables: updated rows KEEP their row id but take the
+    // NEW commit version — materialize the id, null the version so the
+    // read falls back to the new add's default (survivors keep both)
+    val (full, rtCols) = readFilesForRewrite(snap, candidates)
     val cdf = TableChanges.cdfEnabled(snap.metadata)
     full.persist()
     val matched = full.filter(coalesce(expr(predicateSql), lit(false)))
+    val rtUpdated: Seq[Column] = rtCols match {
+      case Seq(idCol, vCol) => Seq(ColumnMapping.qcol(idCol),
+        lit(null).cast("long").as(vCol))
+      case _ => Nil
+    }
+    val rtKeep: Seq[Column] = rtCols.map(ColumnMapping.qcol)
     val assigned = matched.select(snap.schema.fields.map { f =>
       set.get(f.name)
         .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
         .getOrElse(ColumnMapping.qcol(f.name))
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq ++ rtUpdated: _*)
     // generated columns recompute from the post-assignment row (the
     // stored value is stale once a base column changes and would trip
     // the staging guard); explicit assignments to them still win
@@ -1001,10 +1080,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         regen.get(f.name)
           .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
           .getOrElse(ColumnMapping.qcol(f.name))
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq ++ rtKeep: _*)
     val survivors = full.filter(
       not(coalesce(expr(predicateSql), lit(false))))
-    val newAdds = stageFiles(survivors.unionByName(applied), snap)
+    val newAdds =
+      stageFiles(survivors.unionByName(applied), snap, rtCols)
     val cdcActions =
       if (!cdf) Nil
       else stageCdcFiles(matched, snap, "update_preimage") ++
@@ -1016,9 +1096,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         partitionValues = Some(a.partitionValues), size = Some(a.size),
         deletionVector = a.deletionVector)
     }
-    val tail =
+    val (newAddsRt, rtLines) =
+      assignRowIds(snap, newAdds, snap.version + 1)
+    val tail = rtLines ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
-      newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+      newAddsRt.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
       cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
     val committed = commitActions(snap.version + 1,
       cv => commitInfoLine("UPDATE", Map("predicate" -> predicateSql),
@@ -1266,13 +1348,25 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         }
 
       val cdf = TableChanges.cdfEnabled(snap.metadata)
-      fullId = readFiles(snap, candidates)
+      // row-tracking tables read the candidates WITH their row ids so
+      // kept/updated target rows stage them through (updated rows null
+      // the commit version — they take the new add's default)
+      val (fullRead, rtCols) = readFilesForRewrite(snap, candidates)
+      fullId = fullRead
         .withColumn("_tid", monotonically_increasing_id()).persist()
       val tgt = fullId.alias("t")
       def tcol(f: StructField): Column =
         col("t." + ColumnMapping.quoted(f.name))
+      val rtPre: Seq[Column] =
+        rtCols.map(c => col("t." + ColumnMapping.quoted(c)).as(c))
+      val rtUpdated: Seq[Column] = rtCols match {
+        case Seq(idCol, vCol) =>
+          Seq(col("t." + ColumnMapping.quoted(idCol)).as(idCol),
+            lit(null).cast("long").as(vCol))
+        case _ => Nil
+      }
       val preCols = snap.schema.fields.toIndexedSeq
-        .map(f => tcol(f).as(f.name, f.metadata))
+        .map(f => tcol(f).as(f.name, f.metadata)) ++ rtPre
 
       // -- matched rows, tagged with the first applicable clause
       val matchedTagged: DataFrame = {
@@ -1322,7 +1416,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           }
           v.as(f.name, f.metadata)
         }
-        val assigned = rows.select(postCols: _*)
+        val assigned = rows.select(postCols ++ rtUpdated: _*)
         val regen = WriteValidation.generated(snap) --
           cls.flatMap(setOf(_).keys)
         if (regen.isEmpty) assigned
@@ -1330,7 +1424,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           regen.get(f.name)
             .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
             .getOrElse(ColumnMapping.qcol(f.name))
-        }: _*)
+        } ++ rtCols.map(ColumnMapping.qcol): _*)
       }
       val updatedPre =
         if (updateTags.isEmpty) None
@@ -1427,10 +1521,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
       val outParts = Seq(Some(survivors), Some(keptMatched),
         updatedPost, bsUpdatedPost, insertRaw).flatten
-      val out = outParts.reduce(_ unionByName _)
+      // inserts carry no materialized columns — allowMissingColumns
+      // fills NULL, so inserted rows take the new add's FRESH defaults
+      val out = outParts.reduce(
+        _.unionByName(_, allowMissingColumns = rtCols.nonEmpty))
       val newAdds =
         if (candidates.isEmpty && insertRaw.isEmpty) Nil
-        else stageFiles(out, snap)
+        else stageFiles(out, snap, rtCols)
       if (candidates.isEmpty && newAdds.isEmpty) return snap.version
 
       val cdcActions =
@@ -1452,11 +1549,14 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       val idHwms = IdentityColumns.hwmFromStats(newAdds, snap, identityCols)
       val idMeta = if (idHwms.isEmpty) None
         else Some(IdentityColumns.advance(snap.metadata, idHwms))
+      val (newAddsRt, rtLines) =
+        assignRowIds(snap, newAdds, snap.version + 1)
       val tail =
         idMeta.map(m =>
           JsonLog.writeAction(SingleAction(metaData = Some(m)))).toSeq ++
+        rtLines ++
         removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
-        newAdds.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+        newAddsRt.map(a => JsonLog.writeAction(SingleAction(add = Some(a)))) ++
         cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
       // MERGE reads under a join condition, not a single-table
       // predicate — no stats proof possible, so any concurrent add is
@@ -1831,12 +1931,26 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         DeltaTable.ICT_ENABLEMENT_VERSION_KEY -> v.toString,
         DeltaTable.ICT_ENABLEMENT_TIMESTAMP_KEY -> ict.get.toString)
       else Map.empty[String, String]
+    // enabling row tracking fixes the materialized column names at the
+    // SAME commit (they must exist before any rewrite materializes ids)
+    val enablingRt = props.get(RowTracking.ENABLED_KEY)
+        .exists(_.equalsIgnoreCase("true")) &&
+      !RowTracking.enabled(snap.metadata)
+    val rtProps =
+      if (enablingRt && !snap.metadata.configuration.contains(
+          RowTracking.MAT_ROW_ID_KEY))
+        RowTracking.freshMaterializedNames()
+      else Map.empty[String, String]
     val meta = snap.metadata.copy(
-      configuration = snap.metadata.configuration ++ props ++ enablementProps)
+      configuration = snap.metadata.configuration ++ props ++
+        enablementProps ++ rtProps)
     val featureAdds =
       (if (enablingIct && !snap.protocol.writerFeatures
           .exists(_.contains("inCommitTimestamp")))
         Seq("inCommitTimestamp") else Nil) ++
+      (if (enablingRt && !TableFeatures.supportsWriterFeature(
+          snap.protocol, "rowTracking"))
+        Seq("rowTracking", "domainMetadata") else Nil) ++
       (if (props.keys.exists(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
           && !TableFeatures.supportsWriterFeature(
             snap.protocol, "checkConstraints"))
@@ -2663,12 +2777,21 @@ object DeltaTable {
         TableFeatures.upgraded(legacy, readerFeatureAdds,
           featureAdds ++ readerFeatureAdds)
       else legacy
+    // row tracking fixes its materialized column names at enablement
+    // (delta.rowTracking.materializedRowId/RowCommitVersionColumnName):
+    // rewrites (OPTIMIZE/REORG) write the ORIGINAL ids under these
+    // names so row ids stay stable across file rewrites
+    val finalConfigRt =
+      if (wantsRowTracking &&
+          !finalConfig.contains(RowTracking.MAT_ROW_ID_KEY))
+        finalConfig ++ RowTracking.freshMaterializedNames()
+      else finalConfig
     val meta = graft.delta.Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
       schemaString = GeoTypes.toSchemaString(finalSchema),
       partitionColumns = partitionColumns,
-      configuration = finalConfig,
+      configuration = finalConfigRt,
       createdTime = Some(System.currentTimeMillis()))
     // V3 invariants fail the CREATE before anything reaches the log
     // (reference table_configuration.rs:235)

@@ -11,6 +11,29 @@ object RowTracking {
 
   val DOMAIN = "delta.rowTracking"
   val ENABLED_KEY = "delta.enableRowTracking"
+  val MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+  val MAT_RCV_KEY =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  /** (row-id column, row-commit-version column) PHYSICAL names fixed at
+    * enablement. File rewrites (OPTIMIZE/REORG) write the original row
+    * ids under these names; reads prefer them over
+    * baseRowId + row_index (the protocol's materialized-override rule).
+    */
+  def materializedCols(m: Metadata): Option[(String, String)] =
+    for {
+      idCol <- m.configuration.get(MAT_ROW_ID_KEY)
+      vCol <- m.configuration.get(MAT_RCV_KEY)
+    } yield (idCol, vCol)
+
+  /** Fresh uuid-suffixed materialized names (collision-proof against
+    * user columns, like delta-spark's `_row-id-col-<uuid>`).
+    */
+  def freshMaterializedNames(): Map[String, String] = {
+    val sfx = java.util.UUID.randomUUID().toString.substring(0, 8)
+    Map(MAT_ROW_ID_KEY -> s"_row-id-col-$sfx",
+      MAT_RCV_KEY -> s"_row-commit-version-col-$sfx")
+  }
 
   /** HWM for a table with no assigned row ids — first baseRowId is 0. */
   val MISSING_HIGH_WATER_MARK: Long = -1L

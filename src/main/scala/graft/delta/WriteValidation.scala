@@ -71,7 +71,12 @@ object WriteValidation {
     * guard rides the projection; it cannot be pruned because the
     * column's value flows through it).
     */
-  def prepare(df: DataFrame, snap: Snapshot): DataFrame = {
+  /** `passthrough` columns ride the projection untouched (e.g. the
+    * materialized row-tracking columns an OPTIMIZE rewrite must carry
+    * into the staged files).
+    */
+  def prepare(df: DataFrame, snap: Snapshot,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val present = df.columns.toSet
     val gen = generated(snap)
     var out = df
@@ -89,9 +94,11 @@ object WriteValidation {
         }
       }
     }
+    val extras = passthrough.map(ColumnMapping.qcol)
     val cs = checks(snap)
     if (cs.isEmpty)
-      out.select(snap.schema.fieldNames.map(ColumnMapping.qcol): _*)
+      out.select(snap.schema.fieldNames.map(ColumnMapping.qcol) ++
+        extras: _*)
     else {
       val violated = cs.map { case (_, sql) =>
         not(coalesce(expr(sql), lit(false)))
@@ -107,7 +114,8 @@ object WriteValidation {
         .otherwise(ColumnMapping.qcol(first.name))
         .as(first.name, first.metadata)
       out.select(guarded +:
-        snap.schema.fieldNames.tail.map(ColumnMapping.qcol): _*)
+        (snap.schema.fieldNames.tail.map(ColumnMapping.qcol) ++
+          extras): _*)
     }
   }
 }

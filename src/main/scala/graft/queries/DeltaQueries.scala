@@ -230,6 +230,10 @@ object DeltaQueries {
       val t = DeltaTable.forPath(s, dir)
       t.append(src.filter(col("l_quantity") < 5))
       t.append(src.filter(col("l_quantity") >= 5))
+      // bin-pack rewrite: row ids and commit versions must survive via
+      // the materialized columns — the unchanged oracle (ids 0..n-1,
+      // exactly 2 commit versions) is the stability proof
+      t.optimizeCompact()
       t.scan(None).toDFWithRowIds
         .agg(count(lit(1)).as("n"),
           countDistinct(col("_row_id")).as("n_ids"),

@@ -128,4 +128,108 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ids.length == 10 && ids.forall(_ > hwm1))
     assert(ids.distinct.length == 10)
   }
+
+  test("OPTIMIZE preserves row ids via materialized columns; " +
+      "REORG PURGE keeps survivors' ids") {
+    val dir = TestSpark.tmpDir("rtopt")
+    val a = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    DeltaTable.create(spark, dir, a.schema, configuration = conf)
+    val t = DeltaTable.forPath(spark, dir)
+    // materialized names were fixed at CREATE
+    val (matId, matV) = RowTracking.materializedCols(
+      t.snapshot().metadata).get
+    assert(matId.startsWith("_row-id-col-"))
+    t.append(a.filter($"k" <= 60))  // v1
+    t.append(a.filter($"k" > 60))   // v2
+    val before = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val filesBefore = t.scan(None).collectAddFiles().map(_.path).toSet
+    t.optimizeCompact()
+    val snap = t.snapshot()
+    val filesAfter = t.scan(None).collectAddFiles()
+    // files were rewritten, fresh default ids assigned, HWM advanced
+    assert(filesAfter.map(_.path).toSet.intersect(filesBefore).isEmpty)
+    assert(filesAfter.forall(_.baseRowId.isDefined))
+    assert(RowTracking.highWaterMark(snap) > 99L)
+    // the staged parquet physically carries the materialized columns
+    val raw = spark.read.parquet(filesAfter.map(f =>
+      new org.apache.hadoop.fs.Path(dir, f.path).toString): _*)
+    assert(raw.columns.contains(matId) && raw.columns.contains(matV))
+    // ... and every row keeps its ORIGINAL id + commit version
+    val after = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after.size == 100)
+    after.foreach { case (k, v) => assert(before(k) == v,
+      s"row $k changed id/version: ${before(k)} -> $v") }
+
+    // DV delete + REORG PURGE: surviving rows still keep their ids
+    t.deleteWhereDV("k <= 10")
+    t.reorgPurge()
+    assert(t.scan(None).collectAddFiles()
+      .forall(_.deletionVector.isEmpty))
+    val purged = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(purged.size == 90)
+    purged.foreach { case (k, id) => assert(before(k)._1 == id) }
+
+    // a second optimize round-trips the already-materialized ids
+    t.append(a.filter($"k" < 0)) // empty commit keeps versions moving
+    t.optimizeCompact()
+    val again = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(again == purged)
+  }
+
+  test("DML preserves row ids: UPDATE keeps id + bumps commit version, " +
+      "DELETE rewrite keeps survivors, MERGE keeps matched / fresh " +
+      "ids for inserts") {
+    val dir = TestSpark.tmpDir("rtdml")
+    val a = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    DeltaTable.create(spark, dir, a.schema, configuration = conf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(a)
+    def state() = t.scan(None).toDFWithRowIds
+      .select($"k", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val s0 = state()
+
+    // UPDATE: every row keeps its id; only updated rows change version
+    val updV = t.updateWhere("k > 90", Map("x" -> "x + 0.5"))
+    val s1 = state()
+    assert(s1.size == 100)
+    s1.foreach { case (k, (id, v)) =>
+      assert(id == s0(k)._1, s"row $k id changed")
+      if (k > 90) assert(v == updV, s"updated row $k version $v != $updV")
+      else assert(v == s0(k)._2, s"untouched row $k version changed")
+    }
+    // every add in the commit carries baseRowId (protocol invariant)
+    assert(t.scan(None).collectAddFiles().forall(_.baseRowId.isDefined))
+
+    // DELETE rewrite: survivors keep id AND commit version
+    t.deleteWhere("k <= 5")
+    val s2 = state()
+    assert(s2.size == 95)
+    s2.foreach { case (k, v) => assert(v == s1(k), s"row $k changed") }
+
+    // MERGE: matched updates keep ids (new version), inserts get fresh
+    val srcDf = Seq((50L, 1.0), (200L, 2.0)).toDF("k", "x")
+    val mrgV = t.merge(srcDf, "t.k = s.k", Seq(
+      MergeClause.MatchedUpdate(None, Map("x" -> "s.x")),
+      MergeClause.NotMatchedInsert(None,
+        Map("k" -> "s.k", "x" -> "s.x"))))
+    val s3 = state()
+    assert(s3.size == 96)
+    assert(s3(50L)._1 == s2(50L)._1 && s3(50L)._2 == mrgV)
+    val maxOld = s2.values.map(_._1).max
+    assert(s3(200L)._1 > maxOld, "insert must take a fresh id")
+    (s2.keySet - 50L).foreach(k => assert(s3(k) == s2(k)))
+    // ids stay unique corpus-wide
+    assert(s3.values.map(_._1).toSeq.distinct.size == 96)
+  }
 }
