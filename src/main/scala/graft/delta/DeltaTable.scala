@@ -1659,14 +1659,34 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * schema_evolution.rs modify_field_at_path: descending through a
     * non-struct is an error, never a silent no-op).
     */
-  def addColumn(path: Seq[String], dataType: DataType): Long = {
+  def addColumn(path: Seq[String], dataType: DataType): Long =
+    addColumn(path, dataType, None)
+
+  /** ADD COLUMN ... FIRST / AFTER — a column-mapping-free, metadata-only
+    * reorder (schema POSITION is logical; reads resolve by name/id).
+    * `position` None appends at the end of its struct.
+    */
+  def addColumn(path: Seq[String], dataType: DataType,
+      position: Option[DeltaTable.ColumnPosition]): Long = {
     require(path.nonEmpty, "empty column path")
     val snap = snapshot()
+    def place(fields: Array[StructField],
+        nf: StructField): Array[StructField] = position match {
+      case None => fields :+ nf
+      case Some(DeltaTable.First) => nf +: fields
+      case Some(DeltaTable.After(ref)) =>
+        val i = fields.indexWhere(_.name == ref)
+        require(i >= 0,
+          s"cannot add '${path.mkString(".")}' AFTER '$ref': no such " +
+            "sibling column")
+        (fields.take(i + 1) :+ nf) ++ fields.drop(i + 1)
+    }
     def insert(s: StructType, p: Seq[String]): StructType = p match {
       case Seq(leaf) =>
         require(!s.fieldNames.contains(leaf),
           s"column '${path.mkString(".")}' already exists")
-        StructType(s.fields :+ StructField(leaf, dataType, nullable = true))
+        StructType(place(s.fields,
+          StructField(leaf, dataType, nullable = true)))
       case step +: rest =>
         val i = s.fieldNames.indexOf(step)
         require(i >= 0, s"no struct column '$step'")
@@ -1683,6 +1703,37 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           f.copy(dataType = descend(f.dataType))))
     }
     alterSchema(insert(snap.schema, path))
+  }
+
+  /** ALTER COLUMN DROP NOT NULL (loosening; SET NOT NULL refuses — old
+    * files cannot retroactively prove non-nullness).
+    */
+  def setColumnNullable(path: Seq[String], nullable: Boolean): Long = {
+    require(path.nonEmpty, "empty column path")
+    require(nullable,
+      s"cannot SET NOT NULL on '${path.mkString(".")}': existing rows " +
+        "cannot be proven non-null (drop and re-add, or rewrite)")
+    val snap = snapshot()
+    def patch(s: StructType, p: Seq[String]): StructType = {
+      val i = s.fieldNames.indexOf(p.head)
+      require(i >= 0, s"no column '${p.head}'")
+      val f = s.fields(i)
+      if (p.tail.isEmpty)
+        StructType(s.fields.updated(i, f.copy(nullable = true)))
+      else {
+        def descend(dt: DataType): DataType = dt match {
+          case inner: StructType => patch(inner, p.tail)
+          case a: ArrayType => a.copy(elementType = descend(a.elementType))
+          case m: MapType => m.copy(valueType = descend(m.valueType))
+          case other => throw new IllegalArgumentException(
+            s"cannot alter '${path.mkString(".")}': '${p.head}' is " +
+              s"${other.simpleString}, not a struct")
+        }
+        StructType(s.fields.updated(i,
+          f.copy(dataType = descend(f.dataType))))
+      }
+    }
+    alterSchema(patch(snap.schema, path))
   }
 
   /** ALTER TABLE ALTER COLUMN TYPE (widening only). */
@@ -2614,6 +2665,11 @@ object DeltaTable {
       removedKeys: Set[String])
 
   val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
+
+  /** ADD COLUMN placement (FIRST / AFTER sibling / append). */
+  sealed trait ColumnPosition
+  case object First extends ColumnPosition
+  final case class After(sibling: String) extends ColumnPosition
   /** Opt-in to shredded variant data files (delta-spark's property;
     * reference table_features/mod.rs:630-645 variantShredding).
     */

@@ -163,9 +163,18 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case _: TableChange.SetProperty => ()
       case a: TableChange.AddColumn =>
-        t.addColumn(a.fieldNames.toSeq, a.dataType)
+        val pos = a.position() match {
+          case null => None
+          case _: TableChange.First => Some(DeltaTable.First)
+          case af: TableChange.After => Some(DeltaTable.After(af.column()))
+          case p => throw new UnsupportedOperationException(
+            s"unsupported column position: $p")
+        }
+        t.addColumn(a.fieldNames.toSeq, a.dataType, pos)
       case u: TableChange.UpdateColumnType =>
         t.widenColumn(u.fieldNames.toSeq, u.newDataType)
+      case n: TableChange.UpdateColumnNullability =>
+        t.setColumnNullable(n.fieldNames.toSeq, n.nullable())
       case r: TableChange.RenameColumn =>
         t.renameColumn(r.fieldNames.toSeq, r.newName)
       case d: TableChange.DeleteColumn =>

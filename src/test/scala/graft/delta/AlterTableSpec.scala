@@ -322,4 +322,36 @@ class AlterTableSpec extends AnyFunSuite {
     assert(old.schema.fieldNames.toSeq == Seq("k", "s", "x"))
     assert(new DeltaScan(old, None).toDF.count() == 2)
   }
+
+  test("ADD COLUMN FIRST / AFTER places logically; reads by name " +
+      "ignore order; DROP NOT NULL loosens, SET NOT NULL refuses") {
+    val dir = TestSpark.tmpDir("addpos")
+    val v1 = spark.sql("SELECT CAST(1 AS BIGINT) AS k, 'a' AS s")
+      .select($"k", $"s".cast("string").as("s"))
+    val strict = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    DeltaTable.create(spark, dir, strict)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    t.addColumn(Seq("lead"), DoubleType, Some(DeltaTable.First))
+    t.addColumn(Seq("mid"), IntegerType, Some(DeltaTable.After("k")))
+    assert(t.snapshot().schema.fieldNames.toSeq ==
+      Seq("lead", "k", "mid", "s"))
+    // old file reads correctly under the reordered schema
+    val r = t.toDF.collect()(0)
+    assert(r.isNullAt(0) && r.getLong(1) == 1L && r.isNullAt(2) &&
+      r.getString(3) == "a")
+    intercept[IllegalArgumentException](
+      t.addColumn(Seq("x"), DoubleType, Some(DeltaTable.After("nope"))))
+
+    // DROP NOT NULL on k; SET NOT NULL refuses
+    assert(!t.snapshot().schema("k").nullable)
+    t.setColumnNullable(Seq("k"), nullable = true)
+    assert(t.snapshot().schema("k").nullable)
+    intercept[IllegalArgumentException](
+      t.setColumnNullable(Seq("s"), nullable = false))
+  }
 }

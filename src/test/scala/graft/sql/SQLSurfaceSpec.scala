@@ -398,4 +398,28 @@ class SQLSurfaceSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE gd.ns_rd.plain RENAME COLUMN s TO x"))
     assert(e.getMessage.contains("columnMapping"))
   }
+
+  test("ALTER TABLE column position + nullability through SQL") {
+    spark.sql("""CREATE TABLE gd.default.pos
+      (k BIGINT NOT NULL, s STRING) USING `graft-delta`""")
+    spark.sql("INSERT INTO gd.default.pos VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gd.default.pos ADD COLUMNS (lead DOUBLE FIRST)")
+    spark.sql("ALTER TABLE gd.default.pos ADD COLUMNS (mid INT AFTER k)")
+    assert(spark.sql("SELECT * FROM gd.default.pos").columns.toSeq ==
+      Seq("lead", "k", "mid", "s"))
+    assert(spark.sql(
+      "SELECT k FROM gd.default.pos WHERE lead IS NULL AND mid IS NULL")
+      .as[Long].collect().toSeq == Seq(1L))
+    spark.sql("ALTER TABLE gd.default.pos ALTER COLUMN k DROP NOT NULL")
+    spark.sql("INSERT INTO gd.default.pos VALUES (NULL, NULL, NULL, 'n')")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM gd.default.pos WHERE k IS NULL")
+      .as[Long].head() == 1L)
+    // refused — by Spark's analyzer up front, or by the engine's
+    // setColumnNullable guard if a future Spark delegates it down
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE gd.default.pos ALTER COLUMN s SET NOT NULL"))
+    assert(e.getMessage.contains("SET NOT NULL") ||
+      e.getMessage.contains("non-nullable"), e.getMessage)
+  }
 }
