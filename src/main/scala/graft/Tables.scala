@@ -13,18 +13,24 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no type for;
-      // read the raw int64 nanos and rescale to a microsecond timestamp
-      // (sub-microsecond components are zero in this corpus). The conf is
-      // also set in the Verify/Bench/test session builders; this guard
-      // only covers ad-hoc sessions and avoids re-setting per call.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as raw
+      // int64 under nanosAsLong) in some corpus generations and as
+      // TIMESTAMP(MICROS, ntz) (reads as TIMESTAMP_NTZ) in others. Branch
+      // on the type the scan actually produced and normalize to a UTC
+      // TimestampType either way, so queries see one stable schema.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
             .forall(_ != "true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      df
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
