@@ -19,13 +19,35 @@ object Bench {
     try Tables.load(spark, sfDir, "region").count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd executes the FULL physical plan (projection + sort included)
       // — a .count() would let the optimizer prune columns and drop sorts.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstRun: Seq[(String, Double)] = SparkEntry.queries.toSeq
+      .map { case (name, fn) => name -> timeQuery(fn) }
+    // Re-run the most expensive queries so their entries carry
+    // {median,min,n} — a single run cannot distinguish environmental
+    // drift (GC/page-cache pressure from the surrounding bench JVM) from
+    // a plan regression. Delta queries build fresh UUID-suffixed table
+    // dirs per invocation, so repeats measure the same work each time.
+    val QTOP = 12
+    val QREPS = 3
+    // pinned: the round-6 verdict's two unexplained >2x single-run drifts
+    // stay repeated even if they fall out of the top-K, so the drift
+    // question stays answerable round over round
+    val pinned = Set("q_dedup_incremental", "q_delta_v2_checkpoint")
+    val repeatSet: Set[String] = firstRun.filter(_._2 >= 0)
+      .sortBy(-_._2).take(QTOP).map(_._1).toSet ++ pinned
+    val qTimes: Seq[(String, Seq[Double])] = firstRun.map { case (name, t1) =>
+      val extra =
+        if (t1 >= 0 && repeatSet(name))
+          (2 to QREPS).map(_ => timeQuery(SparkEntry.queries(name)))
+        else Seq.empty
+      name -> (t1 +: extra)
     }
     // kernel-equivalent metadata benchmark (BASELINE.md: snapshot build +
     // full replay over a synthetic 300k-add log) and the spec-driven
@@ -54,9 +76,10 @@ object Bench {
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
-    val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(Seq(meta5m))
+    val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(Seq(meta5m)) ++
+      qTimes.toMap
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
-    val all = results ++ medians
+    val all = medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val stats = repeated.toSeq.sortBy(_._1).map { case (k, xs) =>
