@@ -29,6 +29,10 @@ object Bench5mProbe {
     val snap = t("snapshot") {
       Snapshot.forTable(spark, MetadataBench.tableDir5m)
     }
+    val scan0 = new DeltaScan(snap, Some("p = '7' AND c0 >= 0"))
+    t("filesDF.count (pure distributed)") { scan0.filesDF.count() }
+    val scanW = new DeltaScan(snap, Some("p = '7' AND c0 >= 0"))
+    t("filesDF.count warm") { scanW.filesDF.count() }
     val scan = new DeltaScan(snap, Some("p = '7' AND c0 >= 0"))
     val n = t("drain addFileIterator") { scan.addFileIterator().size }
     println(s"  ($n slim adds)")

@@ -181,10 +181,24 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * is dropped. With millions of files this caps planning memory at
     * the index itself (the envelope Spark's scan exec requires anyway)
     * instead of ~3× it.
+    *
+    * The explicit hash repartition is load-bearing for planning TIME,
+    * not just memory: `toLocalIterator` runs one job per final-stage
+    * partition, so without a shuffle boundary the checkpoint arm's
+    * heavy work (stats from_json, key canonicalization, pruning) would
+    * execute one-partition-per-job — sequentially on one core at a
+    * time. Behind a shuffle, the first job computes the ENTIRE map
+    * stage with full cluster parallelism and every later job is a
+    * cheap shuffle-block fetch. At 5M adds this is the difference
+    * between ~1-core and 32-core replay (reference intent:
+    * kernel/src/parallel/ — phase 1 distributed, phase 2 streamed).
     */
-  private[graft] def addFileIterator(): Iterator[AddFile] =
-    slimFilesDF.select("add.*")
+  private[graft] def addFileIterator(): Iterator[AddFile] = {
+    val slim = slimFilesDF.select("add.*")
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    slim.repartition(parts, col("path"))
       .toLocalIterator().asScala.map(RowCodec.rowToAdd)
+  }
 
   /** The distributed data read: schema-first parquet scan over the live
     * files; partition columns are injected by a broadcast join on the
