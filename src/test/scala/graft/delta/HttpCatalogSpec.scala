@@ -27,10 +27,10 @@ class HttpCatalogSpec extends AnyFunSuite {
       .flatMap(st => FileNames.parse(st.getPath))
       .collect { case c: FileNames.CommitFile => c.version }
 
-  private def withServer(catDir: String)(f: HttpCatalogServer => Unit)
-      : Unit = {
+  private def withServer(catDir: String, credTtlMs: Long = 3600L * 1000)
+      (f: HttpCatalogServer => Unit): Unit = {
     val server = new HttpCatalogServer(
-      new FileCatalog(fs(catDir), new Path(catDir))).start()
+      new FileCatalog(fs(catDir), new Path(catDir)), 0, credTtlMs).start()
     try f(server) finally server.stop()
   }
 
@@ -69,6 +69,131 @@ class HttpCatalogSpec extends AnyFunSuite {
         cat.markPublished(dir, 99L)
       }
       assert(e.getMessage.contains("unratified"))
+    }
+  }
+
+  test("UC wire: paginated log tail — client pages through " +
+      "next-page-token and reassembles the full ascending tail") {
+    val dir = TestSpark.tmpDir("http-page")
+    val catDir = TestSpark.tmpDir("http-page-store")
+    withServer(catDir) { server =>
+      // writer ratifies 7 commits through a default-page-size client
+      val writer = new HttpCatalogClient(server.baseUri)
+      DeltaTable.create(spark, dir, src(1, 1).schema,
+        catalog = Some(writer))
+      val t = DeltaTable.forPath(spark, dir, writer)
+      (1 to 6).foreach(i => t.append(src(i * 10, i * 10 + 4)))
+      assert(writer.maxRatifiedVersion(dir).contains(6L))
+
+      // a page-size-2 reader must follow 4 pages (7 commits, newest
+      // first: [6,5],[4,3],[2,1],[0]) and still reassemble the tail
+      val pagedReader = new HttpCatalogClient(server.baseUri, pageSize = 2)
+      val tail = pagedReader.logTail(dir)
+      assert(tail.map(_.version) == (0L to 6L))
+      // locations resolve to the canonical staged-commits dir
+      assert(tail.forall(_.location.toString.contains(
+        FileNames.STAGED_COMMITS_DIR)))
+      // and a snapshot through the paginated client reads everything
+      val tPaged = DeltaTable.forPath(spark, dir, pagedReader)
+      assert(tPaged.toDF.count() == 30)
+
+      // publishing shrinks what pagination has to cover
+      assert(t.publish(Some(4L)) == 4L)
+      assert(pagedReader.logTail(dir).map(_.version) == Seq(5L, 6L))
+    }
+  }
+
+  test("UC wire: temporary credential expires mid-stream; client " +
+      "renews transparently and work completes") {
+    val dir = TestSpark.tmpDir("http-cred")
+    val catDir = TestSpark.tmpDir("http-cred-store")
+    withServer(catDir, credTtlMs = 300) { server =>
+      val cat = new HttpCatalogClient(server.baseUri)
+      DeltaTable.create(spark, dir, src(1, 1).schema, catalog = Some(cat))
+      val t = DeltaTable.forPath(spark, dir, cat)
+      t.append(src(1, 10))
+      val renewalsBefore = cat.credentialRenewals
+      assert(renewalsBefore >= 1) // bootstrap vend happened
+
+      // outlive the TTL so the cached token is stale, then keep working
+      Thread.sleep(400)
+      t.append(src(11, 20))
+      assert(cat.maxRatifiedVersion(dir).contains(2L))
+      assert(t.toDF.count() == 20)
+      assert(cat.credentialRenewals > renewalsBefore,
+        "client should have re-vended after expiry")
+      assert(server.credentialsVended >= cat.credentialRenewals)
+
+      // a fresh client starting after many expirations still works
+      Thread.sleep(400)
+      val late = new HttpCatalogClient(server.baseUri)
+      assert(late.logTail(dir).map(_.version) == (0L to 2L))
+    }
+  }
+
+  test("UC wire: update_table requirements — assert-table-uuid and " +
+      "assert-etag gate the update; singleton rule enforced") {
+    val dir = TestSpark.tmpDir("http-req")
+    val catDir = TestSpark.tmpDir("http-req-store")
+    withServer(catDir) { server =>
+      val cat = new HttpCatalogClient(server.baseUri)
+      DeltaTable.create(spark, dir, src(1, 1).schema, catalog = Some(cat))
+
+      // raw wire probe: POST an update with a failing requirement
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(bodyJson: String, token: String): java.net.http.HttpResponse[String] =
+        http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.baseUri +
+            HttpCatalogProtocol.BASE + HttpCatalogProtocol.key(dir)))
+          .header("Authorization", s"Bearer $token")
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(bodyJson))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      def vendToken(): String = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.baseUri + HttpCatalogProtocol.BASE +
+            HttpCatalogProtocol.key(dir) + "/credentials"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"operation":"READ_WRITE"}""")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        mapper.readTree(r.body).get("storage-credentials").get(0)
+          .get("config").get("token").asText
+      }
+      val token = vendToken()
+
+      // wrong uuid → 409 requirement-failed, nothing applied
+      val bad = post("""{"requirements":[{"type":"assert-table-uuid",
+        "uuid":"nope"}],"updates":[{"action":"set-latest-backfilled-version",
+        "latest-published-version":0}]}""".replaceAll("\n\\s*", ""), token)
+      assert(bad.statusCode == 409)
+      assert(mapper.readTree(bad.body).get("error-code").asText ==
+        "requirement-failed")
+
+      // right uuid + right etag → applied
+      val etag = HttpCatalogProtocol.etag(cat.maxRatifiedVersion(dir))
+      val uuid = HttpCatalogProtocol.key(dir)
+      val good = post(
+        s"""{"requirements":[{"type":"assert-table-uuid","uuid":"$uuid"},
+           |{"type":"assert-etag","etag":"$etag"}],
+           |"updates":[]}""".stripMargin.replaceAll("\n", ""), token)
+      assert(good.statusCode == 200)
+
+      // stale etag → 409
+      val stale = post(s"""{"requirements":[{"type":"assert-etag",
+        "etag":"v999"}],"updates":[]}""".replaceAll("\n\\s*", ""), token)
+      assert(stale.statusCode == 409)
+
+      // duplicate singleton → 400
+      val dup = post(s"""{"requirements":[{"type":"assert-etag",
+        "etag":"$etag"},{"type":"assert-etag","etag":"$etag"}],
+        "updates":[]}""".replaceAll("\n\\s*", ""), token)
+      assert(dup.statusCode == 400)
+
+      // no/expired token → 401
+      val noAuth = post("""{"requirements":[],"updates":[]}""", "bogus")
+      assert(noAuth.statusCode == 401)
     }
   }
 
