@@ -41,10 +41,12 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** STUB decode: a real implementation parses the payload with a codec
-    * and yields frames; this deterministic fake treats each
-    * `FRAME_BYTES` window as one "frame" so the pipeline shape
-    * (per-frame iteration, bounded memory) is exercised end to end.
+  /** STUB decode (video/audio only — PNG below is real): a real
+    * implementation parses the payload with a codec and yields frames;
+    * this deterministic fake treats each `FRAME_BYTES` window as one
+    * "frame" so the pipeline shape (per-frame iteration, bounded
+    * memory) is exercised end to end. No video/audio codec ships in
+    * the JDK; images go through [[decodePng]], which is a REAL codec.
     */
   private def decodeFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
     payload.grouped(FRAME_BYTES)
@@ -67,5 +69,91 @@ object Multimodal {
         MediaFeatures(m.doc_id, m.mime, m.payload.length.toLong, n, frame0)
       }
     }
+  }
+
+  // ==========================================================================
+  // REAL image codec: PNG via javax.imageio (public JDK, zero extra deps).
+  // The synthesize→decode round trip makes the partition-parallel
+  // extraction claim load-bearing: decoded dimensions and pixel sums are
+  // verified against analytically-predicted oracle values, so a decoder
+  // that returned fabricated frames would hash-mismatch.
+  // ==========================================================================
+
+  /** Features read from a DECODED image — every field below comes from
+    * the decoder's output raster, never from the generating parameters.
+    */
+  case class PngFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      pixel_sum: Long,
+      corner_pixel: Long)
+
+  /** Deterministic 8-bit grayscale test card: pixel at linear index `p`
+    * (row-major) holds `(p + seed) % 256`. Encoded with the JDK's real
+    * PNG writer — the payload is a genuine PNG stream (signature,
+    * IHDR/IDAT/IEND, zlib-compressed scanlines).
+    */
+  def synthesizePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, ((p + seed) % 256).toInt)
+        p += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "no PNG writer available in this JVM")
+    bos.toByteArray
+  }
+
+  /** REAL decode: parse the PNG stream back into a raster and report
+    * dimensions plus pixel statistics from the decoded samples.
+    */
+  def decodePng(docId: Long, payload: Array[Byte]): PngFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sum += raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(docId, w.toLong, h.toLong, w.toLong * h,
+      sum, raster.getSample(w - 1, h - 1, 0).toLong)
+  }
+
+  /** Partition-parallel encode→decode over synthesized test cards:
+    * `(doc_id, width, height)` rows in, decoded features out. Narrow
+    * (no shuffle); payload bytes live and die inside one task — the
+    * same dataflow shape a real 100 TB image-corpus extraction uses,
+    * now through a real codec on both sides.
+    */
+  def pngRoundTrip(df: DataFrame): Dataset[PngFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"),
+        col("width").cast("int"), col("height").cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        decodePng(id, synthesizePng(id, w, h))
+      })
   }
 }

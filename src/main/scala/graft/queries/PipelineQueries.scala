@@ -413,6 +413,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image codec round trip: synthesize deterministic grayscale
+    // test cards, encode with the JDK's real PNG writer, decode with
+    // the real PNG reader, and report dimensions + pixel statistics
+    // FROM THE DECODED RASTER. The oracle predicts every field
+    // analytically (pixel p holds (p + doc_id) % 256), so a decoder
+    // that fabricated frames would hash-mismatch. Narrow end to end —
+    // payloads never leave the task that made them.
+    "q_png_decode" -> ((s, d) => {
+      Multimodal.pngRoundTrip(
+          docs(s, d).select(col("doc_id"),
+            (col("doc_id") % 40 + 8).as("width"),
+            (col("doc_id") % 30 + 8).as("height")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Byte-level metadata over an opaque payload: size + deterministic
     // content hash + fake frame count (column-level sibling of
     // q_multimodal_decode's typed path).
@@ -885,6 +901,20 @@ object PipelineQueries {
          |FROM (SELECT doc_id,
          |        lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
          |      FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_png_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 40 + 8 AS BIGINT) AS width,
+        |  CAST(d.doc_id % 30 + 8 AS BIGINT) AS height,
+        |  CAST((d.doc_id % 40 + 8) * (d.doc_id % 30 + 8) AS BIGINT)
+        |    AS n_pixels,
+        |  CAST(sum((t.p + d.doc_id) % 256) AS BIGINT) AS pixel_sum,
+        |  CAST(((d.doc_id % 40 + 8) * (d.doc_id % 30 + 8) - 1 + d.doc_id)
+        |    % 256 AS BIGINT) AS corner_pixel
+        |FROM documents d
+        |JOIN generate_series(0, 2000) AS t(p)
+        |  ON t.p < (d.doc_id % 40 + 8) * (d.doc_id % 30 + 8)
+        |GROUP BY ALL ORDER BY d.doc_id""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT doc_id, strlen(text) AS n_bytes,

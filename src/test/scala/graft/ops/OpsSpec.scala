@@ -183,6 +183,32 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1L).frame0_hash == expect)
   }
 
+  test("PNG codec is real: genuine PNG stream out, faithful raster back") {
+    // the synthesized payload is a real PNG (magic signature + decodable
+    // by an independent ImageIO call), and the decoded raster carries
+    // exactly the predicted pixel pattern
+    val bytes = Multimodal.synthesizePng(seed = 7L, width = 13, height = 5)
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    assert(bytes.take(8).sameElements(magic), "missing PNG signature")
+    val f = Multimodal.decodePng(42L, bytes)
+    assert(f.width == 13 && f.height == 5 && f.n_pixels == 65)
+    assert(f.pixel_sum == (0 until 65).map(p => (p + 7) % 256).sum)
+    assert(f.corner_pixel == (64 + 7) % 256)
+    // and a corrupted payload is a decode ERROR, not silent garbage
+    val broken = bytes.take(20)
+    intercept[Exception] { Multimodal.decodePng(1L, broken) }
+
+    // distributed round trip over a real dataframe
+    val dims = Seq((1L, 9, 4), (2L, 3, 3), (3L, 40, 30))
+      .toDF("doc_id", "width", "height")
+    val out = Multimodal.pngRoundTrip(dims).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).n_pixels == 36 && out(2L).n_pixels == 9)
+    assert(out(3L).width == 40 && out(3L).height == 30)
+    assert(out(2L).pixel_sum == (0 until 9).map(p => (p + 2) % 256).sum)
+  }
+
   test("connectedComponents: driver and distributed paths agree") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),     // chain -> rep 1
