@@ -48,6 +48,44 @@ object DeltaQueries {
       ordered(t.toDF)
     }),
 
+    // Structured Streaming sink end to end: a bounded MemoryStream
+    // feeds writeStream → graft-delta in three AvailableNow runs (so
+    // the query RESTARTS twice from its checkpoint, exercising the
+    // exactly-once txn-marker path), then the final table is read back
+    // through the batch reader and hash-compared against the plain
+    // parquet oracle. Deterministic: the source rows are a fixed
+    // lineitem subset in a fixed batch split.
+    "q_delta_stream_sink" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmp("streamsink")
+      val ckpt = tmp("streamsink-ckpt")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = li(s, d).filter(col("l_quantity") < 2)
+        .select(col("l_orderkey").cast("long"),
+          col("l_linenumber").cast("long"),
+          col("l_extendedprice").cast("double"))
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val writer = mem.toDF()
+        .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+        .writeStream
+        .format(classOf[graft.streaming.DeltaSourceProvider].getName)
+        .option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      mem.addData(b1: _*)
+      val r1 = writer.start(); r1.awaitTermination(120000)
+      mem.addData(b2: _*)
+      val r2 = writer.start(); r2.awaitTermination(120000) // restart 1
+      mem.addData(b3: _*)
+      val r3 = writer.start(); r3.awaitTermination(120000) // restart 2
+      DeltaTable.forPath(s, dir).toDF
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // partitioned table + partition pruning + stats skipping on read
     "q_delta_partition_prune" -> ((s, d) => {
       val src = li(s, d).filter(col("l_quantity") < 20)
@@ -683,6 +721,13 @@ object DeltaQueries {
     "q_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 25
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_stream_sink" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+        |FROM lineitem WHERE l_quantity < 2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_clustered" ->
       s"""SELECT $cols FROM lineitem

@@ -13,11 +13,11 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, MapType, MetadataBuilder, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 
-import graft.delta.{ColumnMapping, DeltaScan, DeltaTable, GraftDeltaRelation, JsonLog, Snapshot, Storage}
+import graft.delta.{ColumnMapping, DeltaScan, DeltaTable, GraftDeltaRelation, IdentityColumns, JsonLog, Snapshot, Storage}
 
 /** Spark SQL surface for graft-delta tables: a DSv2 `TableCatalog`
   * (register as `spark.sql.catalog.<name> = graft.sql.GraftDeltaCatalog`
@@ -117,6 +117,45 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(spark, loc, Some(v),
       (catalogName +: ident.namespace :+ ident.name).mkString("."))
   }
+
+  /** The DSv2 surface Spark routes `GENERATED ALWAYS AS IDENTITY` /
+    * `GENERATED BY DEFAULT AS IDENTITY` through (identity specs exist
+    * only on the Column[] variant): translate each spec into the
+    * protocol's `delta.identity.*` field metadata (reference
+    * schema/mod.rs:253-313) and delegate to the schema-typed path —
+    * the write-side assignment (IdentityColumns.assign) then treats
+    * SQL-created and API-created identity tables identically.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.graft.StreamingShim
+      .v2ColumnsToStructType(columns)
+    val withIdentity = StructType(base.fields.zip(columns).map {
+      case (f, c) => Option(c.identityColumnSpec()) match {
+        case Some(spec) =>
+          require(f.dataType == LongType || f.dataType == IntegerType,
+            s"identity column ${f.name} must be BIGINT or INT, " +
+              s"got ${f.dataType.simpleString}")
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityColumns.START_KEY, spec.getStart)
+            .putLong(IdentityColumns.STEP_KEY, spec.getStep)
+            .putBoolean(IdentityColumns.ALLOW_EXPLICIT_KEY,
+              spec.isAllowExplicitInsert)
+            .build())
+        case None => f
+      }
+    })
+    createTable(ident, withIdentity, partitions, properties)
+  }
+
+  // catalog-level capability gate: without it Spark's parser rejects
+  // GENERATED ... AS IDENTITY column definitions for this catalog
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -39,4 +39,14 @@ object StreamingShim {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** DSv2 Column[] → StructType (CatalogV2Util is private[sql]) —
+    * needed by catalogs overriding the Column[] createTable variant
+    * (identity column specs arrive only on that surface).
+    */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
 }

@@ -27,6 +27,157 @@ class DmlFuzzSpec extends AnyFunSuite {
   test("randomized DML via SQL + API with auto-checkpoint interleaved " +
       "(seed 41)") { run(41, 20, sqlRoute = true) }
 
+  // ==========================================================================
+  // Auto-checkpoint × expired-log cleanup × vacuum × time travel.
+  //
+  // Retention is zeroed so every checkpoint immediately expires the
+  // commits it supersedes and every vacuum immediately drops dead
+  // files — the history-truncation horizon races forward while random
+  // time-travel / RESTORE / CDF probes chase it. Contract asserted at
+  // every probe, against the ACTUAL log listing (not an assumed
+  // horizon):
+  //  - a version whose log segment is still assemblable AND at/above
+  //    the last vacuum floor reads EXACTLY its recorded model state;
+  //  - a version whose segment was truncated fails with the documented
+  //    errors (log starts at / not available / missing commit), never
+  //    garbage;
+  //  - between the two (segment alive, data files possibly vacuumed) a
+  //    read may fail, but a SUCCESSFUL read must still be exact.
+  // ==========================================================================
+  test("cleanup x vacuum x time-travel fuzz: 100 seeds of racing the " +
+      "history horizon") {
+    val seeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(100)
+    (1 to seeds).foreach(runCleanupFuzz)
+  }
+
+  private def runCleanupFuzz(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = TestSpark.tmpDir("cleanfuzz")
+    val schema = Seq((0L, 0.0)).toDF("k", "v").schema
+    DeltaTable.create(spark, dir, schema, configuration = Map(
+      TableChanges.CDF_ENABLED_KEY -> "true",
+      "delta.checkpointInterval" -> "3",
+      "delta.logRetentionDuration" -> "interval 0 milliseconds",
+      "delta.deletedFileRetentionDuration" -> "interval 0 milliseconds"))
+    val t = DeltaTable.forPath(spark, dir)
+    val fsys = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new org.apache.hadoop.fs.Path(dir))
+
+    var model = Vector.empty[(Long, Double)]
+    val history = scala.collection.mutable.Map(0L -> model)
+    var version = 0L
+    var nextK = 0L
+    // earliest version whose DATA files are guaranteed intact (vacuum
+    // protects only files live at its own version)
+    var readFloor = 0L
+
+    def record(v: Long): Unit = { version = v; history(v) = model }
+
+    /** Can version `v` still be assembled from what's on disk? */
+    def constructible(v: Long): Boolean = {
+      val files = Storage.listSorted(fsys, logDir)
+        .flatMap(st => FileNames.parse(st.getPath))
+      val commits = files.collect {
+        case c: FileNames.CommitFile => c.version }.toSet
+      val ckpts = files.collect {
+        case c: FileNames.CheckpointFile => c.version }.toSet
+      def commitsRun(lo: Long): Boolean = (lo to v).forall(commits)
+      commitsRun(0L) ||
+        ckpts.exists(c => c <= v && (c == v || commitsRun(c + 1)))
+    }
+
+    def truncationError(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("")
+      (e.isInstanceOf[IllegalStateException] ||
+        e.isInstanceOf[IllegalArgumentException]) &&
+        (m.contains("log starts at version") ||
+          m.contains("not available") ||
+          m.contains("missing commit"))
+    }
+
+    def readAt(v: Long): Seq[(Long, Double)] =
+      t.snapshot(Some(v)).toDF.select($"k", $"v").as[(Long, Double)]
+        .collect().sorted.toSeq
+
+    /** The probe contract, against the live listing. */
+    def probe(v: Long): Unit = {
+      if (!constructible(v)) {
+        val e = intercept[Exception] { readAt(v) }
+        assert(truncationError(e),
+          s"seed $seed: version $v below horizon failed with " +
+            s"undocumented error: $e")
+      } else if (v >= readFloor) {
+        assert(readAt(v) == history(v).sorted.toSeq,
+          s"seed $seed: exact read at $v diverged")
+      } else {
+        // segment alive but data files may be vacuumed: success must
+        // still be exact; failure is an accepted outcome
+        try assert(readAt(v) == history(v).sorted.toSeq,
+          s"seed $seed: stale read at $v returned garbage")
+        catch { case _: Throwable => () }
+      }
+    }
+
+    (1 to 8).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 => // append (auto-checkpoint fires every 3rd v)
+          val n = 5 + rnd.nextInt(15)
+          val rows = (nextK until nextK + n)
+            .map(k => (k, (k % 7).toDouble))
+          nextK += n
+          val v = t.append(rows.toDF("k", "v").coalesce(1))
+          model = model ++ rows
+          record(v)
+        case 3 => // rewrite delete
+          val m = 2 + rnd.nextInt(4)
+          val r = rnd.nextInt(m)
+          val v = t.deleteWhere(s"k % $m = $r")
+          model = model.filterNot { case (k, _) => k % m == r }
+          record(v)
+        case 4 => // explicit checkpoint → immediate expired-log cleanup
+          t.checkpoint()
+        case 5 => // vacuum with zero retention → data horizon moves
+          t.vacuum()
+          readFloor = version
+        case 6 => // restore to a safe target (segment + data intact)
+          val targets = history.keys
+            .filter(v => v < version && v >= readFloor && constructible(v))
+          if (targets.nonEmpty) {
+            val target = targets.toSeq(rnd.nextInt(targets.size))
+            record(t.restore(target))
+            model = history(target)
+            history(version) = model
+          }
+        case 7 => // deliberate below-horizon probes
+          val dead = history.keys.filter(v => !constructible(v))
+          if (dead.nonEmpty) {
+            val w = dead.toSeq(rnd.nextInt(dead.size))
+            probe(w)
+            // RESTORE below the horizon fails the same way
+            val e = intercept[Exception] { t.restore(w) }
+            assert(truncationError(e),
+              s"seed $seed: restore($w) below horizon: $e")
+            // CDF starting below the horizon fails with a documented
+            // range/truncation error, never garbage
+            val c = intercept[Exception] {
+              TableChanges.read(spark, dir, w, Some(version)).collect()
+            }
+            assert(truncationError(c) ||
+              Option(c.getMessage).exists(_.contains("CDF range")),
+              s"seed $seed: CDF from $w below horizon: $c")
+          }
+      }
+      // random time-travel probe at every step
+      val v = history.keys.toSeq(rnd.nextInt(history.size))
+      probe(v)
+    }
+    // current state always reads exactly, from a fresh table object
+    assert(DeltaTable.forPath(spark, dir).toDF.select($"k", $"v")
+      .as[(Long, Double)].collect().sorted.toSeq == model.sorted.toSeq,
+      s"seed $seed: final state diverged")
+  }
+
   private def run(seed: Int, steps: Int,
       sqlRoute: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)

@@ -422,4 +422,47 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SET NOT NULL") ||
       e.getMessage.contains("non-nullable"), e.getMessage)
   }
+
+  test("GENERATED ALWAYS AS IDENTITY through DSv2 CREATE TABLE") {
+    spark.sql("""CREATE TABLE gd.default.ident (
+      id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 5),
+      s STRING) USING `graft-delta`""")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.ident")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    val t = DeltaTable.forPath(spark, loc)
+
+    // the identity spec landed as protocol field metadata
+    val specs = graft.delta.IdentityColumns.specs(t.snapshot().schema)
+    assert(specs.map(s => (s.name, s.start, s.step,
+      s.allowExplicitInsert)) == Seq(("id", 100L, 5L, false)))
+
+    // generation through the shared write path: ids follow start/step
+    val v = t.append(Seq("a", "b", "c").toDF("s"))
+    assert(v == 1L)
+    val got = spark.sql(
+      "SELECT id, s FROM gd.default.ident ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(100L, 105L, 110L), got)
+
+    // ALWAYS means explicit values are rejected
+    val e = intercept[Exception] {
+      t.append(Seq((999L, "x")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("always generated"), e.getMessage)
+
+    // BY DEFAULT allows explicit values
+    spark.sql("""CREATE TABLE gd.default.identbd (
+      id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 7 INCREMENT BY 2),
+      s STRING) USING `graft-delta`""")
+    val loc2 = spark.sql("DESCRIBE TABLE EXTENDED gd.default.identbd")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    val t2 = DeltaTable.forPath(spark, loc2)
+    t2.append(Seq("p").toDF("s"))             // generated: 7
+    t2.append(Seq((1000L, "q")).toDF("id", "s")) // explicit, allowed
+    val ids = spark.sql("SELECT id FROM gd.default.identbd ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(ids == Seq(7L, 1000L), ids)
+  }
 }
