@@ -29,10 +29,8 @@ class GoldenTableSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(destRoot)
     val table = destRoot.resolve(name)
     if (!java.nio.file.Files.exists(table)) {
-      val rc = new ProcessBuilder("tar", "--use-compress-program=unzstd",
-        "-xf", s"$archiveDir/$name.tar.zst", "-C", destRoot.toString)
-        .inheritIO().start().waitFor()
-      require(rc == 0, s"failed to extract $name")
+      require(TarZst.extract(s"$archiveDir/$name.tar.zst",
+        destRoot.toString), s"failed to extract $name")
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(table).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(".") &&

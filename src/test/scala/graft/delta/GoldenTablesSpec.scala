@@ -28,10 +28,8 @@ class GoldenTablesSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(destRoot)
     val root = destRoot.resolve(name)
     if (!java.nio.file.Files.exists(root)) {
-      val rc = new ProcessBuilder("tar", "--use-compress-program=unzstd",
-        "-xf", s"$archiveDir/$name.tar.zst", "-C", destRoot.toString)
-        .inheritIO().start().waitFor()
-      require(rc == 0, s"failed to extract $name")
+      require(TarZst.extract(s"$archiveDir/$name.tar.zst",
+        destRoot.toString), s"failed to extract $name")
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(".") &&

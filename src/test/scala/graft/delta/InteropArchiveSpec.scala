@@ -25,10 +25,8 @@ class InteropArchiveSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(destRoot)
     val table = destRoot.resolve(name)
     if (!java.nio.file.Files.exists(table)) {
-      val cmd = Seq("tar", "--use-compress-program=unzstd", "-xf",
-        s"$archiveDir/$name.tar.zst", "-C", destRoot.toString)
-      val rc = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
-      require(rc == 0, s"failed to extract $name")
+      require(TarZst.extract(s"$archiveDir/$name.tar.zst",
+        destRoot.toString), s"failed to extract $name")
       // some archives ship stale Hadoop-local `.name.crc` companion
       // files; LocalFileSystem would fail checksum verification on them
       // (they are filesystem artifacts, not Delta data)

@@ -301,10 +301,9 @@ class InteropSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(destRoot)
     val table = destRoot.resolve("300k-add-files-100-col-partitioned")
     if (!java.nio.file.Files.exists(table)) {
-      val rc = new ProcessBuilder("tar", "--use-compress-program=unzstd",
-        "-xf", s"$base/300k-add-files-100-col-partitioned.tar.zst",
-        "-C", destRoot.toString).inheritIO().start().waitFor()
-      require(rc == 0)
+      require(TarZst.extract(
+        s"$base/300k-add-files-100-col-partitioned.tar.zst",
+        destRoot.toString))
     }
     val snap = Snapshot.forTable(spark, table.toString)
     assert(snap.schema.fields.length >= 100)
