@@ -236,6 +236,66 @@ object Similarity {
     ivfSearch(vecs, idCol, vecCol, centroids, nprobe, k, queryMaxId)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster the corpus with the coarse quantizer,
+    * then prune near-duplicates WITHIN each cluster): a vector is a
+    * duplicate when some lower-id vector in its cluster has cosine
+    * >= `tau`. This is the order-free deterministic variant of the
+    * paper's keep-one rule — dedup is against every lower-id member,
+    * not just kept ones, so the answer is independent of scan order
+    * and an exact SQL oracle can mirror it.
+    *
+    * Scale: assignment is one broadcast-centroids map pass (no
+    * shuffle of the n×d side beyond the cell groupBy); the pairwise
+    * step is cell-local, O(Σ|cell|²) instead of O(n²) — the whole
+    * point of clustering first (the paper runs exactly this shape at
+    * 100M+ docs). Cells are balanced by the quantizer; a pathological
+    * giant cell would swap this loop for `cosinePairs`' block-pair
+    * join scoped to that cell.
+    *
+    * Returns (vec_id, cell, dup_of, is_dup): `dup_of` = the LOWEST
+    * qualifying earlier neighbor (null when kept), `is_dup` as 0/1.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, tau: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = asVecs(vecs, idCol, vecCol)
+    val centroids = ds.filter(_.id < numCentroids).collect().sortBy(_.id)
+      .map(c => (c.id, c.v, norm(c.v)))
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val assigned = ds.map { r =>
+      val nr = norm(r.v)
+      var best = -1L
+      var bestSim = Double.NegativeInfinity
+      bcCent.value.foreach { case (cid, cv, cn) =>
+        val sim = dot(r.v, cv) / (nr * cn)
+        if (sim > bestSim) { bestSim = sim; best = cid }
+      }
+      (best, r.id, r.v)
+    }
+    assigned.groupByKey(_._1).flatMapGroups {
+      (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val members = it.toArray.sortBy(_._2)
+        val norms = members.map(m => norm(m._3))
+        members.indices.iterator.map { i =>
+          val id = members(i)._2
+          var dupOf = -1L
+          var j = 0
+          // ascending j: the first hit IS the lowest qualifying id
+          while (j < i && dupOf < 0) {
+            val sim = dot(members(j)._3, members(i)._3) /
+              (norms(j) * norms(i))
+            if (sim >= tau) dupOf = members(j)._2
+            j += 1
+          }
+          (id, cell,
+            if (dupOf < 0) None else Some(dupOf),
+            if (dupOf < 0) 0 else 1)
+        }
+    }.toDF("vec_id", "cell", "dup_of", "is_dup")
+  }
+
   private def ivfSearch(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Long, Array[Double], Double)], nprobe: Int,
       k: Int, queryMaxId: Long): DataFrame = {

@@ -569,6 +569,85 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_shingles"),
           sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
+    // dedup — coarse-quantize every embedding to its max-cosine cell
+    // (16 deterministic centroids, as q_knn_ivf), then mark a vector
+    // duplicate when a lower-id member OF ITS CELL has cosine >= 0.35.
+    // Pairwise work is cell-local (O(Σ|cell|²), not O(n²)); the oracle
+    // mirrors assignment + pruning exactly.
+    "q_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(embs(s, d), "vec_id", "embedding",
+          numCentroids = 16, tau = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- Geospatial predicates ------------------------------------------
+    // The WKB predicate surface (ops.GeoExprs — codegen'd Catalyst
+    // expressions over the geo storage format of q_delta_geo): encode
+    // (lon, lat) points derived exactly from event ids, then decode +
+    // gate them against literal polygons. Coordinates are integer-and-
+    // quarter offsets so no point ever lands on a polygon edge — the
+    // ray-cast answer equals the oracle's closed-form comparisons. All
+    // expressions run inside WholeStageCodegen (static-call shims);
+    // everything is narrow (no shuffle but the final sort).
+    "q_geo_predicates" -> ((s, d) => {
+      import graft.ops.GeoExprs._
+      import graft.ops.GeoWkb
+      val rect = GeoWkb.encodePolygon(Array(Array[Double](
+        -50, -40, 60, -40, 60, 35, -50, 35, -50, -40)))
+      // diamond: center (10, 5), L1 radius 40 — containment is the
+      // closed form |x-10| + |y-5| < 40
+      val diamond = GeoWkb.encodePolygon(Array(Array[Double](
+        50, 5, 10, 45, -30, 5, 10, -35, 50, 5)))
+      t(s, d, "events")
+        .select(col("event_id"),
+          (col("event_id") % 360 - 180 + lit(0.5)).as("x"),
+          (col("event_id") % 170 - 85 + lit(0.25)).as("y"))
+        .withColumn("g", st_point(col("x"), col("y")))
+        .select(col("event_id"),
+          st_x(col("g")).as("x"),
+          st_y(col("g")).as("y"),
+          st_contains(lit(rect), col("g")).cast("int").as("in_rect"),
+          st_contains(lit(diamond), col("g")).cast("int").as("in_diamond"),
+          st_intersects_bbox(col("g"), lit(rect)).cast("int").as("bbox_rect"),
+          round(st_distance(col("g"),
+            st_point(lit(0.0), lit(0.0))), 6).as("dist_xy"),
+          round(st_distance_sphere(col("g"),
+            st_point(lit(0.0), lit(0.0))), 1).as("dist_m"),
+          st_geometry_type(col("g")).as("gtype"),
+          st_num_points(lit(diamond)).as("diamond_np"),
+          element_at(st_envelope(lit(diamond)), 1).as("diamond_xmin"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Broadcast spatial join: every event point against a tiny polygon
+    // dimension (quadrant cells), st_contains as the join predicate,
+    // then count per region — the canonical points-in-polygons shape.
+    // At scale the dim side stays broadcast and the fact side never
+    // shuffles until the final per-region agg (map-side combined).
+    "q_geo_join" -> ((s, d) => {
+      import graft.ops.GeoExprs._
+      import graft.ops.GeoWkb
+      def box(x0: Double, y0: Double, x1: Double, y1: Double) =
+        GeoWkb.encodePolygon(Array(Array[Double](
+          x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)))
+      val regions = Seq(
+        ("sw", box(-180, -90, 0, 0)), ("se", box(0, -90, 180, 0)),
+        ("nw", box(-180, 0, 0, 90)), ("ne", box(0, 0, 180, 90)))
+      val spark = s
+      import spark.implicits._
+      val dim = regions.toDF("region", "poly")
+      t(s, d, "events")
+        .select(col("event_id"),
+          st_point(col("event_id") % 360 - 180 + lit(0.5),
+            col("event_id") % 170 - 85 + lit(0.25)).as("g"))
+        .crossJoin(broadcast(dim))
+        .filter(st_contains(col("poly"), col("g")))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
+        .orderBy(col("region"))
     })
   )
 
@@ -1025,6 +1104,60 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN bsh IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_boiler
          |FROM sh LEFT JOIN b ON sh.sh = b.bsh
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |dup AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(eb.v, ea.v) >= 0.35
+        |  GROUP BY a.vec_id)
+        |SELECT a.vec_id, a.cell, d.dup_of,
+        |  CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+        |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q_geo_predicates" ->
+      """WITH p AS (SELECT event_id,
+        |  CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS x,
+        |  CAST(event_id % 170 - 85 AS DOUBLE) + 0.25 AS y FROM events)
+        |SELECT event_id, x, y,
+        |  CAST(CASE WHEN x > -50 AND x < 60 AND y > -40 AND y < 35
+        |    THEN 1 ELSE 0 END AS INT) AS in_rect,
+        |  CAST(CASE WHEN abs(x - 10) + abs(y - 5) < 40
+        |    THEN 1 ELSE 0 END AS INT) AS in_diamond,
+        |  CAST(CASE WHEN x >= -50 AND x <= 60 AND y >= -40 AND y <= 35
+        |    THEN 1 ELSE 0 END AS INT) AS bbox_rect,
+        |  round(sqrt(x*x + y*y), 6) AS dist_xy,
+        |  round(2 * 6371008.8 * asin(least(1.0, sqrt(
+        |    sin(radians(y)/2)*sin(radians(y)/2) +
+        |    cos(radians(y)) * sin(radians(x)/2)*sin(radians(x)/2)))), 1)
+        |    AS dist_m,
+        |  'POINT' AS gtype,
+        |  CAST(5 AS INT) AS diamond_np,
+        |  CAST(-30 AS DOUBLE) AS diamond_xmin
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_geo_join" ->
+      """WITH p AS (SELECT event_id,
+        |  CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS x,
+        |  CAST(event_id % 170 - 85 AS DOUBLE) + 0.25 AS y FROM events),
+        |r AS (SELECT event_id,
+        |  CASE WHEN x < 0 AND y < 0 THEN 'sw'
+        |       WHEN x > 0 AND y < 0 THEN 'se'
+        |       WHEN x < 0 AND y > 0 THEN 'nw'
+        |       ELSE 'ne' END AS region FROM p)
+        |SELECT region, count(*) AS n, min(event_id) AS min_id
+        |FROM r GROUP BY region ORDER BY region""".stripMargin
   )
 }

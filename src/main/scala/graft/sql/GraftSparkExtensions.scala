@@ -20,8 +20,22 @@ import graft.delta.{DeltaTable, MergeClause}
   * enforcement.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new GraftDmlRewrite(s))
+    // spatial predicate surface over WKB geo columns (GeoExprs) —
+    // available to spark.sql and to the engine's predicate-SQL strings
+    graft.ops.GeoExprs.sqlFunctions.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.ops.GeoExprs", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity,
+            s"$name expects $arity arguments, got ${args.length}")
+          builder(args)
+        }))
+    }
+  }
 }
 
 class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
