@@ -67,6 +67,11 @@ object Bench {
       try graft.bench.Workloads.run(spark)
       catch { case _: Throwable => Map.empty[String, Double] }
     }
+    // expression micro-benches (reference expression_bench.rs analog)
+    val exprRuns = (1 to REPS).map { _ =>
+      try graft.bench.ExpressionBench.run(spark)
+      catch { case _: Throwable => Map.empty[String, Double] }
+    }
     // the 5M-add frontier runs ONCE: it is a completes-inside-the-heap
     // guard, not a drift tracker, and its log build dominates repeats
     val meta5m =
@@ -76,8 +81,8 @@ object Bench {
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
-    val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(Seq(meta5m)) ++
-      qTimes.toMap
+    val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(exprRuns) ++
+      agg(Seq(meta5m)) ++ qTimes.toMap
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
     val all = medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

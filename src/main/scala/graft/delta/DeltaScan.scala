@@ -197,7 +197,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     val slim = slimFilesDF.select("add.*")
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     slim.repartition(parts, col("path"))
-      .toLocalIterator().asScala.map(RowCodec.rowToAdd)
+      .toLocalIterator().asScala
+      .map { r => Cancellation.check(); RowCodec.rowToAdd(r) }
   }
 
   /** The distributed data read: schema-first parquet scan over the live

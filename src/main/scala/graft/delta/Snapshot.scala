@@ -644,6 +644,7 @@ object Snapshot {
     segment.deltas.sortBy(f => -LogSegment.endVersion(f)).iterator
       .takeWhile(_ => protocol.isEmpty || metadata.isEmpty)
       .foreach { c =>
+        Cancellation.check() // poll between commit files
         Storage.readLines(fs, c.path).foreach { line =>
           // cheap substring pre-filter: data commits are overwhelmingly
           // add/remove lines — parsing every one makes newest-first P&M

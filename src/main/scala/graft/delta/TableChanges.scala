@@ -92,6 +92,7 @@ object TableChanges {
     val out = ArrayBuffer.empty[DataFrame]
 
     commitFiles.foreach { case (cf, st) =>
+      Cancellation.check() // poll between commit versions
       val v = cf.version
       val lines = Storage.readLines(fs, cf.path).filter(_.nonEmpty)
         .map(JsonLog.parseLine)

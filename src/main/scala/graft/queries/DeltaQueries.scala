@@ -319,6 +319,37 @@ object DeltaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // geo storage + spatial predicates composed: REAL WKB points (built
+    // from doc ids, so the oracle can recompute them) written through a
+    // geometry-typed delta table, read back through the engine, decoded
+    // with st_x/st_y and gated with the codegen'd st_contains — the
+    // end-to-end path a user filtering a geo table runs. Geo columns
+    // carry no stats by protocol, so the predicate is row-level only
+    // (never a file skip, never a wrong row).
+    "q_delta_geo_predicate" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      import graft.ops.GeoExprs._
+      val dir = tmp("geopred")
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.GeoExprs.st_point(
+            col("doc_id") % 360 - 180 + lit(0.5),
+            col("doc_id") % 170 - 85 + lit(0.25)).as("g"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        graft.delta.GeoTypes.geoField("g", "geometry(EPSG:4326)")))
+      DeltaTable.create(s, dir, schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      val rect = graft.ops.GeoWkb.encodePolygon(Array(Array[Double](
+        -50, -40, 60, -40, 60, 35, -50, 35, -50, -40)))
+      t.toDF
+        .filter(st_contains(lit(rect), col("g")))
+        .select(col("doc_id"), st_x(col("g")).as("x"),
+          st_y(col("g")).as("y"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full widening matrix in one table: l_linenumber walks
     // byte->short->long, l_quantity walks float->double, with a data
     // commit at every width — every file generation reads natively
@@ -919,6 +950,14 @@ object DeltaQueries {
     "q_delta_geo" ->
       """SELECT doc_id, upper(md5(text)) AS g_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_delta_geo_predicate" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 360 - 180 AS DOUBLE) + 0.5 AS x,
+        |  CAST(doc_id % 170 - 85 AS DOUBLE) + 0.25 AS y FROM documents)
+        |SELECT doc_id, x, y FROM p
+        |WHERE x > -50 AND x < 60 AND y > -40 AND y < 35
+        |ORDER BY doc_id""".stripMargin,
 
     // quantities < 8 in the corpus are whole numbers, so the
     // float32 hop in the Spark-side chain reproduces them exactly
