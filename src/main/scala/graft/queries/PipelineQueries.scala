@@ -571,6 +571,62 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring-level duplication signal (Lee et al. 2021,
+    // arXiv:2107.06499 — exact-substring dedup finds repeated spans,
+    // not whole-doc copies): position-annotated word 3-grams, a
+    // doc-frequency pass marks each POSITION whose shingle occurs in
+    // >= 2 docs, and a per-doc window computes the longest consecutive
+    // duplicated run — the span-length signal the paper cuts on.
+    // Scale shape: one map-side-combined df agg on shingle, one
+    // shuffle join back on shingle, one per-doc window; nothing
+    // quadratic, no driver state.
+    "q_dup_spans" -> ((s, d) => {
+      val posSh = docs(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(w)-3), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .toDF("doc_id", "pos", "sh")
+      val dfreq = posSh.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val flagged = posSh.join(dfreq, "sh")
+        .select(col("doc_id"), col("pos"),
+          (col("df") >= 2).as("dup"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = flagged
+        .withColumn("rid",
+          sum(when(col("dup"), lit(0)).otherwise(lit(1))).over(w))
+      val maxRun = runs.filter(col("dup"))
+        .groupBy(col("doc_id"), col("rid"))
+        .agg(count(lit(1)).as("runlen"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("runlen")).as("max_dup_run"))
+      runs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("dup").cast("long")).as("n_dup"))
+        .join(maxRun, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-style pre-tokenization count (the GPT-2 pre-tokenizer's
+    // shape, simplified to an engine-portable character-class regex):
+    // runs of letters / digits / other, each optionally preceded by
+    // one space. Narrow, vectorized, zero UDFs.
+    "q_token_bpe" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, " +
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"))
+            .cast("long").as("n_bpe_tokens"),
+          size(split(trim(col("text")), "\\s+"))
+            .cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
     // dedup — coarse-quantize every embedding to its max-cosine cell
     // (16 deterministic centroids, as q_knn_ivf), then mark a vector
@@ -1105,6 +1161,42 @@ object PipelineQueries {
          |    AS BIGINT) AS n_boiler
          |FROM sh LEFT JOIN b ON sh.sh = b.bsh
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM wrds, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        |  WHERE len(w) >= 3),
+        |dfreq AS (SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh),
+        |flagged AS (
+        |  SELECT ps.doc_id, ps.pos, (dfreq.df >= 2) AS dup
+        |  FROM ps JOIN dfreq ON ps.sh = dfreq.sh),
+        |runs AS (
+        |  SELECT doc_id, pos, dup,
+        |    sum(CASE WHEN dup THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+        |  FROM flagged),
+        |mr AS (
+        |  SELECT doc_id, max(runlen) AS max_dup_run FROM (
+        |    SELECT doc_id, rid, count(*) AS runlen FROM runs
+        |    WHERE dup GROUP BY doc_id, rid)
+        |  GROUP BY doc_id)
+        |SELECT r.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  coalesce(any_value(mr.max_dup_run), 0) AS max_dup_run
+        |FROM runs r LEFT JOIN mr ON r.doc_id = mr.doc_id
+        |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
