@@ -2886,4 +2886,119 @@ object DeltaTable {
         Some(FileSizeHistogram.empty)))
     t
   }
+
+  /** CONVERT TO DELTA — in-place adoption of a plain parquet
+    * directory (delta-spark's `CONVERT TO DELTA`; the reference has
+    * no analog, but it is the on-ramp every existing lake crosses
+    * first). Lists the directory's parquet files, derives hive-style
+    * partition values from the paths (TYPES come from the declared
+    * `partitionSchema` — inference from strings is unsafe, the same
+    * reason delta-spark requires `PARTITIONED BY`), collects
+    * protocol-exact footer stats, and commits protocol + metadata +
+    * every add as ONE atomic version-0 commit: a concurrent reader
+    * sees either no table or the complete table, never an empty
+    * shell. Data files are neither moved nor rewritten. Stats fan out
+    * to executors past the driver-read bound, so adopting a
+    * million-file directory is a distributed footer sweep, not a
+    * driver loop.
+    */
+  def convert(spark: SparkSession, path: String,
+      partitionSchema: StructType = new StructType()): DeltaTable = {
+    require(!isDeltaTable(spark, path),
+      s"already a delta table: $path")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(root, conf)
+    val rootQ = fs.makeQualified(root)
+    val files = Storage.listFilesRecursive(fs, root).filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }
+    require(files.nonEmpty, s"no parquet files under $path")
+
+    // data schema from the files; partition columns must be declared,
+    // and (with a basePath) spark infers exactly the path-borne ones —
+    // require the two sets to agree so a typo fails loudly
+    val inferred = spark.read.option("basePath", path)
+      .parquet(path).schema
+    val partNames = partitionSchema.fieldNames.toSet
+    val dataFields = inferred.fields.filterNot(f => partNames(f.name))
+    val missing = partNames -- inferred.fieldNames.toSet
+    require(missing.isEmpty,
+      s"declared partition columns not present in the layout: " +
+        missing.mkString(", "))
+    val schema = StructType(
+      dataFields.toIndexedSeq ++ partitionSchema.fields)
+    val dataSchema = StructType(dataFields.toIndexedSeq)
+
+    def uriDecodeSeg(s: String): String =
+      try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+      catch { case _: IllegalArgumentException => s }
+    def unescape(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          try {
+            b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => b.append(c); i += 1 }
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+
+    val statsByPath = ParquetFooterStats.collect(spark,
+      files.map(_.getPath.toString).toSeq, dataSchema, conf)
+    val partCols = partitionSchema.fieldNames.toSeq
+    val adds = files.map { st =>
+      val rel = st.getPath.toUri.getRawPath
+        .stripPrefix(rootQ.toUri.getRawPath).stripPrefix("/")
+      val pv: Map[String, String] = rel.split('/').dropRight(1)
+        .map(uriDecodeSeg).filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else unescape(v))
+        }.toMap
+      AddFile(
+        path = rel,
+        partitionValues = partCols.map(c => c -> pv.getOrElse(c, null))
+          .toMap,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = Some(statsByPath(st.getPath.toString)))
+    }
+
+    val ts = System.currentTimeMillis()
+    val meta = graft.delta.Metadata(
+      id = UUID.randomUUID().toString,
+      name = None, description = None, format = Format(),
+      schemaString = schema.json,
+      partitionColumns = partCols,
+      configuration = Map.empty,
+      createdTime = Some(ts))
+    val protocol = Protocol(1, 2)
+    val lines = Seq(
+      JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
+        ts, "CONVERT",
+        Map("numFiles" -> adds.size.toString,
+          "partitionBy" -> partCols.mkString(",")),
+        Some("graft-spark/0.1.0"))))),
+      JsonLog.writeAction(SingleAction(protocol = Some(protocol))),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta)))) ++
+      adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
+    fs.mkdirs(FileNames.logDir(root))
+    require(Storage.putIfAbsent(fs,
+      FileNames.commitFile(FileNames.logDir(root), 0L),
+      lines.mkString("", "\n", "\n")),
+      s"concurrent CONVERT/CREATE at $path")
+    Checksum.write(fs, FileNames.logDir(root), 0L,
+      Checksum.VersionChecksum(adds.map(_.size).sum, adds.size.toLong,
+        protocol, meta,
+        Some(FileSizeHistogram.of(adds.map(_.size)))))
+    new DeltaTable(spark, path, None)
+  }
 }

@@ -319,6 +319,27 @@ object DeltaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CONVERT TO DELTA: adopt a plain hive-partitioned parquet
+    // directory in place (one atomic v0 commit carrying protocol +
+    // metadata + every add with footer stats; files never move), then
+    // read through the engine with a partition-pruning + stats-bearing
+    // filter — proving the adopted table is a first-class citizen of
+    // the scan path.
+    "q_delta_convert" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = tmp("convert")
+      val src = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+      src.write.partitionBy("l_returnflag").parquet(dir)
+      val t = DeltaTable.convert(s, dir,
+        StructType(Seq(StructField("l_returnflag", StringType))))
+      t.toDF
+        .filter(col("l_returnflag") === "R" && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // geo storage + spatial predicates composed: REAL WKB points (built
     // from doc ids, so the oracle can recompute them) written through a
     // geometry-typed delta table, read back through the engine, decoded
@@ -950,6 +971,12 @@ object DeltaQueries {
     "q_delta_geo" ->
       """SELECT doc_id, upper(md5(text)) AS g_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_delta_convert" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_delta_geo_predicate" ->
       """WITH p AS (SELECT doc_id,
