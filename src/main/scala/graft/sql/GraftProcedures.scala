@@ -149,12 +149,23 @@ private[sql] object GraftProcedures {
         .map { case (v, ts, op) =>
           InternalRow(v, ts, UTF8String.fromString(op)) }
     })
+    case "convert" => Some(proc("convert",
+      Seq(in("path", StringType),
+        inDefault("partition_schema", StringType, "NULL")),
+      new StructType().add("num_files", LongType)) { args =>
+      val ps =
+        if (args.isNullAt(1)) new StructType()
+        else StructType.fromDDL(args.getString(1))
+      val t = DeltaTable.convert(spark(), args.getString(0), ps)
+      Seq(InternalRow(t.snapshot().allAdds.count()))
+    })
     case _ => None
   }
 
   val names: Seq[String] =
     Seq("optimize", "reorg_purge", "auto_compact", "clone", "vacuum",
-      "checkpoint", "compact_log", "detail", "history", "restore")
+      "checkpoint", "compact_log", "detail", "history", "restore",
+      "convert")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()

@@ -465,4 +465,18 @@ class SQLSurfaceSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(ids == Seq(7L, 1000L), ids)
   }
+
+  test("CALL gd.system.convert adopts a plain parquet directory") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("sqlconvert").toString + "/t"
+    spark.range(30).select($"id", ($"id" % 3).cast("int").as("p"))
+      .write.partitionBy("p").parquet(dir)
+    val n = spark.sql(
+      s"CALL gd.system.convert('$dir', partition_schema => 'p INT')")
+      .as[Long].head()
+    assert(n >= 3L) // at least one file per partition value
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() == 30)
+    assert(t.toDF.filter($"p" === 1).count() == 10)
+  }
 }
