@@ -184,6 +184,60 @@ object CoreQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // As-of join (operator Spark lacks; composed union + per-key window,
+    // ops/Relational.scala): each click event picks the same user's most
+    // recent purchase at ts <= click ts. One shuffle on user_id — never an
+    // inequality join. Oracle: DuckDB native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.ops.Relational.asofJoin(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"),
+          col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range (interval) join via bucketed equi-join (ops/Relational.scala):
+    // per error event, aggregate the same user's events in the preceding
+    // 24 h. Bucket width = window length, so each left row expands to ≤2
+    // bucket keys; the join is a hash equi-join on (user, bucket) plus an
+    // exact interval filter — no O(n·m) comparisons. Oracle: DuckDB's
+    // native inequality (IEJoin) range join.
+    "q_range_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val all = e.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+      graft.ops.Relational.rangeJoin(errors, all, "user_id", "r_user",
+          "ts", "r_ts", -86400L, 0L, Seq("r_event_id", "r_value"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("r_event_id")).as("min_match_id"),
+          max(col("r_value")).as("max_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap sessionization (lag + running sum in one per-key window pass,
+    // ops/Relational.scala): sessions split on >6 h idle gaps, then
+    // per-session stats. One shuffle on user_id.
+    "q_sessionize" -> ((s, d) => {
+      graft.ops.Relational.sessionize(t(s, d, "events"),
+          "user_id", "ts", "event_id", 6L * 3600L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // TPC-H Q1-shaped headline aggregation
     "q1_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -317,6 +371,41 @@ object CoreQueries {
         |  count(*) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  p.event_id AS p_event_id, p."value" AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, count(*) AS n,
+        |  min(r.event_id) AS min_match_id, max(r."value") AS max_val
+        |FROM events e JOIN events r ON r.user_id = e.user_id
+        |  AND r.ts >= e.ts - INTERVAL 24 HOUR AND r.ts < e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, count(*) AS n,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
