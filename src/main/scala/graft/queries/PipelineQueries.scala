@@ -364,6 +364,64 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval scoring (k1=1.2, b=0.75, +1-inside-ln idf so scores
+    // stay positive): term stats are two tiny aggregates (df per query
+    // term, corpus N/avgdl) broadcast into a per-(doc, term) tf join.
+    // Per-term contributions are rounded to 9 decimals and summed as
+    // DECIMAL so term-order in partial aggregation can't perturb low
+    // bits — the engine-portability pattern used for centroids. At
+    // 100 TB: tokenize is narrow, tf is one map-side-combined shuffle on
+    // (doc, term) over only the docs containing a query term.
+    "q_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "merge", "window")
+      val dl = docs(s, d).select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"), size(col("w")).as("len"), col("w"))
+      val toks = dl.select(col("doc_id"), col("len"),
+          explode(col("w")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("tot_len"))
+      val dfs = toks.select(col("tok"), col("doc_id")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      toks.groupBy(col("doc_id"), col("len"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(dfs), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("avgdl",
+          col("tot_len").cast("double") / col("n_docs"))
+        .withColumn("contrib", col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(round(col("contrib"), 9).cast("decimal(18,9)"))
+          .cast("double"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram language-model scoring (perplexity proxy): token
+    // probabilities learned from the corpus itself (one map-side-combined
+    // count shuffle over tokens — the zipf head combines on the map
+    // side), then each document scored by its mean token log-probability.
+    // Same 9-decimal/DECIMAL determinism contract as q_bm25.
+    "q_unigram_lm" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum(col("c")).as("total"))
+      toks.join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", log(col("c").cast("double") / col("total")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(round(col("lp"), 9).cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_score" -> ((s, d) => {
       docs(s, d)
         .select(col("doc_id"),
@@ -1006,6 +1064,47 @@ object PipelineQueries {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  length(text) AS n_chars_computed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |dl2 AS (SELECT doc_id, len(w) AS len, w FROM dl),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS tot_len FROM dl2),
+        |ft AS (
+        |  SELECT doc_id, len, unnest(w) AS tok FROM dl2),
+        |ft2 AS (SELECT * FROM ft WHERE tok IN ('spark','merge','window')),
+        |dfs AS (SELECT tok, count(DISTINCT doc_id) AS df
+        |        FROM ft2 GROUP BY tok),
+        |tf AS (SELECT doc_id, len, tok, count(*) AS tf
+        |       FROM ft2 GROUP BY doc_id, len, tok)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(
+        |    ln((n_docs - df + CAST(0.5 AS DOUBLE))
+        |       / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |    * (tf * CAST(2.2 AS DOUBLE))
+        |    / (tf + CAST(1.2 AS DOUBLE) *
+        |       (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * len
+        |        / (CAST(tot_len AS DOUBLE) / n_docs)))
+        |  , 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+        |FROM tf JOIN dfs USING (tok), stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(CAST(sum(CAST(round(
+        |      ln(CAST(c AS DOUBLE) / total), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM toks JOIN vocab USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """SELECT doc_id, stop_hits, n_tokens, alpha_ratio,
