@@ -757,8 +757,13 @@ object Snapshot {
     // answers (e.g. all-NULL columns on a column-mapped table).
     require(p.minReaderVersion <= 3,
       s"unsupported minReaderVersion ${p.minReaderVersion}")
+    // "timestampWithoutTimezone" is not a protocol feature name, but
+    // existing tables carry it in their feature arrays; accept it on
+    // read as an alias of timestampNtz (reference
+    // table_features/mod.rs:148-156, delta-kernel-rs#2557)
     val supportedReaderFeatures =
-      Set("deletionVectors", "timestampNtz", "columnMapping",
+      Set("deletionVectors", "timestampNtz", "timestampWithoutTimezone",
+        "columnMapping",
         "vacuumProtocolCheck", "v2Checkpoint",
         "variantType", "variantType-preview",
         "variantShredding", "variantShredding-preview",

@@ -57,7 +57,11 @@ object TableFeatures {
   private val implementedWriterFeatures = Set(
     "appendOnly", "columnMapping", "deletionVectors", "changeDataFeed",
     "rowTracking", "domainMetadata", "v2Checkpoint", "inCommitTimestamp",
-    "timestampNtz", "variantType", "variantType-preview",
+    // read-compat alias of timestampNtz carried by some existing
+    // tables (reference table_features/mod.rs:148-156); new protocol
+    // upgrades always write the canonical name
+    "timestampNtz", "timestampWithoutTimezone",
+    "variantType", "variantType-preview",
     "variantShredding", "variantShredding-preview",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
     "invariants", "checkConstraints", "generatedColumns", "clustering",

@@ -113,6 +113,26 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("timestampWithoutTimezone reads and writes as a timestampNtz " +
+      "alias (reference table_features/mod.rs:148-156)") {
+    val dir = TestSpark.tmpDir("ntz-alias")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    // some existing tables carry the non-protocol alias in their
+    // feature arrays; both reads and writes must accept it
+    t.commitActions(t.snapshot().version + 1,
+      Seq(JsonLog.writeAction(SingleAction(protocol = Some(Protocol(
+        3, 7, Some(Seq("timestampWithoutTimezone")),
+        Some(Seq("timestampWithoutTimezone"))))))),
+      retryable = false)
+    val t2 = DeltaTable.forPath(spark, dir)
+    assert(t2.toDF.count() == 2)
+    t2.append(Seq((3L, "c")).toDF("id", "s"))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 3)
+  }
+
   test("URI-encodable chars in partition values join correctly") {
     // space -> %20 and ':' -> Hive %3A in dir names; both previously
     // broke the file_path join silently (ADVICE r1, high)
