@@ -60,6 +60,62 @@ object Dedup {
     fresh.drop("__h")
   }
 
+  /** Exactly-once variant of [[incrementalNew]] for streaming ingestion
+    * (`foreachBatch`): the state append carries a `txn` idempotency
+    * marker (appId, batchVersion) and each hash row records which batch
+    * first registered it. A replayed batch — same (appId, version) at or
+    * below the recorded marker — does NOT re-filter against state that
+    * now contains its own hashes (which would silently drop every
+    * survivor); it re-derives the identical survivor set from the
+    * provenance column. This is the reference's `txn` action applied to
+    * pipeline state (actions/set_transaction.rs).
+    */
+  def incrementalNewIdempotent(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, batch: DataFrame, idCol: String,
+      textCol: String, appId: String, batchVersion: Long): DataFrame = {
+    import graft.delta.{DeltaTable, SetTransaction, Snapshot}
+    val withH = batch.withColumn("__h", md5(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+      .orderBy(col(idCol))
+    val batchUnique = withH
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val exists = DeltaTable.isDeltaTable(spark, statePath)
+    val marker: Option[Long] =
+      if (exists)
+        Snapshot.forTable(spark, statePath).setTransactions
+          .find(_.appId == appId).map(_.version)
+      else None
+    if (marker.exists(_ >= batchVersion)) {
+      // replay: survivors = exactly the hashes this batch registered
+      val mine = DeltaTable.forPath(spark, statePath).toDF
+        .filter(col("app_id") === appId &&
+          col("batch_v") === batchVersion)
+        .select(col("h").as("__h"))
+      batchUnique.join(mine, Seq("__h"), "left_semi").drop("__h")
+    } else {
+      val fresh =
+        if (!exists) batchUnique
+        else {
+          // snapshot-pinned read: the anti-join keeps answering from the
+          // pre-append state even when consumed after the commit below
+          val seen = DeltaTable.forPath(spark, statePath).toDF
+            .select(col("h").as("__h"))
+          batchUnique.join(seen, Seq("__h"), "left_anti")
+        }
+      val newHashes = fresh.select(col("__h").as("h")).distinct()
+        .withColumn("app_id", lit(appId))
+        .withColumn("batch_v", lit(batchVersion))
+      if (!exists)
+        DeltaTable.create(spark, statePath, newHashes.schema)
+      DeltaTable.forPath(spark, statePath).append(newHashes,
+        Some(SetTransaction(appId, batchVersion,
+          Some(System.currentTimeMillis()))))
+      fresh.drop("__h")
+    }
+  }
+
   /** Banded LSH over MinHash signature columns: `sigCols` are split into
     * bands of `rowsPerBand`; two docs are candidates iff some band
     * agrees on every signature in it. Output: (doc_a < doc_b, sig_sim)

@@ -355,6 +355,88 @@ object PipelineQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // kNN label classification: brute top-5 neighbors vote on the
+    // label; ties break to the lowest label. The label join is on the
+    // neighbor id (at scale labels ride with the vectors — one shuffle);
+    // the vote is a tiny per-query aggregate.
+    "q_knn_classify" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("v").as("nv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      val top5 = c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("sim", expr(
+          "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)" +
+          " / (sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))" +
+          "  * sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z)))"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val labels = embs(s, d).select(col("vec_id").as("nid"), col("label"))
+      val vote = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("label"))
+      top5.join(labels, "nid")
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(vote))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+        .orderBy(col("qid"))
+    }),
+
+    // ANN quality evaluation: recall@5 of the IVF index against the
+    // exact brute-force top-5, per query — the measurement that decides
+    // nprobe/centroid settings before a corpus-scale rollout. Both
+    // sides are deterministic sets; the overlap count is one join.
+    "q_ann_recall" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("v").as("nv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      val brute = c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("sim", expr(
+          "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)" +
+          " / (sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))" +
+          "  * sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z)))"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfTopK(embs(s, d), "vec_id", "embedding",
+          numCentroids = 16, nprobe = 4, k = 5, queryMaxId = 10)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit") / lit(5.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // Deterministic distributed epoch shuffle: hash docs into B
+    // buckets, order within bucket by hash — the scalable reproducible
+    // permutation for training epochs (one shuffle on the bucket key;
+    // the per-bucket window never sees more than corpus/B rows; a
+    // global row_number would serialize on one partition).
+    "q_epoch_shuffle" -> ((s, d) => {
+      val h = h60("concat(cast(doc_id as string), ':epoch1')")
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), expr(h).as("h"))
+        .withColumn("bucket", pmod(col("h"), lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select(col("doc_id"), col("bucket"), col("pos"))
+        .orderBy(col("bucket"), col("pos"))
+    }),
+
     // ---- Text analysis --------------------------------------------------
     "q_token_count" -> ((s, d) => {
       docs(s, d)
@@ -989,6 +1071,80 @@ object PipelineQueries {
         |    SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
         |  SELECT a, b FROM reach) r ON r.a = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |top5 AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |        AS rk
+        |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 5),
+        |votes AS (
+        |  SELECT t.qid, emb.label, count(*) AS votes
+        |  FROM top5 t JOIN embeddings emb ON emb.vec_id = t.nid
+        |  GROUP BY t.qid, emb.label)
+        |SELECT qid, label AS pred_label, votes FROM (
+        |  SELECT qid, label, votes,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, label) AS rk
+        |  FROM votes) WHERE rk = 1 ORDER BY qid""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |brute AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |        AS rk
+        |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 5),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT qid, cid AS cell FROM (
+        |    SELECT q.qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn <= 4),
+        |ivf AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT cand.qid, cand.nid,
+        |      row_number() OVER (PARTITION BY cand.qid
+        |        ORDER BY cand.sim DESC, cand.nid) AS rk
+        |    FROM (
+        |      SELECT q.qid, e.vec_id AS nid,
+        |             list_cosine_similarity(q.qv, e.v) AS sim
+        |      FROM pr JOIN asg ON pr.cell = asg.cell
+        |           JOIN q ON q.qid = pr.qid
+        |           JOIN e ON e.vec_id = asg.vec_id
+        |      WHERE e.vec_id <> q.qid) cand) WHERE rk <= 5)
+        |SELECT b.qid,
+        |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) / CAST(5.0 AS DOUBLE) AS recall
+        |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    ${h60Duck("(doc_id::VARCHAR || ':epoch1')")} AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS bucket,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY bucket, pos""".stripMargin,
 
     "q_knn_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
