@@ -24,10 +24,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // retry once: a transient environment hiccup (fixture read race,
+      // temp-dir collision) must not silently drop this query's row
+      // from the driver's correctness report
+      def attempt(): Unit =
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e1.getMessage}; " +
+          "retrying once")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed twice: " +
+            s"${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

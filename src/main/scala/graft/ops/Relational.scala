@@ -119,6 +119,31 @@ object Relational {
       .select(left.columns.map(col).toSeq ++ payload.map(col): _*)
   }
 
+  /** Skew-safe inner equi-join: the left (fact) side salts each key into
+    * `saltFactor` sub-keys by a DETERMINISTIC hash of a unique column
+    * (reproducible across runs and cluster sizes — never rand()); the
+    * right (dimension) side replicates each row to all sub-keys. A hot
+    * key's rows then spread over `saltFactor` reducers instead of one
+    * straggler. Replication multiplies the right side — use for joins
+    * where the right side is modest but too big (or too skewed) to
+    * broadcast. Result equals the plain inner join, in any order.
+    */
+  def skewSafeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftUniqueCol: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftUniqueCol)), lit(saltFactor.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1L))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
   /** Gap sessionization: within each key, ordered by (ts, tiebreak), a new
     * session starts when the gap from the previous row exceeds
     * `gapSeconds`. Adds `session_idx` (1-based per key). One shuffle on

@@ -105,6 +105,25 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("skewSafeJoin equals the plain inner join and spreads hot keys") {
+    val l = (1 to 500).map(i =>
+      (i.toLong, if (i <= 450) "hot" else s"k${i % 7}")).toDF("id", "k")
+    val r = Seq(("hot", 10L), ("k1", 20L), ("k3", 30L), ("cold", 40L))
+      .toDF("rk", "payload")
+    val got = Relational.skewSafeJoin(l, r, "k", "rk", "id", 8)
+      .select($"id", $"payload").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    val want = l.join(r, l("k") === r("rk"))
+      .select($"id", $"payload").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // determinism: same salting on a re-run (hash of id, never rand())
+    val again = Relational.skewSafeJoin(l, r, "k", "rk", "id", 8)
+      .select($"id", $"payload").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    assert(again == got)
+  }
+
   test("sessionize: strict-gap boundary, per-key 1-based indexes") {
     val df = Seq(
       (1L, "u", ts("2024-01-01 00:00:00")),
