@@ -238,6 +238,21 @@ object CoreQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Tumbling-window aggregation (Spark's `window()` — epoch-aligned
+    // 1 h buckets; the batch twin of the streaming windowed agg in
+    // StreamingSpec). Value sums go through DECIMAL so partial-agg
+    // order is invisible. One shuffle on (window, type).
+    "q_window_agg" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(value as decimal(10,2))")).cast("double")
+            .as("sum_val"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_val"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // TPC-H Q1-shaped headline aggregation
     "q1_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -406,6 +421,13 @@ object CoreQueries {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM y GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT make_timestamp((epoch_us(ts) // 3600000000)
+        |    * 3600000000) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
