@@ -213,6 +213,30 @@ object DeltaQueries {
       ordered(t.toDF)
     }),
 
+    // Temporal operator over the kernel's masked scan: events land in a
+    // Delta table, a DV delete soft-removes the error rows (bitmaps
+    // only — no rewrite), and gap sessionization runs on the DV-masked
+    // read. The oracle sessionizes the equivalent filtered plain
+    // parquet — a hash match proves the in-scan DV mask composes with
+    // downstream window operators exactly.
+    "q_delta_sessionize" -> ((s, d) => {
+      val dir = tmp("dsess")
+      val src = Tables.load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.deleteWhereDV("event_type = 'error'")
+      graft.ops.Relational.sessionize(t.toDF,
+          "user_id", "ts", "event_id", 6L * 3600L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // V2 checkpoint (+sidecars) mid-log: snapshot = sidecar-backed
     // checkpoint + trailing commit
     "q_delta_v2_checkpoint" -> ((s, d) => {
@@ -942,6 +966,27 @@ object DeltaQueries {
          |WHERE l_quantity < 12
          |  AND NOT coalesce(l_returnflag = 'A' AND l_quantity < 6, false)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_sessionize" ->
+      """WITH live AS (
+        |  SELECT event_id, ts, user_id FROM events
+        |  WHERE event_type <> 'error'),
+        |x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM live
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, count(*) AS n,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_delta_v2_checkpoint" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 15
