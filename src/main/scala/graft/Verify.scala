@@ -21,9 +21,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       // retry once: a transient environment hiccup (fixture read race,
       // temp-dir collision) must not silently drop this query's row
       // from the driver's correctness report
@@ -36,11 +37,17 @@ object Verify {
           "retrying once")
         try attempt()
         catch { case e2: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed twice: " +
             s"${e2.getMessage}")
         }
       }
     }
+    // one greppable summary: a CORRECTNESS row count below
+    // `wrote` means the gap is downstream of this JVM
+    System.err.println(s"[verify] wrote ${selected.size - failed.size}" +
+      s"/${selected.size} query outputs" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(",")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
