@@ -80,6 +80,10 @@ object TableFeatures {
     */
   val readerWriterFeatures = Set(
     "columnMapping", "deletionVectors", "timestampNtz",
+    // the read-compat alias is reader-writer too: declaring it must
+    // land it in BOTH lists or an external reader without NTZ support
+    // would open the table unguarded
+    "timestampWithoutTimezone",
     "typeWidening", "typeWidening-preview",
     "v2Checkpoint", "vacuumProtocolCheck",
     "variantType", "variantType-preview",

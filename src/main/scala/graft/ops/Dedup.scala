@@ -74,7 +74,14 @@ object Dedup {
       statePath: String, batch: DataFrame, idCol: String,
       textCol: String, appId: String, batchVersion: Long): DataFrame = {
     import graft.delta.{DeltaTable, SetTransaction, Snapshot}
-    val withH = batch.withColumn("__h", md5(col(textCol)))
+    // null-safe hash: md5(NULL) is NULL and NULL never equi-joins, so a
+    // NULL-text row would survive the original run but vanish from the
+    // replay's provenance semi-join — breaking the exactly-once
+    // contract. NULL maps to a 4-char sentinel no
+    // 32-hex-char md5 can collide with.
+    val withH = batch.withColumn("__h",
+      when(col(textCol).isNull, lit("NULL"))
+        .otherwise(md5(col(textCol))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h"))
       .orderBy(col(idCol))

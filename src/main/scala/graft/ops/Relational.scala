@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** withColumn silently REPLACES an existing column — an input already
+    * carrying one of an operator's internal working columns would be
+    * corrupted, not rejected. Every operator guards its own set.
+    */
+  private def requireFree(df: DataFrame, who: String,
+      names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$who: input already contains internal column(s) " +
+        clash.mkString(", "))
+  }
+
   /** As-of join: each left row picks the single most recent right row of
     * the same key with `right.tsCol <= left.tsCol` (inclusive, matching
     * DuckDB/kdb ASOF semantics). Right payload columns arrive atomically —
@@ -51,8 +63,8 @@ object Relational {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof"),
-      "left may not already contain an __asof column")
+    requireFree(left, "asofJoin", "__asof", "__k", "__t", "__side", "__p")
+    requireFree(right, "asofJoin", "__k", "__t", "__side", "__p")
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTs).cast("timestamp"))
@@ -99,6 +111,8 @@ object Relational {
       hiSeconds: Long,
       payload: Seq[String]): DataFrame = {
     require(loSeconds < hiSeconds, "range join window must be non-empty")
+    requireFree(left, "rangeJoin", "__lt", "__b", "__rk", "__rt")
+    requireFree(right, "rangeJoin", "__rt", "__b", "__rk")
     val widthUs = (hiSeconds - loSeconds) * 1000000L
     val loUs = loSeconds * 1000000L
     val hiUs = hiSeconds * 1000000L
@@ -136,6 +150,8 @@ object Relational {
       leftUniqueCol: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    requireFree(left, "skewSafeJoin", "__salt")
+    requireFree(right, "skewSafeJoin", "__salt")
     val l = left.withColumn("__salt",
       pmod(xxhash64(col(leftUniqueCol)), lit(saltFactor.toLong)))
     val r = right.withColumn("__salt",
@@ -155,6 +171,7 @@ object Relational {
       ts: String,
       tiebreak: String,
       gapSeconds: Long): DataFrame = {
+    requireFree(df, "sessionize", "__prev", "__new", "session_idx")
     val order = Window.partitionBy(col(key))
       .orderBy(col(ts), col(tiebreak))
     val running = order.rowsBetween(Window.unboundedPreceding,

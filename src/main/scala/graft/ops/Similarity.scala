@@ -226,6 +226,33 @@ object Similarity {
     * rerank candidates. Output (qid, nid, sim) with per-query top `k`
     * (sim desc, nid asc).
     */
+  /** Exact brute-force cosine top-k: queries are the vectors with
+    * id < `queryMaxId` (broadcast — the query set is small by
+    * construction), candidates are the full corpus, ties break to the
+    * lowest neighbor id. Output: (qid, nid, sim). This is the baseline
+    * the IVF variants approximate, and the shared implementation behind
+    * q_knn_brute / q_knn_classify / q_ann_recall.
+    */
+  def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryMaxId: Long): DataFrame = {
+    val e = vecs.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("__v"))
+    val q = e.filter(col("__id") < queryMaxId)
+      .select(col("__id").as("qid"), col("__v").as("qv"))
+    val c = e.select(col("__id").as("nid"), col("__v").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)" +
+        " / (sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))" +
+        "  * sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z)))"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, nprobe: Int, k: Int, queryMaxId: Long): DataFrame = {
     val spark = vecs.sparkSession

@@ -192,9 +192,14 @@ object CoreQueries {
       val e = t(s, d, "events")
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // asofJoin contract: one right row per (key, ts) — pre-dedup to
+      // the max event_id so the pick at an equal-ts tie is the SAME
+      // deterministic row in both engines, not whatever each engine's
+      // ASOF happens to keep
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("p_event_id"), col("value").as("p_value"))
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
       graft.ops.Relational.asofJoin(clicks, purchases,
           "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value"))
         .select(col("event_id"), col("user_id"), col("p_event_id"),
@@ -388,10 +393,14 @@ object CoreQueries {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "q_asof_join" ->
-      """SELECT e.event_id, e.user_id,
-        |  p.event_id AS p_event_id, p."value" AS p_value
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id,
+        |    max_by("value", event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, p.p_event_id, p.p_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
 

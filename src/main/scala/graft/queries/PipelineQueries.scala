@@ -293,24 +293,8 @@ object PipelineQueries {
     // scan; per-query top-k via window. At 100 TB the candidate side stays
     // partitioned, queries broadcast — no shuffle of the big side.
     "q_knn_brute" -> ((s, d) => {
-      val e = embs(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val c = e.select(col("vec_id").as("nid"), col("v").as("nv"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      c.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"))
-        .withColumn("nq", expr(
-          "sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
-        .withColumn("nn", expr(
-          "sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z))"))
-        .withColumn("sim", col("dot") / (col("nq") * col("nn")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      Similarity.bruteTopK(embs(s, d), "vec_id", "embedding",
+          k = 5, queryMaxId = 10)
         .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
         .orderBy(col("qid"), col("nid"))
     }),
@@ -360,23 +344,11 @@ object PipelineQueries {
     // neighbor id (at scale labels ride with the vectors — one shuffle);
     // the vote is a tiny per-query aggregate.
     "q_knn_classify" -> ((s, d) => {
-      val e = embs(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val c = e.select(col("vec_id").as("nid"), col("v").as("nv"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      val top5 = c.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("sim", expr(
-          "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)" +
-          " / (sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))" +
-          "  * sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z)))"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      val emb = embs(s, d)
+      val top5 = Similarity.bruteTopK(emb, "vec_id", "embedding",
+          k = 5, queryMaxId = 10)
         .select(col("qid"), col("nid"))
-      val labels = embs(s, d).select(col("vec_id").as("nid"), col("label"))
+      val labels = emb.select(col("vec_id").as("nid"), col("label"))
       val vote = Window.partitionBy(col("qid"))
         .orderBy(col("votes").desc, col("label"))
       top5.join(labels, "nid")
@@ -393,21 +365,8 @@ object PipelineQueries {
     // nprobe/centroid settings before a corpus-scale rollout. Both
     // sides are deterministic sets; the overlap count is one join.
     "q_ann_recall" -> ((s, d) => {
-      val e = embs(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val c = e.select(col("vec_id").as("nid"), col("v").as("nv"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      val brute = c.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("sim", expr(
-          "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)" +
-          " / (sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (acc, z) -> acc + z))" +
-          "  * sqrt(aggregate(transform(nv, x -> x * x), 0.0D, (acc, z) -> acc + z)))"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      val brute = Similarity.bruteTopK(embs(s, d), "vec_id", "embedding",
+          k = 5, queryMaxId = 10)
         .select(col("qid"), col("nid"))
       val ivf = Similarity.ivfTopK(embs(s, d), "vec_id", "embedding",
           numCentroids = 16, nprobe = 4, k = 5, queryMaxId = 10)

@@ -10,18 +10,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One raw event entering streaming sessionization. */
 case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long)
 
-/** A closed session: same shape as the batch q_sessionize aggregate. */
+/** A closed session. Sessions are identified by (user_id, start_us) —
+  * the session's first event time — NOT a per-key ordinal: an ordinal
+  * would force the operator to keep one counter per key forever, making
+  * state O(all keys ever seen). With the start as identity, a key's
+  * state is REMOVED once its open session times out, so state really is
+  * O(keys with an open session) and the watermark bounds it.
+  */
 case class SessOut(
-    user_id: Long, session_idx: Long, n: Long,
+    user_id: Long, start_us: Long, n: Long,
     min_eid: Long, max_eid: Long, dur_us: Long)
 
-/** Per-key state: the currently open session (if any) and how many
-  * sessions this key has already closed (for 1-based session_idx).
-  */
+/** Per-key state: the currently open session. */
 case class SessAcc(
     openStartUs: Long, openLastUs: Long, openN: Long,
-    openMinEid: Long, openMaxEid: Long,
-    idx: Long, hasOpen: Boolean)
+    openMinEid: Long, openMaxEid: Long)
 
 /** Streaming gap sessionization — the stateful-streaming twin of
   * `graft.ops.Relational.sessionize`. Events are grouped by user;
@@ -32,13 +35,18 @@ case class SessAcc(
   * prefix of the stream.
   *
   * At scale this is the canonical Structured Streaming shape: state is
-  * O(active keys), one shuffle on the key per microbatch, and the
-  * watermark bounds state retention — no unbounded buffering.
+  * O(keys with an open session) — a timed-out key's state is removed,
+  * not parked — one shuffle on the key per microbatch, and the
+  * watermark bounds state retention.
   */
 object Sessionization {
 
+  /** Microseconds since epoch; floorDiv keeps pre-1970 timestamps exact
+    * (getTime/1000 would truncate toward zero while getNanos stays
+    * positive, shifting such events a second late).
+    */
   private def us(t: Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def sessions(
       events: Dataset[SessEvent],
@@ -48,25 +56,25 @@ object Sessionization {
     val gapUs = gapSeconds * 1000000L
 
     def close(user: Long, a: SessAcc): SessOut =
-      SessOut(user, a.idx, a.openN, a.openMinEid, a.openMaxEid,
+      SessOut(user, a.openStartUs, a.openN, a.openMinEid, a.openMaxEid,
         a.openLastUs - a.openStartUs)
 
     def fn(user: Long, batch: Iterator[SessEvent],
         state: GroupState[SessAcc]): Iterator[SessOut] = {
       val out = ListBuffer.empty[SessOut]
-      var acc = state.getOption
-        .getOrElse(SessAcc(0L, 0L, 0L, 0L, 0L, 0L, hasOpen = false))
       if (state.hasTimedOut) {
-        // watermark passed openLast + gap: the open session is closed
-        if (acc.hasOpen) out += close(user, acc)
-        state.update(acc.copy(hasOpen = false))
+        // watermark passed openLast + gap: close and REAP — a key with
+        // no open session holds no state at all
+        state.getOption.foreach(a => out += close(user, a))
+        state.remove()
       } else {
+        var acc = state.getOption.orNull
         // within a microbatch arrival order is arbitrary: establish the
         // same (ts, event_id) order the batch operator uses
         val evs = batch.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
         for (e <- evs) {
           val t = us(e.ts)
-          if (acc.hasOpen && t - acc.openLastUs <= gapUs) {
+          if (acc != null && t - acc.openLastUs <= gapUs) {
             acc = acc.copy(
               openStartUs = math.min(acc.openStartUs, t),
               openLastUs = math.max(acc.openLastUs, t),
@@ -74,15 +82,15 @@ object Sessionization {
               openMinEid = math.min(acc.openMinEid, e.event_id),
               openMaxEid = math.max(acc.openMaxEid, e.event_id))
           } else {
-            if (acc.hasOpen) out += close(user, acc)
-            acc = SessAcc(t, t, 1L, e.event_id, e.event_id,
-              acc.idx + 1, hasOpen = true)
+            if (acc != null) out += close(user, acc)
+            acc = SessAcc(t, t, 1L, e.event_id, e.event_id)
           }
         }
-        state.update(acc)
-        if (acc.hasOpen)
+        if (acc != null) {
+          state.update(acc)
           state.setTimeoutTimestamp(acc.openLastUs / 1000L +
             gapSeconds * 1000L + 1L)
+        }
       }
       out.iterator
     }

@@ -73,7 +73,7 @@ class SessionizationFuzzSpec extends AnyFunSuite {
       }
 
       val streamed = out.filter(_.user_id != 99L)
-        .map(o => (o.user_id, o.session_idx, o.n, o.min_eid, o.max_eid,
+        .map(o => (o.user_id, o.start_us, o.n, o.min_eid, o.max_eid,
           o.dur_us)).toSet
       val expected = Relational.sessionize(
           events.toDF("user_id", "ts", "event_id"),
@@ -81,11 +81,13 @@ class SessionizationFuzzSpec extends AnyFunSuite {
         .groupBy($"user_id", $"session_idx")
         .agg(count(lit(1)).as("n"), min($"event_id").as("min_eid"),
           max($"event_id").as("max_eid"),
+          unix_micros(min($"ts")).as("start_us"),
           (unix_micros(max($"ts")) - unix_micros(min($"ts")))
             .as("dur_us"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        .map(r => (r.getLong(0), r.getAs[Long]("start_us"),
+          r.getAs[Long]("n"), r.getAs[Long]("min_eid"),
+          r.getAs[Long]("max_eid"), r.getAs[Long]("dur_us"))).toSet
       assert(streamed == expected,
         s"seed=$seed\n streaming=$streamed\n batch=$expected")
     }

@@ -14,13 +14,15 @@ import graft.ops.Relational
 /** Streaming gap sessionization (flatMapGroupsWithState +
   * EventTimeTimeout) must emit exactly the sessions the batch operator
   * computes, as each closes: by a new out-of-gap event arriving, or by
-  * the watermark passing last-event + gap.
+  * the watermark passing last-event + gap. Sessions are identified by
+  * (user, start time) so a timed-out key's state is reaped entirely.
   */
 class SessionizationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def usOf(s: String): Long = ts(s).getTime * 1000L
 
   test("streaming sessions match the batch operator as they close") {
     val ckpt = TestSpark.tmpDir("sess-ckpt")
@@ -59,15 +61,20 @@ class SessionizationSpec extends AnyFunSuite {
       SessEvent(1L, ts("2024-01-01 13:00:00"), 4L),
       SessEvent(2L, ts("2024-01-01 20:00:00"), 5L))
     drain()
-    assert(out.map(o => (o.user_id, o.session_idx)).toSet ==
-      Set((1L, 1L), (2L, 1L), (1L, 2L)), s"got $out")
+    assert(out.map(o => (o.user_id, o.start_us)).toSet == Set(
+      (1L, usOf("2024-01-01 10:00:00")),
+      (2L, usOf("2024-01-01 10:00:00")),
+      (1L, usOf("2024-01-01 13:00:00"))), s"got $out")
 
     // batch 3: sentinel pushes the watermark months ahead — u2's open
     // session times out
     mem.addData(SessEvent(99L, ts("2024-06-01 00:00:00"), 6L))
     drain()
-    assert(out.map(o => (o.user_id, o.session_idx)).toSet ==
-      Set((1L, 1L), (2L, 1L), (1L, 2L), (2L, 2L)), s"got $out")
+    assert(out.map(o => (o.user_id, o.start_us)).toSet == Set(
+      (1L, usOf("2024-01-01 10:00:00")),
+      (2L, usOf("2024-01-01 10:00:00")),
+      (1L, usOf("2024-01-01 13:00:00")),
+      (2L, usOf("2024-01-01 20:00:00"))), s"got $out")
 
     // batch 4: the sentinel's own session closes by arrival gap; no
     // duplicates may appear for users 1/2
@@ -75,7 +82,7 @@ class SessionizationSpec extends AnyFunSuite {
     drain()
 
     val streamed = out.filter(_.user_id != 99L)
-      .map(o => (o.user_id, o.session_idx, o.n, o.min_eid, o.max_eid,
+      .map(o => (o.user_id, o.start_us, o.n, o.min_eid, o.max_eid,
         o.dur_us)).toSet
 
     // ground truth: the batch operator over the same (non-sentinel) rows
@@ -91,10 +98,12 @@ class SessionizationSpec extends AnyFunSuite {
       .groupBy($"user_id", $"session_idx")
       .agg(count(lit(1)).as("n"), min($"event_id").as("min_eid"),
         max($"event_id").as("max_eid"),
+        unix_micros(min($"ts")).as("start_us"),
         (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("dur_us"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSet
+      .map(r => (r.getLong(0), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n"), r.getAs[Long]("min_eid"),
+        r.getAs[Long]("max_eid"), r.getAs[Long]("dur_us"))).toSet
 
     assert(streamed == expected,
       s"streaming $streamed != batch $expected")
