@@ -243,6 +243,35 @@ object CoreQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Funnel analysis (ordered-sequence analytics): per user, the
+    // earliest signup, the earliest click AFTER that signup, and the
+    // earliest purchase AFTER that click; stage = how deep the user
+    // got. Three chained conditional-min windows over ONE partitioning
+    // — the exchange is reused, no self-joins, no per-user collect.
+    "q_funnel" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      t(s, d, "events")
+        .withColumn("t1", min(when(col("event_type") === "signup",
+          col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+          first(col("t3")).as("t3"))
+        .select(col("user_id"),
+          when(col("t3").isNotNull, lit(3L))
+            .when(col("t2").isNotNull, lit(2L))
+            .when(col("t1").isNotNull, lit(1L))
+            .otherwise(lit(0L)).as("stage"),
+          when(col("t3").isNotNull,
+            unix_micros(col("t3")) - unix_micros(col("t1")))
+            .as("funnel_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // Tumbling-window aggregation (Spark's `window()` — epoch-aligned
     // 1 h buckets; the batch twin of the streaming windowed agg in
     // StreamingSpec). Value sums go through DECIMAL so partial-agg
@@ -430,6 +459,29 @@ object CoreQueries {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM y GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2
+        |  FROM a),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t3
+        |  FROM b)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t1) END
+        |    AS funnel_us
+        |FROM (SELECT DISTINCT user_id, t1, t2, t3 FROM c)
+        |ORDER BY user_id""".stripMargin,
 
     "q_window_agg" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000)
