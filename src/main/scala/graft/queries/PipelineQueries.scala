@@ -738,6 +738,75 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Document chunking with overlap (RAG / context-window prep):
+    // fixed 400-char windows every 300 chars (100-char overlap), one
+    // output row per chunk with a portable content hash. Purely narrow —
+    // a per-row sequence explode, no shuffle before the final sort; at
+    // 100 TB this is embarrassingly parallel over input row groups.
+    "q_doc_chunk" -> ((s, d) => {
+      docs(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            s"sequence(0, int((length(text)-1) div $CHUNK_STRIDE))"))
+            .as("idx"))
+        .select(col("doc_id"), col("idx").cast("long").as("chunk_idx"),
+          expr(s"substring(text, idx * $CHUNK_STRIDE + 1, $CHUNK_LEN)")
+            .as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          expr(h60("chunk")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Per-source quota capping (data-curation mix control): keep at most
+    // CAP_PER_SOURCE docs per source, chosen by a deterministic portable
+    // hash so every engine and cluster size selects the SAME subset.
+    // One row_number window = one shuffle on source; source cardinality
+    // is what bounds skew (a hot source still sorts only its own rows,
+    // and the rank cutoff prunes early under WholeStageCodegen).
+    "q_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("pick"), col("doc_id"))
+      docs(s, d)
+        .withColumn("pick", expr(h60("cast(doc_id as string)")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= CAP_PER_SOURCE)
+        .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // Distributed exact percentiles (data-quality profiling): per
+    // event_type p50/p90/p99 of `value` with linear interpolation —
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // formula, so rounded values hash-match. One sort-based agg shuffle
+    // on event_type; at scale the per-group sort is the cost, which is
+    // exactly the reference's approx-free profiling trade-off.
+    "q_percentiles" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // One-pass dataset profile (the DESCRIBE-statistics shape a curation
+    // pipeline runs before training): row count, per-column null counts,
+    // exact distinct cardinalities, numeric min/max/mean. Distinct
+    // counts expand-shuffle once; everything else map-side combines.
+    "q_dataset_profile" -> ((s, d) => {
+      docs(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("text").isNull.cast("long")).as("null_text"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+    }),
+
     // ---- Geospatial predicates ------------------------------------------
     // The WKB predicate surface (ops.GeoExprs — codegen'd Catalyst
     // expressions over the geo storage format of q_delta_geo): encode
@@ -810,6 +879,13 @@ object PipelineQueries {
     * as corpus boilerplate (the synthetic corpus tops out near df=7).
     */
   private val BOILER_DF = 5
+
+  /** q_doc_chunk window geometry: 400-char chunks every 300 chars. */
+  private val CHUNK_LEN = 400
+  private val CHUNK_STRIDE = 300
+
+  /** q_domain_cap keeps this many docs per source. */
+  private val CAP_PER_SOURCE = 20
 
   private val simhashBitSumsDuck = (0 until SIMHASH_BITS).map { i =>
     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
@@ -1432,6 +1508,48 @@ object PipelineQueries {
         |  CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
         |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+
+    "q_doc_chunk" ->
+      s"""WITH chunks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    substr(text, CAST(i * $CHUNK_STRIDE + 1 AS INT), $CHUNK_LEN)
+        |      AS chunk
+        |  FROM documents,
+        |    unnest(range(0, (length(text) - 1) // $CHUNK_STRIDE + 1))
+        |      AS t(i)
+        |  WHERE length(text) >= 1)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  ${h60Duck("chunk")} AS chunk_hash
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${h60Duck("CAST(doc_id AS VARCHAR)")}, doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= $CAP_PER_SOURCE
+        |ORDER BY source, rn""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont("value", 0.5), 6) AS p50,
+        |  round(quantile_cont("value", 0.9), 6) AS p90,
+        |  round(quantile_cont("value", 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dataset_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_text,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM documents""".stripMargin,
 
     "q_geo_predicates" ->
       """WITH p AS (SELECT event_id,

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan shape of the composed temporal/pipeline operators —
+  * the properties that make them survive a 100 TB input: a bounded
+  * number of hash shuffles, never a cartesian/nested-loop join, and
+  * equi-joins where an inequality join would be the naive shape.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def events = spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet")
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def hashShuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  private def assertNoLoops(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("sessionize is a single hash shuffle on the key") {
+    val df = Relational.sessionize(events, "user_id", "ts", "event_id",
+      6L * 3600L)
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(hashShuffles(p) == 1, p.take(1200))
+  }
+
+  test("as-of join is one hash shuffle, no inequality join") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val df = Relational.asofJoin(clicks, purchases,
+      "user_id", "p_user", "ts", "p_ts", Seq("p_value"))
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(1200)) // union + window, not a join at all
+    // the purchases pre-agg shuffles once, the union window once
+    assert(hashShuffles(p) <= 2, p.take(1200))
+  }
+
+  test("range join is a hash equi-join on (key, bucket) — never a " +
+      "nested loop over the interval predicate") {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val all = events.select(col("user_id").as("r_user"),
+      col("ts").as("r_ts"), col("value").as("r_value"))
+    val df = Relational.rangeJoin(errors, all, "user_id", "r_user",
+      "ts", "r_ts", -86400L, 0L, Seq("r_value"))
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("funnel windows chain over ONE partitioning: a single hash " +
+      "shuffle feeds all three conditional-min windows and the final agg") {
+    val noSort = graft.queries.CoreQueries.queries("q_funnel")(
+      spark, "/root/testdata/sf0.001")
+    // strip the presentation orderBy's range exchange from the count
+    val p = plan(noSort)
+    assertNoLoops(p)
+    assert(hashShuffles(p) == 1, p.take(1600))
+  }
+
+  test("document chunking is narrow: no shuffle before the " +
+      "presentation sort") {
+    val df = graft.queries.PipelineQueries.queries("q_doc_chunk")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(hashShuffles(p) == 0, p.take(1200))
+  }
+
+  test("per-source quota cap shuffles once (the row_number window)") {
+    val df = graft.queries.PipelineQueries.queries("q_domain_cap")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(hashShuffles(p) == 1, p.take(1200))
+  }
+
+  test("skew-safe join spreads a hot key across saltFactor reducers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val fact = (1 to 1000).map(i => ("hot", i.toLong)) :+ (("cold", 0L))
+    val dim = Seq(("hot", "H"), ("cold", "C"))
+    val l = fact.toDF("k", "uid")
+    val r = dim.toDF("rk", "tag")
+    val joined = Relational.skewSafeJoin(l, r, "k", "rk", "uid", 8)
+    val p = plan(joined)
+    assertNoLoops(p)
+    // correctness: equals the plain join
+    val expect = l.join(r, l("k") === r("rk")).count()
+    assert(joined.count() == expect)
+  }
+}
