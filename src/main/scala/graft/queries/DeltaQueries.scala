@@ -150,6 +150,50 @@ object DeltaQueries {
       ordered(t.scan(Some("l_returnflag = 'N' AND l_quantity < 6")).toDF)
     }),
 
+    // Protocol-feature composition ("kitchen sink"): ONE table running
+    // column mapping (name mode) + row tracking + CDF + deletion
+    // vectors + clustering simultaneously, through appends, a DV
+    // soft-delete, an UPDATE rewrite, a column RENAME, a clustered
+    // OPTIMIZE, a checkpoint, and a post-checkpoint DELETE — then read
+    // back through a FRESH handle so the replay goes checkpoint + tail.
+    // Each feature is oracle-verified alone elsewhere; this row proves
+    // they compose, which is where real tables live.
+    "q_delta_kitchen_sink" -> ((s, d) => {
+      val dir = tmp("sink")
+      val src = li(s, d).filter(col("l_quantity") < 12)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+      DeltaTable.create(s, dir, src.schema, Nil,
+        Map("delta.columnMapping.mode" -> "name",
+          TableChanges.CDF_ENABLED_KEY -> "true",
+          RowTracking.ENABLED_KEY -> "true"),
+        clusterBy = Seq("l_orderkey"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 6))                  // v1
+      t.append(src.filter(col("l_quantity") >= 6))                 // v2
+      t.deleteWhereDV("l_returnflag = 'A' AND l_quantity < 3")     // v3
+      t.updateWhere("l_quantity >= 10",
+        Map("l_extendedprice" -> "l_extendedprice + 1.0"))         // v4
+      t.renameColumn(Seq("l_extendedprice"), "price")              // v5
+      t.optimizeClustered()                                        // v6
+      t.checkpoint()
+      t.deleteWhere("l_quantity >= 11")                            // v7
+      // CDF reads the pre-rename range (append + DV delete + update);
+      // a range crossing the rename correctly throws the reference's
+      // incompatible-schema-change error (asserted in DeltaTableSpec)
+      require(TableChanges.read(s, dir, 1, Some(4)).count() > 0,
+        "CDF read over appends + DV delete + update returned nothing")
+      val crossRename = scala.util.Try(
+        TableChanges.read(s, dir, 1, None).count())
+      require(crossRename.isFailure,
+        "CDF across a RENAME must fail with the documented " +
+          "incompatible-schema-change error")
+      val fresh = DeltaTable.forPath(s, dir)
+      fresh.toDF.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("price"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // RENAME + DROP COLUMN under column mapping: metadata-only
     // commits — the rename keeps serving old parquet through the
     // unchanged physical name; the re-added column with the dropped
@@ -937,6 +981,17 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 8 AND l_returnflag = 'N' AND l_quantity < 6
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_kitchen_sink" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_quantity >= 10 THEN l_extendedprice + 1.0
+        |       ELSE l_extendedprice END AS price,
+        |  l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity < 12
+        |  AND NOT (l_returnflag = 'A' AND l_quantity < 3)
+        |  AND l_quantity < 11
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // pre-drop rows read the re-added l_tax as NULL; post-drop append
     // rows carry real values under the fresh physical column
