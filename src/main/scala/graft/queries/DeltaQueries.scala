@@ -86,6 +86,79 @@ object DeltaQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // End-to-end streaming ETL composition: Delta source → watermarked
+    // 1 h tumbling-window aggregation (append mode — only finalized
+    // windows ever land) → Delta sink, with a RESTART between the two
+    // halves of the input (state restored from the checkpoint). The
+    // input splits at an hour boundary so no window spans the restart
+    // with a regressed watermark; a sentinel event 2 h past the corpus
+    // max (filtered out after the watermark op) flushes the tail
+    // windows. The batch oracle is the same hourly aggregation over
+    // ALL events — a hash match proves streaming admission, stateful
+    // window eviction, restart recovery, and exactly-once sink commits
+    // compose to the batch answer.
+    "q_delta_stream_window" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val srcDir = tmp("swin-src")
+      val sinkDir = tmp("swin-sink")
+      val ckpt = tmp("swin-ckpt")
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      DeltaTable.create(s, srcDir, ev.schema)
+      val t = DeltaTable.forPath(s, srcDir)
+      // hour-aligned midpoint: run 1's watermark stays below it, so
+      // every window still open at the restart receives run-2 rows
+      val Array(lo, hi) = ev
+        .agg(min(col("ts")), max(col("ts"))).collect()
+        .head.toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime)
+        .toArray
+      val midHourMs = ((lo + hi) / 2) / 3600000L * 3600000L
+      val mid = new java.sql.Timestamp(midHourMs)
+      val provider = classOf[graft.streaming.DeltaSourceProvider].getName
+      def drain(): Unit = {
+        // the sentinels flow THROUGH the aggregation (a pre-agg filter
+        // would be pushed below the watermark operator and the
+        // watermark would never pass the last real window); their
+        // window rows are excluded at read-back instead
+        val q = s.readStream.format(provider)
+          .option("path", srcDir).load()
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(value as decimal(10,2))")).cast("double")
+              .as("sum_val"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_val"))
+          .writeStream.format(provider)
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
+      t.append(ev.filter(col("ts") < lit(mid)))
+      drain()
+      t.append(ev.filter(col("ts") >= lit(mid)))
+      val spark2 = s
+      import spark2.implicits._
+      t.append(Seq((-1L, new java.sql.Timestamp(hi + 7200000L),
+          "__sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value"))
+      drain() // restart 1: checkpoint state + tail versions
+      // eviction in a batch uses the watermark of the batches BEFORE
+      // it, so sentinel 1's watermark flushes the tail windows only
+      // when a later batch runs — sentinel 2 provides that batch
+      t.append(Seq((-2L, new java.sql.Timestamp(hi + 14400000L),
+          "__sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value"))
+      drain() // restart 2: flush every real window
+      DeltaTable.forPath(s, sinkDir).toDF
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // partitioned table + partition pruning + stats skipping on read
     "q_delta_partition_prune" -> ((s, d) => {
       val src = li(s, d).filter(col("l_quantity") < 20)
@@ -981,6 +1054,13 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 8 AND l_returnflag = 'N' AND l_quantity < 6
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_stream_window" ->
+      """SELECT make_timestamp((epoch_us(ts) // 3600000000)
+        |    * 3600000000) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_delta_kitchen_sink" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
