@@ -159,6 +159,24 @@ object DeltaQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // VACUUM under the oracle: a DELETE rewrite tombstones the original
+    // files, zero-retention vacuum physically deletes them (and must
+    // delete SOMETHING), and the post-vacuum read — through a fresh
+    // handle, so no cached file list hides a wrongly-deleted live file —
+    // still hash-matches the surviving rows.
+    "q_delta_vacuum" -> ((s, d) => {
+      val dir = tmp("vac")
+      val src = li(s, d).filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema, configuration =
+        Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)
+      t.deleteWhere("l_returnflag = 'A' AND l_quantity < 5")
+      Thread.sleep(50) // tombstone mtimes strictly below the cutoff
+      require(t.vacuum().nonEmpty, "vacuum found no rewrite leftovers")
+      ordered(DeltaTable.forPath(s, dir).toDF)
+    }),
+
     // partitioned table + partition pruning + stats skipping on read
     "q_delta_partition_prune" -> ((s, d) => {
       val src = li(s, d).filter(col("l_quantity") < 20)
@@ -1053,6 +1071,12 @@ object DeltaQueries {
     "q_delta_column_mapping" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 8 AND l_returnflag = 'N' AND l_quantity < 6
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_vacuum" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 10
+         |  AND NOT (l_returnflag = 'A' AND l_quantity < 5)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_stream_window" ->
