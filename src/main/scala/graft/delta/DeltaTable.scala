@@ -2852,6 +2852,10 @@ object DeltaTable {
     // V3 invariants fail the CREATE before anything reaches the log
     // (reference table_configuration.rs:235)
     IcebergCompat.validateV3(protocol, meta, finalSchema)
+    // feature-dependency validation (reference
+    // validate_feature_requirements): a CREATE whose declared features
+    // have unmet dependencies must fail here, not at first read
+    FeatureRequirements.validateEnabled(protocol, meta)
     val createTs = System.currentTimeMillis()
     val lines = Seq(
       JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(

@@ -787,6 +787,10 @@ object Snapshot {
     // V3 invariants run on every configuration build (reference
     // table_configuration.rs:235)
     IcebergCompat.validateV3(p, m, s.schema)
+    // feature-dependency validation for every ENABLED feature
+    // (reference table_configuration.rs:605-645
+    // validate_feature_requirements over FeatureInfo tables)
+    FeatureRequirements.validateEnabled(p, m)
     s
   }
 }
