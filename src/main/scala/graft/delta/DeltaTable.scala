@@ -61,7 +61,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   private[delta] def commitActions(startVersion: Long,
       mkLines: Long => Seq[String], retryable: Boolean,
       txnAppIds: Seq[String],
-      readCheck: Option[DeltaTable.ReadSet] = None): Long = {
+      readCheck: Option[DeltaTable.ReadSet] = None,
+      serializable: Boolean = false): Long = {
     val opId = Metrics.newId()
     val t0 = Metrics.now()
     var v = startVersion
@@ -137,6 +138,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         case None =>
           if (!retryable) fail(new ConcurrentWriteException(
             s"commit conflict at version $v for $pathStr"))
+          // Serializable isolation: a blind append may not slide past a
+          // commit that REMOVED data — serializing the append first
+          // would change which rows that delete saw
+          // (delta.isolationLevel; WriteSerializable keeps the default
+          // append-commutes-with-anything behavior)
+          if (serializable &&
+              winnerField("remove").exists(r =>
+                Option(r.get("dataChange")).forall(_.asBoolean)))
+            fail(new ConcurrentWriteException(
+              s"serializable isolation: concurrent data removal at " +
+                s"version $v for $pathStr"))
       }
       v += 1
     }
@@ -350,6 +362,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       else toWrite
     try {
       val writer = laidOut.write.mode("overwrite")
+      // delta.parquet.compression.codec: table-pinned codec beats the
+      // session default (a 100 TB table's scan cost is set at write
+      // time; the property makes it an explicit table contract)
+      TableProperties.parquetCompression(snap.metadata)
+        .foreach(c => writer.option("compression", c))
       (if (partByCols.nonEmpty) writer.partitionBy(partByCols: _*)
        else writer).parquet(stagePath.toString)
     } finally prev.foreach {
@@ -360,8 +377,36 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // remove committer markers, list the staged data files
     val success = new Path(stagePath, "_SUCCESS")
     if (fs.exists(success)) fs.delete(success, false)
-    val files = Storage.listFilesRecursive(fs, stagePath)
+    val listed = Storage.listFilesRecursive(fs, stagePath)
       .filter(_.getPath.getName.endsWith(".parquet"))
+    val rootRaw = fs.makeQualified(root).toUri.getRawPath
+    def relOf(p: Path): String =
+      p.toUri.getRawPath.stripPrefix(rootRaw).stripPrefix("/")
+    // delta.randomizeFilePrefixes: move each staged file under its own
+    // short random prefix so object-store request load spreads across
+    // the key space instead of hammering one shared prefix (the S3
+    // throughput ceiling at ingest scale). Partition values still come
+    // from the ORIGINAL hive-style staging layout — after the move,
+    // only add.path records where the file lives; readers never list
+    // directories. Renames are O(files) metadata ops on the driver,
+    // bounded by the append's own file count.
+    val randomize = TableProperties.randomizeFilePrefixes(snap.metadata)
+    val prefixLen = TableProperties.randomPrefixLength(snap.metadata)
+    // (finalStatus, hive-layout rel path the partition values parse from)
+    val files: Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      if (!randomize) listed.map(st => (st, relOf(st.getPath))).toSeq
+      else listed.map { st =>
+        val origRel = relOf(st.getPath)
+        val prefix = UUID.randomUUID().toString.replace("-", "")
+          .take(prefixLen)
+        val dest = new Path(root, s"$prefix/${st.getPath.getName}")
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(st.getPath, dest),
+          s"failed to move staged file into randomized prefix: $dest")
+        (fs.getFileStatus(dest), origRel)
+      }.toSeq
+    // the emptied staging tree is noise once its files moved out
+    if (randomize) fs.delete(stagePath, true)
 
     // footer stats (stats JSON keys are PHYSICAL names on column-mapped
     // tables); fans out to executors when the append staged many files
@@ -369,16 +414,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       clusterCols.map(c => ColumnMapping.physicalName(
         snap.schema.fields.find(_.name == c).get)).toSet)
     val statsByPath = ParquetFooterStats.collect(spark,
-      files.map(_.getPath.toString).toSeq, physDataSchema, hconf, statsSel)
+      files.map(_._1.getPath.toString), physDataSchema, hconf, statsSel)
 
-    val staged = files.map { st =>
+    val staged = files.map { case (st, hiveRel) =>
       val abs = st.getPath
       // add.path is a URI-ENCODED relative path (protocol contract) —
       // getRawPath keeps %-escapes so a literal '%' or space in a
       // partition dir name round-trips exactly
-      val rel = abs.toUri.getRawPath.stripPrefix(
-        fs.makeQualified(root).toUri.getRawPath).stripPrefix("/")
-      val pv: Map[String, String] = rel.split('/').dropRight(1)
+      val rel = relOf(abs)
+      val pv: Map[String, String] = hiveRel.split('/').dropRight(1)
         .map(uriDecodeSegment)
         .filter(_.contains('='))
         .map { seg =>
@@ -461,10 +505,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * into ~`targetFileBytes`-sized files (small-file compaction — the
     * cure for streaming-ingest file explosions). dataChange=false.
     */
-  def optimizeCompact(targetFileBytes: Long = 128L << 20,
+  def optimizeCompact(targetFileBytes: Long = 0L,
       where: Option[String] = None): Long = {
-    require(targetFileBytes > 0, "targetFileBytes must be positive")
     val snap = snapshot()
+    // 0 = resolve from delta.targetFileSize, else the 128 MB default
+    val targetBytes =
+      if (targetFileBytes > 0) targetFileBytes
+      else TableProperties.targetFileSize(snap.metadata)
+        .getOrElse(128L << 20)
+    require(targetBytes > 0, "targetFileBytes must be positive")
     // a clustered table's staging already range-partitions on the
     // cluster key — adding a hash repartition first would just be a
     // wasted extra shuffle
@@ -488,14 +537,14 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val candidates = new DeltaScan(snap, where).collectAddFiles()
     val totalBytes = candidates.map(_.size).sum
     val numFiles = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
     val partCols = snap.partitionColumns
     val layout: DataFrame => DataFrame =
       if (partCols.nonEmpty)
         df => df.repartition(numFiles, partCols.map(c => col(s"`$c`")): _*)
       else df => df.repartition(numFiles)
     optimizeRewrite(snap, layout,
-      Map("targetFileBytes" -> targetFileBytes.toString) ++
+      Map("targetFileBytes" -> targetBytes.toString) ++
         where.map("where" -> _),
       subset = where.map(_ => candidates))
   }
@@ -539,18 +588,23 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * by the small-file volume, not table size.
     */
   def autoCompact(minNumFiles: Int = 50,
-      targetFileBytes: Long = 128L << 20): Option[Long] = {
-    require(minNumFiles > 0 && targetFileBytes > 0,
-      "minNumFiles and targetFileBytes must be positive")
+      targetFileBytes: Long = 0L): Option[Long] = {
     val snap = snapshot()
+    // 0 = resolve from delta.targetFileSize, else the 128 MB default
+    val targetBytes =
+      if (targetFileBytes > 0) targetFileBytes
+      else TableProperties.targetFileSize(snap.metadata)
+        .getOrElse(128L << 20)
+    require(minNumFiles > 0 && targetBytes > 0,
+      "minNumFiles and targetFileBytes must be positive")
     if (RowTracking.enabled(snap.metadata)) return None
     val small = new DeltaScan(snap, None).collectAddFiles()
-      .filter(_.size < targetFileBytes / 2)
+      .filter(_.size < targetBytes / 2)
     val toCompact = small.groupBy(_.partitionValues).values
       .filter(_.size >= minNumFiles).toSeq.flatten
     if (toCompact.isEmpty) return None
     val numFiles = math.max(1L,
-      (toCompact.map(_.size).sum + targetFileBytes - 1) / targetFileBytes)
+      (toCompact.map(_.size).sum + targetBytes - 1) / targetBytes)
       .toInt
     // repartition(n, partCols) still lands each partition VALUE in one
     // task → one compacted file per value; plain repartition(n) would
@@ -562,7 +616,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       else df => df.repartition(numFiles)
     Some(optimizeRewrite(snap, layout,
       Map("auto" -> "true", "minNumFiles" -> minNumFiles.toString,
-        "targetFileBytes" -> targetFileBytes.toString),
+        "targetFileBytes" -> targetBytes.toString),
       subset = Some(toCompact)))
   }
 
@@ -583,7 +637,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         .map(_.toInt).getOrElse(50)
       val target = spark.conf
         .getOption("spark.graft.autoCompact.targetFileBytes")
-        .map(_.toLong).getOrElse(128L << 20)
+        .map(_.toLong).getOrElse(0L)
       autoCompact(minN, target)
     } catch { case e: Exception =>
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -842,7 +896,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       cv => commitInfoLine("WRITE", Map("mode" -> "Append"),
         ictAt(snap, cv - 1)) +: tail,
       retryable = !rowTracking && idMeta.isEmpty,
-      txnAppIds = txn.map(_.appId).toSeq)
+      txnAppIds = txn.map(_.appId).toSeq,
+      serializable = TableProperties.serializableIsolation(snap.metadata))
     maybeWriteChecksum(committed, adds.map(_.size), Nil, newMeta = idMeta)
     maybeAutoCheckpoint(committed, idMeta.getOrElse(snap.metadata))
     maybeAutoCompact(snap.metadata)
@@ -2034,6 +2089,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   def checkpoint(version: Option[Long] = None): Long = {
     val snap = snapshot(version)
     val v = snap.version
+    // delta.checkpointPolicy=v2: every checkpoint this table writes is
+    // V2-format (the policy is a table contract, not a per-call choice)
+    if (TableProperties.checkpointPolicy(snap.metadata) == "v2") {
+      require(version.forall(_ == snapshot().version),
+        "checkpointPolicy=v2 checkpoints only the latest version")
+      return checkpointV2()
+    }
     val state = checkpointState(snap)
     state.persist()
     val size = state.count() // known before writing; no re-read after
@@ -2136,18 +2198,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
   /** Parse delta's `interval N (hours|days|weeks|...)` duration form. */
   private def intervalMillis(s: String): Option[Long] =
-    raw"(?i)interval\s+(\d+)\s+(\w+)".r.findFirstMatchIn(s).flatMap { mm =>
-      val n = mm.group(1).toLong
-      mm.group(2).toLowerCase.stripSuffix("s") match {
-        case "millisecond" => Some(n)
-        case "second" => Some(n * 1000)
-        case "minute" => Some(n * 60000)
-        case "hour" => Some(n * 3600000)
-        case "day" => Some(n * 86400000)
-        case "week" => Some(n * 7 * 86400000)
-        case _ => None
-      }
-    }
+    TableProperties.parseInterval(s)
 
   /** `delta.deletedFileRetentionDuration` in millis (default 1 week). */
   private def tombstoneRetentionMillis(m: graft.delta.Metadata): Long =
@@ -2176,19 +2227,50 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         lit(null).cast(LogSchema.protocol).as("protocol"),
         lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"))
     import scala.jdk.CollectionConverters._
+    // delta.setTransactionRetentionDuration: expired txn idempotency
+    // markers drop out at reconciliation (reference
+    // SetTransaction::is_expired, actions/mod.rs:1055-1068 — a None
+    // lastUpdated or no configured retention never expires)
+    val txnCutoff = TableProperties
+      .setTransactionRetentionMillis(snap.metadata).map(now() - _)
+    val liveTxns = snap.setTransactions.filterNot(t =>
+      txnCutoff.exists(c => t.lastUpdated.exists(_ <= c)))
     val pmRows: Seq[org.apache.spark.sql.Row] = Seq(
       org.apache.spark.sql.Row(null, null, null, null,
         protocolRow(snap.protocol), null),
       org.apache.spark.sql.Row(null, null, null,
         metadataRow(snap.metadata), null, null)) ++
-      snap.setTransactions.map(t => org.apache.spark.sql.Row(
+      liveTxns.map(t => org.apache.spark.sql.Row(
         org.apache.spark.sql.Row(t.appId, t.version,
           t.lastUpdated.map(Long.box).orNull), null, null, null, null, null)) ++
       snap.domainMetadatas.map(d => org.apache.spark.sql.Row(
         null, null, null, null, null,
         org.apache.spark.sql.Row(d.domain, d.configuration, d.removed)))
     val pmDF = spark.createDataFrame(pmRows.asJava, LogSchema.checkpoint)
-    pmDF.unionByName(fileActions)
+    withCheckpointStatsShape(pmDF.unionByName(fileActions), snap)
+  }
+
+  /** Apply the table's checkpoint stats contract
+    * (delta.checkpoint.writeStatsAsJson / writeStatsAsStruct): extend
+    * `add` with the typed `stats_parsed` struct, and/or strip the JSON
+    * `stats` string. Disabling both would leave readers statless (no
+    * skipping, no numRecords) — refused.
+    */
+  private def withCheckpointStatsShape(state: DataFrame,
+      snap: Snapshot): DataFrame = {
+    val asJson = TableProperties.writeStatsAsJson(snap.metadata)
+    val asStruct = TableProperties.writeStatsAsStruct(snap.metadata)
+    require(asJson || asStruct,
+      s"${TableProperties.WRITE_STATS_AS_JSON}=false requires " +
+        s"${TableProperties.WRITE_STATS_AS_STRUCT}=true — a checkpoint " +
+        "with neither stats form strips skipping stats and numRecords")
+    if (asJson && !asStruct) return state // default shape
+    val withStruct =
+      if (!asStruct) state
+      else state.withColumn("add", col("add").withField("stats_parsed",
+        from_json(col("add.stats"), snap.statsParsedSchema)))
+    if (asJson) withStruct
+    else withStruct.withColumn("add", col("add").dropFields("stats"))
   }
 
   /** Multi-part V1 checkpoint: the state is split across `numParts`
@@ -2247,13 +2329,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val fileActions = snap.latestActions.select(col("add"), col("remove"))
     fileActions.persist()
     val nFiles = fileActions.count()
+    // stats contract (writeStatsAsJson/writeStatsAsStruct) applies to
+    // the file actions wherever they land — sidecars or inline
+    val shapedActions = withCheckpointStatsShape(fileActions, snap)
 
     val sidecars: Seq[Sidecar] =
       if (numSidecars <= 0) Nil
       else {
         val scDir = new Path(logDir, "_sidecars")
         val tmp = new Path(scDir, s".sc-tmp-$uuid")
-        fileActions.repartition(numSidecars).write
+        shapedActions.repartition(numSidecars).write
           .mode("overwrite").parquet(tmp.toString)
         val parts = Storage.listFilesRecursive(fs, tmp)
           .filter(_.getPath.getName.endsWith(".parquet"))
@@ -2302,15 +2387,19 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           sc.modificationTime, null), null))
     val headDF = spark.createDataFrame(headRows.asJava, LogSchema.v2Checkpoint)
     val topDF =
+      // allowMissingColumns: the head rows' all-null add column may
+      // lack the shaped stats_parsed field (or still carry stats when
+      // the shape dropped it) — nulls fill either direction
       if (sidecars.nonEmpty) headDF
-      else headDF.unionByName(fileActions.select(
+      else headDF.unionByName(shapedActions.select(
         lit(null).cast(LogSchema.txn).as("txn"),
         col("add"), col("remove"),
         lit(null).cast(LogSchema.metaData).as("metaData"),
         lit(null).cast(LogSchema.protocol).as("protocol"),
         lit(null).cast(LogSchema.domainMetadata).as("domainMetadata"),
         lit(null).cast(LogSchema.sidecar).as("sidecar"),
-        lit(null).cast(LogSchema.checkpointMetadata).as("checkpointMetadata")))
+        lit(null).cast(LogSchema.checkpointMetadata).as("checkpointMetadata")),
+        allowMissingColumns = true)
     val tmp = new Path(logDir, s".ckpt-tmp-$uuid")
     topDF.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     fileActions.unpersist()

@@ -71,7 +71,7 @@ class Snapshot(
   /** The table-typed `stats_parsed` struct struct-stats checkpoints
     * carry instead of stats JSON.
     */
-  private lazy val statsParsedSchema: StructType = StructType(
+  private[delta] lazy val statsParsedSchema: StructType = StructType(
     DataSkipping.statsSchema(ColumnMapping.physicalSchema(dataSchema))
       .fields :+
       org.apache.spark.sql.types.StructField("tightBounds",
