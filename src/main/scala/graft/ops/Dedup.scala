@@ -123,24 +123,125 @@ object Dedup {
     }
   }
 
+  /** Batch-incremental NEAR-duplicate admission against a persisted
+    * Delta state of banded MinHash signatures — the fuzzy sibling of
+    * [[incrementalNew]] and the production shape for continuous-ingest
+    * dedup: each batch (1) rejects docs whose signatures collide on any
+    * LSH band with an already-admitted doc AND agree on >= `threshold`
+    * of all signatures, (2) resolves within-batch near-dup groups to
+    * their minimum-id representative (banded pairs → connected
+    * components), and (3) registers the admitted docs' banded rows in
+    * the state table transactionally.
+    *
+    * Scale: the state holds `bands` rows per admitted doc, partitioned
+    * by band — the reject join is an equi-join on (band, bkey), so both
+    * sides hash-partition on the bucket key and the pair space never
+    * exceeds bucket collisions. No broadcast of state, no all-pairs.
+    *
+    * Restart safety: a batch that crashed BEFORE its state append
+    * re-derives the identical admitted set on retry (the state is
+    * unchanged). For at-least-once drivers that may re-run a batch
+    * AFTER its append committed (where the reject join would now see
+    * the batch's own rows and drop everything), pass `txn` — the
+    * append then carries a (appId, batchVersion) idempotency marker and
+    * per-row provenance, and a replayed batch returns exactly the rows
+    * it admitted the first time (the reference's `txn` action applied
+    * to pipeline state, actions/set_transaction.rs).
+    *
+    * `batchSigs`: one row per doc with `idCol` + `sigCols` (e.g. the
+    * mh0..mh7 MinHash columns). Returns the admitted rows.
+    */
+  def incrementalFuzzyNew(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, batchSigs: DataFrame, idCol: String,
+      sigCols: Seq[String], rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      txn: Option[(String, Long)] = None): DataFrame = {
+    import graft.delta.{DeltaTable, SetTransaction, Snapshot}
+    val exists = DeltaTable.isDeltaTable(spark, statePath)
+    val marker: Option[Long] = txn.flatMap { case (appId, _) =>
+      if (!exists) None
+      else Snapshot.forTable(spark, statePath).setTransactions
+        .find(_.appId == appId).map(_.version)
+    }
+    txn.foreach { case (appId, batchV) =>
+      if (marker.exists(_ >= batchV)) {
+        // replay: admitted = exactly the ids this batch registered
+        val mine = DeltaTable.forPath(spark, statePath).toDF
+          .filter(col("app_id") === appId && col("batch_v") === batchV)
+          .select(col("doc_id").as(idCol)).distinct()
+        return batchSigs.join(mine, Seq(idCol), "left_semi")
+      }
+    }
+    val survivors =
+      if (!exists) batchSigs
+      else {
+        val state = DeltaTable.forPath(spark, statePath).toDF
+        val bandsB = bandExplode(batchSigs, idCol, sigCols, rowsPerBand,
+          carry = sigCols)
+        val agree = sigCols.map(c =>
+          when(col(s"b.$c") === col(s"s.$c"), 1).otherwise(0))
+          .reduce(_ + _) / lit(sigCols.size.toDouble)
+        val rejected = bandsB.as("b")
+          .join(state.as("s"),
+            col("b.band") === col("s.band") &&
+              col("b.bkey") === col("s.bkey"))
+          .filter(agree >= threshold)
+          .select(col("b.doc_id").as(idCol)).distinct()
+        batchSigs.join(rejected, Seq(idCol), "left_anti")
+      }
+    // within-batch near-dup groups: keep each component's minimum id
+    val edges = minhashBandPairs(survivors, idCol, sigCols, rowsPerBand)
+      .filter(col("sig_sim") >= threshold)
+    val comp = connectedComponents(edges, "doc_a", "doc_b")
+    val admitted = survivors.join(broadcast(comp),
+        col(idCol) === col("id"), "left")
+      .filter(col("rep").isNull || col("rep") === col(idCol))
+      .drop("id", "rep")
+    val stateRows = bandExplode(admitted, idCol, sigCols, rowsPerBand,
+        carry = sigCols)
+      .select(col("band") +: col("bkey") +: col("doc_id") +:
+        sigCols.map(col) :+
+        lit(txn.map(_._1).orNull).as("app_id") :+
+        lit(txn.map(t => Long.box(t._2)).orNull).cast("long")
+          .as("batch_v"): _*)
+    if (!exists)
+      DeltaTable.create(spark, statePath, stateRows.schema, Seq("band"))
+    DeltaTable.forPath(spark, statePath).append(stateRows,
+      txn.map { case (appId, batchV) =>
+        SetTransaction(appId, batchV, Some(System.currentTimeMillis())) })
+    admitted
+  }
+
   /** Banded LSH over MinHash signature columns: `sigCols` are split into
     * bands of `rowsPerBand`; two docs are candidates iff some band
     * agrees on every signature in it. Output: (doc_a < doc_b, sig_sim)
     * where sig_sim = fraction of ALL signatures that agree (the standard
     * Jaccard estimator).
     */
-  def minhashBandPairs(sigs: DataFrame, idCol: String,
-      sigCols: Seq[String], rowsPerBand: Int = 2): DataFrame = {
+  /** One row per (doc, band): the band key is the `_`-joined signature
+    * values of that band — two docs share a band key iff the band's
+    * signatures all agree (the LSH bucketing contract). Extra columns
+    * in `carry` ride along (e.g. the full signature vector, so bucket
+    * joins can verify similarity without a second join).
+    */
+  private def bandExplode(sigs: DataFrame, idCol: String,
+      sigCols: Seq[String], rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(sigCols.size % rowsPerBand == 0, "bands must divide signatures")
     val bands = sigCols.grouped(rowsPerBand).toSeq
     val bandArray = array(bands.zipWithIndex.map { case (cs, i) =>
       struct(lit(i).as("band"),
         concat_ws("_", cs.map(c => col(c).cast("string")): _*).as("bkey"))
     }: _*)
-    val exploded = sigs
-      .select(col(idCol).as("doc_id"), explode(bandArray).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"),
-        col("bd.bkey").as("bkey"))
+    sigs.select(col(idCol).as("doc_id") +: explode(bandArray).as("bd") +:
+        carry.map(col): _*)
+      .select(col("doc_id") +: col("bd.band").as("band") +:
+        col("bd.bkey").as("bkey") +: carry.map(col): _*)
+  }
+
+  def minhashBandPairs(sigs: DataFrame, idCol: String,
+      sigCols: Seq[String], rowsPerBand: Int = 2): DataFrame = {
+    val exploded = bandExplode(sigs, idCol, sigCols, rowsPerBand)
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -113,6 +113,31 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Batch-incremental FUZZY dedup against persisted banded-LSH state
+    // (ops/Dedup.incrementalFuzzyNew): batch 2's docs are rejected when
+    // any LSH band collides with an already-admitted doc and >=50% of
+    // all MinHash signatures agree; within-batch near-dup groups keep
+    // their minimum id. The state is a Delta table partitioned by band
+    // holding one (band, bkey, sigs) row per admitted doc per band —
+    // the continuous-ingest shape of q_dedup_e2e: every join is a
+    // bucket equi-join, state is never broadcast, batches are
+    // transactional and restart-safe.
+    "q_dedup_fuzzy_incremental" -> ((s, d) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("fuzzy-state").toString
+      val withH = shingles(s, d).withColumn("h", expr(s"${h60("sh")} % $P"))
+      val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min(expr(s"(h * ${a}L + ${b}L) % ${P}L")).as(s"mh$j")
+      }
+      val sigs = withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val sigCols = (0 until 8).map(i => s"mh$i")
+      Dedup.incrementalFuzzyNew(s, state,
+        sigs.filter(col("doc_id") % 3 =!= 0), "doc_id", sigCols)
+      Dedup.incrementalFuzzyNew(s, state,
+        sigs.filter(col("doc_id") % 3 === 0), "doc_id", sigCols)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Composed quality-filter pipeline (C4/Gopher-style): length,
     // alphabetic ratio, stopword presence, mean token length, then
     // exact dedup keeping the lowest id. All narrow per-row scoring +
@@ -898,6 +923,12 @@ object PipelineQueries {
     case ((a, b), j) => s"min((h * $a + $b) % $P) AS mh$j"
   }.mkString(", ")
 
+  /** Signature-agreement count between two sig-table aliases (the
+    * numerator of the Jaccard estimator both engines share).
+    */
+  private def simSumDuck(a: String, b: String): String =
+    (0 until 8).map(j => s"($a.mh$j = $b.mh$j)::INT").mkString(" + ")
+
   /** One Lloyd iteration of the spherical k-means mirror: assign every
     * vector to its max-cosine centroid (ties to the lowest cid — the
     * Spark side's strict `>` scan in ascending cid order), recompute
@@ -940,6 +971,76 @@ object PipelineQueries {
         |  WHERE doc_id % 3 = 0 GROUP BY 1)
         |SELECT doc_id FROM b2 WHERE h NOT IN (SELECT h FROM b1)
         |ORDER BY doc_id""".stripMargin,
+
+    // Twin of the Spark two-batch run: batch 1 = doc_id % 3 <> 0
+    // resolves its own near-dup groups to min-id reps; batch 2 is
+    // rejected against those admitted docs (band collision + >=50%
+    // signature agreement), then resolves its own groups.
+    "q_dedup_fuzzy_incremental" ->
+      s"""$shinglesDuck,
+         |hh AS (SELECT doc_id, ${h60Duck("sh")} % $P AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashAggsDuck FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig),
+         |cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 <> 0),
+         |p1 AS (SELECT c.doc_a AS va, c.doc_b AS vb
+         |  FROM cand1 c JOIN sig sa ON c.doc_a = sa.doc_id
+         |               JOIN sig sb ON c.doc_b = sb.doc_id
+         |  WHERE (${simSumDuck("sa", "sb")}) / 8.0 >= 0.5),
+         |eg1 AS (SELECT va AS a, vb AS b FROM p1 UNION SELECT vb, va FROM p1),
+         |nd1 AS (SELECT DISTINCT a AS id FROM eg1),
+         |cc1 AS (
+         |  SELECT n.id, min(r.b) AS rep FROM nd1 n
+         |  JOIN (
+         |    WITH RECURSIVE reach1(a, b) AS (
+         |      SELECT id AS a, id AS b FROM nd1
+         |      UNION
+         |      SELECT r.a, e.b FROM reach1 r JOIN eg1 e ON r.b = e.a)
+         |    SELECT a, b FROM reach1) r ON r.a = n.id
+         |  GROUP BY n.id),
+         |adm1 AS (
+         |  SELECT s.doc_id FROM sig s LEFT JOIN cc1 ON s.doc_id = cc1.id
+         |  WHERE s.doc_id % 3 <> 0
+         |    AND (cc1.rep IS NULL OR cc1.rep = s.doc_id)),
+         |rej2 AS (SELECT DISTINCT bb.doc_id
+         |  FROM bands bb
+         |  JOIN bands bs ON bb.band = bs.band AND bb.bkey = bs.bkey
+         |  JOIN adm1 ON bs.doc_id = adm1.doc_id
+         |  JOIN sig sa ON bb.doc_id = sa.doc_id
+         |  JOIN sig sb ON bs.doc_id = sb.doc_id
+         |  WHERE bb.doc_id % 3 = 0
+         |    AND (${simSumDuck("sa", "sb")}) / 8.0 >= 0.5),
+         |r2 AS (SELECT * FROM sig WHERE doc_id % 3 = 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM rej2)),
+         |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  JOIN r2 ra ON a.doc_id = ra.doc_id
+         |  JOIN r2 rb ON b.doc_id = rb.doc_id),
+         |p2 AS (SELECT c.doc_a AS va, c.doc_b AS vb
+         |  FROM cand2 c JOIN sig sa ON c.doc_a = sa.doc_id
+         |               JOIN sig sb ON c.doc_b = sb.doc_id
+         |  WHERE (${simSumDuck("sa", "sb")}) / 8.0 >= 0.5),
+         |eg2 AS (SELECT va AS a, vb AS b FROM p2 UNION SELECT vb, va FROM p2),
+         |nd2 AS (SELECT DISTINCT a AS id FROM eg2),
+         |cc2 AS (
+         |  SELECT n.id, min(r.b) AS rep FROM nd2 n
+         |  JOIN (
+         |    WITH RECURSIVE reach2(a, b) AS (
+         |      SELECT id AS a, id AS b FROM nd2
+         |      UNION
+         |      SELECT r.a, e.b FROM reach2 r JOIN eg2 e ON r.b = e.a)
+         |    SELECT a, b FROM reach2) r ON r.a = n.id
+         |  GROUP BY n.id)
+         |SELECT r2.doc_id FROM r2 LEFT JOIN cc2 ON r2.doc_id = cc2.id
+         |WHERE cc2.rep IS NULL OR cc2.rep = r2.doc_id
+         |ORDER BY r2.doc_id""".stripMargin,
 
     "q_pipeline_filter" ->
       """WITH scored AS (

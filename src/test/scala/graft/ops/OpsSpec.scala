@@ -141,6 +141,48 @@ class OpsSpec extends AnyFunSuite {
       a.toSeq == b.toSeq })
   }
 
+  test("incrementalFuzzyNew: state rejects near-dups across batches, " +
+      "txn marker makes replay exact") {
+    val state = TestSpark.tmpDir("fuzzystate")
+    // 4-sig toy space: docs 1/2 identical sigs, 3 half-agrees with 1,
+    // 4 disjoint; batch2: 5 collides with admitted 1, 6 fresh
+    def sigRows(rows: (Long, Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
+    val b1 = sigRows(
+      (1L, 10L, 11L, 12L, 13L),
+      (2L, 10L, 11L, 12L, 13L),   // dup of 1 -> within-batch reject
+      (3L, 10L, 11L, 99L, 98L),   // band0 collides, sim=0.5 -> grouped
+      (4L, 50L, 51L, 52L, 53L))
+    val a1 = Dedup.incrementalFuzzyNew(spark, state, b1, "doc_id",
+      Seq("mh0", "mh1", "mh2", "mh3"), rowsPerBand = 2, threshold = 0.5,
+      txn = Some(("fuzzy-app", 1L)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1.toSeq == Seq(1L, 4L)) // 2 and 3 fold into 1's component
+    val b2 = sigRows(
+      (5L, 10L, 11L, 12L, 13L),   // identical to admitted 1 -> rejected
+      (6L, 70L, 71L, 72L, 73L))
+    val a2 = Dedup.incrementalFuzzyNew(spark, state, b2, "doc_id",
+      Seq("mh0", "mh1", "mh2", "mh3"), rowsPerBand = 2, threshold = 0.5,
+      txn = Some(("fuzzy-app", 2L)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a2.toSeq == Seq(6L))
+    // replay of batch 2 AFTER its append: without the marker the
+    // reject join would see 6's own state rows and drop it — with the
+    // marker the replay returns exactly the first run's admissions
+    val replay = Dedup.incrementalFuzzyNew(spark, state, b2, "doc_id",
+      Seq("mh0", "mh1", "mh2", "mh3"), rowsPerBand = 2, threshold = 0.5,
+      txn = Some(("fuzzy-app", 2L)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(replay.toSeq == Seq(6L))
+    // state is partitioned by band and holds one row per admitted doc
+    // per band
+    val st = graft.delta.DeltaTable.forPath(spark, state)
+    assert(st.snapshot().partitionColumns == Seq("band"))
+    val perDoc = st.toDF.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(1L -> 2L, 4L -> 2L, 6L -> 2L))
+  }
+
   test("minhash band pairs: candidates share a band; high-sig_sim pairs kept") {
     val sigs = Seq(
       (1L, 10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L),
