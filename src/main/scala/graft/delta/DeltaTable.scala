@@ -2050,6 +2050,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val meta = snap.metadata.copy(
       configuration = snap.metadata.configuration ++ props ++
         enablementProps ++ rtProps)
+    // `delta.feature.<name>=supported` declares a feature on ALTER just
+    // as it does on CREATE (delta-spark's convention)
+    val explicitFeatures = props.collect {
+      case (k, v) if k.startsWith("delta.feature.") &&
+          v.equalsIgnoreCase("supported") =>
+        k.stripPrefix("delta.feature.")
+    }.toSeq.filterNot(TableFeatures.supportsWriterFeature(snap.protocol, _))
     val featureAdds =
       (if (enablingIct && !snap.protocol.writerFeatures
           .exists(_.contains("inCommitTimestamp")))
@@ -2060,21 +2067,29 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       (if (props.keys.exists(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
           && !TableFeatures.supportsWriterFeature(
             snap.protocol, "checkConstraints"))
-        Seq("checkConstraints") else Nil)
-    val protoLine =
+        Seq("checkConstraints") else Nil) ++
+      explicitFeatures
+    val readerAdds =
+      explicitFeatures.filter(TableFeatures.readerWriterFeatures.contains)
+    val newProto =
       if (featureAdds.nonEmpty)
-        Seq(JsonLog.writeAction(SingleAction(protocol = Some(
-          TableFeatures.upgraded(snap.protocol, Nil, featureAdds)))))
-      else Nil
+        Some(TableFeatures.upgraded(snap.protocol, readerAdds,
+          featureAdds ++ readerAdds))
+      else None
+    // an ALTER whose resulting configuration enables a feature with
+    // unmet dependencies must fail HERE — committing it would brick
+    // every subsequent read at the snapshot gate
+    FeatureRequirements.validateEnabled(newProto.getOrElse(snap.protocol),
+      meta)
+    val protoLine = newProto.map(p =>
+      JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val lines = Seq(
       commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES"),
         ict)) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(v, lines, retryable = false)
     maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta),
-      newProto = if (featureAdds.nonEmpty)
-        Some(TableFeatures.upgraded(snap.protocol, Nil, featureAdds))
-      else None)
+      newProto = newProto)
     maybeAutoCheckpoint(committed, meta)
     committed
   }

@@ -177,6 +177,38 @@ object DeltaQueries {
       ordered(DeltaTable.forPath(s, dir).toDF)
     }),
 
+    // table-properties composition: zstd codec + randomized file
+    // prefixes + delta.targetFileSize-driven OPTIMIZE + V2 checkpoint
+    // policy + struct-form checkpoint stats, then a post-checkpoint
+    // DELETE and a fresh-handle read. Every property changes the bytes
+    // on disk (codec, layout, checkpoint format/shape) while the
+    // logical table must stay oracle-exact.
+    "q_delta_props" -> ((s, d) => {
+      val dir = tmp("props")
+      val src = li(s, d).filter(col("l_quantity") < 12)
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"), Map(
+        graft.delta.TableProperties.PARQUET_COMPRESSION -> "zstd",
+        graft.delta.TableProperties.RANDOMIZE_FILE_PREFIXES -> "true",
+        graft.delta.TableProperties.RANDOM_PREFIX_LENGTH -> "4",
+        graft.delta.TableProperties.TARGET_FILE_SIZE -> "512mb",
+        graft.delta.TableProperties.CHECKPOINT_POLICY -> "v2",
+        graft.delta.TableProperties.WRITE_STATS_AS_STRUCT -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 6))
+      t.append(src.filter(col("l_quantity") >= 6))
+      t.optimizeCompact()        // bin size from delta.targetFileSize
+      t.checkpoint()             // routed to V2 by checkpointPolicy
+      t.deleteWhere("l_linestatus = 'O' AND l_quantity < 3")
+      val fresh = DeltaTable.forPath(s, dir)
+      val adds = new graft.delta.DeltaScan(fresh.snapshot(), None)
+        .collectAddFiles()
+      require(adds.forall(_.path.matches("^[0-9a-f]{4}/[^/]+$")),
+        "randomized prefixes missing on data files")
+      require(adds.forall(_.path.contains(".zstd.parquet")),
+        "pinned parquet codec missing on data files")
+      ordered(fresh.toDF)
+    }),
+
     // partitioned table + partition pruning + stats skipping on read
     "q_delta_partition_prune" -> ((s, d) => {
       val src = li(s, d).filter(col("l_quantity") < 20)
@@ -1077,6 +1109,12 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 10
          |  AND NOT (l_returnflag = 'A' AND l_quantity < 5)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_props" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 12
+         |  AND NOT (l_linestatus = 'O' AND l_quantity < 3)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_stream_window" ->

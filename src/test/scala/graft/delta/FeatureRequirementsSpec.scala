@@ -182,6 +182,27 @@ class FeatureRequirementsSpec extends AnyFunSuite {
       "00000000000000000000.json").exists)
   }
 
+  test("SET TBLPROPERTIES enabling an unmet feature fails pre-commit") {
+    val spark = TestSpark.spark
+    val dir = TestSpark.tmpDir("alterreq")
+    val schema = new StructType().add("k", LongType)
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    val pre = t.snapshot().version
+    val e = intercept[IllegalArgumentException] {
+      t.setProperties(Map(
+        "delta.feature.icebergCompatV2" -> "supported",
+        "delta.enableIcebergCompatV2" -> "true"))
+    }
+    // the explicit-feature convention only applies at CREATE; enabling
+    // the property alone must still fail the dependency check, and
+    // nothing may have committed — the table stays readable
+    assert(e.getMessage.contains("columnMapping") ||
+      e.getMessage.contains("icebergCompat"))
+    assert(t.snapshot().version == pre)
+    assert(t.toDF.count() == 0)
+  }
+
   // ---- adaptiveMetadata manifest-commit action model -----------------
 
   private def sampleAction: AdaptiveMetadata.CheckpointAction =
