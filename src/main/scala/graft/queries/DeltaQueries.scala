@@ -653,6 +653,27 @@ object DeltaQueries {
           col("_commit_version"), col("_change_type"))
     }),
 
+    // the SAME change feed through the SQL surface: the table_changes
+    // table-valued function (GraftSparkExtensions.injectTableFunction)
+    // — delta-spark's TVF shape, usable as a plain relation in any
+    // spark.sql query
+    "q_delta_cdf_sql" -> ((s, d) => {
+      val dir = tmp("cdfsql")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 4))
+      t.append(src.filter(col("l_quantity") >= 4))
+      t.deleteWhere("l_quantity < 2")
+      s.sql(
+        s"""SELECT ${liCols.mkString(", ")}, _change_type, _commit_version
+           |FROM table_changes('$dir', 1, 3)
+           |ORDER BY l_orderkey, l_linenumber, _commit_version,
+           |  _change_type""".stripMargin)
+    }),
+
     // CDF net changes over [2,3]: pre-range inserts deleted in range net
     // to deletes; in-range inserts survive; untouched keys are absent
     "q_delta_cdf_net" -> ((s, d) => {
@@ -1250,6 +1271,18 @@ object DeltaQueries {
         |FROM lineitem WHERE l_linenumber <= 6""".stripMargin,
 
     "q_delta_cdf" ->
+      s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)
+         |SELECT * FROM (
+         |  SELECT *, 'insert' AS _change_type,
+         |         CAST(1 AS BIGINT) AS _commit_version
+         |  FROM src WHERE l_quantity < 4
+         |  UNION ALL
+         |  SELECT *, 'insert', CAST(2 AS BIGINT) FROM src WHERE l_quantity >= 4
+         |  UNION ALL
+         |  SELECT *, 'delete', CAST(3 AS BIGINT) FROM src WHERE l_quantity < 2)
+         |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
+
+    "q_delta_cdf_sql" ->
       s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)
          |SELECT * FROM (
          |  SELECT *, 'insert' AS _change_type,

@@ -22,6 +22,17 @@ import graft.delta.{DeltaTable, MergeClause}
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new GraftDmlRewrite(s))
+    // `SELECT ... FROM table_changes(<path-or-name>, start[, end])` —
+    // delta-spark's CDF table-valued function (its
+    // CDCReader/DeltaTableValueFunctions surface). Registered as a
+    // real table function (resolution rules fire too late: the
+    // analyzer's ResolveFunctions throws for unknown TVF names).
+    ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.delta.TableChanges", "table_changes"),
+      (args: Seq[Expression]) =>
+        GraftTableValuedFunctions.tableChanges(args)))
     // spatial predicate surface over WKB geo columns (GeoExprs) —
     // available to spark.sql and to the engine's predicate-SQL strings
     graft.ops.GeoExprs.sqlFunctions.foreach { case (name, arity, builder) =>
@@ -35,6 +46,69 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           builder(args)
         }))
     }
+  }
+}
+
+/** `table_changes(<path-or-name>, startVersion[, endVersion])` — the
+  * engine's batch CDF read (TableChanges.read) as a SQL table-valued
+  * function: the SQL twin of the DataFrame change feed, with the same
+  * `_change_type` / `_commit_version` / `_commit_timestamp` columns
+  * and range validation. The first argument is a filesystem path
+  * (contains '/') or a catalog identifier like `gd.ns.tbl` resolved
+  * to its table location.
+  */
+object GraftTableValuedFunctions {
+
+  private def stringArg(e: Expression, what: String): String = {
+    require(e.foldable, s"table_changes $what must be a literal")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"table_changes $what must not be NULL")
+      case s => s.toString
+    }
+  }
+
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"table_changes $what must be a literal")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"table_changes $what must be an integer, got $other")
+    }
+  }
+
+  private def resolveLocation(spark: SparkSession,
+      nameOrPath: String): String =
+    if (nameOrPath.contains("/")) nameOrPath
+    else {
+      val parts = spark.sessionState.sqlParser
+        .parseMultipartIdentifier(nameOrPath)
+      require(parts.length >= 2,
+        s"table_changes: qualify '$nameOrPath' with its catalog " +
+          "(e.g. gd.tbl) or pass a path")
+      val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.dropRight(1).toArray, parts.last)
+      cat.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(ident) match {
+        case g: GraftSqlTable => g.location
+        case other => throw new IllegalArgumentException(
+          s"table_changes: '$nameOrPath' is not a graft-delta table " +
+            s"(${other.getClass.getSimpleName})")
+      }
+    }
+
+  /** TVF builder: runs at analysis time on the active session. */
+  def tableChanges(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "table_changes(pathOrName, startVersion[, endVersion]) " +
+        s"takes 2-3 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val location = resolveLocation(spark, stringArg(args.head, "table"))
+    val start = longArg(args(1), "startVersion")
+    val end = args.lift(2).map(longArg(_, "endVersion"))
+    graft.delta.TableChanges.read(spark, location, start, end)
+      .queryExecution.analyzed
   }
 }
 

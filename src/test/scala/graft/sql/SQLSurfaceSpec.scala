@@ -50,6 +50,39 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(t.snapshot().metadata.partitionColumns == Seq("p"))
   }
 
+  test("table_changes TVF reads the change feed through spark.sql") {
+    spark.sql("""CREATE TABLE gd.default.cdft (k BIGINT, s STRING)
+      USING `graft-delta`
+      TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+    spark.sql("INSERT INTO gd.default.cdft VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gd.default.cdft VALUES (3, 'c')")
+    spark.sql("DELETE FROM gd.default.cdft WHERE k = 1")
+    // by catalog name
+    val byName = spark.sql(
+      """SELECT k, _change_type, _commit_version
+        |FROM table_changes('gd.default.cdft', 1, 3)
+        |ORDER BY _commit_version, k""".stripMargin).collect()
+    assert(byName.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((1L, "insert", 1L), (2L, "insert", 1L),
+        (3L, "insert", 2L), (1L, "delete", 3L)))
+    // by path, open-ended range, usable as a plain relation (joins etc.)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.cdft")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .select("data_type").as[String].head()
+    val path = loc.stripPrefix("file:")
+    val n = spark.sql(
+      s"""SELECT count(*) AS n FROM table_changes('$path', 2)
+         |WHERE _change_type = 'insert'""".stripMargin)
+      .as[Long].head()
+    assert(n == 1)
+    // bad arity / non-literal args fail with the documented message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('gd.default.cdft')").collect()
+    }
+    assert(e.getMessage.contains("table_changes") ||
+      e.getMessage.toLowerCase.contains("unresolv"))
+  }
+
   test("INSERT OVERWRITE replaces; filter pushdown prunes files") {
     spark.sql("""CREATE TABLE gd.default.ow (k BIGINT, p STRING)
       USING `graft-delta` PARTITIONED BY (p)""")
