@@ -51,13 +51,22 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       }
     })
 
-  private lazy val (partConjuncts, dataConjuncts) = {
+  private lazy val (explicitPartConjuncts, dataConjuncts) = {
     val cs = predicate.map(DataSkipping.conjuncts).getOrElse(Nil)
     cs.partition { c =>
       val refs = DataSkipping.references(c)
       refs.nonEmpty && refs.subsetOf(partCols.toSet)
     }
   }
+
+  /** Explicit partition conjuncts plus those DERIVED from base-column
+    * predicates through generated partition columns
+    * (GeneratedPruning — `day GENERATED ALWAYS AS (CAST(ts AS DATE))`
+    * queried on `ts` still prunes partitions).
+    */
+  private lazy val partConjuncts: Seq[Expression] =
+    explicitPartConjuncts ++ GeneratedPruning.derive(
+      spark, schema, partCols, dataConjuncts)
 
   private def fieldType(name: String): DataType =
     schema.fields.find(_.name == name).map(_.dataType)
