@@ -219,6 +219,39 @@ object DeltaQueries {
       ordered(t.scan(Some("l_returnflag = 'R' AND l_quantity < 10")).toDF)
     }),
 
+    // partition pruning THROUGH a generated partition column
+    // (GeneratedPruning): the table partitions on a day column
+    // GENERATED from ts; the query predicate touches only ts. Stats
+    // are restricted to event_id so the observable pruning (asserted
+    // file-side) comes from the generated-column derivation, and the
+    // row answer hash-matches the oracle.
+    "q_delta_generated_prune" -> ((s, d) => {
+      val dir = tmp("genp")
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.generationExpression", "CAST(ts AS DATE)")
+        .build()
+      val schema = org.apache.spark.sql.types.StructType(
+        ev.schema.fields.toIndexedSeq :+
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.DateType, nullable = true, meta))
+      DeltaTable.create(s, dir, schema, Seq("day"),
+        Map("delta.dataSkippingStatsColumns" -> "event_id"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(ev)
+      val pred = "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-05 00:00:00'"
+      val scan = t.scan(Some(pred))
+      val kept = scan.collectAddFiles()
+        .map(_.partitionValues("day")).distinct.sorted
+      require(kept.nonEmpty && kept.head >= "2024-01-03" &&
+          kept.last <= "2024-01-05",
+        s"generated-column derivation did not prune: $kept")
+      scan.toDF.select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // time travel: read version 1 of a 2-append table
     "q_delta_time_travel" -> ((s, d) => {
       val dir = tmp("tt")
@@ -1137,6 +1170,12 @@ object DeltaQueries {
          |WHERE l_quantity < 12
          |  AND NOT (l_linestatus = 'O' AND l_quantity < 3)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_generated_prune" ->
+      """SELECT event_id, user_id, "value" FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
 
     "q_delta_stream_window" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000)
