@@ -27,6 +27,21 @@ class DmlFuzzSpec extends AnyFunSuite {
   test("randomized DML via SQL + API with auto-checkpoint interleaved " +
       "(seed 41)") { run(41, 20, sqlRoute = true) }
 
+  // the full DML/maintenance mix under the table-property surface that
+  // changes the BYTES on disk — randomized file prefixes, pinned zstd
+  // codec, tiny targetFileSize, struct-form checkpoint stats, V2
+  // checkpoint policy. The model equivalence must be property-blind.
+  test("randomized DML under randomized-prefix/zstd/struct-stats/" +
+      "v2-policy properties (seed 61)") {
+    run(61, 18, extraProps = Map(
+      TableProperties.RANDOMIZE_FILE_PREFIXES -> "true",
+      TableProperties.RANDOM_PREFIX_LENGTH -> "3",
+      TableProperties.PARQUET_COMPRESSION -> "zstd",
+      TableProperties.TARGET_FILE_SIZE -> "1mb",
+      TableProperties.WRITE_STATS_AS_STRUCT -> "true",
+      TableProperties.CHECKPOINT_POLICY -> "v2"))
+  }
+
   // ==========================================================================
   // Auto-checkpoint × expired-log cleanup × vacuum × time travel.
   //
@@ -179,12 +194,13 @@ class DmlFuzzSpec extends AnyFunSuite {
   }
 
   private def run(seed: Int, steps: Int,
-      sqlRoute: Boolean = false): Unit = {
+      sqlRoute: Boolean = false,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = TestSpark.tmpDir("fuzz")
     val schema = Seq((0L, 0.0)).toDF("k", "v").schema
     DeltaTable.create(spark, dir, schema, configuration =
-      Map(TableChanges.CDF_ENABLED_KEY -> "true") ++
+      Map(TableChanges.CDF_ENABLED_KEY -> "true") ++ extraProps ++
         (if (sqlRoute) Map("delta.checkpointInterval" -> "4") else Map.empty))
     val t = DeltaTable.forPath(spark, dir)
     val sqlName = s"gd_fuzz.default.`$dir`"
