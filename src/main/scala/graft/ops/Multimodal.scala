@@ -156,4 +156,98 @@ object Multimodal {
         decodePng(id, synthesizePng(id, w, h))
       })
   }
+
+  // ---- WAV / PCM audio (javax.sound.sampled — pure JDK) --------------
+
+  case class WavFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      rms: Long,
+      peak: Long,
+      zero_crossings: Long)
+
+  /** Deterministic 16-bit mono PCM test tone: sample i holds a square
+    * wave of period `2 * halfPeriod` samples at amplitude
+    * `1000 + seed % 9000`. Encoded with the JDK's REAL WAV writer
+    * (AudioSystem → RIFF/fmt/data chunks) — the payload is a genuine
+    * .wav byte stream.
+    */
+  def synthesizeWav(seed: Long, nSamples: Int,
+      sampleRate: Int = 16000): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, "bad audio geometry")
+    val amp = (1000 + seed % 9000).toInt
+    val halfPeriod = 10 + (seed % 20).toInt
+    // last quarter is silence, so rms < peak (a decoder faking either
+    // from the header alone cannot match both)
+    val active = (3 * nSamples) / 4
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v =
+        if (i >= active) 0
+        else if ((i / halfPeriod) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian int16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: AudioSystem parses the RIFF container + PCM frames
+    * back; features derive from the decoded samples. `rms` is the
+    * floor of the root-mean-square amplitude (exact integer for
+    * engine-portable comparison), `zero_crossings` counts sign flips.
+    */
+  def decodeWav(docId: Long, payload: Array[Byte]): WavFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"doc $docId: expected 16-bit mono PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var i = 0
+    var sumSq = 0.0
+    var peak = 0L
+    var crossings = 0L
+    var prev = 0
+    while (i < n) {
+      val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      sumSq += v.toDouble * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && ((v < 0) != (prev < 0))) crossings += 1
+      prev = v
+      i += 1
+    }
+    WavFeatures(docId,
+      fmt.getSampleRate.toLong,
+      n.toLong,
+      n.toLong * 1000L / fmt.getSampleRate.toLong,
+      math.sqrt(sumSq / n).toLong,
+      peak,
+      crossings)
+  }
+
+  /** Partition-parallel WAV encode→decode: `(doc_id, n_samples)` rows
+    * in, decoded audio features out. Same narrow dataflow as
+    * [[pngRoundTrip]] — payloads never leave the task.
+    */
+  def wavRoundTrip(df: DataFrame): Dataset[WavFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("n_samples").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        decodeWav(id, synthesizeWav(id, n))
+      })
+  }
 }

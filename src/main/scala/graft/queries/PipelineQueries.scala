@@ -553,6 +553,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Real WAV/PCM audio codec round trip (javax.sound.sampled — pure
+    // JDK): per doc, synthesize a 16 kHz 16-bit mono square-wave WAV
+    // (amplitude/period/silent-tail derived from doc_id), decode it
+    // through the JDK's RIFF parser on executors, and report features
+    // computed FROM THE DECODED SAMPLES. The oracle derives the same
+    // features analytically — a decoder fabricating output from the
+    // header alone cannot match rms, peak, and zero_crossings at once.
+    // Narrow end to end; payloads never leave the task.
+    "q_wav_decode" -> ((s, d) => {
+      Multimodal.wavRoundTrip(
+          docs(s, d).select(col("doc_id"),
+            (col("doc_id") % 3000 + 500).as("n_samples")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Byte-level metadata over an opaque payload: size + deterministic
     // content hash + fake frame count (column-level sibling of
     // q_multimodal_decode's typed path).
@@ -1447,6 +1463,31 @@ object PipelineQueries {
         |  substr(md5(text), 1, 8) AS content_hash,
         |  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // analytic twin of the decoded square wave: active = 3n/4 samples
+    // at amplitude 1000 + id%9000 with half-period 10 + id%20, then
+    // silence. rms = floor(amp * sqrt(active/n)) (each sample^2 is an
+    // exact double int, so both engines' IEEE sqrt agree bit-for-bit);
+    // crossings = in-wave sign flips + the final flip into silence iff
+    // the last active sample was negative.
+    "q_wav_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3000 + 500 AS BIGINT) AS n,
+        |    CAST(1000 + doc_id % 9000 AS BIGINT) AS amp,
+        |    CAST(10 + doc_id % 20 AS BIGINT) AS h
+        |  FROM documents),
+        |q AS (SELECT *, (3 * n) // 4 AS active FROM p)
+        |SELECT doc_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  n AS n_samples,
+        |  n * 1000 // 16000 AS duration_ms,
+        |  CAST(floor(sqrt(active * amp * amp / n)) AS BIGINT) AS rms,
+        |  amp AS peak,
+        |  (active - 1) // h +
+        |    CASE WHEN ((active - 1) // h) % 2 = 1 THEN 1 ELSE 0 END
+        |    AS zero_crossings
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // DuckDB string literals keep backslashes literally (no escape
     // processing), so the regexes are singly-escaped here; 'g' makes

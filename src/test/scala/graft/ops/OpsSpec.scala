@@ -251,6 +251,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L).pixel_sum == (0 until 9).map(p => (p + 2) % 256).sum)
   }
 
+  test("WAV codec is real: genuine RIFF/WAVE stream out, faithful PCM back") {
+    val payload = Multimodal.synthesizeWav(seed = 42L, nSamples = 1000)
+    // RIFF container magics, written by the JDK's real WAV writer
+    assert(new String(payload.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.decodeWav(7L, payload)
+    assert(f.sample_rate == 16000L && f.n_samples == 1000L)
+    assert(f.duration_ms == 62L) // 1000 * 1000 / 16000
+    val amp = 1000 + 42 % 9000
+    assert(f.peak == amp)
+    // silent tail: rms strictly below peak, exactly floor(amp*sqrt(750/1000))
+    assert(f.rms == math.sqrt(750.0 * amp * amp / 1000.0).toLong)
+    assert(f.rms < f.peak)
+    // a corrupted payload fails fast instead of returning junk
+    intercept[Exception] {
+      Multimodal.decodeWav(8L, payload.take(16))
+    }
+  }
+
   test("connectedComponents: driver and distributed paths agree") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),     // chain -> rep 1
