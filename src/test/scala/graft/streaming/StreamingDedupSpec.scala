@@ -80,4 +80,55 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(stateRows.count() == 3)
     assert(stateRows.select($"h").distinct().count() == 3)
   }
+
+  test("foreachBatch incremental FUZZY dedup: banded state + txn replay") {
+    val state = TestSpark.tmpDir("sfuzzy-state")
+    val ckpt = TestSpark.tmpDir("sfuzzy-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Long, Long)]
+    val admitted = ArrayBuffer.empty[Long]
+    var lastBatch = -1L
+    val sigCols = Seq("mh0", "mh1", "mh2", "mh3")
+
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val out = Dedup.incrementalFuzzyNew(spark, state, df, "doc_id",
+            sigCols, rowsPerBand = 2, threshold = 0.5,
+            txn = Some(("sfuzzy-test", id)))
+          admitted.synchronized {
+            admitted ++= out.select($"doc_id").as[Long].collect()
+            lastBatch = math.max(lastBatch, id)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: 1 and 2 identical (group folds to 1), 3 disjoint
+    mem.addData((1L, 10L, 11L, 12L, 13L), (2L, 10L, 11L, 12L, 13L),
+      (4L, 50L, 51L, 52L, 53L))
+    drain()
+    // batch 2: 5 near-dups admitted 1 (band collision, sim 1.0) ->
+    // rejected; 6 fresh
+    mem.addData((5L, 10L, 11L, 12L, 13L), (6L, 70L, 71L, 72L, 73L))
+    drain()
+    assert(admitted.sorted == Seq(1L, 4L, 6L), s"admitted=$admitted")
+
+    // replay the last batch after its state append: the txn marker
+    // returns exactly the original admissions (a naive re-run would
+    // self-reject 6 against its own state rows)
+    val replay = Dedup.incrementalFuzzyNew(spark, state,
+        Seq((5L, 10L, 11L, 12L, 13L), (6L, 70L, 71L, 72L, 73L))
+          .toDF("doc_id", "mh0", "mh1", "mh2", "mh3"),
+        "doc_id", sigCols, rowsPerBand = 2, threshold = 0.5,
+        txn = Some(("sfuzzy-test", lastBatch)))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replay == Set(6L), s"replayed admissions: $replay")
+  }
 }
