@@ -501,6 +501,56 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       Map("zorderBy" -> cols.mkString(",")))
   }
 
+  /** `ALTER TABLE ... CLUSTER BY (cols)` / `CLUSTER BY NONE` (empty
+    * seq): replace the table's clustering columns in a metadata-only
+    * commit — the delta liquid-clustering re-key. Existing data keeps
+    * its layout; subsequent appends and the next [[optimizeClustered]]
+    * use the NEW columns. First-time clustering upgrades the protocol
+    * with the clustering + domainMetadata features (reference
+    * clustering.rs domain; requirement table_features/mod.rs:487).
+    */
+  def alterClusterBy(cols: Seq[String]): Long = {
+    val snap = snapshot()
+    writerGate(snap, mutating = false)
+    require(cols.intersect(snap.partitionColumns).isEmpty,
+      "a column cannot be both a partition and a clustering column")
+    cols.foreach { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column '$c'"))
+      require(DataSkipping.isEligible(f.dataType),
+        s"clustering column '$c' has no min/max stats " +
+          s"(${f.dataType.simpleString}) — clustering would never " +
+          "help skipping")
+    }
+    val hadClustering = Clustering.columns(snap).nonEmpty
+    if (cols.isEmpty && !hadClustering) return snap.version // no-op
+    val needsFeature = cols.nonEmpty &&
+      !TableFeatures.supportsWriterFeature(snap.protocol,
+        Clustering.FEATURE)
+    val proto =
+      if (needsFeature)
+        Some(TableFeatures.upgraded(snap.protocol, Nil,
+          Seq(Clustering.FEATURE, "domainMetadata")))
+      else None
+    val domain =
+      if (cols.isEmpty)
+        Clustering.domainFor(Nil).copy(removed = true)
+      else Clustering.domainFor(cols.map(c => Seq(
+        ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))))
+    val lines = Seq(
+      commitInfoLine("ALTER TABLE",
+        Map("operation" -> "CLUSTER BY",
+          "clusterBy" -> cols.mkString(",")), ictFor(snap))) ++
+      proto.map(p =>
+        JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq ++
+      Seq(JsonLog.writeAction(SingleAction(domainMetadata = Some(domain))))
+    val committed = commitActions(snap.version + 1, lines,
+      retryable = false)
+    maybeWriteChecksum(committed, Nil, Nil, newProto = proto)
+    maybeAutoCheckpoint(committed, snap.metadata)
+    committed
+  }
+
   /** Bin-packing OPTIMIZE for any table: rewrite the live file set
     * into ~`targetFileBytes`-sized files (small-file compaction — the
     * cure for streaming-ingest file explosions). dataChange=false.

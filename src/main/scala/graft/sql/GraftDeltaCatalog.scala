@@ -218,6 +218,14 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
         t.renameColumn(r.fieldNames.toSeq, r.newName)
       case d: TableChange.DeleteColumn =>
         t.dropColumn(d.fieldNames.toSeq)
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE
+        t.alterClusterBy(cb.clusteringColumns.toSeq.map { ref =>
+          val parts = ref.fieldNames.toSeq
+          require(parts.size == 1,
+            s"nested clustering column not supported: ${parts.mkString(".")}")
+          parts.head
+        })
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $c")
     }

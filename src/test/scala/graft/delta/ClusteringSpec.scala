@@ -177,6 +177,71 @@ class ClusteringSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
   }
 
+  test("ALTER CLUSTER BY re-keys; NONE removes; first-time upgrades") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = TestSpark.tmpDir("altercluster")
+    val src = (1 to 400).map(i => (i.toLong, (401 - i).toLong, s"s$i"))
+      .toDF("a", "b", "s")
+    // created UNclustered: first ALTER must add clustering+domainMetadata
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    assert(Clustering.columns(t.snapshot()).isEmpty)
+    t.alterClusterBy(Seq("a"))
+    val snap1 = t.snapshot()
+    assert(Clustering.columns(snap1) == Seq("a"))
+    assert(snap1.protocol.writerFeatures.exists(_.contains("clustering")))
+    t.optimizeClustered()
+    // disjoint ranges on a
+    val adds1 = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    val ranges1 = adds1.map(statsRange(_, "a")).sortBy(_._1)
+    ranges1.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ => ()
+    }
+    // re-key to b: next OPTIMIZE lays out on b
+    t.alterClusterBy(Seq("b"))
+    assert(Clustering.columns(t.snapshot()) == Seq("b"))
+    t.optimizeClustered()
+    val adds2 = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    val ranges2 = adds2.map(statsRange(_, "b")).sortBy(_._1)
+    ranges2.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ => ()
+    }
+    // CLUSTER BY NONE: domain removed; bin-pack OPTIMIZE takes over
+    t.alterClusterBy(Nil)
+    assert(Clustering.columns(t.snapshot()).isEmpty)
+    t.optimizeCompact()
+    assert(t.toDF.count() == 400)
+    // validation still applies
+    intercept[IllegalArgumentException] {
+      t.alterClusterBy(Seq("nope"))
+    }
+  }
+
+  test("SQL ALTER TABLE CLUSTER BY reaches the engine") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.conf.set("spark.sql.catalog.gd_cl",
+      classOf[graft.sql.GraftDeltaCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gd_cl.warehouse",
+      TestSpark.tmpDir("gd-cl-wh"))
+    spark.sql("""CREATE TABLE gd_cl.default.clt (k BIGINT, v BIGINT)
+      USING `graft-delta`""")
+    spark.sql("INSERT INTO gd_cl.default.clt VALUES (1, 9), (2, 8)")
+    spark.sql("ALTER TABLE gd_cl.default.clt CLUSTER BY (v)")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd_cl.default.clt")
+      .filter(col("col_name") === "Location")
+      .select("data_type").as[String].head().stripPrefix("file:")
+    val t = DeltaTable.forPath(spark, loc)
+    assert(Clustering.columns(t.snapshot()) == Seq("v"))
+    spark.sql("ALTER TABLE gd_cl.default.clt CLUSTER BY NONE")
+    assert(Clustering.columns(
+      DeltaTable.forPath(spark, loc).snapshot()).isEmpty)
+  }
+
   test("clustering column validation") {
     val schema = Seq((1L, "a")).toDF("k", "s").schema
     intercept[IllegalArgumentException] {
