@@ -1145,6 +1145,35 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * update_postimage `_change_data` rows, so the feed reads row-level
     * updates rather than delete-all + insert-all.
     */
+  /** The post-assignment row frame shared by the UPDATE paths: clause
+    * assignments applied (cast to the column type), generated columns
+    * recomputed from the post-assignment row (explicit assignments
+    * win), row-tracking columns materialized with a nulled commit
+    * version so updated rows keep their id but take the new add's
+    * default version.
+    */
+  private def applyUpdateAssignments(matched: DataFrame, snap: Snapshot,
+      set: Map[String, String], rtCols: Seq[String]): DataFrame = {
+    val rtUpdated: Seq[Column] = rtCols match {
+      case Seq(idCol, vCol) => Seq(ColumnMapping.qcol(idCol),
+        lit(null).cast("long").as(vCol))
+      case _ => Nil
+    }
+    val rtKeep: Seq[Column] = rtCols.map(ColumnMapping.qcol)
+    val assigned = matched.select(snap.schema.fields.map { f =>
+      set.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
+        .getOrElse(ColumnMapping.qcol(f.name))
+    }.toIndexedSeq ++ rtUpdated: _*)
+    val regen = WriteValidation.generated(snap) -- set.keys
+    if (regen.isEmpty) assigned
+    else assigned.select(snap.schema.fields.map { f =>
+      regen.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
+        .getOrElse(ColumnMapping.qcol(f.name))
+    }.toIndexedSeq ++ rtKeep: _*)
+  }
+
   def updateWhere(predicateSql: String, set: Map[String, String]): Long = {
     val snap = snapshot()
     writerGate(snap, mutating = true)
@@ -1164,28 +1193,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val cdf = TableChanges.cdfEnabled(snap.metadata)
     full.persist()
     val matched = full.filter(coalesce(expr(predicateSql), lit(false)))
-    val rtUpdated: Seq[Column] = rtCols match {
-      case Seq(idCol, vCol) => Seq(ColumnMapping.qcol(idCol),
-        lit(null).cast("long").as(vCol))
-      case _ => Nil
-    }
-    val rtKeep: Seq[Column] = rtCols.map(ColumnMapping.qcol)
-    val assigned = matched.select(snap.schema.fields.map { f =>
-      set.get(f.name)
-        .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
-        .getOrElse(ColumnMapping.qcol(f.name))
-    }.toIndexedSeq ++ rtUpdated: _*)
-    // generated columns recompute from the post-assignment row (the
-    // stored value is stale once a base column changes and would trip
-    // the staging guard); explicit assignments to them still win
-    val regen = WriteValidation.generated(snap) -- set.keys
-    val applied =
-      if (regen.isEmpty) assigned
-      else assigned.select(snap.schema.fields.map { f =>
-        regen.get(f.name)
-          .map(e => expr(e).cast(f.dataType).as(f.name, f.metadata))
-          .getOrElse(ColumnMapping.qcol(f.name))
-      }.toIndexedSeq ++ rtKeep: _*)
+    val applied = applyUpdateAssignments(matched, snap, set, rtCols)
     val survivors = full.filter(
       not(coalesce(expr(predicateSql), lit(false))))
     val newAdds =
@@ -1344,6 +1352,140 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         Some(TableFeatures.upgraded(snap.protocol,
           Seq("deletionVectors"), Seq("deletionVectors")))
       else None)
+    maybeAutoCheckpoint(committed, snap.metadata)
+    committed
+  }
+
+  /** UPDATE WHERE via deletion vectors (delta-spark's DV-based UPDATE;
+    * reference transaction/update.rs — DV attach + new adds in one
+    * commit): matching rows are DV-marked in their files and ONLY the
+    * updated copies are written as new files. Write amplification =
+    * the updated rows, not the whole candidate files — the difference
+    * between rewriting kilobytes and rewriting terabytes when an
+    * UPDATE touches 0.1% of a 100 TB table. Untouched rows never move,
+    * so their row ids and file-level stats stay put; the DV-swapped
+    * add keeps its baseRowId and gets tightBounds:false stats.
+    * Upgrades the protocol to deletionVectors on first use.
+    */
+  def updateWhereDV(predicateSql: String,
+      set: Map[String, String]): Long = {
+    val snap = snapshot()
+    writerGate(snap, mutating = true)
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"no such column '$c'"))
+    require(set.keys.toSet.intersect(snap.partitionColumns.toSet).isEmpty,
+      "updating a partition column is not supported")
+    val scan = new DeltaScan(snap, Some(predicateSql))
+    val candidates = scan.collectAddFiles()
+    if (candidates.isEmpty) return snap.version
+
+    // per-file deletion bitmaps for the matching rows — executor-built,
+    // compressed bytes to the driver (same pass as deleteWhereDV)
+    val withMeta = scan.assemble(candidates, keepMeta = true)
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long, Long)] =
+      withMeta.select(col("__path"), col("__ridx"),
+          coalesce(expr(predicateSql), lit(false)).as("__m"))
+        .as[(String, Long, Boolean)]
+        .groupByKey(_._1)
+        .mapGroups { (path: String, it: Iterator[(String, Long, Boolean)]) =>
+          val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+          var live = 0L
+          var matched = 0L
+          it.foreach { case (_, ridx, m) =>
+            live += 1
+            if (m) { matched += 1; rb.addLong(ridx) }
+          }
+          (path, DeletionVectors.bitmapBytes(rb), matched, live)
+        }.collect()
+    val matchedFiles = perFile.filter(_._3 > 0)
+    if (matchedFiles.isEmpty) return snap.version
+    val conf = hconf
+    val byPath = candidates.map { a =>
+      fs.makeQualified(
+        Storage.childPath(root, Storage.decodeUriPath(a.path)))
+        .toUri.getPath -> a
+    }.toMap
+    val matchedAdds = matchedFiles.map(f => byPath(f._1)).toSeq
+
+    // the UPDATED row copies (only these are written)
+    val (full, rtCols) = readFilesForRewrite(snap, matchedAdds)
+    val cdf = TableChanges.cdfEnabled(snap.metadata)
+    full.persist()
+    val matched = full.filter(coalesce(expr(predicateSql), lit(false)))
+    val applied = applyUpdateAssignments(matched, snap, set, rtCols)
+    val newAdds = stageFiles(applied, snap, rtCols)
+    val cdcActions =
+      if (!cdf) Nil
+      else stageCdcFiles(matched, snap, "update_preimage") ++
+        stageCdcFiles(applied, snap, "update_postimage")
+    full.unpersist()
+
+    // DV swap per matched file: fully-matched files drop entirely
+    val (gone, partialFiles) = matchedFiles.toSeq.partition {
+      case (_, _, matched, live) => matched == live
+    }
+    val merged: Seq[(String, Array[Byte], Long)] = partialFiles.map {
+      case (p, bytes, matchedN, _) =>
+        byPath(p).deletionVector match {
+          case Some(old) =>
+            val oldBytes = DeletionVectors.readBitmapBytes(old, root, conf)
+            (p, DeletionVectors.orBitmaps(oldBytes, bytes),
+              old.cardinality + matchedN)
+          case None => (p, bytes, matchedN)
+        }
+    }
+    val (inlineSized, fileSized) = merged.partition {
+      case (_, bytes, _) =>
+        bytes.length + 4 <= DeletionVectors.INLINE_MAX_BYTES
+    }
+    val descs =
+      inlineSized.map { case (p, bytes, card) =>
+        p -> DeletionVectors.inlineDescriptor(bytes, card)
+      }.toMap ++
+      (if (fileSized.isEmpty) Map.empty[String, DeletionVectorDescriptor]
+       else DeletionVectors.writeBitmaps(fileSized, root, conf))
+    val removes = (gone.map(_._1) ++ partialFiles.map(_._1)).map { p =>
+      val a = byPath(p)
+      RemoveFile(a.path, Some(now()), dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
+    }
+    val swapped = partialFiles.map { case (p, _, _, _) =>
+      val a = byPath(p)
+      a.copy(deletionVector = Some(descs(p)), dataChange = true,
+        stats = a.stats.map(StatsJson.markNonTight))
+    }
+
+    val needsUpgrade = snap.protocol.minReaderVersion < 3 ||
+      !snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))
+    val proto =
+      if (needsUpgrade) Some(TableFeatures.upgraded(snap.protocol,
+        Seq("deletionVectors"), Seq("deletionVectors")))
+      else None
+    val (newAddsRt, rtLines) =
+      assignRowIds(snap, newAdds, snap.version + 1)
+    val tail =
+      proto.map(p =>
+        JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq ++
+      rtLines ++
+      removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
+      (swapped ++ newAddsRt).map(a =>
+        JsonLog.writeAction(SingleAction(add = Some(a)))) ++
+      cdcActions.map(c => JsonLog.writeAction(SingleAction(cdc = Some(c))))
+    // a commit carrying its own protocol upgrade can never rebase
+    val committed = commitActions(snap.version + 1,
+      cv => commitInfoLine("UPDATE", Map("predicate" -> predicateSql),
+        ictAt(snap, cv - 1)) +: tail,
+      retryable = false, Nil,
+      if (needsUpgrade) None
+      else Some(DeltaTable.ReadSet(snap, Some(predicateSql),
+        matchedAdds.map(a => Storage.canonicalPathKey(a.path)).toSet)))
+    maybeWriteChecksum(committed,
+      swapped.map(_.size) ++ newAdds.map(_.size),
+      matchedAdds.map(_.size), newProto = proto)
     maybeAutoCheckpoint(committed, snap.metadata)
     committed
   }
@@ -2092,6 +2234,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val enablingRt = props.get(RowTracking.ENABLED_KEY)
         .exists(_.equalsIgnoreCase("true")) &&
       !RowTracking.enabled(snap.metadata)
+    val enablingDv = props.get("delta.enableDeletionVectors")
+        .exists(_.equalsIgnoreCase("true")) &&
+      !FeatureRequirements.isSupported(snap.protocol, "deletionVectors")
     val rtProps =
       if (enablingRt && !snap.metadata.configuration.contains(
           RowTracking.MAT_ROW_ID_KEY))
@@ -2118,8 +2263,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           && !TableFeatures.supportsWriterFeature(
             snap.protocol, "checkConstraints"))
         Seq("checkConstraints") else Nil) ++
+      (if (enablingDv) Seq("deletionVectors") else Nil) ++
       explicitFeatures
     val readerAdds =
+      (if (enablingDv) Seq("deletionVectors") else Nil) ++
       explicitFeatures.filter(TableFeatures.readerWriterFeatures.contains)
     val newProto =
       if (featureAdds.nonEmpty)
@@ -2955,6 +3102,10 @@ object DeltaTable {
         if (hasIdentity) 6 else 2).max)
     val wantsIct = finalConfig.get(ICT_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
+    // delta.enableDeletionVectors=true declares the feature at CREATE
+    // (delta-spark's coupling); reader-writer, so both lists
+    val wantsDv = finalConfig.get("delta.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
     val wantsIcebergV3 = finalConfig.get(IcebergCompat.V3_KEY)
       .exists(_.equalsIgnoreCase("true"))
     // `delta.feature.<name>=supported` convention: declare a feature in
@@ -2968,6 +3119,7 @@ object DeltaTable {
     val featureAdds =
       (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
       (if (wantsIct) Seq("inCommitTimestamp") else Nil) ++
+      (if (wantsDv) Seq("deletionVectors") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
       (if (wantsIcebergV3) Seq(IcebergCompat.V3_FEATURE) else Nil) ++
       explicitFeatures ++
@@ -2975,6 +3127,7 @@ object DeltaTable {
         Seq(Clustering.FEATURE, "domainMetadata") else Nil)
     val readerFeatureAdds =
       (if (wantsVariant) Seq("variantType") else Nil) ++
+      (if (wantsDv) Seq("deletionVectors") else Nil) ++
       (if (wantsGeo) Seq(GeoTypes.FEATURE) else Nil) ++
       (if (wantsShredding) Seq("variantShredding") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
@@ -2983,7 +3136,8 @@ object DeltaTable {
       // would let legacy readers miss the checkpoint format)
       explicitFeatures.filter(TableFeatures.readerWriterFeatures.contains)
     val protocol =
-      if (featureAdds.nonEmpty || wantsVariant || wantsGeo || wantsIct)
+      if (featureAdds.nonEmpty || wantsVariant || wantsGeo || wantsIct ||
+          wantsDv)
         TableFeatures.upgraded(legacy, readerFeatureAdds,
           featureAdds ++ readerFeatureAdds)
       else legacy

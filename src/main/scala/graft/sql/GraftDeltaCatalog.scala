@@ -369,7 +369,13 @@ class GraftSqlTable(spark: SparkSession, val location: String,
           throw new UnsupportedOperationException(
             s"cannot translate DELETE predicate $f exactly")))
         .map(s => s"($s)").mkString(" AND ")
-    DeltaTable.forPath(spark, location).deleteWhere(sql)
+    val t = DeltaTable.forPath(spark, location)
+    // delta.enableDeletionVectors routes SQL DELETE through the DV
+    // swap instead of a file rewrite (delta-spark's dispatch)
+    if (graft.delta.FeatureRequirements.isEnabled(
+        t.snapshot().protocol, t.snapshot().metadata, "deletionVectors"))
+      t.deleteWhereDV(sql)
+    else t.deleteWhere(sql)
   }
 
   private lazy val snap: Snapshot =

@@ -208,7 +208,14 @@ class GraftDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 case class GraftUpdateCommand(location: String, conditionSql: String,
     set: Map[String, String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    DeltaTable.forPath(spark, location).updateWhere(conditionSql, set)
+    val t = DeltaTable.forPath(spark, location)
+    // delta.enableDeletionVectors routes SQL UPDATE through the DV
+    // path — matched rows DV-mark, only updated copies write
+    // (delta-spark's dispatch)
+    if (graft.delta.FeatureRequirements.isEnabled(
+        t.snapshot().protocol, t.snapshot().metadata, "deletionVectors"))
+      t.updateWhereDV(conditionSql, set)
+    else t.updateWhere(conditionSql, set)
     Nil
   }
 }

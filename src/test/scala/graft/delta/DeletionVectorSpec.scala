@@ -168,6 +168,66 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == expected)
   }
 
+  test("DV-based UPDATE: untouched bytes stay put, updated copies " +
+      "append, CDF images exact, row ids survive") {
+    val dir = TestSpark.tmpDir("upddv")
+    val src = (1 to 300).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    DeltaTable.create(spark, dir, src.schema, configuration = Map(
+      TableChanges.CDF_ENABLED_KEY -> "true",
+      RowTracking.ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(3))
+    val before = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    val idsBefore = t.scan(None).toDFWithRowIds
+      .filter(col("k") <= 10).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    t.updateWhereDV("k <= 10", Map("v" -> "v + 1000.0"))
+    val after = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    // every original file still live (DV-swapped), plus new update files
+    assert(before.map(_.path).toSet.subsetOf(after.map(_.path).toSet))
+    assert(after.count(_.deletionVector.isDefined) > 0)
+    assert(after.size > before.size)
+    // swapped adds carry non-tight stats (dead rows behind the DV)
+    after.filter(_.deletionVector.isDefined).foreach(a =>
+      assert(a.stats.exists(_.contains("\"tightBounds\":false"))))
+    // table content exact
+    val rows = t.toDF.select("k", "v").as[(Long, Double)].collect().toMap
+    assert(rows.size == 300)
+    (1 to 10).foreach(i => assert(rows(i.toLong) == i + 1000.0))
+    (11 to 300).foreach(i => assert(rows(i.toLong) == i.toDouble))
+    // CDF pre/post images for exactly the touched rows
+    val cdf = TableChanges.read(spark, dir, 2, Some(2))
+      .select(col("k"), col("v"), col("_change_type"))
+      .as[(Long, Double, String)].collect()
+    assert(cdf.count(_._3 == "update_preimage") == 10)
+    assert(cdf.count(_._3 == "update_postimage") == 10)
+    assert(cdf.filter(_._3 == "update_postimage").forall(r => r._2 == r._1 + 1000.0))
+    // row ids survive the update (updated rows keep their id)
+    val idsAfter = t.scan(None).toDFWithRowIds
+      .filter(col("k") <= 10).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(idsAfter == idsBefore, s"row ids moved: $idsBefore -> $idsAfter")
+  }
+
+  test("DV-based UPDATE: fully-matched file drops; repeat merges DVs") {
+    val dir = TestSpark.tmpDir("upddv2")
+    val src = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(1))                 // one file
+    t.updateWhereDV("k > 0", Map("v" -> "v * 2.0")) // matches ALL rows
+    val adds = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    // the fully-matched file dropped; only the updated copies remain
+    assert(adds.forall(_.deletionVector.isEmpty))
+    assert(t.toDF.count() == 100)
+    // second DV update on the new files merges into fresh DVs
+    t.updateWhereDV("k <= 5", Map("v" -> "v + 0.5"))
+    t.updateWhereDV("k <= 3", Map("v" -> "v + 0.25"))
+    val rows = t.toDF.select("k", "v").as[(Long, Double)].collect().toMap
+    assert(rows(1L) == 2.75 && rows(4L) == 8.5 && rows(10L) == 20.0)
+    assert(t.toDF.count() == 100)
+  }
+
   test("REORG PURGE: only DV-carrying files rewritten, DVs gone, " +
       "rows identical, no CDF rows for the reorg commit") {
     val dir = TestSpark.tmpDir("reorg")

@@ -50,6 +50,35 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(t.snapshot().metadata.partitionColumns == Seq("p"))
   }
 
+  test("delta.enableDeletionVectors routes SQL UPDATE/DELETE through DVs") {
+    spark.sql("""CREATE TABLE gd.default.dvdml (k BIGINT, v DOUBLE)
+      USING `graft-delta`
+      TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""")
+    // two wide files so neither DML fully matches a file (a fully
+    // matched file legitimately drops instead of DV-marking)
+    spark.sql("INSERT INTO gd.default.dvdml SELECT id, id * 1.0 " +
+      "FROM range(0, 200, 1, 2)")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.dvdml")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .select("data_type").as[String].head().stripPrefix("file:")
+    val t = graft.delta.DeltaTable.forPath(spark, loc)
+    val before = new graft.delta.DeltaScan(t.snapshot(), None)
+      .collectAddFiles().map(_.path).toSet
+    spark.sql("UPDATE gd.default.dvdml SET v = v + 100.0 WHERE k < 10")
+    spark.sql("DELETE FROM gd.default.dvdml WHERE k >= 190")
+    val after = new graft.delta.DeltaScan(t.snapshot(), None)
+      .collectAddFiles()
+    // original files never rewritten: both DML ops DV-marked in place
+    assert(before.subsetOf(after.map(_.path).toSet))
+    assert(after.count(_.deletionVector.isDefined) > 0)
+    val rows = spark.sql(
+      "SELECT k, v FROM gd.default.dvdml ORDER BY k")
+      .as[(Long, Double)].collect()
+    assert(rows.length == 190)
+    assert(rows.take(10).forall { case (k, v) => v == k + 100.0 })
+    assert(rows.drop(10).forall { case (k, v) => v == k.toDouble })
+  }
+
   test("table_changes TVF reads the change feed through spark.sql") {
     spark.sql("""CREATE TABLE gd.default.cdft (k BIGINT, s STRING)
       USING `graft-delta`
