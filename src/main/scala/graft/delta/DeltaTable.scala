@@ -1876,8 +1876,17 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       (if (GeoTypes.containsGeo(finalSchema) &&
           !snap.protocol.readerFeatures.exists(_.contains(GeoTypes.FEATURE)))
         Seq(GeoTypes.FEATURE) else Nil)
-    val newProto = if (featureAdds.isEmpty) None
-      else Some(TableFeatures.upgraded(snap.protocol, featureAdds, featureAdds))
+    // a default arriving via ALTER declares the writer-only
+    // allowColumnDefaults feature at the same commit
+    val writerOnlyAdds =
+      if (finalSchema.json.contains(WriteValidation.DEFAULT_KEY) &&
+          !TableFeatures.supportsWriterFeature(
+            snap.protocol, "allowColumnDefaults"))
+        Seq("allowColumnDefaults")
+      else Nil
+    val newProto = if (featureAdds.isEmpty && writerOnlyAdds.isEmpty) None
+      else Some(TableFeatures.upgraded(snap.protocol, featureAdds,
+        featureAdds ++ writerOnlyAdds))
     val protoLine = newProto.map(p =>
       JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val lines = Seq(
@@ -1968,6 +1977,58 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       if (p.tail.isEmpty)
         StructType(s.fields.updated(i, f.copy(nullable = true)))
       else {
+        def descend(dt: DataType): DataType = dt match {
+          case inner: StructType => patch(inner, p.tail)
+          case a: ArrayType => a.copy(elementType = descend(a.elementType))
+          case m: MapType => m.copy(valueType = descend(m.valueType))
+          case other => throw new IllegalArgumentException(
+            s"cannot alter '${path.mkString(".")}': '${p.head}' is " +
+              s"${other.simpleString}, not a struct")
+        }
+        StructType(s.fields.updated(i,
+          f.copy(dataType = descend(f.dataType))))
+      }
+    }
+    alterSchema(patch(snap.schema, path))
+  }
+
+  /** ALTER COLUMN SET DEFAULT sql / DROP DEFAULT (None). The default
+    * is stored in the field's `CURRENT_DEFAULT` metadata (delta +
+    * Spark's shared contract); writes that omit the column fill it at
+    * stage time (WriteValidation.prepare). Setting one declares the
+    * writer-only allowColumnDefaults feature.
+    */
+  def setColumnDefault(path: Seq[String], default: Option[String]): Long = {
+    require(path.nonEmpty, "empty column path")
+    val snap = snapshot()
+    default.foreach { d =>
+      // the expression must be constant-foldable NOW — a default that
+      // fails to evaluate would brick every later write
+      try spark.sql(s"SELECT $d").collect()
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"invalid DEFAULT expression '$d': ${e.getMessage}")
+      }
+    }
+    def patch(s: StructType, p: Seq[String]): StructType = {
+      val i = s.fieldNames.indexOf(p.head)
+      require(i >= 0, s"no column '${p.head}'")
+      val f = s.fields(i)
+      if (p.tail.isEmpty) {
+        require(!f.metadata.contains(WriteValidation.GENERATION_KEY),
+          s"'${p.head}' is a generated column — it cannot also carry " +
+            "a default")
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        default match {
+          case Some(d) =>
+            mb.putString(WriteValidation.DEFAULT_KEY, d)
+            mb.putString("EXISTS_DEFAULT", d)
+          case None =>
+            mb.remove(WriteValidation.DEFAULT_KEY)
+            mb.remove("EXISTS_DEFAULT")
+        }
+        StructType(s.fields.updated(i, f.copy(metadata = mb.build())))
+      } else {
         def descend(dt: DataType): DataType = dt match {
           case inner: StructType => patch(inner, p.tail)
           case a: ArrayType => a.copy(elementType = descend(a.elementType))
@@ -2289,6 +2350,75 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       newProto = newProto)
     maybeAutoCheckpoint(committed, meta)
     committed
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES: metadata-only commit removing
+    * configuration keys (delta-spark parity: unknown keys are a no-op
+    * with ifExists, the protocol never downgrades). The resulting
+    * configuration must still satisfy feature dependencies — e.g.
+    * unsetting a property a declared feature requires fails here, not
+    * at the next read.
+    */
+  def unsetProperties(keys: Seq[String]): Long = {
+    val snap = snapshot()
+    val present = keys.filter(snap.metadata.configuration.contains)
+    if (present.isEmpty) return snap.version
+    val meta = snap.metadata.copy(
+      configuration = snap.metadata.configuration -- present)
+    FeatureRequirements.validateEnabled(snap.protocol, meta)
+    val lines = Seq(
+      commitInfoLine("ALTER TABLE",
+        Map("operation" -> "UNSET TBLPROPERTIES",
+          "properties" -> present.mkString(",")), ictFor(snap)),
+      JsonLog.writeAction(SingleAction(metaData = Some(meta))))
+    val committed = commitActions(snap.version + 1, lines,
+      retryable = false)
+    maybeWriteChecksum(committed, Nil, Nil, newMeta = Some(meta))
+    maybeAutoCheckpoint(committed, meta)
+    committed
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (sql) — delta-spark
+    * semantics: the name lowercases into `delta.constraints.<name>`,
+    * EXISTING rows must already satisfy the predicate (a distributed
+    * violations probe that stops at the first offending row — at
+    * 100 TB this is one short-circuited scan, never a collect), and
+    * the commit auto-enables the checkConstraints writer feature.
+    */
+  def addCheckConstraint(name: String, predicateSql: String): Long = {
+    val snap = snapshot()
+    val key = WriteValidation.CONSTRAINT_PREFIX + name.toLowerCase
+    require(!snap.metadata.configuration.contains(key),
+      s"constraint '${name.toLowerCase}' already exists")
+    // parse/resolve the predicate against the schema before scanning
+    val probe = toDF.filter(
+      not(coalesce(expr(predicateSql), lit(false))))
+    val violation = probe.select(snap.schema.fieldNames.map(col)
+      .toIndexedSeq: _*).limit(1).collect()
+    if (violation.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($predicateSql): " +
+          s"existing row violates it: ${violation.head}")
+    setProperties(Map(key -> predicateSql))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT name: removes the stored predicate;
+    * the checkConstraints feature stays declared (protocol never
+    * downgrades on drop, delta-spark parity).
+    */
+  def dropCheckConstraint(name: String, ifExists: Boolean = false): Long = {
+    val snap = snapshot()
+    val key = WriteValidation.CONSTRAINT_PREFIX + name.toLowerCase
+    if (!snap.metadata.configuration.contains(key)) {
+      if (ifExists) return snap.version
+      throw new IllegalArgumentException(
+        s"no such constraint '${name.toLowerCase}' — existing: " +
+          snap.metadata.configuration.keys
+            .filter(_.startsWith(WriteValidation.CONSTRAINT_PREFIX))
+            .map(_.stripPrefix(WriteValidation.CONSTRAINT_PREFIX))
+            .mkString(", "))
+    }
+    unsetProperties(Seq(key))
   }
 
   // ---------------- checkpoint ----------------
@@ -3116,10 +3246,16 @@ object DeltaTable {
           v.equalsIgnoreCase("supported") =>
         k.stripPrefix("delta.feature.")
     }.toSeq
+    // a column with a stored CURRENT_DEFAULT requires the writer-only
+    // allowColumnDefaults feature (protocol: writers must apply it to
+    // missing-column inserts)
+    val hasDefaults =
+      finalSchema.json.contains(WriteValidation.DEFAULT_KEY)
     val featureAdds =
       (if (wantsRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
       (if (wantsIct) Seq("inCommitTimestamp") else Nil) ++
       (if (wantsDv) Seq("deletionVectors") else Nil) ++
+      (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
       (if (wantsIcebergV3) Seq(IcebergCompat.V3_FEATURE) else Nil) ++
       explicitFeatures ++

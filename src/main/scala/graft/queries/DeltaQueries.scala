@@ -905,6 +905,41 @@ object DeltaQueries {
         s"SELECT l_orderkey, n_lines, q_total FROM $tbl ORDER BY l_orderkey")
     }),
 
+    // SQL constraint surface: ADD CONSTRAINT validates existing rows
+    // and gates every subsequent write; DROP CONSTRAINT lifts the gate.
+    // The final state = base rollup + one post-drop insert that the
+    // constraint would have rejected — so the row only hash-matches if
+    // enforcement actually flipped at each step.
+    "q_delta_constraint" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gd_con", "graft.sql.GraftDeltaCatalog")
+      s.conf.set("spark.sql.catalog.gd_con.warehouse",
+        "/root/repo/target/tmp/gd-warehouse")
+      val tbl = s"gd_con.default.con_${UUID.randomUUID().toString.take(8)}"
+      val view = s"li_con_${UUID.randomUUID().toString.take(8)}"
+      li(s, d).createOrReplaceTempView(view)
+      s.sql(s"""CREATE TABLE $tbl USING `graft-delta`
+        TBLPROPERTIES ('custom.stage' = 'raw') AS
+        SELECT l_orderkey, count(*) AS n_lines,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        FROM $view WHERE l_quantity < 10 GROUP BY l_orderkey""")
+      // existing rows all have q_total >= 1: this must be rejected
+      val bad = try {
+        s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT hi CHECK (q_total > 50)")
+        false
+      } catch { case _: Exception => true }
+      require(bad, "ADD CONSTRAINT over violating rows must fail")
+      s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pos CHECK (q_total > 0)")
+      val rejected = try {
+        s.sql(s"INSERT INTO $tbl VALUES (-1, 0, 0)"); false
+      } catch { case _: Exception => true }
+      require(rejected, "constraint must gate INSERT")
+      s.sql(s"ALTER TABLE $tbl DROP CONSTRAINT pos")
+      s.sql(s"INSERT INTO $tbl VALUES (-1, 0, 0)") // now legal
+      s.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('custom.stage')")
+      s.sql(
+        s"SELECT l_orderkey, n_lines, q_total FROM $tbl ORDER BY l_orderkey")
+    }),
+
     // MERGE ... WITH SCHEMA EVOLUTION: the source carries a column the
     // target lacks (n_hi); Spark's ResolveMergeIntoSchemaEvolution
     // routes it through the catalog's alterTable (a validated
@@ -1122,6 +1157,15 @@ object DeltaQueries {
         |         + CASE WHEN a.n_lines >= 3 THEN 100 ELSE 0 END
         |         + coalesce(b.q_total, 0) END AS q_total
         |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_delta_constraint" ->
+      """SELECT l_orderkey, n_lines, q_total FROM (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total
+        |  FROM lineitem WHERE l_quantity < 10 GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
         |ORDER BY l_orderkey""".stripMargin,
 
     "q_delta_sql_io" ->

@@ -152,10 +152,13 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
   }
 
   // catalog-level capability gate: without it Spark's parser rejects
-  // GENERATED ... AS IDENTITY column definitions for this catalog
+  // GENERATED ... AS IDENTITY column definitions and ADD CONSTRAINT
+  // statements for this catalog
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -226,6 +229,25 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
             s"nested clustering column not supported: ${parts.mkString(".")}")
           parts.head
         })
+      case r: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(r.property))
+      case d: TableChange.UpdateColumnDefaultValue =>
+        t.setColumnDefault(d.fieldNames.toSeq,
+          Option(d.newCurrentDefault()).flatMap(dv => Option(dv.getSql))
+            .orElse(Option(d.newDefaultValue()).filter(_.nonEmpty)))
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          // only enforced CHECK maps to the protocol's
+          // delta.constraints.* contract; PK/FK/UNIQUE have no
+          // enforced analog in the log format
+          case chk: org.apache.spark.sql.connector.catalog
+              .constraints.Check =>
+            t.addCheckConstraint(chk.name(), chk.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft-delta supports CHECK constraints only, got $other")
+        }
+      case dc: TableChange.DropConstraint =>
+        t.dropCheckConstraint(dc.name(), ifExists = dc.ifExists())
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $c")
     }
@@ -392,6 +414,24 @@ class GraftSqlTable(spark: SparkSession, val location: String,
     (snap.metadata.configuration ++ Map(
       TableCatalog.PROP_LOCATION -> location,
       TableCatalog.PROP_PROVIDER -> "graft-delta")).asJava
+
+  // surface stored CHECK constraints to Spark (DESCRIBE, the analyzer's
+  // DROP CONSTRAINT resolution): always enforced + validated — the
+  // engine validated existing rows at ADD time and every write since
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.metadata.configuration.toSeq.collect {
+      case (k, sql) if k.startsWith(
+          graft.delta.WriteValidation.CONSTRAINT_PREFIX) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(
+            graft.delta.WriteValidation.CONSTRAINT_PREFIX))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+    }.sortBy(_.name()).toArray
 
   // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's analyzer-driven
   // MERGE ... WITH SCHEMA EVOLUTION: ResolveMergeIntoSchemaEvolution

@@ -354,4 +354,54 @@ class AlterTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       t.setColumnNullable(Seq("s"), nullable = false))
   }
+
+  test("addCheckConstraint probes existing rows; unset/drop via API") {
+    val dir = TestSpark.tmpDir("conapi")
+    val src = Seq((1L, 2.0), (2L, 5.0)).toDF("k", "v")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map("custom.x" -> "1"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    // violating constraint rejected by the engine's distributed probe
+    val e = intercept[IllegalArgumentException](
+      t.addCheckConstraint("hi", "v > 3.0"))
+    assert(e.getMessage.contains("violates"))
+    t.addCheckConstraint("Pos", "v > 0.0") // name lowercases
+    val snap = t.snapshot()
+    assert(snap.metadata.configuration
+      .get("delta.constraints.pos").contains("v > 0.0"))
+    assert(snap.protocol.writerFeatures
+      .exists(_.contains("checkConstraints")))
+    intercept[Exception](t.append(Seq((3L, -1.0)).toDF("k", "v")))
+    // drop lifts the gate; unknown drop throws unless ifExists
+    t.dropCheckConstraint("POS")
+    t.append(Seq((3L, -1.0)).toDF("k", "v"))
+    assert(t.toDF.count() == 3)
+    intercept[IllegalArgumentException](t.dropCheckConstraint("nope"))
+    t.dropCheckConstraint("nope", ifExists = true)
+    // unsetProperties removes plain config keys
+    t.unsetProperties(Seq("custom.x", "never.was"))
+    assert(!t.snapshot().metadata.configuration.contains("custom.x"))
+  }
+
+  test("setColumnDefault: writes fill omitted columns; feature declared") {
+    val dir = TestSpark.tmpDir("defapi")
+    val src = Seq((1L, "a")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.setColumnDefault(Seq("s"), Some("'filled'"))
+    assert(t.snapshot().protocol.writerFeatures
+      .exists(_.contains("allowColumnDefaults")))
+    // DataFrame append missing the column takes the default
+    t.append(Seq(Tuple1(2L)).toDF("k"))
+    assert(t.toDF.orderBy("k").select("s").as[String].collect().toSeq ==
+      Seq("a", "filled"))
+    // DROP DEFAULT: the omission becomes an analysis error again
+    t.setColumnDefault(Seq("s"), None)
+    intercept[Exception](t.append(Seq(Tuple1(3L)).toDF("k")))
+    // invalid default rejected up front
+    intercept[IllegalArgumentException](
+      t.setColumnDefault(Seq("s"), Some("no_such_col + 1")))
+  }
 }

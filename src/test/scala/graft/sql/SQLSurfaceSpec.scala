@@ -79,6 +79,94 @@ class SQLSurfaceSpec extends AnyFunSuite {
     assert(rows.drop(10).forall { case (k, v) => v == k.toDouble })
   }
 
+  test("ADD/DROP CONSTRAINT and UNSET TBLPROPERTIES through SQL") {
+    spark.sql("""CREATE TABLE gd.default.conz (k BIGINT, v DOUBLE)
+      USING `graft-delta` TBLPROPERTIES ('custom.tag' = 'keep-me')""")
+    spark.sql("INSERT INTO gd.default.conz VALUES (1, 1.5), (2, 2.5)")
+
+    // adding a constraint existing rows violate must fail atomically
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE gd.default.conz ADD CONSTRAINT big CHECK (v > 2.0)"))
+    // Spark's analyzer probes existing rows itself
+    // (NEW_CHECK_CONSTRAINT_VIOLATION); the engine's own probe in
+    // addCheckConstraint covers the direct-API path
+    assert(bad.getMessage.contains("violat") ||
+      Option(bad.getCause).exists(_.getMessage.contains("violat")))
+
+    spark.sql(
+      "ALTER TABLE gd.default.conz ADD CONSTRAINT pos CHECK (v > 0.0)")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.conz")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    val t = DeltaTable.forPath(spark, loc)
+    assert(t.snapshot().metadata.configuration
+      .get("delta.constraints.pos").contains("v > 0.0"))
+    assert(t.snapshot().protocol.writerFeatures
+      .exists(_.contains("checkConstraints")))
+
+    // the constraint now gates every write path
+    val ins = intercept[Exception](spark.sql(
+      "INSERT INTO gd.default.conz VALUES (3, -1.0)"))
+    assert(ins.getMessage.contains("pos") ||
+      Option(ins.getCause).exists(_.getMessage.contains("pos")))
+
+    // duplicate name rejected; DROP removes the gate
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gd.default.conz ADD CONSTRAINT pos CHECK (v > 1.0)"))
+    spark.sql("ALTER TABLE gd.default.conz DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO gd.default.conz VALUES (3, -1.0)")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.default.conz")
+      .as[Long].head() == 3L)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gd.default.conz DROP CONSTRAINT nope"))
+    spark.sql(
+      "ALTER TABLE gd.default.conz DROP CONSTRAINT IF EXISTS nope")
+
+    // UNSET TBLPROPERTIES removes config keys through the same path
+    spark.sql(
+      "ALTER TABLE gd.default.conz UNSET TBLPROPERTIES ('custom.tag')")
+    assert(!DeltaTable.forPath(spark, loc).snapshot()
+      .metadata.configuration.contains("custom.tag"))
+  }
+
+  test("column DEFAULT through SQL: CREATE, INSERT omission, " +
+      "SET/DROP DEFAULT") {
+    spark.sql("""CREATE TABLE gd.default.defs (
+      k BIGINT, v DOUBLE DEFAULT 1.5, tag STRING DEFAULT 'none')
+      USING `graft-delta`""")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.defs")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    // CREATE with a DEFAULT declares the writer-only feature
+    assert(DeltaTable.forPath(spark, loc).snapshot().protocol
+      .writerFeatures.exists(_.contains("allowColumnDefaults")))
+
+    spark.sql("INSERT INTO gd.default.defs (k) VALUES (1)")
+    spark.sql("INSERT INTO gd.default.defs (k, v) VALUES (2, 9.0)")
+    spark.sql("INSERT INTO gd.default.defs VALUES (3, 2.5, 'full')")
+    assert(spark.sql(
+      "SELECT k, v, tag FROM gd.default.defs ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 1.5, "none"), (2L, 9.0, "none"), (3L, 2.5, "full")))
+
+    // SET DEFAULT changes only FUTURE inserts; DROP DEFAULT makes the
+    // column required-or-null again
+    spark.sql(
+      "ALTER TABLE gd.default.defs ALTER COLUMN v SET DEFAULT 7.25")
+    spark.sql("INSERT INTO gd.default.defs (k) VALUES (4)")
+    spark.sql("ALTER TABLE gd.default.defs ALTER COLUMN tag DROP DEFAULT")
+    spark.sql("INSERT INTO gd.default.defs (k) VALUES (5)")
+    val rows = spark.sql(
+      "SELECT k, v, tag FROM gd.default.defs WHERE k >= 4 ORDER BY k")
+      .collect()
+    assert(rows(0).getDouble(1) == 7.25 && rows(0).getString(2) == "none")
+    assert(rows(1).getDouble(1) == 7.25 && rows(1).isNullAt(2))
+
+    // an unevaluable default is rejected at ALTER time, not first write
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gd.default.defs ALTER COLUMN v SET DEFAULT no_col"))
+  }
+
   test("table_changes TVF reads the change feed through spark.sql") {
     spark.sql("""CREATE TABLE gd.default.cdft (k BIGINT, s STRING)
       USING `graft-delta`
