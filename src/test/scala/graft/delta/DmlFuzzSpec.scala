@@ -229,7 +229,7 @@ class DmlFuzzSpec extends AnyFunSuite {
     }
 
     (1 to steps).foreach { step =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(12)
       op match {
         case 0 | 1 | 2 => // append a fresh batch
           val n = 20 + rnd.nextInt(80)
@@ -326,6 +326,24 @@ class DmlFuzzSpec extends AnyFunSuite {
             } ++ srcRows.filterNot { case (k, _) => matchedKeys(k) }
             record(v)
           }
+        case 10 => // DV update: in-place mark + updated copies only
+          val c = rnd.nextInt(math.max(1, nextK.toInt))
+          val v = t.updateWhereDV(s"k >= $c AND v < 3",
+            Map("v" -> "v + 50"))
+          model = model.map { case (k, vv) =>
+            if (k >= c && vv < 3) (k, vv + 50) else (k, vv)
+          }
+          record(v)
+        case 11 => // constraint lifecycle: gate on, violating write
+          // rejected leaving state untouched, gate off
+          t.addCheckConstraint(s"fz$step", "v > -1000")
+          val rejected = try {
+            t.append(Seq((-1L, -5000.0)).toDF("k", "v")); false
+          } catch { case _: Exception => true }
+          assert(rejected, "constraint must gate the append")
+          t.dropCheckConstraint(s"fz$step")
+          version = t.snapshot().version
+          history(version) = model
       }
       checkTable(s"step $step (op $op)")
     }
