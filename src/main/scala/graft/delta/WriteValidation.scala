@@ -92,6 +92,13 @@ object WriteValidation {
               // raises the standard missing-column analysis error
           }
         }
+      } else gen.get(f.name).foreach { e =>
+        // a NULL in a present generated column means "omitted": SQL
+        // INSERT resolution fills missing columns with NULL before the
+        // write reaches the engine, so compute it here; a non-null
+        // value stays and must match its expression (the guard below)
+        out = out.withColumn(f.name,
+          coalesce(ColumnMapping.qcol(f.name), expr(e)).cast(f.dataType))
       }
     }
     val extras = passthrough.map(ColumnMapping.qcol)

@@ -46,6 +46,33 @@ object Sampling {
   def uniform(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(hashCoord(key) < lit(hexThreshold(rate)))
 
+  /** Deterministic train/valid/test split assignment: each row's hash
+    * coordinate falls into the first cumulative-rate bucket, appended
+    * as a `split` column. The same key always lands in the same split
+    * (stable across engines, runs, re-shards — the property that stops
+    * eval data leaking into training when the corpus is re-processed),
+    * and splits drawn from overlapping corpora agree on shared keys.
+    * Scale: pure narrow projection, fully codegen'd.
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0), "negative split rate")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split rates must sum to 1, got $total")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val coord = hashCoord(key)
+    // the last split takes everything remaining — float-sum drift must
+    // never leave a row unlabeled
+    val label = splits.init.zip(cum.init).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(coord < lit(hexThreshold(math.min(c, 1.0))), lit(name))
+        .otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Epoch-replicated weighted mixture — the "data mixing" step of a
     * training pipeline, where weights may EXCEED 1: a group with
     * weight w contributes floor(w) full copies of itself (epochs

@@ -692,6 +692,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // Deterministic train/valid/test split assignment: hash-bucketed
+    // cumulative rates — same key, same split, every engine/run/shard.
+    // Narrow codegen'd projection; no shuffle, no RNG.
+    "q_split_assign" -> ((s, d) => {
+      graft.ops.Sampling.splitAssign(docs(s, d), col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-entropy quality signal (low entropy = repeated-char /
+    // boilerplate junk; the classic cheap gibberish filter). One
+    // keyed count shuffle on (doc, char) then a per-doc agg:
+    // H = log2(n) - (Σ c·log2 c)/n, with the bm25 decimal-quantization
+    // contract so every engine lands the same 6-decimal value.
+    "q_char_entropy" -> ((s, d) => {
+      docs(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // Java split keeps a trailing empty
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(round(col("cnt") * log2(col("cnt")), 9)
+            .cast("decimal(28,9)")).as("s9"))
+        .select(col("doc_id"), col("n"),
+          round(log2(col("n")) - col("s9").cast("double") / col("n"), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-document boilerplate detection (CCNet-style repeated-segment
     // removal, on word 3-grams): a shingle in ≥ BOILER_DF distinct docs
     // is corpus boilerplate; report per doc how much of it is
@@ -1583,6 +1614,29 @@ object PipelineQueries {
         |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
         |        CAST(epoch AS VARCHAR)), 1, 8) < thr
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'e6666666' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (
+        |  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, sum(cnt) AS n,
+        |    sum(CAST(round(cnt * log2(cnt), 9) AS DECIMAL(28,9))) AS s9
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n,
+        |  round(log2(n) - CAST(s9 AS DOUBLE) / n, 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       s"""$shinglesDuck,

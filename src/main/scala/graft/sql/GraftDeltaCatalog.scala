@@ -145,7 +145,17 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
             .putBoolean(IdentityColumns.ALLOW_EXPLICIT_KEY,
               spec.isAllowExplicitInsert)
             .build())
-        case None => f
+        case None => Option(c.generationExpression()) match {
+          // GENERATED ALWAYS AS (expr) → the protocol's
+          // delta.generationExpression field metadata; the write side
+          // computes omitted values and guards supplied ones
+          case Some(gen) =>
+            f.copy(metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(graft.delta.WriteValidation.GENERATION_KEY, gen)
+              .build())
+          case None => f
+        }
       }
     })
     createTable(ident, withIdentity, partitions, properties)
@@ -158,7 +168,8 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -358,4 +358,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again.orderBy("id", "epoch").collect()
       .sameElements(mixed.orderBy("id", "epoch").collect()))
   }
+
+  test("splitAssign: total, disjoint, stable, proportional") {
+    val df = (1L to 4000L).toDF("id")
+    val sp = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val byLabel = sp.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    // every row labeled exactly once
+    assert(byLabel.values.sum == 4000L)
+    assert(byLabel.keySet == Set("train", "valid", "test"))
+    // proportions within hash tolerance
+    assert(math.abs(byLabel("train") - 3200L) < 200,
+      s"train=${byLabel("train")}")
+    assert(math.abs(byLabel("valid") - 400L) < 120)
+    // stable: the same key gets the same split on re-evaluation and
+    // under a different partitioning
+    val a = sp.select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.splitAssign(df.repartition(7), col("id"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // a coarser split agrees with the finer one on the shared prefix:
+    // 80% train here == train+valid of a (0.7, 0.1, 0.2) split prefix
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, col("id"), Seq("a" -> 0.5, "b" -> 0.2)))
+  }
 }

@@ -167,6 +167,28 @@ class SQLSurfaceSpec extends AnyFunSuite {
       "ALTER TABLE gd.default.defs ALTER COLUMN v SET DEFAULT no_col"))
   }
 
+  test("GENERATED ALWAYS AS (expr) through DSv2 CREATE TABLE") {
+    spark.sql("""CREATE TABLE gd.default.genc (
+      k BIGINT, v DOUBLE,
+      v2 DOUBLE GENERATED ALWAYS AS (v * 2.0))
+      USING `graft-delta`""")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gd.default.genc")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    val t = DeltaTable.forPath(spark, loc)
+    assert(t.snapshot().schema("v2").metadata
+      .getString("delta.generationExpression") == "v * 2.0")
+
+    // omitted -> computed; wrong explicit value -> rejected
+    spark.sql("INSERT INTO gd.default.genc (k, v) VALUES (1, 3.5)")
+    assert(spark.sql("SELECT v2 FROM gd.default.genc WHERE k = 1")
+      .as[Double].head() == 7.0)
+    val bad = intercept[Exception](
+      t.append(Seq((2L, 1.0, 99.0)).toDF("k", "v", "v2")))
+    assert(bad.getMessage.contains("generat") ||
+      Option(bad.getCause).exists(_.getMessage.contains("generat")))
+  }
+
   test("table_changes TVF reads the change feed through spark.sql") {
     spark.sql("""CREATE TABLE gd.default.cdft (k BIGINT, s STRING)
       USING `graft-delta`
