@@ -286,7 +286,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * writing).
     */
   private def stageFiles(df: DataFrame, snap: Snapshot,
-      passthrough: Seq[String] = Nil): Seq[AddFile] = {
+      passthrough: Seq[String] = Nil,
+      nullGeneratedAsOmitted: Boolean = false): Seq[AddFile] = {
     val partCols = snap.partitionColumns
     val stage = "part-" + UUID.randomUUID().toString.substring(0, 8)
     val stagePath = new Path(root, stage)
@@ -308,8 +309,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       .get(DeltaTable.CLUSTERING_NUM_FILES_KEY).map(_.toInt).getOrElse(0)
     val renamed = physicalProjection(
       Clustering.layout(
-        WriteValidation.prepare(df, snap, passthrough), clusterCols,
-        clusterFiles),
+        WriteValidation.prepare(df, snap, passthrough,
+          nullGeneratedAsOmitted),
+        clusterCols, clusterFiles),
       snap, passthrough)
 
     // materializePartitionColumns / icebergCompatV3: partition values
@@ -840,9 +842,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * not blind-retryable (a conflicting writer may have consumed ids).
     */
   def append(df: DataFrame, txn: Option[SetTransaction] = None,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      nullGeneratedAsOmitted: Boolean = false): Long = {
     val snap0 = snapshot()
-    if (!mergeSchema) return appendFrom(snap0, df, txn)
+    if (!mergeSchema)
+      return appendFrom(snap0, df, txn, nullGeneratedAsOmitted)
     // writer-side schema evolution (delta-spark's `mergeSchema`): the
     // merged schema rides the validated ALTER path (column-mapping id
     // assignment, typeWidening feature), then the batch appends aligned
@@ -851,7 +855,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val merged = SchemaEvolution.merge(snap0.schema, df.schema)
     val snap = if (merged == snap0.schema) snap0
       else { alterSchema(merged); snapshot() }
-    appendFrom(snap, alignTo(df, snap.schema), txn)
+    appendFrom(snap, alignTo(df, snap.schema), txn, nullGeneratedAsOmitted)
   }
 
   /** Schema enforcement: a write carrying columns the table does not
@@ -913,11 +917,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * latest snapshot.
     */
   private[graft] def appendFrom(snap: Snapshot, df: DataFrame,
-      txn: Option[SetTransaction] = None): Long = {
+      txn: Option[SetTransaction] = None,
+      nullGeneratedAsOmitted: Boolean = false): Long = {
     writerGate(snap, mutating = false)
     enforceNoExtraColumns(df, snap)
     val (dfComplete, identityCols) = IdentityColumns.assign(df, snap)
-    val staged = stageFiles(dfComplete, snap)
+    val staged = stageFiles(dfComplete, snap,
+      nullGeneratedAsOmitted = nullGeneratedAsOmitted)
     val rowTracking = RowTracking.enabled(snap.metadata)
     val v = snap.version + 1
     val (adds, hwmLine) =
@@ -960,7 +966,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * readers at older versions still see the old data).
     */
   def overwrite(df: DataFrame, overwriteSchema: Boolean = false,
-      txn: Option[SetTransaction] = None): Long = {
+      txn: Option[SetTransaction] = None,
+      nullGeneratedAsOmitted: Boolean = false): Long = {
     val snap0 = snapshot()
     writerGate(snap0, mutating = true)
     // `overwriteSchema`: replacing every row may also replace the
@@ -991,7 +998,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       new Snapshot(spark, snap0.tableRoot, snap0.segment, snap0.protocol, m))
     enforceNoExtraColumns(df, snap)
     val existing = new DeltaScan(snap0, None).collectAddFiles(slim = true)
-    val stagedRaw = stageFiles(df, snap)
+    val stagedRaw = stageFiles(df, snap,
+      nullGeneratedAsOmitted = nullGeneratedAsOmitted)
     // row-tracking tables assign fresh baseRowIds + advance the HWM on
     // EVERY data-adding commit — an overwrite without them would serve
     // null _row_ids and break row-tracking CDF (appendFrom parity)
@@ -1042,6 +1050,32 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     committed
   }
 
+  /** DML predicates must be deterministic (delta-spark parity): the
+    * DV paths evaluate the predicate in separate jobs (bitmap pass,
+    * rewrite pass) and even single-pass DML re-evaluates on retry —
+    * rand()/current_timestamp() would mark one row set and rewrite
+    * another, silently losing or duplicating rows.
+    */
+  private def requireDeterministicPredicate(snap: Snapshot,
+      predicateSql: String, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CurrentDate, CurrentTimestamp, Now}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val analyzed =
+      empty.filter(coalesce(expr(predicateSql), lit(false)))
+        .queryExecution.analyzed
+    analyzed.collectFirst { case f: LFilter => f.condition }.foreach { c =>
+      val timey = c.exists {
+        case _: CurrentTimestamp | _: CurrentDate | _: Now => true
+        case _ => false
+      }
+      require(c.deterministic && !timey,
+        s"$op predicate must be deterministic, got: $predicateSql")
+    }
+  }
+
   /** DELETE WHERE: files whose rows all survive are untouched; files with
     * any matching row are rewritten without the matching rows
     * (remove+add pairs — reference transaction/update.rs:188-812 file-
@@ -1050,6 +1084,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   def deleteWhere(predicateSql: String): Long = {
     val snap = snapshot()
     writerGate(snap, mutating = true)
+    requireDeterministicPredicate(snap, predicateSql, "DELETE")
     val scan = new DeltaScan(snap, Some(predicateSql))
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
@@ -1177,6 +1212,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   def updateWhere(predicateSql: String, set: Map[String, String]): Long = {
     val snap = snapshot()
     writerGate(snap, mutating = true)
+    requireDeterministicPredicate(snap, predicateSql, "UPDATE")
     require(set.nonEmpty, "UPDATE requires at least one assignment")
     set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"no such column '$c'"))
@@ -1236,6 +1272,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   def deleteWhereDV(predicateSql: String): Long = {
     val snap = snapshot()
     writerGate(snap, mutating = true)
+    requireDeterministicPredicate(snap, predicateSql, "DELETE")
     val scan = new DeltaScan(snap, Some(predicateSql))
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
@@ -1371,6 +1408,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       set: Map[String, String]): Long = {
     val snap = snapshot()
     writerGate(snap, mutating = true)
+    requireDeterministicPredicate(snap, predicateSql, "UPDATE")
     require(set.nonEmpty, "UPDATE requires at least one assignment")
     set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"no such column '$c'"))
@@ -2018,14 +2056,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         require(!f.metadata.contains(WriteValidation.GENERATION_KEY),
           s"'${p.head}' is a generated column — it cannot also carry " +
             "a default")
+        // only CURRENT_DEFAULT (future writes). EXISTS_DEFAULT is
+        // fixed at column-add time — setting it here would make rows
+        // in files that PREDATE the column retroactively read the new
+        // default instead of NULL (Spark's reader fills absent
+        // columns from EXISTS_DEFAULT)
         val mb = new MetadataBuilder().withMetadata(f.metadata)
         default match {
-          case Some(d) =>
-            mb.putString(WriteValidation.DEFAULT_KEY, d)
-            mb.putString("EXISTS_DEFAULT", d)
-          case None =>
-            mb.remove(WriteValidation.DEFAULT_KEY)
-            mb.remove("EXISTS_DEFAULT")
+          case Some(d) => mb.putString(WriteValidation.DEFAULT_KEY, d)
+          case None => mb.remove(WriteValidation.DEFAULT_KEY)
         }
         StructType(s.fields.updated(i, f.copy(metadata = mb.build())))
       } else {
@@ -2274,7 +2313,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * above it by ICT) and stamps the enabling commit itself with an
     * ICT, per protocol.
     */
-  def setProperties(props: Map[String, String]): Long = {
+  def setProperties(props: Map[String, String],
+      operation: String = "SET TBLPROPERTIES"): Long = {
     val snap = snapshot()
     def ictOn(c: Map[String, String]) =
       c.get(DeltaTable.ICT_ENABLED_KEY).exists(_.equalsIgnoreCase("true"))
@@ -2342,7 +2382,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val protoLine = newProto.map(p =>
       JsonLog.writeAction(SingleAction(protocol = Some(p)))).toSeq
     val lines = Seq(
-      commitInfoLine("ALTER TABLE", Map("operation" -> "SET TBLPROPERTIES"),
+      commitInfoLine("ALTER TABLE", Map("operation" -> operation),
         ict)) ++ protoLine ++ Seq(
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(v, lines, retryable = false)
@@ -2359,8 +2399,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * unsetting a property a declared feature requires fails here, not
     * at the next read.
     */
-  def unsetProperties(keys: Seq[String]): Long = {
+  def unsetProperties(keys: Seq[String],
+      operation: String = "UNSET TBLPROPERTIES"): Long = {
     val snap = snapshot()
+    // structural keys whose removal silently corrupts the table:
+    // materialized row-id names (ids would re-derive differently after
+    // rewrites), the ICT enablement boundary (timestamp time travel
+    // mis-orders), column-mapping mode/id HWM (reads lose physical
+    // resolution; fresh ids could collide)
+    val protectedKeys = Set(
+      RowTracking.MAT_ROW_ID_KEY, RowTracking.MAT_RCV_KEY,
+      DeltaTable.ICT_ENABLEMENT_VERSION_KEY,
+      DeltaTable.ICT_ENABLEMENT_TIMESTAMP_KEY,
+      ColumnMapping.MODE_KEY, ColumnMapping.MAX_ID_KEY)
+    keys.filter(protectedKeys).foreach(k =>
+      throw new IllegalArgumentException(
+        s"cannot unset '$k': internal table-structure property"))
     val present = keys.filter(snap.metadata.configuration.contains)
     if (present.isEmpty) return snap.version
     val meta = snap.metadata.copy(
@@ -2368,7 +2422,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     FeatureRequirements.validateEnabled(snap.protocol, meta)
     val lines = Seq(
       commitInfoLine("ALTER TABLE",
-        Map("operation" -> "UNSET TBLPROPERTIES",
+        Map("operation" -> operation,
           "properties" -> present.mkString(",")), ictFor(snap)),
       JsonLog.writeAction(SingleAction(metaData = Some(meta))))
     val committed = commitActions(snap.version + 1, lines,
@@ -2385,21 +2439,27 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * 100 TB this is one short-circuited scan, never a collect), and
     * the commit auto-enables the checkConstraints writer feature.
     */
-  def addCheckConstraint(name: String, predicateSql: String): Long = {
+  def addCheckConstraint(name: String, predicateSql: String,
+      preValidated: Boolean = false): Long = {
     val snap = snapshot()
     val key = WriteValidation.CONSTRAINT_PREFIX + name.toLowerCase
     require(!snap.metadata.configuration.contains(key),
       s"constraint '${name.toLowerCase}' already exists")
-    // parse/resolve the predicate against the schema before scanning
-    val probe = toDF.filter(
-      not(coalesce(expr(predicateSql), lit(false))))
-    val violation = probe.select(snap.schema.fieldNames.map(col)
-      .toIndexedSeq: _*).limit(1).collect()
-    if (violation.nonEmpty)
-      throw new IllegalArgumentException(
-        s"cannot add CHECK constraint '$name' ($predicateSql): " +
-          s"existing row violates it: ${violation.head}")
-    setProperties(Map(key -> predicateSql))
+    // `preValidated` skips the probe when the caller already scanned
+    // (Spark's analyzer validates enforced CHECKs before the catalog's
+    // alterTable runs — a second full scan per DDL would double the
+    // cost on a large table)
+    if (!preValidated) {
+      val probe = toDF.filter(
+        not(coalesce(expr(predicateSql), lit(false))))
+      val violation = probe.select(snap.schema.fieldNames.map(col)
+        .toIndexedSeq: _*).limit(1).collect()
+      if (violation.nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot add CHECK constraint '$name' ($predicateSql): " +
+            s"existing row violates it: ${violation.head}")
+    }
+    setProperties(Map(key -> predicateSql), operation = "ADD CONSTRAINT")
   }
 
   /** ALTER TABLE DROP CONSTRAINT name: removes the stored predicate;
@@ -2418,7 +2478,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
             .map(_.stripPrefix(WriteValidation.CONSTRAINT_PREFIX))
             .mkString(", "))
     }
-    unsetProperties(Seq(key))
+    unsetProperties(Seq(key), operation = "DROP CONSTRAINT")
   }
 
   // ---------------- checkpoint ----------------

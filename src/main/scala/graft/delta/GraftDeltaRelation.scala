@@ -40,7 +40,10 @@ class GraftDeltaRelation(
       overwrite: Boolean): Unit = {
     require(version.isEmpty, "cannot write to a time-travelled table")
     val t = DeltaTable.forPath(spark, path)
-    if (overwrite) t.overwrite(data) else t.append(data)
+    // SQL INSERT resolution fills omitted columns with NULL — a NULL
+    // generated column on this path means "compute it"
+    if (overwrite) t.overwrite(data, nullGeneratedAsOmitted = true)
+    else t.append(data, nullGeneratedAsOmitted = true)
   }
 
   /** The scan already produces InternalRow — skip Spark's

@@ -76,7 +76,8 @@ object WriteValidation {
     * into the staged files).
     */
   def prepare(df: DataFrame, snap: Snapshot,
-      passthrough: Seq[String] = Nil): DataFrame = {
+      passthrough: Seq[String] = Nil,
+      nullGeneratedAsOmitted: Boolean = false): DataFrame = {
     val present = df.columns.toSet
     val gen = generated(snap)
     var out = df
@@ -92,11 +93,13 @@ object WriteValidation {
               // raises the standard missing-column analysis error
           }
         }
-      } else gen.get(f.name).foreach { e =>
-        // a NULL in a present generated column means "omitted": SQL
-        // INSERT resolution fills missing columns with NULL before the
-        // write reaches the engine, so compute it here; a non-null
-        // value stays and must match its expression (the guard below)
+      } else if (nullGeneratedAsOmitted) gen.get(f.name).foreach { e =>
+        // SQL-INSERT path only: the analyzer fills omitted columns
+        // with NULL before the write reaches the engine, so a NULL in
+        // a present generated column means "omitted" — compute it. On
+        // the DataFrame API path omission is distinguishable, so an
+        // explicit NULL stays and the guard below rejects it
+        // (delta-spark parity).
         out = out.withColumn(f.name,
           coalesce(ColumnMapping.qcol(f.name), expr(e)).cast(f.dataType))
       }

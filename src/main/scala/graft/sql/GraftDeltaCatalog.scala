@@ -213,8 +213,15 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
       case s: TableChange.SetProperty => s.property -> s.value
     }.toMap
     if (setProps.nonEmpty) t.setProperties(setProps)
+    // batched like SetProperty: UNSET ('a','b') must be ONE atomic
+    // commit, not a half-applicable sequence
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    if (unsetProps.nonEmpty) t.unsetProperties(unsetProps.toSeq)
     changes.foreach {
       case _: TableChange.SetProperty => ()
+      case _: TableChange.RemoveProperty => ()
       case a: TableChange.AddColumn =>
         val pos = a.position() match {
           case null => None
@@ -240,8 +247,6 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
             s"nested clustering column not supported: ${parts.mkString(".")}")
           parts.head
         })
-      case r: TableChange.RemoveProperty =>
-        t.unsetProperties(Seq(r.property))
       case d: TableChange.UpdateColumnDefaultValue =>
         t.setColumnDefault(d.fieldNames.toSeq,
           Option(d.newCurrentDefault()).flatMap(dv => Option(dv.getSql))
@@ -250,10 +255,13 @@ class GraftDeltaCatalog extends TableCatalog with SupportsNamespaces
         ac.constraint() match {
           // only enforced CHECK maps to the protocol's
           // delta.constraints.* contract; PK/FK/UNIQUE have no
-          // enforced analog in the log format
+          // enforced analog in the log format. Spark's analyzer has
+          // already probed existing rows (NEW_CHECK_CONSTRAINT_
+          // VIOLATION) — skip the engine's second full scan
           case chk: org.apache.spark.sql.connector.catalog
               .constraints.Check =>
-            t.addCheckConstraint(chk.name(), chk.predicateSql())
+            t.addCheckConstraint(chk.name(), chk.predicateSql(),
+              preValidated = true)
           case other => throw new UnsupportedOperationException(
             s"graft-delta supports CHECK constraints only, got $other")
         }
@@ -404,9 +412,12 @@ class GraftSqlTable(spark: SparkSession, val location: String,
         .map(s => s"($s)").mkString(" AND ")
     val t = DeltaTable.forPath(spark, location)
     // delta.enableDeletionVectors routes SQL DELETE through the DV
-    // swap instead of a file rewrite (delta-spark's dispatch)
+    // swap instead of a file rewrite (delta-spark's dispatch). One
+    // snapshot load decides: two loads could mix protocol/metadata
+    // from different versions under a concurrent ALTER
+    val s0 = t.snapshot()
     if (graft.delta.FeatureRequirements.isEnabled(
-        t.snapshot().protocol, t.snapshot().metadata, "deletionVectors"))
+        s0.protocol, s0.metadata, "deletionVectors"))
       t.deleteWhereDV(sql)
     else t.deleteWhere(sql)
   }
@@ -577,8 +588,11 @@ private[sql] class GraftWriteBuilder(spark: SparkSession, location: String)
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val t = DeltaTable.forPath(spark, location)
-          if (replace || overwrite) t.overwrite(data)
-          else t.append(data)
+          // SQL INSERT fills omitted columns with NULL at analysis:
+          // NULL in a generated column here means "compute it"
+          if (replace || overwrite)
+            t.overwrite(data, nullGeneratedAsOmitted = true)
+          else t.append(data, nullGeneratedAsOmitted = true)
         }
       }
   }

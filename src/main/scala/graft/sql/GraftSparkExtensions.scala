@@ -211,9 +211,12 @@ case class GraftUpdateCommand(location: String, conditionSql: String,
     val t = DeltaTable.forPath(spark, location)
     // delta.enableDeletionVectors routes SQL UPDATE through the DV
     // path — matched rows DV-mark, only updated copies write
-    // (delta-spark's dispatch)
+    // (delta-spark's dispatch). One snapshot load decides: two loads
+    // could mix protocol/metadata from different versions under a
+    // concurrent ALTER
+    val s0 = t.snapshot()
     if (graft.delta.FeatureRequirements.isEnabled(
-        t.snapshot().protocol, t.snapshot().metadata, "deletionVectors"))
+        s0.protocol, s0.metadata, "deletionVectors"))
       t.updateWhereDV(conditionSql, set)
     else t.updateWhere(conditionSql, set)
     Nil

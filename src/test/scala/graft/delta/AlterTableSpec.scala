@@ -404,4 +404,47 @@ class AlterTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       t.setColumnDefault(Seq("s"), Some("no_such_col + 1")))
   }
+
+  test("guards: nondeterministic DML predicates, protected property " +
+      "unset, explicit NULL into a generated column") {
+    val dir = TestSpark.tmpDir("guards")
+    val src = Seq((1L, 2.0)).toDF("k", "v")
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map(RowTracking.ENABLED_KEY -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    // nondeterministic / time-dependent predicates refuse (the DV
+    // paths evaluate the predicate in separate jobs)
+    intercept[IllegalArgumentException](t.deleteWhere("rand() < 0.5"))
+    intercept[IllegalArgumentException](
+      t.updateWhereDV("v < rand()", Map("v" -> "v + 1")))
+    intercept[IllegalArgumentException](
+      t.deleteWhereDV("v IS NULL OR rand() > 0"))
+    intercept[IllegalArgumentException](
+      t.updateWhere("current_timestamp() > TIMESTAMP'2020-01-01'",
+        Map("v" -> "v + 1")))
+    // structural properties cannot be unset
+    intercept[IllegalArgumentException](
+      t.unsetProperties(Seq(RowTracking.MAT_ROW_ID_KEY)))
+    intercept[IllegalArgumentException](
+      t.unsetProperties(Seq("delta.columnMapping.mode")))
+
+    // explicit NULL into a generated column rejects on the DataFrame
+    // path (delta-spark parity); the SQL path computes it instead
+    val gdir = TestSpark.tmpDir("guards-gen")
+    val base = Seq((1L, 2.0, 4.0)).toDF("k", "v", "v2")
+    val fields = base.schema.fields.map {
+      case f if f.name == "v2" => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "v * 2.0").build())
+      case f => f
+    }
+    DeltaTable.create(spark, gdir,
+      org.apache.spark.sql.types.StructType(fields))
+    val gt = DeltaTable.forPath(spark, gdir)
+    gt.append(base)
+    intercept[Exception](gt.append(
+      Seq((2L, 3.0, null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "v", "v2")))
+  }
 }
