@@ -323,6 +323,90 @@ object Similarity {
     }.toDF("vec_id", "cell", "dup_of", "is_dup")
   }
 
+  /** Build or incrementally extend a PERSISTED IVF index: the index IS
+    * a Delta table partitioned by `cell`, so the inverted lists are
+    * physical partitions — a query probing `nprobe` cells reads
+    * exactly those partitions through ordinary partition pruning (the
+    * inverted-list seek falls out of the storage layout; nothing
+    * custom in the read path). Incremental maintenance: the quantizer
+    * trains ONCE (first call; persisted as its own Delta table) and
+    * later vector batches assign against the FIXED centroids and
+    * append transactionally — no retraining, no rewrite of existing
+    * postings, and a reader mid-append sees the old index or the new
+    * one, never a partial batch. At 100 TB of embeddings this is the
+    * difference between re-indexing the corpus per batch and one
+    * narrow assignment pass per batch.
+    */
+  def ivfIndexAppend(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidsPath: String, indexPath: String, numCentroids: Int,
+      iterations: Int): Long = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    if (!graft.delta.DeltaTable.isDeltaTable(spark, centroidsPath))
+      persistCentroids(spark, centroidsPath,
+        trainCentroids(vecs, idCol, vecCol, numCentroids, iterations))
+    val cents = loadCentroids(spark, centroidsPath)
+      .map { case (cid, cv) => (cid, cv, norm(cv)) }
+    val bcCent = spark.sparkContext.broadcast(cents)
+    val assigned = asVecs(vecs, idCol, vecCol).map { r =>
+      val nr = norm(r.v)
+      var best = -1L
+      var bestSim = Double.NegativeInfinity
+      bcCent.value.foreach { case (cid, cv, cn) =>
+        val sim = dot(r.v, cv) / (nr * cn)
+        if (sim > bestSim) { bestSim = sim; best = cid }
+      }
+      (r.id, r.v, best)
+    }.toDF("vec_id", "v", "cell")
+    if (!graft.delta.DeltaTable.isDeltaTable(spark, indexPath))
+      graft.delta.DeltaTable.create(spark, indexPath, assigned.schema,
+        partitionColumns = Seq("cell"))
+    graft.delta.DeltaTable.forPath(spark, indexPath).append(assigned)
+  }
+
+  /** Search a persisted IVF index: probe cells per query against the
+    * persisted quantizer (driver-side — the quantizer is tiny by
+    * construction), then ONE partition-pruned scan of exactly the
+    * probed cells feeds the rerank. Output (qid, nid, sim), per-query
+    * top `k`, ties to the lowest nid.
+    */
+  def ivfIndexSearch(queries: DataFrame, idCol: String, vecCol: String,
+      centroidsPath: String, indexPath: String, nprobe: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = loadCentroids(spark, centroidsPath)
+      .map { case (cid, cv) => (cid, cv, norm(cv)) }
+    val qs = asVecs(queries, idCol, vecCol).collect().sortBy(_.id)
+    val bcQueries = spark.sparkContext.broadcast(
+      qs.map(q => q.id -> ((q.v, norm(q.v)))).toMap)
+    val probes = qs.flatMap { q =>
+      val nq = norm(q.v)
+      cents.map { case (cid, cv, cn) => (cid, dot(q.v, cv) / (nq * cn)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (q.id, cid) }
+    }.toSeq
+    val cells = probes.map(_._2).distinct.sorted
+    // the partition predicate prunes the scan to the probed cells —
+    // unprobed inverted lists are never read
+    val postings = graft.delta.DeltaTable.forPath(spark, indexPath)
+      .scan(Some(s"cell IN (${cells.mkString(",")})")).toDF
+    val probesDf = probes.toDF("qid", "cell")
+    val scored = postings.join(broadcast(probesDf), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (qid, nid, nv) =>
+        val (qv, nq) = bcQueries.value(qid)
+        Scored(qid, nid, dot(qv, nv) / (nq * norm(nv)))
+      }.toDF()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
   private def ivfSearch(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Long, Array[Double], Double)], nprobe: Int,
       k: Int, queryMaxId: Long): DataFrame = {

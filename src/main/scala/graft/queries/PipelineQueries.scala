@@ -364,6 +364,44 @@ object PipelineQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // Incrementally-maintained IVF index: the index is a Delta table
+    // PARTITIONED BY cell (inverted lists = physical partitions).
+    // Batch 1 (even ids) trains the quantizer and seeds the index;
+    // batch 2 (odd ids) assigns against the FIXED centroids and
+    // appends — no retrain, no rewrite. The search scan partition-
+    // prunes to the probed cells. The query asserts incrementality
+    // structurally: the centroid table stays at its creation version
+    // and batch 2 touches no existing file.
+    "q_knn_ivf_incremental" -> ((s, d) => {
+      val centDir = java.nio.file.Files
+        .createTempDirectory("ivfinc-cent").toString
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("ivfinc-idx").toString
+      val emb = embs(s, d)
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centDir, idxDir,
+        numCentroids = 32, iterations = 3)
+      val centV1 = graft.delta.DeltaTable.forPath(s, centDir)
+        .snapshot().version
+      val before = new graft.delta.DeltaScan(
+        graft.delta.DeltaTable.forPath(s, idxDir).snapshot(), None)
+        .collectAddFiles().map(_.path).toSet
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", centDir, idxDir,
+        numCentroids = 32, iterations = 3)
+      require(graft.delta.DeltaTable.forPath(s, centDir)
+        .snapshot().version == centV1, "quantizer retrained on append")
+      val after = new graft.delta.DeltaScan(
+        graft.delta.DeltaTable.forPath(s, idxDir).snapshot(), None)
+        .collectAddFiles().map(_.path).toSet
+      require(before.subsetOf(after) && after.size > before.size,
+        "incremental append must only add postings")
+      Similarity.ivfIndexSearch(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", centDir, idxDir, nprobe = 4, k = 5)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     // kNN label classification: brute top-5 neighbors vote on the
     // label; ties break to the lowest label. The label join is on the
     // neighbor id (at scale labels ride with the vectors — one shuffle);
@@ -1358,6 +1396,41 @@ object PipelineQueries {
         |      ORDER BY sim DESC, nid) AS rk
         |  FROM cand) WHERE rk <= 5
         |ORDER BY qid, nid""".stripMargin,
+
+    "q_knn_ivf_incremental" ->
+      s"""WITH all_e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT * FROM all_e WHERE vec_id % 2 = 0),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
+         |${lloydIterDuck(1)},
+         |${lloydIterDuck(2)},
+         |${lloydIterDuck(3)},
+         |asg AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT a.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+         |    FROM all_e a CROSS JOIN c3 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM all_e WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT q.qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+         |    FROM q CROSS JOIN c3 c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT q.qid, a.vec_id AS nid,
+         |         list_cosine_similarity(q.qv, a.v) AS sim
+         |  FROM pr JOIN asg ON pr.cell = asg.cell
+         |       JOIN q ON q.qid = pr.qid
+         |       JOIN all_e a ON a.vec_id = asg.vec_id
+         |  WHERE a.vec_id <> q.qid)
+         |SELECT qid, nid, round(sim, 6) AS sim FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid) AS rk
+         |  FROM cand) WHERE rk <= 5
+         |ORDER BY qid, nid""".stripMargin,
 
     "q_knn_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -63,6 +63,9 @@ import graft.delta.{DeltaScan, FileNames, JsonLog, RowCodec, Snapshot, Storage, 
   *  - `ignoreChanges` (default false): additionally accept rewrite
   *    commits, re-emitting the rewritten files' rows (downstream must
   *    tolerate duplicates); implies ignoreDeletes
+  *  - `skipChangeCommits` (default false): SKIP any commit carrying
+  *    removes entirely — no re-emitted rows, no duplicates; pure
+  *    appends still stream (delta-spark's successor to ignoreChanges)
   *  - `readChangeFeed` (default false): emit CDF rows (table columns +
   *    `_change_type`/`_commit_version`/`_commit_timestamp`) per commit
   *    range instead of plain appends — deletes and DV swaps flow as
@@ -89,6 +92,11 @@ class DeltaSource(
     options.get("ignoreChanges").exists(_.equalsIgnoreCase("true"))
   private val ignoreDeletes = ignoreChanges ||
     options.get("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
+  // delta-spark's successor to ignoreChanges: SKIP rewrite commits
+  // entirely (no re-emitted rows, no duplicates downstream) instead of
+  // accepting their adds; pure-append commits still stream
+  private val skipChangeCommits =
+    options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
   private val readChangeFeed =
     options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
 
@@ -184,19 +192,25 @@ class DeltaSource(
         val rem = n.get("remove")
         rem != null && !rem.isNull && RowCodec.jsonToRemove(rem).dataChange
       }
-      if (hasRemoves && !ignoreDeletes)
-        throw new IllegalStateException(
-          s"delete detected in streamed commit $v — appends-only " +
-            "source (set ignoreDeletes=true to skip whole-file deletes)")
-      // a commit that removes AND adds data files rewrote rows already
-      // streamed in earlier batches — silently re-emitting its adds
-      // duplicates downstream, so ignoreDeletes alone must not pass it
-      if (hasRemoves && vAdds.nonEmpty && !ignoreChanges)
-        throw new IllegalStateException(
-          s"commit $v rewrites data files (DELETE/UPDATE rewrite or " +
-            "DV swap) — set ignoreChanges=true to accept re-emitted " +
-            "rows, or consume readChangeFeed for row-level changes")
-      vAdds.toIndexedSeq
+      if (hasRemoves && skipChangeCommits) IndexedSeq.empty
+      else {
+        if (hasRemoves && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"delete detected in streamed commit $v — appends-only " +
+              "source (set ignoreDeletes=true to skip whole-file " +
+              "deletes, or skipChangeCommits=true to skip rewrite " +
+              "commits entirely)")
+        // a commit that removes AND adds data files rewrote rows already
+        // streamed in earlier batches — silently re-emitting its adds
+        // duplicates downstream, so ignoreDeletes alone must not pass it
+        if (hasRemoves && vAdds.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"commit $v rewrites data files (DELETE/UPDATE rewrite or " +
+              "DV swap) — set ignoreChanges=true to accept re-emitted " +
+              "rows, skipChangeCommits=true to skip the commit, or " +
+              "consume readChangeFeed for row-level changes")
+        vAdds.toIndexedSeq
+      }
     })
 
   /** A streamed commit that REDEFINES the table schema must fail the

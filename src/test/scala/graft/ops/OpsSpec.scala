@@ -384,4 +384,40 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.splitAssign(df, col("id"), Seq("a" -> 0.5, "b" -> 0.2)))
   }
+
+  test("IVF index: postings live in cell partitions; search scan " +
+      "prunes to probed cells; append is monotone") {
+    val centDir = graft.TestSpark.tmpDir("ivfx-cent")
+    val idxDir = graft.TestSpark.tmpDir("ivfx-idx")
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    val b1 = (0L until 64L by 2).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val b2 = (1L until 64L by 2).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexAppend(b1, "vec_id", "embedding", centDir,
+      idxDir, numCentroids = 8, iterations = 2)
+    Similarity.ivfIndexAppend(b2, "vec_id", "embedding", centDir,
+      idxDir, numCentroids = 8, iterations = 2)
+    val t = graft.delta.DeltaTable.forPath(spark, idxDir)
+    assert(t.snapshot().partitionColumns == Seq("cell"))
+    // a probe-scoped scan reads strictly fewer files than the full scan
+    val full = new graft.delta.DeltaScan(t.snapshot(), None)
+      .collectAddFiles()
+    val cells = full.flatMap(_.partitionValues.get("cell")).distinct
+    assert(cells.size > 1, s"want multiple cells, got $cells")
+    val some = new graft.delta.DeltaScan(t.snapshot(),
+      Some(s"cell IN (${cells.head})")).collectAddFiles()
+    assert(some.nonEmpty && some.size < full.size,
+      s"pruned ${some.size} vs full ${full.size}")
+    // search returns k neighbors per query, never the query itself
+    val res = Similarity.ivfIndexSearch(
+      b1.filter(col("vec_id") < 4), "vec_id", "embedding",
+      centDir, idxDir, nprobe = 3, k = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(res.groupBy(_._1).forall(_._2.length == 4))
+    assert(res.forall { case (q, n, _) => q != n })
+  }
 }

@@ -602,6 +602,35 @@ class StreamingSpec extends AnyFunSuite {
     run(dir2, Map("ignoreChanges" -> "true"))
   }
 
+  test("skipChangeCommits skips rewrite commits entirely: no failure, " +
+      "no re-emitted rows, later appends still stream") {
+    val dir = TestSpark.tmpDir("stream-skipcc")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(1))       // v1: both keys in one file
+    t.deleteWhere("k = 1")             // v2: rewrite (remove + survivor)
+    t.append(Seq((3L, "c")).toDF("k", "s")) // v3: pure append
+    val outDir = TestSpark.tmpDir("stream-skipcc-out")
+    val q = spark.readStream
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", dir)
+      .option("startingVersion", "0")
+      .option("skipChangeCommits", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("stream-skipcc-ckpt"))
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // v1's two rows + v3's append; v2's survivor re-stage skipped
+    val got = spark.read.parquet(outDir).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("CDF streaming: deletes flow as delete rows") {
     val dir = TestSpark.tmpDir("cdfstream")
     val ckpt = TestSpark.tmpDir("cdfstream-ckpt")
