@@ -243,6 +243,24 @@ object CoreQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Skew-safe salted inner join: the fact side (events) salts each
+    // key into 8 sub-keys by a deterministic hash of its unique id,
+    // the dimension side replicates to all sub-keys — a hot user's
+    // rows spread over 8 reducers instead of one straggler. The
+    // oracle is the PLAIN inner join: salting must be invisible in
+    // the result.
+    "q_skew_join" -> ((s, d) => {
+      val fact = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      graft.ops.Relational.skewSafeJoin(fact, dim,
+          "user_id", "c_custkey", "event_id", saltFactor = 8)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"))
+        .orderBy(col("event_id"))
+    }),
+
     // Funnel analysis (ordered-sequence analytics): per user, the
     // earliest signup, the earliest click AFTER that signup, and the
     // earliest purchase AFTER that click; stage = how deep the user
@@ -459,6 +477,11 @@ object CoreQueries {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM y GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (
