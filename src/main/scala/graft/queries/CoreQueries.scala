@@ -243,6 +243,55 @@ object CoreQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // STREAMING gap sessionization against the batch oracle: the same
+    // events flow through flatMapGroupsWithState (event-time timeout,
+    // state reaped at close) in two time-ordered microbatches plus a
+    // far-future sentinel that advances the watermark past every real
+    // session's deadline — so the closed-session stream must equal the
+    // batch sessionization of the whole table. Upgrades the streaming
+    // twin from spec-only to oracle-backed.
+    "q_stream_sessionize" -> ((s, d) => {
+      import graft.streaming.{SessEvent, SessOut, Sessionization}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("timestamp"), col("event_id"))
+        .as[SessEvent].collect()
+      val (minUs, maxUs) = (ev.map(_.ts.getTime).min, ev.map(_.ts.getTime).max)
+      val cutoff = minUs + (maxUs - minUs) / 2
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[SessEvent]
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("sess-row-ckpt").toString
+      def drain(): Unit = {
+        val q = Sessionization.sessions(mem.toDS(), 6L * 3600L, "0 seconds")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
+              out.synchronized { out ++= df.collect() }
+              ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
+      mem.addData(ev.filter(_.ts.getTime < cutoff).toIndexedSeq)
+      drain()
+      mem.addData(ev.filter(_.ts.getTime >= cutoff).toIndexedSeq)
+      drain()
+      // sentinel user -1: pushes the watermark ten years out; its own
+      // session stays open and is never emitted
+      mem.addData(Seq(SessEvent(-1L,
+        new java.sql.Timestamp(maxUs + 10L * 365 * 86400 * 1000L), -1L)))
+      drain()
+      out.toSeq.toDF()
+        .select(col("user_id"), col("start_us"), col("n"),
+          col("min_eid"), col("max_eid"), col("dur_us"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // Skew-safe salted inner join: the fact side (events) salts each
     // key into 8 sub-keys by a deterministic hash of its unique id,
     // the dimension side replicates to all sub-keys — a hot user's
@@ -482,6 +531,25 @@ object CoreQueries {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sidx
+        |  FROM x)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  count(*) AS n, min(event_id) AS min_eid,
+        |  max(event_id) AS max_eid,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM y GROUP BY user_id, sidx
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (
