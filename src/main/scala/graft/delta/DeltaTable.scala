@@ -118,7 +118,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           // matching our predicate (delta's Serializable check; the
           // reference surfaces the same cases via CommitResult)
           val winAdds = winnerField("add").map(RowCodec.jsonToAdd).toSeq
-          if (winAdds.nonEmpty) {
+          if (winAdds.nonEmpty && !rs.maintenance) {
             val disjoint = rs.predicateSql.isDefined && {
               val rows: Seq[org.apache.spark.sql.Row] = winAdds.map(a =>
                 new org.apache.spark.sql.catalyst.expressions
@@ -745,11 +745,21 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         deletionVector = a.deletionVector)
     }
     val adds = staged.map(_.copy(dataChange = false))
-    val lines =
-      Seq(commitInfoLine("OPTIMIZE", params, ictFor(snap))) ++ rtLines ++
+    val tail = rtLines ++
       removes.map(r => JsonLog.writeAction(SingleAction(remove = Some(r)))) ++
       adds.map(a => JsonLog.writeAction(SingleAction(add = Some(a))))
-    val committed = commitActions(snap.version + 1, lines, retryable = false)
+    // concurrent appends rebase past a pure compaction (their files are
+    // never among those compacted); row-tracking OPTIMIZE keeps
+    // fail-fast — its high-water-mark domain metadata must not slide
+    // past a winner that also advanced the HWM
+    val readSet =
+      if (rtEnabled) None
+      else Some(DeltaTable.ReadSet(snap, None,
+        existing.map(a => Storage.canonicalPathKey(a.path)).toSet,
+        maintenance = true))
+    val committed = commitActions(snap.version + 1,
+      cv => commitInfoLine("OPTIMIZE", params, ictAt(snap, cv - 1)) +: tail,
+      retryable = false, Nil, readSet)
     maybeWriteChecksum(committed, adds.map(_.size),
       existing.map(_.size))
     maybeAutoCheckpoint(committed, snap.metadata)
@@ -920,6 +930,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       txn: Option[SetTransaction] = None,
       nullGeneratedAsOmitted: Boolean = false): Long = {
     writerGate(snap, mutating = false)
+    // idempotent-writer skip (delta-spark's txnAppId/txnVersion): a
+    // marker already at-or-past txn.version means this logical batch
+    // landed — a restarted job re-running it must no-op, not duplicate.
+    // The commit loop's same-slot check covers markers racing us NOW;
+    // this covers markers that committed before we loaded the snapshot.
+    txn.foreach { tx =>
+      if (snap.setTransactions.find(_.appId == tx.appId)
+          .exists(_.version >= tx.version))
+        return snap.version
+    }
     enforceNoExtraColumns(df, snap)
     val (dfComplete, identityCols) = IdentityColumns.assign(df, snap)
     val staged = stageFiles(dfComplete, snap,
@@ -970,6 +990,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       nullGeneratedAsOmitted: Boolean = false): Long = {
     val snap0 = snapshot()
     writerGate(snap0, mutating = true)
+    // idempotent-writer skip — same contract as appendFrom
+    txn.foreach { tx =>
+      if (snap0.setTransactions.find(_.appId == tx.appId)
+          .exists(_.version >= tx.version))
+        return snap0.version
+    }
     // `overwriteSchema`: replacing every row may also replace the
     // schema wholesale (delta-spark's writer option). Not merged —
     // REPLACED: dropped and retyped columns are fine because no old
@@ -3152,8 +3178,13 @@ object DeltaTable {
     * conflict checks: the snapshot it planned against, the predicate
     * it read under, and the canonical keys of the files it removes.
     */
+  /** `maintenance`: the commit is a dataChange=false rewrite of
+    * exactly `removedKeys` — concurrent APPENDS are always disjoint
+    * (new files are never among those compacted), so the rebase check
+    * skips predicate pruning; remove/remove overlap still conflicts.
+    */
   case class ReadSet(snap: Snapshot, predicateSql: Option[String],
-      removedKeys: Set[String])
+      removedKeys: Set[String], maintenance: Boolean = false)
 
   val ICT_ENABLED_KEY = "delta.enableInCommitTimestamps"
 

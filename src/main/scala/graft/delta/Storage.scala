@@ -118,16 +118,46 @@ object Storage {
     * object stores need a LogStore-style coordinator (same design as
     * delta-spark).
     */
+  /** Atomic put-if-absent via write-to-temp + atomic publish. A naive
+    * create(overwrite=false) has TWO races a concurrent committer hits:
+    * the exists-then-create window lets two writers both "win" (the
+    * second silently truncates the first — a lost commit), and a loser
+    * reading the winner's file between create and close sees PARTIAL
+    * content, mis-classifying the conflict (an empty read looks like a
+    * safe-to-rebase append even when the winner carried a protocol
+    * change or txn marker). Writing the full content to a hidden temp
+    * file first and publishing with `link(2)` (local FS — atomic,
+    * fails if the destination exists) or no-overwrite rename (HDFS —
+    * same contract) closes both: the destination either doesn't exist
+    * or holds the complete winning commit.
+    */
   def putIfAbsent(fs: FileSystem, path: Path, content: String): Boolean = {
     if (fs.exists(path)) return false
+    val tmp = new Path(path.getParent,
+      s".${path.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     try {
-      val out = fs.create(path, /*overwrite=*/ false)
+      val out = fs.create(tmp, /*overwrite=*/ true)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.FileNotFoundException => false
+      if ("file" == fs.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(path.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        // HDFS-like stores: rename is atomic and fails when the
+        // destination exists. Object stores need a conditional-put
+        // committer (the Committer abstraction's job), not this path.
+        try fs.rename(tmp, path)
+        catch { case _: java.io.IOException => false }
+      }
+    } finally {
+      try { fs.delete(tmp, false); () } catch { case _: Exception => () }
     }
   }
 
