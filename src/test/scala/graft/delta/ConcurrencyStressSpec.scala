@@ -133,4 +133,27 @@ class ConcurrencyStressSpec extends AnyFunSuite {
       txn = Some(SetTransaction("ingest-job", 8L, None)))
     assert(v == 2L && DeltaTable.forPath(spark, dir).toDF.count() == 3)
   }
+
+  test("a crashed writer's leftover commit temp file is inert: " +
+      "reads ignore it, the version still publishes") {
+    val dir = TestSpark.tmpDir("stress-crash")
+    val src = Seq((1L, 1)).toDF("k", "src")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    // simulate a writer that died between temp-write and publish
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = Storage.fs(logDir, spark.sessionState.newHadoopConf())
+    Storage.put(fs, new org.apache.hadoop.fs.Path(logDir,
+      ".00000000000000000002.json.deadbeef.tmp"),
+      "{\"partial\": garbage")
+    // the junk is invisible to replay and does not block version 2
+    assert(DeltaTable.forPath(spark, dir).snapshot().version == 1L)
+    t.append(Seq((2L, 2)).toDF("k", "src"))
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.snapshot().version == 2L)
+    assert(fresh.toDF.count() == 2)
+    fresh.checkpoint()
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+  }
 }
