@@ -156,4 +156,63 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     fresh.checkpoint()
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
   }
+
+  test("CROSS-PROCESS commit race: 4 JVMs x 25 raw put-if-absent " +
+      "commits, zero loss, zero partial reads") {
+    val dir = TestSpark.tmpDir("stress-xproc")
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = Storage.fs(logDir, spark.sessionState.newHadoopConf())
+    fs.mkdirs(logDir)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val procs = (0 until 4).map { i =>
+      new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.delta.PutIfAbsentWorker", logDir.toString, i.toString, "25")
+        .redirectErrorStream(true).start()
+    }
+    procs.zipWithIndex.foreach { case (p, i) =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        s"worker $i timed out")
+      assert(p.exitValue() == 0, s"worker $i failed")
+    }
+    // 100 commits total, versions contiguous from 1, each file holds
+    // ONE complete line (the atomic publish never exposes partials)
+    val files = Storage.listSorted(fs, logDir)
+      .flatMap(st => FileNames.parse(st.getPath))
+      .collect { case c: FileNames.CommitFile => c }
+    assert(files.map(_.version) == (1L to 100L),
+      s"non-contiguous versions: ${files.map(_.version)}")
+    val bySeq = files.flatMap(c => Storage.readLines(fs, c.path))
+      .map { l =>
+        val n = JsonLog.parseLine(l)
+        (n.get("worker").asText, n.get("seq").asInt)
+      }
+    assert(bySeq.size == 100)
+    // every worker's sequence 0..24 landed exactly once — a truncated
+    // or overwritten commit would break the count
+    (0 until 4).foreach { i =>
+      val seqs = bySeq.filter(_._1 == i.toString).map(_._2).sorted
+      assert(seqs == (0 until 25), s"worker $i lost commits: $seqs")
+    }
+  }
+}
+
+/** Raw cross-process put-if-absent worker: lands `count` commits by
+  * racing for version slots with nothing shared but the directory.
+  */
+object PutIfAbsentWorker {
+  def main(args: Array[String]): Unit = {
+    val logDir = new org.apache.hadoop.fs.Path(args(0))
+    val id = args(1)
+    val count = args(2).toInt
+    val fs = logDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    var landed = 0
+    var v = 1L
+    while (landed < count) {
+      val dest = FileNames.commitFile(logDir, v)
+      val line = s"""{"worker":"$id","seq":$landed}"""
+      if (Storage.putIfAbsent(fs, dest, line + "\n")) landed += 1
+      v += 1
+    }
+  }
 }
