@@ -134,6 +134,38 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     assert(v == 2L && DeltaTable.forPath(spark, dir).toDF.count() == 3)
   }
 
+  test("DV DELETE racing disjoint appenders rebases on stats proof; " +
+      "final state exact") {
+    val dir = TestSpark.tmpDir("stress-dvdel")
+    val schema = Seq((0L, 0)).toDF("k", "src").schema
+    // declare DVs at CREATE: a delete that must ALSO upgrade the
+    // protocol takes the strict no-rebase path by design
+    DeltaTable.create(spark, dir, schema,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    // seed keys 0..99 (the delete's target range)
+    DeltaTable.forPath(spark, dir).append(
+      (0L until 100L).map(k => (k, 0)).toDF("k", "src"))
+    implicit val ec: ExecutionContext = pool(8)
+    // appenders write k >= 10000 — stats-provably disjoint from k < 50,
+    // so the racing DELETE must rebase past them, not fail
+    val appenders = (1 to 6).map { i =>
+      Future {
+        val rows = (0 until 40).map(j => (10000L * i + j, i))
+        DeltaTable.forPath(spark, dir).append(rows.toDF("k", "src"))
+      }
+    }
+    val deleter = Future {
+      DeltaTable.forPath(spark, dir).deleteWhereDV("k < 50")
+    }
+    Await.result(Future.sequence(appenders :+ deleter), 300.seconds)
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select($"k").as[Long].collect().sorted
+    val want = ((50L until 100L) ++ (1 to 6).flatMap(i =>
+      (0 until 40).map(j => 10000L * i + j))).sorted
+    assert(got.toSeq == want,
+      s"got ${got.length} rows, want ${want.length}")
+  }
+
   test("a crashed writer's leftover commit temp file is inert: " +
       "reads ignore it, the version still publishes") {
     val dir = TestSpark.tmpDir("stress-crash")
