@@ -48,6 +48,40 @@ object DeltaQueries {
       ordered(t.toDF)
     }),
 
+    // REAL concurrency under the oracle gate: 8 threads blind-append
+    // disjoint quantity slices while a DV delete (rebasing past
+    // stats-disjoint winners) and the commit protocol race for every
+    // version slot. The final table is DETERMINISTIC — exactly the
+    // union of the appended slices minus the deleted range — so any
+    // lost/duplicated/partially-read commit breaks the hash.
+    "q_delta_concurrent" -> ((s, d) => {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val src = li(s, d).filter(col("l_quantity") < 17)
+      val dir = tmp("conc")
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      // seed the delete's target: quantity < 2
+      DeltaTable.forPath(s, dir).append(src.filter(col("l_quantity") < 2))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val writers = (2 until 17).grouped(2).toSeq.map { qs =>
+          Future {
+            DeltaTable.forPath(s, dir).append(src.filter(
+              col("l_quantity") >= qs.head &&
+              col("l_quantity") < qs.last + 1))
+          }
+        }
+        val deleter = Future {
+          DeltaTable.forPath(s, dir).deleteWhereDV("l_quantity < 2")
+        }
+        Await.result(Future.sequence(writers :+ deleter), 600.seconds)
+      } finally pool.shutdown()
+      ordered(DeltaTable.forPath(s, dir).toDF)
+    }),
+
     // Structured Streaming sink end to end: a bounded MemoryStream
     // feeds writeStream → graft-delta in three AvailableNow runs (so
     // the query RESTARTS twice from its checkpoint, exercising the
@@ -1085,6 +1119,11 @@ object DeltaQueries {
   val oracleSql: Map[String, String] = Map(
     "q_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 25
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_concurrent" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity >= 2 AND l_quantity < 17
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_stream_sink" ->
