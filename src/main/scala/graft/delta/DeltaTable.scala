@@ -345,8 +345,6 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         Seq("spark.sql.variant.writeShredding.enabled" -> "true",
           "spark.sql.variant.inferShreddingSchema" -> "true")
        else Nil)
-    val prev = scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     // Optimized write (delta.autoOptimize.optimizeWrite): shuffle on
     // the partition columns before a partitioned write, so every
     // partition VALUE lands in one task and writes ONE file instead of
@@ -362,7 +360,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       if (optimizeWrite && clusterCols.isEmpty && partByCols.nonEmpty)
         toWrite.repartition(partByCols.map(c => col(s"`$c`")): _*)
       else toWrite
-    try {
+    DeltaTable.ScopedSessionConf.withConfs(spark, scopedConfs) {
       val writer = laidOut.write.mode("overwrite")
       // delta.parquet.compression.codec: table-pinned codec beats the
       // session default (a 100 TB table's scan cost is set at write
@@ -371,9 +369,6 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         .foreach(c => writer.option("compression", c))
       (if (partByCols.nonEmpty) writer.partitionBy(partByCols: _*)
        else writer).parquet(stagePath.toString)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
 
     // remove committer markers, list the staged data files
@@ -3178,6 +3173,52 @@ object DeltaTable {
     * conflict checks: the snapshot it planned against, the predicate
     * it read under, and the canonical keys of the files it removes.
     */
+  /** Reference-counted scoped session-conf overrides. A naive
+    * save/set/restore around a write job RACES under concurrent
+    * writers on one session: thread B saves thread A's override as
+    * "original", A restores the true original mid-B, and B's restore
+    * then leaks the override permanently. Writers needing the same
+    * value share a refcount; a writer needing a DIFFERENT value for a
+    * held key waits its turn. The true original is restored only when
+    * the last holder releases.
+    */
+  private[delta] object ScopedSessionConf {
+    private val held = scala.collection.mutable.Map
+      .empty[String, (Option[String], String, Int)]
+    def withConfs[T](spark: SparkSession,
+        kvs: Seq[(String, String)])(body: => T): T = {
+      held.synchronized {
+        while (kvs.exists { case (k, v) =>
+          held.get(k).exists(_._2 != v)
+        }) held.wait()
+        kvs.foreach { case (k, v) =>
+          held.get(k) match {
+            case Some((orig, cur, n)) => held(k) = (orig, cur, n + 1)
+            case None =>
+              val orig = spark.conf.getOption(k)
+              spark.conf.set(k, v)
+              held(k) = (orig, v, 1)
+          }
+        }
+      }
+      try body
+      finally held.synchronized {
+        kvs.foreach { case (k, _) =>
+          val (orig, cur, n) = held(k)
+          if (n > 1) held(k) = (orig, cur, n - 1)
+          else {
+            orig match {
+              case Some(x) => spark.conf.set(k, x)
+              case None => spark.conf.unset(k)
+            }
+            held.remove(k)
+          }
+        }
+        held.notifyAll()
+      }
+    }
+  }
+
   /** `maintenance`: the commit is a dataChange=false rewrite of
     * exactly `removedKeys` — concurrent APPENDS are always disjoint
     * (new files are never among those compacted), so the rebase check
