@@ -286,7 +286,9 @@ object DeltaQueries {
         .orderBy(col("event_id"))
     }),
 
-    // time travel: read version 1 of a 2-append table
+    // time travel: read version 1 of a 2-append table, by version AND
+    // by timestamp (the commit's own timestamp must resolve back to
+    // its version — the history_manager boundary contract)
     "q_delta_time_travel" -> ((s, d) => {
       val dir = tmp("tt")
       val all = li(s, d)
@@ -294,7 +296,15 @@ object DeltaQueries {
       val t = DeltaTable.forPath(s, dir)
       t.append(all.filter(col("l_quantity") < 5))
       t.append(all.filter(col("l_quantity") >= 5 && col("l_quantity") < 10))
-      ordered(t.snapshot(Some(1L)).toDF)
+      val ts1 = graft.delta.CommitRange.forTable(s, dir, 1L, Some(1L))
+        .commits().next().timestamp
+      require(t.versionAtTimestamp(ts1) == 1L,
+        "commit 1's own timestamp must resolve to version 1")
+      val byTs = t.snapshot(Some(t.versionAtTimestamp(ts1))).toDF
+      val byV = t.snapshot(Some(1L)).toDF
+      require(byTs.count() == byV.count(),
+        "timestamp and version time travel disagree")
+      ordered(byV)
     }),
 
     // catalog-managed table: staged commits ratified by a catalog,
