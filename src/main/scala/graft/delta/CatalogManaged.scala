@@ -200,7 +200,10 @@ class FileCatalog(fs: FileSystem, dir: Path) extends CatalogClient {
   private def publishedUpTo(table: String): Long = {
     val d = publishedDir(table)
     if (!fs.exists(d)) -1L
-    else fs.listStatus(d).toSeq.map(_.getPath.getName.toLong)
+    // numeric names only: putIfAbsent's hidden temp files (and any
+    // orphan a crashed publisher leaves) must never crash the listing
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
       .maxOption.getOrElse(-1L)
   }
 

@@ -3169,10 +3169,6 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
 object DeltaTable {
 
-  /** Read footprint of a reads-based (DML) transaction, for commit
-    * conflict checks: the snapshot it planned against, the predicate
-    * it read under, and the canonical keys of the files it removes.
-    */
   /** Reference-counted scoped session-conf overrides. A naive
     * save/set/restore around a write job RACES under concurrent
     * writers on one session: thread B saves thread A's override as
@@ -3180,44 +3176,52 @@ object DeltaTable {
     * then leaks the override permanently. Writers needing the same
     * value share a refcount; a writer needing a DIFFERENT value for a
     * held key waits its turn. The true original is restored only when
-    * the last holder releases.
+    * the last holder releases. Keyed by (session, key): two sessions
+    * sharing this JVM hold independent SQLConfs, so each session's
+    * writers must set — and restore — their OWN conf.
     */
   private[delta] object ScopedSessionConf {
     private val held = scala.collection.mutable.Map
-      .empty[String, (Option[String], String, Int)]
+      .empty[(SparkSession, String), (Option[String], String, Int)]
     def withConfs[T](spark: SparkSession,
         kvs: Seq[(String, String)])(body: => T): T = {
       held.synchronized {
         while (kvs.exists { case (k, v) =>
-          held.get(k).exists(_._2 != v)
+          held.get((spark, k)).exists(_._2 != v)
         }) held.wait()
         kvs.foreach { case (k, v) =>
-          held.get(k) match {
-            case Some((orig, cur, n)) => held(k) = (orig, cur, n + 1)
+          held.get((spark, k)) match {
+            case Some((orig, cur, n)) =>
+              held((spark, k)) = (orig, cur, n + 1)
             case None =>
               val orig = spark.conf.getOption(k)
               spark.conf.set(k, v)
-              held(k) = (orig, v, 1)
+              held((spark, k)) = (orig, v, 1)
           }
         }
       }
       try body
       finally held.synchronized {
         kvs.foreach { case (k, _) =>
-          val (orig, cur, n) = held(k)
-          if (n > 1) held(k) = (orig, cur, n - 1)
+          val (orig, cur, n) = held((spark, k))
+          if (n > 1) held((spark, k)) = (orig, cur, n - 1)
           else {
             orig match {
               case Some(x) => spark.conf.set(k, x)
               case None => spark.conf.unset(k)
             }
-            held.remove(k)
+            held.remove((spark, k))
           }
         }
         held.notifyAll()
       }
     }
   }
+
+  /** Read footprint of a reads-based (DML) transaction, for commit
+    * conflict checks: the snapshot it planned against, the predicate
+    * it read under, and the canonical keys of the files it removes.
+    */
 
   /** `maintenance`: the commit is a dataChange=false rewrite of
     * exactly `removedKeys` — concurrent APPENDS are always disjoint

@@ -111,13 +111,6 @@ object Storage {
   def canonicalPathKey(p: String): String =
     p.replaceFirst(URI_PREFIX_REGEX, "")
 
-  /** Commit-path atomicity: put-if-absent (reference
-    * committer/filesystem.rs:31-115; lib.rs:636-642 `put` contract).
-    * On HDFS/ABFS `create(overwrite=false)` is atomic; on local FS the
-    * existence check races, which is fine for a single-process writer —
-    * object stores need a LogStore-style coordinator (same design as
-    * delta-spark).
-    */
   /** Atomic put-if-absent via write-to-temp + atomic publish. A naive
     * create(overwrite=false) has TWO races a concurrent committer hits:
     * the exists-then-create window lets two writers both "win" (the
@@ -139,6 +132,10 @@ object Storage {
       val out = fs.create(tmp, /*overwrite=*/ true)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      // ONLY lost-the-race conditions map to false; a real storage
+      // error (link unsupported, safe-mode, lease failure) must
+      // propagate — returning false here would make the commit loop
+      // read a non-existent "winner" and mask the actual fault
       if ("file" == fs.getScheme) {
         try {
           java.nio.file.Files.createLink(
@@ -147,14 +144,12 @@ object Storage {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.io.IOException => false
         }
       } else {
-        // HDFS-like stores: rename is atomic and fails when the
-        // destination exists. Object stores need a conditional-put
+        // HDFS-like stores: rename is atomic and returns false when
+        // the destination exists. Object stores need a conditional-put
         // committer (the Committer abstraction's job), not this path.
-        try fs.rename(tmp, path)
-        catch { case _: java.io.IOException => false }
+        fs.rename(tmp, path)
       }
     } finally {
       try { fs.delete(tmp, false); () } catch { case _: Exception => () }

@@ -292,7 +292,11 @@ object DeltaQueries {
     "q_delta_time_travel" -> ((s, d) => {
       val dir = tmp("tt")
       val all = li(s, d)
-      DeltaTable.create(s, dir, all.schema)
+      // ICT: commit timestamps are strictly monotonic by protocol, so
+      // the ts->version resolution below can never tie (file mtimes
+      // can collide on coarse-granularity filesystems)
+      DeltaTable.create(s, dir, all.schema, configuration =
+        Map(DeltaTable.ICT_ENABLED_KEY -> "true"))
       val t = DeltaTable.forPath(s, dir)
       t.append(all.filter(col("l_quantity") < 5))
       t.append(all.filter(col("l_quantity") >= 5 && col("l_quantity") < 10))

@@ -22,8 +22,6 @@ class ConcurrencyStressSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def pool(n: Int): ExecutionContext =
-    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(n))
 
   test("16 concurrent blind appends: each lands exactly once, " +
       "versions contiguous, ICTs strictly monotonic") {
@@ -31,14 +29,16 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     val schema = Seq((0L, 0)).toDF("k", "src").schema
     DeltaTable.create(spark, dir, schema, configuration =
       Map(DeltaTable.ICT_ENABLED_KEY -> "true"))
-    implicit val ec: ExecutionContext = pool(8)
+    val es = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(es)
     val futures = (0 until 16).map { i =>
       Future {
         val rows = (0 until 50).map(j => (i * 1000L + j, i))
         DeltaTable.forPath(spark, dir).append(rows.toDF("k", "src"))
       }
     }
-    Await.result(Future.sequence(futures), 300.seconds)
+    try Await.result(Future.sequence(futures), 300.seconds)
+    finally es.shutdown()
 
     val t = DeltaTable.forPath(spark, dir)
     assert(t.snapshot().version == 16L, "16 appends = versions 1..16")
@@ -60,7 +60,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     DeltaTable.create(spark, dir, schema)
     DeltaTable.forPath(spark, dir)
       .append(Seq((-1L, -1)).toDF("k", "src")) // seed so OPTIMIZE has work
-    implicit val ec: ExecutionContext = pool(8)
+    val es = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(es)
     val appenders = (0 until 8).map { i =>
       Future {
         val rows = (0 until 25).map(j => (i * 1000L + j, i))
@@ -84,7 +85,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
         catch { case _: Exception => () }
       }
     }
-    Await.result(Future.sequence(appenders ++ maintenance), 300.seconds)
+    try Await.result(Future.sequence(appenders ++ maintenance), 300.seconds)
+    finally es.shutdown()
 
     val t = DeltaTable.forPath(spark, dir)
     val got = t.toDF.select($"k").as[Long].collect().sorted
@@ -100,7 +102,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("stress-txn")
     val schema = Seq((0L, 0)).toDF("k", "src").schema
     DeltaTable.create(spark, dir, schema)
-    implicit val ec: ExecutionContext = pool(8)
+    val es = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(es)
     // 8 workers restart-retry the SAME logical batch (same appId+txn
     // version) — the dedup marker must admit exactly one
     val futures = (0 until 8).map { _ =>
@@ -116,7 +119,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
         }
       }
     }
-    Await.result(Future.sequence(futures), 300.seconds)
+    try Await.result(Future.sequence(futures), 300.seconds)
+    finally es.shutdown()
     // exactly-once: one data commit total (losers either surfaced a
     // typed conflict or idempotently no-op'd), rows never duplicated
     val t = DeltaTable.forPath(spark, dir)
@@ -145,7 +149,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     // seed keys 0..99 (the delete's target range)
     DeltaTable.forPath(spark, dir).append(
       (0L until 100L).map(k => (k, 0)).toDF("k", "src"))
-    implicit val ec: ExecutionContext = pool(8)
+    val es = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(es)
     // appenders write k >= 10000 — stats-provably disjoint from k < 50,
     // so the racing DELETE must rebase past them, not fail
     val appenders = (1 to 6).map { i =>
@@ -157,7 +162,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     val deleter = Future {
       DeltaTable.forPath(spark, dir).deleteWhereDV("k < 50")
     }
-    Await.result(Future.sequence(appenders :+ deleter), 300.seconds)
+    try Await.result(Future.sequence(appenders :+ deleter), 300.seconds)
+    finally es.shutdown()
     val got = DeltaTable.forPath(spark, dir).toDF
       .select($"k").as[Long].collect().sorted
     val want = ((50L until 100L) ++ (1 to 6).flatMap(i =>
