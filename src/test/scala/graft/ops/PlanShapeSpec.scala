@@ -109,4 +109,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val expect = l.join(r, l("k") === r("rk")).count()
     assert(joined.count() == expect)
   }
+
+  test("split assignment is a pure narrow projection: zero shuffles, " +
+      "whole-stage codegen") {
+    val df = Sampling.splitAssign(docs, col("doc_id"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val p = plan(df)
+    assert(hashShuffles(p) == 0, p.take(1200))
+    assertNoLoops(p)
+    // `*(n)` marks whole-stage-codegen'd operators in the plan string
+    assert(p.contains("*(1) Project"), p.take(1200))
+  }
+
+  test("char entropy is two keyed aggregations: (doc, char) counts " +
+      "then per-doc fold - no joins, bounded shuffles") {
+    val counts = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"))
+    val p = plan(counts)
+    assert(hashShuffles(p) <= 2, p.take(1200))
+    assertNoLoops(p)
+    // partial aggregation runs map-side before each exchange
+    assert(p.contains("partial"), p.take(1200))
+  }
 }
