@@ -146,8 +146,14 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
             "missing, unknown, or expired temporary credential"))
         case _ => respond(x, 404, err("not-found", "no such route"))
       }
-    } catch { case e: Exception =>
-      respond(x, 500, err("internal", e.getClass.getName))
+    } catch {
+      // malformed client input is the CLIENT's fault: typed 400, not a
+      // generic 500 that reads as a server fault
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        respond(x, 400, err("invalid-argument",
+          Option(e.getMessage).getOrElse(e.getClass.getName)))
+      case e: Exception =>
+        respond(x, 500, err("internal", e.getClass.getName))
     } finally x.close()
   }
 
@@ -171,7 +177,12 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
       .getOrElse("READ")
     require(op == "READ" || op == "READ_WRITE", s"bad operation $op")
     val token = java.util.UUID.randomUUID().toString
-    val expiry = System.currentTimeMillis() + credTtlMs
+    val now = System.currentTimeMillis()
+    // prune EVERY expired token here — under transparent renewal a
+    // stale token is never re-presented, so auth-time pruning alone
+    // would leak one map entry per renewal forever
+    tokens.entrySet().removeIf(e => e.getValue < now)
+    val expiry = now + credTtlMs
     tokens.put(token, expiry)
     credentialsVended += 1
     val cred = mapper.createObjectNode()
@@ -195,7 +206,8 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
 
     val maxRatified = backing.maxRatifiedVersion(table)
     // newest-first, as the reference's LoadTableResponse documents
-    val tail = backing.logTail(table).sortBy(-_.version)
+    // (the CatalogClient contract returns the tail ascending)
+    val tail = backing.logTail(table).reverse
     val window = before.map(b => tail.filter(_.version < b)).getOrElse(tail)
     val page = window.take(maxResults)
 
@@ -263,6 +275,32 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
         return
     }
 
+    // pre-validate the WHOLE batch before applying anything: a 409 on
+    // a later update must not leave an earlier one permanently applied
+    // (the singleton rules above make this a closed set of cases)
+    val unknown = updates.map(_.get("action").asText).find(a =>
+      a != "add-commit" && a != "set-latest-backfilled-version")
+    unknown.foreach { other =>
+      respond(x, 400, err("bad-request", s"unknown update $other"))
+      return
+    }
+    val addCommitU = updates.find(_.get("action").asText == "add-commit")
+    updates.find(_.get("action").asText == "set-latest-backfilled-version")
+      .foreach { u =>
+        val upTo = u.get("latest-published-version").asLong
+        // valid iff upTo will be ratified AFTER this request's own
+        // add-commit (if any) lands — mirrors markPublished's guard
+        val maxAfter = math.max(
+          backing.maxRatifiedVersion(table).getOrElse(-1L),
+          addCommitU.map(_.get("commit").get("version").asLong)
+            .getOrElse(-1L))
+        if (upTo > maxAfter) {
+          respond(x, 409, err("invalid-backfill",
+            s"cannot mark unratified version $upTo published"))
+          return
+        }
+      }
+
     for (u <- updates) u.get("action").asText match {
       case "add-commit" =>
         val c = u.get("commit")
@@ -282,9 +320,7 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
           respond(x, 409, err("invalid-backfill", e.getMessage))
           return
         }
-      case other =>
-        respond(x, 400, err("bad-request", s"unknown update $other"))
-        return
+      case _ => () // validated above
     }
     respond(x, 200, "{}")
   }

@@ -343,7 +343,11 @@ object GeoWkb {
       depth: Int): Boolean = {
     if (depth > 8) return false
     def num(d: Double): String =
-      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      // keep the sign of -0.0: toLong would render "0" and a WKT
+      // round trip through another consumer would flip the sign bit
+      if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L)
+        "-0"
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
     def coordRun(): Boolean = {
       val n = c.readInt()

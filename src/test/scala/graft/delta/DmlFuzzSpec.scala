@@ -127,10 +127,13 @@ class DmlFuzzSpec extends AnyFunSuite {
           s"seed $seed: exact read at $v diverged")
       } else {
         // segment alive but data files may be vacuumed: success must
-        // still be exact; failure is an accepted outcome
-        try assert(readAt(v) == history(v).sorted.toSeq,
-          s"seed $seed: stale read at $v returned garbage")
-        catch { case _: Throwable => () }
+        // still be exact; a READ failure is an accepted outcome — but
+        // the exactness assert must never be swallowed with it
+        val rows =
+          try Some(readAt(v))
+          catch { case _: Exception => None }
+        rows.foreach(r => assert(r == history(v).sorted.toSeq,
+          s"seed $seed: stale read at $v returned garbage"))
       }
     }
 

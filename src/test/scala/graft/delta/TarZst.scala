@@ -13,9 +13,11 @@ import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
   */
 object TarZst {
 
-  /** Extracts `archive` under `destRoot`; returns false on any error
-    * (missing archive, corrupt stream), leaving partial output for
-    * the caller's existing `require` to report.
+  /** Extracts `archive` under `destRoot`; returns false only when the
+    * archive file is missing. Corrupt streams, path-traversal entries,
+    * and link entries THROW with the failing entry named — a silent
+    * false would bury the cause (and a traversal entry is a signal
+    * that must never be reduced to "failed to extract").
     */
   def extract(archive: String, destRoot: String): Boolean = {
     val src = Paths.get(archive)
@@ -30,6 +32,10 @@ object TarZst {
       while (e != null) {
         val out = root.resolve(e.getName).normalize
         require(out.startsWith(root), s"entry escapes dest: ${e.getName}")
+        // tar stores no data for links: copying the stream would
+        // silently write an empty file where content belongs
+        require(!e.isSymbolicLink && !e.isLink,
+          s"link entry unsupported in fixture archives: ${e.getName}")
         if (e.isDirectory) Files.createDirectories(out)
         else {
           Files.createDirectories(out.getParent)
@@ -39,7 +45,9 @@ object TarZst {
       }
       true
     } catch {
-      case _: Exception => false
+      case ex: java.io.IOException =>
+        throw new IllegalStateException(
+          s"corrupt fixture archive $archive: ${ex.getMessage}", ex)
     } finally in.close()
   }
 }
