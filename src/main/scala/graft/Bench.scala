@@ -55,9 +55,14 @@ object Bench {
     // run can't distinguish environmental drift from a plan regression
     // (the log build is idempotent, so repeats measure only the query).
     val REPS = 3
-    def medianOf(xs: Seq[Double]): Double =
-      if (xs.exists(_ < 0)) -1.0 // preserve the error marker
-      else xs.sorted.apply(xs.size / 2)
+    // a failed REPEAT must not poison a query that ran green: drop
+    // negative runs and aggregate the successes; -1 only when EVERY
+    // run failed (the true error marker)
+    def medianOf(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else ok.sorted.apply(ok.size / 2)
+    }
     val metaRuns = (1 to REPS).map { _ =>
       try graft.bench.MetadataBench.run(spark)
       catch { case _: Throwable =>
@@ -88,8 +93,10 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val stats = repeated.toSeq.sortBy(_._1).map { case (k, xs) =>
+      val ok = xs.filter(_ >= 0)
       s"\"" + k + "\":{\"median\":" + medianOf(xs) +
-        ",\"min\":" + xs.min + ",\"n\":" + xs.size + "}"
+        ",\"min\":" + (if (ok.isEmpty) -1.0 else ok.min) +
+        ",\"n\":" + ok.size + "}"
     }.mkString("{", ",", "}")
     // the headline total sums SECONDS only — non-time gauges (the _mb_
     // heap metric) report in `queries`/`stats` but must not pollute it

@@ -28,7 +28,15 @@ object Tables {
         case LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast("timestamp"))
+          // zone-PINNED cast: a plain cast reinterprets the wall clock
+          // in the session zone, shifting every instant on non-UTC
+          // ad-hoc sessions (the nanos path above is epoch-based and
+          // immune; this branch must match it)
+          raw.withColumn("ts", org.apache.spark.sql.graft.StreamingShim
+            .column(org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute("ts"),
+              org.apache.spark.sql.types.TimestampType, Some("UTC"))))
         case _ => raw
       }
     } else {

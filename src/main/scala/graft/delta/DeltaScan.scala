@@ -204,10 +204,21 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     */
   private[graft] def addFileIterator(): Iterator[AddFile] = {
     val slim = slimFilesDF.select("add.*")
-    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
-    slim.repartition(parts, col("path"))
-      .toLocalIterator().asScala
-      .map { r => Cancellation.check(); RowCodec.rowToAdd(r) }
+    // small logs ride the driver fast path already — the shuffle would
+    // be pure fixed overhead (an exchange + ~8 fetch jobs per scan) on
+    // every tiny-table read
+    // NOTE: shuffle fetch order makes the ROW order here run-dependent;
+    // GraftFileIndex canonicalizes at the GROUP level (groups sort by
+    // partition values) and Spark's scan re-sorts splits by size, so
+    // nothing downstream observes the arrival order
+    val it =
+      if (snapshot.smallLog) slim.toLocalIterator().asScala
+      else {
+        val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+        slim.repartition(parts, col("path"))
+          .toLocalIterator().asScala
+      }
+    it.map { r => Cancellation.check(); RowCodec.rowToAdd(r) }
   }
 
   /** The distributed data read: schema-first parquet scan over the live

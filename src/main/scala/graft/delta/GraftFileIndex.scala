@@ -98,7 +98,6 @@ object GraftFileIndex {
       Seq[(String, DeletionVectorDescriptor)], Long) = {
     val fs = Storage.fs(tableRoot, spark.sessionState.newHadoopConf())
     val qualifiedRoot = fs.makeQualified(tableRoot)
-    // LinkedHashMap: deterministic group order = first-seen order
     val groups = mutable.LinkedHashMap
       .empty[Map[String, String], mutable.ArrayBuffer[FileStatus]]
     val dv = mutable.ArrayBuffer.empty[(String, DeletionVectorDescriptor)]
@@ -113,7 +112,15 @@ object GraftFileIndex {
       a.deletionVector.foreach(d => dv += abs.toUri.getPath -> d)
       total += a.size
     }
-    (groups.iterator.map { case (pv, b) => pv -> b.toArray }.toIndexedSeq,
+    // canonical group order: the handoff arrives in shuffle-fetch
+    // order (run-dependent), so sort groups by their partition values
+    // — group count is bounded by distinct partition tuples, never by
+    // file count. Within-group file order is immaterial: Spark's scan
+    // exec re-sorts splits by size before scheduling.
+    (groups.iterator.map { case (pv, b) => pv -> b.toArray }.toIndexedSeq
+       .sortBy { case (pv, _) =>
+         pv.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+       },
       dv.toSeq, total)
   }
 }

@@ -233,7 +233,7 @@ class Snapshot(
     * pure overhead at this size (reference keeps an iterator mode for
     * exactly this, log_replay/mod.rs).
     */
-  private lazy val smallLog: Boolean =
+  private[delta] lazy val smallLog: Boolean =
     segment.checkpointParts.isEmpty &&
       segment.deltas.map(c => fsys.getFileStatus(c.path).getLen).sum <
         DRIVER_REPLAY_MAX_BYTES
