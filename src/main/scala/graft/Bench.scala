@@ -19,16 +19,24 @@ object Bench {
     try Tables.load(spark, sfDir, "region").count()
     catch { case _: Throwable => () }
 
-    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // last swallowed exception per query — a failed entry showing up as
+    // n:0 with no message forces a forensic re-run; one line here is
+    // enough for the next verdict to diagnose a flake
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd executes the FULL physical plan (projection + sort included)
       // — a .count() would let the optimizer prune columns and drop sorts.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case t: Throwable =>
+        errs(name) = s"${t.getClass.getSimpleName}: ${t.getMessage}"
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val firstRun: Seq[(String, Double)] = SparkEntry.queries.toSeq
-      .map { case (name, fn) => name -> timeQuery(fn) }
+      .map { case (name, fn) => name -> timeQuery(name, fn) }
     // Re-run the most expensive queries so their entries carry
     // {median,min,n} — a single run cannot distinguish environmental
     // drift (GC/page-cache pressure from the surrounding bench JVM) from
@@ -43,9 +51,11 @@ object Bench {
     val repeatSet: Set[String] = firstRun.filter(_._2 >= 0)
       .sortBy(-_._2).take(QTOP).map(_._1).toSet ++ pinned
     val qTimes: Seq[(String, Seq[Double])] = firstRun.map { case (name, t1) =>
+      // repeat even after a first-run failure: a flaky query's n then
+      // reports how many of the repeats survived instead of flat n:0
       val extra =
-        if (t1 >= 0 && repeatSet(name))
-          (2 to QREPS).map(_ => timeQuery(SparkEntry.queries(name)))
+        if (repeatSet(name))
+          (2 to QREPS).map(_ => timeQuery(name, SparkEntry.queries(name)))
         else Seq.empty
       name -> (t1 +: extra)
     }
@@ -92,11 +102,16 @@ object Bench {
     val all = medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jsonStr(s: String): String = "\"" + s.take(300)
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
     val stats = repeated.toSeq.sortBy(_._1).map { case (k, xs) =>
       val ok = xs.filter(_ >= 0)
+      val err = if (ok.size < xs.size && errs.contains(k))
+        ",\"err\":" + jsonStr(errs(k)) else ""
       s"\"" + k + "\":{\"median\":" + medianOf(xs) +
         ",\"min\":" + (if (ok.isEmpty) -1.0 else ok.min) +
-        ",\"n\":" + ok.size + "}"
+        ",\"n\":" + ok.size + err + "}"
     }.mkString("{", ",", "}")
     // the headline total sums SECONDS only — non-time gauges (the _mb_
     // heap metric) report in `queries`/`stats` but must not pollute it

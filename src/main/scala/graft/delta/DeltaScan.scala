@@ -111,30 +111,49 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     if (dataConjuncts.nonEmpty) {
       // stats JSON keys are physical names on column-mapped tables —
       // rewrite over the physical stats schema with predicate attributes
-      // renamed logical → physical first
+      // renamed logical → physical first. Paths are LOGICAL leaf paths
+      // into nested structs; each segment renames independently.
       val physData = ColumnMapping.physicalSchema(snapshot.dataSchema)
-      val l2p = snapshot.dataSchema.fields
-        .map(f => f.name -> ColumnMapping.physicalName(f)).toMap
+      def l2pWalk(st: StructType,
+          prefix: Seq[String], physPrefix: Seq[String],
+          out: scala.collection.mutable.Map[Seq[String], Seq[String]])
+          : Unit =
+        st.fields.foreach { f =>
+          val lp = prefix :+ f.name
+          val pp = physPrefix :+ ColumnMapping.physicalName(f)
+          out(lp) = pp
+          f.dataType match {
+            case nested: StructType => l2pWalk(nested, lp, pp, out)
+            case _ =>
+          }
+        }
+      val l2p = {
+        val m = scala.collection.mutable.Map
+          .empty[Seq[String], Seq[String]]
+        l2pWalk(snapshot.dataSchema, Nil, Nil, m)
+        m
+      }
       val physConjuncts = dataConjuncts.map(_.transform {
-        case a: UnresolvedAttribute
-            if a.nameParts.size == 1 && l2p.contains(a.nameParts.head) =>
-          UnresolvedAttribute(Seq(l2p(a.nameParts.head)))
+        case a: UnresolvedAttribute if l2p.contains(a.nameParts) =>
+          UnresolvedAttribute(l2p(a.nameParts))
       })
       val statsSchema = DataSkipping.statsSchema(physData)
-      val eligible = statsSchema
-        .fields.find(_.name == "minValues").get.dataType
-        .asInstanceOf[StructType].fieldNames.toSet
-      val nullFields = physData.fieldNames.toSet
+      val eligible = DataSkipping.eligiblePaths(physData)
+      val nullFields = DataSkipping.nullCountPaths(physData)
       val skips = physConjuncts.flatMap(
         DataSkipping.rewrite(_, eligible, nullFields))
-      if (skips.nonEmpty) {
-        val skipSql = skips.map(_.sql).mkString(" AND ")
-        df = df.withColumn("__stats",
-            from_json(col("add.stats"), statsSchema))
-          // missing/partial stats ⇒ NULL comparisons ⇒ coalesce keeps the file
-          .filter(expr(s"coalesce($skipSql, true)"))
-          .drop("__stats")
-      }
+      // numRecords = 0 ⇒ the file has no rows, so NO predicate can
+      // match it — skip even when the predicate itself is unprovable
+      // from min/max stats (reference kernel/src/scan/data_skipping.rs
+      // :880-886). Guarded per-term by coalesce: absent stats keep.
+      val numRecTerm = "coalesce(__stats.numRecords > 0, true)"
+      val skipSql = (numRecTerm +: skips.map(s =>
+        s"coalesce(${s.sql}, true)")).mkString(" AND ")
+      df = df.withColumn("__stats",
+          from_json(col("add.stats"), statsSchema))
+        // missing/partial stats ⇒ NULL comparisons ⇒ coalesce keeps the file
+        .filter(expr(skipSql))
+        .drop("__stats")
     }
     df
   }

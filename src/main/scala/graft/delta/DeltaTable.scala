@@ -15,7 +15,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * commit :327-590; create_table.rs; history_manager/mod.rs)
   */
 class DeltaTable(val spark: SparkSession, val pathStr: String,
-    val catalog: Option[CatalogClient] = None) {
+    val catalog: Option[CatalogClient] = None,
+    committerOverride: Option[Committer] = None) {
   val root = new Path(pathStr)
   private def hconf = spark.sessionState.newHadoopConf()
   private def fs = Storage.fs(root, hconf)
@@ -26,8 +27,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * otherwise.
     */
   private def committer: Committer =
-    catalog.map(c => new CatalogCommitter(c, pathStr))
-      .getOrElse(FileSystemCommitter)
+    committerOverride.getOrElse(
+      catalog.map(c => new CatalogCommitter(c, pathStr))
+        .getOrElse(FileSystemCommitter))
 
   def snapshot(version: Option[Long] = None): Snapshot = catalog match {
     case Some(c) => Snapshot.forTable(spark, pathStr, version,
@@ -117,7 +119,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           // pruning + stats skipping PROVE no added file can hold a row
           // matching our predicate (delta's Serializable check; the
           // reference surfaces the same cases via CommitResult)
-          val winAdds = winnerField("add").map(RowCodec.jsonToAdd).toSeq
+          // dataChange=false adds (a concurrent OPTIMIZE/compaction)
+          // rewrite existing rows without changing table contents — the
+          // remove/remove check above already catches compactions that
+          // touched OUR files, so they never conflict with a predicate
+          // (delta-spark excludes them under WriteSerializable too)
+          val winAdds = winnerField("add").map(RowCodec.jsonToAdd)
+            .filter(_.dataChange).toSeq
           if (winAdds.nonEmpty && !rs.maintenance) {
             val disjoint = rs.predicateSql.isDefined && {
               val rows: Seq[org.apache.spark.sql.Row] = winAdds.map(a =>
@@ -413,7 +421,19 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val statsByPath = ParquetFooterStats.collect(spark,
       files.map(_._1.getPath.toString), physDataSchema, hconf, statsSel)
 
-    val staged = files.map { case (st, hiveRel) =>
+    // Spark writers emit one (possibly empty) file per task; a zero-row
+    // file carries empty min/max stats, which downstream conflict checks
+    // and data skipping can never prove disjoint (NULL min ⇒ coalesce
+    // keeps the file ⇒ a provably-disjoint concurrent DML aborts).
+    // Drop them before they ever become adds — reference never commits
+    // zero-record files either (transaction stats contract).
+    val zeroRowRe = """"numRecords"\s*:\s*0[,}]""".r
+    val (empties, liveFiles) = files.partition { case (st, _) =>
+      zeroRowRe.findFirstIn(statsByPath(st.getPath.toString)).isDefined
+    }
+    empties.foreach { case (st, _) => fs.delete(st.getPath, false) }
+
+    val staged = liveFiles.map { case (st, hiveRel) =>
       val abs = st.getPath
       // add.path is a URI-ENCODED relative path (protocol contract) —
       // getRawPath keeps %-escapes so a literal '%' or space in a
@@ -3263,6 +3283,14 @@ object DeltaTable {
   def forPath(spark: SparkSession, path: String,
       catalog: CatalogClient): DeltaTable =
     new DeltaTable(spark, path, Some(catalog))
+
+  /** Handle whose commits go through a custom [[Committer]] — e.g. an
+    * [[ObjectStoreCommitter]] doing conditional puts against an object
+    * store instead of filesystem put-if-absent.
+    */
+  def forPath(spark: SparkSession, path: String,
+      committer: Committer): DeltaTable =
+    new DeltaTable(spark, path, None, Some(committer))
 
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
     val p = FileNames.logDir(new Path(path))

@@ -150,27 +150,30 @@ object ParquetFooterStats {
     val blocks = footer.getBlocks.asScala.toSeq
     val numRecords = blocks.map(_.getRowCount).sum
 
-    // top-level leaf chunks only (path depth 1); nested leaves cannot
-    // answer their parent's null count or bounds
-    val chunksByCol: Map[String, Seq[ColumnChunkMetaData]] = blocks
+    // chunks keyed by the FULL dotted column path — struct leaves skip
+    // too (reference stats_schema/mod.rs builds nested stats schemas
+    // over leaf paths). Array/map interiors produce parquet paths with
+    // repetition segments (`col.list.element`) that match no schema
+    // leaf path, which excludes them exactly as intended: their leaves
+    // cannot answer a parent's bounds or null count.
+    val chunksByPath: Map[Seq[String], Seq[ColumnChunkMetaData]] = blocks
       .flatMap(_.getColumns.asScala)
-      .filter(_.getPath.size == 1)
-      .groupBy(_.getPath.toArray.head)
+      .groupBy(_.getPath.toArray.toSeq.map(_.toString))
 
-    val included = statsCols match {
-      case Some(set) => physSchema.fields.filter(f => set(f.name))
-      case None => physSchema.fields
+    // the statsCols selection unit is the top-level (root) field
+    val leaves = DataSkipping.leafPaths(physSchema).filter {
+      case (p, _) => statsCols.forall(_.contains(p.head))
     }
-    val eligible = included
-      .filter(f => DataSkipping.isEligible(f.dataType)).map(_.name).toSeq
-    val bounds = eligible.map(c =>
-      c -> minMax(chunksByCol.get(c), physSchema(c).dataType)).toMap
-    val mins = eligible.map(c => c -> bounds(c).map(_._1)
-      .flatMap(v => StatsJson.renderSide(v, isMax = false)))
-    val maxs = eligible.map(c => c -> bounds(c).map(_._2)
-      .flatMap(v => StatsJson.renderSide(v, isMax = true)))
-    val nulls = included.map(_.name).toSeq.map(c => c ->
-      nullCount(chunksByCol.get(c)).flatMap(v => StatsJson.renderValue(v)))
+    val eligible = leaves.filter(l => DataSkipping.isEligible(l._2))
+    val bounds = eligible.map { case (p, dt) =>
+      p -> minMax(chunksByPath.get(p), dt)
+    }.toMap
+    val mins = eligible.map { case (p, _) => p -> bounds(p).map(_._1)
+      .flatMap(v => StatsJson.renderSide(v, isMax = false)) }
+    val maxs = eligible.map { case (p, _) => p -> bounds(p).map(_._2)
+      .flatMap(v => StatsJson.renderSide(v, isMax = true)) }
+    val nulls = leaves.map { case (p, _) => p ->
+      nullCount(chunksByPath.get(p)).flatMap(v => StatsJson.renderValue(v)) }
 
     StatsJson.render(numRecords, mins, maxs, nulls)
   }

@@ -4,8 +4,6 @@ import java.sql.{Date, Timestamp}
 import java.time.ZoneOffset
 import java.time.format.DateTimeFormatter
 
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.types._
 
 /** Per-file stats JSON for add actions (reference:
   * default-engine/src/stats.rs, transaction/mod.rs:109-132; the ToJson
@@ -91,9 +89,25 @@ object StatsJson {
     case other => Some("\"" + JsonLog.esc(other.toString) + "\"")
   }
 
-  private def renderObj(fields: Seq[(String, Option[String])]): String =
-    fields.collect { case (k, Some(v)) => "\"" + JsonLog.esc(k) + "\":" + v }
-      .mkString("{", ",", "}")
+  /** Nested object from depth-first (leaf path, rendered value) entries
+    * — the stats structs mirror the data schema's struct nesting
+    * (reference stats_schema/mod.rs). None leaves are omitted; interior
+    * structs whose every leaf is omitted are dropped entirely.
+    */
+  private def renderPathObj(
+      entries: Seq[(Seq[String], Option[String])]): String = {
+    val heads = entries.map(_._1.head).distinct
+    heads.flatMap { h =>
+      val sub = entries.filter(_._1.head == h)
+      if (sub.head._1.size == 1)
+        sub.head._2.map(v => "\"" + JsonLog.esc(h) + "\":" + v)
+      else {
+        val inner = renderPathObj(sub.map { case (p, v) => (p.tail, v) })
+        if (inner == "{}") None
+        else Some("\"" + JsonLog.esc(h) + "\":" + inner)
+      }
+    }.mkString("{", ",", "}")
+  }
 
   /** Mark a stats JSON as non-tight (`tightBounds:false`) — required when
     * a deletion vector is attached without recomputing stats over live
@@ -107,32 +121,15 @@ object StatsJson {
     n.toString
   }
 
-  /** Assemble a stats JSON from already-rendered leaf values (None =
+  /** Assemble a stats JSON from already-rendered leaf values keyed by
+    * leaf PATH (nested structs render as nested objects; None =
     * unknown, omitted).
     */
-  def render(numRecords: Long, mins: Seq[(String, Option[String])],
-      maxs: Seq[(String, Option[String])],
-      nulls: Seq[(String, Option[String])]): String =
-    s"""{"numRecords":$numRecords,"minValues":${renderObj(mins)},""" +
-      s""""maxValues":${renderObj(maxs)},"nullCount":${renderObj(nulls)}}"""
+  def render(numRecords: Long, mins: Seq[(Seq[String], Option[String])],
+      maxs: Seq[(Seq[String], Option[String])],
+      nulls: Seq[(Seq[String], Option[String])]): String =
+    s"""{"numRecords":$numRecords,"minValues":${renderPathObj(mins)},""" +
+      s""""maxValues":${renderPathObj(maxs)},""" +
+      s""""nullCount":${renderPathObj(nulls)}}"""
 
-  /** Build the stats JSON from a collected per-file aggregate row with
-    * columns: numRecords, min_<c>/max_<c> for eligible cols, null_<c>
-    * for all data cols.
-    */
-  def fromAggRow(row: Row, eligibleCols: Seq[String],
-      allCols: Seq[String]): String = {
-    def get(name: String): Any = {
-      val i = row.fieldIndex(name)
-      if (row.isNullAt(i)) null else row.get(i)
-    }
-    val numRecords = get("numRecords").asInstanceOf[Long]
-    val mins = eligibleCols.map(c =>
-      c -> renderSide(get(s"min_$c"), isMax = false))
-    val maxs = eligibleCols.map(c =>
-      c -> renderSide(get(s"max_$c"), isMax = true))
-    val nulls = allCols.map(c => c -> renderValue(get(s"null_$c")))
-    s"""{"numRecords":$numRecords,"minValues":${renderObj(mins)},""" +
-      s""""maxValues":${renderObj(maxs)},"nullCount":${renderObj(nulls)}}"""
-  }
 }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * a malformed stat is worse than no stat, because readers skip files
   * based on it (silent wrong answers, not errors). Checks: parseable
   * JSON object, `numRecords` present and non-negative, every
-  * `nullCount` within [0, numRecords], min/max keys drawn from the
-  * schema, and min <= max per column where the type is unambiguously
-  * orderable from JSON.
+  * `nullCount` leaf within [0, numRecords], min/max keys drawn from the
+  * schema (recursing into nested structs, whose stats mirror the data
+  * schema's nesting), and min <= max per leaf where the type is
+  * unambiguously orderable from JSON.
   */
 object StatsVerifier {
 
@@ -29,42 +30,76 @@ object StatsVerifier {
     val rows = numRecords.asLong
     if (rows < 0) return Some(s"negative numRecords $rows")
 
-    val fields = physSchema.fieldNames.toSet
-    val iter = n.path("nullCount").properties().iterator()
-    while (iter.hasNext) {
-      val e = iter.next()
-      if (!fields.contains(e.getKey))
-        return Some(s"nullCount for unknown column '${e.getKey}'")
-      val v = e.getValue
-      if (!v.isIntegralNumber || v.asLong < 0 || v.asLong > rows)
-        return Some(s"nullCount.${e.getKey}=${v} outside [0, $rows]")
-    }
-
-    Seq("minValues", "maxValues").foreach { side =>
-      val it = n.path(side).properties().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (!fields.contains(e.getKey))
-          return Some(s"$side for unknown column '${e.getKey}'")
-      }
-    }
-
-    val byName = physSchema.fields.map(f => f.name -> f.dataType).toMap
-    val mins = n.path("minValues")
-    val maxs = n.path("maxValues")
-    val it = mins.properties().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val c = e.getKey
-      val mx = maxs.path(c)
-      if (!mx.isMissingNode && !mx.isNull) {
-        ordered(e.getValue, mx, byName(c)).foreach { ok =>
-          if (!ok) return Some(
-            s"minValues.$c=${e.getValue} > maxValues.$c=$mx")
+    // nullCount: every leaf is an integral count in [0, numRecords];
+    // struct columns nest (their node must be an object, not a count)
+    def checkNulls(node: JsonNode, st: StructType,
+        prefix: String): Option[String] = {
+      val byName = st.fields.map(f => f.name -> f.dataType).toMap
+      val iter = node.properties().iterator()
+      while (iter.hasNext) {
+        val e = iter.next()
+        val path = prefix + e.getKey
+        byName.get(e.getKey) match {
+          case None =>
+            return Some(s"nullCount for unknown column '$path'")
+          case Some(nested: StructType) =>
+            if (!e.getValue.isObject)
+              return Some(s"nullCount.$path must nest for struct column")
+            val r = checkNulls(e.getValue, nested, path + ".")
+            if (r.isDefined) return r
+          case Some(_) =>
+            val v = e.getValue
+            if (!v.isIntegralNumber || v.asLong < 0 || v.asLong > rows)
+              return Some(s"nullCount.$path=${v} outside [0, $rows]")
         }
       }
+      None
     }
-    None
+    checkNulls(n.path("nullCount"), physSchema, "") match {
+      case some @ Some(_) => return some
+      case None =>
+    }
+
+    // minValues/maxValues: keys drawn from the schema at every nesting
+    // level; min <= max per orderable leaf
+    def checkSides(mins: JsonNode, maxs: JsonNode, st: StructType,
+        prefix: String): Option[String] = {
+      val byName = st.fields.map(f => f.name -> f.dataType).toMap
+      for (side <- Seq(mins, maxs)) {
+        val it = side.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val path = prefix + e.getKey
+          byName.get(e.getKey) match {
+            case None =>
+              return Some(s"min/max stat for unknown column '$path'")
+            case Some(_: StructType) if !e.getValue.isObject =>
+              return Some(s"min/max.$path must nest for struct column")
+            case Some(_) =>
+          }
+        }
+      }
+      val it = mins.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getKey
+        val mx = maxs.path(c)
+        if (!mx.isMissingNode && !mx.isNull) byName.get(c) match {
+          case Some(nested: StructType) =>
+            val r = checkSides(e.getValue, mx, nested, prefix + c + ".")
+            if (r.isDefined) return r
+          case Some(dt) =>
+            ordered(e.getValue, mx, dt).foreach { ok =>
+              if (!ok) return Some(
+                s"minValues.$prefix$c=${e.getValue} > " +
+                  s"maxValues.$prefix$c=$mx")
+            }
+          case None =>
+        }
+      }
+      None
+    }
+    checkSides(n.path("minValues"), n.path("maxValues"), physSchema, "")
   }
 
   /** Some(min <= max) when the JSON values are unambiguously orderable

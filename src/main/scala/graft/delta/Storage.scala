@@ -147,9 +147,17 @@ object Storage {
         }
       } else {
         // HDFS-like stores: rename is atomic and returns false when
-        // the destination exists. Object stores need a conditional-put
-        // committer (the Committer abstraction's job), not this path.
-        fs.rename(tmp, path)
+        // the destination exists — but ALSO on non-race faults (missing
+        // parent, source gone, lease trouble). Only report "lost the
+        // race" when a winner actually exists; anything else is a
+        // storage error the commit loop must see, not retry around.
+        // Object stores need a conditional-put committer (see
+        // [[graft.delta.Committer]]), not this path.
+        if (fs.rename(tmp, path)) true
+        else if (fs.exists(path)) false
+        else throw new java.io.IOException(
+          s"rename($tmp, $path) failed but no winner exists at the " +
+            "destination — storage fault, not a commit race")
       }
     } finally {
       try { fs.delete(tmp, false); () } catch { case _: Exception => () }

@@ -201,7 +201,7 @@ object Dedup {
         carry = sigCols)
       .select(col("band") +: col("bkey") +: col("doc_id") +:
         sigCols.map(col) :+
-        lit(txn.map(_._1).orNull).as("app_id") :+
+        lit(txn.map(_._1).orNull).cast("string").as("app_id") :+
         lit(txn.map(t => Long.box(t._2)).orNull).cast("long")
           .as("batch_v"): _*)
     if (!exists)

@@ -286,6 +286,48 @@ object DeltaQueries {
         .orderBy(col("event_id"))
     }),
 
+    // nested struct column END TO END under column-mapping name mode:
+    // write collects nested leaf stats (stats_schema/mod.rs:23-45),
+    // DELETE filters on a nested leaf, CDF replays the delete, and the
+    // final scan's nested-leaf predicate must skip files — asserted
+    // FILE-side, not just row-side
+    "q_delta_nested" -> ((s, d) => {
+      val dir = tmp("nest")
+      val src = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("cust"),
+            col("o_totalprice").as("price"),
+            struct(col("o_orderdate").as("odate")).as("inner")).as("o"))
+      DeltaTable.create(s, dir, src.schema, configuration = Map(
+        TableChanges.CDF_ENABLED_KEY -> "true",
+        graft.delta.ColumnMapping.MODE_KEY -> "name"))
+      val t = DeltaTable.forPath(s, dir)
+      // 4 files with disjoint o.cust ranges -> nested skipping provable
+      Seq((0, 375), (375, 750), (750, 1125), (1125, 1 << 30)).foreach {
+        case (lo, hi) =>
+          t.append(src.filter(col("o.cust") >= lo && col("o.cust") < hi)
+            .repartition(1))
+      }
+      t.deleteWhere("o.price > 300000") // version 5
+      val scan = t.scan(Some("o.cust < 250"))
+      val total = new graft.delta.DeltaScan(t.snapshot(), None)
+        .collectAddFiles().size
+      val kept = scan.collectAddFiles().size
+      require(kept < total && kept >= 1,
+        s"nested-leaf stats did not skip files: kept $kept of $total")
+      val scanned = scan.toDF
+        .select(col("o_orderkey"), col("o.cust").as("cust"),
+          col("o.price").as("price"), col("o.inner.odate").as("odate"),
+          lit("scan").as("chg"))
+      val deleted = TableChanges.read(s, dir, 5, Some(5))
+        .filter(col("_change_type") === "delete")
+        .select(col("o_orderkey"), col("o.cust").as("cust"),
+          col("o.price").as("price"), col("o.inner.odate").as("odate"),
+          col("_change_type").as("chg"))
+      scanned.unionAll(deleted)
+        .orderBy(col("o_orderkey"), col("chg"))
+    }),
+
     // time travel: read version 1 of a 2-append table, by version AND
     // by timestamp (the commit's own timestamp must resolve back to
     // its version — the history_manager boundary contract)
@@ -1131,6 +1173,19 @@ object DeltaQueries {
   private val cols = liCols.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_delta_nested" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey AS cust, o_totalprice AS price,
+        |         o_orderdate AS odate
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, cust, price, odate, 'scan' AS chg FROM o
+        |  WHERE cust < 250 AND NOT (price > 300000)
+        |  UNION ALL
+        |  SELECT o_orderkey, cust, price, odate, 'delete' AS chg FROM o
+        |  WHERE price > 300000)
+        |ORDER BY o_orderkey, chg""".stripMargin,
+
     "q_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_quantity < 25
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -1704,7 +1704,7 @@ object PipelineQueries {
         |cnt AS (
         |  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
         |agg AS (
-        |  SELECT doc_id, sum(cnt) AS n,
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
         |    sum(CAST(round(cnt * log2(cnt), 9) AS DECIMAL(28,9))) AS s9
         |  FROM cnt GROUP BY 1)
         |SELECT doc_id, n,

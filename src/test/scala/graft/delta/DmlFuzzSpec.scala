@@ -27,6 +27,16 @@ class DmlFuzzSpec extends AnyFunSuite {
   test("randomized DML via SQL + API with auto-checkpoint interleaved " +
       "(seed 41)") { run(41, 20, sqlRoute = true) }
 
+  // the SAME DML/maintenance mix committing through the object-store
+  // conditional-put committer: every version becomes one atomic
+  // conditional PUT (no temp file + link/rename), and the model
+  // equivalence must hold unchanged (reference committer/filesystem.rs
+  // over a conditional-put StorageHandler)
+  test("randomized DML through the conditional-put committer (seed 97)") {
+    run(97, 20, committer =
+      Some(new ObjectStoreCommitter(new InMemoryObjectStore)))
+  }
+
   // the full DML/maintenance mix under the table-property surface that
   // changes the BYTES on disk — randomized file prefixes, pinned zstd
   // codec, tiny targetFileSize, struct-form checkpoint stats, V2
@@ -198,14 +208,18 @@ class DmlFuzzSpec extends AnyFunSuite {
 
   private def run(seed: Int, steps: Int,
       sqlRoute: Boolean = false,
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      committer: Option[Committer] = None): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = TestSpark.tmpDir("fuzz")
     val schema = Seq((0L, 0.0)).toDF("k", "v").schema
     DeltaTable.create(spark, dir, schema, configuration =
       Map(TableChanges.CDF_ENABLED_KEY -> "true") ++ extraProps ++
         (if (sqlRoute) Map("delta.checkpointInterval" -> "4") else Map.empty))
-    val t = DeltaTable.forPath(spark, dir)
+    val t = committer match {
+      case Some(c) => DeltaTable.forPath(spark, dir, c)
+      case None => DeltaTable.forPath(spark, dir)
+    }
     val sqlName = s"gd_fuzz.default.`$dir`"
     if (sqlRoute) {
       spark.conf.set("spark.sql.catalog.gd_fuzz",

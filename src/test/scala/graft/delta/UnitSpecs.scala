@@ -101,11 +101,16 @@ class PartitionValuesSpec extends AnyFunSuite {
 
 class DataSkippingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val eligible = Set("a", "b")
+  private val eligible: Set[Seq[String]] =
+    Set(Seq("a"), Seq("b"), Seq("s", "x"), Seq("s", "y", "z"))
 
   private def rw(sql: String): Option[String] =
     DataSkipping.rewrite(DataSkipping.parse(spark, sql), eligible,
-      eligible + "c").map(_.sql)
+      eligible + Seq("c")).map(_.sql)
+  // the all-null guard every comparison carries (reference
+  // eval_sql_where: nullCount = numRecords proves no non-null row)
+  private def g(c: String) =
+    s"(NOT (__stats.nullCount.$c <=> __stats.numRecords))"
 
   test("IsNull on a column outside nullCount (partition col) is unknown") {
     assert(DataSkipping.rewrite(
@@ -116,13 +121,63 @@ class DataSkippingSpec extends AnyFunSuite {
       eligible, eligible).isEmpty)
   }
 
+  test("nested leaf paths rewrite against nested stats structs") {
+    assert(rw("s.x < 3") ==
+      Some(s"(${g("s.x")} AND (__stats.minValues.s.x < 3))"))
+    assert(rw("s.y.z = 7") == Some(s"(${g("s.y.z")} AND " +
+      "((__stats.minValues.s.y.z <= 7) AND (__stats.maxValues.s.y.z >= 7)))"))
+    assert(rw("s.x IS NULL") == Some("(__stats.nullCount.s.x > 0L)"))
+    assert(rw("s.q < 3").isEmpty)     // unknown nested leaf -> kept
+  }
+
+  test("NOT(=) skips only when min = max = literal (exact types)") {
+    assert(rw("NOT (a = 3)") == Some(s"(${g("a")} AND " +
+      "(NOT ((__stats.minValues.a = 3) AND (__stats.maxValues.a = 3))))"))
+    // truncated stats (strings/timestamps) cannot prove all-equal
+    assert(rw("NOT (b = 'x')").isEmpty)
+  }
+
+  test("IS DISTINCT FROM admits null rows or unequal values") {
+    assert(rw("a IS DISTINCT FROM 3") == Some(
+      "((__stats.nullCount.a > 0L) OR (NOT ((__stats.minValues.a = 3) " +
+        "AND (__stats.maxValues.a = 3))))"))
+    assert(rw("a IS DISTINCT FROM NULL") ==
+      Some("(__stats.nullCount.a < __stats.numRecords)"))
+    assert(rw("a IS NOT DISTINCT FROM 3") == Some(s"(${g("a")} AND " +
+      "((__stats.minValues.a <= 3) AND (__stats.maxValues.a >= 3)))"))
+    assert(rw("a IS NOT DISTINCT FROM NULL") ==
+      Some("(__stats.nullCount.a > 0L)"))
+  }
+
+  test("statsSchema mirrors struct nesting and prunes empty structs") {
+    import org.apache.spark.sql.types._
+    val data = StructType(Seq(
+      StructField("a", LongType),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType),
+        StructField("bin", BinaryType)))),
+      StructField("allbin", StructType(Seq(
+        StructField("b1", BinaryType))))))
+    val st = DataSkipping.statsSchema(data)
+    val mm = st("minValues").dataType.asInstanceOf[StructType]
+    assert(mm.fieldNames.toSeq == Seq("a", "s"))
+    assert(mm("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x")) // binary leaf pruned
+    val nc = st("nullCount").dataType.asInstanceOf[StructType]
+    assert(nc("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "bin")) // nullCount keeps all leaves
+    assert(DataSkipping.eligiblePaths(data) ==
+      Set(Seq("a"), Seq("s", "x")))
+  }
+
   test("comparison rewrites") {
-    assert(rw("a < 3") == Some("(__stats.minValues.a < 3)"))
-    assert(rw("a > 3") == Some("(__stats.maxValues.a > 3)"))
-    assert(rw("3 > a") == Some("(__stats.minValues.a < 3)"))
-    assert(rw("a >= 3") == Some("(__stats.maxValues.a >= 3)"))
-    assert(rw("a = 3") ==
-      Some("((__stats.minValues.a <= 3) AND (__stats.maxValues.a >= 3))"))
+    assert(rw("a < 3") == Some(s"(${g("a")} AND (__stats.minValues.a < 3))"))
+    assert(rw("a > 3") == Some(s"(${g("a")} AND (__stats.maxValues.a > 3))"))
+    assert(rw("3 > a") == Some(s"(${g("a")} AND (__stats.minValues.a < 3))"))
+    assert(rw("a >= 3") ==
+      Some(s"(${g("a")} AND (__stats.maxValues.a >= 3))"))
+    assert(rw("a = 3") == Some(s"(${g("a")} AND " +
+      "((__stats.minValues.a <= 3) AND (__stats.maxValues.a >= 3)))"))
   }
 
   test("null checks use nullCount/numRecords") {
@@ -133,15 +188,16 @@ class DataSkippingSpec extends AnyFunSuite {
 
   test("AND drops unknown side, OR requires both") {
     assert(rw("a < 3 AND some_udf(c) = 1") ==
-      Some("(__stats.minValues.a < 3)"))
+      Some(s"(${g("a")} AND (__stats.minValues.a < 3))"))
     assert(rw("a < 3 OR some_udf(c) = 1").isEmpty)
     assert(rw("a < 3 OR b > 5") ==
-      Some("((__stats.minValues.a < 3) OR (__stats.maxValues.b > 5))"))
+      Some(s"((${g("a")} AND (__stats.minValues.a < 3)) OR " +
+        s"(${g("b")} AND (__stats.maxValues.b > 5)))"))
   }
 
   test("NOT pushes down with inversion") {
-    assert(rw("NOT (a >= 3)") == Some("(__stats.minValues.a < 3)"))
-    assert(rw("NOT (a = 3)").isEmpty) // needs distinct stats; unknown
+    assert(rw("NOT (a >= 3)") ==
+      Some(s"(${g("a")} AND (__stats.minValues.a < 3))"))
   }
 
   test("ineligible column is unknown -> kept") {

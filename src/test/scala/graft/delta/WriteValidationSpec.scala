@@ -138,6 +138,30 @@ class WriteValidationSpec extends AnyFunSuite {
       Seq("unknown", "unknown", "explicit"))
   }
 
+  test("no commit ever carries a zero-row add") {
+    // Spark writers emit one file per task, including empty ones; a
+    // zero-row add's empty stats are unprovable to every disjointness
+    // check downstream (the q_delta_concurrent spurious-abort root
+    // cause), so staging must drop them before commit
+    val dir = TestSpark.tmpDir("wv-zerorow")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(8)) // ≥5 empty task files
+    def adds0 = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    val adds = adds0
+    assert(adds.nonEmpty && adds.size <= 3)
+    adds.foreach { a =>
+      val stats = a.stats.getOrElse(fail(s"add ${a.path} has no stats"))
+      assert(!stats.matches(""".*"numRecords"\s*:\s*0[,}].*"""),
+        s"zero-row add committed: ${a.path} stats=$stats")
+    }
+    // an all-empty append commits no adds and leaves the table readable
+    t.append(src.filter($"k" > 100).repartition(4))
+    assert(adds0.size == adds.size)
+    assert(t.toDF.count() == 3)
+  }
+
   test("rows surviving a DELETE rewrite re-validate cleanly") {
     val dir = TestSpark.tmpDir("wv-del")
     val src = Seq((1L, 5.0), (2L, 7.5), (3L, 9.0)).toDF("k", "v")
