@@ -39,6 +39,33 @@ object Similarity {
   }
   private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
 
+  /** Σ xᵢyᵢ / √Σx² as SQL higher-order functions — ascending-index
+    * summation, bit-identical to the driver-side [[dot]]/[[norm]]
+    * loops AND the DuckDB oracle, so swapping a typed `Dataset.map`
+    * for these keeps every hash gate green while the stage stays a
+    * plain codegen'd projection (no object ser/de boundary).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
+  private def normSql(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> x * x), 0.0D, (acc, z) -> acc + z))"
+
+  /** The coarse-quantizer centroid set as ONE array literal column, and
+    * the argmax-by-(sim, lowest-cid) assignment as a single expression
+    * over it: `array_max` orders structs lexicographically, so
+    * (sim, -cid) picks the highest similarity and breaks ties toward
+    * the smallest centroid id — exactly the strict-`>` scan order of
+    * the old driver loop. Requires columns `v` and `__nr` (= ‖v‖).
+    */
+  private def centroidLit(
+      centroids: Array[(Long, Array[Double], Double)]) =
+    typedLit(centroids.toSeq.map { case (cid, cv, cn) =>
+      (cid, cv.toSeq, cn) })
+  private val ASSIGN_CELL_SQL: String =
+    "array_max(transform(__cents, c -> struct(" +
+      s"${dotSql("c._2", "v")} / (c._3 * __nr) AS sim, " +
+      "-c._1 AS neg, c._1 AS cid))).cid"
+
   private def asVecs(vecs: DataFrame, idCol: String,
       vecCol: String): Dataset[Vec] = {
     val spark = vecs.sparkSession
@@ -290,17 +317,14 @@ object Similarity {
     val ds = asVecs(vecs, idCol, vecCol)
     val centroids = ds.filter(_.id < numCentroids).collect().sortBy(_.id)
       .map(c => (c.id, c.v, norm(c.v)))
-    val bcCent = spark.sparkContext.broadcast(centroids)
-    val assigned = ds.map { r =>
-      val nr = norm(r.v)
-      var best = -1L
-      var bestSim = Double.NegativeInfinity
-      bcCent.value.foreach { case (cid, cv, cn) =>
-        val sim = dot(r.v, cv) / (nr * cn)
-        if (sim > bestSim) { bestSim = sim; best = cid }
-      }
-      (best, r.id, r.v)
-    }
+    // assignment as a codegen'd projection over the centroid literal;
+    // only the inherently imperative cell-local O(|cell|²) loop below
+    // crosses into typed-object land
+    val assigned = ds.toDF()
+      .withColumn("__nr", expr(normSql("v")))
+      .withColumn("__cents", centroidLit(centroids))
+      .select(expr(ASSIGN_CELL_SQL).as("cell"), col("id"), col("v"))
+      .as[(Long, Long, Array[Double])]
     assigned.groupByKey(_._1).flatMapGroups {
       (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
         val members = it.toArray.sortBy(_._2)
@@ -378,29 +402,26 @@ object Similarity {
     val cents = loadCentroids(spark, centroidsPath)
       .map { case (cid, cv) => (cid, cv, norm(cv)) }
     val qs = asVecs(queries, idCol, vecCol).collect().sortBy(_.id)
-    val bcQueries = spark.sparkContext.broadcast(
-      qs.map(q => q.id -> ((q.v, norm(q.v)))).toMap)
+    // probe rows carry their query vector + norm, so the rerank after
+    // the broadcast join is a plain column expression (codegen'd), not
+    // a typed map severing the stage
     val probes = qs.flatMap { q =>
       val nq = norm(q.v)
       cents.map { case (cid, cv, cn) => (cid, dot(q.v, cv) / (nq * cn)) }
         .sortBy { case (cid, sim) => (-sim, cid) }
         .take(nprobe)
-        .map { case (cid, _) => (q.id, cid) }
+        .map { case (cid, _) => (q.id, cid, q.v.toSeq, nq) }
     }.toSeq
     val cells = probes.map(_._2).distinct.sorted
     // the partition predicate prunes the scan to the probed cells —
     // unprobed inverted lists are never read
     val postings = graft.delta.DeltaTable.forPath(spark, indexPath)
       .scan(Some(s"cell IN (${cells.mkString(",")})")).toDF
-    val probesDf = probes.toDF("qid", "cell")
+    val probesDf = probes.toDF("qid", "cell", "qv", "qn")
     val scored = postings.join(broadcast(probesDf), "cell")
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), col("v"))
-      .as[(Long, Long, Array[Double])]
-      .map { case (qid, nid, nv) =>
-        val (qv, nq) = bcQueries.value(qid)
-        Scored(qid, nid, dot(qv, nv) / (nq * norm(nv)))
-      }.toDF()
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr(s"${dotSql("qv", "v")} / (qn * ${normSql("v")})").as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
@@ -413,39 +434,32 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     val ds = asVecs(vecs, idCol, vecCol)
-    val bcCent = spark.sparkContext.broadcast(centroids)
 
-    val assigned = ds.map { r =>
-      val nr = norm(r.v)
-      var best = -1L
-      var bestSim = Double.NegativeInfinity
-      bcCent.value.foreach { case (cid, cv, cn) =>
-        val sim = dot(r.v, cv) / (nr * cn)
-        if (sim > bestSim) { bestSim = sim; best = cid }
-      }
-      (r.id, r.v, best)
-    }.toDF("nid", "nv", "cell")
+    // cell assignment is one narrow codegen'd projection over a
+    // centroid-array literal — no object ser/de, no shuffle
+    val assigned = ds.toDF()
+      .withColumn("__nr", expr(normSql("v")))
+      .withColumn("__cents", centroidLit(centroids))
+      .select(col("id").as("nid"), col("v").as("nv"),
+        expr(ASSIGN_CELL_SQL).as("cell"))
 
+    // probe lists are driver-computed over the tiny query set; each
+    // probe row CARRIES its query vector + norm so the rerank below is
+    // a plain column expression after the broadcast join
     val queries = ds.filter(_.id < queryMaxId).collect().sortBy(_.id)
-    val bcQueries = spark.sparkContext.broadcast(
-      queries.map(q => q.id -> ((q.v, norm(q.v)))).toMap)
     val probes = queries.flatMap { q =>
       val nq = norm(q.v)
-      bcCent.value
+      centroids
         .map { case (cid, cv, cn) => (cid, dot(q.v, cv) / (nq * cn)) }
         .sortBy { case (cid, sim) => (-sim, cid) }
         .take(nprobe)
-        .map { case (cid, _) => (q.id, cid) }
-    }.toSeq.toDF("qid", "cell")
+        .map { case (cid, _) => (q.id, cid, q.v.toSeq, nq) }
+    }.toSeq.toDF("qid", "cell", "qv", "qn")
 
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("nv"))
-      .as[(Long, Long, Array[Double])]
-      .map { case (qid, nid, nv) =>
-        val (qv, nq) = bcQueries.value(qid)
-        Scored(qid, nid, dot(qv, nv) / (nq * norm(nv)))
-      }.toDF()
+      .select(col("qid"), col("nid"),
+        expr(s"${dotSql("qv", "nv")} / (qn * ${normSql("nv")})").as("sim"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))

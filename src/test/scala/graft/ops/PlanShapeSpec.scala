@@ -121,6 +121,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project"), p.take(1200))
   }
 
+  test("IVF assign + rerank stay vectorized: no typed-object ser/de " +
+      "boundary, rerank projection inside whole-stage codegen") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      numCentroids = 8, nprobe = 3, k = 5, queryMaxId = 10)
+    df.collect() // finalize AQE so codegen markers print
+    val p = plan(df)
+    assertNoLoops(p)
+    // a typed Dataset.map would plant DeserializeToObject/MapElements/
+    // SerializeFromObject nodes and sever codegen around the rerank
+    assert(!p.contains("SerializeFromObject") &&
+      !p.contains("MapElements"), p.take(1500))
+    // the scored projection (rerank) is codegen'd
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p.take(1500))
+  }
+
+  test("semantic-dedup assignment is a codegen'd projection; only the " +
+      "cell-local pairwise loop crosses into objects") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      numCentroids = 8, tau = 0.99)
+    val p = plan(df)
+    assertNoLoops(p)
+    // exactly ONE object boundary — the flatMapGroups pairwise pass;
+    // the argmax cell assignment must NOT add a second one
+    assert("MapGroups|FlatMapGroups".r.findAllIn(p).length >= 1)
+    assert("SerializeFromObject".r.findAllIn(p).length <= 1, p.take(1500))
+  }
+
   test("char entropy is two keyed aggregations: (doc, char) counts " +
       "then per-doc fold - no joins, bounded shuffles") {
     val counts = docs.filter(length(col("text")) > 0)
