@@ -5,69 +5,140 @@ import java.net.http.{HttpClient => JHttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.hadoop.fs.Path
 
-/** UC-shaped JSON-over-HTTP commit-coordination protocol for
-  * catalog-managed tables — the wire surface mirrors the reference's
-  * Unity Catalog client API (unity-catalog-delta-client-api/src/
-  * models.rs, credentials.rs; unity-catalog-delta-rest-client/src/
-  * clients/commits.rs), typed onto the loopback server:
+/** Unity-Catalog-shaped JSON-over-HTTP commit-coordination protocol
+  * for catalog-managed tables. The wire surface tracks the reference's
+  * UC client crates endpoint for endpoint and field for field
+  * (unity-catalog-delta-client-api/src/models.rs, credentials.rs;
+  * unity-catalog-delta-rest-client/src/clients/uc_client.rs,
+  * commits.rs), so re-pointing the client at a real UC workspace is a
+  * base-URL + auth configuration change, not a protocol change:
   *
-  *   POST /delta/v1/tables/{key}/credentials
-  *        {"operation":"READ"|"READ_WRITE"}
-  *     → {"storage-credentials":[{"prefix":…,"operation":…,
-  *        "expiration-time-ms":N,"config":{"token":…}}]}
-  *     (credential vending; models.rs CreateStagingTableResponse
-  *      .storage_credentials / credentials.rs CredentialsResponse)
+  *   GET  /delta/v1/config?catalog={c}&protocol-versions={csv}
+  *     → {"endpoints":[…],"protocol-version":"1.0"}
+  *     (session-start handshake; uc_client.rs get_config)
   *
-  *   GET  /delta/v1/tables/{key}?max-results=N&page-token=T
-  *     → {"metadata":{"etag":…,"table-type":"MANAGED","table-uuid":…,
-  *        "location":…},
+  *   GET  /delta/v1/catalogs/{c}/schemas/{s}/tables/{t}
+  *     → {"metadata":{"etag":…,"table-type":…,"table-uuid":…,
+  *        "location":…,"created-time":…,"updated-time":…,
+  *        "columns":{…},"partition-columns":[…],"properties":{…},
+  *        "last-commit-version":N,"last-commit-timestamp-ms":T},
   *        "commits":[{"version":N,"timestamp":T,"file-name":…,
   *          "file-size":S,"file-modification-timestamp":M},…],
-  *        "latest-table-version":N|null,
-  *        "next-page-token":"…"? }
-  *     (load_table; models.rs LoadTableResponse — unpublished commits
-  *      newest-first, descending; paginated here by a version cursor)
+  *        "latest-table-version":N|null}
+  *     404 {"error-code":"table-not-found",…} for unknown tables
+  *     (load_table; models.rs LoadTableResponse/TableMetadata —
+  *      unpublished commits newest-first; this server additionally
+  *      honors ?max-results/?page-token and emits next-page-token, an
+  *      extension a stock client simply never triggers)
   *
-  *   POST /delta/v1/tables/{key}
+  *   GET  /delta/v1/catalogs/{c}/schemas/{s}/tables/{t}/credentials
+  *        ?operation=READ|READ_WRITE
+  *     → {"storage-credentials":[{"prefix":…,"operation":…,
+  *        "expiration-time-ms":N,"config":{…}}]}
+  *     (credential vending; uc_client.rs get_table_credentials,
+  *      credentials.rs CredentialsResponse)
+  *
+  *   POST /delta/v1/catalogs/{c}/schemas/{s}/tables/{t}
   *        {"requirements":[{"type":"assert-table-uuid","uuid":…}|
   *                         {"type":"assert-etag","etag":…}],
   *         "updates":[{"action":"add-commit","commit":{…}}|
   *                    {"action":"set-latest-backfilled-version",
   *                     "latest-published-version":N}]}
-  *     → 200 {} | 409 {"error-code":…,"message":…}
+  *     → 200 (empty) | 409 {"error-code":…,"message":…}
   *     (update_table; models.rs UpdateTableRequest — at most one of
   *      each singleton, commit conflicts are catalog decisions the
-  *      transaction layer rebases through, never transport errors)
+  *      transaction layer rebases through, never transport errors;
+  *      commits.rs posts exactly once — retries live in the txn layer)
   *
-  * `{key}` is the URL-safe-Base64 of the table id (table ids are
-  * paths; they do not URL-escape cleanly). Commits travel by
-  * `file-name` only — the staged location is derived as
-  * `<table>/_delta_log/_staged_commits/<file-name>`, the protocol's
-  * canonical staging directory (reference log_path.rs), so the wire
+  *   POST /delta/v1/catalogs/{c}/schemas/{s}/tables/{t}/metrics
+  *        {"table-id":…,"report":{"commit-report":{…}}}
+  *     → 200 (empty)
+  *     (best-effort post-commit telemetry; models.rs
+  *      ReportMetricsRequest/CommitReport/FileSizeHistogram)
+  *
+  *   POST /delta/v1/catalogs/{c}/schemas/{s}/staging-tables  {"name":…}
+  *     → {"table-id":…,"table-type":"MANAGED","location":…,
+  *        "storage-credentials":[…],"required-protocol":{…},
+  *        "required-properties":{…},"suggested-properties":{…}}
+  *     (CREATE step 1: reserve a UUID + storage location;
+  *      models.rs CreateStagingTableRequest/Response)
+  *
+  *   POST /delta/v1/catalogs/{c}/schemas/{s}/tables
+  *        {"name":…,"location":…,"table-type":…,"columns":{…},
+  *         "partition-columns":[…],"protocol":{…},"properties":{…},
+  *         "last-commit-timestamp-ms":T}
+  *     → LoadTableResponse
+  *     (CREATE step 3, after the engine wrote version 0: register the
+  *      table, promoting the staging reservation; the server derives
+  *      protocol properties from the typed `protocol`, so
+  *      `delta.minReaderVersion`/`delta.feature.*` must NOT appear in
+  *      `properties` — models.rs CreateTableRequest)
+  *
+  * Path segments are percent-encoded byte-wise (every non-alphanumeric
+  * octet), matching the reference's
+  * `utf8_percent_encode(name, NON_ALPHANUMERIC)` — table names here
+  * are storage paths, and `/` must travel as `%2F` inside the single
+  * `{t}` segment. Commits travel by `file-name` only — the staged
+  * location is derived as
+  * `<table>/_delta_log/_staged_commits/<file-name>` (the protocol's
+  * canonical staging directory, reference log_path.rs), so the wire
   * never carries engine-local absolute paths.
   *
-  * GET and update routes require a Bearer token from a vended
-  * credential; an expired or unknown token gets 401 and the client
-  * transparently re-vends — temporary-credential renewal mid-stream
-  * is part of the protocol, not an error path.
+  * Data-plane routes (load/update/metrics) require a Bearer token from
+  * a vended credential; an expired or unknown token gets 401 and the
+  * client transparently re-vends — temporary-credential renewal
+  * mid-stream is part of the protocol, not an error path.
+  * Control-plane routes (config, credentials, staging-tables, table
+  * registration) stand in for workspace-token auth, which a real UC
+  * enforces at its gateway.
   *
   * Scale note: the log tail is bounded by publish cadence (publishing
-  * shrinks it) and paginated on top of that, so every payload here is
-  * small and O(page), never O(table history).
+  * shrinks it), so every payload here is small and O(tail), never
+  * O(table history).
   */
 object HttpCatalogProtocol {
-  val BASE = "/delta/v1/tables/"
+  val BASE = "/delta/v1/"
+  val PROTOCOL_VERSION = "1.0"
+  /** Property key carrying the UC table id in table configuration
+    * (reference delta-kernel-unity-catalog/src/constants.rs).
+    */
+  val TABLE_ID_KEY = "io.unitycatalog.tableId"
 
-  def key(table: String): String =
-    java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString(table.getBytes(UTF_8))
-  def unkey(k: String): String =
-    new String(java.util.Base64.getUrlDecoder.decode(k), UTF_8)
+  /** Percent-encode a name as ONE url path segment, byte-wise over its
+    * UTF-8 encoding, escaping every non-alphanumeric octet (reference
+    * uc_client.rs `encode_segment`: NON_ALPHANUMERIC).
+    */
+  def encodeSegment(name: String): String = {
+    val sb = new StringBuilder
+    name.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 0x80) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** The per-table resource path shared by load_table, update_table,
+    * credentials and metrics (uc_client.rs `table_path`).
+    */
+  def tablePath(catalog: String, schema: String, table: String): String =
+    s"catalogs/${encodeSegment(catalog)}/schemas/${encodeSegment(schema)}" +
+      s"/tables/${encodeSegment(table)}"
+
+  /** Deterministic fallback table UUID for tables that were never
+    * registered through the CREATE flow (path-created test tables).
+    * Registered tables carry their vended random UUID instead.
+    */
+  def tableUuid(table: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      ("graft-uc:" + table).getBytes(UTF_8)).toString
 
   /** Staged-commit location a wire `file-name` denotes (the canonical
     * `_staged_commits` directory of the table's log).
@@ -104,10 +175,11 @@ case class StorageCredential(
   * provides). Bind port 0 for an ephemeral port; read it from [[port]].
   *
   * `credTtlMs` bounds the lifetime of vended credentials (tests
-  * shrink it to force mid-stream renewal).
+  * shrink it to force mid-stream renewal). `managedRoot`, when set, is
+  * where staging-table reservations allocate storage locations.
   */
 class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
-    credTtlMs: Long = 3600L * 1000) {
+    credTtlMs: Long = 3600L * 1000, managedRoot: Option[String] = None) {
   import HttpCatalogProtocol._
 
   private val mapper = new ObjectMapper()
@@ -115,6 +187,14 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
   /** token → expiry epoch-ms; pruned lazily on auth checks. */
   private val tokens = new ConcurrentHashMap[String, Long]()
+  /** location → registered TableMetadata (CREATE flow step 3). */
+  private val registered = new ConcurrentHashMap[String, ObjectNode]()
+  /** table-id → (name, location) staged by `staging-tables`. */
+  private val staged = new ConcurrentHashMap[String, (String, String)]()
+  /** location → last ReportMetricsRequest body (test observability —
+    * telemetry is best-effort and never read back by clients).
+    */
+  val metricsReports = new ConcurrentHashMap[String, JsonNode]()
 
   def port: Int = server.getAddress.getPort
   def baseUri: String = s"http://127.0.0.1:$port"
@@ -131,19 +211,26 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
 
   private def handle(x: HttpExchange): Unit = {
     try {
-      val rel = x.getRequestURI.getPath.stripPrefix(BASE)
-      val (table, action) = rel.split("/", 2) match {
-        case Array(k, a) => (unkey(k), a)
-        case Array(k) if k.nonEmpty => (unkey(k), "")
-        case _ => (null, null)
-      }
-      (x.getRequestMethod, action) match {
-        case ("POST", "credentials") => vendCredential(x, table)
-        case ("GET", "") if authed(x) => loadTable(x, table)
-        case ("POST", "") if authed(x) => updateTable(x, table)
-        case (_, "") =>
-          respond(x, 401, err("credential-expired",
-            "missing, unknown, or expired temporary credential"))
+      // RAW path, decoded per segment: a `{t}` segment carries `%2F`s
+      // that URI.getPath would prematurely collapse into separators
+      val segs = x.getRequestURI.getRawPath.stripPrefix(BASE)
+        .split("/", -1).toSeq.filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, UTF_8))
+      (x.getRequestMethod, segs) match {
+        case ("GET", Seq("config")) => getConfig(x)
+        case ("GET", Seq("catalogs", _, "schemas", _, "tables", t,
+            "credentials")) => vendCredential(x, t)
+        case ("GET", Seq("catalogs", _, "schemas", _, "tables", t)) =>
+          if (authed(x)) loadTable(x, t) else unauthorized(x)
+        case ("POST", Seq("catalogs", _, "schemas", _, "tables", t)) =>
+          if (authed(x)) updateTable(x, t) else unauthorized(x)
+        case ("POST", Seq("catalogs", _, "schemas", _, "tables", t,
+            "metrics")) =>
+          if (authed(x)) reportMetrics(x, t) else unauthorized(x)
+        case ("POST", Seq("catalogs", _, "schemas", _,
+            "staging-tables")) => createStagingTable(x)
+        case ("POST", Seq("catalogs", _, "schemas", _, "tables")) =>
+          createTable(x)
         case _ => respond(x, 404, err("not-found", "no such route"))
       }
     } catch {
@@ -157,6 +244,10 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     } finally x.close()
   }
 
+  private def unauthorized(x: HttpExchange): Unit =
+    respond(x, 401, err("credential-expired",
+      "missing, unknown, or expired temporary credential"))
+
   /** Bearer-token gate: vended, unexpired tokens only. */
   private def authed(x: HttpExchange): Boolean = {
     val h = Option(x.getRequestHeaders.getFirst("Authorization"))
@@ -168,14 +259,47 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
       }
   }
 
-  /** Temporary-credential vending (credentials.rs): a fresh token
-    * scoped to the table's storage prefix with an absolute expiry.
+  /** Session-start handshake (uc_client.rs get_config): advertise the
+    * endpoints this server speaks and the negotiated version.
+    */
+  private def getConfig(x: HttpExchange): Unit = {
+    val params = query(x)
+    require(params.contains("catalog"), "missing catalog parameter")
+    val resp = mapper.createObjectNode()
+    val eps = resp.putArray("endpoints")
+    Seq(
+      "GET /delta/v1/catalogs/{catalog}/schemas/{schema}/tables/{table}",
+      "POST /delta/v1/catalogs/{catalog}/schemas/{schema}/tables/{table}",
+      "GET /delta/v1/catalogs/{catalog}/schemas/{schema}/tables/{table}/credentials",
+      "POST /delta/v1/catalogs/{catalog}/schemas/{schema}/tables/{table}/metrics",
+      "POST /delta/v1/catalogs/{catalog}/schemas/{schema}/staging-tables",
+      "POST /delta/v1/catalogs/{catalog}/schemas/{schema}/tables"
+    ).foreach(eps.add)
+    resp.put("protocol-version", PROTOCOL_VERSION)
+    respond(x, 200, mapper.writeValueAsString(resp))
+  }
+
+  /** The table's UUID: the one vended at registration, else the
+    * deterministic fallback for path-created tables.
+    */
+  private def uuidOf(table: String): String =
+    Option(registered.get(table)).map(_.get("table-uuid").asText)
+      .getOrElse(tableUuid(table))
+
+  /** Temporary-credential vending (uc_client.rs
+    * get_table_credentials): GET with `?operation=`, returning a fresh
+    * token scoped to the table's storage prefix with an absolute
+    * expiry.
     */
   private def vendCredential(x: HttpExchange, table: String): Unit = {
-    val node = mapper.readTree(body(x))
-    val op = Option(node.get("operation")).map(_.asText)
-      .getOrElse("READ")
+    val op = query(x).getOrElse("operation", "READ")
     require(op == "READ" || op == "READ_WRITE", s"bad operation $op")
+    val resp = mapper.createObjectNode()
+    resp.putArray("storage-credentials").add(newCredential(table, op))
+    respond(x, 200, mapper.writeValueAsString(resp))
+  }
+
+  private def newCredential(prefix: String, op: String): ObjectNode = {
     val token = java.util.UUID.randomUUID().toString
     val now = System.currentTimeMillis()
     // prune EVERY expired token here — under transparent renewal a
@@ -186,17 +310,27 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     tokens.put(token, expiry)
     credentialsVended += 1
     val cred = mapper.createObjectNode()
-    cred.put("prefix", table + "/")
+    cred.put("prefix", prefix + "/")
     cred.put("operation", op)
     cred.put("expiration-time-ms", expiry)
     cred.putObject("config").put("token", token)
-    val resp = mapper.createObjectNode()
-    resp.putArray("storage-credentials").add(cred)
-    respond(x, 200, mapper.writeValueAsString(resp))
+    cred
   }
 
-  /** load_table (models.rs LoadTableResponse): typed metadata +
-    * unpublished commits newest-first, paginated by a version cursor.
+  /** Best-effort stat of a staged commit file for the wire's
+    * file-size/file-modification-timestamp (models.rs Commit carries
+    * real values; zeros when the file is unreachable from here).
+    */
+  private def statCommit(location: Path): (Long, Long) =
+    try {
+      val st = Storage.fs(location,
+        new org.apache.hadoop.conf.Configuration()).getFileStatus(location)
+      (st.getLen, st.getModificationTime)
+    } catch { case _: Exception => (0L, 0L) }
+
+  /** load_table (models.rs LoadTableResponse): full typed metadata +
+    * unpublished commits newest-first; 404 for a table the catalog has
+    * never seen (uc_client.rs maps it to TableNotFound).
     */
   private def loadTable(x: HttpExchange, table: String): Unit = {
     val params = query(x)
@@ -205,6 +339,11 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     val before: Option[Long] = params.get("page-token").map(_.toLong)
 
     val maxRatified = backing.maxRatifiedVersion(table)
+    val reg = Option(registered.get(table))
+    if (maxRatified.isEmpty && reg.isEmpty) {
+      respond(x, 404, err("table-not-found", s"no such table: $table"))
+      return
+    }
     // newest-first, as the reference's LoadTableResponse documents
     // (the CatalogClient contract returns the tail ascending)
     val tail = backing.logTail(table).reverse
@@ -214,17 +353,43 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     val resp = mapper.createObjectNode()
     val meta = resp.putObject("metadata")
     meta.put("etag", etag(maxRatified))
-    meta.put("table-type", "MANAGED")
-    meta.put("table-uuid", key(table))
+    meta.put("table-type",
+      reg.map(_.get("table-type").asText).getOrElse("MANAGED"))
+    meta.put("table-uuid", uuidOf(table))
     meta.put("location", table)
+    meta.put("created-time",
+      reg.map(_.get("created-time").asLong).getOrElse(0L))
+    meta.put("updated-time",
+      reg.map(_.get("updated-time").asLong).getOrElse(0L))
+    reg.map(_.get("columns")) match {
+      case Some(c) => meta.set[ObjectNode]("columns", c)
+      case None => // schema unknown to a path-created catalog entry:
+        // an empty Delta StructType, still shape-valid for clients
+        meta.putObject("columns").put("type", "struct")
+          .putArray("fields")
+    }
+    val parts = meta.putArray("partition-columns")
+    reg.map(_.get("partition-columns")).foreach { pc =>
+      (0 until pc.size).foreach(i => parts.add(pc.get(i)))
+    }
+    reg.map(_.get("properties")) match {
+      case Some(p) => meta.set[ObjectNode]("properties", p)
+      case None => meta.putObject("properties")
+    }
+    reg.foreach { r =>
+      meta.put("last-commit-version", r.get("last-commit-version").asLong)
+      meta.put("last-commit-timestamp-ms",
+        r.get("last-commit-timestamp-ms").asLong)
+    }
     val commits = resp.putArray("commits")
     page.foreach { c =>
+      val (size, mtime) = statCommit(c.location)
       val n = commits.addObject()
       n.put("version", c.version)
-      n.put("timestamp", 0L)
+      n.put("timestamp", mtime)
       n.put("file-name", c.location.getName)
-      n.put("file-size", 0L)
-      n.put("file-modification-timestamp", 0L)
+      n.put("file-size", size)
+      n.put("file-modification-timestamp", mtime)
     }
     maxRatified match {
       case Some(v) => resp.put("latest-table-version", v)
@@ -237,8 +402,9 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
 
   /** update_table (models.rs UpdateTableRequest): validate the
     * singleton rules and requirements, then apply updates atomically
-    * in order. Commit-version conflicts and failed requirements are
-    * 409s — catalog decisions, not transport errors.
+    * in order; 200 with an EMPTY body on success (commits.rs
+    * handle_empty_response). Commit-version conflicts and failed
+    * requirements are 409s — catalog decisions, not transport errors.
     */
   private def updateTable(x: HttpExchange, table: String): Unit = {
     val node = mapper.readTree(body(x))
@@ -260,7 +426,7 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     // requirements first: all must hold before any update applies
     for (r <- reqs) r.get("type").asText match {
       case "assert-table-uuid" =>
-        if (r.get("uuid").asText != key(table)) {
+        if (r.get("uuid").asText != uuidOf(table)) {
           respond(x, 409, err("requirement-failed",
             "table uuid mismatch: table was dropped or recreated"))
           return
@@ -313,6 +479,8 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
             s"version $version is already ratified or out of order"))
           return
         }
+        Option(registered.get(table)).foreach(
+          _.put("updated-time", System.currentTimeMillis()))
       case "set-latest-backfilled-version" =>
         val upTo = u.get("latest-published-version").asLong
         try backing.markPublished(table, upTo)
@@ -322,7 +490,106 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
         }
       case _ => () // validated above
     }
-    respond(x, 200, "{}")
+    respondEmpty(x, 200)
+  }
+
+  /** reportMetrics (models.rs ReportMetricsRequest): best-effort
+    * post-commit telemetry; `table-id` must match the URL's table.
+    * 200 with an empty body — a client never reads telemetry back.
+    */
+  private def reportMetrics(x: HttpExchange, table: String): Unit = {
+    val node = mapper.readTree(body(x))
+    val tid = Option(node.get("table-id")).map(_.asText).getOrElse("")
+    if (tid != uuidOf(table)) {
+      respond(x, 400, err("bad-request",
+        "table-id does not match the table identified by the URL"))
+      return
+    }
+    metricsReports.put(table, node)
+    respondEmpty(x, 200)
+  }
+
+  /** CREATE step 1 (models.rs CreateStagingTableRequest/Response):
+    * reserve a table UUID and storage location, vend initial
+    * credentials, and advertise the protocol/properties the version-0
+    * commit must carry.
+    */
+  private def createStagingTable(x: HttpExchange): Unit = {
+    val node = mapper.readTree(body(x))
+    val name = Option(node.get("name")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException("missing name"))
+    val root = managedRoot.getOrElse(
+      throw new IllegalArgumentException(
+        "this catalog has no managed storage root configured"))
+    val id = java.util.UUID.randomUUID().toString
+    val location = s"$root/$id"
+    staged.put(id, (name, location))
+
+    val resp = mapper.createObjectNode()
+    resp.put("table-id", id)
+    resp.put("table-type", "MANAGED")
+    resp.put("location", location)
+    resp.putArray("storage-credentials")
+      .add(newCredential(location, "READ_WRITE"))
+    val proto = resp.putObject("required-protocol")
+    proto.put("min-reader-version", 3)
+    proto.put("min-writer-version", 7)
+    val rf = proto.putArray("reader-features")
+    Seq(CatalogManaged.FEATURE, "vacuumProtocolCheck").foreach(rf.add)
+    val wf = proto.putArray("writer-features")
+    Seq(CatalogManaged.FEATURE, "vacuumProtocolCheck",
+      "inCommitTimestamp").foreach(wf.add)
+    val reqProps = resp.putObject("required-properties")
+    reqProps.put(TABLE_ID_KEY, id)
+    reqProps.put("delta.enableInCommitTimestamps", "true")
+    resp.putObject("suggested-properties")
+    respond(x, 200, mapper.writeValueAsString(resp))
+  }
+
+  /** CREATE step 3 (models.rs CreateTableRequest): register the table
+    * after its version-0 commit, promoting the staging reservation.
+    * Protocol properties are derived from the typed `protocol` and
+    * must not appear in `properties`. Returns LoadTableResponse.
+    */
+  private def createTable(x: HttpExchange): Unit = {
+    val node = mapper.readTree(body(x))
+    def req(field: String): JsonNode = Option(node.get(field)).getOrElse(
+      throw new IllegalArgumentException(s"missing $field"))
+    val location = req("location").asText
+    val props = req("properties")
+    val badKeys = props.fieldNames().asScala
+      .filter(k => k == "delta.minReaderVersion" ||
+        k == "delta.minWriterVersion" || k.startsWith("delta.feature."))
+      .toSeq
+    if (badKeys.nonEmpty) {
+      respond(x, 400, err("bad-request",
+        s"protocol properties are derived from `protocol`, not " +
+          s"`properties`: ${badKeys.mkString(", ")}"))
+      return
+    }
+    // promote the matching staging reservation (by location) when one
+    // exists; a direct EXTERNAL registration is also legal
+    val stagedId = staged.entrySet().asScala
+      .find(_.getValue._2 == location).map(_.getKey)
+    stagedId.foreach(staged.remove)
+    val uuid = stagedId.getOrElse(tableUuid(location))
+
+    val now = System.currentTimeMillis()
+    val reg = mapper.createObjectNode()
+    reg.put("table-uuid", uuid)
+    reg.put("table-type", req("table-type").asText)
+    reg.put("created-time", now)
+    reg.put("updated-time", now)
+    reg.set[ObjectNode]("columns", req("columns"))
+    reg.set[ObjectNode]("partition-columns",
+      Option(node.get("partition-columns"))
+        .getOrElse(mapper.createArrayNode()))
+    reg.set[ObjectNode]("properties", props)
+    reg.put("last-commit-version", 0L)
+    reg.put("last-commit-timestamp-ms",
+      req("last-commit-timestamp-ms").asLong)
+    registered.put(location, reg)
+    loadTable(x, location)
   }
 
   private def arr(node: JsonNode, field: String): Seq[JsonNode] = {
@@ -355,15 +622,26 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     x.sendResponseHeaders(code, bytes.length)
     x.getResponseBody.write(bytes)
   }
+
+  /** 200-with-no-body responses (update_table, reportMetrics — the
+    * reference client's handle_empty_response).
+    */
+  private def respondEmpty(x: HttpExchange, code: Int): Unit =
+    x.sendResponseHeaders(code, -1)
 }
 
-/** [[CatalogClient]] over the UC-shaped wire: every catalog decision
-  * crosses a real serialization boundary, so nothing in the commit
-  * path can lean on shared process memory. Plugs into
-  * [[CatalogCommitter]] and `DeltaTable.forPath(spark, dir, client)`
-  * unchanged — the write/read paths cannot tell a remote catalog from
-  * a local one, which is the abstraction the reference's
-  * `UpdateTableClient` trait pins.
+/** [[CatalogClient]] over the UC wire: every catalog decision crosses
+  * a real serialization boundary, so nothing in the commit path can
+  * lean on shared process memory. Plugs into [[CatalogCommitter]] and
+  * `DeltaTable.forPath(spark, dir, client)` unchanged — the write/read
+  * paths cannot tell a remote catalog from a local one, which is the
+  * abstraction the reference's `UpdateTableClient` trait pins.
+  *
+  * `catalogName`/`schemaName` route the three-part identifier; the
+  * table segment is the storage path, percent-encoded. `tableId`, when
+  * supplied (from the CREATE flow's staging response), is asserted as
+  * `assert-table-uuid` on every update, exactly as the reference's
+  * UCCommitter does (delta-kernel-unity-catalog/src/committer.rs).
   *
   * Credential lifecycle: the client vends a temporary credential
   * before its first call, renews proactively at expiry, and renews
@@ -371,9 +649,12 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
   * expirations without surfacing them to the caller.
   *
   * `pageSize` caps commits per load_table page; [[logTail]] follows
-  * `next-page-token` until the tail is complete.
+  * `next-page-token` until the tail is complete (absent against a
+  * stock UC, which sends the whole tail in one response).
   */
-class HttpCatalogClient(base: String, pageSize: Int = 1000)
+class HttpCatalogClient(base: String, pageSize: Int = 1000,
+    catalogName: String = "main", schemaName: String = "default",
+    tableId: Option[String] = None)
     extends CatalogClient {
   import HttpCatalogProtocol._
 
@@ -391,19 +672,41 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000)
     */
   @volatile var credentialRenewals: Int = 0
 
+  private def tableUri(table: String, suffix: String = ""): URI =
+    URI.create(s"$base$BASE${tablePath(catalogName, schemaName, table)}" +
+      suffix)
+
   /** A 409 payload, surfaced as a typed outcome, never an exception
     * for commit conflicts.
     */
   private case class Conflict(code: String, message: String)
     extends RuntimeException(message)
+  /** load_table's 404 (uc_client.rs TableNotFound). */
+  private case class TableNotFound(table: String)
+    extends RuntimeException(table)
+
+  /** Session-start handshake: the endpoints the server speaks plus the
+    * negotiated protocol version (uc_client.rs get_config).
+    */
+  def getConfig(): (Seq[String], String) = {
+    val uri = URI.create(s"$base${BASE}config?catalog=" +
+      encodeSegment(catalogName) + "&protocol-versions=1.0")
+    val resp = http.send(HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode == 200,
+      s"config handshake failed: HTTP ${resp.statusCode}: ${resp.body}")
+    val node = mapper.readTree(resp.body)
+    val eps = node.get("endpoints")
+    ((0 until eps.size).map(eps.get(_).asText),
+      node.get("protocol-version").asText)
+  }
 
   private def vend(table: String): (String, Long) = {
+    // GET with ?operation=, as uc_client.rs get_table_credentials
     val req = HttpRequest.newBuilder(
-      URI.create(s"$base$BASE${key(table)}/credentials"))
-      .timeout(requestTimeout)
-      .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(
-        """{"operation":"READ_WRITE"}""", UTF_8)).build()
+      tableUri(table, "/credentials?operation=READ_WRITE"))
+      .timeout(requestTimeout).GET().build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode == 200,
       s"credential vending failed: HTTP ${resp.statusCode}: ${resp.body}")
@@ -431,6 +734,7 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000)
       http.send(build(token), HttpResponse.BodyHandlers.ofString())
     var resp = once(currentToken(table))
     if (resp.statusCode == 401) resp = once(vend(table)._1)
+    if (resp.statusCode == 404) throw TableNotFound(table)
     if (resp.statusCode == 409) {
       val n = mapper.readTree(resp.body)
       throw Conflict(n.get("error-code").asText, n.get("message").asText)
@@ -442,24 +746,30 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000)
 
   private def get(table: String, queryString: String): String =
     send(table, token => HttpRequest.newBuilder(
-      URI.create(s"$base$BASE${key(table)}$queryString"))
+      tableUri(table, queryString))
       .timeout(requestTimeout)
       .header("Authorization", s"Bearer $token")
       .GET().build())
 
-  private def postUpdate(table: String, json: String): String =
-    send(table, token => HttpRequest.newBuilder(
-      URI.create(s"$base$BASE${key(table)}"))
+  private def post(table: String, suffix: String, json: String): String =
+    send(table, token => HttpRequest.newBuilder(tableUri(table, suffix))
       .timeout(requestTimeout)
       .header("Authorization", s"Bearer $token")
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(json, UTF_8)).build())
 
-  override def maxRatifiedVersion(table: String): Option[Long] = {
-    val node = mapper.readTree(get(table, "?max-results=1"))
-      .get("latest-table-version")
-    if (node == null || node.isNull) None else Some(node.asLong)
-  }
+  /** Raw load_table body for metadata access (columns, properties,
+    * table-uuid), beyond what the [[CatalogClient]] contract needs.
+    */
+  def loadTable(table: String): JsonNode =
+    mapper.readTree(get(table, ""))
+
+  override def maxRatifiedVersion(table: String): Option[Long] =
+    try {
+      val node = mapper.readTree(get(table, "?max-results=1"))
+        .get("latest-table-version")
+      if (node == null || node.isNull) None else Some(node.asLong)
+    } catch { case TableNotFound(_) => None }
 
   /** Page through load_table until the unpublished tail is complete;
     * returned ascending as [[CatalogClient]] specifies.
@@ -468,37 +778,52 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000)
     val out = scala.collection.mutable.ArrayBuffer.empty[CatalogCommit]
     var pageToken: Option[String] = None
     var more = true
-    while (more) {
-      val q = s"?max-results=$pageSize" +
-        pageToken.map(t => s"&page-token=$t").getOrElse("")
-      val node = mapper.readTree(get(table, q))
-      val arr = node.get("commits")
-      (0 until arr.size).foreach { i =>
-        val c = arr.get(i)
-        out += CatalogCommit(c.get("version").asLong,
-          stagedLocation(table, c.get("file-name").asText))
+    try {
+      while (more) {
+        val q = s"?max-results=$pageSize" +
+          pageToken.map(t => s"&page-token=$t").getOrElse("")
+        val node = mapper.readTree(get(table, q))
+        val arr = node.get("commits")
+        (0 until arr.size).foreach { i =>
+          val c = arr.get(i)
+          out += CatalogCommit(c.get("version").asLong,
+            stagedLocation(table, c.get("file-name").asText))
+        }
+        val next = node.get("next-page-token")
+        if (next == null || next.isNull) more = false
+        else pageToken = Some(next.asText)
       }
-      val next = node.get("next-page-token")
-      if (next == null || next.isNull) more = false
-      else pageToken = Some(next.asText)
-    }
+    } catch { case TableNotFound(_) => return Nil }
     out.sortBy(_.version).toSeq
   }
 
   override def ratify(table: String, commit: CatalogCommit): Boolean = {
+    // real file size/mtime when the staged file is reachable — the
+    // reference HEADs the staged commit before building the request
+    val (size, mtime) = try {
+      val st = Storage.fs(commit.location,
+        new org.apache.hadoop.conf.Configuration())
+        .getFileStatus(commit.location)
+      (st.getLen, st.getModificationTime)
+    } catch { case _: Exception => (0L, 0L) }
     val c = mapper.createObjectNode()
     c.put("version", commit.version)
     c.put("timestamp", System.currentTimeMillis())
     c.put("file-name", commit.location.getName)
-    c.put("file-size", 0L)
-    c.put("file-modification-timestamp", 0L)
+    c.put("file-size", size)
+    c.put("file-modification-timestamp", mtime)
     val u = mapper.createObjectNode()
     u.put("action", "add-commit")
     u.set[ObjectNode]("commit", c)
     val req = mapper.createObjectNode()
-    req.putArray("requirements")
+    val reqs = req.putArray("requirements")
+    tableId.foreach { id =>
+      val r = reqs.addObject()
+      r.put("type", "assert-table-uuid")
+      r.put("uuid", id)
+    }
     req.putArray("updates").add(u)
-    try { postUpdate(table, mapper.writeValueAsString(req)); true }
+    try { post(table, "", mapper.writeValueAsString(req)); true }
     catch {
       case Conflict("commit-version-conflict", _) => false
     }
@@ -511,11 +836,62 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000)
     val req = mapper.createObjectNode()
     req.putArray("requirements")
     req.putArray("updates").add(u)
-    try { postUpdate(table, mapper.writeValueAsString(req)); () }
+    try { post(table, "", mapper.writeValueAsString(req)); () }
     catch {
       case Conflict(_, message) =>
         throw new IllegalArgumentException(message)
     }
+  }
+
+  /** CREATE step 1: reserve a staging table (uc_client.rs
+    * create_staging_table) — returns the raw response (table-id,
+    * location, credentials, required protocol/properties).
+    */
+  def createStagingTable(name: String): JsonNode = {
+    val uri = URI.create(s"$base${BASE}catalogs/" +
+      s"${encodeSegment(catalogName)}/schemas/" +
+      s"${encodeSegment(schemaName)}/staging-tables")
+    val bodyNode = mapper.createObjectNode()
+    bodyNode.put("name", name)
+    val resp = http.send(HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(bodyNode), UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode == 200,
+      s"create_staging_table failed: HTTP ${resp.statusCode}: ${resp.body}")
+    mapper.readTree(resp.body)
+  }
+
+  /** CREATE step 3: register the table after its version-0 commit
+    * (uc_client.rs create_table). Returns the LoadTableResponse.
+    */
+  def createTable(request: ObjectNode): JsonNode = {
+    val uri = URI.create(s"$base${BASE}catalogs/" +
+      s"${encodeSegment(catalogName)}/schemas/" +
+      s"${encodeSegment(schemaName)}/tables")
+    val resp = http.send(HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(request), UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode == 200,
+      s"create_table failed: HTTP ${resp.statusCode}: ${resp.body}")
+    mapper.readTree(resp.body)
+  }
+
+  /** Best-effort post-commit telemetry (uc_client.rs report_metrics).
+    * Never throws on conflict — telemetry must not fail a commit.
+    */
+  def reportMetrics(table: String, tableIdValue: String,
+      commitReport: ObjectNode): Unit = {
+    val req = mapper.createObjectNode()
+    req.put("table-id", tableIdValue)
+    req.putObject("report").set[ObjectNode]("commit-report", commitReport)
+    post(table, "/metrics", mapper.writeValueAsString(req))
+    ()
   }
 }
 

@@ -131,6 +131,28 @@ class HttpCatalogSpec extends AnyFunSuite {
     }
   }
 
+  /** The per-table resource URL as the reference's uc_client.rs
+    * table_path builds it: three percent-encoded segments.
+    */
+  private def tableUrl(server: HttpCatalogServer, dir: String,
+      suffix: String = "") =
+    server.baseUri + HttpCatalogProtocol.BASE +
+      HttpCatalogProtocol.tablePath("main", "default", dir) + suffix
+
+  private def rawVendToken(server: HttpCatalogServer, dir: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val http = java.net.http.HttpClient.newHttpClient()
+    // GET with ?operation=, as uc_client.rs get_table_credentials
+    val r = http.send(java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(
+        tableUrl(server, dir, "/credentials?operation=READ_WRITE")))
+      .GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode == 200)
+    mapper.readTree(r.body).get("storage-credentials").get(0)
+      .get("config").get("token").asText
+  }
+
   test("UC wire: update_table requirements — assert-table-uuid and " +
       "assert-etag gate the update; singleton rule enforced") {
     val dir = TestSpark.tmpDir("http-req")
@@ -144,24 +166,12 @@ class HttpCatalogSpec extends AnyFunSuite {
       val http = java.net.http.HttpClient.newHttpClient()
       def post(bodyJson: String, token: String): java.net.http.HttpResponse[String] =
         http.send(java.net.http.HttpRequest.newBuilder(
-          java.net.URI.create(server.baseUri +
-            HttpCatalogProtocol.BASE + HttpCatalogProtocol.key(dir)))
+          java.net.URI.create(tableUrl(server, dir)))
           .header("Authorization", s"Bearer $token")
           .header("Content-Type", "application/json")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(bodyJson))
           .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-      def vendToken(): String = {
-        val r = http.send(java.net.http.HttpRequest.newBuilder(
-          java.net.URI.create(server.baseUri + HttpCatalogProtocol.BASE +
-            HttpCatalogProtocol.key(dir) + "/credentials"))
-          .header("Content-Type", "application/json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-            """{"operation":"READ_WRITE"}""")).build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        mapper.readTree(r.body).get("storage-credentials").get(0)
-          .get("config").get("token").asText
-      }
-      val token = vendToken()
+      val token = rawVendToken(server, dir)
 
       // wrong uuid → 409 requirement-failed, nothing applied
       val bad = post("""{"requirements":[{"type":"assert-table-uuid",
@@ -171,14 +181,16 @@ class HttpCatalogSpec extends AnyFunSuite {
       assert(mapper.readTree(bad.body).get("error-code").asText ==
         "requirement-failed")
 
-      // right uuid + right etag → applied
+      // right uuid + right etag → applied; 200 carries an EMPTY body
+      // (the reference client's handle_empty_response)
       val etag = HttpCatalogProtocol.etag(cat.maxRatifiedVersion(dir))
-      val uuid = HttpCatalogProtocol.key(dir)
+      val uuid = HttpCatalogProtocol.tableUuid(dir)
       val good = post(
         s"""{"requirements":[{"type":"assert-table-uuid","uuid":"$uuid"},
            |{"type":"assert-etag","etag":"$etag"}],
            |"updates":[]}""".stripMargin.replaceAll("\n", ""), token)
       assert(good.statusCode == 200)
+      assert(good.body.isEmpty)
 
       // stale etag → 409
       val stale = post(s"""{"requirements":[{"type":"assert-etag",
@@ -195,6 +207,182 @@ class HttpCatalogSpec extends AnyFunSuite {
       val noAuth = post("""{"requirements":[],"updates":[]}""", "bogus")
       assert(noAuth.statusCode == 401)
     }
+  }
+
+  test("UC wire: /config handshake, load_table response shape, and " +
+      "table-not-found — field-for-field with the reference models") {
+    val dir = TestSpark.tmpDir("http-shape")
+    val catDir = TestSpark.tmpDir("http-shape-store")
+    withServer(catDir) { server =>
+      val cat = new HttpCatalogClient(server.baseUri)
+
+      // GET /delta/v1/config?catalog=…&protocol-versions=…
+      // (uc_client.rs get_config; models.rs CatalogConfig)
+      val (endpoints, protocolVersion) = cat.getConfig()
+      assert(protocolVersion == "1.0")
+      assert(endpoints.contains("POST /delta/v1/catalogs/{catalog}" +
+        "/schemas/{schema}/tables/{table}"))
+      assert(endpoints.contains("POST /delta/v1/catalogs/{catalog}" +
+        "/schemas/{schema}/staging-tables"))
+
+      // unknown table → 404 table-not-found (uc_client.rs load_table
+      // maps NOT_FOUND to Error::TableNotFound); client surfaces
+      // None/Nil, never an exception
+      val http = java.net.http.HttpClient.newHttpClient()
+      assert(cat.maxRatifiedVersion(dir).isEmpty)
+      assert(cat.logTail(dir).isEmpty)
+
+      DeltaTable.create(spark, dir, src(1, 1).schema, catalog = Some(cat))
+      val t = DeltaTable.forPath(spark, dir, cat)
+      t.append(src(1, 5))
+
+      // raw load_table: assert the exact kebab-case response surface
+      // models.rs LoadTableResponse/TableMetadata/Commit pin
+      val token = rawVendToken(server, dir)
+      val r = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(tableUrl(server, dir)))
+        .header("Authorization", s"Bearer $token").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode == 200)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val body = mapper.readTree(r.body)
+      val meta = body.get("metadata")
+      for (f <- Seq("etag", "table-type", "table-uuid", "location",
+          "created-time", "updated-time", "columns", "partition-columns",
+          "properties"))
+        assert(meta.has(f), s"metadata missing $f")
+      assert(meta.get("table-type").asText == "MANAGED")
+      assert(meta.get("location").asText == dir)
+      assert(meta.get("columns").get("type").asText == "struct")
+      assert(body.get("latest-table-version").asLong == 1L)
+      // commits newest-first with the full Commit field set; file-size
+      // and modification timestamp are REAL (the staged file exists)
+      val commits = body.get("commits")
+      assert(commits.size == 2)
+      assert(commits.get(0).get("version").asLong == 1L)
+      assert(commits.get(1).get("version").asLong == 0L)
+      for (f <- Seq("version", "timestamp", "file-name", "file-size",
+          "file-modification-timestamp"))
+        assert(commits.get(0).has(f), s"commit missing $f")
+      assert(commits.get(0).get("file-size").asLong > 0)
+      assert(commits.get(0).get("file-modification-timestamp").asLong > 0)
+    }
+  }
+
+  test("UC wire: CREATE flow — staging-tables reserves id+location, " +
+      "create-table registers, commits assert the vended table uuid") {
+    val catDir = TestSpark.tmpDir("http-create-store")
+    val managedRoot = TestSpark.tmpDir("http-create-tables")
+    val server = new HttpCatalogServer(
+      new FileCatalog(fs(catDir), new Path(catDir)), 0, 3600L * 1000,
+      managedRoot = Some(managedRoot)).start()
+    try {
+      val boot = new HttpCatalogClient(server.baseUri)
+
+      // step 1: reserve — the server allocates uuid + location and
+      // advertises the protocol/properties the v0 commit must carry
+      // (models.rs CreateStagingTableResponse)
+      val stagedResp = boot.createStagingTable("events")
+      val tableId = stagedResp.get("table-id").asText
+      val location = stagedResp.get("location").asText
+      assert(location.startsWith(managedRoot))
+      assert(stagedResp.get("table-type").asText == "MANAGED")
+      assert(stagedResp.get("storage-credentials").get(0)
+        .get("operation").asText == "READ_WRITE")
+      val reqProps = stagedResp.get("required-properties")
+      assert(reqProps.get(HttpCatalogProtocol.TABLE_ID_KEY).asText ==
+        tableId)
+      val rp = stagedResp.get("required-protocol")
+      assert(rp.get("min-reader-version").asInt == 3)
+      assert(rp.get("min-writer-version").asInt == 7)
+
+      // step 2: the engine writes version 0 at the reserved location,
+      // carrying the required properties; this client asserts the
+      // vended uuid on every update, as the reference UCCommitter does
+      val cat = new HttpCatalogClient(server.baseUri,
+        tableId = Some(tableId))
+      DeltaTable.create(spark, location, src(1, 1).schema,
+        configuration = Map(
+          HttpCatalogProtocol.TABLE_ID_KEY -> tableId),
+        catalog = Some(cat))
+
+      // step 3: register (models.rs CreateTableRequest) — protocol is
+      // typed and separate; derived protocol keys in `properties` are
+      // rejected by the server
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def createReq(props: Map[String, String]) = {
+        val req = mapper.createObjectNode()
+        req.put("name", "events")
+        req.put("location", location)
+        req.put("table-type", "MANAGED")
+        req.set[com.fasterxml.jackson.databind.node.ObjectNode]("columns",
+          mapper.readTree(src(1, 1).schema.json))
+        req.putArray("partition-columns")
+        val proto = req.putObject("protocol")
+        proto.put("min-reader-version", 3)
+        proto.put("min-writer-version", 7)
+        proto.putArray("reader-features").add("catalogManaged")
+        proto.putArray("writer-features").add("catalogManaged")
+        val p = req.putObject("properties")
+        props.foreach { case (k, v) => p.put(k, v) }
+        req.put("last-commit-timestamp-ms", System.currentTimeMillis())
+        req
+      }
+      val leaky = intercept[IllegalArgumentException] {
+        boot.createTable(createReq(Map(
+          "delta.feature.catalogManaged" -> "supported")))
+      }
+      assert(leaky.getMessage.contains("400"))
+
+      val loadResp = boot.createTable(createReq(Map(
+        HttpCatalogProtocol.TABLE_ID_KEY -> tableId)))
+      assert(loadResp.get("metadata").get("table-uuid").asText == tableId)
+      assert(loadResp.get("metadata").get("columns").get("fields")
+        .size == 2)
+
+      // commits flow through update_table with assert-table-uuid; a
+      // client asserting the WRONG uuid is refused with 409 while the
+      // right one proceeds
+      val t = DeltaTable.forPath(spark, location, cat)
+      t.append(src(1, 10))
+      assert(cat.maxRatifiedVersion(location).contains(1L))
+      val imposter = new HttpCatalogClient(server.baseUri,
+        tableId = Some("not-the-table"))
+      val staleCommit = cat.logTail(location).head
+      val e = intercept[Exception] {
+        imposter.ratify(location,
+          CatalogCommit(2L, staleCommit.location))
+      }
+      assert(e.getMessage.contains("uuid mismatch"))
+
+      // registered metadata now serves through load_table, and the
+      // table reads back whole
+      val loaded = cat.loadTable(location)
+      assert(loaded.get("metadata").get("table-uuid").asText == tableId)
+      assert(loaded.get("metadata").get("properties")
+        .get(HttpCatalogProtocol.TABLE_ID_KEY).asText == tableId)
+      assert(DeltaTable.forPath(spark, location, cat).toDF.count() == 10)
+
+      // post-commit telemetry (models.rs ReportMetricsRequest): the
+      // server records it; a mismatched table-id is a 400
+      val report = mapper.createObjectNode()
+      report.put("num-files-added", 1L)
+      report.put("num-bytes-added", 1024L)
+      report.put("num-files-removed", 0L)
+      report.put("num-bytes-removed", 0L)
+      val hist = report.putObject("file-size-histogram")
+      hist.putArray("sorted-bin-boundaries").add(0L)
+      hist.putArray("file-counts").add(1L)
+      hist.putArray("total-bytes").add(1024L)
+      hist.put("commit-version", 1L)
+      cat.reportMetrics(location, tableId, report)
+      val recorded = server.metricsReports.get(location)
+      assert(recorded.get("report").get("commit-report")
+        .get("num-files-added").asLong == 1L)
+      intercept[IllegalArgumentException] {
+        cat.reportMetrics(location, "wrong-id", report)
+      }
+    } finally server.stop()
   }
 
   test("HTTP catalog: two-writer race — server arbitrates one winner " +
