@@ -119,7 +119,27 @@ object Bench {
       if (all.nonEmpty)
         all.filterNot(_._1.contains("_mb_")).values.sum
       else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}"""
+    println(full)
+    // the harness capturing stdout keeps only a ~2000-char tail, which
+    // truncates the full line above mid-JSON; persist the full result
+    // and ALSO emit a compact headline line (kernel-equivalent metadata
+    // metrics + the slowest queries) small enough to survive the tail
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val headlineKeys = all.keys.filter(k =>
+      k.startsWith("snapshot_") || k.startsWith("replay_") ||
+      k.startsWith("plan_df_") || k.startsWith("wl_") ||
+      k.contains("_mb_")).toSeq
+    val slowest = all.view.filterKeys(k => !headlineKeys.contains(k))
+      .toSeq.sortBy(-_._2).take(12).map(_._1)
+    val compact = (headlineKeys ++ slowest).sorted.distinct
+      .map(k => s"\"" + k + "\":" + r3(all(k))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

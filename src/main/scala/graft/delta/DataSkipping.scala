@@ -181,12 +181,15 @@ object DataSkipping {
     // file whose column is entirely null (nullCount = numRecords) can
     // be skipped even though its min/max stats are absent (reference
     // production path eval_sql_where; tests.rs
-    // test_all_null_pruning_all_comparison_ops). NOT(<=>) renders
-    // false only when both counts are present and equal — missing
-    // nullCount keeps the decision with the min/max term.
+    // test_all_null_pruning_all_comparison_ops). Plain EqualTo, not
+    // <=>: an add with absent/unparseable stats (legal per the
+    // protocol) yields NULL for BOTH counts, and NULL <=> NULL is TRUE
+    // — the guard would render a definite FALSE that coalesce(_, true)
+    // cannot rescue, silently skipping a live file. With EqualTo the
+    // NULL propagates and the file is kept.
     def g(a: Seq[String], term: Expression): Expression =
       if (nullFields(a))
-        And(Not(EqualNullSafe(statRef("nullCount", a), numRecords)), term)
+        And(Not(EqualTo(statRef("nullCount", a), numRecords)), term)
       else term
     e match {
       case LessThan(Attr(a), l: Literal) if eligible(a) =>

@@ -427,7 +427,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // keeps the file ⇒ a provably-disjoint concurrent DML aborts).
     // Drop them before they ever become adds — reference never commits
     // zero-record files either (transaction stats contract).
-    val zeroRowRe = """"numRecords"\s*:\s*0[,}]""".r
+    // Anchored to the document prefix (StatsJson.render always emits
+    // numRecords first): an unanchored match would also hit a
+    // nullCount/minValues entry of 0 for a column physically NAMED
+    // "numRecords" and delete a live file before commit.
+    val zeroRowRe = """^\{"numRecords"\s*:\s*0[,}]""".r
     val (empties, liveFiles) = files.partition { case (st, _) =>
       zeroRowRe.findFirstIn(statsByPath(st.getPath.toString)).isDefined
     }
@@ -3402,6 +3406,10 @@ object DeltaTable {
       .exists(_.equalsIgnoreCase("true"))
     val wantsIcebergV3 = finalConfig.get(IcebergCompat.V3_KEY)
       .exists(_.equalsIgnoreCase("true"))
+    val wantsIcebergV1 = finalConfig.get(IcebergCompat.V1_KEY)
+      .exists(_.equalsIgnoreCase("true"))
+    val wantsIcebergV2 = finalConfig.get(IcebergCompat.V2_KEY)
+      .exists(_.equalsIgnoreCase("true"))
     // `delta.feature.<name>=supported` convention: declare a feature in
     // the protocol without a dedicated enablement property (e.g.
     // materializePartitionColumns, which is AlwaysIfSupported)
@@ -3422,6 +3430,8 @@ object DeltaTable {
       (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
       (if (catalog.isDefined) Seq(CatalogManaged.FEATURE) else Nil) ++
       (if (wantsIcebergV3) Seq(IcebergCompat.V3_FEATURE) else Nil) ++
+      (if (wantsIcebergV1) Seq(IcebergCompat.V1_FEATURE) else Nil) ++
+      (if (wantsIcebergV2) Seq(IcebergCompat.V2_FEATURE) else Nil) ++
       explicitFeatures ++
       (if (clusterBy.nonEmpty)
         Seq(Clustering.FEATURE, "domainMetadata") else Nil)
@@ -3457,9 +3467,9 @@ object DeltaTable {
       partitionColumns = partitionColumns,
       configuration = finalConfigRt,
       createdTime = Some(System.currentTimeMillis()))
-    // V3 invariants fail the CREATE before anything reaches the log
+    // icebergCompat invariants fail the CREATE before anything reaches the log
     // (reference table_configuration.rs:235)
-    IcebergCompat.validateV3(protocol, meta, finalSchema)
+    IcebergCompat.validate(protocol, meta, finalSchema)
     // feature-dependency validation (reference
     // validate_feature_requirements): a CREATE whose declared features
     // have unmet dependencies must fail here, not at first read

@@ -213,9 +213,13 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     try {
       // RAW path, decoded per segment: a `{t}` segment carries `%2F`s
       // that URI.getPath would prematurely collapse into separators
+      // '+' is a literal in a path segment (URLDecoder would map it to
+      // a space — it is only an escape in form encoding); shield it
+      // before decoding, as Storage.decode does
       val segs = x.getRequestURI.getRawPath.stripPrefix(BASE)
         .split("/", -1).toSeq.filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, UTF_8))
+        .map(s => java.net.URLDecoder.decode(
+          s.replace("+", "%2B"), UTF_8))
       (x.getRequestMethod, segs) match {
         case ("GET", Seq("config")) => getConfig(x)
         case ("GET", Seq("catalogs", _, "schemas", _, "tables", t,
@@ -279,12 +283,20 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     respond(x, 200, mapper.writeValueAsString(resp))
   }
 
-  /** The table's UUID: the one vended at registration, else the
-    * deterministic fallback for path-created tables.
+  /** The table's UUID: the one vended at registration, else the one
+    * reserved by a staging-tables call for this location (the v0
+    * commit of the CREATE flow asserts the vended uuid BEFORE
+    * create-table registers — models.rs CreateStagingTableResponse),
+    * else the deterministic fallback for path-created tables.
     */
-  private def uuidOf(table: String): String =
+  private def uuidOf(table: String): String = {
+    import scala.jdk.CollectionConverters._
     Option(registered.get(table)).map(_.get("table-uuid").asText)
+      .orElse(staged.asScala.collectFirst {
+        case (id, (_, loc)) if loc == table => id
+      })
       .getOrElse(tableUuid(table))
+  }
 
   /** Temporary-credential vending (uc_client.rs
     * get_table_credentials): GET with `?operation=`, returning a fresh
@@ -601,8 +613,10 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
   private def query(x: HttpExchange): Map[String, String] =
     Option(x.getRequestURI.getQuery).map(_.split("&").toSeq
       .flatMap(_.split("=", 2) match {
+        // clients percent-encode via encodeSegment, where '+' is a
+        // literal — shield it from URLDecoder's form-encoding rule
         case Array(k, v) => Some(k ->
-          java.net.URLDecoder.decode(v, UTF_8))
+          java.net.URLDecoder.decode(v.replace("+", "%2B"), UTF_8))
         case _ => None
       }).toMap).getOrElse(Map.empty)
 

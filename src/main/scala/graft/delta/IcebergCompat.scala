@@ -14,6 +14,10 @@ import org.apache.spark.sql.types._
   */
 object IcebergCompat {
 
+  val V1_KEY = "delta.enableIcebergCompatV1"
+  val V1_FEATURE = "icebergCompatV1"
+  val V2_KEY = "delta.enableIcebergCompatV2"
+  val V2_FEATURE = "icebergCompatV2"
   val V3_KEY = "delta.enableIcebergCompatV3"
   val V3_FEATURE = "icebergCompatV3"
   val MATERIALIZE_FEATURE = "materializePartitionColumns"
@@ -31,6 +35,68 @@ object IcebergCompat {
   def v3Enabled(p: Protocol, m: graft.delta.Metadata): Boolean =
     TableFeatures.supportsWriterFeature(p, V3_FEATURE) &&
       m.configuration.get(V3_KEY).exists(_.equalsIgnoreCase("true"))
+
+  def v1Enabled(p: Protocol, m: graft.delta.Metadata): Boolean =
+    TableFeatures.supportsWriterFeature(p, V1_FEATURE) &&
+      m.configuration.get(V1_KEY).exists(_.equalsIgnoreCase("true"))
+
+  def v2Enabled(p: Protocol, m: graft.delta.Metadata): Boolean =
+    TableFeatures.supportsWriterFeature(p, V2_FEATURE) &&
+      m.configuration.get(V2_KEY).exists(_.equalsIgnoreCase("true"))
+
+  /** Validate whichever icebergCompat version is enabled (pairwise
+    * exclusion itself is FeatureRequirements' job). The reference
+    * declares V1/V2 write-unsupported pending exactly this type
+    * validation (table_features/mod.rs:400-440 TODO #1125, citing
+    * Delta Spark IcebergCompat.scala CheckNoListMapNullType and the
+    * Java kernel's V2_SUPPORTED_TYPES); we implement the cited checks.
+    */
+  def validate(p: Protocol, m: graft.delta.Metadata, schema: StructType): Unit = {
+    validateV1(p, m, schema)
+    validateV2(p, m, schema)
+    validateV3(p, m, schema)
+  }
+
+  /** V1 (PROTOCOL.md writer-requirements-for-icebergcompatv1; Delta
+    * Spark CheckOnlyNameMappingMode + CheckNoListMapNullType): column
+    * mapping in NAME mode, and no array/map/void columns anywhere.
+    */
+  def validateV1(p: Protocol, m: graft.delta.Metadata, schema: StructType): Unit = {
+    if (!v1Enabled(p, m)) return
+    // "columnMapping enabled at all" is FeatureRequirements' check
+    // (with its canonical message); only the name-MODE restriction is
+    // V1-specific
+    if (ColumnMapping.mode(m) != "none")
+      require(ColumnMapping.mode(m) == "name",
+        s"$V1_FEATURE requires column mapping in 'name' mode")
+    firstOffending(schema, {
+      case _: ArrayType | _: MapType | NullType => false
+      case _: VariantType => false
+      case _ => true
+    }).foreach { o =>
+      throw new IllegalArgumentException(
+        s"$V1_FEATURE does not support type at column: $o")
+    }
+  }
+
+  /** V2 (PROTOCOL.md writer-requirements-for-icebergcompatv2; Java
+    * kernel V2_SUPPORTED_TYPES): column mapping in name or id mode;
+    * array/map allowed, but leaves restricted to the Iceberg-
+    * representable primitives (no variant, no void).
+    */
+  def validateV2(p: Protocol, m: graft.delta.Metadata, schema: StructType): Unit = {
+    if (!v2Enabled(p, m)) return
+    // columnMapping enablement (any mode is fine for V2) is validated
+    // by FeatureRequirements with its canonical message
+    firstOffending(schema, {
+      case _: VariantType => false
+      case NullType => false
+      case dt => isV3Supported(dt)
+    }).foreach { o =>
+      throw new IllegalArgumentException(
+        s"$V2_FEATURE does not support type at column: $o")
+    }
+  }
 
   /** Partition values must ALSO be written into the data files when the
     * materializePartitionColumns feature or IcebergCompatV3 is enabled
@@ -88,9 +154,14 @@ object IcebergCompat {
     * arrays as `element`, maps as `key`/`value` (reference
     * iceberg_compat/mod.rs:53-127 TypeAllowListVisitor).
     */
-  private[delta] def offendingType(schema: StructType): Option[String] = {
+  private[delta] def offendingType(schema: StructType): Option[String] =
+    firstOffending(schema, isV3Supported)
+
+  /** Generalized allow-list walk shared by V1/V2/V3 validation. */
+  private[delta] def firstOffending(schema: StructType,
+      allow: DataType => Boolean): Option[String] = {
     def walk(path: Seq[String], dt: DataType): Option[String] =
-      if (!isV3Supported(dt))
+      if (!allow(dt))
         Some(s"${path.mkString(".")} (${dt.simpleString})")
       else dt match {
         case st: StructType =>

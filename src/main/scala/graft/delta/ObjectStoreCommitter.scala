@@ -77,9 +77,20 @@ class ObjectStoreCommitter(store: ConditionalPutStore) extends Committer {
     val dest = FileNames.commitFile(logDir, version)
     val bytes = content.getBytes(UTF_8)
     if (store.putIfAbsent(key(logDir, version), bytes)) {
-      // we ARE the winner: only the winner ever writes this path
-      val out = fs.create(dest, /*overwrite=*/ true)
+      // we ARE the winner: only the winner ever writes this path.
+      // Mirror via temp file + atomic rename — fs.create(dest) would
+      // make the path visible the instant the stream OPENS, so a
+      // loser's exists() poll could observe an empty or half-written
+      // commit file. After rename, exists ⇒ fully written.
+      val tmp = new Path(logDir,
+        s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, /*overwrite=*/ true)
       try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"failed to publish won commit $version to $dest")
+      }
       CommitResponse.Committed(version, dest)
     } else {
       // lost: wait out the winner's mirror so the caller's conflict

@@ -784,9 +784,9 @@ object Snapshot {
     val cmMode = ColumnMapping.mode(m)
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported delta.columnMapping.mode '$cmMode'")
-    // V3 invariants run on every configuration build (reference
+    // icebergCompat V1/V2/V3 invariants run on every configuration build (reference
     // table_configuration.rs:235)
-    IcebergCompat.validateV3(p, m, s.schema)
+    IcebergCompat.validate(p, m, s.schema)
     // feature-dependency validation for every ENABLED feature
     // (reference table_configuration.rs:605-645
     // validate_feature_requirements over FeatureInfo tables)

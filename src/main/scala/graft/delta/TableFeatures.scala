@@ -70,7 +70,12 @@ object TableFeatures {
     // (WriteValidation.prepare); iceberg V3 invariants are enforced by
     // IcebergCompat.validateV3 + materialized partition columns +
     // required numRecords stats in stageFiles
-    "allowColumnDefaults", "icebergCompatV3",
+    // V1/V2 ship the type validation the reference defers
+    // (table_features/mod.rs:400-440 TODO #1125): IcebergCompat
+    // .validateV1/.validateV2 enforce the cited Delta Spark checks on
+    // every configuration build, so declaring tables stay writable
+    "allowColumnDefaults", "icebergCompatV1", "icebergCompatV2",
+    "icebergCompatV3",
     "materializePartitionColumns", "geospatial")
 
   /** Reader-writer features: declaring one (e.g. via

@@ -161,6 +161,73 @@ class IcebergCompatSpec extends AnyFunSuite {
     }
   }
 
+  test("V1: name-mode column mapping required, list/map/void rejected, " +
+    "valid table round-trips") {
+    val v1Config = Map(IcebergCompat.V1_KEY -> "true",
+      ColumnMapping.MODE_KEY -> "name")
+    // valid: flat primitives + struct
+    val dir = TestSpark.tmpDir("icv1")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("x", StringType))))))
+    val t = DeltaTable.create(spark, dir, schema, configuration = v1Config)
+    assert(t.snapshot().protocol.writerFeatures.get
+      .contains("icebergCompatV1"))
+    val src = spark.range(10).toDF("id")
+      .withColumn("s", struct(concat(lit("v"), col("id")).as("x")))
+    t.append(src)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 10)
+
+    // id-mode column mapping is NOT enough for V1 (Delta Spark
+    // CheckOnlyNameMappingMode)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("icv1-id"), schema,
+        configuration = Map(IcebergCompat.V1_KEY -> "true",
+          ColumnMapping.MODE_KEY -> "id"))
+    }
+    assert(e1.getMessage.contains("name"))
+
+    // array and map columns rejected (CheckNoListMapNullType)
+    val arrSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(LongType))))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("icv1-arr"), arrSchema,
+        configuration = v1Config)
+    }
+    assert(e2.getMessage.contains("a (array<bigint>)"))
+  }
+
+  test("V2: array/map allowed, variant rejected, mutual exclusion " +
+    "with V1/V3 enforced") {
+    val v2Config = Map(IcebergCompat.V2_KEY -> "true",
+      ColumnMapping.MODE_KEY -> "id")
+    val dir = TestSpark.tmpDir("icv2")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(LongType)),
+      StructField("m", MapType(StringType, LongType))))
+    val t = DeltaTable.create(spark, dir, schema, configuration = v2Config)
+    assert(t.snapshot().protocol.writerFeatures.get
+      .contains("icebergCompatV2"))
+    val src = spark.range(5).toDF("id")
+      .withColumn("a", array(col("id"), col("id") * 2))
+      .withColumn("m", map(lit("k"), col("id")))
+    t.append(src)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 5)
+
+    // V1+V2 together rejected (pairwise exclusion,
+    // table_features/mod.rs:410-476)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.create(spark, TestSpark.tmpDir("icv2-x"), schema,
+        configuration = v2Config +
+          (IcebergCompat.V1_KEY -> "true") +
+          (ColumnMapping.MODE_KEY -> "name"))
+    }
+    assert(e.getMessage.toLowerCase.contains("not be enabled") ||
+      e.getMessage.contains("icebergCompat"))
+  }
+
   test("materializePartitionColumns alone (delta.feature convention) " +
     "materializes without V3") {
     val dir = TestSpark.tmpDir("matpart")

@@ -98,6 +98,44 @@ class NestedStatsSpec extends AnyFunSuite {
     assert(t.scan(Some("v < 100")).toDF.count() == 10)
   }
 
+  test("adds with absent or unparseable stats are always kept") {
+    // Legal per the protocol: an add may carry no stats at all. The
+    // all-null guard must then render NULL (kept), not FALSE — a
+    // NULL<=>NULL guard would silently skip live files on every
+    // comparison predicate.
+    val dir = TestSpark.tmpDir("nostats")
+    val src = spark.range(0, 10).select(col("id"), col("id").as("v"))
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(1))
+    // strip the stats field from every add in the commit JSON
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .foreach { st =>
+        val lines = scala.io.Source.fromInputStream(
+          fs.open(st.getPath)).getLines().toList
+        val rewritten = lines.map { line =>
+          val node = JsonLog.mapper.readTree(line)
+          if (node.has("add")) {
+            node.get("add").asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+              .remove("stats")
+            JsonLog.mapper.writeValueAsString(node)
+          } else line
+        }
+        val out = fs.create(st.getPath, true)
+        try out.write((rewritten.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    val t2 = DeltaTable.forPath(spark, dir)
+    assert(files(t2, "v < 5").size == 1)   // kept despite no stats
+    assert(files(t2, "v = 3").size == 1)
+    assert(files(t2, "v IS NOT NULL").size == 1)
+    assert(files(t2, "v IS DISTINCT FROM 3").size == 1)
+    assert(t2.scan(Some("v < 5")).toDF.count() == 5)
+  }
+
   test("checkpointed nested struct stats still skip after log vacuum") {
     val (t, dir) = mkTable()
     t.checkpoint()

@@ -162,6 +162,25 @@ class WriteValidationSpec extends AnyFunSuite {
     assert(t.toDF.count() == 3)
   }
 
+  test("a column named numRecords does not trip zero-row detection") {
+    // the zero-row filter is anchored to the stats document prefix; an
+    // unanchored match would also hit nullCount.numRecords = 0 for a
+    // column physically NAMED numRecords and delete a live file
+    val dir = TestSpark.tmpDir("wv-numrec-col")
+    val src = Seq((1L, 0L), (2L, 0L), (3L, 5L)).toDF("k", "numRecords")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(1))
+    val adds = new DeltaScan(t.snapshot(), None).collectAddFiles()
+    assert(adds.size == 1, "live file was dropped as zero-row")
+    val stats = adds.head.stats.get
+    // the decoy really is present in the stats JSON
+    assert(stats.contains(""""minValues":{"""))
+    assert(stats.contains(""""numRecords":0"""),
+      s"test decoy missing from stats: $stats")
+    assert(t.toDF.count() == 3)
+  }
+
   test("rows surviving a DELETE rewrite re-validate cleanly") {
     val dir = TestSpark.tmpDir("wv-del")
     val src = Seq((1L, 5.0), (2L, 7.5), (3L, 9.0)).toDF("k", "v")
