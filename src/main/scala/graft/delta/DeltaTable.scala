@@ -344,9 +344,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // variantShredding additionally write variant columns shredded
     // ({metadata, value, typed_value}) with an inferred typed_value
     // schema, so downstream scans prune into the typed subcolumns.
+    // table property turns shredding on; an EXPLICIT session-level
+    // writeShredding.enabled=false still wins (Spark's session conf is
+    // the user's per-write escape hatch — e.g. staging one unshredded
+    // file into an otherwise-shredded table)
     val shred = snap.metadata.configuration
       .get(DeltaTable.VARIANT_SHREDDING_KEY)
-      .exists(_.equalsIgnoreCase("true"))
+      .exists(_.equalsIgnoreCase("true")) &&
+      !spark.conf.getOption("spark.sql.variant.writeShredding.enabled")
+        .exists(_.equalsIgnoreCase("false"))
     val scopedConfs: Seq[(String, String)] =
       Seq("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
       (if (shred)
@@ -3205,36 +3211,70 @@ object DeltaTable {
     * writers must set — and restore — their OWN conf.
     */
   private[delta] object ScopedSessionConf {
+    /** One override generation for a key. Layers stack only when the
+      * SOLE holder of every live layer re-enters with a different
+      * value (nested retarget): waiting there would deadlock on
+      * ourselves — the outer scope can't release until the inner
+      * returns.
+      */
+    private final class Layer(val orig: Option[String], val value: String) {
+      var n: Int = 0
+      val perThread = scala.collection.mutable.Map.empty[Thread, Int]
+      def add(t: Thread): Unit = {
+        n += 1; perThread(t) = perThread.getOrElse(t, 0) + 1
+      }
+      def remove(t: Thread): Unit = {
+        n -= 1
+        val c = perThread(t) - 1
+        if (c == 0) perThread.remove(t) else perThread(t) = c
+      }
+      def soleHolder(t: Thread): Boolean = perThread.getOrElse(t, 0) == n
+    }
+    /** head = innermost live layer for the key. */
     private val held = scala.collection.mutable.Map
-      .empty[(SparkSession, String), (Option[String], String, Int)]
+      .empty[(SparkSession, String), List[Layer]]
     def withConfs[T](spark: SparkSession,
         kvs: Seq[(String, String)])(body: => T): T = {
+      val me = Thread.currentThread()
+      val joined = scala.collection.mutable.Map.empty[String, Layer]
       held.synchronized {
-        while (kvs.exists { case (k, v) =>
-          held.get((spark, k)).exists(_._2 != v)
-        }) held.wait()
-        kvs.foreach { case (k, v) =>
+        def blocked(k: String, v: String): Boolean =
           held.get((spark, k)) match {
-            case Some((orig, cur, n)) =>
-              held((spark, k)) = (orig, cur, n + 1)
-            case None =>
+            case Some(layers @ (top :: _)) =>
+              top.value != v && !layers.forall(_.soleHolder(me))
+            case _ => false
+          }
+        while (kvs.exists { case (k, v) => blocked(k, v) }) held.wait()
+        kvs.foreach { case (k, v) =>
+          val key = (spark, k)
+          held.getOrElse(key, Nil) match {
+            case top :: _ if top.value == v =>
+              top.add(me); joined(k) = top
+            case layers => // free, or nested retarget by the sole holder
               val orig = spark.conf.getOption(k)
               spark.conf.set(k, v)
-              held((spark, k)) = (orig, v, 1)
+              val l = new Layer(orig, v)
+              l.add(me); joined(k) = l
+              held(key) = l :: layers
           }
         }
       }
       try body
       finally held.synchronized {
         kvs.foreach { case (k, _) =>
-          val (orig, cur, n) = held((spark, k))
-          if (n > 1) held((spark, k)) = (orig, cur, n - 1)
-          else {
-            orig match {
+          val key = (spark, k)
+          val l = joined(k)
+          l.remove(me)
+          if (l.n == 0) {
+            // a draining layer is always the head: an outer layer
+            // cannot drain before the thread that stacked the inner
+            // one releases both, innermost first
+            held(key) = held(key).filterNot(_ eq l)
+            if (held(key).isEmpty) held.remove(key)
+            l.orig match {
               case Some(x) => spark.conf.set(k, x)
               case None => spark.conf.unset(k)
             }
-            held.remove((spark, k))
           }
         }
         held.notifyAll()

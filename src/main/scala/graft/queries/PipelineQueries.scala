@@ -982,6 +982,122 @@ object PipelineQueries {
         .groupBy(col("region"))
         .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
         .orderBy(col("region"))
+    }),
+
+    // ---- Language-ID evaluation: confusion matrix of the n-gram
+    // heuristic's prediction against the corpus's labeled `lang`
+    // column. The cross-tab is one map-side-combined groupBy on a
+    // (true, predicted) pair — the standard classifier-eval shape; at
+    // 100 TB the matrix itself is O(|langs|²), driver-tiny.
+    "q_lang_confusion" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("en_hits",
+          expr("regexp_count(text, '\\\\b(the|and|a)\\\\b')"))
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("lang_pred",
+          when(col("en_hits") * 10 >= col("n_tokens"), lit("en"))
+            .when(col("en_hits") > 0, lit("en_low"))
+            .otherwise(lit("unknown")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // ---- Bigram language model with add-one smoothing: p(w2|w1) =
+    // (c(w1 w2) + 1) / (c(w1 ·) + |V|), per-doc average log-prob.
+    // Same portable-numerics contract as q_unigram_lm: log rounded to
+    // 9 digits, summed as DECIMAL so the fold order can't drift.
+    // Counts are keyed shuffles on the bigram / its head word; the
+    // continuation-vocab scalar broadcasts.
+    "q_bigram_lm" -> ((s, d) => {
+      val bi = docs(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), " +
+            "i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = bi.select(countDistinct(
+        expr("substring_index(bg, ' ', -1)")).as("v"))
+      bi.join(c2, "bg").join(c1, "w1")
+        .crossJoin(broadcast(v))
+        .withColumn("lp", log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(round(col("lp"), 9).cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- TF-IDF top terms: tf within doc, idf = ln((N+1)/(df+1)),
+    // top-3 terms per doc by score (term asc breaks ties). idf is
+    // rounded to 9 digits before the product so Spark and the oracle
+    // rank identically. tf/df are two keyed shuffles; the doc-count
+    // scalar broadcasts; the per-doc window ranks only that doc's
+    // distinct terms.
+    "q_tfidf" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = docs(s, d).agg(countDistinct(col("doc_id")).as("nd"))
+      tf.join(dfc, "tok").crossJoin(broadcast(nd))
+        .withColumn("tfidf", round(col("tf") *
+          round(log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))), 9), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("tok"))).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // ---- LSH quality audit: recall of the banded-MinHash candidate
+    // set against ground-truth n-gram Jaccard >= 0.5 pairs. The truth
+    // side is the q_ngram_jaccard pipeline (group-local pair
+    // generation), the candidate side the q_minhash_pairs bands; the
+    // audit join is tiny (pairs only). This is the periodic
+    // quality-control job a production fuzzy-dedup pipeline runs on a
+    // sample to validate its band/row configuration.
+    "q_minhash_recall" -> ((s, d) => {
+      val raw = shingles(s, d).localCheckpoint()
+      val rare = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= STOP_SHINGLE_DF).select(col("sh"))
+      val sh = raw.join(rare, "sh")
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .select(explode(expr(
+          "flatten(transform(docs, (a, i) -> " +
+            "transform(slice(docs, i + 2, size(docs)), " +
+            "b -> struct(a, b))))")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val ca = counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+      val cb = counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+      val truth = pairs
+        .join(broadcast(ca), "doc_a").join(broadcast(cb), "doc_b")
+        .filter(col("inter") /
+          (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val withH = raw.withColumn("h", expr(s"${h60("sh")} % $P"))
+      val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min(expr(s"(h * ${a}L + ${b}L) % ${P}L")).as(s"mh$j")
+      }
+      val sigs = withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val cand = Dedup.minhashBandPairs(sigs, "doc_id",
+          (0 until 8).map(i => s"mh$i"), rowsPerBand = 2)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .select(col("n_true"), col("n_caught"),
+          round(col("n_caught") / col("n_true"), 6).as("recall"))
     })
   )
 
@@ -1851,6 +1967,87 @@ object PipelineQueries {
         |       WHEN x < 0 AND y > 0 THEN 'nw'
         |       ELSE 'ne' END AS region FROM p)
         |SELECT region, count(*) AS n, min(event_id) AS min_id
-        |FROM r GROUP BY region ORDER BY region""".stripMargin
+        |FROM r GROUP BY region ORDER BY region""".stripMargin,
+
+    "q_lang_confusion" ->
+      """SELECT lang, lang_pred, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN en_hits * 10 >= n_tokens THEN 'en'
+        |         WHEN en_hits > 0 THEN 'en_low'
+        |         ELSE 'unknown' END AS lang_pred
+        |  FROM (
+        |    SELECT lang,
+        |      len(regexp_extract_all(text, '\b(the|and|a)\b')) AS en_hits,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |    FROM documents))
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH wrds AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |bb AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |  FROM wrds WHERE len(w) >= 2),
+        |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bb),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b2 GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM b2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(
+        |      ln((c2 + 1.0) / (c1 + v)), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM b2 JOIN c2 USING (bg) JOIN c1 USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+        |SELECT doc_id, rk, tok, tfidf FROM (
+        |  SELECT doc_id, tok,
+        |    round(tf * round(ln((nd + 1.0) / (df + 1.0)), 9), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * round(ln((nd + 1.0) / (df + 1.0)), 9), 6)
+        |        DESC, tok) AS rk
+        |  FROM tf JOIN df USING (tok), n)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_minhash_recall" ->
+      s"""$shinglesDuck,
+         |rare AS (SELECT sh AS rsh FROM sh GROUP BY sh
+         |         HAVING count(*) <= $STOP_SHINGLE_DF),
+         |shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare ON sh.sh = rare.rsh),
+         |n AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b
+         |  FROM p JOIN n na ON p.doc_a = na.doc_id
+         |         JOIN n nb ON p.doc_b = nb.doc_id
+         |  WHERE inter / (na.n + nb.n - inter) >= 0.5),
+         |hh AS (SELECT doc_id, ${h60Duck("sh")} % $P AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashAggsDuck FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 3 AS band, mh6::VARCHAR || '_' || mh7::VARCHAR AS bkey FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught,
+         |  round(CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN cand c
+         |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b""".stripMargin
   )
 }

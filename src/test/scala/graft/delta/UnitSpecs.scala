@@ -110,7 +110,7 @@ class DataSkippingSpec extends AnyFunSuite {
   // the all-null guard every comparison carries (reference
   // eval_sql_where: nullCount = numRecords proves no non-null row)
   private def g(c: String) =
-    s"(NOT (__stats.nullCount.$c <=> __stats.numRecords))"
+    s"(NOT (__stats.nullCount.$c = __stats.numRecords))"
 
   test("IsNull on a column outside nullCount (partition col) is unknown") {
     assert(DataSkipping.rewrite(
