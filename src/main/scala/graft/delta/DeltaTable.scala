@@ -3130,21 +3130,21 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     }
   }
 
-  /** Latest version committed at or before `tsMillis` — binary search
-    * over the commit files (reference history_manager/mod.rs,
-    * search.rs:266). When ICT was enabled MID-LOG
-    * (`delta.inCommitTimestampEnablementVersion`), the log holds two
-    * independently-monotonic timestamp sequences: file mtimes below the
-    * enablement version and in-commit timestamps at/above it — one
-    * global binary search over both would compare incomparable clocks
-    * and can resolve wrong. The enablement timestamp picks which
-    * régime to search.
+  /** Shared state for every timestamp query (reference
+    * history_manager/mod.rs: one listing + ICT-enablement régime feeds
+    * latest_version_as_of / first_version_after /
+    * timestamp_range_to_versions / get_earliest_commit): the sorted
+    * commit files, a lazily-resolved per-index timestamp, and the
+    * index of the first ICT commit (commits.size when ICT is off,
+    * 0 when ICT-since-creation).
     */
-  def versionAtTimestamp(tsMillis: Long): Long = {
-    val commits = Storage.listSorted(fs, logDir)
-      .flatMap(st => FileNames.parse(st.getPath).map(f => (f, st)))
-      .collect { case (c: FileNames.CommitFile, st) => (c, st) }
-      .sortBy(_._1.version)
+  private final class HistoryIndex {
+    val commits: IndexedSeq[(FileNames.CommitFile,
+        org.apache.hadoop.fs.FileStatus)] =
+      Storage.listSorted(fs, logDir)
+        .flatMap(st => FileNames.parse(st.getPath).map(f => (f, st)))
+        .collect { case (c: FileNames.CommitFile, st) => (c, st) }
+        .sortBy(_._1.version).toIndexedSeq
     if (commits.isEmpty)
       throw new IllegalStateException(s"no delta log found at $pathStr")
     def tsOf(i: Int): Long = {
@@ -3158,42 +3158,117 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         .nextOption()
         .getOrElse(st.getModificationTime)
     }
-
-    val conf = snapshot().metadata.configuration
-    val ictOn = conf.get(DeltaTable.ICT_ENABLED_KEY)
+    private val conf = snapshot().metadata.configuration
+    val ictOn: Boolean = conf.get(DeltaTable.ICT_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
-    val enableV = conf.get(DeltaTable.ICT_ENABLEMENT_VERSION_KEY)
-      .map(_.toLong)
-    val enableTs = conf.get(DeltaTable.ICT_ENABLEMENT_TIMESTAMP_KEY)
-      .map(_.toLong)
-    // index of the first ICT commit (whole log when enabled with no
-    // recorded boundary, i.e. ICT since table creation)
+    val enableTs: Option[Long] =
+      conf.get(DeltaTable.ICT_ENABLEMENT_TIMESTAMP_KEY).map(_.toLong)
     val boundary: Int =
       if (!ictOn) commits.size
-      else enableV.map(ev => commits.indexWhere(_._1.version >= ev))
+      else conf.get(DeltaTable.ICT_ENABLEMENT_VERSION_KEY).map(_.toLong)
+        .map(ev => commits.indexWhere(_._1.version >= ev))
         .filter(_ >= 0).getOrElse(0)
+    /** Greatest index with ts <= tsMillis within [lo, hi], or -1. */
+    def greatestLower(tsMillis: Long, lo0: Int, hi0: Int): Int = {
+      var lo = lo0; var hi = hi0; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) / 2
+        if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      ans
+    }
+    /** Least index with ts >= tsMillis within [lo, hi], or -1. */
+    def leastUpper(tsMillis: Long, lo0: Int, hi0: Int): Int = {
+      var lo = lo0; var hi = hi0; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) / 2
+        if (tsOf(mid) >= tsMillis) { ans = mid; hi = mid - 1 }
+        else lo = mid + 1
+      }
+      ans
+    }
+  }
+
+  /** Latest version committed at or before `tsMillis` — binary search
+    * over the commit files (reference history_manager/mod.rs
+    * latest_version_as_of, search.rs:266). When ICT was enabled
+    * MID-LOG (`delta.inCommitTimestampEnablementVersion`), the log
+    * holds two independently-monotonic timestamp sequences: file
+    * mtimes below the enablement version and in-commit timestamps
+    * at/above it — one global binary search over both would compare
+    * incomparable clocks and can resolve wrong. The enablement
+    * timestamp picks which régime to search.
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val h = new HistoryIndex
     val (lo0, hi0) =
-      if (!ictOn) (0, commits.size - 1)
-      else if (enableTs.exists(tsMillis < _)) {
+      if (!h.ictOn) (0, h.commits.size - 1)
+      else if (h.enableTs.exists(tsMillis < _)) {
         // strictly before the ICT era: search the mtime-ordered prefix
-        if (boundary == 0)
+        if (h.boundary == 0)
           throw new IllegalArgumentException(
             s"no version at or before timestamp $tsMillis")
-        (0, boundary - 1)
-      } else (boundary, commits.size - 1)
-
-    var lo = lo0
-    var hi = hi0
-    var ans = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) / 2
-      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 }
-      else hi = mid - 1
-    }
+        (0, h.boundary - 1)
+      } else (h.boundary, h.commits.size - 1)
+    val ans = h.greatestLower(tsMillis, lo0, hi0)
     if (ans < 0)
       throw new IllegalArgumentException(
         s"no version at or before timestamp $tsMillis")
-    commits(ans)._1.version
+    h.commits(ans)._1.version
+  }
+
+  /** First version committed at or after `tsMillis` (reference
+    * history_manager/mod.rs first_version_after). Mirrors
+    * [[versionAtTimestamp]]'s two-régime ICT handling: a timestamp
+    * before the ICT era searches the mtime prefix and, when the whole
+    * prefix predates it, resolves to the first ICT commit — the
+    * enablement timestamp is by construction >= the query.
+    */
+  def firstVersionAfter(tsMillis: Long): Long = {
+    val h = new HistoryIndex
+    val ans =
+      if (!h.ictOn) h.leastUpper(tsMillis, 0, h.commits.size - 1)
+      else if (h.enableTs.exists(tsMillis < _)) {
+        val inPrefix = h.leastUpper(tsMillis, 0, h.boundary - 1)
+        if (inPrefix >= 0) inPrefix
+        else if (h.boundary < h.commits.size) h.boundary
+        else -1
+      } else h.leastUpper(tsMillis, h.boundary, h.commits.size - 1)
+    if (ans < 0)
+      throw new IllegalArgumentException(
+        s"no version at or after timestamp $tsMillis")
+    h.commits(ans)._1.version
+  }
+
+  /** Resolve a CDF/commit-range timestamp window to versions
+    * (reference history_manager/mod.rs timestamp_range_to_versions):
+    * start maps through first-after, end through latest-as-of; an
+    * endless range returns None for the end. A window falling entirely
+    * between two commits is empty and rejected, as is start > end.
+    */
+  def timestampRangeToVersions(startTs: Long,
+      endTs: Option[Long]): (Long, Option[Long]) = {
+    endTs.foreach(e => require(startTs <= e,
+      s"invalid timestamp range: $startTs > $e"))
+    val startV = firstVersionAfter(startTs)
+    val endV = endTs.map { e =>
+      val v = versionAtTimestamp(e)
+      require(startV <= v,
+        s"empty timestamp range: ($startTs, $e) falls between commits")
+      v
+    }
+    (startV, endV)
+  }
+
+  /** Earliest listed commit as (version, timestamp) (reference
+    * history_manager/mod.rs get_earliest_commit). After log compaction
+    * vacuumed early commits this is the history floor — timestamp
+    * queries below it throw.
+    */
+  def earliestCommit(): (Long, Long) = {
+    val h = new HistoryIndex
+    (h.commits(0)._1.version, h.tsOf(0))
   }
 }
 

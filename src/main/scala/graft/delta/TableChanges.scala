@@ -50,6 +50,19 @@ object TableChanges {
   def cdfEnabled(m: graft.delta.Metadata): Boolean =
     m.configuration.get(CDF_ENABLED_KEY).exists(_.equalsIgnoreCase("true"))
 
+  /** CDF rows over a TIMESTAMP window (reference history_manager
+    * timestamp_range_to_versions feeding table_changes): the start
+    * maps through first-version-after, the end through
+    * latest-version-as-of, then the version-range read applies its
+    * usual schema-compat validation.
+    */
+  def readByTimestamp(spark: SparkSession, tablePath: String,
+      startTs: Long, endTs: Option[Long] = None): DataFrame = {
+    val (startV, endV) = DeltaTable.forPath(spark, tablePath)
+      .timestampRangeToVersions(startTs, endTs)
+    read(spark, tablePath, startV, endV)
+  }
+
   /** CDF rows over [startVersion, endVersion] (endVersion None = latest).
     * Output schema = table schema + (_change_type, _commit_version,
     * _commit_timestamp).

@@ -350,6 +350,14 @@ object DeltaQueries {
       val byV = t.snapshot(Some(1L)).toDF
       require(byTs.count() == byV.count(),
         "timestamp and version time travel disagree")
+      // history_manager surface: first-after is the dual of as-of, the
+      // range maps through both, and the earliest commit is v0
+      require(t.firstVersionAfter(ts1) == 1L,
+        "commit 1's own timestamp must first-after-resolve to version 1")
+      require(t.timestampRangeToVersions(ts1, None) == ((1L, None)),
+        "range start must map through first-version-after")
+      require(t.earliestCommit()._1 == 0L,
+        "earliest commit must be version 0")
       ordered(byV)
     }),
 

@@ -118,12 +118,14 @@ class DeltaSource(
       case s if s.equalsIgnoreCase("latest") => initialSnapshot.version + 1
       case s => s.toLong
     }.orElse(options.get("startingTimestamp").map { ts =>
-      // delta-spark semantics: changes committed AT OR AFTER ts. The
-      // first such version is (max version at-or-before ts-1) + 1;
-      // a timestamp preceding the whole log reads everything
+      // delta-spark semantics: changes committed AT OR AFTER ts
+      // (history_manager first_version_after); a timestamp past the
+      // whole log starts after the current tip (empty until the next
+      // commit)
       try graft.delta.DeltaTable.forPath(spark, tablePath)
-        .versionAtTimestamp(DeltaSource.parseTsMillis(ts) - 1) + 1
-      catch { case _: IllegalArgumentException => 0L }
+        .firstVersionAfter(DeltaSource.parseTsMillis(ts))
+      catch { case _: IllegalArgumentException =>
+        Snapshot.forTable(spark, tablePath).version + 1 }
     })
   private val initialSnapshotMode = startingVersionOpt.isEmpty
   private val startingVersion =

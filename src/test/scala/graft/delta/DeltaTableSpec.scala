@@ -223,4 +223,69 @@ class DeltaTableSpec extends AnyFunSuite {
       t.versionAtTimestamp(h.map(_._2).min - 100000)
     }
   }
+
+  test("firstVersionAfter / timestampRangeToVersions / earliestCommit " +
+      "(history_manager surface, ICT timestamps)") {
+    val dir = TestSpark.tmpDir("ts-hist")
+    val src = li.limit(5)
+    // ICT from creation: commit timestamps are exact and strictly
+    // monotone, so every boundary below is deterministic
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    t.append(src) // v2
+    val h = t.history() // (version, ts, op), ascending versions
+    val ts = h.sortBy(_._1).map(_._2)
+    assert(ts.size == 3 && ts == ts.sorted)
+
+    // exact hits resolve to themselves from both directions
+    assert(t.firstVersionAfter(ts(1)) == 1L)
+    assert(t.versionAtTimestamp(ts(1)) == 1L)
+    // between commits: as-of goes down, first-after goes up
+    if (ts(2) - ts(1) > 1) {
+      val mid = (ts(1) + ts(2)) / 2
+      assert(t.versionAtTimestamp(mid) == 1L)
+      assert(t.firstVersionAfter(mid) == 2L)
+    }
+    // before the whole log → first commit; after → throws
+    assert(t.firstVersionAfter(ts.head - 100000) == 0L)
+    intercept[IllegalArgumentException] {
+      t.firstVersionAfter(ts.last + 100000)
+    }
+
+    assert(t.earliestCommit() == ((0L, ts.head)))
+
+    // ranges: full window, endless window, empty window rejected
+    assert(t.timestampRangeToVersions(ts.head, Some(ts.last)) ==
+      ((0L, Some(2L))))
+    assert(t.timestampRangeToVersions(ts(1), None) == ((1L, None)))
+    intercept[IllegalArgumentException] {
+      t.timestampRangeToVersions(ts.last, Some(ts.head)) // start > end
+    }
+    if (ts(2) - ts(1) > 2) {
+      intercept[IllegalArgumentException] { // falls between commits
+        t.timestampRangeToVersions(ts(1) + 1, Some(ts(2) - 1))
+      }
+    }
+  }
+
+  test("TableChanges.readByTimestamp maps the window through " +
+      "first-after / latest-as-of") {
+    val dir = TestSpark.tmpDir("cdf-ts")
+    val src = li.limit(5)
+    DeltaTable.create(spark, dir, src.schema, configuration = Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.enableInCommitTimestamps" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    t.append(src) // v2
+    val ts = t.history().sortBy(_._1).map(_._2)
+    val all = TableChanges.readByTimestamp(spark, dir, ts.head)
+    assert(all.count() == 10) // both appends' inserts
+    val onlyV2 = TableChanges.readByTimestamp(spark, dir, ts(2))
+    assert(onlyV2.count() == 5)
+    assert(onlyV2.select(TableChanges.COMMIT_VERSION).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
