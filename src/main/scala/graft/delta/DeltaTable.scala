@@ -3262,13 +3262,41 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   }
 
   /** Earliest listed commit as (version, timestamp) (reference
-    * history_manager/mod.rs get_earliest_commit). After log compaction
-    * vacuumed early commits this is the history floor — timestamp
-    * queries below it throw.
+    * history_manager/mod.rs get_earliest_commit,
+    * HistoryCommitType::Published). After log compaction vacuumed
+    * early commits this is the history floor — timestamp queries below
+    * it throw.
     */
   def earliestCommit(): (Long, Long) = {
     val h = new HistoryIndex
     (h.commits(0)._1.version, h.tsOf(0))
+  }
+
+  /** Earliest version whose full table state can be reconstructed:
+    * version 0 when its commit survives, else the earliest COMPLETE
+    * checkpoint (all parts of a multipart set present) — reference
+    * history_manager/mod.rs get_earliest_commit,
+    * HistoryCommitType::Recreatable. Throws when commits exist but
+    * neither anchor does (a log whose head was vacuumed past every
+    * checkpoint is unreadable history).
+    */
+  def earliestRecreatableVersion(): Long = {
+    val entries = Storage.listSorted(fs, logDir)
+      .flatMap(st => FileNames.parse(st.getPath))
+    if (entries.exists {
+      case FileNames.CommitFile(0L, _) => true
+      case _ => false
+    }) return 0L
+    val completeCkpts = entries
+      .collect { case c: FileNames.CheckpointFile => c }
+      .groupBy(_.version)
+      .collect { case (v, parts)
+          if parts.map(_.part).toSet.size == parts.head.numParts => v }
+    if (completeCkpts.isEmpty)
+      throw new IllegalStateException(
+        s"no recreatable version at $pathStr: commit 0 is gone and no " +
+          "complete checkpoint anchors the log")
+    completeCkpts.min
   }
 }
 

@@ -270,6 +270,35 @@ class DeltaTableSpec extends AnyFunSuite {
     }
   }
 
+  test("earliestRecreatableVersion anchors on commit 0 or the " +
+      "earliest complete checkpoint") {
+    val dir = TestSpark.tmpDir("recreatable")
+    val src = li.limit(5)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    t.append(src) // v2
+    assert(t.earliestRecreatableVersion() == 0L)
+    t.checkpoint() // at v2
+    assert(t.earliestRecreatableVersion() == 0L) // commit 0 still there
+    // simulate a vacuumed head: drop commits 0..2 (the checkpoint
+    // supersedes them)
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir,
+        f"$v%020d.json"), false)
+    }
+    assert(t.earliestRecreatableVersion() == 2L)
+    // the table still reads through the checkpoint
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 10)
+    // drop the checkpoint too: no anchor left
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.contains("checkpoint"))
+      .foreach(p => fs.delete(p, false))
+    intercept[IllegalStateException] { t.earliestRecreatableVersion() }
+  }
+
   test("TableChanges.readByTimestamp maps the window through " +
       "first-after / latest-as-of") {
     val dir = TestSpark.tmpDir("cdf-ts")

@@ -167,4 +167,51 @@ class PlanShapeSpec extends AnyFunSuite {
     // partial aggregation runs map-side before each exchange
     assert(p.contains("partial"), p.take(1200))
   }
+
+  /** A BroadcastNestedLoopJoin is only tolerable when its build side
+    * is a single-row scalar aggregate (the unigram/bigram/tfidf corpus
+    * constants); anything else is a scale-killer.
+    */
+  private def assertOnlyScalarLoops(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    // each scalar crossJoin builds from a final agg with no grouping
+    // keys — the plan shows the empty-key HashAggregate under an
+    // Exchange SinglePartition
+    if (bnlj > 0)
+      assert(p.contains("SinglePartition"), p.take(1600))
+  }
+
+  test("tfidf: tf/df keyed aggs + per-doc window; the only loop join " +
+      "is the one-row corpus-size broadcast") {
+    val df = graft.queries.PipelineQueries.queries("q_tfidf")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertOnlyScalarLoops(p)
+    assert(p.contains("partial"), p.take(1200))
+  }
+
+  test("bigram LM: counts keyed on the bigram and its head word; " +
+      "loop joins only for the vocab scalar") {
+    val df = graft.queries.PipelineQueries.queries("q_bigram_lm")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertOnlyScalarLoops(p)
+  }
+
+  test("minhash recall audit: equi-joins only (bands and pair keys)") {
+    val df = graft.queries.PipelineQueries.queries("q_minhash_recall")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertNoLoops(p)
+  }
+
+  test("lang confusion matrix is one map-side-combined groupBy") {
+    val df = graft.queries.PipelineQueries.queries("q_lang_confusion")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(hashShuffles(p) <= 1, p.take(1200))
+    assert(p.contains("partial"), p.take(1200))
+  }
 }
