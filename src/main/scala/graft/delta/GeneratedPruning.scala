@@ -98,40 +98,67 @@ object GeneratedPruning {
             .map(_.dataType).getOrElse(StringType)
 
           // f(comparand): CAST the comparand to the base type, then
-          // evaluate the generation expression over it — a one-row
-          // local relation, executed driver-side
-          def f(comparandSql: String): Option[Any] = scala.util.Try {
-            import scala.jdk.CollectionConverters._
-            val v = spark.sql(
-              s"SELECT CAST(($comparandSql) AS ${baseType.sql})")
-              .head().get(0)
-            if (v == null) throw new IllegalArgumentException(
-              s"comparand ($comparandSql) casts to NULL as " +
-                baseType.sql)
-            spark.createDataFrame(
-                Seq(Row(v)).asJava,
-                StructType(Seq(StructField(base, baseType))))
-              .select(expr(genSql)).head().get(0)
-          }.toOption
+          // evaluate the generation expression over it. Evaluation is
+          // analyze + optimize + Literal.eval on the DRIVER — no Spark
+          // job is ever launched from scan planning (the previous
+          // spark.sql(...).head() path scheduled two tiny jobs per
+          // conjunct, adding latency and a whole class of
+          // environment-dependent failure the Try() then silently
+          // turned into "no pruning").
+          def evalConst(e: Expression): Option[(Any, DataType)] =
+            scala.util.Try {
+              val plan = org.apache.spark.sql.catalyst.plans.logical
+                .Project(Seq(Alias(e, "v")()),
+                  org.apache.spark.sql.catalyst.plans.logical
+                    .OneRowRelation())
+              val qe = spark.sessionState.executePlan(plan)
+              val dt = qe.analyzed.schema.head.dataType
+              val v = qe.optimizedPlan match {
+                case p: org.apache.spark.sql.catalyst.plans.logical
+                    .Project =>
+                  p.projectList.head.asInstanceOf[Alias].child
+                    .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+                case l: org.apache.spark.sql.catalyst.plans.logical
+                    .LocalRelation =>
+                  if (l.data.isEmpty) null
+                  else l.data.head.get(0, dt)
+                case other => throw new IllegalStateException(
+                  s"constant plan did not fold: ${other.nodeName}")
+              }
+              (v, dt)
+            }.toOption
+
+          def f(comparand: Expression): Option[(Any, DataType)] = {
+            val castArg = Cast(comparand, baseType)
+            evalConst(castArg) match {
+              case Some((cv, _)) if cv != null =>
+                val gen = DataSkipping.parse(spark, genSql)
+                val bound = gen.transform {
+                  case a: UnresolvedAttribute
+                      if a.nameParts == Seq(base) =>
+                    Literal(cv, baseType)
+                }
+                evalConst(bound).filter(_._1 != null)
+              case _ => None // comparand casts to NULL: derive nothing
+            }
+          }
 
           def attr = UnresolvedAttribute(Seq(p))
           def isBaseAttr(e: Expression) = e match {
             case a: UnresolvedAttribute => a.nameParts == Seq(base)
             case _ => false
           }
-          def foldableSql(e: Expression): Option[String] =
-            if (e.foldable || DataSkipping.references(e).isEmpty)
-              scala.util.Try(e.sql).toOption
-            else None
+          def constant(e: Expression): Option[Expression] =
+            if (DataSkipping.references(e).isEmpty) Some(e) else None
 
           def mono(cmp: (Expression, Expression) => Expression,
               v: Expression): Option[Expression] =
             if (shape != Monotone) None
-            else foldableSql(v).flatMap(f)
-              .map(fv => cmp(attr, Literal(fv)))
+            else constant(v).flatMap(f)
+              .map { case (fv, dt) => cmp(attr, Literal(fv, dt)) }
           def eq(v: Expression): Option[Expression] =
-            foldableSql(v).flatMap(f)
-              .map(fv => EqualNullSafe(attr, Literal(fv)))
+            constant(v).flatMap(f)
+              .map { case (fv, dt) => EqualNullSafe(attr, Literal(fv, dt)) }
 
           dataConjuncts.flatMap {
             case EqualTo(b, v) if isBaseAttr(b) => eq(v)

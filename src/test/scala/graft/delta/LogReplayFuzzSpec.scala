@@ -62,6 +62,80 @@ class LogReplayFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("predicate scans stay exact when random adds lose their stats") {
+    // The protocol allows stats-less adds; skipping must degrade to
+    // keep-the-file, never to skip-the-file (the all-null guard's
+    // EqualTo-not-<=> contract). Fuzz: build a table, strip stats from
+    // a random half of the adds, and compare predicate scans against
+    // the model under comparison/equality/DISTINCT/range predicates.
+    val rnd = new scala.util.Random(777)
+    val dir = TestSpark.tmpDir("fuzz-nostats")
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    var nextK = 0L
+    val schema = Seq((0L, "x")).toDF("k", "s").schema
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    (0 until 8).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 | 1 =>
+          val n = 1 + rnd.nextInt(30)
+          val batch = (0 until n).map { _ =>
+            nextK += 1; model(nextK) = s"v$nextK"; (nextK, s"v$nextK")
+          }
+          t.append(batch.toDF("k", "s").repartition(1 + rnd.nextInt(3)))
+        case 2 =>
+          if (model.nonEmpty) {
+            val lo = model.keys.toSeq(rnd.nextInt(model.size))
+            val hi = lo + rnd.nextInt(15)
+            t.deleteWhere(s"k >= $lo AND k <= $hi")
+            (lo to hi).foreach(model.remove)
+          }
+      }
+    }
+    // strip stats from ~half the adds across every commit json
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .foreach { st =>
+        val lines = scala.io.Source.fromInputStream(
+          fs.open(st.getPath)).getLines().toList
+        val rewritten = lines.map { line =>
+          val node = JsonLog.parseLine(line)
+          if (node.has("add") && rnd.nextBoolean()) {
+            node.get("add").asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+              .remove("stats")
+            JsonLog.mapper.writeValueAsString(node)
+          } else line
+        }
+        val out = fs.create(st.getPath, true)
+        try out.write((rewritten.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    val t2 = DeltaTable.forPath(spark, dir)
+    val ks = model.keys.toSeq.sorted
+    val probes: Seq[(String, Long => Boolean)] =
+      if (ks.isEmpty) Nil
+      else {
+        val a = ks(ks.size / 3); val b = ks(2 * ks.size / 3)
+        Seq(
+          (s"k < $b", (k: Long) => k < b),
+          (s"k = $a", (k: Long) => k == a),
+          (s"k IS DISTINCT FROM $a", (k: Long) => k != a),
+          (s"k >= $a AND k < $b", (k: Long) => k >= a && k < b),
+          (s"NOT (k = $b)", (k: Long) => k != b),
+          ("k IS NOT NULL", (_: Long) => true))
+      }
+    probes.foreach { case (pred, f) =>
+      val got = t2.scan(Some(pred)).toDF.select("k")
+        .as[Long].collect().sorted.toSeq
+      val want = ks.filter(f)
+      assert(got == want,
+        s"predicate `$pred` diverged with stripped stats: " +
+          s"got ${got.size} want ${want.size}")
+    }
+  }
+
   test("driver and distributed latestActions agree on the same log") {
     val dir = TestSpark.tmpDir("parity")
     DeltaTable.create(spark, dir, Seq((0L, "x")).toDF("k", "s").schema)
