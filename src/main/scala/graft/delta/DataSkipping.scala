@@ -64,6 +64,29 @@ object DataSkipping {
       StructField("nullCount", nullsOf(dataSchema))))
   }
 
+  /** Restrict a stats schema to the given root-relative paths (e.g.
+    * `Seq("maxValues","a","b")`, `Seq("numRecords")`), dropping any
+    * struct left empty. Used to parse only the stat leaves a skipping
+    * predicate references — at millions of adds, from_json over the
+    * full mirrored schema is the dominant planning cost.
+    */
+  def pruneToPaths(schema: StructType, keep: Set[Seq[String]])
+      : StructType = {
+    def walk(st: StructType, prefix: Seq[String]): Option[StructType] = {
+      val kept = st.fields.flatMap { f =>
+        val p = prefix :+ f.name
+        f.dataType match {
+          case nested: StructType =>
+            if (keep.contains(p)) Some(f)
+            else walk(nested, p).map(s => StructField(f.name, s))
+          case _ => if (keep.contains(p)) Some(f) else None
+        }
+      }
+      if (kept.isEmpty) None else Some(StructType(kept))
+    }
+    walk(schema, Nil).getOrElse(StructType(Nil))
+  }
+
   /** Leaf paths with min/max stats in `statsSchema(dataSchema)`. */
   def eligiblePaths(dataSchema: StructType): Set[Seq[String]] =
     leafPaths(dataSchema).collect {

@@ -149,8 +149,20 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       val numRecTerm = "coalesce(__stats.numRecords > 0, true)"
       val skipSql = (numRecTerm +: skips.map(s =>
         s"coalesce(${s.sql}, true)")).mkString(" AND ")
+      // Parse ONLY the stat leaves the terms reference. At 1M+ adds the
+      // from_json over the full stats schema (nullCount mirrors every
+      // data column) dominates planning; a predicate on one column needs
+      // one or two leaves + numRecords, and Jackson skips unprojected
+      // fields far cheaper than it materializes them. The reference's
+      // stats schema is similarly derived from the predicate's referenced
+      // columns (kernel/src/scan/data_skipping/stats_schema/mod.rs).
+      val referenced: Set[Seq[String]] = skips.flatMap(_.collect {
+        case a: UnresolvedAttribute if a.nameParts.head == "__stats" =>
+          a.nameParts.tail
+      }).toSet + Seq("numRecords")
+      val prunedStats = DataSkipping.pruneToPaths(statsSchema, referenced)
       df = df.withColumn("__stats",
-          from_json(col("add.stats"), statsSchema))
+          from_json(col("add.stats"), prunedStats))
         // missing/partial stats ⇒ NULL comparisons ⇒ coalesce keeps the file
         .filter(expr(skipSql))
         .drop("__stats")

@@ -22,6 +22,15 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   private def fs = Storage.fs(root, hconf)
   private val logDir = FileNames.logDir(root)
 
+  /** Classic checkpoints auto-split into V1 multipart files above
+    * 2× this many actions, and every checkpoint parquet is written
+    * with small row groups — the read side's split granularity (and
+    * so the checkpoint-arm replay parallelism of every future
+    * snapshot) is bounded by writer-side row-group layout.
+    */
+  private val CHECKPOINT_ACTIONS_PER_PART = 100000
+  private val CHECKPOINT_ROW_GROUP_BYTES = 16 * 1024 * 1024
+
   /** The commit authority for this handle (reference committer/mod.rs):
     * stage-and-ratify when a catalog manages the table, put-if-absent
     * otherwise.
@@ -2552,8 +2561,29 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val state = checkpointState(snap)
     state.persist()
     val size = state.count() // known before writing; no re-read after
+    // Route large states to protocol-standard V1 MULTIPART parts
+    // automatically: a single-file checkpoint caps every future
+    // replay's read parallelism at its row-group count (a 1M-add
+    // state is ~200 MB ⇒ 2 row groups ⇒ a 32-core replay running on
+    // 2). Parts of ~100k actions keep the checkpoint arm
+    // embarrassingly parallel at any scale.
+    if (size > 2L * CHECKPOINT_ACTIONS_PER_PART) {
+      val n = math.ceil(size.toDouble / CHECKPOINT_ACTIONS_PER_PART).toInt
+      writeClassicCheckpointParts(state, v, n, size)
+      state.unpersist()
+      if (!committer.isCatalogCommitter &&
+          !snap.metadata.configuration.get("delta.enableExpiredLogCleanup")
+            .exists(_.equalsIgnoreCase("false")))
+        try cleanupExpiredLogs(v, snap.metadata)
+        catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"expired-log cleanup after checkpoint failed: $e") }
+      return v
+    }
     val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
-    state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    state.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", CHECKPOINT_ROW_GROUP_BYTES)
+      .parquet(tmp.toString)
     // the state already holds every live add — re-seed the .crc chain
     // with EXACT totals + file-size histogram (recovers a chain broken
     // by a missing/histogram-less crc); one 95-row aggregate
@@ -2737,9 +2767,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val state = checkpointState(snap)
     state.persist()
     val size = state.count()
-    val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
-    state.repartition(numParts).write.mode("overwrite").parquet(tmp.toString)
+    writeClassicCheckpointParts(state, v, numParts, size)
     state.unpersist()
+    v
+  }
+
+  /** Write a classic checkpoint as `numParts` V1 multipart files
+    * (`v.checkpoint.<i>.<n>.parquet`) and point `_last_checkpoint` at
+    * them. Small parquet row groups keep each part split-friendly on
+    * the read side.
+    */
+  private def writeClassicCheckpointParts(state: DataFrame, v: Long,
+      numParts: Int, size: Long): Unit = {
+    val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
+    state.repartition(numParts).write.mode("overwrite")
+      .option("parquet.block.size", CHECKPOINT_ROW_GROUP_BYTES)
+      .parquet(tmp.toString)
     val parts = Storage.listFilesRecursive(fs, tmp)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
@@ -2752,7 +2795,6 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     fs.delete(tmp, true)
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
       s"""{"version":$v,"size":$size,"parts":${parts.size}}""")
-    v
   }
 
   /** V2 checkpoint (reference kernel/src/checkpoint/mod.rs V2 shape +
