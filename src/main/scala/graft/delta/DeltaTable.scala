@@ -2570,20 +2570,20 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     if (size > 2L * CHECKPOINT_ACTIONS_PER_PART) {
       val n = math.ceil(size.toDouble / CHECKPOINT_ACTIONS_PER_PART).toInt
       writeClassicCheckpointParts(state, v, n, size)
-      state.unpersist()
-      if (!committer.isCatalogCommitter &&
-          !snap.metadata.configuration.get("delta.enableExpiredLogCleanup")
-            .exists(_.equalsIgnoreCase("false")))
-        try cleanupExpiredLogs(v, snap.metadata)
-        catch { case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"expired-log cleanup after checkpoint failed: $e") }
-      return v
+    } else {
+      val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
+      state.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", CHECKPOINT_ROW_GROUP_BYTES)
+        .parquet(tmp.toString)
+      val part = Storage.listFilesRecursive(fs, tmp)
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      val dest = FileNames.classicCheckpointFile(logDir, v)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      fs.rename(part.getPath, dest)
+      fs.delete(tmp, true)
+      Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
+        s"""{"version":$v,"size":$size}""")
     }
-    val tmp = new Path(logDir, s".ckpt-tmp-${UUID.randomUUID()}")
-    state.coalesce(1).write.mode("overwrite")
-      .option("parquet.block.size", CHECKPOINT_ROW_GROUP_BYTES)
-      .parquet(tmp.toString)
     // the state already holds every live add — re-seed the .crc chain
     // with EXACT totals + file-size histogram (recovers a chain broken
     // by a missing/histogram-less crc); one 95-row aggregate
@@ -2606,14 +2606,6 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         Some(FileSizeHistogram(binB, fc, tb))))
     } catch { case _: Exception => () }
     state.unpersist()
-    val part = Storage.listFilesRecursive(fs, tmp)
-      .filter(_.getPath.getName.endsWith(".parquet")).head
-    val dest = FileNames.classicCheckpointFile(logDir, v)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    fs.rename(part.getPath, dest)
-    fs.delete(tmp, true)
-    Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
-      s"""{"version":$v,"size":$size}""")
     // log files the new checkpoint supersedes expire after the
     // retention window (delta's operational behavior on checkpoint;
     // best-effort — failures never fail the checkpoint). Catalog-managed
@@ -3189,7 +3181,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         .sortBy(_._1.version).toIndexedSeq
     if (commits.isEmpty)
       throw new IllegalStateException(s"no delta log found at $pathStr")
-    def tsOf(i: Int): Long = {
+    private val tsCache = scala.collection.mutable.HashMap.empty[Int, Long]
+    def tsOf(i: Int): Long = tsCache.getOrElseUpdate(i, {
       val (c, st) = commits(i)
       Storage.readLines(fs, c.path).iterator
         .filter(_.contains("\"commitInfo\""))
@@ -3199,7 +3192,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           .filterNot(_.isNull).map(_.asLong))
         .nextOption()
         .getOrElse(st.getModificationTime)
-    }
+    })
     private val conf = snapshot().metadata.configuration
     val ictOn: Boolean = conf.get(DeltaTable.ICT_ENABLED_KEY)
       .exists(_.equalsIgnoreCase("true"))
@@ -3242,8 +3235,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * incomparable clocks and can resolve wrong. The enablement
     * timestamp picks which régime to search.
     */
-  def versionAtTimestamp(tsMillis: Long): Long = {
-    val h = new HistoryIndex
+  def versionAtTimestamp(tsMillis: Long): Long =
+    versionAtTimestamp(tsMillis, new HistoryIndex)
+
+  private def versionAtTimestamp(tsMillis: Long, h: HistoryIndex): Long = {
     val (lo0, hi0) =
       if (!h.ictOn) (0, h.commits.size - 1)
       else if (h.enableTs.exists(tsMillis < _)) {
@@ -3267,8 +3262,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * prefix predates it, resolves to the first ICT commit — the
     * enablement timestamp is by construction >= the query.
     */
-  def firstVersionAfter(tsMillis: Long): Long = {
-    val h = new HistoryIndex
+  def firstVersionAfter(tsMillis: Long): Long =
+    firstVersionAfter(tsMillis, new HistoryIndex)
+
+  private def firstVersionAfter(tsMillis: Long, h: HistoryIndex): Long = {
     val ans =
       if (!h.ictOn) h.leastUpper(tsMillis, 0, h.commits.size - 1)
       else if (h.enableTs.exists(tsMillis < _)) {
@@ -3283,6 +3280,20 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     h.commits(ans)._1.version
   }
 
+  /** [[firstVersionAfter]], except a timestamp past the whole log
+    * resolves to tip+1 derived FROM THE SAME LISTING. Streaming start
+    * resolution must not re-list on the fallback path: a commit landing
+    * between the search and a second listing would be silently skipped
+    * (its timestamp is >= the query, so the stream owes it to the
+    * reader).
+    */
+  def firstVersionAfterOrNext(tsMillis: Long): Long = {
+    val h = new HistoryIndex
+    try firstVersionAfter(tsMillis, h)
+    catch { case _: IllegalArgumentException =>
+      h.commits.last._1.version + 1 }
+  }
+
   /** Resolve a CDF/commit-range timestamp window to versions
     * (reference history_manager/mod.rs timestamp_range_to_versions):
     * start maps through first-after, end through latest-as-of; an
@@ -3293,9 +3304,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       endTs: Option[Long]): (Long, Option[Long]) = {
     endTs.foreach(e => require(startTs <= e,
       s"invalid timestamp range: $startTs > $e"))
-    val startV = firstVersionAfter(startTs)
+    // ONE listing + one shared timestamp cache serves both searches —
+    // per-call HistoryIndex rebuilds would re-list the log dir and
+    // re-read the same commit files on an object store
+    val h = new HistoryIndex
+    val startV = firstVersionAfter(startTs, h)
     val endV = endTs.map { e =>
-      val v = versionAtTimestamp(e)
+      val v = versionAtTimestamp(e, h)
       require(startV <= v,
         s"empty timestamp range: ($startTs, $e) falls between commits")
       v
@@ -3329,11 +3344,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       case FileNames.CommitFile(0L, _) => true
       case _ => false
     }) return 0L
+    // a version may hold parts from SEVERAL checkpoint attempts (a
+    // crashed 2-part write next to a later complete 3-part set), so
+    // completeness is judged per numParts-attempt, never across the
+    // mixed listing
     val completeCkpts = entries
       .collect { case c: FileNames.CheckpointFile => c }
       .groupBy(_.version)
       .collect { case (v, parts)
-          if parts.map(_.part).toSet.size == parts.head.numParts => v }
+          if parts.groupBy(_.numParts).exists { case (n, ps) =>
+            ps.map(_.part).toSet.size == n } => v }
     if (completeCkpts.isEmpty)
       throw new IllegalStateException(
         s"no recreatable version at $pathStr: commit 0 is gone and no " +
@@ -3362,7 +3382,7 @@ object DeltaTable {
       * ourselves — the outer scope can't release until the inner
       * returns.
       */
-    private final class Layer(val orig: Option[String], val value: String) {
+    private final class Layer(var orig: Option[String], val value: String) {
       var n: Int = 0
       val perThread = scala.collection.mutable.Map.empty[Thread, Int]
       def add(t: Thread): Unit = {
@@ -3411,14 +3431,29 @@ object DeltaTable {
           val l = joined(k)
           l.remove(me)
           if (l.n == 0) {
-            // a draining layer is always the head: an outer layer
-            // cannot drain before the thread that stacked the inner
-            // one releases both, innermost first
-            held(key) = held(key).filterNot(_ eq l)
-            if (held(key).isEmpty) held.remove(key)
-            l.orig match {
-              case Some(x) => spark.conf.set(k, x)
-              case None => spark.conf.unset(k)
+            val layers = held.getOrElse(key, Nil)
+            if (layers.headOption.exists(_ eq l)) {
+              // innermost layer drained: its saved original (= the
+              // value the layer below set, or the true original) is
+              // the live value again
+              held(key) = layers.tail
+              if (held(key).isEmpty) held.remove(key)
+              l.orig match {
+                case Some(x) => spark.conf.set(k, x)
+                case None => spark.conf.unset(k)
+              }
+            } else {
+              // an OUTER layer drained while an inner one is still
+              // live (a joiner attached to the stacked inner layer,
+              // then the stacker unwound both of its scopes): the conf
+              // must stay at the inner value, and this layer's
+              // original grafts onto the layer stacked directly above
+              // it so the final drain restores the true original
+              // instead of this layer's now-dead value
+              val idx = layers.indexWhere(_ eq l)
+              if (idx > 0) layers(idx - 1).orig = l.orig
+              held(key) = layers.filterNot(_ eq l)
+              if (held(key).isEmpty) held.remove(key)
             }
           }
         }

@@ -120,12 +120,11 @@ class DeltaSource(
     }.orElse(options.get("startingTimestamp").map { ts =>
       // delta-spark semantics: changes committed AT OR AFTER ts
       // (history_manager first_version_after); a timestamp past the
-      // whole log starts after the current tip (empty until the next
-      // commit)
-      try graft.delta.DeltaTable.forPath(spark, tablePath)
-        .firstVersionAfter(DeltaSource.parseTsMillis(ts))
-      catch { case _: IllegalArgumentException =>
-        Snapshot.forTable(spark, tablePath).version + 1 }
+      // whole log starts after the tip OF THE SAME LISTING — a second
+      // listing could see a commit that landed in between, and the
+      // stream would skip it
+      graft.delta.DeltaTable.forPath(spark, tablePath)
+        .firstVersionAfterOrNext(DeltaSource.parseTsMillis(ts))
     })
   private val initialSnapshotMode = startingVersionOpt.isEmpty
   private val startingVersion =

@@ -299,6 +299,77 @@ class DeltaTableSpec extends AnyFunSuite {
     intercept[IllegalStateException] { t.earliestRecreatableVersion() }
   }
 
+  test("earliestRecreatableVersion: a crashed smaller-attempt part " +
+      "next to a complete multipart set does not mask completeness") {
+    val dir = TestSpark.tmpDir("recreatable-mixed")
+    val src = li.limit(5)
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    t.append(src) // v2
+    t.checkpointMultipart(3) // complete 3-part set at v2
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir,
+        f"$v%020d.json"), false)
+    }
+    // leftover from a crashed 2-part attempt at the SAME version —
+    // name-sorts before the complete set's parts
+    fs.create(new org.apache.hadoop.fs.Path(logDir,
+      f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")).close()
+    assert(t.earliestRecreatableVersion() == 2L)
+  }
+
+  test("firstVersionAfterOrNext: past-tip timestamps resolve to tip+1 " +
+      "from the same listing") {
+    val dir = TestSpark.tmpDir("ts-next")
+    val src = li.limit(5)
+    DeltaTable.create(spark, dir, src.schema,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    val ts = t.history().sortBy(_._1).map(_._2)
+    assert(t.firstVersionAfterOrNext(ts(1)) == 1L)
+    assert(t.firstVersionAfterOrNext(ts.last + 100000) == 2L)
+  }
+
+  test("ScopedSessionConf: outer drain with a live joiner on the " +
+      "stacked inner layer keeps the inner value, restores the true " +
+      "original last") {
+    val key = "spark.graft.test.scopedconf"
+    spark.conf.set(key, "X")
+    val aInner = new java.util.concurrent.CountDownLatch(1)
+    val cJoined = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var cObserved: String = null
+    val a = new Thread(() => {
+      DeltaTable.ScopedSessionConf.withConfs(spark, Seq(key -> "v1")) {
+        DeltaTable.ScopedSessionConf.withConfs(spark, Seq(key -> "v2")) {
+          aInner.countDown()
+          cJoined.await() // C is inside the v2 layer before we unwind
+        }
+      }
+      aDone.countDown()
+    })
+    val c = new Thread(() => {
+      aInner.await()
+      DeltaTable.ScopedSessionConf.withConfs(spark, Seq(key -> "v2")) {
+        cJoined.countDown()
+        aDone.await() // A fully unwound while this scope is still live
+        cObserved = spark.conf.get(key)
+      }
+    })
+    a.start(); c.start()
+    a.join(30000); c.join(30000)
+    assert(!a.isAlive && !c.isAlive, "scoped-conf threads deadlocked")
+    assert(cObserved == "v2",
+      s"joiner observed $cObserved after the stacker unwound")
+    assert(spark.conf.get(key) == "X",
+      "true original not restored after the last holder drained")
+    spark.conf.unset(key)
+  }
+
   test("TableChanges.readByTimestamp maps the window through " +
       "first-after / latest-as-of") {
     val dir = TestSpark.tmpDir("cdf-ts")
