@@ -827,13 +827,27 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * CDF-correct.
     */
   private def stageCdcFiles(df: DataFrame, snap: Snapshot,
-      changeType: String): Seq[AddCDCFile] = {
+      changeType: String): Seq[AddCDCFile] =
+    stageCdcMulti(Seq(df -> changeType), snap)
+
+  /** Stage several change-typed row sets as ONE `_change_data` write
+    * job: each branch carries its `_change_type` literal through a
+    * unionByName, so an UPDATE's pre+post images (or a MERGE's four
+    * image kinds) cost one Spark job instead of one per kind. cdc
+    * files legally mix change types — `_change_type` is a physical
+    * data column, never per-file metadata.
+    */
+  private def stageCdcMulti(parts: Seq[(DataFrame, String)],
+      snap: Snapshot): Seq[AddCDCFile] = {
+    if (parts.isEmpty) return Nil
     val physPartCols = snap.partitionColumns.map(c =>
       ColumnMapping.physicalName(snap.schema.fields.find(_.name == c).get))
     val stagePath = new Path(new Path(root, "_change_data"),
       "cdc-" + UUID.randomUUID().toString.substring(0, 8))
-    val renamed = physicalProjection(df, snap)
-      .withColumn("_change_type", lit(changeType))
+    val renamed = parts.map { case (df, changeType) =>
+      physicalProjection(df, snap)
+        .withColumn("_change_type", lit(changeType))
+    }.reduce(_.unionByName(_))
     val writer = renamed.write.mode("overwrite")
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
       .parquet(stagePath.toString)
@@ -1158,9 +1172,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // survivors: NOT(cond) OR cond IS NULL  (DELETE's 3VL contract)
     val survivors = full.filter(
       not(coalesce(expr(predicateSql), lit(false))))
-    val newAdds =
-      if (survivors.isEmpty) Nil
-      else stageFiles(survivors, snap, rtCols)
+    // no isEmpty pre-check: that is a full extra read of the candidate
+    // files per DELETE; stageFiles' zero-row drop already returns Nil
+    // for an all-deleted rewrite
+    val newAdds = stageFiles(survivors, snap, rtCols)
     // CDF: a rewrite commit without cdc actions would read as
     // delete-all + insert-survivors; stage the actually-deleted rows as
     // _change_data instead
@@ -1296,8 +1311,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       stageFiles(survivors.unionByName(applied), snap, rtCols)
     val cdcActions =
       if (!cdf) Nil
-      else stageCdcFiles(matched, snap, "update_preimage") ++
-        stageCdcFiles(applied, snap, "update_postimage")
+      else stageCdcMulti(Seq(matched -> "update_preimage",
+        applied -> "update_postimage"), snap)
     full.unpersist()
     val removes = candidates.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = true,
@@ -1516,8 +1531,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val newAdds = stageFiles(applied, snap, rtCols)
     val cdcActions =
       if (!cdf) Nil
-      else stageCdcFiles(matched, snap, "update_preimage") ++
-        stageCdcFiles(applied, snap, "update_postimage")
+      else stageCdcMulti(Seq(matched -> "update_preimage",
+        applied -> "update_postimage"), snap)
     full.unpersist()
 
     // DV swap per matched file: fully-matched files drop entirely
@@ -1877,13 +1892,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
       val cdcActions =
         if (!cdf) Nil
-        else (updatedPre.toSeq ++ bsUpdatedPre).flatMap(r =>
-            stageCdcFiles(r.select(preCols: _*), snap, "update_preimage")) ++
-          (updatedPost.toSeq ++ bsUpdatedPost).flatMap(
-            stageCdcFiles(_, snap, "update_postimage")) ++
-          (deletedRows.toSeq ++ bsDeleted).flatMap(
-            stageCdcFiles(_, snap, "delete")) ++
-          insertRaw.toSeq.flatMap(stageCdcFiles(_, snap, "insert"))
+        else stageCdcMulti(
+          (updatedPre.toSeq ++ bsUpdatedPre).map(r =>
+            r.select(preCols: _*) -> "update_preimage") ++
+          (updatedPost.toSeq ++ bsUpdatedPost).map(_ -> "update_postimage") ++
+          (deletedRows.toSeq ++ bsDeleted).map(_ -> "delete") ++
+          insertRaw.toSeq.map(_ -> "insert"), snap)
 
       val removes = candidates.map { a =>
         RemoveFile(a.path, Some(now()), dataChange = true,
