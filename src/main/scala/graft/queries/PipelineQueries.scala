@@ -324,6 +324,17 @@ object PipelineQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // Scalar-quantized ANN (SQ8): one stats pass trains a per-dimension
+    // byte quantizer, candidates search at 1 byte/component with exact
+    // queries (asymmetric distance). The memory-compression scale path
+    // that complements IVF's candidate-pruning path.
+    "q_knn_sq8" -> ((s, d) => {
+      Similarity.sq8TopK(embs(s, d), "vec_id", "embedding",
+          k = 5, queryMaxId = 10)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     // Dedup clusters: exact cosine pairs -> connected components ->
     // each vector labeled with its component's minimum id (the
     // keep-one-per-cluster step of a dedup pipeline). Deterministic
@@ -701,6 +712,75 @@ object PipelineQueries {
             size(col("g")).cast("double"), 6).as("rep_ratio"))
         .withColumn("keep", col("rep_ratio") <= 0.2)
         .orderBy(col("doc_id"))
+    }),
+
+    // Type-token ratio (lexical diversity): vocabulary richness as a
+    // quality signal. Entirely narrow — the distinct-set never leaves
+    // its row; no shuffle before the output sort.
+    "q_ttr" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_types"))
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style document filter (the published rule set,
+    // re-expressed relationally): per-doc token stats land in ONE
+    // (doc, token) count shuffle — the q_char_entropy shape — and the
+    // scalar rules evaluate as a codegen'd projection. Each rule emits
+    // its own column so downstream mixes re-threshold without
+    // recomputing the stats.
+    "q_gopher_rules" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val hist = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      hist.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          max(col("c")).as("top_c"),
+          sum(when(col("tok").isin("the", "a", "of", "to", "and",
+            "that", "with", "for"), 1).otherwise(0)).as("stop_distinct"),
+          round(sum(col("c") * length(col("tok"))).cast("double") /
+            sum(col("c")), 6).as("mean_word_len"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_c").cast("double") / col("n_tokens"), 6)
+            .as("top_tok_frac"),
+          col("mean_word_len"), col("stop_distinct"))
+        .withColumn("keep",
+          col("n_tokens").between(10, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("stop_distinct") >= 2 &&
+            col("top_tok_frac") <= lit(0.2))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixture weights (sampling ∝ tokens^α, α=0.5 —
+    // the standard multi-source rebalancing rule): one per-source agg,
+    // a broadcast scalar total, a narrow projection. The per-source
+    // table is O(#sources) at any corpus size. The sqrt sum rides the
+    // bm25 decimal-quantization contract so every engine lands the
+    // same 6-decimal weight.
+    "q_mix_temperature" -> ((s, d) => {
+      val per = docs(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .withColumn("scaled9",
+          round(sqrt(col("n_tokens").cast("double")), 9)
+            .cast("decimal(28,9)"))
+      val tot = per.agg(sum(col("scaled9")).as("z"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("scaled9").cast("double") / col("z").cast("double"),
+            6).as("weight"))
+        .orderBy(col("source"))
     }),
 
     // Decontamination: flag training docs sharing any word-3-gram with
@@ -1391,6 +1471,29 @@ object PipelineQueries {
         |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= 5
         |ORDER BY qid, nid""".stripMargin,
 
+    "q_knn_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM (SELECT i, min(x) AS mn, max(x) AS mx
+        |        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |              FROM e)
+        |        GROUP BY i)),
+        |rec AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |          ELSE mns[i] + (CAST(floor((v[i] - mns[i]) * 255.0 /
+        |            (mxs[i] - mns[i])) AS INT) + 0.5) *
+        |            (mxs[i] - mns[i]) / 256.0 END
+        |     for i in range(1, len(v) + 1)] AS r
+        |  FROM e, mm)
+        |SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  round(list_cosine_similarity(q.v, c.r), 6) AS sim
+        |FROM e q JOIN rec c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.v, c.r) DESC, c.vec_id) <= 5
+        |ORDER BY qid, nid""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p0 AS (
@@ -1774,6 +1877,55 @@ object PipelineQueries {
         |  round(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)
         |    <= 0.2 AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_ttr" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+        |  round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS ttr
+        |FROM w WHERE len(w) >= 1 ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS top_c,
+        |    CAST(sum(CASE WHEN tok IN ('the','a','of','to','and','that',
+        |      'with','for') THEN 1 ELSE 0 END) AS BIGINT) AS stop_distinct,
+        |    round(CAST(sum(c * length(tok)) AS DOUBLE) / sum(c), 6)
+        |      AS mean_word_len
+        |  FROM hist GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, top_tok_frac, mean_word_len, stop_distinct,
+        |  (n_tokens BETWEEN 10 AND 100000)
+        |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND stop_distinct >= 2 AND top_tok_frac <= 0.2 AS keep
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_tok_frac,
+        |    mean_word_len, stop_distinct
+        |  FROM st) ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sc AS (
+        |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9)) AS scaled9 FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(scaled9 AS DOUBLE) /
+        |    CAST((SELECT sum(scaled9) FROM sc) AS DOUBLE), 6) AS weight
+        |FROM sc ORDER BY source""".stripMargin,
 
     "q_decontaminate" ->
       s"""$shinglesDuck,

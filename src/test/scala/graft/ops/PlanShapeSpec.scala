@@ -214,4 +214,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashShuffles(p) <= 1, p.take(1200))
     assert(p.contains("partial"), p.take(1200))
   }
+
+  test("type-token ratio is a pure narrow projection: the distinct " +
+      "set never leaves its row, zero hash shuffles") {
+    val df = graft.queries.PipelineQueries.queries("q_ttr")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(hashShuffles(p) == 0, p.take(1200))
+  }
+
+  test("gopher rules: (doc, token) histogram then per-doc fold — two " +
+      "keyed aggs, map-side combined, no joins") {
+    val df = graft.queries.PipelineQueries.queries("q_gopher_rules")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertNoLoops(p)
+    assert(hashShuffles(p) <= 2, p.take(1200))
+    assert(p.contains("partial"), p.take(1200))
+  }
+
+  test("temperature mixture: one per-source agg; the only loop join " +
+      "is the one-row normalizer broadcast") {
+    val df = graft.queries.PipelineQueries.queries("q_mix_temperature")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assertOnlyScalarLoops(p)
+    assert(hashShuffles(p) <= 2, p.take(1200))
+    assert(p.contains("partial"), p.take(1200))
+  }
+
+  test("SQ8 ANN: quantizer stats are one keyed agg + scalar broadcast; " +
+      "candidates never shuffle their vectors, rank is one window") {
+    val df = graft.queries.PipelineQueries.queries("q_knn_sq8")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    // the query-side broadcast join is intentionally a small-side NLJ
+    // (same shape as bruteTopK); the corpus side must never cartesian
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(hashShuffles(p) <= 3, p.take(1600))
+  }
 }
