@@ -3361,18 +3361,26 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     // a version may hold parts from SEVERAL checkpoint attempts (a
     // crashed 2-part write next to a later complete 3-part set), so
     // completeness is judged per numParts-attempt, never across the
-    // mixed listing
-    val completeCkpts = entries
+    // mixed listing. A V2 checkpoint anchors a version only while its
+    // sidecar files still exist — the manifest alone cannot rebuild
+    // the file set after an external cleaner took `_sidecars/`.
+    val byVersion = entries
       .collect { case c: FileNames.CheckpointFile => c }
       .groupBy(_.version)
-      .collect { case (v, parts)
-          if parts.groupBy(_.numParts).exists { case (n, ps) =>
-            ps.map(_.part).toSet.size == n } => v }
-    if (completeCkpts.isEmpty)
+    def anchors(v: Long): Boolean = {
+      val files = byVersion(v)
+      val v1ok = files.filterNot(_.isV2).groupBy(_.numParts)
+        .exists { case (n, ps) => ps.map(_.part).toSet.size == n }
+      v1ok || files.filter(_.isV2).exists { top =>
+        try Snapshot.readV2TopLevel(spark, logDir, top)
+          .sidecarPaths.forall(p => fs.exists(new Path(p)))
+        catch { case _: Exception => false }
+      }
+    }
+    byVersion.keys.toSeq.sorted.find(anchors).getOrElse(
       throw new IllegalStateException(
         s"no recreatable version at $pathStr: commit 0 is gone and no " +
-          "complete checkpoint anchors the log")
-    completeCkpts.min
+          "complete checkpoint anchors the log"))
   }
 }
 
@@ -3470,6 +3478,16 @@ object DeltaTable {
               if (held(key).isEmpty) held.remove(key)
             }
           }
+          // KNOWN WINDOW (accepted): a stacker unwinding its inner
+          // retarget while a joiner still holds that layer resumes its
+          // OUTER body under the inner value — restoring would yank the
+          // conf from under the joiner, and blocking here can deadlock
+          // on legitimate joiner-awaits-stacker patterns. Harmless in
+          // practice: every production writer pins a CONSTANT value per
+          // key (micros timestamps, shredding=true), so live layers for
+          // one key never disagree. A writer that retargets a key must
+          // not depend on the outer value between its inner scope's end
+          // and its outer scope's end.
         }
         held.notifyAll()
       }

@@ -119,13 +119,21 @@ object LogSegment {
       case c: CompactedFile if targetVersion.forall(c.endVersion <= _) => c
     }
 
-    // complete V1 checkpoints (all parts) and V2 checkpoints (one file)
+    // complete V1 checkpoints (all parts) and V2 checkpoints (one file).
+    // Same-version files group per ATTEMPT (numParts): a crashed
+    // writer's leftover parts next to a complete attempt must neither
+    // hide the complete one nor leak a torn part into the read. Among
+    // complete attempts at one version, the fewest-parts one wins
+    // (identical content, fewest files to open).
     val ckptGroups = listed.collect {
       case c: CheckpointFile if inRange(c) && !c.isV2 => c
-    }.groupBy(_.version)
-    val completeV1 = ckptGroups.filter { case (_, parts) =>
-      parts.map(_.part).distinct.size == parts.head.numParts
-    }
+    }.groupBy(c => (c.version, c.numParts))
+    val completeV1: Map[Long, Seq[CheckpointFile]] = ckptGroups.toSeq
+      .collect { case ((v, n), parts)
+          if parts.map(_.part).distinct.size == n => (v, parts) }
+      .groupBy(_._1)
+      .map { case (v, attempts) => v -> attempts.map(_._2)
+        .minBy(_.head.numParts) }
     val v2ByVersion = listed.collect {
       case c: CheckpointFile if inRange(c) && c.isV2 => c
     }.groupBy(_.version)

@@ -300,14 +300,16 @@ object Similarity {
           "s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(i, mx))), " +
           "s -> s.mx)").as("mxs"))
-    // code = floor((x - mn) · 255 / (mx - mn)); constant dims code 0.
-    // Reconstruction = bin midpoint. Both stay inside codegen'd HOFs.
+    // code = min(255, floor((x - mn) · 256 / (mx - mn))) — 256 uniform
+    // bins, x = mx clamps into the top bin (the faiss-SQ8 grid);
+    // constant dims code 0. Reconstruction = the SAME grid's bin
+    // midpoint. Both stay inside codegen'd HOFs.
     val enc = e.crossJoin(broadcast(mm))
       .withColumn("nv", expr(
         "transform(sequence(0, size(__v) - 1), i -> " +
           "CASE WHEN mxs[i] = mns[i] THEN mns[i] ELSE " +
-          "mns[i] + (cast(cast(floor((__v[i] - mns[i]) * 255.0D / " +
-          "(mxs[i] - mns[i])) as int) as double) + 0.5D) * " +
+          "mns[i] + (cast(least(255, cast(floor((__v[i] - mns[i]) * " +
+          "256.0D / (mxs[i] - mns[i])) as int)) as double) + 0.5D) * " +
           "(mxs[i] - mns[i]) / 256.0D END)"))
       .select(col("__id").as("nid"), col("nv"))
     val q = e.filter(col("__id") < queryMaxId)

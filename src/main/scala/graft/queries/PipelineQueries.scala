@@ -1482,8 +1482,8 @@ object PipelineQueries {
         |rec AS (
         |  SELECT vec_id,
         |    [CASE WHEN mxs[i] = mns[i] THEN mns[i]
-        |          ELSE mns[i] + (CAST(floor((v[i] - mns[i]) * 255.0 /
-        |            (mxs[i] - mns[i])) AS INT) + 0.5) *
+        |          ELSE mns[i] + (least(255, CAST(floor((v[i] - mns[i]) *
+        |            256.0 / (mxs[i] - mns[i])) AS INT)) + 0.5) *
         |            (mxs[i] - mns[i]) / 256.0 END
         |     for i in range(1, len(v) + 1)] AS r
         |  FROM e, mm)

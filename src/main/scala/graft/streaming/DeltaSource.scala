@@ -734,10 +734,16 @@ class DeltaSourceProvider extends StreamSourceProvider
         .versionAtTimestamp(DeltaSource.parseTsMillis(ts))
     // batch CDF read (delta-spark's readChangeFeed batch surface):
     // version/timestamp bounds select the commit range; the result is
-    // the same TableChanges plan the streaming CDF mode slices
+    // the same TableChanges plan the streaming CDF mode slices. A
+    // starting TIMESTAMP maps through first-version-AFTER (changes
+    // committed at or after ts — the history_manager window contract
+    // readByTimestamp and the streaming start share); the ending
+    // timestamp stays latest-as-of.
     if (opt("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       val start = opt("startingVersion").map(_.toLong)
-        .orElse(opt("startingTimestamp").map(versionAt))
+        .orElse(opt("startingTimestamp").map(ts =>
+          graft.delta.DeltaTable.forPath(sqlContext.sparkSession, path)
+            .firstVersionAfter(DeltaSource.parseTsMillis(ts))))
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed requires startingVersion or startingTimestamp"))
       val end = opt("endingVersion").map(_.toLong)

@@ -27,6 +27,13 @@ class DmlFuzzSpec extends AnyFunSuite {
   test("randomized DML via SQL + API with auto-checkpoint interleaved " +
       "(seed 41)") { run(41, 20, sqlRoute = true) }
 
+  // the full mix again, then table_changes replayed over every maximal
+  // restore-free version range must rebuild the recorded model state —
+  // the end-to-end CDF contract (classification, DV diffs, pre/post
+  // images) under arbitrary DML composition
+  test("CDF fold rebuilds the model across every restore-free range " +
+      "(seed 57)") { run(57, 22, foldCdf = true) }
+
   // the SAME DML/maintenance mix committing through the object-store
   // conditional-put committer: every version becomes one atomic
   // conditional PUT (no temp file + link/rename), and the model
@@ -209,7 +216,8 @@ class DmlFuzzSpec extends AnyFunSuite {
   private def run(seed: Int, steps: Int,
       sqlRoute: Boolean = false,
       extraProps: Map[String, String] = Map.empty,
-      committer: Option[Committer] = None): Unit = {
+      committer: Option[Committer] = None,
+      foldCdf: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = TestSpark.tmpDir("fuzz")
     val schema = Seq((0L, 0.0)).toDF("k", "v").schema
@@ -369,5 +377,37 @@ class DmlFuzzSpec extends AnyFunSuite {
     val fresh = DeltaTable.forPath(spark, dir)
     assert(fresh.toDF.select($"k", $"v").as[(Long, Double)]
       .collect().sorted.toSeq == model.sorted.toSeq)
+
+    // CDF-fold consistency: replaying table_changes from version 1
+    // rebuilds the recorded model state at every probed version —
+    // inserts/update-postimages upsert, deletes remove, preimages are
+    // ignored, versions apply in order with intra-version deletes
+    // first (a RESTORE re-adding a rewritten key deletes the new copy
+    // and re-inserts the old one inside a single commit). This is the
+    // end-to-end CDF contract (classification, DV pair diffs, pre/post
+    // images) under arbitrary DML composition.
+    if (foldCdf) {
+      def fold(to: Long): Vector[(Long, Double)] = {
+        val ch = TableChanges.read(spark, dir, 1L, Some(to))
+          .select($"k", $"v", $"_change_type", $"_commit_version")
+          .as[(Long, Double, String, Long)].collect()
+        val m = scala.collection.mutable.Map.empty[Long, Double]
+        ch.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+          rows.filter(_._3 == "delete").foreach(r => m.remove(r._1))
+          rows.filter(r => r._3 == "insert" || r._3 == "update_postimage")
+            .foreach(r => m(r._1) = r._2)
+        }
+        m.toVector
+      }
+      val recorded = history.keys.toSeq.sorted.filter(_ > 0)
+      val probes = (recorded.grouped(math.max(1, recorded.size / 3))
+        .map(_.last) ++ Iterator(version)).toSeq.distinct
+      probes.foreach { e =>
+        val folded = fold(e).sorted
+        assert(folded == history(e).sorted.toVector,
+          s"CDF fold [1, $e] diverged: got ${folded.take(5)}... " +
+            s"want ${history(e).sorted.take(5)}...")
+      }
+    }
   }
 }

@@ -56,6 +56,39 @@ class LogSegmentSpec extends AnyFunSuite {
     assert(t.snapshot(Some(1L)).version == 1L)
   }
 
+  test("mixed same-version checkpoint attempts: a crashed writer's " +
+      "leftover parts neither hide the complete attempt nor leak into " +
+      "the read") {
+    val dir = TestSpark.tmpDir("mixed-ckpt")
+    val src = li
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.append(src)
+    val cv = t.checkpointMultipart(3)
+    t.append(src)
+
+    val fs = Storage.fs(new Path(dir), spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new Path(dir))
+    // crashed SMALLER attempt (1 of 2, empty torn file) — sorts first
+    Storage.put(fs, new Path(logDir,
+      f"$cv%020d.checkpoint.${1}%010d.${2}%010d.parquet"), "")
+    // crashed LARGER attempt (2 of 4) — incomplete on its own terms
+    Storage.put(fs, new Path(logDir,
+      f"$cv%020d.checkpoint.${2}%010d.${4}%010d.parquet"), "")
+    // force reliance on the checkpoint: vacuum the covered commits
+    (0L to cv).foreach(v =>
+      fs.delete(FileNames.commitFile(logDir, v), false))
+
+    val snap = DeltaTable.forPath(spark, dir).snapshot()
+    assert(snap.version == cv + 1)
+    assert(snap.segment.checkpointVersion.contains(cv))
+    // only the complete 3-part attempt is read — never the torn files
+    assert(snap.segment.checkpointParts.map(_.numParts).distinct == Seq(3))
+    assert(snap.segment.checkpointParts.size == 3)
+    assert(snap.toDF.count() == src.count() * 3)
+  }
+
   test("static skip-all: statically-false predicate reads nothing") {
     val dir = TestSpark.tmpDir("skipall")
     val src = li

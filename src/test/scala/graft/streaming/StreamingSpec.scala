@@ -1000,6 +1000,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(cut.toString) == Set(2L, 3L))
     // a timestamp before the table existed: everything
     assert(streamed("1970-01-02 00:00:00") == Set(1L, 2L, 3L))
+
+    // the BATCH CDF read shares the window contract: startingTimestamp
+    // maps through first-version-after, so a cut between v1 and v2
+    // starts the change feed at v2 — not at v1, whose changes were
+    // committed before the requested timestamp
+    val cdfDir = TestSpark.tmpDir("start-ts-cdf")
+    DeltaTable.create(spark, cdfDir, Seq((0L, "x")).toDF("k", "s").schema,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val ct = DeltaTable.forPath(spark, cdfDir)
+    ct.append(Seq((1L, "a")).toDF("k", "s"))  // v1
+    Thread.sleep(30)
+    val cdfCut = System.currentTimeMillis()
+    Thread.sleep(30)
+    ct.append(Seq((2L, "b")).toDF("k", "s"))  // v2 (after cut)
+    ct.append(Seq((3L, "c")).toDF("k", "s"))  // v3
+    val batch = spark.read
+      .format(classOf[DeltaSourceProvider].getName)
+      .option("path", cdfDir)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", cdfCut.toString)
+      .load()
+    assert(batch.select("_commit_version").as[Long].collect().toSet
+      == Set(2L, 3L))
   }
 
   test("delta sink: a restarted query with a wider schema evolves the " +
