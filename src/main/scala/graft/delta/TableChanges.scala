@@ -66,9 +66,20 @@ object TableChanges {
   /** CDF rows over [startVersion, endVersion] (endVersion None = latest).
     * Output schema = table schema + (_change_type, _commit_version,
     * _commit_timestamp).
+    *
+    * `predicateSql` (reference table_changes/scan.rs `with_predicate`):
+    * FILE-level pushdown — partition pruning + stats skipping drop
+    * insert files that provably hold no matching row, so a
+    * predicate-scoped CDF read opens a fraction of the range's files.
+    * Conservative like the reference: kept files may still carry
+    * non-matching rows (apply the row filter on the result), and only
+    * PLAIN adds are pruned — removes, add/remove DV pairs and cdc
+    * files always flow (skipping one side of a pair would
+    * desynchronize the diff; log_replay.rs:188-196).
     */
   def read(spark: SparkSession, tablePath: String, startVersion: Long,
-      endVersion: Option[Long] = None): DataFrame = {
+      endVersion: Option[Long] = None,
+      predicateSql: Option[String] = None): DataFrame = {
     val endSnap = Snapshot.forTable(spark, tablePath, endVersion)
     val end = endSnap.version
     require(startVersion >= 0 && startVersion <= end,
@@ -102,6 +113,43 @@ object TableChanges {
       s"missing commit files in CDF range [$startVersion, $end]")
 
     val scan = new DeltaScan(endSnap, None)
+
+    // One prune pass over the range's plain adds (predicate path only;
+    // costs a second metadata read of the commit JSONs — never data).
+    val keepAdd: Option[Set[(Long, String)]] = predicateSql.map { p =>
+      val pScan = new DeltaScan(endSnap, Some(p))
+      val all = ArrayBuffer.empty[(Long, AddFile)]
+      commitFiles.foreach { case (cf, _) =>
+        val lines = Storage.readLines(fs, cf.path).filter(_.nonEmpty)
+          .map(JsonLog.parseLine)
+        val hasCdc = lines.exists(n =>
+          Option(n.get("cdc")).exists(!_.isNull))
+        if (!hasCdc) {
+          val adds = lines.flatMap(n =>
+              Option(n.get("add")).filterNot(_.isNull))
+            .map(RowCodec.jsonToAdd).filter(_.dataChange)
+          val removePaths = lines.flatMap(n =>
+              Option(n.get("remove")).filterNot(_.isNull))
+            .map(RowCodec.jsonToRemove).filter(_.dataChange)
+            .map(_.path).toSet
+          adds.filterNot(a => removePaths(a.path))
+            .foreach(a => all += ((cf.version, a)))
+        }
+      }
+      if (all.isEmpty) Set.empty[(Long, String)]
+      else {
+        val rows: Seq[Row] = all.toSeq.map { case (v, a) =>
+          new GenericRowWithSchema(
+            Array[Any](RowCodec.addToRow(a), v),
+            endSnap.addsSchema): Row
+        }
+        pScan.pruneAdds(
+            spark.createDataFrame(rows.asJava, endSnap.addsSchema))
+          .select(col("version"), col("add.path"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      }
+    }
+
     val out = ArrayBuffer.empty[DataFrame]
 
     commitFiles.foreach { case (cf, st) =>
@@ -156,6 +204,7 @@ object TableChanges {
         val pairPaths = addByPath.keySet.intersect(remByPath.keySet)
 
         val plainAdds = adds.filterNot(a => pairPaths(a.path))
+          .filter(a => keepAdd.forall(_((v, a.path))))
         val plainRemoves = removes.filterNot(r => pairPaths(r.path))
         if (plainAdds.nonEmpty)
           out += stamp(scan.assemble(plainAdds, keepMeta = false)

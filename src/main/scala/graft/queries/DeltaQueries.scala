@@ -784,6 +784,31 @@ object DeltaQueries {
           col("_commit_version"), col("_change_type"))
     }),
 
+    // CDF read with FILE-LEVEL predicate pushdown (reference
+    // table_changes/scan.rs with_predicate): the table partitions by
+    // l_returnflag, so insert files of the other flags are provably
+    // non-matching and pruned — their rows are ABSENT from the result
+    // (an unpruned read would include them and hash-mismatch the
+    // oracle). The delete's cdc rows always flow, every flag: pairs,
+    // removes and cdc are never pruned.
+    "q_delta_cdf_pruned" -> ((s, d) => {
+      val dir = tmp("cdfpr")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema,
+        partitionColumns = Seq("l_returnflag"),
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src)                 // v1: one file set per flag
+      t.deleteWhere("l_quantity < 2") // v2: cdc rows across flags
+      TableChanges.read(s, dir, 1, Some(2),
+          predicateSql = Some("l_returnflag = 'A'"))
+        .select(liCols.map(col) ++ Seq(col("_change_type"),
+          col("_commit_version")): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("_commit_version"), col("_change_type"))
+    }),
+
     // the SAME change feed through the SQL surface: the table_changes
     // table-valued function (GraftSparkExtensions.injectTableFunction)
     // — delta-spark's TVF shape, usable as a plain relation in any
@@ -1521,6 +1546,16 @@ object DeltaQueries {
          |  SELECT *, 'insert', CAST(2 AS BIGINT) FROM src WHERE l_quantity >= 4
          |  UNION ALL
          |  SELECT *, 'delete', CAST(3 AS BIGINT) FROM src WHERE l_quantity < 2)
+         |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
+
+    "q_delta_cdf_pruned" ->
+      s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)
+         |SELECT * FROM (
+         |  SELECT *, 'insert' AS _change_type,
+         |         CAST(1 AS BIGINT) AS _commit_version
+         |  FROM src WHERE l_returnflag = 'A'
+         |  UNION ALL
+         |  SELECT *, 'delete', CAST(2 AS BIGINT) FROM src WHERE l_quantity < 2)
          |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
 
     "q_delta_cdf_sql" ->

@@ -98,16 +98,21 @@ object GraftTableValuedFunctions {
       }
     }
 
-  /** TVF builder: runs at analysis time on the active session. */
+  /** TVF builder: runs at analysis time on the active session. A 4th
+    * string argument is a file-skipping predicate (TableChanges.read's
+    * `predicateSql` — conservative file-level pushdown; rows still
+    * need the WHERE clause).
+    */
   def tableChanges(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2 || args.length == 3,
-      "table_changes(pathOrName, startVersion[, endVersion]) " +
-        s"takes 2-3 arguments, got ${args.length}")
+    require(args.length >= 2 && args.length <= 4,
+      "table_changes(pathOrName, startVersion[, endVersion[, " +
+        s"predicate]]) takes 2-4 arguments, got ${args.length}")
     val spark = SparkSession.active
     val location = resolveLocation(spark, stringArg(args.head, "table"))
     val start = longArg(args(1), "startVersion")
     val end = args.lift(2).map(longArg(_, "endVersion"))
-    graft.delta.TableChanges.read(spark, location, start, end)
+    val pred = args.lift(3).map(stringArg(_, "predicate"))
+    graft.delta.TableChanges.read(spark, location, start, end, pred)
       .queryExecution.analyzed
   }
 }

@@ -205,6 +205,37 @@ class TableChangesSpec extends AnyFunSuite {
     assert(!net.contains(2L))
   }
 
+  test("predicate pushdown prunes insert files but never delete/cdc " +
+      "rows; matching rows identical to the unpruned read") {
+    val dir = TestSpark.tmpDir("cdf-pred")
+    val src = Seq((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0), (4L, "b", 4.0)).toDF("k", "p", "v")
+    DeltaTable.create(spark, dir, src.schema, partitionColumns = Seq("p"),
+      configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"p" === "a")) // v1: files only in p=a
+    t.append(src.filter($"p" === "b")) // v2: files only in p=b
+    t.deleteWhere("k = 3")             // v3: cdc rows in p=b
+
+    val pruned = TableChanges.read(spark, dir, 1, Some(3),
+      predicateSql = Some("p = 'a'"))
+    val full = TableChanges.read(spark, dir, 1, Some(3))
+
+    // matching rows identical (pushdown is conservative, never lossy)
+    assert(keyed(pruned.filter($"p" === "a"),
+        "k", "p", "_change_type", "_commit_version") ==
+      keyed(full.filter($"p" === "a"),
+        "k", "p", "_change_type", "_commit_version"))
+    // v2's p=b insert FILES were pruned away entirely
+    assert(pruned.filter($"_change_type" === "insert" && $"p" === "b")
+      .count() == 0)
+    assert(full.filter($"_change_type" === "insert" && $"p" === "b")
+      .count() == 2)
+    // the delete's cdc rows still flow even though they live in p=b
+    assert(keyed(pruned.filter($"_change_type" === "delete"), "k", "p") ==
+      Seq(org.apache.spark.sql.Row(3L, "b")))
+  }
+
   test("CDF disabled table rejects the read") {
     val dir = TestSpark.tmpDir("cdf-off")
     val src = li.limit(10)

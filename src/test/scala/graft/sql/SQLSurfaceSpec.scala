@@ -220,6 +220,15 @@ class SQLSurfaceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("table_changes") ||
       e.getMessage.toLowerCase.contains("unresolv"))
+
+    // 4th arg = file-skipping predicate: conservative — matching rows
+    // survive; the insert file that provably holds only k>=3 is pruned
+    val pruned = spark.sql(
+      """SELECT k, _change_type FROM table_changes(
+        |'gd.default.cdft', 1, 3, 'k < 3')
+        |ORDER BY _change_type, k""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pruned == Seq((1L, "delete"), (1L, "insert"), (2L, "insert")))
   }
 
   test("INSERT OVERWRITE replaces; filter pushdown prunes files") {
