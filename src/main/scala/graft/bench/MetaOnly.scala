@@ -17,10 +17,12 @@ object MetaOnly {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val reps = sys.env.getOrElse("GRAFT_META_REPS", "3").toInt
+    val only5m = sys.env.get("GRAFT_META_5M").exists(_ == "1")
     (1 to reps).foreach { i =>
-      val m = MetadataBench.run(spark)
-      val w = Workloads.run(spark)
-      println(s"META rep $i: " + (m ++ w).toSeq.sortBy(_._1)
+      val m =
+        if (only5m) MetadataBench.run5m(spark)
+        else MetadataBench.run(spark) ++ Workloads.run(spark)
+      println(s"META rep $i: " + m.toSeq.sortBy(_._1)
         .map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     }
     spark.stop()

@@ -453,6 +453,25 @@ object PipelineQueries {
         .orderBy(col("qid"))
     }),
 
+    // Recall@5 of the SQ8 scalar-quantized index against the exact
+    // brute-force ground truth — the quantization-quality audit that
+    // belongs next to any compressed index at scale. Same join-count
+    // shape as q_ann_recall.
+    "q_ann_recall_sq8" -> ((s, d) => {
+      val brute = Similarity.bruteTopK(embs(s, d), "vec_id", "embedding",
+          k = 5, queryMaxId = 10)
+        .select(col("qid"), col("nid"))
+      val sq = Similarity.sq8TopK(embs(s, d), "vec_id", "embedding",
+          k = 5, queryMaxId = 10)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(sq, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit") / lit(5.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // Deterministic distributed epoch shuffle: hash docs into B
     // buckets, order within bucket by hash — the scalable reproducible
     // permutation for training epochs (one shuffle on the bucket key;
@@ -1493,6 +1512,46 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(q.v, c.r) DESC, c.vec_id) <= 5
         |ORDER BY qid, nid""".stripMargin,
+
+    "q_ann_recall_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |brute AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |        AS rk
+        |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 5),
+        |mm AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM (SELECT i, min(x) AS mn, max(x) AS mx
+        |        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |              FROM e)
+        |        GROUP BY i)),
+        |rec AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |          ELSE mns[i] + (least(255, CAST(floor((v[i] - mns[i]) *
+        |            256.0 / (mxs[i] - mns[i])) AS INT)) + 0.5) *
+        |            (mxs[i] - mns[i]) / 256.0 END
+        |     for i in range(1, len(v) + 1)] AS r
+        |  FROM e, mm),
+        |sq AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.r) DESC, c.vec_id)
+        |        AS rk
+        |    FROM e q JOIN rec c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 5)
+        |SELECT b.qid,
+        |  CAST(sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) / CAST(5.0 AS DOUBLE) AS recall
+        |FROM brute b LEFT JOIN sq s ON b.qid = s.qid AND b.nid = s.nid
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
