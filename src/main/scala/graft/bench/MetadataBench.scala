@@ -220,16 +220,23 @@ object MetadataBench {
       System.gc()
       (rt.totalMemory() - rt.freeMemory()) / 1e6
     }
-    val heap0 = usedMb
     val t0 = System.nanoTime()
     val snap = Snapshot.forTable(spark, tableDir5m)
     val tSnap = (System.nanoTime() - t0) / 1e9
     val tPlan = planDataFrame(spark, snap, total / 64)
-    // informational: planning-phase heap growth. The hard guard is
-    // completing at all inside the default heap — a regression to
-    // collect+decode+index copies of 5M adds would OOM first.
-    // clamped at 0: GC may free MORE than planning retained, and a
-    // negative value would read as the bench error marker
+    // informational: STEADY-STATE planning heap retention — measured
+    // around a second (untimed) planning pass, so first-use cache fill
+    // (codegen, classloading, Jackson) from the cold pass above and
+    // from whatever ran earlier in the JVM is excluded. A cold-pass
+    // delta read up to 80 MB of unrelated retained state when the full
+    // query sweep preceded it; the warm delta is ~2 MB and is the
+    // actual leak detector. The hard guard is completing at all inside
+    // the default heap — a regression to collect+decode+index copies
+    // of 5M adds would OOM first. Clamped at 0: GC may free MORE than
+    // planning retained, and a negative value would read as the bench
+    // error marker.
+    val heap0 = usedMb
+    planDataFrame(spark, snap, total / 64)
     Map("snapshot_5m" -> tSnap, "plan_df_5m" -> tPlan,
       "heap_delta_mb_5m" -> math.max(0.0, usedMb - heap0))
   }
