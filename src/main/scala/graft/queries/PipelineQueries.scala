@@ -1156,6 +1156,48 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Cluster labeling: assign every document to its embedding cell
+    // (the q_knn_ivf deterministic quantizer — centroids = 16 lowest
+    // ids, max cosine, ties to lowest cid) and surface each cell's
+    // top-3 TF-IDF terms — the "what is this cluster about" step of
+    // corpus curation. Centroids broadcast; the (cell, term) agg is
+    // map-side combined; per-cell rank is a bounded window.
+    "q_cluster_topics" -> ((s, d) => {
+      val cos =
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, " +
+          "(acc, z) -> acc + z) / " +
+        "(sqrt(aggregate(transform(v, x -> x * x), 0.0D, " +
+          "(acc, z) -> acc + z)) * " +
+        " sqrt(aggregate(transform(cv, x -> x * x), 0.0D, " +
+          "(acc, z) -> acc + z)))"
+      val e = embs(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("sim", expr(cos))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("doc_id"), col("cid").as("cell"))
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val ct = toks.join(asg, "doc_id")
+        .groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfc = ct.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nc = asg.agg(countDistinct(col("cell")).as("nc"))
+      ct.join(dfc, "tok").crossJoin(broadcast(nc))
+        .withColumn("score", round(col("tf") *
+          round(log((col("nc") + lit(1.0)) / (col("df") + lit(1.0))), 9), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(col("score").desc, col("tok"))).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("cell"), col("rk"), col("tok"), col("score"))
+        .orderBy(col("cell"), col("rk"))
+    }),
+
     // ---- LSH quality audit: recall of the banded-MinHash candidate
     // set against ground-truth n-gram Jaccard >= 0.5 pairs. The truth
     // side is the q_ngram_jaccard pipeline (group-local pair
@@ -1512,6 +1554,34 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(q.v, c.r) DESC, c.vec_id) <= 5
         |ORDER BY qid, nid""".stripMargin,
+
+    "q_cluster_topics" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id AS doc_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+        |        AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |ct AS (
+        |  SELECT cell, tok, count(*) AS tf
+        |  FROM toks JOIN asg USING (doc_id) GROUP BY cell, tok),
+        |dfc AS (SELECT tok, count(*) AS df FROM ct GROUP BY tok),
+        |nc AS (SELECT count(DISTINCT cell) AS nc FROM asg)
+        |SELECT cell, rk, tok, score FROM (
+        |  SELECT cell, tok,
+        |    round(tf * round(ln((nc + 1.0) / (df + 1.0)), 9), 6) AS score,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY round(tf * round(ln((nc + 1.0) / (df + 1.0)), 9), 6)
+        |        DESC, tok) AS BIGINT) AS rk
+        |  FROM ct JOIN dfc USING (tok), nc)
+        |WHERE rk <= 3 ORDER BY cell, rk""".stripMargin,
 
     "q_ann_recall_sq8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -254,4 +254,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1600))
     assert(hashShuffles(p) <= 3, p.take(1600))
   }
+
+  test("cluster topics: centroid assignment broadcasts the 16-row " +
+      "side; (cell, term) agg map-side combined; no cartesian") {
+    val df = graft.queries.PipelineQueries.queries("q_cluster_topics")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("partial"), p.take(1600))
+  }
 }
