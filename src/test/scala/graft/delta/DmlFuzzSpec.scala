@@ -408,6 +408,18 @@ class DmlFuzzSpec extends AnyFunSuite {
           s"CDF fold [1, $e] diverged: got ${folded.take(5)}... " +
             s"want ${history(e).sorted.take(5)}...")
       }
+
+      // pushdown consistency: file-level skipping is conservative —
+      // a predicate-scoped read returns EXACTLY the matching change
+      // rows the full read returns, under the whole random DML mix
+      val pred = "v < 4"
+      def rowsMatching(pushdown: Option[String]) =
+        TableChanges.read(spark, dir, 1L, Some(version), pushdown)
+          .filter(org.apache.spark.sql.functions.expr(pred))
+          .select($"k", $"v", $"_change_type", $"_commit_version")
+          .as[(Long, Double, String, Long)].collect().toSeq.sorted
+      assert(rowsMatching(Some(pred)) == rowsMatching(None),
+        "CDF predicate pushdown lost or invented matching rows")
     }
   }
 }
