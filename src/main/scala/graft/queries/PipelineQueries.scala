@@ -166,6 +166,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-decile stratification: the alpha-ratio quality signal
+    // binned against exact decile BOUNDARIES with per-bin doc and
+    // token mass — the prep step for curriculum ordering /
+    // quality-weighted mixing. One distributed percentile agg (the
+    // boundary row broadcasts), then a narrow value-based binning —
+    // a global NTILE would serialize the whole sort on one partition,
+    // this never does. Ties at a boundary go to the lower bin in both
+    // engines (strictly-below count).
+    "q_quality_bins" -> ((s, d) => {
+      val scored = docs(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_tokens"),
+          round(expr(
+            "cast(length(regexp_replace(text, '[^a-z]', '')) as double)" +
+              " / length(text)"), 6).as("quality"))
+      val bounds = scored.agg(expr(
+        "percentile(quality, " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          expr("1 + size(filter(bs, b -> b < quality))").cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(min(col("quality")), 6).as("q_min"),
+          round(max(col("quality")), 6).as("q_max"))
+        .orderBy(col("bin"))
+    }),
+
     // int8 scalar quantization of embeddings (4x memory cut for ANN
     // serving): per-vector max-abs scale, symmetric rounding — purely
     // narrow, no shuffle.
@@ -2199,6 +2229,25 @@ object PipelineQueries {
         |SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= $CAP_PER_SOURCE
         |ORDER BY source, rn""".stripMargin,
+
+    "q_quality_bins" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+        |      / length(text), 6) AS quality
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(quality,
+        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM scored)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(min(quality), 6) AS q_min, round(max(quality), 6) AS q_max
+        |FROM (
+        |  SELECT s.*, CAST(1 + len(list_filter(bs, x -> x < quality))
+        |    AS BIGINT) AS bin
+        |  FROM scored s, b)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
