@@ -3090,6 +3090,52 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     candidates.map(_._1)
   }
 
+  /** FSCK REPAIR TABLE (delta-spark parity): tombstone live add entries
+    * whose data files are MISSING from storage (manually deleted,
+    * external-cleaner casualties) so every later read stops failing
+    * with FILE_NOT_EXIST. `dryRun` lists the missing paths without
+    * committing. Existence probes are per-file metadata calls on the
+    * driver — the same O(live files) envelope as vacuum's listing
+    * reasoning. The repair commit carries plain removes
+    * (dataChange=true): downstream CDF/streaming readers crossing it
+    * see row-level deletes they cannot re-read (the bytes are gone) —
+    * delta-spark's FSCK has the same boundary.
+    */
+  def fsckRepair(dryRun: Boolean = false): Seq[String] = {
+    val snap = snapshot()
+    if (!dryRun) writerGate(snap, mutating = true)
+    val adds = new DeltaScan(snap, None).collectAddFiles()
+    val missing = adds.filter { a =>
+      val p = Storage.childPath(root, Storage.decodeUriPath(a.path))
+      !Storage.fs(p, hconf).exists(p)
+    }
+    if (dryRun || missing.isEmpty) return missing.map(_.path)
+    val removes = missing.map { a =>
+      RemoveFile(a.path, Some(now()), dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(a.partitionValues), size = Some(a.size),
+        deletionVector = a.deletionVector)
+    }
+    val committed = commitActions(snap.version + 1,
+      cv => commitInfoLine("FSCK",
+        Map("numRemovedFiles" -> missing.size.toString),
+        ictAt(snap, cv - 1)) +:
+        removes.map(r =>
+          JsonLog.writeAction(SingleAction(remove = Some(r)))),
+      retryable = false, Nil,
+      // maintenance conflict shape: a concurrent APPEND's new files
+      // exist by construction (never "missing"), so it commutes;
+      // remove/remove overlap (someone else tombstoned the same file)
+      // still conflicts
+      Some(DeltaTable.ReadSet(snap, None,
+        missing.map(a => Storage.canonicalPathKey(a.path)).toSet,
+        maintenance = true)))
+    maybeWriteChecksum(committed, Nil,
+      missing.map(_.size))
+    maybeAutoCheckpoint(committed, snap.metadata)
+    missing.map(_.path)
+  }
+
   // ---------------- log compaction ----------------
 
   /** Write `lo.hi.compacted.json` — the range's actions reduced to their

@@ -79,6 +79,14 @@ private[sql] object GraftProcedures {
         .vacuum(dryRun = dry)
         .map(p => InternalRow(UTF8String.fromString(p)))
     })
+    case "fsck" => Some(proc("fsck",
+      Seq(in("table", StringType), inDefault("dry_run", BooleanType, "false")),
+      new StructType().add("path", StringType)) { args =>
+      val dry = !args.isNullAt(1) && args.getBoolean(1)
+      DeltaTable.forPath(spark(), resolve(args.getString(0)))
+        .fsckRepair(dryRun = dry)
+        .map(p => InternalRow(UTF8String.fromString(p)))
+    })
     case "checkpoint" => Some(proc("checkpoint",
       Seq(in("table", StringType)),
       new StructType().add("version", LongType)) { args =>
@@ -164,7 +172,7 @@ private[sql] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "reorg_purge", "auto_compact", "clone", "vacuum",
-      "checkpoint", "compact_log", "detail", "history", "restore",
+      "fsck", "checkpoint", "compact_log", "detail", "history", "restore",
       "convert")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =

@@ -32,6 +32,48 @@ class VacuumSpec extends AnyFunSuite {
     assert(t.vacuum(dryRun = true).isEmpty)
   }
 
+  test("fsckRepair tombstones adds whose data files vanished; reads " +
+      "recover; dry run commits nothing") {
+    val dir = TestSpark.tmpDir("fsck")
+    val src = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 20).coalesce(1))  // v1: one file
+    t.append(src.filter($"k" > 20).coalesce(1))   // v2: one file
+
+    // delete v1's data file out from under the table
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val victim = new DeltaScan(t.snapshot(), None).collectAddFiles()
+      .map(_.path).sorted.head
+    fs.delete(Storage.childPath(
+      new org.apache.hadoop.fs.Path(dir), Storage.decodeUriPath(victim)),
+      false)
+    intercept[Exception] { t.toDF.count() } // FILE_NOT_EXIST
+
+    val vBefore = t.snapshot().version
+    val dry = t.fsckRepair(dryRun = true)
+    assert(dry == Seq(victim))
+    assert(t.snapshot().version == vBefore, "dry run must not commit")
+
+    val repaired = t.fsckRepair()
+    assert(repaired == Seq(victim))
+    assert(t.snapshot().version == vBefore + 1)
+    // the surviving file's rows read cleanly; nothing else was lost
+    val left = t.toDF.select($"k").as[Long].collect().toSet
+    assert(left == (1L to 20L).toSet || left == (21L to 40L).toSet)
+    // second repair is a no-op
+    assert(t.fsckRepair(dryRun = true).isEmpty)
+
+    // the CALL surface routes to the same repair
+    spark.conf.set("spark.sql.catalog.gd_fsck",
+      "graft.sql.GraftDeltaCatalog")
+    spark.conf.set("spark.sql.catalog.gd_fsck.warehouse",
+      TestSpark.tmpDir("fsck-wh"))
+    assert(spark.sql(
+      s"CALL gd_fsck.system.fsck('$dir', dry_run => true)").count() == 0)
+  }
+
   test("vacuum never deletes a live DV file written under a random prefix") {
     val dir = TestSpark.tmpDir("vacdv")
     val src = (1 to 50000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
