@@ -3104,10 +3104,37 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   def fsckRepair(dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot()
     if (!dryRun) writerGate(snap, mutating = true)
-    val adds = new DeltaScan(snap, None).collectAddFiles()
+    // slim: fsck needs path/partitionValues/size/deletionVector only —
+    // never stats JSON (gigabytes at millions of files)
+    val adds = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    // ONE recursive listing answers existence for everything under the
+    // table root (vacuum's approach — per-file exists() would be
+    // O(files) SERIAL round trips on an object store); only
+    // absolute-URI adds outside the root (a shallow clone's source
+    // files, rare by construction) fall back to per-file probes
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val present: Set[String] = Storage.listFilesRecursive(fs, root)
+      .map(st => fs.makeQualified(st.getPath).toUri.getPath).toSet
+    def gone(p: Path): Boolean = {
+      val pfs = Storage.fs(p, hconf)
+      val q = pfs.makeQualified(p).toUri.getPath
+      if (q.startsWith(rootUri)) !present(q) else !pfs.exists(p)
+    }
+    // a live add is broken when its DATA file is gone OR its
+    // deletion-vector FILE is gone (the bitmap is unrecoverable, and
+    // every scan of the file fails with the same FILE_NOT_EXIST this
+    // repair exists to clear) — both repair by tombstoning the add
     val missing = adds.filter { a =>
-      val p = Storage.childPath(root, Storage.decodeUriPath(a.path))
-      !Storage.fs(p, hconf).exists(p)
+      gone(Storage.childPath(root, Storage.decodeUriPath(a.path))) ||
+        a.deletionVector.exists { d =>
+          DeletionVectors.relativePath(
+              d.storageType, d.pathOrInlineDv, rootUri) match {
+            case Some(rel) => gone(Storage.childPath(root, rel))
+            case None if d.storageType == "p" =>
+              gone(new Path(d.pathOrInlineDv)) // external absolute DV
+            case None => false // inline bytes never go missing
+          }
+        }
     }
     if (dryRun || missing.isEmpty) return missing.map(_.path)
     val removes = missing.map { a =>
@@ -3413,15 +3440,24 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val byVersion = entries
       .collect { case c: FileNames.CheckpointFile => c }
       .groupBy(_.version)
+    def sidecarsOk(top: FileNames.CheckpointFile): Boolean =
+      try Snapshot.readV2TopLevel(spark, logDir, top)
+        .sidecarPaths.forall(p => fs.exists(new Path(p)))
+      catch { case _: Exception => false }
     def anchors(v: Long): Boolean = {
       val files = byVersion(v)
-      val v1ok = files.filterNot(_.isV2).groupBy(_.numParts)
-        .exists { case (n, ps) => ps.map(_.part).toSet.size == n }
-      v1ok || files.filter(_.isV2).exists { top =>
-        try Snapshot.readV2TopLevel(spark, logDir, top)
-          .sidecarPaths.forall(p => fs.exists(new Path(p)))
-        catch { case _: Exception => false }
-      }
+      val attempts = files.filterNot(_.isV2).groupBy(_.numParts)
+      // true V1 multipart attempts never reference sidecars
+      val multiOk = attempts.exists { case (n, ps) =>
+        n > 1 && ps.map(_.part).toSet.size == n }
+      // a classic-NAMED single-part file may still carry V2 content
+      // (interop writers emit checkpointMetadata + sidecar refs under
+      // the classic name — Snapshot.sniffV2's whole reason to exist);
+      // it anchors only while its sidecars survive
+      val singleOk = attempts.get(1).exists(_.exists(top =>
+        try !Snapshot.sniffV2(spark, top) || sidecarsOk(top)
+        catch { case _: Exception => false }))
+      multiOk || singleOk || files.filter(_.isV2).exists(sidecarsOk)
     }
     byVersion.keys.toSeq.sorted.find(anchors).getOrElse(
       throw new IllegalStateException(

@@ -63,6 +63,40 @@ object TableChanges {
     read(spark, tablePath, startV, endV)
   }
 
+  /** Per-commit file-action classification — the ONE source of truth
+    * shared by the emission loop and the pushdown prune pass: cdc
+    * actions supersede add/remove entirely; dataChange=false actions
+    * never classify; a same-path add/remove pair is a DV swap, never a
+    * plain insert or delete.
+    */
+  private final case class FileClasses(
+      cdcs: Seq[AddCDCFile],
+      plainAdds: Seq[AddFile],
+      plainRemoves: Seq[RemoveFile],
+      addByPath: Map[String, AddFile],
+      remByPath: Map[String, RemoveFile],
+      pairPaths: Set[String])
+
+  private def classifyActions(
+      lines: Seq[com.fasterxml.jackson.databind.JsonNode]): FileClasses = {
+    val cdcs = lines.flatMap(n => Option(n.get("cdc")).filterNot(_.isNull))
+      .map(RowCodec.jsonToCdc)
+    if (cdcs.nonEmpty)
+      return FileClasses(cdcs, Nil, Nil, Map.empty, Map.empty, Set.empty)
+    val adds = lines.flatMap(n =>
+        Option(n.get("add")).filterNot(_.isNull)).map(RowCodec.jsonToAdd)
+      .filter(_.dataChange)
+    val removes = lines.flatMap(n =>
+        Option(n.get("remove")).filterNot(_.isNull))
+      .map(RowCodec.jsonToRemove).filter(_.dataChange)
+    val addByPath = adds.map(a => a.path -> a).toMap
+    val remByPath = removes.map(r => r.path -> r).toMap
+    val pairPaths = addByPath.keySet.intersect(remByPath.keySet)
+    FileClasses(Nil, adds.filterNot(a => pairPaths(a.path)),
+      removes.filterNot(r => pairPaths(r.path)),
+      addByPath, remByPath, pairPaths)
+  }
+
   /** CDF rows over [startVersion, endVersion] (endVersion None = latest).
     * Output schema = table schema + (_change_type, _commit_version,
     * _commit_timestamp).
@@ -116,25 +150,18 @@ object TableChanges {
 
     // One prune pass over the range's plain adds (predicate path only;
     // costs a second metadata read of the commit JSONs — never data).
+    // Classification is the SAME classifyActions the emission loop
+    // uses, so the prune can never disagree about which adds are
+    // insert-classified.
     val keepAdd: Option[Set[(Long, String)]] = predicateSql.map { p =>
       val pScan = new DeltaScan(endSnap, Some(p))
       val all = ArrayBuffer.empty[(Long, AddFile)]
       commitFiles.foreach { case (cf, _) =>
         val lines = Storage.readLines(fs, cf.path).filter(_.nonEmpty)
           .map(JsonLog.parseLine)
-        val hasCdc = lines.exists(n =>
-          Option(n.get("cdc")).exists(!_.isNull))
-        if (!hasCdc) {
-          val adds = lines.flatMap(n =>
-              Option(n.get("add")).filterNot(_.isNull))
-            .map(RowCodec.jsonToAdd).filter(_.dataChange)
-          val removePaths = lines.flatMap(n =>
-              Option(n.get("remove")).filterNot(_.isNull))
-            .map(RowCodec.jsonToRemove).filter(_.dataChange)
-            .map(_.path).toSet
-          adds.filterNot(a => removePaths(a.path))
-            .foreach(a => all += ((cf.version, a)))
-        }
+        val fc = classifyActions(lines)
+        if (fc.cdcs.isEmpty)
+          fc.plainAdds.foreach(a => all += ((cf.version, a)))
       }
       if (all.isEmpty) Set.empty[(Long, String)]
       else {
@@ -184,28 +211,21 @@ object TableChanges {
         .withColumn(COMMIT_VERSION, lit(v))
         .withColumn(COMMIT_TIMESTAMP, tsCol)
 
-      val cdcs = lines.flatMap(n => Option(n.get("cdc")).filterNot(_.isNull))
-        .map(RowCodec.jsonToCdc)
-      if (cdcs.nonEmpty) {
+      val fc = classifyActions(lines)
+      if (fc.cdcs.nonEmpty) {
         // cdc files supersede add/remove for this commit
-        val asAdds = cdcs.map(c => AddFile(c.path, c.partitionValues,
+        val asAdds = fc.cdcs.map(c => AddFile(c.path, c.partitionValues,
           c.size, 0L, dataChange = false))
         out += stamp(scan.assemble(asAdds, keepMeta = false,
           extraPhysical = Seq(StructField(CHANGE_TYPE, StringType))))
       } else {
-        val adds = lines.flatMap(n =>
-            Option(n.get("add")).filterNot(_.isNull)).map(RowCodec.jsonToAdd)
-          .filter(_.dataChange)
-        val removes = lines.flatMap(n =>
-            Option(n.get("remove")).filterNot(_.isNull))
-          .map(RowCodec.jsonToRemove).filter(_.dataChange)
-        val addByPath = adds.map(a => a.path -> a).toMap
-        val remByPath = removes.map(r => r.path -> r).toMap
-        val pairPaths = addByPath.keySet.intersect(remByPath.keySet)
+        val addByPath = fc.addByPath
+        val remByPath = fc.remByPath
+        val pairPaths = fc.pairPaths
 
-        val plainAdds = adds.filterNot(a => pairPaths(a.path))
+        val plainAdds = fc.plainAdds
           .filter(a => keepAdd.forall(_((v, a.path))))
-        val plainRemoves = removes.filterNot(r => pairPaths(r.path))
+        val plainRemoves = fc.plainRemoves
         if (plainAdds.nonEmpty)
           out += stamp(scan.assemble(plainAdds, keepMeta = false)
             .withColumn(CHANGE_TYPE, lit("insert")))

@@ -74,6 +74,31 @@ class VacuumSpec extends AnyFunSuite {
       s"CALL gd_fsck.system.fsck('$dir', dry_run => true)").count() == 0)
   }
 
+  test("fsckRepair also repairs an add whose DELETION-VECTOR file " +
+      "vanished (the bitmap is unrecoverable)") {
+    val dir = TestSpark.tmpDir("fsck-dv")
+    // alternating deletes over 20k rows blow past the 512-byte inline
+    // threshold, forcing a FILE-backed DV
+    val src = (1 to 20000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, configuration = Map(
+      "delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.coalesce(1))
+    t.deleteWhereDV("k % 2 = 0")
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val dvFiles = Storage.listFilesRecursive(fs,
+        new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("deletion_vector_"))
+    assert(dvFiles.nonEmpty, "expected a file-backed DV")
+    dvFiles.foreach(st => fs.delete(st.getPath, false))
+
+    val repaired = t.fsckRepair()
+    assert(repaired.nonEmpty, "the DV-carrying add must be tombstoned")
+    assert(t.toDF.count() == 0) // its rows are gone with it
+    assert(t.fsckRepair(dryRun = true).isEmpty)
+  }
+
   test("vacuum never deletes a live DV file written under a random prefix") {
     val dir = TestSpark.tmpDir("vacdv")
     val src = (1 to 50000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
