@@ -733,6 +733,34 @@ object Snapshot {
   /** Reader-version + feature gate, applied to every constructed
     * snapshot (reference table_features/mod.rs:102-185).
     */
+  /** The reader-side protocol gate alone (reference
+    * table_features/mod.rs:102-185): version <= 3 and every advertised
+    * readerFeature actually implemented. Used by snapshot builds (via
+    * [[gated]]) and by CDF range replay, which must validate PROTOCOL
+    * ACTIONS INSIDE the range — an in-range upgrade to an unsupported
+    * feature would otherwise emit change rows this engine cannot
+    * decode. "timestampWithoutTimezone" is not a protocol feature
+    * name, but existing tables carry it in their feature arrays;
+    * accepted on read as an alias of timestampNtz (reference
+    * table_features/mod.rs:148-156, delta-kernel-rs#2557).
+    */
+  private[delta] def requireReadable(p: Protocol): Unit = {
+    require(p.minReaderVersion <= 3,
+      s"unsupported minReaderVersion ${p.minReaderVersion}")
+    val supportedReaderFeatures =
+      Set("deletionVectors", "timestampNtz", "timestampWithoutTimezone",
+        "columnMapping",
+        "vacuumProtocolCheck", "v2Checkpoint",
+        "variantType", "variantType-preview",
+        "variantShredding", "variantShredding-preview",
+        "typeWidening", "typeWidening-preview", GeoTypes.FEATURE,
+        CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
+    p.readerFeatures.getOrElse(Nil).foreach { f =>
+      require(supportedReaderFeatures.contains(f),
+        s"unsupported reader feature: $f")
+    }
+  }
+
   private def gated(s: Snapshot, hasCatalog: Boolean = false): Snapshot = {
     val p = s.protocol
     val m = s.metadata
@@ -755,24 +783,7 @@ object Snapshot {
     // Only features the scan actually implements are accepted — an
     // advertised-but-unimplemented feature would produce silent wrong
     // answers (e.g. all-NULL columns on a column-mapped table).
-    require(p.minReaderVersion <= 3,
-      s"unsupported minReaderVersion ${p.minReaderVersion}")
-    // "timestampWithoutTimezone" is not a protocol feature name, but
-    // existing tables carry it in their feature arrays; accept it on
-    // read as an alias of timestampNtz (reference
-    // table_features/mod.rs:148-156, delta-kernel-rs#2557)
-    val supportedReaderFeatures =
-      Set("deletionVectors", "timestampNtz", "timestampWithoutTimezone",
-        "columnMapping",
-        "vacuumProtocolCheck", "v2Checkpoint",
-        "variantType", "variantType-preview",
-        "variantShredding", "variantShredding-preview",
-        "typeWidening", "typeWidening-preview", GeoTypes.FEATURE,
-        CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
-    p.readerFeatures.getOrElse(Nil).foreach { f =>
-      require(supportedReaderFeatures.contains(f),
-        s"unsupported reader feature: $f")
-    }
+    requireReadable(p)
     // geo columns require the feature in BOTH lists (reference
     // table_features/geospatial.rs validate_geospatial_feature_support)
     if (GeoTypes.containsGeo(s.schema))

@@ -197,6 +197,14 @@ object TableChanges {
               s"incompatible schema change at version $v inside the " +
                 s"CDF range: $msg"))
         }
+        // an in-range protocol upgrade to an unsupported reader
+        // feature fails the read loudly (reference
+        // table_changes/log_replay.rs:129 'ensure reading is supported
+        // on any protocol updates') — the end snapshot's gate cannot
+        // see a feature added and removed inside the range
+        val pr = n.get("protocol")
+        if (pr != null && !pr.isNull)
+          Snapshot.requireReadable(JsonLog.parseProtocol(pr))
       }
 
       val ict = lines.iterator.flatMap { n =>

@@ -236,6 +236,43 @@ class TableChangesSpec extends AnyFunSuite {
       Seq(org.apache.spark.sql.Row(3L, "b")))
   }
 
+  test("an in-range protocol upgrade to an unsupported reader feature " +
+      "fails the CDF read even when a later commit reverts it") {
+    val dir = TestSpark.tmpDir("cdf-proto")
+    val src = li.filter($"l_quantity" < 3)
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new org.apache.hadoop.fs.Path(dir))
+    val base = t.snapshot().protocol
+    def protoLine(features: Seq[String]): String = {
+      val rf = (base.readerFeatures.getOrElse(Nil) ++ features)
+        .distinct.map(f => "\"" + f + "\"").mkString(",")
+      val wf = (base.writerFeatures.getOrElse(Nil) ++ features)
+        .distinct.map(f => "\"" + f + "\"").mkString(",")
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[$rf],"writerFeatures":[$wf]}}"""
+    }
+    // v2: upgrade to a feature this engine does not implement
+    Storage.put(fs, FileNames.commitFile(logDir, 2L),
+      protoLine(Seq("someFutureUnimplementedFeature")) + "\n")
+    // v3: revert — the END snapshot gates clean
+    Storage.put(fs, FileNames.commitFile(logDir, 3L),
+      protoLine(Nil) + "\n")
+    assert(t.snapshot().version == 3L) // end-of-range snapshot builds
+
+    val e = intercept[Exception] {
+      TableChanges.read(spark, dir, 1, Some(3)).collect()
+    }
+    assert(e.getMessage.contains("unsupported reader feature"),
+      e.getMessage)
+    // the sub-range before the blip still reads
+    assert(TableChanges.read(spark, dir, 1, Some(1)).count() ==
+      src.count())
+  }
+
   test("CDF disabled table rejects the read") {
     val dir = TestSpark.tmpDir("cdf-off")
     val src = li.limit(10)
