@@ -55,6 +55,34 @@ object ColumnMapping {
     case other => other
   }
 
+  /** validate_schema_column_mapping (reference
+    * column_mapping.rs:82-114): id/name mode requires EVERY field —
+    * nested structs included — to carry BOTH the physicalName and id
+    * annotations; a half-annotated schema resolves some columns by the
+    * wrong rule and reads silent NULLs. In `none` mode stale
+    * annotations are tolerated on read (the reference's
+    * StaleAnnotationPolicy::Ignore — downgraded tables keep reading).
+    */
+  def validateSchemaAnnotations(schema: StructType, mode: String): Unit = {
+    if (mode == "none") return
+    def walk(st: StructType, prefix: String): Unit =
+      st.fields.foreach { f =>
+        val path = prefix + f.name
+        require(f.metadata.contains(PHYS_NAME_KEY) &&
+            f.metadata.contains(ID_KEY),
+          s"column mapping mode '$mode' requires physicalName and id " +
+            s"annotations on every field; '$path' is missing them")
+        def nested(dt: DataType): Unit = dt match {
+          case s: StructType => walk(s, path + ".")
+          case a: ArrayType => nested(a.elementType)
+          case m: MapType => nested(m.keyType); nested(m.valueType)
+          case _ => ()
+        }
+        nested(f.dataType)
+      }
+    walk(schema, "")
+  }
+
   /** Remove `parquet.field.id` annotations recursively. Name-mode READS
     * must resolve by name only — a read schema carrying field ids makes
     * Spark demand ids from parquet files, and files written by engines

@@ -795,6 +795,7 @@ object Snapshot {
     val cmMode = ColumnMapping.mode(m)
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported delta.columnMapping.mode '$cmMode'")
+    ColumnMapping.validateSchemaAnnotations(s.schema, cmMode)
     // icebergCompat V1/V2/V3 invariants run on every configuration build (reference
     // table_configuration.rs:235)
     IcebergCompat.validate(p, m, s.schema)

@@ -245,3 +245,41 @@ class StatsVerifierSpec extends AnyFunSuite {
       "maxValues":{"s":"aa"}}""").isEmpty)
   }
 }
+
+class ColumnMappingValidationSpec extends AnyFunSuite {
+  private def annotated(name: String, id: Long): StructField =
+    StructField(name, LongType, metadata = new MetadataBuilder()
+      .putString(ColumnMapping.PHYS_NAME_KEY, s"col-$id")
+      .putLong(ColumnMapping.ID_KEY, id).build())
+
+  test("id/name mode requires annotations on every field, nested " +
+      "included; none mode tolerates stale ones") {
+    val full = StructType(Seq(annotated("a", 1),
+      StructField("s", StructType(Seq(annotated("x", 2))),
+        metadata = new MetadataBuilder()
+          .putString(ColumnMapping.PHYS_NAME_KEY, "col-3")
+          .putLong(ColumnMapping.ID_KEY, 3).build())))
+    ColumnMapping.validateSchemaAnnotations(full, "name")
+    ColumnMapping.validateSchemaAnnotations(full, "id")
+    // stale annotations in none mode are IGNORED (reference
+    // StaleAnnotationPolicy::Ignore) — downgraded tables keep reading
+    ColumnMapping.validateSchemaAnnotations(full, "none")
+
+    val missingTop = StructType(Seq(StructField("a", LongType)))
+    val e1 = intercept[IllegalArgumentException] {
+      ColumnMapping.validateSchemaAnnotations(missingTop, "name")
+    }
+    assert(e1.getMessage.contains("'a'"))
+
+    val missingNested = StructType(Seq(annotated("a", 1),
+      StructField("s", StructType(Seq(StructField("x", LongType))),
+        metadata = new MetadataBuilder()
+          .putString(ColumnMapping.PHYS_NAME_KEY, "col-3")
+          .putLong(ColumnMapping.ID_KEY, 3).build())))
+    val e2 = intercept[IllegalArgumentException] {
+      ColumnMapping.validateSchemaAnnotations(missingNested, "id")
+    }
+    assert(e2.getMessage.contains("s.x"))
+    ColumnMapping.validateSchemaAnnotations(missingNested, "none")
+  }
+}
