@@ -148,21 +148,21 @@ object ColumnMapping {
     */
   def assignMetadata(schema: StructType, startId: Long = 0L): (StructType, Long) = {
     var next = startId
+    // TOTAL type recursion: struct fields anywhere — map keys, nested
+    // arrays/maps — need annotations (the snapshot gate's
+    // validateSchemaAnnotations enforces exactly this; a writer
+    // shallower than the gate would brick its own tables)
+    def annotateType(t: DataType): DataType = t match {
+      case nested: StructType => annotate(nested)
+      case a: ArrayType => a.copy(elementType = annotateType(a.elementType))
+      case m: MapType => m.copy(keyType = annotateType(m.keyType),
+        valueType = annotateType(m.valueType))
+      case other => other
+    }
     def annotate(s: StructType): StructType = StructType(s.fields.map { f =>
       next += 1
       val id = next
-      val dt = f.dataType match {
-        case nested: StructType => annotate(nested)
-        case a: ArrayType => a.elementType match {
-          case nested: StructType => a.copy(elementType = annotate(nested))
-          case _ => a
-        }
-        case m: MapType => m.valueType match {
-          case nested: StructType => m.copy(valueType = annotate(nested))
-          case _ => m
-        }
-        case other => other
-      }
+      val dt = annotateType(f.dataType)
       val mb = new MetadataBuilder().withMetadata(f.metadata)
         .putLong(ID_KEY, id)
         .putString(PHYS_NAME_KEY, s"col-${java.util.UUID.randomUUID()}")
@@ -215,7 +215,11 @@ object ColumnMapping {
       case (oa: ArrayType, na: ArrayType) =>
         na.copy(elementType = recType(oa.elementType, na.elementType))
       case (om: MapType, nm: MapType) =>
-        nm.copy(valueType = recType(om.valueType, nm.valueType))
+        // key structs keep their annotations too (key TYPES cannot
+        // change across evolution, but the evolved schema's key struct
+        // arrives annotation-free from the user)
+        nm.copy(keyType = recType(om.keyType, nm.keyType),
+          valueType = recType(om.valueType, nm.valueType))
       case (_, n) => n
     }
     def rec(os: StructType, ns: StructType): StructType = {

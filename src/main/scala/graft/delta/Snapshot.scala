@@ -730,9 +730,6 @@ object Snapshot {
     gated(new Snapshot(prev.spark, prev.tableRoot, segment, protocol, metadata))
   }
 
-  /** Reader-version + feature gate, applied to every constructed
-    * snapshot (reference table_features/mod.rs:102-185).
-    */
   /** The reader-side protocol gate alone (reference
     * table_features/mod.rs:102-185): version <= 3 and every advertised
     * readerFeature actually implemented. Used by snapshot builds (via
@@ -744,17 +741,18 @@ object Snapshot {
     * accepted on read as an alias of timestampNtz (reference
     * table_features/mod.rs:148-156, delta-kernel-rs#2557).
     */
+  private lazy val supportedReaderFeatures =
+    Set("deletionVectors", "timestampNtz", "timestampWithoutTimezone",
+      "columnMapping",
+      "vacuumProtocolCheck", "v2Checkpoint",
+      "variantType", "variantType-preview",
+      "variantShredding", "variantShredding-preview",
+      "typeWidening", "typeWidening-preview", GeoTypes.FEATURE,
+      CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
+
   private[delta] def requireReadable(p: Protocol): Unit = {
     require(p.minReaderVersion <= 3,
       s"unsupported minReaderVersion ${p.minReaderVersion}")
-    val supportedReaderFeatures =
-      Set("deletionVectors", "timestampNtz", "timestampWithoutTimezone",
-        "columnMapping",
-        "vacuumProtocolCheck", "v2Checkpoint",
-        "variantType", "variantType-preview",
-        "variantShredding", "variantShredding-preview",
-        "typeWidening", "typeWidening-preview", GeoTypes.FEATURE,
-        CatalogManaged.FEATURE, CatalogManaged.FEATURE_PREVIEW)
     p.readerFeatures.getOrElse(Nil).foreach { f =>
       require(supportedReaderFeatures.contains(f),
         s"unsupported reader feature: $f")

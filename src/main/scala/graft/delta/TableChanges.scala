@@ -148,6 +148,27 @@ object TableChanges {
 
     val scan = new DeltaScan(endSnap, None)
 
+    // Physical-resolution map of the END schema: in-range metadata may
+    // evolve the logical schema compatibly, but surviving columns must
+    // keep their PHYSICAL identity — a physicalName or mode flip inside
+    // the range would make the end-schema read resolve the blip's
+    // files to silent NULLs (same blind spot as in-range protocol
+    // actions: the end snapshot's gate never sees a change that is
+    // reverted before the range's end).
+    val endMode = ColumnMapping.mode(endSnap.metadata)
+    def physMap(s: org.apache.spark.sql.types.StructType,
+        prefix: Seq[String]): Map[Seq[String], String] =
+      s.fields.iterator.flatMap { f =>
+        val p = prefix :+ f.name
+        val self = Seq(p -> ColumnMapping.physicalName(f))
+        f.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            self ++ physMap(st, p)
+          case _ => self
+        }
+      }.toMap
+    val endPhys = physMap(endSnap.schema, Nil)
+
     // One prune pass over the range's plain adds (predicate path only;
     // costs a second metadata read of the commit JSONs — never data).
     // Classification is the SAME classifyActions the emission loop
@@ -196,6 +217,14 @@ object TableChanges {
             msg => throw new IllegalArgumentException(
               s"incompatible schema change at version $v inside the " +
                 s"CDF range: $msg"))
+          require(ColumnMapping.mode(meta) == endMode,
+            s"column mapping mode changes at version $v inside the " +
+              "CDF range")
+          physMap(meta.schema, Nil).foreach { case (p, phys) =>
+            endPhys.get(p).foreach(ep => require(ep == phys,
+              s"column '${p.mkString(".")}' changes physical name at " +
+                s"version $v inside the CDF range"))
+          }
         }
         // an in-range protocol upgrade to an unsupported reader
         // feature fails the read loudly (reference
