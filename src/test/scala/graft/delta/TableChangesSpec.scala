@@ -273,6 +273,42 @@ class TableChangesSpec extends AnyFunSuite {
       src.count())
   }
 
+  test("an in-range physicalName flip on a surviving column fails the " +
+      "CDF read (files from the blip would resolve to NULLs)") {
+    val dir = TestSpark.tmpDir("cdf-phys")
+    val src = li.filter($"l_quantity" < 3)
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf ++
+      Map("delta.columnMapping.mode" -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src) // v1
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new org.apache.hadoop.fs.Path(dir))
+    // v2: metaData whose l_quantity points at a DIFFERENT physical
+    // column; v3 restores the original mapping so the end snapshot
+    // gates clean — only the in-range check can catch the blip
+    val origMeta = t.snapshot().metadata
+    def metaLine(m: Metadata): String =
+      JsonLog.writeAction(SingleAction(metaData = Some(m)))
+    val flipped = origMeta.copy(schemaString = origMeta.schemaString
+      .replaceFirst("(\"name\":\"l_quantity\".*?columnMapping.physicalName\":\")([^\"]+)",
+        "$1col-flipped"))
+    assert(flipped.schemaString != origMeta.schemaString,
+      "fixture: the physicalName replace must hit")
+    Storage.put(fs, FileNames.commitFile(logDir, 2L),
+      metaLine(flipped) + "\n")
+    Storage.put(fs, FileNames.commitFile(logDir, 3L),
+      metaLine(origMeta) + "\n")
+    assert(t.snapshot().version == 3L)
+
+    val e = intercept[Exception] {
+      TableChanges.read(spark, dir, 1, Some(3)).collect()
+    }
+    assert(e.getMessage.contains("physical name"), e.getMessage)
+    assert(TableChanges.read(spark, dir, 1, Some(1)).count() ==
+      src.count())
+  }
+
   test("CDF disabled table rejects the read") {
     val dir = TestSpark.tmpDir("cdf-off")
     val src = li.limit(10)
