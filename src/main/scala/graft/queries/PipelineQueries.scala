@@ -832,6 +832,27 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // N-gram novelty: the fraction of a document's distinct 3-grams it
+    // is the FIRST (lowest doc_id) to contribute — the
+    // redundancy/novelty signal a dedup-ordered ingestion pipeline
+    // scores before admitting a document. One (shingle -> min doc_id)
+    // map-side-combined agg joined back on the shingle; no all-pairs
+    // anything.
+    "q_ngram_novelty" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val first = sh.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L)
+            .otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination: flag training docs sharing any word-3-gram with
     // the held-out eval slice (doc_id % 97 == 0 stands in for the
     // benchmark set). The eval side of the join is tiny by construction
@@ -2085,6 +2106,18 @@ object PipelineQueries {
         |  round(CAST(scaled9 AS DOUBLE) /
         |    CAST((SELECT sum(scaled9) FROM sc) AS DOUBLE), 6) AS weight
         |FROM sc ORDER BY source""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""$shinglesDuck,
+         |first AS (SELECT sh.sh AS fsh, min(doc_id) AS first_doc
+         |          FROM sh GROUP BY sh.sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*), 6) AS novelty
+         |FROM sh JOIN first ON sh.sh = first.fsh
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""$shinglesDuck,
