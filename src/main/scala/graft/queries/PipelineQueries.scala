@@ -832,6 +832,27 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Cross-source duplicate leakage: bag-of-words fingerprint groups
+    // (sorted distinct-token set — catches reshuffled copies exact
+    // hashing misses) spanning MORE THAN ONE source — the report a
+    // pipeline runs before mixing corpora (the same document arriving
+    // via two feeds inflates its sampling weight silently). One hash
+    // groupBy, map-side combined; the fingerprint never leaves its row.
+    "q_dedup_cross_source" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", array_sort(array_distinct(
+            split(lower(trim(col("text"))), "\\s+"))))).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_sources") >= 2)
+        .select(col("h"), col("n_docs"), col("n_sources"),
+          col("first_doc"))
+        .orderBy(col("h"))
+    }),
+
     // N-gram novelty: the fraction of a document's distinct 3-grams it
     // is the FIRST (lowest doc_id) to contribute — the
     // redundancy/novelty signal a dedup-ordered ingestion pipeline
@@ -2106,6 +2127,19 @@ object PipelineQueries {
         |  round(CAST(scaled9 AS DOUBLE) /
         |    CAST((SELECT sum(scaled9) FROM sc) AS DOUBLE), 6) AS weight
         |FROM sc ORDER BY source""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      """SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  min(doc_id) AS first_doc
+        |FROM (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'))), ' '))
+        |      AS h
+        |  FROM documents)
+        |GROUP BY h HAVING count(DISTINCT source) >= 2
+        |ORDER BY h""".stripMargin,
 
     "q_ngram_novelty" ->
       s"""$shinglesDuck,
