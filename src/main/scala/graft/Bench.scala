@@ -23,6 +23,18 @@ object Bench {
     // n:0 with no message forces a forensic re-run; one line here is
     // enough for the next verdict to diagnose a flake
     val errs = scala.collection.mutable.Map.empty[String, String]
+    val REPS = 3
+    // the 5M-add frontier runs FIRST and repeated: round-9 measured it
+    // once, last, after the ~330s query sweep, and GC/page-cache
+    // pressure landed on the single sample (49.1s reported vs 3.3-3.9s
+    // isolated A/B) — a 14x phantom that would spuriously fail a 2x
+    // drift gate on a healthy build. First rep pays the one-time log
+    // build; the median over 3 is the reported number.
+    val meta5mRuns = (1 to REPS).map { _ =>
+      try graft.bench.MetadataBench.run5m(spark)
+      catch { case _: Throwable =>
+        Map("snapshot_5m" -> -1.0, "plan_df_5m" -> -1.0) }
+    }
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -64,7 +76,6 @@ object Bench {
     // workload matrix. These run REPS times and report MEDIANS: a single
     // run can't distinguish environmental drift from a plan regression
     // (the log build is idempotent, so repeats measure only the query).
-    val REPS = 3
     // a failed REPEAT must not poison a query that ran green: drop
     // negative runs and aggregate the successes; -1 only when EVERY
     // run failed (the true error marker)
@@ -87,17 +98,11 @@ object Bench {
       try graft.bench.ExpressionBench.run(spark)
       catch { case _: Throwable => Map.empty[String, Double] }
     }
-    // the 5M-add frontier runs ONCE: it is a completes-inside-the-heap
-    // guard, not a drift tracker, and its log build dominates repeats
-    val meta5m =
-      try graft.bench.MetadataBench.run5m(spark)
-      catch { case _: Throwable =>
-        Map("snapshot_5m" -> -1.0, "plan_df_5m" -> -1.0) }
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
     val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(exprRuns) ++
-      agg(Seq(meta5m)) ++ qTimes.toMap
+      agg(meta5mRuns) ++ qTimes.toMap
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
     val all = medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

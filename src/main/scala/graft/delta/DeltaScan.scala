@@ -333,6 +333,29 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     assembleIndexed(GraftFileIndex.fromAdds(spark, snapshot.tableRoot,
       adds.iterator, physPartitionSchema), keepMeta, extraPhysical)
 
+  /** Assemble with PER-FILE CONSTANT columns (the reference `Load`
+    * operator's `file_constant_columns`, kernel/src/plans/ir/nodes.rs:
+    * 330-472): each file carries extra constant values — e.g. the CDF
+    * commit version/timestamp of the commit that contributed it —
+    * served as synthetic partition columns of the FileIndex, so ONE
+    * scan arm reads files from arbitrarily many commits and the plan
+    * size stays independent of the range width. Constant values are
+    * partition-value strings typed by `constSchema`.
+    */
+  private[graft] def assembleWithConstants(
+      files: Seq[(AddFile, Map[String, String])],
+      constSchema: Seq[StructField],
+      keepMeta: Boolean,
+      extraPhysical: Seq[StructField] = Nil): DataFrame = {
+    val merged = files.iterator.map { case (a, c) =>
+      a.copy(partitionValues = a.partitionValues ++ c)
+    }
+    assembleIndexed(
+      GraftFileIndex.fromAdds(spark, snapshot.tableRoot, merged,
+        StructType(physPartitionSchema.fields ++ constSchema)),
+      keepMeta, extraPhysical, constSchema.map(_.name))
+  }
+
   /** Physical-name partition schema served by the FileIndex. */
   private lazy val physPartitionSchema: StructType =
     StructType(partCols.map { c =>
@@ -342,7 +365,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
 
   private[graft] def assembleIndexed(index: GraftFileIndex,
       keepMeta: Boolean,
-      extraPhysical: Seq[StructField] = Nil): DataFrame = {
+      extraPhysical: Seq[StructField] = Nil,
+      constCols: Seq[String] = Nil): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
 
     if (index.fileCount == 0) {
@@ -367,7 +391,9 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       else ColumnMapping.withoutFieldIds(
         ColumnMapping.physicalSchema(snapshot.dataSchema)).fields
     val physDataSchema = StructType(physDataFields ++ extraPhysical)
-    val physPartSchema = physPartitionSchema
+    // the index's partition schema = table partition columns plus any
+    // per-file constant columns the caller injected
+    val physPartSchema = index.partitionSchema
     // id-mode needs the parquet field-id read path — passed as a
     // RELATION option (merged into the per-scan hadoopConf, which is
     // where ParquetReadSupport reads it), never as session conf: a
@@ -387,6 +413,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     var reader = relationDF
       .select(snapshot.dataSchema.fields.map(ColumnMapping.toLogical) ++
         partCols.map(c => col(quoteName(physName(c))).as(c)) ++
+        constCols.map(c => col(quoteName(c))) ++
         extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++
         Seq(normalizedMetaPath.as("__path"),
           col("_metadata.row_index").as("__ridx")): _*)
@@ -412,7 +439,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
 
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil
     reader.select(schema.fieldNames.map(ColumnMapping.qcol) ++
-      extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++ metaCols: _*)
+      extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++
+      constCols.map(c => col(quoteName(c))) ++ metaCols: _*)
   }
 
   private def quoteName(name: String): String =

@@ -1338,6 +1338,65 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     committed
   }
 
+  /** ONE distributed pass per candidate file: build the new-deletion
+    * bitmap ON THE EXECUTORS (groupByKey + mapGroups — compressed
+    * bitmap bytes travel to the driver, never row-index lists; a
+    * 1B-row DELETE funnels kilobytes, not gigabytes) and count
+    * matched/live rows for the fully-deleted-file check. Shared by
+    * deleteWhereDV and updateWhereDV — the two must never drift on
+    * what "matched" means.
+    */
+  private def dvMatchPerFile(scan: DeltaScan, candidates: Seq[AddFile],
+      predicateSql: String): Array[(String, Array[Byte], Long, Long)] = {
+    val withMeta = scan.assemble(candidates, keepMeta = true)
+    import spark.implicits._
+    withMeta.select(col("__path"), col("__ridx"),
+        coalesce(expr(predicateSql), lit(false)).as("__m"))
+      .as[(String, Long, Boolean)]
+      .groupByKey(_._1)
+      .mapGroups { (path: String, it: Iterator[(String, Long, Boolean)]) =>
+        val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        var live = 0L
+        var matched = 0L
+        it.foreach { case (_, ridx, m) =>
+          live += 1
+          if (m) { matched += 1; rb.addLong(ridx) }
+        }
+        (path, DeletionVectors.bitmapBytes(rb), matched, live)
+      }.collect()
+  }
+
+  /** Merge each partially-matched file's new bitmap with its existing
+    * DV at BITMAP level (assemble already excluded old-DV rows, so
+    * cardinalities simply add), then route small bitmaps inline into
+    * the log line and pack larger ones into one deletion_vector file.
+    */
+  private def dvSwapDescriptors(
+      partialFiles: Seq[(String, Array[Byte], Long, Long)],
+      byPath: Map[String, AddFile])
+      : Map[String, DeletionVectorDescriptor] = {
+    val conf = hconf
+    val merged: Seq[(String, Array[Byte], Long)] = partialFiles.map {
+      case (p, bytes, matched, _) =>
+        byPath(p).deletionVector match {
+          case Some(old) =>
+            val oldBytes = DeletionVectors.readBitmapBytes(old, root, conf)
+            (p, DeletionVectors.orBitmaps(oldBytes, bytes),
+              old.cardinality + matched)
+          case None => (p, bytes, matched)
+        }
+    }
+    val (inlineSized, fileSized) = merged.partition {
+      case (_, bytes, _) =>
+        bytes.length + 4 <= DeletionVectors.INLINE_MAX_BYTES
+    }
+    inlineSized.map { case (p, bytes, card) =>
+      p -> DeletionVectors.inlineDescriptor(bytes, card)
+    }.toMap ++
+      (if (fileSized.isEmpty) Map.empty[String, DeletionVectorDescriptor]
+       else DeletionVectors.writeBitmaps(fileSized, root, conf))
+  }
+
   /** DELETE WHERE via deletion vectors (reference
     * transaction/update.rs:275-812): no data rewrite — matching row
     * indexes are merged into each file's bitmap, committed as
@@ -1352,32 +1411,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val candidates = scan.collectAddFiles()
     if (candidates.isEmpty) return snap.version
 
-    // ONE distributed pass per file: build the new-deletion bitmap ON
-    // THE EXECUTORS (groupByKey + mapGroups — compressed bitmap bytes
-    // travel to the driver, never row-index lists; a 1B-row DELETE
-    // funnels kilobytes, not gigabytes) and count matched/live rows for
-    // the fully-deleted-file check.
-    val withMeta = scan.assemble(candidates, keepMeta = true)
-    import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long, Long)] =
-      withMeta.select(col("__path"), col("__ridx"),
-          coalesce(expr(predicateSql), lit(false)).as("__m"))
-        .as[(String, Long, Boolean)]
-        .groupByKey(_._1)
-        .mapGroups { (path: String, it: Iterator[(String, Long, Boolean)]) =>
-          val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-          var live = 0L
-          var matched = 0L
-          it.foreach { case (_, ridx, m) =>
-            live += 1
-            if (m) { matched += 1; rb.addLong(ridx) }
-          }
-          (path, DeletionVectors.bitmapBytes(rb), matched, live)
-        }.collect()
+    val perFile = dvMatchPerFile(scan, candidates, predicateSql)
     val matchedFiles = perFile.filter(_._3 > 0)
     if (matchedFiles.isEmpty) return snap.version
 
-    val conf = hconf
     val byPath = candidates.map { a =>
       fs.makeQualified(
         Storage.childPath(root, Storage.decodeUriPath(a.path)))
@@ -1387,29 +1424,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val (gone, partialFiles) = matchedFiles.toSeq.partition {
       case (_, _, matched, live) => matched == live
     }
-    // merge with each file's existing DV at BITMAP level (assemble
-    // already excluded old-DV rows, so cardinalities simply add)
-    val merged: Seq[(String, Array[Byte], Long)] = partialFiles.map {
-      case (p, bytes, matched, _) =>
-        byPath(p).deletionVector match {
-          case Some(old) =>
-            val oldBytes = DeletionVectors.readBitmapBytes(old, root, conf)
-            (p, DeletionVectors.orBitmaps(oldBytes, bytes),
-              old.cardinality + matched)
-          case None => (p, bytes, matched)
-        }
-    }
-    // small bitmaps inline into the log line (no extra storage object
-    // per DELETE); larger ones pack into one deletion_vector file
-    val (inlineSized, fileSized) = merged.partition {
-      case (_, bytes, _) => bytes.length + 4 <= DeletionVectors.INLINE_MAX_BYTES
-    }
-    val descs =
-      inlineSized.map { case (p, bytes, card) =>
-        p -> DeletionVectors.inlineDescriptor(bytes, card)
-      }.toMap ++
-      (if (fileSized.isEmpty) Map.empty[String, DeletionVectorDescriptor]
-       else DeletionVectors.writeBitmaps(fileSized, root, conf))
+    val descs = dvSwapDescriptors(partialFiles, byPath)
 
     def removeOf(a: AddFile): RemoveFile = RemoveFile(
       a.path, Some(now()), dataChange = true,
@@ -1494,27 +1509,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     if (candidates.isEmpty) return snap.version
 
     // per-file deletion bitmaps for the matching rows — executor-built,
-    // compressed bytes to the driver (same pass as deleteWhereDV)
-    val withMeta = scan.assemble(candidates, keepMeta = true)
-    import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long, Long)] =
-      withMeta.select(col("__path"), col("__ridx"),
-          coalesce(expr(predicateSql), lit(false)).as("__m"))
-        .as[(String, Long, Boolean)]
-        .groupByKey(_._1)
-        .mapGroups { (path: String, it: Iterator[(String, Long, Boolean)]) =>
-          val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-          var live = 0L
-          var matched = 0L
-          it.foreach { case (_, ridx, m) =>
-            live += 1
-            if (m) { matched += 1; rb.addLong(ridx) }
-          }
-          (path, DeletionVectors.bitmapBytes(rb), matched, live)
-        }.collect()
+    // compressed bytes to the driver (shared pass with deleteWhereDV)
+    val perFile = dvMatchPerFile(scan, candidates, predicateSql)
     val matchedFiles = perFile.filter(_._3 > 0)
     if (matchedFiles.isEmpty) return snap.version
-    val conf = hconf
     val byPath = candidates.map { a =>
       fs.makeQualified(
         Storage.childPath(root, Storage.decodeUriPath(a.path)))
@@ -1539,26 +1537,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val (gone, partialFiles) = matchedFiles.toSeq.partition {
       case (_, _, matched, live) => matched == live
     }
-    val merged: Seq[(String, Array[Byte], Long)] = partialFiles.map {
-      case (p, bytes, matchedN, _) =>
-        byPath(p).deletionVector match {
-          case Some(old) =>
-            val oldBytes = DeletionVectors.readBitmapBytes(old, root, conf)
-            (p, DeletionVectors.orBitmaps(oldBytes, bytes),
-              old.cardinality + matchedN)
-          case None => (p, bytes, matchedN)
-        }
-    }
-    val (inlineSized, fileSized) = merged.partition {
-      case (_, bytes, _) =>
-        bytes.length + 4 <= DeletionVectors.INLINE_MAX_BYTES
-    }
-    val descs =
-      inlineSized.map { case (p, bytes, card) =>
-        p -> DeletionVectors.inlineDescriptor(bytes, card)
-      }.toMap ++
-      (if (fileSized.isEmpty) Map.empty[String, DeletionVectorDescriptor]
-       else DeletionVectors.writeBitmaps(fileSized, root, conf))
+    val descs = dvSwapDescriptors(partialFiles, byPath)
     val removes = (gone.map(_._1) ++ partialFiles.map(_._1)).map { p =>
       val a = byPath(p)
       RemoveFile(a.path, Some(now()), dataChange = true,
@@ -3115,10 +3094,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val rootUri = fs.makeQualified(root).toUri.getPath
     val present: Set[String] = Storage.listFilesRecursive(fs, root)
       .map(st => fs.makeQualified(st.getPath).toUri.getPath).toSet
+    // under-root needs a path-SEGMENT boundary (root `/data/t` must not
+    // claim `/data/t2/x.parquet`): a sibling dir whose name extends the
+    // root would otherwise be judged against the root-only listing and
+    // live files tombstoned
+    val rootPrefix = rootUri.stripSuffix("/") + "/"
     def gone(p: Path): Boolean = {
       val pfs = Storage.fs(p, hconf)
       val q = pfs.makeQualified(p).toUri.getPath
-      if (q.startsWith(rootUri)) !present(q) else !pfs.exists(p)
+      if (q == rootUri || q.startsWith(rootPrefix)) !present(q)
+      else !pfs.exists(p)
     }
     // a live add is broken when its DATA file is gone OR its
     // deletion-vector FILE is gone (the bitmap is unrecoverable, and
@@ -3503,7 +3488,13 @@ object DeltaTable {
     private val held = scala.collection.mutable.Map
       .empty[(SparkSession, String), List[Layer]]
     def withConfs[T](spark: SparkSession,
-        kvs: Seq[(String, String)])(body: => T): T = {
+        kvsRaw: Seq[(String, String)])(body: => T): T = {
+      // a duplicate key would add to its layer twice but release once
+      // (joined is keyed by conf key), pinning the layer count >0
+      // forever and blocking every later writer on that key
+      val kvs = kvsRaw.distinctBy(_._1)
+      require(kvs.size == kvsRaw.size,
+        s"duplicate conf keys in withConfs: ${kvsRaw.map(_._1)}")
       val me = Thread.currentThread()
       val joined = scala.collection.mutable.Map.empty[String, Layer]
       held.synchronized {

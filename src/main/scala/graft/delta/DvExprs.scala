@@ -2,7 +2,7 @@ package graft.delta
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -69,4 +69,48 @@ case class DvChangeExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Version-keyed CDF DV-swap tagger for the COLLAPSED range plan: when
+  * one scan arm serves DV-swap files from MANY commits (the reference
+  * `Load` operator's file-constant commit version,
+  * kernel/src/plans/ir/nodes.rs:330-472), the same data file can be
+  * swapped in several in-range commits, so the mask lookup must key on
+  * (commit version, path) — the version rides in as a per-file
+  * constant partition column. Mask keys are `"<version>:<absPath>"`
+  * (unambiguous: a version has no ':').
+  */
+case class DvChangeAtExpr(first: Expression, second: Expression,
+    third: Expression, masks: Broadcast[DvSwapMasks])
+  extends TernaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dv_change_at"
+
+  override protected def nullSafeEval(
+      version: Any, path: Any, ridx: Any): Any = {
+    val tag = masks.value.changeOf(
+      version.asInstanceOf[Long].toString + ":" + path.toString,
+      ridx.asInstanceOf[Long])
+    if (tag == null) null else UTF8String.fromString(tag)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("dvSwapMasks", masks,
+      classOf[Broadcast[DvSwapMasks]].getName)
+    nullSafeCodeGen(ctx, ev, (v, p, r) => {
+      val tag = ctx.freshName("tag")
+      s"""String $tag = ((graft.delta.DvSwapMasks) $bc.value())
+         |  .changeOf($v + ":" + $p.toString(), $r);
+         |if ($tag == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = UTF8String.fromString($tag); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

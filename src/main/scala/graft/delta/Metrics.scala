@@ -55,6 +55,13 @@ object MetricEvent {
     */
   case class CrcReadSuccess(operationId: String, version: Long)
     extends MetricEvent
+
+  /** One CDF range read parsed one commit's JSON — emitted exactly
+    * once per commit per `TableChanges.read` call, so a test can pin
+    * the single-parse contract (prune + emission share the pass).
+    */
+  case class CdfCommitParsed(operationId: String, durationNs: Long,
+      version: Long) extends MetricEvent
 }
 
 /** Receives every metric event (reference metrics/reporter.rs). Keep

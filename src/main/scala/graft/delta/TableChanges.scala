@@ -35,10 +35,15 @@ import scala.jdk.CollectionConverters._
   * exist yet — but incompatible changes fail the read.
   *
   * Scale: classification is metadata work, O(actions in range) on the
-  * driver; each per-commit change class becomes one distributed parquet
-  * read, so the plan is O(commits) reads unioned — a streaming consumer
-  * should page through commit ranges (see DeltaSource) rather than ask
-  * for an unbounded range in one call.
+  * driver, and each commit's JSON is read + parsed exactly ONCE per
+  * call. The emitted plan is O(1) scan arms regardless of range width
+  * — all commits' files of one change class (cdc / insert / delete /
+  * DV-pair) share a single scan whose commit version + timestamp ride
+  * as per-file constant partition columns (the reference `Load`
+  * operator's file_constant_columns, kernel/src/plans/ir/nodes.rs:
+  * 330-472) — so a 10k-commit ad-hoc range plans 3-4 scans, not 10k
+  * unioned sub-plans. Streaming consumers still page bounded ranges
+  * via DeltaSource for bounded-batch admission.
   */
 object TableChanges {
 
@@ -156,33 +161,100 @@ object TableChanges {
     // actions: the end snapshot's gate never sees a change that is
     // reverted before the range's end).
     val endMode = ColumnMapping.mode(endSnap.metadata)
-    def physMap(s: org.apache.spark.sql.types.StructType,
-        prefix: Seq[String]): Map[Seq[String], String] =
+    // total over container nesting: struct fields inside arrays and map
+    // keys/values carry physical names too (ColumnMapping.annotateType
+    // is total for the same reason) — a flip on `arr.element.x` must
+    // not escape the guard; synthetic `element`/`key`/`value` segments
+    // disambiguate container positions in the path key
+    def physType(dt: org.apache.spark.sql.types.DataType,
+        prefix: Seq[String]): Iterator[(Seq[String], String)] = dt match {
+      case st: org.apache.spark.sql.types.StructType => physMapIt(st, prefix)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        physType(a.elementType, prefix :+ "element")
+      case m: org.apache.spark.sql.types.MapType =>
+        physType(m.keyType, prefix :+ "key") ++
+          physType(m.valueType, prefix :+ "value")
+      case _ => Iterator.empty
+    }
+    def physMapIt(s: org.apache.spark.sql.types.StructType,
+        prefix: Seq[String]): Iterator[(Seq[String], String)] =
       s.fields.iterator.flatMap { f =>
         val p = prefix :+ f.name
-        val self = Seq(p -> ColumnMapping.physicalName(f))
-        f.dataType match {
-          case st: org.apache.spark.sql.types.StructType =>
-            self ++ physMap(st, p)
-          case _ => self
-        }
-      }.toMap
+        Iterator(p -> ColumnMapping.physicalName(f)) ++
+          physType(f.dataType, p)
+      }
+    def physMap(s: org.apache.spark.sql.types.StructType,
+        prefix: Seq[String]): Map[Seq[String], String] =
+      physMapIt(s, prefix).toMap
     val endPhys = physMap(endSnap.schema, Nil)
 
-    // One prune pass over the range's plain adds (predicate path only;
-    // costs a second metadata read of the commit JSONs — never data).
-    // Classification is the SAME classifyActions the emission loop
-    // uses, so the prune can never disagree about which adds are
-    // insert-classified.
+    // ---- SINGLE parse + classify + validate pass over the range ----
+    // Each commit JSON is read and classified exactly ONCE; the
+    // in-range guards, the optional file-level pushdown prune, and the
+    // emission arms below all feed off this pass (round 9 re-read and
+    // re-parsed every commit when a predicate was supplied). Driver
+    // memory is O(file actions in range) — the same envelope as the
+    // former prune pass; streaming consumers page bounded commit
+    // ranges via DeltaSource instead of one unbounded ad-hoc call.
+    val opId = Metrics.newId()
+    val parsed: Seq[(Long, Long, FileClasses)] = commitFiles.map {
+      case (cf, st) =>
+        Cancellation.check() // poll between commit versions
+        val v = cf.version
+        val t0 = Metrics.now()
+        val lines = Storage.readLines(fs, cf.path).filter(_.nonEmpty)
+          .map(JsonLog.parseLine)
+
+        // in-range metadata/protocol changes must keep the range readable
+        lines.foreach { n =>
+          val m = n.get("metaData")
+          if (m != null && !m.isNull) {
+            val meta = JsonLog.parseMetadata(m)
+            require(cdfEnabled(meta),
+              s"change data feed disabled at version $v")
+            SchemaEvolution.validate(meta.schema, endSnap.schema).foreach(
+              msg => throw new IllegalArgumentException(
+                s"incompatible schema change at version $v inside the " +
+                  s"CDF range: $msg"))
+            require(ColumnMapping.mode(meta) == endMode,
+              s"column mapping mode changes at version $v inside the " +
+                "CDF range")
+            physMap(meta.schema, Nil).foreach { case (p, phys) =>
+              endPhys.get(p).foreach(ep => require(ep == phys,
+                s"column '${p.mkString(".")}' changes physical name at " +
+                  s"version $v inside the CDF range"))
+            }
+          }
+          // an in-range protocol upgrade to an unsupported reader
+          // feature fails the read loudly (reference
+          // table_changes/log_replay.rs:129 'ensure reading is supported
+          // on any protocol updates') — the end snapshot's gate cannot
+          // see a feature added and removed inside the range
+          val pr = n.get("protocol")
+          if (pr != null && !pr.isNull)
+            Snapshot.requireReadable(JsonLog.parseProtocol(pr))
+        }
+
+        val ict = lines.iterator.flatMap { n =>
+          Option(n.get("commitInfo")).filterNot(_.isNull)
+            .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+              .filterNot(_.isNull).map(_.asLong))
+        }.nextOption()
+        Metrics.report(MetricEvent.CdfCommitParsed(opId,
+          Metrics.now() - t0, v))
+        (v, ict.getOrElse(st.getModificationTime), classifyActions(lines))
+    }
+
+    // File-level pushdown prune over the range's plain adds (predicate
+    // path only; pure plan work on the already-parsed actions — no
+    // second read of the commit JSONs). Classification is the SAME
+    // classifyActions output the emission arms use, so the prune can
+    // never disagree about which adds are insert-classified.
     val keepAdd: Option[Set[(Long, String)]] = predicateSql.map { p =>
       val pScan = new DeltaScan(endSnap, Some(p))
       val all = ArrayBuffer.empty[(Long, AddFile)]
-      commitFiles.foreach { case (cf, _) =>
-        val lines = Storage.readLines(fs, cf.path).filter(_.nonEmpty)
-          .map(JsonLog.parseLine)
-        val fc = classifyActions(lines)
-        if (fc.cdcs.isEmpty)
-          fc.plainAdds.foreach(a => all += ((cf.version, a)))
+      parsed.foreach { case (v, _, fc) =>
+        if (fc.cdcs.isEmpty) fc.plainAdds.foreach(a => all += ((v, a)))
       }
       if (all.isEmpty) Set.empty[(Long, String)]
       else {
@@ -198,128 +270,132 @@ object TableChanges {
       }
     }
 
-    val out = ArrayBuffer.empty[DataFrame]
+    // ---- COLLAPSED emission: O(1) plan arms regardless of range width
+    // (the reference Load operator's file_constant_columns,
+    // kernel/src/plans/ir/nodes.rs:330-472). Every commit's files of a
+    // given change class go into ONE shared scan arm; the commit
+    // version and timestamp ride as per-file constant partition
+    // columns, so a 10k-commit range plans the same 3-4 scans as a
+    // 2-commit one instead of 10k unioned sub-plans.
+    val TS_MS = "__commit_ts_ms"
+    val constSchema = Seq(
+      StructField(COMMIT_VERSION, LongType, nullable = false),
+      StructField(TS_MS, LongType, nullable = false))
+    def consts(v: Long, ts: Long): Map[String, String] =
+      Map(COMMIT_VERSION -> v.toString, TS_MS -> ts.toString)
 
-    commitFiles.foreach { case (cf, st) =>
-      Cancellation.check() // poll between commit versions
-      val v = cf.version
-      val lines = Storage.readLines(fs, cf.path).filter(_.nonEmpty)
-        .map(JsonLog.parseLine)
+    val cdcFiles = ArrayBuffer.empty[(AddFile, Map[String, String])]
+    val insertFiles = ArrayBuffer.empty[(Long, AddFile, Map[String, String])]
+    val deleteFiles = ArrayBuffer.empty[(Long, AddFile, Map[String, String])]
+    val pairFiles = ArrayBuffer.empty[(AddFile, Map[String, String])]
+    val swaps = scala.collection.mutable.Map
+      .empty[String, (Array[Byte], Array[Byte])]
 
-      // in-range metadata/protocol changes must keep the range readable
-      lines.foreach { n =>
-        val m = n.get("metaData")
-        if (m != null && !m.isNull) {
-          val meta = JsonLog.parseMetadata(m)
-          require(cdfEnabled(meta),
-            s"change data feed disabled at version $v")
-          SchemaEvolution.validate(meta.schema, endSnap.schema).foreach(
-            msg => throw new IllegalArgumentException(
-              s"incompatible schema change at version $v inside the " +
-                s"CDF range: $msg"))
-          require(ColumnMapping.mode(meta) == endMode,
-            s"column mapping mode changes at version $v inside the " +
-              "CDF range")
-          physMap(meta.schema, Nil).foreach { case (p, phys) =>
-            endPhys.get(p).foreach(ep => require(ep == phys,
-              s"column '${p.mkString(".")}' changes physical name at " +
-                s"version $v inside the CDF range"))
-          }
-        }
-        // an in-range protocol upgrade to an unsupported reader
-        // feature fails the read loudly (reference
-        // table_changes/log_replay.rs:129 'ensure reading is supported
-        // on any protocol updates') — the end snapshot's gate cannot
-        // see a feature added and removed inside the range
-        val pr = n.get("protocol")
-        if (pr != null && !pr.isNull)
-          Snapshot.requireReadable(JsonLog.parseProtocol(pr))
-      }
-
-      val ict = lines.iterator.flatMap { n =>
-        Option(n.get("commitInfo")).filterNot(_.isNull)
-          .flatMap(ci => Option(ci.get("inCommitTimestamp"))
-            .filterNot(_.isNull).map(_.asLong))
-      }.nextOption()
-      val tsMillis = ict.getOrElse(st.getModificationTime)
-      val tsCol = lit(new java.sql.Timestamp(tsMillis))
-
-      def stamp(df: DataFrame): DataFrame = df
-        .withColumn(COMMIT_VERSION, lit(v))
-        .withColumn(COMMIT_TIMESTAMP, tsCol)
-
-      val fc = classifyActions(lines)
+    parsed.foreach { case (v, ts, fc) =>
+      val c = consts(v, ts)
       if (fc.cdcs.nonEmpty) {
-        // cdc files supersede add/remove for this commit
-        val asAdds = fc.cdcs.map(c => AddFile(c.path, c.partitionValues,
-          c.size, 0L, dataChange = false))
-        out += stamp(scan.assemble(asAdds, keepMeta = false,
-          extraPhysical = Seq(StructField(CHANGE_TYPE, StringType))))
+        // cdc files supersede add/remove for this commit; they carry
+        // _change_type physically and never have DVs
+        fc.cdcs.foreach(cd => cdcFiles += ((AddFile(cd.path,
+          cd.partitionValues, cd.size, 0L, dataChange = false), c)))
       } else {
-        val addByPath = fc.addByPath
-        val remByPath = fc.remByPath
-        val pairPaths = fc.pairPaths
+        fc.plainAdds.filter(a => keepAdd.forall(_((v, a.path))))
+          .foreach(a => insertFiles += ((v, a, c)))
+        fc.plainRemoves.foreach(r => deleteFiles += ((v, removeAsAdd(r), c)))
 
-        val plainAdds = fc.plainAdds
-          .filter(a => keepAdd.forall(_((v, a.path))))
-        val plainRemoves = fc.plainRemoves
-        if (plainAdds.nonEmpty)
-          out += stamp(scan.assemble(plainAdds, keepMeta = false)
-            .withColumn(CHANGE_TYPE, lit("insert")))
-        if (plainRemoves.nonEmpty) {
-          val asAdds = plainRemoves.map(removeAsAdd)
-          out += stamp(scan.assemble(asAdds, keepMeta = false)
-            .withColumn(CHANGE_TYPE, lit("delete")))
-        }
-
-        if (pairPaths.nonEmpty) {
-          // DV swap resolution (resolve_dvs.rs): the pre/post diff is
-          // computed at BITMAP level (andNot) and shipped to executors
-          // as compressed bytes — row-index sets never materialize on
-          // the driver, and the rows are selected by an in-scan mask
-          // probe instead of a position join.
-          val swaps = scala.collection.mutable.Map
-            .empty[String, (Array[Byte], Array[Byte])]
-          val pairFiles = ArrayBuffer.empty[AddFile]
-          pairPaths.toSeq.sorted.foreach { p =>
-            val a = addByPath(p)
-            val r = remByPath(p)
-            val addB = a.deletionVector
-              .map(DeletionVectors.readBitmapBytes(_, root, conf))
-              .getOrElse(DeletionVectors.emptyBitmap)
-            val rmB = r.deletionVector
-              .map(DeletionVectors.readBitmapBytes(_, root, conf))
-              .getOrElse(DeletionVectors.emptyBitmap)
-            val restored = DeletionVectors.andNotBitmaps(rmB, addB)
-            val deleted = DeletionVectors.andNotBitmaps(addB, rmB)
-            if (DeletionVectors.cardinality(restored) > 0 ||
-                DeletionVectors.cardinality(deleted) > 0) {
-              pairFiles += a.copy(deletionVector = None)
-              val abs = fs.makeQualified(
-                Storage.childPath(root, Storage.decodeUriPath(p)))
-                .toUri.getPath
-              swaps(abs) = (restored, deleted)
-            }
-          }
-          if (pairFiles.nonEmpty) {
-            val bc = spark.sparkContext.broadcast(
-              new DvSwapMasks(swaps.toMap))
-            val tag = org.apache.spark.sql.graft.StreamingShim.column(
-              DvChangeExpr(
-                org.apache.spark.sql.catalyst.analysis
-                  .UnresolvedAttribute("__path"),
-                org.apache.spark.sql.catalyst.analysis
-                  .UnresolvedAttribute("__ridx"),
-                bc))
-            val rows = scan.assemble(pairFiles.toSeq, keepMeta = true)
-              .withColumn(CHANGE_TYPE, tag)
-              .filter(col(CHANGE_TYPE).isNotNull)
-              .drop("__path", "__ridx")
-            out += stamp(rows)
+        // DV swap resolution (resolve_dvs.rs): the pre/post diff is
+        // computed at BITMAP level (andNot) and shipped to executors
+        // as compressed bytes — row-index sets never materialize on
+        // the driver, and the rows are selected by an in-scan mask
+        // probe instead of a position join. Masks key on
+        // (version, path): the same file can be swapped by several
+        // in-range commits and all share the single pair arm.
+        fc.pairPaths.toSeq.sorted.foreach { p =>
+          val a = fc.addByPath(p)
+          val r = fc.remByPath(p)
+          val addB = a.deletionVector
+            .map(DeletionVectors.readBitmapBytes(_, root, conf))
+            .getOrElse(DeletionVectors.emptyBitmap)
+          val rmB = r.deletionVector
+            .map(DeletionVectors.readBitmapBytes(_, root, conf))
+            .getOrElse(DeletionVectors.emptyBitmap)
+          val restored = DeletionVectors.andNotBitmaps(rmB, addB)
+          val deleted = DeletionVectors.andNotBitmaps(addB, rmB)
+          if (DeletionVectors.cardinality(restored) > 0 ||
+              DeletionVectors.cardinality(deleted) > 0) {
+            pairFiles += ((a.copy(deletionVector = None), c))
+            val abs = fs.makeQualified(
+              Storage.childPath(root, Storage.decodeUriPath(p)))
+              .toUri.getPath
+            swaps(s"$v:$abs") = (restored, deleted)
           }
         }
       }
     }
+
+    // A path may recur across commits in ONE arm with a DIFFERENT DV
+    // descriptor (re-add after restore; repeat remove of a DV'd file):
+    // the shared arm's live-row masks key by path only, so conflicting
+    // repeats spill into per-version overflow arms — vanishingly rare,
+    // and the main plan stays commit-count-independent.
+    def splitDvConsistent(
+        files: Seq[(Long, AddFile, Map[String, String])])
+        : Seq[Seq[(AddFile, Map[String, String])]] = {
+      val seen = scala.collection.mutable.Map
+        .empty[String, Option[DeletionVectorDescriptor]]
+      val main = ArrayBuffer.empty[(AddFile, Map[String, String])]
+      val overflow = scala.collection.mutable.LinkedHashMap
+        .empty[Long, ArrayBuffer[(AddFile, Map[String, String])]]
+      files.foreach { case (v, a, c) =>
+        seen.get(a.path) match {
+          case Some(d) if d != a.deletionVector =>
+            overflow.getOrElseUpdate(v, ArrayBuffer.empty) += ((a, c))
+          case _ =>
+            seen(a.path) = a.deletionVector
+            main += ((a, c))
+        }
+      }
+      (if (main.nonEmpty) Seq(main.toSeq) else Nil) ++
+        overflow.valuesIterator.map(_.toSeq)
+    }
+
+    val out = ArrayBuffer.empty[DataFrame]
+    def finish(df: DataFrame): DataFrame = df
+      .withColumn(COMMIT_TIMESTAMP, timestamp_millis(col(TS_MS)))
+      .drop(TS_MS)
+
+    if (cdcFiles.nonEmpty)
+      out += finish(scan.assembleWithConstants(cdcFiles.toSeq, constSchema,
+        keepMeta = false,
+        extraPhysical = Seq(StructField(CHANGE_TYPE, StringType))))
+    splitDvConsistent(insertFiles.toSeq).foreach { arm =>
+      out += finish(scan.assembleWithConstants(arm, constSchema,
+          keepMeta = false)
+        .withColumn(CHANGE_TYPE, lit("insert")))
+    }
+    splitDvConsistent(deleteFiles.toSeq).foreach { arm =>
+      out += finish(scan.assembleWithConstants(arm, constSchema,
+          keepMeta = false)
+        .withColumn(CHANGE_TYPE, lit("delete")))
+    }
+    if (pairFiles.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(new DvSwapMasks(swaps.toMap))
+      val tag = org.apache.spark.sql.graft.StreamingShim.column(
+        DvChangeAtExpr(
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq(COMMIT_VERSION)),
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq("__path")),
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq("__ridx")),
+          bc))
+      out += finish(scan.assembleWithConstants(pairFiles.toSeq, constSchema,
+          keepMeta = true)
+        .withColumn(CHANGE_TYPE, tag)
+        .filter(col(CHANGE_TYPE).isNotNull)
+        .drop("__path", "__ridx"))
+    }
+
 
     val cdfCols = Seq(CHANGE_TYPE, COMMIT_VERSION, COMMIT_TIMESTAMP)
     val outCols = endSnap.schema.fieldNames.toSeq ++ cdfCols

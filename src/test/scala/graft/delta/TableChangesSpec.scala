@@ -368,4 +368,144 @@ class TableChangesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("incompatible schema change"),
       e2.getMessage)
   }
+
+  test("CDF range plan is commit-count INDEPENDENT: one scan arm per " +
+      "change class, commit version/timestamp served as per-file " +
+      "constants") {
+    val dir = TestSpark.tmpDir("cdf-arms")
+    val src = (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    // 12 insert commits + 2 cdc delete commits
+    (0 until 12).foreach { i =>
+      t.append(src.filter($"k" > i * 5L && $"k" <= (i + 1) * 5L)
+        .coalesce(1))
+    }
+    t.deleteWhere("k = 1")  // v13, cdc
+    t.deleteWhere("k = 2")  // v14, cdc
+
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // both ranges hold the same change CLASSES (insert + cdc); the
+    // wide one spans 3.5x the commits — the plan must not grow
+    val narrow = TableChanges.read(spark, dir, 11, Some(14))
+    val wide = TableChanges.read(spark, dir, 1, Some(14))
+    assert(scanCount(narrow) == scanCount(wide),
+      s"narrow=${scanCount(narrow)} wide=${scanCount(wide)}")
+    assert(scanCount(wide) <= 3, wide.queryExecution.executedPlan
+      .toString.take(1500))
+
+    // the collapsed arms still stamp the RIGHT per-commit constants
+    val byV = wide.filter($"_change_type" === "insert")
+      .groupBy("_commit_version").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV == (1L to 12L).map(_ -> 5L).toMap, byV)
+    // timestamps constant per commit, distinct across commits
+    assert(wide.select("_commit_version", "_commit_timestamp")
+      .distinct().count() == 14)
+    // cdc rows flow with their own versions
+    assert(wide.filter($"_change_type" === "delete")
+      .select("k", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 13L), (2L, 14L)))
+  }
+
+  test("a DV swap on the SAME file in two in-range commits resolves " +
+      "each commit's own diff (version-keyed masks in the shared arm)") {
+    val dir = TestSpark.tmpDir("cdf-dv2")
+    val src = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, configuration = cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.coalesce(1))     // v1: ONE file
+    t.deleteWhereDV("k <= 3")     // v2: DV swap on that file
+    t.deleteWhereDV("k >= 18")    // v3: second swap, SAME file
+
+    val cdf = TableChanges.read(spark, dir, 2, Some(3))
+    val got = cdf.select("k", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == ((1L to 3L).map(k => (k, "delete", 2L)) ++
+      (18L to 20L).map(k => (k, "delete", 3L))).toSet, got)
+  }
+
+  test("one commit-JSON parse per commit per read — prune and emission " +
+      "share the single pass (pinned via CdfCommitParsed metrics)") {
+    val dir = TestSpark.tmpDir("cdf-1parse")
+    val src = (1 to 30).map(i => (i.toLong, s"p${i % 3}")).toDF("k", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"), cdfConf)
+    val t = DeltaTable.forPath(spark, dir)
+    (0 until 5).foreach(i =>
+      t.append(src.filter($"k" % 5 === i.toLong)))
+    t.deleteWhere("k = 7")
+
+    val rep = new InMemoryReporter
+    val prev = Metrics.reporter
+    Metrics.reporter = rep
+    try {
+      // predicate path: round 9 parsed every commit TWICE here
+      TableChanges.read(spark, dir, 1, Some(6), Some("p = 'p1'")).collect()
+      val parses = rep.events.collect {
+        case MetricEvent.CdfCommitParsed(_, _, v) => v }
+      assert(parses.sorted == (1L to 6L), parses)
+    } finally Metrics.reporter = prev
+  }
+
+  test("an in-range physicalName flip on a struct field NESTED INSIDE " +
+      "AN ARRAY fails the CDF read (guard recurses through containers)") {
+    val dir = TestSpark.tmpDir("cdf-phys-arr")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("x",
+              org.apache.spark.sql.types.LongType)))))))
+    DeltaTable.create(spark, dir, schema, configuration = cdfConf ++
+      Map("delta.columnMapping.mode" -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    val rows = spark.range(1, 4)
+      .selectExpr("id as k", "array(named_struct('x', id * 10)) as arr")
+    t.append(rows) // v1
+
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(new org.apache.hadoop.fs.Path(dir))
+    val origMeta = t.snapshot().metadata
+    // flip the physicalName of arr.element.x — NOT a top-level field
+    val annotated = t.snapshot().schema
+    val arrF = annotated.fields.find(_.name == "arr").get
+    val elemStruct = arrF.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val xF = elemStruct.fields.head
+    val flippedX = xF.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(xF.metadata)
+        .putString("delta.columnMapping.physicalName", "col-flipped")
+        .build())
+    val flippedSchema = org.apache.spark.sql.types.StructType(
+      annotated.fields.map { f =>
+        if (f.name != "arr") f
+        else f.copy(dataType = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Array(flippedX)),
+          arrF.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .containsNull))
+      })
+    val flipped = origMeta.copy(schemaString = flippedSchema.json)
+    def metaLine(m: Metadata): String =
+      JsonLog.writeAction(SingleAction(metaData = Some(m)))
+    Storage.put(fs, FileNames.commitFile(logDir, 2L),
+      metaLine(flipped) + "\n")
+    Storage.put(fs, FileNames.commitFile(logDir, 3L),
+      metaLine(origMeta) + "\n")
+    assert(t.snapshot().version == 3L)
+
+    val e = intercept[Exception] {
+      TableChanges.read(spark, dir, 1, Some(3)).collect()
+    }
+    assert(e.getMessage.contains("physical name"), e.getMessage)
+    assert(TableChanges.read(spark, dir, 1, Some(1)).count() == 3)
+  }
 }

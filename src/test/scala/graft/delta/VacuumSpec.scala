@@ -148,4 +148,39 @@ class VacuumSpec extends AnyFunSuite {
     // time travel to the pre-delete version still works
     assert(t.snapshot(Some(1L)).toDF.count() == 50)
   }
+
+  test("fsckRepair: an absolute-URI add in a SIBLING directory whose " +
+      "name extends the table root is probed directly — never judged " +
+      "missing by the root-only listing") {
+    val dir = TestSpark.tmpDir("fsckroot")
+    val src = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.filter($"k" <= 7).coalesce(1)) // v1
+
+    // a LIVE parquet file in sibling `<dir>2` — the sibling path
+    // starts with the root string but is NOT under the root
+    val sib = dir + "2"
+    src.filter($"k" > 7).coalesce(1).write.parquet(sib)
+    val fs = Storage.fs(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val sibFile = fs.listStatus(new org.apache.hadoop.fs.Path(sib))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val abs = fs.makeQualified(sibFile)
+    val st = fs.getFileStatus(abs)
+    // v2: shallow-clone-style add by absolute URI
+    val add = AddFile(abs.toString, Map.empty, st.getLen,
+      st.getModificationTime, dataChange = true)
+    val logDir = FileNames.logDir(new org.apache.hadoop.fs.Path(dir))
+    Storage.put(fs, FileNames.commitFile(logDir, 2L),
+      JsonLog.writeAction(SingleAction(add = Some(add))) + "\n")
+    assert(t.toDF.count() == 10) // sibling rows read fine
+
+    // the sibling file EXISTS: fsck must not report (or tombstone) it.
+    // Pre-fix, `startsWith(rootUri)` matched `<dir>2/...` against the
+    // root-only listing and a non-dry-run FSCK removed live data.
+    assert(t.fsckRepair(dryRun = true).isEmpty)
+    assert(t.fsckRepair().isEmpty)
+    assert(t.toDF.count() == 10)
+  }
 }
