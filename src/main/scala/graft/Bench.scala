@@ -98,11 +98,18 @@ object Bench {
       try graft.bench.ExpressionBench.run(spark)
       catch { case _: Throwable => Map.empty[String, Double] }
     }
+    // shuffle-skew canary at the sf1 stand-in (amplified sf0.1): one
+    // run — the gauge is a plan-shape property, not a drift tracker
+    val skewRun =
+      try graft.bench.SkewCanary.run(spark, sfDir)
+      catch { case _: Throwable =>
+        Map("skew_canary_minhash_sf1" -> -1.0,
+          "skew_ratio_minhash_sf1" -> -1.0) }
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
     val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(exprRuns) ++
-      agg(meta5mRuns) ++ qTimes.toMap
+      agg(meta5mRuns) ++ agg(Seq(skewRun)) ++ qTimes.toMap
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
     val all = medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -119,10 +126,12 @@ object Bench {
         ",\"n\":" + ok.size + err + "}"
     }.mkString("{", ",", "}")
     // the headline total sums SECONDS only — non-time gauges (the _mb_
-    // heap metric) report in `queries`/`stats` but must not pollute it
+    // heap metric, the skew _ratio_ canary) report in `queries`/`stats`
+    // but must not pollute it
     val total =
       if (all.nonEmpty)
-        all.filterNot(_._1.contains("_mb_")).values.sum
+        all.filterNot(kv => kv._1.contains("_mb_") ||
+          kv._1.contains("_ratio_")).values.sum
       else 0.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}"""
@@ -139,7 +148,7 @@ object Bench {
     val headlineKeys = all.keys.filter(k =>
       k.startsWith("snapshot_") || k.startsWith("replay_") ||
       k.startsWith("plan_df_") || k.startsWith("wl_") ||
-      k.contains("_mb_")).toSeq
+      k.startsWith("skew_") || k.contains("_mb_")).toSeq
     val slowest = all.view.filterKeys(k => !headlineKeys.contains(k))
       .toSeq.sortBy(-_._2).take(12).map(_._1)
     val compact = (headlineKeys ++ slowest).sorted.distinct

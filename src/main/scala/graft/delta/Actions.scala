@@ -88,7 +88,12 @@ case class CommitInfo(
     operation: String,
     operationParameters: Map[String, String] = Map.empty,
     engineInfo: Option[String] = None,
-    inCommitTimestamp: Option[Long] = None)
+    inCommitTimestamp: Option[Long] = None,
+    /** Opaque caller-supplied id joining this commit to the caller's
+      * own request/operation id (reference transaction/mod.rs
+      * `with_correlation_id`, #2834). Never interpreted.
+      */
+    correlationId: Option[String] = None)
 
 case class AddCDCFile(
     path: String,

@@ -193,9 +193,20 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
   private[graft] def collectAddFiles(slim: Boolean): Seq[AddFile] = {
     val t0 = Metrics.now()
     val df = if (!slim) filesDF else slimFilesDF
-    val out = df.select("add.*").collect().toSeq.map(RowCodec.rowToAdd)
+    val proj = df.select("add.*")
+    // force optimization + physical planning so planNs/execNs cleanly
+    // partition the total (AQE may still re-plan during execution)
+    proj.queryExecution.executedPlan
+    val tPlan = Metrics.now()
+    val out = proj.collect().toSeq.map(RowCodec.rowToAdd)
+    val tEnd = Metrics.now()
+    val (scanMs, dedupMs, pipeMs) =
+      DeltaScan.execPhaseMetrics(proj.queryExecution)
     Metrics.report(MetricEvent.ScanFilesCollected(Metrics.newId(),
-      Metrics.now() - t0, out.size, predicateSql, slim))
+      tEnd - t0, out.size, predicateSql, slim,
+      planNs = tPlan - t0, execNs = tEnd - tPlan,
+      scanExecMs = scanMs, dedupExecMs = dedupMs,
+      pipelineExecMs = pipeMs))
     out
   }
 
@@ -445,4 +456,39 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
 
   private def quoteName(name: String): String =
     "`" + name.replace("`", "``") + "`"
+}
+
+object DeltaScan {
+
+  /** Harvest executor-attributed phase times from an executed plan's
+    * SQL metrics (reference ScanMetadataCompleted's per-phase
+    * durations, kernel/src/metrics/events.rs): parquet `scanTime`,
+    * aggregation-build time of the replay dedup (`aggTime`), and
+    * whole-stage `pipelineTime` covering the fused stats-parse +
+    * skip-filter pipeline. All in ms, summed across tasks; a phase
+    * absent from the plan reports 0.
+    */
+  private[delta] def execPhaseMetrics(
+      qe: org.apache.spark.sql.execution.QueryExecution)
+      : (Long, Long, Long) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val seen = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      seen += p
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    try walk(qe.executedPlan) catch { case _: Exception => () }
+    def sumOf(pred: SparkPlan => Boolean, name: String): Long =
+      seen.iterator.filter(pred).flatMap(_.metrics.collect {
+        case (n, m) if n == name && m.value > 0 => m.value
+      }).sum
+    (sumOf(_.isInstanceOf[FileSourceScanExec], "scanTime"),
+      sumOf(_.nodeName.toLowerCase.contains("aggregate"), "aggTime"),
+      sumOf(_.isInstanceOf[WholeStageCodegenExec], "pipelineTime"))
+  }
 }

@@ -16,8 +16,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 class DeltaTable(val spark: SparkSession, val pathStr: String,
     val catalog: Option[CatalogClient] = None,
-    committerOverride: Option[Committer] = None) {
+    committerOverride: Option[Committer] = None,
+    val correlationId: Option[String] = None) {
   val root = new Path(pathStr)
+
+  /** Handle whose commits carry an opaque caller-supplied correlation
+    * id in their commitInfo (reference transaction/mod.rs
+    * `with_correlation_id`, #2834) — joins the table's commits to the
+    * caller's own request/operation id in the log and in
+    * [[historyDetail]]. An empty id is treated as unset.
+    */
+  def withCorrelationId(id: String): DeltaTable =
+    new DeltaTable(spark, pathStr, catalog, committerOverride,
+      Option(id).filter(_.nonEmpty))
   private def hconf = spark.sessionState.newHadoopConf()
   private def fs = Storage.fs(root, hconf)
   private val logDir = FileNames.logDir(root)
@@ -233,7 +244,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     JsonLog.writeAction(SingleAction(commitInfo = Some(CommitInfo(
       timestamp = now(), operation = op, operationParameters = params,
       engineInfo = Some("graft-spark/0.1.0"),
-      inCommitTimestamp = ict))))
+      inCommitTimestamp = ict,
+      correlationId = correlationId))))
 
   /** Where the commit for `version` lives: the catalog's ratified
     * staged file when one exists (it is the authority — the published
@@ -1069,7 +1081,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         schemaString = GeoTypes.toSchemaString(df.schema)))
     } else None
     val snap = newMeta.fold(snap0)(m =>
-      new Snapshot(spark, snap0.tableRoot, snap0.segment, snap0.protocol, m))
+      new Snapshot(spark, snap0.tableRoot, snap0.segment, snap0.protocol, m,
+        snap0.builtAsLatest))
     enforceNoExtraColumns(df, snap)
     val existing = new DeltaScan(snap0, None).collectAddFiles(slim = true)
     val stagedRaw = stageFiles(df, snap,
@@ -3216,7 +3229,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
   // ---------------- history / time travel ----------------
 
   /** (version, file-or-in-commit timestamp millis, operation). */
-  def history(): Seq[(Long, Long, String)] = {
+  def history(): Seq[(Long, Long, String)] =
+    historyDetail().map { case (v, ts, op, _) => (v, ts, op) }
+
+  /** history() plus the commit's caller-supplied correlation id
+    * (#2834) when its commitInfo carries one.
+    */
+  def historyDetail(): Seq[(Long, Long, String, Option[String])] = {
     Storage.listSorted(fs, logDir).flatMap { st =>
       FileNames.parse(st.getPath) match {
         case Some(FileNames.CommitFile(v, p)) =>
@@ -3228,9 +3247,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
                 val ts = Option(ci.get("inCommitTimestamp"))
                   .filterNot(_.isNull).map(_.asLong)
                   .getOrElse(st.getModificationTime)
-                (ts, Option(ci.get("operation")).map(_.asText).getOrElse(""))
-            }.getOrElse((st.getModificationTime, ""))
-          Some((v, op._1, op._2))
+                (ts, Option(ci.get("operation")).map(_.asText).getOrElse(""),
+                  Option(ci.get("correlationId")).filterNot(_.isNull)
+                    .map(_.asText))
+            }.getOrElse((st.getModificationTime, "", None))
+          Some((v, op._1, op._2, op._3))
         case _ => None
       }
     }
@@ -3636,7 +3657,8 @@ object DeltaTable {
       configuration: Map[String, String] = Map.empty,
       name: Option[String] = None,
       clusterBy: Seq[String] = Nil,
-      catalog: Option[CatalogClient] = None): DeltaTable = {
+      catalog: Option[CatalogClient] = None,
+      correlationId: Option[String] = None): DeltaTable = {
     require(partitionColumns.forall(schema.fieldNames.contains),
       "partition column not in schema")
     // ANSI interval columns may exist in the schema but cannot key the
@@ -3668,7 +3690,9 @@ object DeltaTable {
           s"(${schema(c).dataType.simpleString}) — clustering would " +
           "never help skipping")
     }
-    val t = new DeltaTable(spark, path, catalog)
+    val t = new DeltaTable(spark, path, catalog,
+      committerOverride = None,
+      correlationId = correlationId.filter(_.nonEmpty))
     // catalog-managed tables REQUIRE in-commit timestamps (reference
     // table_features CATALOG_MANAGED_INFO feature dependency — file
     // mtimes of staged commits are meaningless to readers)
@@ -3805,7 +3829,8 @@ object DeltaTable {
         createTs, "CREATE TABLE",
         Map("partitionBy" -> partitionColumns.mkString(",")),
         Some("graft-spark/0.1.0"),
-        inCommitTimestamp = if (wantsIct) Some(createTs) else None)))),
+        inCommitTimestamp = if (wantsIct) Some(createTs) else None,
+        correlationId = t.correlationId)))),
       JsonLog.writeAction(SingleAction(protocol = Some(protocol))),
       JsonLog.writeAction(SingleAction(metaData = Some(meta)))) ++
       (if (wantsRowTracking)

@@ -152,6 +152,49 @@ object HttpCatalogProtocol {
     */
   def etag(maxRatified: Option[Long]): String =
     "v" + maxRatified.map(_.toString).getOrElse("none")
+
+  /** Provider-typed credential config keys for a storage prefix
+    * (reference credentials.rs `StorageCredential::config` docs:
+    * `s3.access-key-id` / `s3.secret-access-key` / `s3.session-token`
+    * for AWS, `azure.sas-token` for ADLS/Blob, `gcs.oauth-token` for
+    * GCS; empty for local/file storage). `seed` derives deterministic
+    * loopback-only fake secrets — this test catalog never vends real
+    * cloud credentials.
+    */
+  def cloudCredentialConfig(prefix: String,
+      seed: String): Map[String, String] = {
+    val scheme = prefix.takeWhile(_ != ':').toLowerCase
+    def fake(kind: String): String =
+      java.util.UUID.nameUUIDFromBytes(
+        (kind + ":" + seed).getBytes(UTF_8)).toString.replace("-", "")
+    scheme match {
+      case "s3" | "s3a" => Map(
+        "s3.access-key-id" -> ("ASIA" + fake("ak").take(16).toUpperCase),
+        "s3.secret-access-key" -> fake("sk"),
+        "s3.session-token" -> fake("st"))
+      case "abfs" | "abfss" | "wasb" | "wasbs" => Map(
+        "azure.sas-token" -> ("sv=2020-08-04&sig=" + fake("sas")))
+      case "gs" => Map("gcs.oauth-token" -> ("ya29." + fake("oa")))
+      case _ => Map.empty
+    }
+  }
+
+  /** Parse one wire `storage-credentials` element into the typed
+    * [[StorageCredential]] (reference credentials.rs deserialization:
+    * `expiration-time-ms` nullable/absent, `config` a flat string map).
+    */
+  def parseStorageCredential(
+      n: com.fasterxml.jackson.databind.JsonNode): StorageCredential = {
+    val cfg = Option(n.get("config")).filterNot(_.isNull).map { c =>
+      c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    StorageCredential(
+      n.get("prefix").asText,
+      n.get("operation").asText,
+      Option(n.get("expiration-time-ms")).filterNot(_.isNull)
+        .map(_.asLong),
+      cfg)
+  }
 }
 
 /** A vended temporary storage credential (reference credentials.rs
@@ -325,7 +368,13 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
     cred.put("prefix", prefix + "/")
     cred.put("operation", op)
     cred.put("expiration-time-ms", expiry)
-    cred.putObject("config").put("token", token)
+    // provider-typed config keys for the table's storage scheme
+    // (credentials.rs config conventions), plus the loopback bearer
+    // token this test server's data-plane auth actually checks
+    val cfg = cred.putObject("config")
+    HttpCatalogProtocol.cloudCredentialConfig(prefix, token)
+      .foreach { case (k, v) => cfg.put(k, v) }
+    cfg.put("token", token)
     cred
   }
 
@@ -681,6 +730,11 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
 
   /** (token, expiryMs) of the current temporary credential. */
   @volatile private var cred: Option[(String, Long)] = None
+  /** The last fully-typed vended credential (prefix, operation,
+    * expiry, provider config) — the reference client's
+    * `CredentialsResponse` surface; `toString` redacts the config.
+    */
+  @volatile var lastCredential: Option[StorageCredential] = None
   /** How many credentials this client has vended (tests assert
     * mid-stream renewal happened).
     */
@@ -725,9 +779,12 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
     require(resp.statusCode == 200,
       s"credential vending failed: HTTP ${resp.statusCode}: ${resp.body}")
     val c = mapper.readTree(resp.body).get("storage-credentials").get(0)
-    val token = c.get("config").get("token").asText
-    val expiry = Option(c.get("expiration-time-ms"))
-      .filterNot(_.isNull).map(_.asLong).getOrElse(Long.MaxValue)
+    val typed = HttpCatalogProtocol.parseStorageCredential(c)
+    lastCredential = Some(typed)
+    val token = typed.config.getOrElse("token",
+      throw new IllegalStateException(
+        "vended credential carries no loopback token"))
+    val expiry = typed.expirationTimeMs.getOrElse(Long.MaxValue)
     credentialRenewals += 1
     val v = (token, expiry)
     cred = Some(v)

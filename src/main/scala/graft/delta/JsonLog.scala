@@ -105,7 +105,8 @@ object JsonLog {
     "operation" -> Some(jstr(c.operation)),
     "operationParameters" -> Some(jmap(c.operationParameters)),
     "engineInfo" -> c.engineInfo.map(jstr),
-    "inCommitTimestamp" -> c.inCommitTimestamp.map(_.toString))
+    "inCommitTimestamp" -> c.inCommitTimestamp.map(_.toString),
+    "correlationId" -> c.correlationId.map(jstr))
 
   def writeCdc(c: AddCDCFile): String = obj(
     "path" -> Some(jstr(c.path)),

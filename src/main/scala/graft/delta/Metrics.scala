@@ -45,10 +45,28 @@ object MetricEvent {
   /** Scan file listing resolved (reference events.rs
     * ScanMetadataCompleted): how many live files survive partition
     * pruning + stats skipping for the scan's predicate.
+    *
+    * Per-phase sub-durations (reference ScanMetadataCompleted's
+    * `dedup_visitor_time` / `predicate_eval_time`, CHANGELOG #2850),
+    * adapted to Spark's execution model where replay-dedup, stats
+    * parse and skip-eval run FUSED inside one distributed job:
+    *  - `planNs` + `execNs` partition `durationNs` on the driver
+    *    (plan = Catalyst analysis/optimization/physical planning;
+    *    exec = the distributed job + row decode),
+    *  - `scanExecMs` / `dedupExecMs` / `pipelineExecMs` are
+    *    executor-attributed SQL-metric times harvested from the
+    *    executed plan (parquet scan time, aggregation-build time of
+    *    the replay dedup, whole-stage pipeline time covering the
+    *    stats parse + skip filter). Executor times are summed across
+    *    tasks, so they may exceed wall-clock on a parallel scan;
+    *    -1 = not measured on this path.
     */
   case class ScanFilesCollected(operationId: String, durationNs: Long,
       numFiles: Int, predicate: Option[String],
-      slim: Boolean = false) extends MetricEvent
+      slim: Boolean = false,
+      planNs: Long = -1L, execNs: Long = -1L,
+      scanExecMs: Long = -1L, dedupExecMs: Long = -1L,
+      pipelineExecMs: Long = -1L) extends MetricEvent
 
   /** A version checksum served the P&M fast path (reference events.rs
     * CrcReadSuccess).

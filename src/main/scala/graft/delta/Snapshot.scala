@@ -20,7 +20,15 @@ class Snapshot(
     val tableRoot: Path,
     val segment: LogSegment,
     val protocol: Protocol,
-    val metadata: Metadata) {
+    val metadata: Metadata,
+    /** Best-effort "built as latest at build time" INTENT flag
+      * (reference snapshot/mod.rs `built_as_latest`, #2905): true when
+      * no explicit time-travel version was requested, or the requested
+      * version equals the catalog's max ratified version. Build
+      * metadata only — a later commit can stale it immediately, and it
+      * never participates in snapshot content equality.
+      */
+    val builtAsLatest: Boolean = false) {
 
   val version: Long = segment.version
   lazy val schema: StructType = metadata.schema
@@ -602,10 +610,14 @@ object Snapshot {
     // (builder.rs effective_version)
     val effectiveVersion = version.orElse(maxCatalogVersion)
 
+    // latest INTENT (builder.rs:265-267): no explicit time-travel
+    // version, or exactly the catalog's max ratified version
+    val builtAsLatest = version.isEmpty || version == maxCatalogVersion
+
     val opId = Metrics.newId()
     val t0 = Metrics.now()
     try forTableTimed(spark, tablePath, effectiveVersion, logTail,
-      hasCatalog, opId, t0)
+      hasCatalog, opId, t0, builtAsLatest)
     catch {
       case e: Exception =>
         Metrics.report(MetricEvent.SnapshotBuildFailure(opId,
@@ -616,7 +628,8 @@ object Snapshot {
 
   private def forTableTimed(spark: SparkSession, tablePath: String,
       effectiveVersion: Option[Long], logTail: Seq[CatalogCommit],
-      hasCatalog: Boolean, opId: String, t0: Long): Snapshot = {
+      hasCatalog: Boolean, opId: String, t0: Long,
+      builtAsLatest: Boolean): Snapshot = {
     val root = new Path(tablePath)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(root, conf)
@@ -631,7 +644,8 @@ object Snapshot {
     Checksum.read(fs, logDir, segment.version).foreach { c =>
       Metrics.report(MetricEvent.CrcReadSuccess(opId, segment.version))
       val s = gated(
-        new Snapshot(spark, root, segment, c.protocol, c.metadata),
+        new Snapshot(spark, root, segment, c.protocol, c.metadata,
+          builtAsLatest),
         hasCatalog)
       Metrics.report(MetricEvent.SnapshotBuildSuccess(opId,
         Metrics.now() - t0, segment.version, "crc"))
@@ -684,7 +698,8 @@ object Snapshot {
       s"no protocol action found for $tablePath@${segment.version}"))
     val m = metadata.getOrElse(throw new IllegalStateException(
       s"no metaData action found for $tablePath@${segment.version}"))
-    val s = gated(new Snapshot(spark, root, segment, p, m), hasCatalog)
+    val s = gated(new Snapshot(spark, root, segment, p, m,
+      builtAsLatest), hasCatalog)
     Metrics.report(MetricEvent.SnapshotBuildSuccess(opId,
       Metrics.now() - t0, segment.version,
       if (pmFromCheckpoint) "checkpoint" else "commit"))
@@ -727,7 +742,9 @@ object Snapshot {
         }
       }
     }
-    gated(new Snapshot(prev.spark, prev.tableRoot, segment, protocol, metadata))
+    // refresh always advances to the current latest (incremental.rs)
+    gated(new Snapshot(prev.spark, prev.tableRoot, segment, protocol,
+      metadata, true))
   }
 
   /** The reader-side protocol gate alone (reference

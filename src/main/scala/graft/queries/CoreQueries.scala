@@ -279,10 +279,14 @@ object CoreQueries {
       }
       mem.addData(ev.filter(_.ts.getTime < cutoff).toIndexedSeq)
       drain()
-      mem.addData(ev.filter(_.ts.getTime >= cutoff).toIndexedSeq)
-      drain()
       // sentinel user -1: pushes the watermark ten years out; its own
-      // session stays open and is never emitted
+      // session stays open and is never emitted. It rides the SAME
+      // restarted run as the second half: the run's trailing no-data
+      // batch fires the event-time timeouts once the watermark jumps,
+      // so a third multi-second query startup buys nothing. Restart
+      // recovery stays exercised — this run resumes from the first
+      // drain's checkpoint with every mid-stream session still open.
+      mem.addData(ev.filter(_.ts.getTime >= cutoff).toIndexedSeq)
       mem.addData(Seq(SessEvent(-1L,
         new java.sql.Timestamp(maxUs + 10L * 365 * 86400 * 1000L), -1L)))
       drain()

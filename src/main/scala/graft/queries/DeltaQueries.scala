@@ -150,13 +150,15 @@ object DeltaQueries {
       val midHourMs = ((lo + hi) / 2) / 3600000L * 3600000L
       val mid = new java.sql.Timestamp(midHourMs)
       val provider = classOf[graft.streaming.DeltaSourceProvider].getName
-      def drain(): Unit = {
+      def drain(opts: Map[String, String] = Map.empty): Unit = {
         // the sentinels flow THROUGH the aggregation (a pre-agg filter
         // would be pushed below the watermark operator and the
         // watermark would never pass the last real window); their
         // window rows are excluded at read-back instead
-        val q = s.readStream.format(provider)
-          .option("path", srcDir).load()
+        var reader = s.readStream.format(provider)
+          .option("path", srcDir)
+        opts.foreach { case (k, v) => reader = reader.option(k, v) }
+        val q = reader.load()
           .withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -177,17 +179,23 @@ object DeltaQueries {
       t.append(ev.filter(col("ts") >= lit(mid)))
       val spark2 = s
       import spark2.implicits._
+      // eviction in a batch uses the watermark of the batches BEFORE
+      // it, so sentinel 1's watermark flushes the tail windows only
+      // when a later batch runs — sentinel 2 provides that batch.
+      // Both sentinels are appended BEFORE the restart and the
+      // restarted run is version-capped to one commit per microbatch,
+      // so the three commits arrive as three ordered batches inside
+      // ONE query run: same watermark sequencing as three separate
+      // restarts, one fewer multi-second query startup. Restart
+      // recovery stays exercised — this run resumes from the first
+      // run's checkpoint with every mid-stream window still open.
       t.append(Seq((-1L, new java.sql.Timestamp(hi + 7200000L),
           "__sentinel", 0.0))
         .toDF("event_id", "ts", "event_type", "value"))
-      drain() // restart 1: checkpoint state + tail versions
-      // eviction in a batch uses the watermark of the batches BEFORE
-      // it, so sentinel 1's watermark flushes the tail windows only
-      // when a later batch runs — sentinel 2 provides that batch
       t.append(Seq((-2L, new java.sql.Timestamp(hi + 14400000L),
           "__sentinel", 0.0))
         .toDF("event_id", "ts", "event_type", "value"))
-      drain() // restart 2: flush every real window
+      drain(Map("maxVersionsPerTrigger" -> "1")) // restart: 3 batches
       DeltaTable.forPath(s, sinkDir).toDF
         .filter(col("event_type") =!= "__sentinel")
         .orderBy(col("window_start"), col("event_type"))
@@ -340,8 +348,18 @@ object DeltaQueries {
       DeltaTable.create(s, dir, all.schema, configuration =
         Map(DeltaTable.ICT_ENABLED_KEY -> "true"))
       val t = DeltaTable.forPath(s, dir)
-      t.append(all.filter(col("l_quantity") < 5))
+      // correlation id (#2834): the caller-supplied id rides in
+      // commitInfo and surfaces through the history read
+      t.withCorrelationId("tt-batch-1")
+        .append(all.filter(col("l_quantity") < 5))
       t.append(all.filter(col("l_quantity") >= 5 && col("l_quantity") < 10))
+      require(t.historyDetail().sortBy(_._1).map(_._4) ==
+        Seq(None, Some("tt-batch-1"), None),
+        "correlation id must surface in the history read")
+      // snapshot latest-intent (#2905)
+      require(t.snapshot().builtAsLatest &&
+        !t.snapshot(Some(1L)).builtAsLatest,
+        "built-as-latest intent must track the requested version")
       val ts1 = graft.delta.CommitRange.forTable(s, dir, 1L, Some(1L))
         .commits().next().timestamp
       require(t.versionAtTimestamp(ts1) == 1L,
@@ -782,6 +800,68 @@ object DeltaQueries {
           col("_commit_version")): _*)
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("_commit_version"), col("_change_type"))
+    }),
+
+    // COLLAPSED wide-range CDF (reference Load file_constant_columns,
+    // kernel/src/plans/ir/nodes.rs:330-472): 12 insert commits + a cdc
+    // delete read in ONE call. The plan must stay commit-count
+    // INDEPENDENT — all insert files share one scan arm with the
+    // commit version/timestamp served as per-file constants — while
+    // every row still stamps its own commit's version. The in-query
+    // require pins the O(1) arm count; the oracle pins the values.
+    "q_delta_cdf_wide" -> ((s, d) => {
+      val dir = tmp("cdfw")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 20)
+      DeltaTable.create(s, dir, src.schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      (0 until 12).foreach(i =>
+        t.append(src.filter(col("l_orderkey") % 12 === i)))
+      t.deleteWhere("l_quantity < 2") // v13: cdc files
+      val cdf = TableChanges.read(s, dir, 1, Some(13))
+      val scans = "Scan parquet".r
+        .findAllIn(cdf.queryExecution.executedPlan.toString).length
+      require(scans <= 3,
+        s"wide CDF range must plan O(1) scan arms, got $scans")
+      cdf.select(liCols.map(col) ++ Seq(col("_change_type"),
+          col("_commit_version")): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("_commit_version"), col("_change_type"))
+    }),
+
+    // AMT content-tree round trip (reference kernel/src/content_tree/):
+    // live adds → tree entries (Delta→Iceberg DV conversion, +8 blob
+    // framing) → parquet node → manifest `checkpoint` action JSON →
+    // parse → stream entries back to adds → assemble. The oracle sees
+    // only the input parquet, so a hash match proves the tree preserves
+    // the exact live file set and row content, with deleted rows still
+    // excluded through the CONVERTED deletion vectors.
+    "q_content_tree" -> ((s, d) => {
+      val dir = tmp("ctree")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 20)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      // two large files: the DV bitmaps must exceed the inline cap —
+      // tree construction rejects inline DVs by design (parity with
+      // dv_conversion.rs), so this row exercises the persisted path
+      t.append(src.repartition(2))
+      t.deleteWhereDV("l_orderkey % 3 = 0")
+      val snap = t.snapshot()
+      val root = graft.delta.ContentTree.writeRoot(snap)
+      val line = graft.delta.AdaptiveMetadata.writeCheckpointAction(
+        graft.delta.AdaptiveMetadata.CheckpointAction(snap.version, root,
+          snap.protocol, snap.metadata, Nil, Nil, Nil, Nil))
+      val parsed = graft.delta.AdaptiveMetadata
+        .parseCheckpointAction(line).get
+      val resolved = parsed.contentRoot.resolve(snap.tableRoot.toString)
+      val rootUri = graft.delta.Storage
+        .fs(snap.tableRoot, s.sessionState.newHadoopConf())
+        .makeQualified(snap.tableRoot).toUri.getPath
+      val adds = graft.delta.ContentTree
+        .addFileIterator(s, resolved, rootUri).toSeq
+      ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
     }),
 
     // CDF read with FILE-LEVEL predicate pushdown (reference
@@ -1535,6 +1615,23 @@ object DeltaQueries {
         |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
         |  TRUE AS files_bounded
         |FROM lineitem WHERE l_linenumber <= 6""".stripMargin,
+
+    "q_delta_cdf_wide" ->
+      s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 20)
+         |SELECT * FROM (
+         |  SELECT *, 'insert' AS _change_type,
+         |         CAST(l_orderkey % 12 + 1 AS BIGINT) AS _commit_version
+         |  FROM src
+         |  UNION ALL
+         |  SELECT *, 'delete', CAST(13 AS BIGINT)
+         |  FROM src WHERE l_quantity < 2
+         |) ORDER BY l_orderkey, l_linenumber, _commit_version,
+         |  _change_type""".stripMargin,
+
+    "q_content_tree" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 20 AND l_orderkey % 3 <> 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_cdf" ->
       s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 10)

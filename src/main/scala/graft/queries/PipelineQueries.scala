@@ -66,13 +66,41 @@ object PipelineQueries {
     * doc_id (bounded: #docs), jaccard join shuffles on shingle.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    shinglesOf(docs(s, d))
+
+  private def shinglesOf(docsDF: DataFrame): DataFrame =
+    docsDF
       .select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(w)-3), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+
+  /** Bench-only SKEW CANARY plan (no oracle): the full minhash
+    * signature → banded-LSH candidate pipeline over the documents
+    * table amplified `amplify`× in-flight — replicas perturb doc_id
+    * but keep TEXT identical, so hot-shingle and hot-band populations
+    * grow with volume exactly as a larger corpus's would. The corpus
+    * ships sf≤0.1, so this is the sf1 stand-in for catching candidate-
+    * generation skew before it matters at 100 TB. The bench harness
+    * measures per-task shuffle-read max/median over this plan.
+    */
+  def minhashPairsAmplified(s: SparkSession, d: String,
+      amplify: Int): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val amp = (0 until amplify).map(i =>
+        base.select((col("doc_id") * amplify + i).as("doc_id"),
+          col("text")))
+      .reduce(_.unionByName(_))
+    val withH = shinglesOf(amp).withColumn("h", expr(s"${h60("sh")} % $P"))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(h * ${a}L + ${b}L) % ${P}L")).as(s"mh$j")
+    }
+    val sigs = withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    graft.ops.Dedup.minhashBandPairs(sigs, "doc_id",
+      (0 until 8).map(i => s"mh$i"), rowsPerBand = 2)
+  }
 
   private val shinglesDuck =
     """WITH wrds AS (

@@ -388,4 +388,30 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(onlyV2.select(TableChanges.COMMIT_VERSION).distinct()
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("correlation id threads into commitInfo and historyDetail; " +
+      "snapshots expose built-as-latest intent") {
+    val dir = TestSpark.tmpDir("corr")
+    val src = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema,
+      correlationId = Some("req-000"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.withCorrelationId("req-123").append(src)        // v1: tagged
+    t.append(src)                                     // v2: untagged
+    t.withCorrelationId("").append(src)               // v3: empty = unset
+
+    val h = t.historyDetail().sortBy(_._1)
+    assert(h.map(_._4) == Seq(Some("req-000"), Some("req-123"),
+      None, None), h)
+    // the 3-tuple history() surface is unchanged
+    assert(t.history().sortBy(_._1).map(_._1) == Seq(0L, 1L, 2L, 3L))
+
+    // built-as-latest INTENT (#2905): latest build vs explicit
+    // time-travel, even to the current tip
+    assert(t.snapshot().builtAsLatest)
+    assert(!t.snapshot(Some(1L)).builtAsLatest)
+    assert(!t.snapshot(Some(3L)).builtAsLatest)
+    // refresh advances to latest
+    assert(Snapshot.refresh(t.snapshot(Some(2L))).builtAsLatest)
+  }
 }

@@ -483,4 +483,66 @@ class HttpCatalogSpec extends AnyFunSuite {
       assert(catB.logTail(dir).isEmpty)
     } finally proc.destroyForcibly()
   }
+
+  test("UC wire: typed temporary-credential shapes — AWS keys for s3 " +
+      "prefixes, azure SAS for abfss, gcs oauth for gs, empty for local") {
+    import HttpCatalogProtocol.cloudCredentialConfig
+    val aws = cloudCredentialConfig("s3://bucket/t", "seed1")
+    assert(aws.keySet == Set("s3.access-key-id", "s3.secret-access-key",
+      "s3.session-token"))
+    assert(aws("s3.access-key-id").startsWith("ASIA"))
+    // deterministic per seed (renewal with a new token rotates keys)
+    assert(cloudCredentialConfig("s3://bucket/t", "seed1") == aws)
+    assert(cloudCredentialConfig("s3://bucket/t", "seed2") != aws)
+
+    val az = cloudCredentialConfig("abfss://c@acct.dfs.example/t", "s")
+    assert(az.keySet == Set("azure.sas-token"))
+    assert(az("azure.sas-token").contains("sig="))
+    assert(cloudCredentialConfig("gs://bucket/t", "s").keySet ==
+      Set("gcs.oauth-token"))
+    assert(cloudCredentialConfig("/local/path", "s").isEmpty)
+    assert(cloudCredentialConfig("file:///local/path", "s").isEmpty)
+  }
+
+  test("UC wire: storage-credential payloads parse to the typed shape " +
+      "(nullable expiration, flat config map, redacting toString)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // reference credentials.rs `credentials_response_decodes_populated_body`
+    val populated = mapper.readTree(
+      """{"prefix":"s3://b/t/","operation":"READ",
+        |"expiration-time-ms":123,
+        |"config":{"s3.access-key-id":"ak","s3.secret-access-key":"sk"}}"""
+        .stripMargin)
+    val cred = HttpCatalogProtocol.parseStorageCredential(populated)
+    assert(cred == StorageCredential("s3://b/t/", "READ", Some(123L),
+      Map("s3.access-key-id" -> "ak", "s3.secret-access-key" -> "sk")))
+    // reference `storage_credential_debug_redacts_config_secrets`
+    assert(!cred.toString.contains("sk") ||
+      cred.toString.contains("redacted"))
+    assert(cred.toString.contains("redacted"))
+
+    // reference `storage_credential_decodes_empty_config_and_absent_expiration`
+    val local = mapper.readTree(
+      """{"prefix":"file:///tmp/t/","operation":"READ_WRITE","config":{}}""")
+    val lc = HttpCatalogProtocol.parseStorageCredential(local)
+    assert(lc.operation == "READ_WRITE" && lc.expirationTimeMs.isEmpty &&
+      lc.config.isEmpty)
+  }
+
+  test("UC wire: the vending endpoint serves the typed shape and the " +
+      "client exposes it; local tables vend token-only config") {
+    val dir = TestSpark.tmpDir("http-cred")
+    val catDir = TestSpark.tmpDir("http-cred-store")
+    withServer(catDir) { server =>
+      val cat = new HttpCatalogClient(server.baseUri)
+      DeltaTable.create(spark, dir, src(1, 1).schema, catalog = Some(cat))
+      DeltaTable.forPath(spark, dir, cat).append(src(1, 5))
+      val c = cat.lastCredential.get
+      assert(c.prefix.startsWith(dir) && c.prefix.endsWith("/"))
+      assert(c.operation == "READ_WRITE")
+      assert(c.expirationTimeMs.exists(_ > System.currentTimeMillis()))
+      // a file-path table has no cloud scheme: only the loopback token
+      assert(c.config.keySet == Set("token"))
+    }
+  }
 }

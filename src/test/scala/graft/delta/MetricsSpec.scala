@@ -54,6 +54,35 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("scan emits per-phase sub-durations: planNs+execNs partition " +
+      "the total; executor-attributed phase times are harvested") {
+    val dir = TestSpark.tmpDir("mx-ph")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      // several commits so the replay-dedup aggregate does real work,
+      // and stats so the skip filter parses JSON
+      (0 until 4).foreach(i => t.append(src(i * 100 + 1, i * 100 + 100)))
+      r.clear()
+
+      val files = new DeltaScan(t.snapshot(), Some("k > 150"))
+        .collectAddFiles()
+      assert(files.nonEmpty)
+      val e = r.events.collect { case s: ScanFilesCollected => s }.head
+      assert(e.predicate.contains("k > 150"))
+      // driver phases partition the wall total (boundary-measured, so
+      // the sum must match the total up to clock-read jitter)
+      assert(e.planNs >= 0 && e.execNs >= 0)
+      assert(math.abs((e.planNs + e.execNs) - e.durationNs) <=
+        math.max(e.durationNs / 100, 2000000L),
+        s"plan=${e.planNs} exec=${e.execNs} total=${e.durationNs}")
+      // executor-attributed phases are measured (>=0), not the -1
+      // "not measured" sentinel of paths that skip the harvest
+      assert(e.scanExecMs >= 0 && e.dedupExecMs >= 0 &&
+        e.pipelineExecMs >= 0)
+    }
+  }
+
   test("commit success counts rebase attempts; typed conflicts report " +
       "failure") {
     val dir = TestSpark.tmpDir("mx-c")
