@@ -277,6 +277,15 @@ object CoreQueries {
           .start()
         q.awaitTermination(180000)
       }
+      // fewer state partitions: one state store commits per shuffle
+      // partition per microbatch — at this volume 32 stores per batch
+      // is fixed cost. Frozen into the checkpoint at first batch; set
+      // before the first drain, restore after the last. The same knob
+      // scales UP with the corpus — state partitioning is capacity
+      // planning, not a constant.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       mem.addData(ev.filter(_.ts.getTime < cutoff).toIndexedSeq)
       drain()
       // sentinel user -1: pushes the watermark ten years out; its own
@@ -290,6 +299,7 @@ object CoreQueries {
       mem.addData(Seq(SessEvent(-1L,
         new java.sql.Timestamp(maxUs + 10L * 365 * 86400 * 1000L), -1L)))
       drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       out.toSeq.toDF()
         .select(col("user_id"), col("start_us"), col("n"),
           col("min_eid"), col("max_eid"), col("dur_us"))

@@ -174,6 +174,16 @@ object DeltaQueries {
           .start()
         q.awaitTermination(180000)
       }
+      // fewer state partitions for the windowed agg: each microbatch
+      // commits one state store PER shuffle partition, and at this
+      // volume (~600k events, hundreds of open windows) 32 stores per
+      // batch is pure fixed cost. The count is FROZEN into the
+      // checkpoint at first batch, so set it before the first drain
+      // and restore after the last. At 100 TB the same knob goes UP —
+      // state partitioning is capacity planning, not a constant.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       t.append(ev.filter(col("ts") < lit(mid)))
       drain()
       t.append(ev.filter(col("ts") >= lit(mid)))
@@ -196,6 +206,7 @@ object DeltaQueries {
           "__sentinel", 0.0))
         .toDF("event_id", "ts", "event_type", "value"))
       drain(Map("maxVersionsPerTrigger" -> "1")) // restart: 3 batches
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       DeltaTable.forPath(s, sinkDir).toDF
         .filter(col("event_type") =!= "__sentinel")
         .orderBy(col("window_start"), col("event_type"))
