@@ -2902,8 +2902,34 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     if (fs.exists(dest)) fs.delete(dest, false)
     fs.rename(part.getPath, dest)
     fs.delete(tmp, true)
+    // Enriched hint (reference last_checkpoint_hint.rs #2777): embed
+    // the v2Checkpoint identity + sidecar refs + non-file actions so
+    // readers can skip opening the top-level checkpoint file entirely.
+    // Oversized lists are OMITTED whole (the read side would drop them
+    // anyway) — the hint stays bounded no matter the table.
+    val destSt = fs.getFileStatus(dest)
+    val scJson =
+      if (sidecars.size > 30) None
+      else Some(sidecars.map(JsonLog.writeSidecar).mkString(
+        "\"sidecarFiles\":[", ",", "],"))
+    val nfa = Seq(
+      s"""{"protocol":${JsonLog.writeProtocol(snap.protocol)}}""",
+      s"""{"metaData":${JsonLog.writeMetadata(snap.metadata)}}""",
+      s"""{"checkpointMetadata":{"version":$v}}""") ++
+      snap.setTransactions.map(t =>
+        s"""{"txn":${JsonLog.writeTxn(t)}}""") ++
+      snap.domainMetadatas.map(d =>
+        s"""{"domainMetadata":${JsonLog.writeDomainMetadata(d)}}""")
+    val nfaJson =
+      if (nfa.size > 30) None
+      else Some(nfa.mkString("\"nonFileActions\":[", ",", "],"))
+    val v2Obj =
+      s"""{${scJson.getOrElse("")}${nfaJson.getOrElse("")}""" +
+        s""""path":"${dest.getName}","sizeInBytes":${destSt.getLen},""" +
+        s""""modificationTime":${destSt.getModificationTime}}"""
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
-      s"""{"version":$v,"size":${nFiles + headRows.size}}""")
+      s"""{"version":$v,"size":${nFiles + headRows.size},""" +
+        s""""sizeInBytes":${destSt.getLen},"v2Checkpoint":$v2Obj}""")
     v
   }
 

@@ -21,7 +21,14 @@ case class LogSegment(
       * entry with isV2=true for a V2 checkpoint
       */
     checkpointParts: Seq[CheckpointFile],
-    checkpointVersion: Option[Long]) {
+    checkpointVersion: Option[Long],
+    /** The `_last_checkpoint` hint as read during assembly (None =
+      * absent/corrupt). Whether its fields may serve this segment is
+      * gated by `hint.appliesTo(checkpointParts)` at every use site —
+      * the hint may describe a different checkpoint than the one
+      * selected (time travel, racing writers).
+      */
+    lastCheckpointHint: Option[LogSegment.LastCheckpointHint] = None) {
 
   /** Plain commit files among the deltas (compat accessor). */
   def commits: Seq[CommitFile] =
@@ -39,12 +46,67 @@ object LogSegment {
     case other => other.version
   }
 
+  /** Non-file actions embedded in a v2Checkpoint hint — what a reader
+    * would otherwise read from the checkpoint's top-level file.
+    */
+  case class HintNonFileActions(
+      protocol: Option[Protocol],
+      metadata: Option[Metadata],
+      txns: Seq[SetTransaction],
+      domainMetadatas: Seq[DomainMetadata],
+      checkpointMetadataVersion: Option[Long])
+
+  /** The `v2Checkpoint` object of a `_last_checkpoint` hint (reference
+    * last_checkpoint_hint.rs `LastCheckpointV2`, #2777): identifies
+    * WHICH V2 checkpoint the hint describes (several can share a
+    * version) and carries its sidecar refs + non-file actions so a
+    * reader can skip opening the top-level checkpoint file entirely.
+    * `sidecarFiles = Some(Nil)` means a LEAF checkpoint (file actions
+    * inlined); `None` means the info was dropped (oversized) — a
+    * missing optimization, never a leaf signal.
+    */
+  case class LastCheckpointV2(
+      path: String,
+      sizeInBytes: Option[Long],
+      modificationTime: Option[Long],
+      sidecarFiles: Option[Seq[Sidecar]],
+      nonFileActions: Option[HintNonFileActions])
+
   case class LastCheckpointHint(version: Long, size: Option[Long],
-      parts: Option[Int])
+      parts: Option[Int],
+      sizeInBytes: Option[Long] = None,
+      numOfAddFiles: Option[Long] = None,
+      checksum: Option[String] = None,
+      v2Checkpoint: Option[LastCheckpointV2] = None) {
+
+    /** Whether this hint describes the checkpoint a segment selected
+      * (reference `applies_to`): version match alone is not enough —
+      * the hint's implied checkpoint identity (uuid filename /
+      * multipart count / classic) must equal the selection's.
+      */
+    def appliesTo(selected: Seq[CheckpointFile]): Boolean =
+      selected.headOption.exists { sel =>
+        version == sel.version && ((v2Checkpoint, parts) match {
+          case (Some(v2), _) => v2.path == sel.path.getName
+          case (None, Some(n)) => n > 1 && selected.size == n
+          case (None, None) => selected.size == 1 && !sel.isV2
+        })
+      }
+  }
+
+  /** Oversized-field drop thresholds (reference
+    * last_checkpoint_hint.rs): whole-field drop, never truncation —
+    * absence only loses an optimization.
+    */
+  private val HINT_SIDECARS_MAX = 30
+  private val HINT_NON_FILE_ACTIONS_MAX = 30
 
   /** Read the `_last_checkpoint` hint (reference:
-    * kernel/src/last_checkpoint_hint.rs). Corrupt/missing → None; the
-    * hint is an optimization, never trusted for correctness.
+    * kernel/src/last_checkpoint_hint.rs). Corrupt/missing → None — the
+    * hint is an optimization, never trusted for correctness — and an
+    * UNRECOGNIZED nonFileActions key fails the WHOLE hint parse (the
+    * reference's externally-tagged enum behavior), so a reader never
+    * half-trusts a hint written by a future writer.
     */
   def readLastCheckpointHint(fs: FileSystem, logDir: Path): Option[LastCheckpointHint] =
     try {
@@ -52,10 +114,69 @@ object LogSegment {
       if (!fs.exists(p)) None
       else {
         val n = JsonLog.parseLine(Storage.readLines(fs, p).mkString)
+        def opt(node: com.fasterxml.jackson.databind.JsonNode,
+            name: String) =
+          Option(node.get(name)).filterNot(_.isNull)
+        val v2 = opt(n, "v2Checkpoint").map { vn =>
+          val sidecars = opt(vn, "sidecarFiles").map { arr =>
+            require(arr.isArray, "sidecarFiles must be an array")
+            (0 until arr.size).map { i =>
+              val sc = arr.get(i)
+              Sidecar(sc.get("path").asText,
+                sc.get("sizeInBytes").asLong,
+                opt(sc, "modificationTime").map(_.asLong).getOrElse(0L))
+            }
+          }.filter(_.size <= HINT_SIDECARS_MAX) // oversized → dropped
+          val nfa = opt(vn, "nonFileActions").map { arr =>
+            require(arr.isArray, "nonFileActions must be an array")
+            require(arr.size <= Int.MaxValue, "")
+            var proto: Option[Protocol] = None
+            var meta: Option[Metadata] = None
+            val txns = Seq.newBuilder[SetTransaction]
+            val dms = Seq.newBuilder[DomainMetadata]
+            var cmv: Option[Long] = None
+            (0 until arr.size).foreach { i =>
+              val el = arr.get(i)
+              val names = el.fieldNames()
+              while (names.hasNext) names.next() match {
+                case "protocol" =>
+                  proto = Some(JsonLog.parseProtocol(el.get("protocol")))
+                case "metaData" =>
+                  meta = Some(JsonLog.parseMetadata(el.get("metaData")))
+                case "txn" =>
+                  val t = el.get("txn")
+                  txns += SetTransaction(t.get("appId").asText,
+                    t.get("version").asLong,
+                    opt(t, "lastUpdated").map(_.asLong))
+                case "domainMetadata" =>
+                  val d = el.get("domainMetadata")
+                  dms += DomainMetadata(d.get("domain").asText,
+                    d.get("configuration").asText,
+                    opt(d, "removed").exists(_.asBoolean))
+                case "checkpointMetadata" =>
+                  cmv = Some(el.get("checkpointMetadata")
+                    .get("version").asLong)
+                case other => throw new IllegalArgumentException(
+                  s"unrecognized nonFileActions key '$other'")
+              }
+            }
+            (arr.size, HintNonFileActions(proto, meta, txns.result(),
+              dms.result(), cmv))
+          }.filter(_._1 <= HINT_NON_FILE_ACTIONS_MAX).map(_._2)
+          LastCheckpointV2(
+            vn.get("path").asText,
+            opt(vn, "sizeInBytes").map(_.asLong),
+            opt(vn, "modificationTime").map(_.asLong),
+            sidecars, nfa)
+        }
         Some(LastCheckpointHint(
           n.get("version").asLong,
-          Option(n.get("size")).map(_.asLong),
-          Option(n.get("parts")).map(_.asInt)))
+          opt(n, "size").map(_.asLong),
+          opt(n, "parts").map(_.asInt),
+          opt(n, "sizeInBytes").map(_.asLong),
+          opt(n, "numOfAddFiles").map(_.asLong),
+          opt(n, "checksum").map(_.asText),
+          v2))
       }
     } catch { case _: Exception => None }
 
@@ -86,7 +207,8 @@ object LogSegment {
         case c: CommitFile => tailVersions.contains(c.version)
         case _ => false
       } ++ tailFiles
-    val hinted = readLastCheckpointHint(fs, logDir)
+    val hintOpt = readLastCheckpointHint(fs, logDir)
+    val hinted = hintOpt
       .filter(h => targetVersion.forall(_ >= h.version))
       .flatMap { h =>
         try {
@@ -100,6 +222,9 @@ object LogSegment {
       Storage.listSorted(fs, logDir)
         .flatMap(st => FileNames.parse(st.getPath))),
       targetVersion))
+      // attach regardless of which path built the segment: appliesTo
+      // gates every downstream use of the hint's fields
+      .copy(lastCheckpointHint = hintOpt)
   }
 
   private def assemble(logDir: Path, listed: Seq[LogFile],

@@ -56,13 +56,13 @@ class Snapshot(
     * not the name), so sniff it with a column-pruned probe.
     */
   private[delta] lazy val v2Info: Option[Snapshot.V2Info] =
-    segment.checkpointParts match {
+    Snapshot.hintV2Info(segment).orElse(segment.checkpointParts match {
       case Seq(top) if top.isV2 =>
         Some(Snapshot.readV2TopLevel(spark, segment.logDir, top))
       case Seq(top) if Snapshot.sniffV2(spark, top) =>
         Some(Snapshot.readV2TopLevel(spark, segment.logDir, top))
       case _ => None
-    }
+    })
 
   /** (paths holding the checkpoint's FILE ACTIONS, are they JSON).
     * Sidecars for V2-with-sidecars; the top-level file otherwise.
@@ -523,6 +523,31 @@ object Snapshot {
     !df.filter(col("checkpointMetadata").isNotNull).isEmpty
   }
 
+  /** V2 checkpoint info served ENTIRELY from the `_last_checkpoint`
+    * hint's v2Checkpoint object (reference #2777): when the hint
+    * identifies the segment's selected checkpoint and carries BOTH its
+    * sidecar refs and its non-file actions, the top-level checkpoint
+    * file is never opened — at 100 TB scale that removes one parquet
+    * footer+scan round trip from every snapshot build. `appliesTo`
+    * gates identity (several checkpoints can share a version); any
+    * missing piece falls back to reading the file.
+    */
+  private[delta] def hintV2Info(segment: LogSegment): Option[V2Info] =
+    for {
+      hint <- segment.lastCheckpointHint
+      if hint.appliesTo(segment.checkpointParts)
+      v2 <- hint.v2Checkpoint
+      scs <- v2.sidecarFiles
+      nfa <- v2.nonFileActions
+      // partial non-file actions (a foreign writer omitting P&M)
+      // cannot substitute for the file: fall back to reading it
+      if nfa.protocol.nonEmpty && nfa.metadata.nonEmpty
+    } yield V2Info(
+      segment.checkpointParts.head,
+      nfa.protocol, nfa.metadata, nfa.txns, nfa.domainMetadatas,
+      scs.map(sc => new Path(
+        new Path(segment.logDir, "_sidecars"), sc.path).toString))
+
   private[delta] def readV2TopLevel(spark: SparkSession, logDir: Path,
       top: FileNames.CheckpointFile): V2Info = {
     val isJson = top.path.getName.endsWith(".json")
@@ -677,8 +702,9 @@ object Snapshot {
     val pmFromCheckpoint = protocol.isEmpty || metadata.isEmpty
     if (pmFromCheckpoint && segment.checkpointParts.nonEmpty) {
       if (segment.isV2Checkpoint) {
-        val info = readV2TopLevel(spark, segment.logDir,
-          segment.checkpointParts.head)
+        val info = hintV2Info(segment).getOrElse(
+          readV2TopLevel(spark, segment.logDir,
+            segment.checkpointParts.head))
         if (protocol.isEmpty) protocol = info.protocol
         if (metadata.isEmpty) metadata = info.metadata
       } else {
