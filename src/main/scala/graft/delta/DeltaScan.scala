@@ -281,6 +281,44 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     predicateSql.map(p => projected.filter(expr(p))).getOrElse(projected)
   }
 
+  /** The distributed read WITHOUT the physical→logical row transform
+    * (reference scan `without_row_transforms`, #2756): every column —
+    * data and partition — surfaces under its PHYSICAL name exactly as
+    * stored under the table's column-mapping mode, for connectors that
+    * apply their own transform. Deletion-vector masking still applies
+    * (masked rows are never any engine's business), as do partition
+    * pruning, stats skipping and the residual row filter.
+    */
+  def toPhysicalDF: DataFrame = {
+    val index = GraftFileIndex.fromAdds(spark, snapshot.tableRoot,
+      addFileIterator(), physPartitionSchema)
+    val projected = assembleIndexed(index, keepMeta = false,
+      physical = true)
+    predicateSql.map { p =>
+      // the residual predicate speaks LOGICAL names — rename into
+      // physical before filtering the physical projection
+      val l2p = schema.fields.map(f =>
+        f.name -> ColumnMapping.physicalName(f)).toMap
+      val rewritten = DataSkipping.parse(spark, p).transform {
+        case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+            l2p.contains(a.nameParts.head) =>
+          UnresolvedAttribute(Seq(l2p(a.nameParts.head)))
+      }
+      projected.filter(org.apache.spark.sql.graft.StreamingShim
+        .column(rewritten))
+    }.getOrElse(projected)
+  }
+
+  /** Scan-metadata rows with a typed `partitionValues_parsed` struct
+    * column alongside the raw string map (reference
+    * PartitionValuesOptions, #2755): connectors get the partition
+    * tuple already parsed under the table's logical column names and
+    * types instead of re-implementing the protocol's string rules.
+    */
+  def filesWithParsedPartitionValues: DataFrame =
+    if (partCols.isEmpty) filesDF
+    else filesDF.withColumn("partitionValues_parsed", pvStruct)
+
   /** Full-table read carrying the row-tracking metadata columns
     * `_row_id` and `_row_commit_version` (reference metadata columns
     * schema/mod.rs:320-379; row_id = baseRowId + row_index,
@@ -377,7 +415,8 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
   private[graft] def assembleIndexed(index: GraftFileIndex,
       keepMeta: Boolean,
       extraPhysical: Seq[StructField] = Nil,
-      constCols: Seq[String] = Nil): DataFrame = {
+      constCols: Seq[String] = Nil,
+      physical: Boolean = false): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
 
     if (index.fileCount == 0) {
@@ -421,9 +460,18 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     val relationDF: DataFrame =
       org.apache.spark.sql.graft.StreamingShim.ofRows(spark,
         org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    // `physical = true` (reference scan `without_row_transforms`,
+    // #2756): skip the physical→logical rename — columns surface
+    // exactly as stored, for engines that apply their own transform
+    val dataProjection =
+      if (physical)
+        physDataFields.toSeq.map(f => col(quoteName(f.name))) ++
+          partCols.map(c => col(quoteName(physName(c))))
+      else
+        snapshot.dataSchema.fields.toSeq.map(ColumnMapping.toLogical) ++
+          partCols.map(c => col(quoteName(physName(c))).as(c))
     var reader = relationDF
-      .select(snapshot.dataSchema.fields.map(ColumnMapping.toLogical) ++
-        partCols.map(c => col(quoteName(physName(c))).as(c)) ++
+      .select(dataProjection ++
         constCols.map(c => col(quoteName(c))) ++
         extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++
         Seq(normalizedMetaPath.as("__path"),
@@ -449,7 +497,12 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     }
 
     val metaCols = if (keepMeta) Seq(col("__path"), col("__ridx")) else Nil
-    reader.select(schema.fieldNames.map(ColumnMapping.qcol) ++
+    val outNames =
+      if (physical)
+        physDataFields.toSeq.map(f => col(quoteName(f.name))) ++
+          partCols.map(c => col(quoteName(physName(c))))
+      else schema.fieldNames.toSeq.map(ColumnMapping.qcol)
+    reader.select(outNames ++
       extraPhysical.map(f => ColumnMapping.qcol(f.name)) ++
       constCols.map(c => col(quoteName(c))) ++ metaCols: _*)
   }

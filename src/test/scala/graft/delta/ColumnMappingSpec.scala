@@ -290,4 +290,50 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.snapshot().metadata.configuration(
       ParquetFooterStats.STATS_COLUMNS_KEY) == "id")
   }
+
+  test("toPhysicalDF skips the row transform (#2756): physical column " +
+      "names, identical values, DV mask and predicate still applied") {
+    val dir = TestSpark.tmpDir("cm-phys")
+    val src = (1 to 6000).map(i => (i.toLong, s"t$i", s"p${i % 2}"))
+      .toDF("id", "tag", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"),
+      Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(2))
+    t.deleteWhereDV("id % 2 = 0") // persisted DVs mask half the rows
+
+    val snap = t.snapshot()
+    val physNames = snap.schema.fields
+      .map(f => f.name -> ColumnMapping.physicalName(f)).toMap
+    val phys = t.scan(None).toPhysicalDF
+    // every surfaced column is a PHYSICAL name, logical ones absent
+    assert(phys.schema.fieldNames.toSet == physNames.values.toSet)
+    // same rows as the logical read, modulo the rename
+    val logical = t.toDF
+      .select(col("id").as(physNames("id")),
+        col("tag").as(physNames("tag")), col("p").as(physNames("p")))
+    assert(phys.orderBy(col(s"`${physNames("id")}`")).collect().toSeq ==
+      logical.orderBy(col(s"`${physNames("id")}`")).collect().toSeq)
+    assert(phys.count() == 3000) // DV mask applied
+
+    // the residual predicate (logical names) is rewritten physical
+    val pred = t.scan(Some("id % 3 = 0 and p = 'p1'")).toPhysicalDF
+    assert(pred.count() ==
+      t.toDF.filter("id % 3 = 0 and p = 'p1'").count())
+  }
+
+  test("filesWithParsedPartitionValues serves a TYPED partition tuple " +
+      "(#2755) under logical names") {
+    val dir = TestSpark.tmpDir("cm-pvp")
+    val src = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 10))
+      .toDF("id", "v", "b")
+    DeltaTable.create(spark, dir, src.schema, Seq("b"),
+      Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val rows = t.scan(None).filesWithParsedPartitionValues
+      .select(col("partitionValues_parsed.b").as("b"))
+      .collect().map(_.getInt(0)).toSet
+    assert(rows == Set(10, 20)) // typed INT, not strings
+  }
 }
