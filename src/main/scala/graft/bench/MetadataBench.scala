@@ -150,6 +150,86 @@ object MetadataBench {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   private def esc(s: String): String = s.replace("\"", "\\\"")
 
+  /** CDF range-planning frontier: 200 commits × 250 adds. Exists to
+    * pin the COLLAPSED range plan — before round 10 a 200-commit
+    * `table_changes` call built 200 unioned sub-plans on the driver;
+    * now every insert file shares one scan arm with the commit
+    * version/timestamp as per-file constants, so planning cost is
+    * O(actions parsed) + ONE plan, independent of range width.
+    */
+  val CDF_COMMITS = 200
+  val CDF_ADDS_PER_COMMIT = 250
+  def tableDirCdf = "/root/repo/target/bench/metacdf200"
+
+  private def ensureLogCdf(spark: SparkSession): Unit = {
+    val root = new Path(tableDirCdf)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(root, conf)
+    val logDir = FileNames.logDir(root)
+    val marker = new Path(logDir, ".bench-done")
+    if (fs.exists(marker)) return
+    fs.delete(logDir, true)
+    fs.mkdirs(logDir)
+    val meta =
+      s"""{"metaData":{"id":"bench-cdf","format":{"provider":"parquet",""" +
+      s""""options":{}},"schemaString":${jstr(schemaJson)},""" +
+      s""""partitionColumns":["p"],""" +
+      s""""configuration":{"delta.enableChangeDataFeed":"true"},""" +
+      s""""createdTime":1700000000000}}"""
+    Storage.put(fs, FileNames.commitFile(logDir, 0L),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" + "\n" +
+        meta + "\n")
+    var fileIdx = 0
+    (1 to CDF_COMMITS).foreach { v =>
+      val out = fs.create(FileNames.commitFile(logDir, v.toLong), false)
+      val w = new BufferedWriter(
+        new OutputStreamWriter(out, StandardCharsets.UTF_8), 1 << 20)
+      w.write(s"""{"commitInfo":{"timestamp":${1700000000000L + v},""" +
+        s""""operation":"WRITE","operationParameters":{},""" +
+        s""""inCommitTimestamp":${1700000000000L + v}}}""")
+      w.newLine()
+      var i = 0
+      while (i < CDF_ADDS_PER_COMMIT) {
+        val part = fileIdx % 64
+        w.write(
+          s"""{"add":{"path":"p=$part/part-$fileIdx.parquet",""" +
+          s""""partitionValues":{"p":"$part"},"size":1048576,""" +
+          s""""modificationTime":${1700000000000L + fileIdx},""" +
+          s""""dataChange":true,"stats":"{\\"numRecords\\":1000,""" +
+          s"""\\"minValues\\":{\\"c0\\":${fileIdx.toLong * 1000}},""" +
+          s"""\\"maxValues\\":{\\"c0\\":${fileIdx.toLong * 1000 + 999}},""" +
+          s"""\\"nullCount\\":{\\"c0\\":0}}"}}""")
+        w.newLine()
+        fileIdx += 1
+        i += 1
+      }
+      w.flush()
+      out.close()
+    }
+    Storage.put(fs, marker, "done")
+  }
+
+  /** Time the full 200-commit CDF range read through physical
+    * planning (parse + classify + prune-free arm assembly + split
+    * materialization) and REQUIRE the collapsed plan shape.
+    */
+  def runCdf(spark: SparkSession): Map[String, Double] = {
+    ensureLogCdf(spark)
+    val t0 = System.nanoTime()
+    val df = graft.delta.TableChanges.read(spark, tableDirCdf, 1,
+      Some(CDF_COMMITS.toLong))
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val t = (System.nanoTime() - t0) / 1e9
+    require(scans.size <= 2,
+      s"CDF range plan regressed to ${scans.size} scan arms")
+    val planned = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+    require(planned == CDF_COMMITS.toLong * CDF_ADDS_PER_COMMIT,
+      s"planned $planned CDF files")
+    Map("cdf_plan_200" -> t)
+  }
+
   /** Run the metrics; returns name -> seconds. */
   def run(spark: SparkSession): Map[String, Double] = {
     ensureLog(spark)
@@ -161,7 +241,8 @@ object MetadataBench {
     val tReplay = (System.nanoTime() - t1) / 1e9
     require(n == NUM_COMMITS.toLong * ADDS_PER_COMMIT,
       s"replay_300k returned $n adds")
-    Map("snapshot_300k" -> tSnap, "replay_300k" -> tReplay) ++ run1m(spark)
+    Map("snapshot_300k" -> tSnap, "replay_300k" -> tReplay) ++
+      run1m(spark) ++ runCdf(spark)
   }
 
   /** The 1M-add planning guard: snapshot build + a partition-pruned,
