@@ -78,28 +78,30 @@ object TableChanges {
       cdcs: Seq[AddCDCFile],
       plainAdds: Seq[AddFile],
       plainRemoves: Seq[RemoveFile],
-      addByPath: Map[String, AddFile],
-      remByPath: Map[String, RemoveFile],
-      pairPaths: Set[String])
+      /** Same-path add/remove pairs (DV swaps), path-sorted. Held
+        * directly so a buffered range (one FileClasses per commit)
+        * costs O(actions), not O(actions) plus two path maps.
+        */
+      pairs: Seq[(String, AddFile, RemoveFile)])
 
   private def classifyActions(
       lines: Seq[com.fasterxml.jackson.databind.JsonNode]): FileClasses = {
     val cdcs = lines.flatMap(n => Option(n.get("cdc")).filterNot(_.isNull))
       .map(RowCodec.jsonToCdc)
     if (cdcs.nonEmpty)
-      return FileClasses(cdcs, Nil, Nil, Map.empty, Map.empty, Set.empty)
+      return FileClasses(cdcs, Nil, Nil, Nil)
     val adds = lines.flatMap(n =>
         Option(n.get("add")).filterNot(_.isNull)).map(RowCodec.jsonToAdd)
       .filter(_.dataChange)
     val removes = lines.flatMap(n =>
         Option(n.get("remove")).filterNot(_.isNull))
       .map(RowCodec.jsonToRemove).filter(_.dataChange)
-    val addByPath = adds.map(a => a.path -> a).toMap
     val remByPath = removes.map(r => r.path -> r).toMap
+    val addByPath = adds.map(a => a.path -> a).toMap
     val pairPaths = addByPath.keySet.intersect(remByPath.keySet)
     FileClasses(Nil, adds.filterNot(a => pairPaths(a.path)),
       removes.filterNot(r => pairPaths(r.path)),
-      addByPath, remByPath, pairPaths)
+      pairPaths.toSeq.sorted.map(p => (p, addByPath(p), remByPath(p))))
   }
 
   /** CDF rows over [startVersion, endVersion] (endVersion None = latest).
@@ -263,8 +265,17 @@ object TableChanges {
             Array[Any](RowCodec.addToRow(a), v),
             endSnap.addsSchema): Row
         }
-        pScan.pruneAdds(
-            spark.createDataFrame(rows.asJava, endSnap.addsSchema))
+        // small ranges ride a LocalRelation; a wide range's add list
+        // must NOT serialize into the plan as literals — distribute it
+        // so the stats from_json + skip-eval also run on executors
+        val addsDF =
+          if (rows.size <= 100000)
+            spark.createDataFrame(rows.asJava, endSnap.addsSchema)
+          else spark.createDataFrame(
+            spark.sparkContext.parallelize(rows,
+              spark.sparkContext.defaultParallelism),
+            endSnap.addsSchema)
+        pScan.pruneAdds(addsDF)
           .select(col("version"), col("add.path"))
           .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       }
@@ -310,9 +321,7 @@ object TableChanges {
         // probe instead of a position join. Masks key on
         // (version, path): the same file can be swapped by several
         // in-range commits and all share the single pair arm.
-        fc.pairPaths.toSeq.sorted.foreach { p =>
-          val a = fc.addByPath(p)
-          val r = fc.remByPath(p)
+        fc.pairs.foreach { case (p, a, r) =>
           val addB = a.deletionVector
             .map(DeletionVectors.readBitmapBytes(_, root, conf))
             .getOrElse(DeletionVectors.emptyBitmap)
