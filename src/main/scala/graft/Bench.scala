@@ -148,7 +148,8 @@ object Bench {
     val headlineKeys = all.keys.filter(k =>
       k.startsWith("snapshot_") || k.startsWith("replay_") ||
       k.startsWith("plan_df_") || k.startsWith("wl_") ||
-      k.startsWith("skew_") || k.contains("_mb_")).toSeq
+      k.startsWith("skew_") || k.startsWith("cdf_plan_") ||
+      k.contains("_mb_")).toSeq
     val slowest = all.view.filterKeys(k => !headlineKeys.contains(k))
       .toSeq.sortBy(-_._2).take(12).map(_._1)
     val compact = (headlineKeys ++ slowest).sorted.distinct

@@ -186,11 +186,18 @@ object ContentTree {
     * cardinality — so the single row-level map here never touches
     * data rows.
     */
-  def entriesDF(snap: Snapshot): DataFrame = {
+  def entriesDF(snap: Snapshot): DataFrame =
+    entriesFromAdds(snap.allAdds)
+
+  /** Entry construction over any adds-shaped DataFrame (columns `add`
+    * struct + `version`): the shared mapping for full-tree builds and
+    * incremental updates.
+    */
+  private def entriesFromAdds(adds: DataFrame): DataFrame = {
     val numRec = from_json(col("add.stats"),
       StructType(Seq(StructField("numRecords", LongType))))
       .getField("numRecords")
-    val flat = snap.allAdds.select(
+    val flat = adds.select(
       col("add.path").as("_path"),
       col("add.partitionValues").as("_pv"),
       col("add.size").as("_size"),
@@ -238,17 +245,115 @@ object ContentTree {
     * pointing at it (path relative to the table root, per the Iceberg
     * V4 relative-path rule AdaptiveMetadata.resolve applies).
     */
-  def writeRoot(snap: Snapshot): AdaptiveMetadata.ContentRoot = {
+  def writeRoot(snap: Snapshot): AdaptiveMetadata.ContentRoot =
+    writeEntries(snap, entriesDF(snap))
+
+  private def writeEntries(snap: Snapshot,
+      entries: DataFrame): AdaptiveMetadata.ContentRoot = {
     val spark = snap.spark
     val rel = s"_delta_log/_amt/content-tree-${snap.version}-" +
       java.util.UUID.randomUUID() + ".parquet"
     val abs = snap.tableRoot.toString.stripSuffix("/") + "/" + rel
-    entriesDF(snap).coalesce(1).write.mode("overwrite").parquet(abs)
+    entries.coalesce(1).write.mode("overwrite").parquet(abs)
     val fs = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
     val size = Storage.listFilesRecursive(fs,
       new org.apache.hadoop.fs.Path(abs)).map(_.getLen).sum
     AdaptiveMetadata.ContentRoot(rel, size, snap.version)
+  }
+
+  /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
+    * advance a tree from `prev.version` to `snap.version` by applying
+    * the commit-range file diff to the previous tree instead of
+    * replaying the whole log. Tracking statuses carry the history
+    * (reference mod.rs `TrackingStatus` semantics):
+    *  - carried live entries → Existing, inheriting their original
+    *    snapshotId / sequence numbers;
+    *  - a same-path re-add (DV swap, restore) → Modified, keeping the
+    *    inherited identity with `dvSnapshotId` = the swapping commit;
+    *  - removed paths → Deleted tombstones stamped with the removal
+    *    commit (kept in the tree; readers filter them);
+    *  - fresh paths → Added at their commit.
+    * All plan work is joins on `location` over the previous tree +
+    * the range diff — never a log replay, never a driver loop.
+    */
+  def updateRoot(snap: Snapshot,
+      prev: AdaptiveMetadata.ContentRoot): AdaptiveMetadata.ContentRoot = {
+    val spark = snap.spark
+    require(prev.version <= snap.version,
+      s"tree at ${prev.version} is ahead of snapshot ${snap.version}")
+    if (prev.version == snap.version) return prev
+
+    val diff = IncrementalScan.fileDiff(spark, snap.tableRoot.toString,
+      prev.version, snap.version)
+    // decoded per-path NET winner: newest version; within a version an
+    // add (the new state of a DV swap) beats the remove of the old copy
+    def decodeCol(c: org.apache.spark.sql.Column) =
+      url_decode(regexp_replace(c, "\\+", "%2B"))
+    val winner = diff
+      .withColumn("loc", decodeCol(
+        coalesce(col("add.path"), col("remove.path"))))
+      .withColumn("isAdd",
+        when(col("add").isNotNull, 1).otherwise(0))
+      .groupBy(col("loc"))
+      .agg(max_by(struct(col("add"), col("version"), col("isAdd")),
+        struct(col("version"), col("isAdd"))).as("w"))
+      .select(col("loc"), col("w.add").as("add"),
+        col("w.version").as("version"), col("w.isAdd").as("isAdd"))
+    winner.persist()
+    val newE = entriesFromAdds(
+      winner.filter(col("isAdd") === 1).select(col("add"), col("version")))
+    val removed = winner.filter(col("isAdd") === 0)
+      .select(col("loc").as("location"), col("version").as("rmVersion"))
+
+    val prevE = spark.read.schema(entrySchema)
+      .parquet(prev.resolve(snap.tableRoot.toString))
+      .filter(col("tracking.status") =!= TrackingStatus.Deleted)
+
+    val j = prevE.as("p")
+      .join(newE.as("n"), Seq("location"), "full_outer")
+      .join(removed.as("r"), Seq("location"), "left")
+    val hasPrev = col("p.tracking").isNotNull
+    val hasNew = col("n.tracking").isNotNull
+    val status =
+      when(hasPrev && hasNew, lit(TrackingStatus.Modified))
+        .when(hasPrev && col("r.rmVersion").isNotNull,
+          lit(TrackingStatus.Deleted))
+        .when(hasPrev, lit(TrackingStatus.Existing))
+        .otherwise(lit(TrackingStatus.Added))
+    val tracking = struct(
+      status.as("status"),
+      when(hasPrev && col("r.rmVersion").isNotNull, col("r.rmVersion"))
+        .when(hasPrev, col("p.tracking.snapshotId"))
+        .otherwise(col("n.tracking.snapshotId")).as("snapshotId"),
+      when(hasPrev && hasNew, col("n.tracking.snapshotId"))
+        .otherwise(col("p.tracking.dvSnapshotId")).as("dvSnapshotId"),
+      coalesce(col("p.tracking.sequenceNumber"),
+        col("n.tracking.sequenceNumber")).as("sequenceNumber"),
+      coalesce(col("p.tracking.fileSequenceNumber"),
+        col("n.tracking.fileSequenceNumber")).as("fileSequenceNumber"),
+      coalesce(col("n.tracking.firstRowId"),
+        col("p.tracking.firstRowId")).as("firstRowId"))
+    val updated = j.select(
+      lit(DataContentType.Data).as("contentType"),
+      col("location"),
+      lit("parquet").as("fileFormat"),
+      tracking.as("tracking"),
+      when(hasNew, col("n.deletionVector"))
+        .otherwise(col("p.deletionVector")).as("deletionVector"),
+      lit(0).as("specId"),
+      coalesce(col("n.partition"), col("p.partition")).as("partition"),
+      coalesce(col("n.sortOrderId"), col("p.sortOrderId"))
+        .as("sortOrderId"),
+      coalesce(col("n.recordCount"), col("p.recordCount"))
+        .as("recordCount"),
+      coalesce(col("n.fileSizeInBytes"), col("p.fileSizeInBytes"))
+        .as("fileSizeInBytes"),
+      lit(4).as("formatVersion"),
+      coalesce(col("n.tags"), col("p.tags")).as("tags"))
+    val root = writeEntries(snap, updated)
+    winner.unpersist()
+    root
   }
 
   /** Stream a content-tree node back as add actions (the read path:

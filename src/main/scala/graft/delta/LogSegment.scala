@@ -129,7 +129,6 @@ object LogSegment {
           }.filter(_.size <= HINT_SIDECARS_MAX) // oversized → dropped
           val nfa = opt(vn, "nonFileActions").map { arr =>
             require(arr.isArray, "nonFileActions must be an array")
-            require(arr.size <= Int.MaxValue, "")
             var proto: Option[Protocol] = None
             var meta: Option[Metadata] = None
             val txns = Seq.newBuilder[SetTransaction]

@@ -124,4 +124,75 @@ class ContentTreeSpec extends AnyFunSuite {
     assert(entries.filter(col("formatVersion") =!= 4).count() == 0)
     assert(entries.agg(sum("recordCount")).head.getLong(0) == 60000L)
   }
+
+  test("incremental updateRoot: diff-applied tree matches a fresh " +
+      "build, with Existing/Modified/Deleted/Added tracking statuses " +
+      "and inherited identity") {
+    val dir = TestSpark.tmpDir("amt-incr")
+    val src = (1 to 30000).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                                   // v1: p0 p1 p2
+    val tree1 = ContentTree.writeRoot(t.snapshot())
+    t.append(src.filter($"p" === "p0" && $"k" <= 300)
+      .withColumn("k", $"k" + 100000L))             // v2: new p0 files
+    t.deleteWhereDV("k % 2 = 0 and p = 'p1'")       // v3: DV swap on p1
+    t.deleteWhere("p = 'p2'")                       // v4: p2 removed whole
+    val snap = t.snapshot()
+    assert(snap.version == 4L)
+
+    val tree2 = ContentTree.updateRoot(snap, tree1)
+    assert(tree2.version == 4L)
+    val rootUri = Storage.fs(snap.tableRoot,
+        spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+
+    // the updated tree reads back to EXACTLY the table's rows
+    val adds = ContentTree.addFileIterator(spark,
+      tree2.resolve(snap.tableRoot.toString), rootUri).toSeq
+    val rebuilt = new DeltaScan(snap, None)
+      .assemble(adds, keepMeta = false)
+    assert(rebuilt.orderBy("k").collect().toSeq ==
+      t.toDF.orderBy("k").collect().toSeq)
+
+    // live entries equal a FRESH full build (identity fields aside)
+    def liveSet(root: graft.delta.AdaptiveMetadata.ContentRoot) =
+      spark.read.schema(ContentTree.entrySchema)
+        .parquet(root.resolve(snap.tableRoot.toString))
+        .filter(col("tracking.status") =!=
+          ContentTree.TrackingStatus.Deleted)
+        .select(col("location"), col("fileSizeInBytes"),
+          coalesce(col("deletionVector.cardinality"), lit(-1L)))
+        .collect().map(_.toString).toSet
+    assert(liveSet(tree2) == liveSet(ContentTree.writeRoot(snap)))
+
+    // tracking statuses tell the history
+    val e = spark.read.schema(ContentTree.entrySchema)
+      .parquet(tree2.resolve(snap.tableRoot.toString))
+      .select(col("location"), col("tracking.status").as("st"),
+        col("tracking.snapshotId").as("sid"),
+        col("tracking.dvSnapshotId").as("dvSid"))
+      .collect()
+    import ContentTree.TrackingStatus._
+    val p0 = e.filter(_.getString(0).contains("/p=p0/"))
+    val p1 = e.filter(_.getString(0).contains("/p=p1/"))
+    val p2 = e.filter(_.getString(0).contains("/p=p2/"))
+    assert(p0.nonEmpty && p1.nonEmpty && p2.nonEmpty)
+    // untouched v1 p0 files carried as Existing with inherited sid=1;
+    // v2's fresh p0 files Added at 2
+    assert(p0.map(_.getInt(1)).toSet == Set(Existing, Added))
+    assert(p0.filter(_.getInt(1) == Existing).forall(_.getLong(2) == 1L))
+    assert(p0.filter(_.getInt(1) == Added).forall(_.getLong(2) == 2L))
+    // p1 files DV-swapped at v3: Modified, identity INHERITED from v1,
+    // dvSnapshotId = the swapping commit
+    assert(p1.map(_.getInt(1)).toSet == Set(Modified))
+    assert(p1.forall(r => r.getLong(2) == 1L && r.getLong(3) == 3L))
+    // p2 files tombstoned at v4
+    assert(p2.map(_.getInt(1)).toSet == Set(Deleted))
+    assert(p2.forall(_.getLong(2) == 4L))
+
+    // a same-version update is a no-op handle
+    assert(ContentTree.updateRoot(snap, tree2) eq tree2)
+  }
 }
