@@ -755,7 +755,11 @@ object Snapshot {
       newCommits.last.version,
       prev.segment.deltas ++ newCommits,
       prev.segment.checkpointParts,
-      prev.segment.checkpointVersion)
+      prev.segment.checkpointVersion,
+      // same checkpoint selection, so the prior hint still applies —
+      // dropping it would cost the refreshed snapshot the
+      // skip-the-top-level V2 read
+      prev.segment.lastCheckpointHint)
     var protocol = prev.protocol
     var metadata = prev.metadata
     newCommits.foreach { c =>
