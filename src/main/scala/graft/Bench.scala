@@ -1,9 +1,71 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
+
+  /** Spawn `graft.bench.MetaOnly` (GRAFT_META_5M=1) as a separate JVM
+    * and parse its METAJSON per-rep lines. The child re-uses this JVM's
+    * binary, input arguments (add-opens + -Xmx) and classpath, so the
+    * measurement environment matches a standalone `runMain` exactly.
+    * Returns Nil if the child failed or produced no parseable reps.
+    */
+  private[graft] def spawnMeta5m(cpus: String, reps: Int): Seq[Map[String, Double]] = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      // drop debug/agent flags a dev session might carry; keep memory +
+      // module opens, which Spark-on-JDK17 needs
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", cp, "graft.bench.MetaOnly")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("GRAFT_META_5M", "1")
+    pb.environment().put("GRAFT_META_REPS", reps.toString)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+    val kv = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+    val repsOut = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    var line = out.readLine()
+    while (line != null) {
+      if (line.startsWith("METAJSON ")) {
+        val m = kv.findAllMatchIn(line).map(mm =>
+          mm.group(1) -> mm.group(2).toDouble).toMap
+        if (m.nonEmpty) repsOut += m
+      }
+      line = out.readLine()
+    }
+    // the 5M fixture build on a cold target/ can take minutes; planning
+    // itself is seconds — 30 min is a hang guard, not a budget
+    val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) { proc.destroyForcibly(); return Seq.empty }
+    if (proc.exitValue() != 0) return Seq.empty
+    repsOut.toSeq
+  }
+
+  /** Prior-round medians from the committed BENCH_LOCAL.json `queries`
+    * map — the reference point for the in-sweep 2x-mover A/B re-run.
+    */
+  private def priorMedians(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val start = s.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val body = s.substring(start + 11, s.indexOf("}", start))
+    """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // prior-round medians, read BEFORE this run overwrites the file
+    val prior = try priorMedians() catch { case _: Throwable => Map.empty[String, Double] }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,16 +86,27 @@ object Bench {
     // enough for the next verdict to diagnose a flake
     val errs = scala.collection.mutable.Map.empty[String, String]
     val REPS = 3
-    // the 5M-add frontier runs FIRST and repeated: round-9 measured it
-    // once, last, after the ~330s query sweep, and GC/page-cache
-    // pressure landed on the single sample (49.1s reported vs 3.3-3.9s
-    // isolated A/B) — a 14x phantom that would spuriously fail a 2x
-    // drift gate on a healthy build. First rep pays the one-time log
-    // build; the median over 3 is the reported number.
-    val meta5mRuns = (1 to REPS).map { _ =>
-      try graft.bench.MetadataBench.run5m(spark)
-      catch { case _: Throwable =>
-        Map("snapshot_5m" -> -1.0, "plan_df_5m" -> -1.0) }
+    // The 5M-add frontier runs in its OWN CHILD JVM (graft.bench.MetaOnly
+    // with GRAFT_META_5M=1): rounds 9-10 proved in-JVM scheduling cannot
+    // isolate it — running it first and repeated still reported an
+    // 18.5s median vs 3.3s measured in a standalone JVM (a 5x phantom;
+    // round 9's single-sample-last was 14x). The fixture build plus the
+    // sweep's GC/page-cache pressure poison any sample that shares the
+    // process. The child inherits this JVM's flags (add-opens, -Xmx)
+    // and classpath; on any spawn/parse failure we fall back to the
+    // in-JVM measurement rather than reporting nothing.
+    val meta5mRuns: Seq[Map[String, Double]] = {
+      val isolated = try spawnMeta5m(cpus, REPS) catch {
+        case t: Throwable =>
+          errs("plan_df_5m") = s"isolated-jvm spawn failed, in-JVM fallback: ${t.getMessage}"
+          Seq.empty
+      }
+      if (isolated.nonEmpty) isolated
+      else (1 to REPS).map { _ =>
+        try graft.bench.MetadataBench.run5m(spark)
+        catch { case _: Throwable =>
+          Map("snapshot_5m" -> -1.0, "plan_df_5m" -> -1.0) }
+      }
     }
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -111,6 +184,45 @@ object Bench {
     val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(exprRuns) ++
       agg(meta5mRuns) ++ agg(Seq(skewRun)) ++ qTimes.toMap
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
+    // Self-A/B for >2x movers: any metric whose median exceeds 2x its
+    // prior-round value (the committed BENCH_LOCAL.json) is re-run
+    // back-to-back IN THIS SWEEP and the re-run recorded under "ab" —
+    // automating the old-vs-new A/B that exonerated the round-9/10
+    // phantom regressions. 5M rows are excluded (already isolated in
+    // their own JVM), as are non-time gauges and sub-50ms rows where 2x
+    // is timer noise.
+    val abRuns: Map[String, Seq[Double]] = {
+      val movers = medians.filter { case (k, v) =>
+        v > 0 && prior.get(k).exists(p => p > 0.05 && v > 2 * p) &&
+          !k.contains("_5m") && !k.startsWith("skew_") &&
+          !k.contains("_mb_") && !k.contains("_ratio_")
+      }.keySet
+      if (movers.isEmpty) Map.empty
+      else {
+        val AB_REPS = 2
+        val qAb = movers.filter(SparkEntry.queries.contains).map { k =>
+          k -> (1 to AB_REPS).map(_ => timeQuery(k, SparkEntry.queries(k)))
+        }.toMap
+        def groupAb(keys: Set[String],
+            run: () => Map[String, Double]): Map[String, Seq[Double]] = {
+          val hit = movers intersect keys
+          if (hit.isEmpty) Map.empty
+          else {
+            val rs = (1 to AB_REPS).map(_ =>
+              try run()
+              catch { case _: Throwable => Map.empty[String, Double] })
+            hit.map(k => k -> rs.flatMap(_.get(k))).toMap
+          }
+        }
+        qAb ++
+          groupAb(agg(metaRuns).keySet,
+            () => graft.bench.MetadataBench.run(spark)) ++
+          groupAb(agg(wlRuns).keySet,
+            () => graft.bench.Workloads.run(spark)) ++
+          groupAb(agg(exprRuns).keySet,
+            () => graft.bench.ExpressionBench.run(spark))
+      }
+    }
     val all = medians
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -121,9 +233,11 @@ object Bench {
       val ok = xs.filter(_ >= 0)
       val err = if (ok.size < xs.size && errs.contains(k))
         ",\"err\":" + jsonStr(errs(k)) else ""
+      val ab = abRuns.get(k).map(vs =>
+        ",\"ab\":[" + vs.filter(_ >= 0).mkString(",") + "]").getOrElse("")
       s"\"" + k + "\":{\"median\":" + medianOf(xs) +
         ",\"min\":" + (if (ok.isEmpty) -1.0 else ok.min) +
-        ",\"n\":" + ok.size + err + "}"
+        ",\"n\":" + ok.size + err + ab + "}"
     }.mkString("{", ",", "}")
     // the headline total sums SECONDS only — non-time gauges (the _mb_
     // heap metric, the skew _ratio_ canary) report in `queries`/`stats`

@@ -2,8 +2,14 @@ package graft.bench
 
 import org.apache.spark.sql.SparkSession
 
-// Temporary: metadata/workload benches alone, for drift triage without
-// the full Bench sweep. Not part of the library.
+// Metadata/workload benches alone, in their own JVM. Two uses:
+//  - drift triage without the full Bench sweep (manual)
+//  - the GATE-SAFE path for the 5M planning frontier: Bench spawns this
+//    as a child process with GRAFT_META_5M=1 so the measurement never
+//    shares a heap/page-cache with the ~280s query sweep (in-JVM
+//    reordering still produced a 5x phantom in round 10: 18.5s median
+//    vs 3.3s isolated). Bench parses the METAJSON lines below.
+// Not part of the library.
 object MetaOnly {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +30,9 @@ object MetaOnly {
         else MetadataBench.run(spark) ++ Workloads.run(spark)
       println(s"META rep $i: " + m.toSeq.sortBy(_._1)
         .map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+      // machine-readable per-rep line for the parent Bench JVM
+      println("METAJSON " + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     }
     spark.stop()
   }
