@@ -145,63 +145,194 @@ object ContentTree {
 
   // ==== entry rows ====
 
-  private val dvInfoSchema = StructType(Seq(
-    StructField("location", StringType),
-    StructField("offset", LongType),
-    StructField("sizeInBytes", LongType),
-    StructField("cardinality", LongType)))
+  /** Attach a parquet field id (Iceberg projects by id, not name). */
+  private def fid(f: StructField, id: Int): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong("parquet.field.id", id).build())
 
+  private val dvInfoSchema = StructType(Seq(
+    fid(StructField("location", StringType), 155),
+    fid(StructField("offset", LongType), 144),
+    fid(StructField("sizeInBytes", LongType), 145),
+    fid(StructField("cardinality", LongType), 156)))
+
+  /** Tracking sub-struct (mod.rs `TrackingInfo`, field ids 0-7 + 142).
+    * `deletedPositions`/`replacedPositions` are serialized portable
+    * roaring bitmaps — the same framing inline DVs use — populated on
+    * Modified entries whose DV changed in the maintained range:
+    * deleted = rows newly deleted (newDV andNot oldDV), replaced =
+    * rows whose deletion was reverted (oldDV andNot newDV). The
+    * reference leaves `replaced_positions` unset pending its DvCache
+    * (mod.rs:133); both sides agree they are cleared between commits.
+    */
   private val trackingSchema = StructType(Seq(
-    StructField("status", IntegerType, nullable = false),
-    StructField("snapshotId", LongType),
-    StructField("dvSnapshotId", LongType),
-    StructField("sequenceNumber", LongType),
-    StructField("fileSequenceNumber", LongType),
-    StructField("firstRowId", LongType)))
+    fid(StructField("status", IntegerType, nullable = false), 0),
+    fid(StructField("snapshotId", LongType), 1),
+    fid(StructField("dvSnapshotId", LongType), 5),
+    fid(StructField("sequenceNumber", LongType), 3),
+    fid(StructField("fileSequenceNumber", LongType), 4),
+    fid(StructField("firstRowId", LongType), 142),
+    fid(StructField("deletedPositions", BinaryType), 6),
+    fid(StructField("replacedPositions", BinaryType), 7)))
+
+  /** Per-manifest statistics carried by root {Data,Delete}Manifest
+    * entries (mod.rs `ManifestInfo`, field ids 504-523).
+    */
+  val manifestInfoSchema: StructType = StructType(Seq(
+    fid(StructField("addedFilesCount", IntegerType), 504),
+    fid(StructField("existingFilesCount", IntegerType), 505),
+    fid(StructField("deletedFilesCount", IntegerType), 506),
+    fid(StructField("replacedFilesCount", IntegerType), 520),
+    fid(StructField("addedRowsCount", LongType), 512),
+    fid(StructField("existingRowsCount", LongType), 513),
+    fid(StructField("deletedRowsCount", LongType), 514),
+    fid(StructField("replacedRowsCount", LongType), 521),
+    fid(StructField("minSequenceNumber", LongType), 516),
+    fid(StructField("dv", BinaryType), 522),
+    fid(StructField("dvCardinality", LongType), 523)))
 
   /** The content-tree node-entry row shape (mod.rs
-    * `ContentTreeNodeEntry`), restricted to the fields a Delta-sourced
-    * Data entry carries; `partition` holds Delta's string-serialized
-    * partition values (the typed Iceberg partition tuple is spec-id
-    * driven and out of scope until the RFC fixes the spec encoding).
+    * `ContentTreeNodeEntry`, field ids per its `#[field_id]`
+    * annotations; `tags` deliberately carries NO id — it postdates the
+    * fixed AMF schema and is matched by name, mod.rs:226-231).
+    * `partition` holds Delta's string-serialized partition values (the
+    * typed Iceberg partition tuple is spec-id driven and out of scope
+    * until the RFC fixes the spec encoding). The dynamically-schema'd
+    * `content_stats` struct is NOT part of this base shape — leaf
+    * nodes append it via [[entrySchemaWithStats]].
     */
   val entrySchema: StructType = StructType(Seq(
-    StructField("contentType", IntegerType, nullable = false),
-    StructField("location", StringType, nullable = false),
-    StructField("fileFormat", StringType, nullable = false),
-    StructField("tracking", trackingSchema, nullable = false),
-    StructField("deletionVector", dvInfoSchema),
-    StructField("specId", IntegerType, nullable = false),
-    StructField("partition", MapType(StringType, StringType)),
-    StructField("sortOrderId", IntegerType),
-    StructField("recordCount", LongType),
-    StructField("fileSizeInBytes", LongType),
-    StructField("formatVersion", IntegerType, nullable = false),
+    fid(StructField("contentType", IntegerType, nullable = false), 134),
+    fid(StructField("location", StringType, nullable = false), 100),
+    fid(StructField("fileFormat", StringType, nullable = false), 101),
+    fid(StructField("tracking", trackingSchema, nullable = false), 147),
+    fid(StructField("deletionVector", dvInfoSchema), 148),
+    fid(StructField("specId", IntegerType, nullable = false), 141),
+    fid(StructField("partition", MapType(StringType, StringType)), 102),
+    fid(StructField("sortOrderId", IntegerType), 140),
+    fid(StructField("recordCount", LongType), 103),
+    fid(StructField("fileSizeInBytes", LongType), 104),
+    fid(StructField("manifestInfo", manifestInfoSchema), 150),
+    fid(StructField("keyMetadata", BinaryType), 131),
+    fid(StructField("splitOffsets", ArrayType(LongType)), 132),
+    fid(StructField("equalityIds", ArrayType(IntegerType)), 135),
+    fid(StructField("formatVersion", IntegerType, nullable = false), 157),
     StructField("tags", MapType(StringType, StringType))))
+
+  /** Name of the dynamically-schema'd stats struct (mod.rs:33). */
+  val CONTENT_STATS = "content_stats"
+
+  /** Constant subfield offsets from a column's stats base id
+    * (stats.rs:10-13 fixes the 200-id stride and that "each subfield is
+    * a constant offset from the top level stats structure"; the struct
+    * itself takes the base, subfields base+1.. in declaration order).
+    */
+  val STAT_SUBFIELDS: Seq[(String, Int)] = Seq(
+    "lower_bound" -> 1, "upper_bound" -> 2, "tight_bounds" -> 3,
+    "value_count" -> 4, "null_value_count" -> 5, "nan_value_count" -> 6,
+    "avg_value_size_in_bytes" -> 7)
+
+  /** The `content_stats` struct schema for a table's data schema
+    * (stats.rs stats_schema): column-major — one sub-struct per
+    * skipping-eligible TOP-LEVEL data column (physical name), its
+    * parquet field ids anchored at [[fieldIdToStatisticsBase]] of the
+    * column's field id (`delta.columnMapping.id` when mapped, ordinal
+    * otherwise). Bounds take the column's own type.
+    */
+  def contentStatsSchema(dataSchema: StructType): StructType = {
+    val phys = ColumnMapping.physicalSchema(dataSchema)
+    StructType(phys.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (!DataSkipping.isEligible(f.dataType)) None
+      else {
+        val colId =
+          if (f.metadata.contains(ColumnMapping.ID_KEY))
+            f.metadata.getLong(ColumnMapping.ID_KEY).toInt
+          else i
+        fieldIdToStatisticsBase(colId).map { base =>
+          def dtOf(name: String): DataType = name match {
+            case "lower_bound" | "upper_bound" => f.dataType
+            case "tight_bounds" => BooleanType
+            case _ => LongType
+          }
+          fid(StructField(f.name, StructType(STAT_SUBFIELDS.map {
+            case (n, off) => fid(StructField(n, dtOf(n)), base + off)
+          })), base)
+        }
+      }
+    })
+  }
+
+  /** Leaf-node entry schema: the base shape + `content_stats` (after
+    * `fileSizeInBytes`, mirroring the reference field order).
+    */
+  def entrySchemaWithStats(statsSchema: StructType): StructType =
+    StructType(entrySchema.fields.flatMap { f =>
+      if (f.name == "manifestInfo")
+        Seq(fid(StructField(CONTENT_STATS, statsSchema), 146), f)
+      else Seq(f)
+    })
+
+  /** Entry-shape invariants (mod.rs field docs): equality ids appear
+    * exactly on EqualityDeletes entries, manifest info exactly on
+    * {Data,Delete}Manifest entries, puffin format only for delete
+    * content, and manifest sequence numbers must agree.
+    */
+  def validateEntry(contentType: Int, fileFormat: String,
+      hasEqualityIds: Boolean, hasManifestInfo: Boolean,
+      sequenceNumber: Option[Long],
+      fileSequenceNumber: Option[Long]): Unit = {
+    val isManifest = contentType == DataContentType.DataManifest ||
+      contentType == DataContentType.DeleteManifest
+    require(hasEqualityIds ==
+      (contentType == DataContentType.EqualityDeletes),
+      "equalityIds must be set exactly on EqualityDeletes entries")
+    require(hasManifestInfo == isManifest,
+      "manifestInfo must be set exactly on manifest entries")
+    require(fileFormat == "parquet" || fileFormat == "puffin",
+      s"unsupported file format '$fileFormat'")
+    require(fileFormat == "parquet" ||
+      contentType == DataContentType.PositionDeletes,
+      "puffin format is only valid for PositionDeletes entries")
+    require(!isManifest || sequenceNumber == fileSequenceNumber,
+      "manifest entries require sequenceNumber == fileSequenceNumber")
+  }
 
   /** Distributed content-tree construction: one entry row per live
     * add of the snapshot (status Added at its commit version, DV
-    * converted per [[extractDeletionVectorContent]], recordCount from
-    * the add's stats). The z85 DV decode is per-FILE work — metadata
-    * cardinality — so the single row-level map here never touches
-    * data rows.
+    * converted per [[extractDeletionVectorContent]], recordCount and
+    * `content_stats` from the add's parsed stats). The z85 DV decode
+    * is per-FILE work — metadata cardinality — so the single row-level
+    * map here never touches data rows.
     */
   def entriesDF(snap: Snapshot): DataFrame =
-    entriesFromAdds(snap.allAdds)
+    entriesFromAdds(snap.allAdds, snap.dataSchema)
 
   /** Entry construction over any adds-shaped DataFrame (columns `add`
     * struct + `version`): the shared mapping for full-tree builds and
-    * incremental updates.
+    * incremental updates. `dataSchema` drives the `content_stats`
+    * shape; stats JSON keys are physical names on mapped tables, which
+    * is what [[contentStatsSchema]] emits.
     */
-  private def entriesFromAdds(adds: DataFrame): DataFrame = {
-    val numRec = from_json(col("add.stats"),
-      StructType(Seq(StructField("numRecords", LongType))))
-      .getField("numRecords")
+  private def entriesFromAdds(adds: DataFrame,
+      dataSchema: StructType): DataFrame = {
+    val statsSchema = contentStatsSchema(dataSchema)
+    val boundsStruct = StructType(statsSchema.fields.map(f =>
+      StructField(f.name, f.dataType.asInstanceOf[StructType]
+        .apply("lower_bound").dataType)))
+    val nullsStruct = StructType(
+      statsSchema.fieldNames.map(StructField(_, LongType)))
+    val parseSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("tightBounds", BooleanType),
+      StructField("minValues", boundsStruct),
+      StructField("maxValues", boundsStruct),
+      StructField("nullCount", nullsStruct)))
+    val nStats = statsSchema.fields.length
     val flat = adds.select(
       col("add.path").as("_path"),
       col("add.partitionValues").as("_pv"),
       col("add.size").as("_size"),
-      numRec.as("_numRecords"),
+      from_json(col("add.stats"), parseSchema).as("_stats"),
       col("add.tags").as("_tags"),
       col("add.baseRowId").as("_firstRowId"),
       col("add.deletionVector").as("_dv"),
@@ -223,43 +354,187 @@ object ContentTree {
           Row(i.location, i.offset, i.sizeInBytes, i.cardinality)
         }
       val v = r.getLong(7)
+      val st = if (r.isNullAt(3)) null else r.getStruct(3)
+      val numRecords: Any =
+        if (st == null || st.isNullAt(0)) null else st.getLong(0)
+      // Delta stats are tight unless the add carries tightBounds=false
+      // (a DV'd file's wide bounds) — either way lower/upper remain
+      // conservative bounds, so skipping stays sound
+      val tight: Any =
+        if (st == null) null
+        else java.lang.Boolean.valueOf(st.isNullAt(1) || st.getBoolean(1))
+      val minV = if (st == null || st.isNullAt(2)) null else st.getStruct(2)
+      val maxV = if (st == null || st.isNullAt(3)) null else st.getStruct(3)
+      val nulls = if (st == null || st.isNullAt(4)) null else st.getStruct(4)
+      def at(s: Row, j: Int): Any =
+        if (s == null || s.isNullAt(j)) null else s.get(j)
+      val contentStats =
+        if (st == null) null
+        else Row.fromSeq((0 until nStats).map { j =>
+          Row(at(minV, j), at(maxV, j), tight, numRecords, at(nulls, j),
+            null, null)
+        })
       Row(
         DataContentType.Data,
         Storage.decodeUriPath(r.getString(0)),
         "parquet",
         Row(TrackingStatus.Added, v, null, v, v,
-          if (r.isNullAt(5)) null else r.getLong(5)),
+          if (r.isNullAt(5)) null else r.getLong(5), null, null),
         dvInfo,
         0, // specId: single Delta partition spec
         r.getMap[String, String](1),
         null, // sortOrderId
-        if (r.isNullAt(3)) null else r.getLong(3),
+        numRecords,
         r.getLong(2),
+        contentStats,
+        null, // manifestInfo: Data entries never carry one
+        null, // keyMetadata
+        null, // splitOffsets
+        null, // equalityIds
         4, // Iceberg/AMT format version
         if (r.isNullAt(4)) null else r.getMap[String, String](4))
-    }(Encoders.row(entrySchema))
+    }(Encoders.row(entrySchemaWithStats(statsSchema)))
   }
 
-  /** Write the snapshot's content tree as one parquet node under
-    * `_delta_log/_amt/` and return a [[AdaptiveMetadata.ContentRoot]]
-    * pointing at it (path relative to the table root, per the Iceberg
-    * V4 relative-path rule AdaptiveMetadata.resolve applies).
+  /** Entries per leaf node before another leaf level would be needed;
+    * with the default fan-out a 5M-add table lands ~300k entries
+    * (≈ tens of MB of parquet) per leaf.
+    */
+  val DEFAULT_LEAF_FANOUT = 16
+
+  /** Write the snapshot's content tree as a TWO-LEVEL manifest
+    * hierarchy under `_delta_log/_amt/` (mod.rs:240-242 `DataManifest`
+    * root entries + mod.rs:302-342 `ManifestInfo`): leaf nodes are
+    * written partition-grouped and DISTRIBUTED (one shuffle on the
+    * leaf key — never a single-task funnel), the root node is one
+    * small parquet of `DataManifest` entries whose `manifestInfo`
+    * aggregates each leaf. Returns a [[AdaptiveMetadata.ContentRoot]]
+    * pointing at the root node (path relative to the table root, per
+    * the Iceberg V4 relative-path rule AdaptiveMetadata.resolve
+    * applies).
     */
   def writeRoot(snap: Snapshot): AdaptiveMetadata.ContentRoot =
-    writeEntries(snap, entriesDF(snap))
+    writeRoot(snap, DEFAULT_LEAF_FANOUT)
 
-  private def writeEntries(snap: Snapshot,
-      entries: DataFrame): AdaptiveMetadata.ContentRoot = {
+  def writeRoot(snap: Snapshot,
+      numLeaves: Int): AdaptiveMetadata.ContentRoot =
+    writeTree(snap, entriesDF(snap), numLeaves)
+
+  /** Write any entry-shaped DataFrame as a two-level tree (public so
+    * delete-file entries can ride along with the snapshot's data
+    * entries). Partitioned tables group leaves by the partition tuple
+    * (a leaf then serves partition-pruned manifest reads); entries
+    * without partition values spread by location hash.
+    */
+  def writeTree(snap: Snapshot, entries: DataFrame,
+      numLeaves: Int): AdaptiveMetadata.ContentRoot = {
     val spark = snap.spark
-    val rel = s"_delta_log/_amt/content-tree-${snap.version}-" +
-      java.util.UUID.randomUUID() + ".parquet"
-    val abs = snap.tableRoot.toString.stripSuffix("/") + "/" + rel
-    entries.coalesce(1).write.mode("overwrite").parquet(abs)
+    val v = snap.version
+    val relTree = s"_delta_log/_amt/tree-$v-" + java.util.UUID.randomUUID()
+    val absTree = snap.tableRoot.toString.stripSuffix("/") + "/" + relTree
+    val leavesAbs = absTree + "/leaves"
+    val grouping = when(size(map_keys(col("partition"))) > 0,
+      to_json(col("partition"))).otherwise(col("location"))
+    // re-anchor the parquet field ids: Dataset.map and expression
+    // selects drop StructField metadata, and Iceberg projects tree
+    // columns BY id — .to() reconciles rows to the id-carrying schema
+    // (nullability relaxed: join-built frames are nullable throughout)
+    def asNullable(st: StructType): StructType = StructType(st.fields.map {
+      f => f.dataType match {
+        case s: StructType => f.copy(dataType = asNullable(s), nullable = true)
+        case _ => f.copy(nullable = true)
+      }
+    })
+    val target = asNullable(
+      if (entries.schema.fieldNames.contains(CONTENT_STATS))
+        entrySchemaWithStats(contentStatsSchema(snap.dataSchema))
+      else entrySchema)
+    entries.to(target)
+      .withColumn("leafKey",
+        pmod(xxhash64(grouping), lit(numLeaves.toLong)).cast(IntegerType))
+      .repartition(numLeaves, col("leafKey"))
+      .write.partitionBy("leafKey").parquet(leavesAbs)
+
     val fs = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
-    val size = Storage.listFilesRecursive(fs,
-      new org.apache.hadoop.fs.Path(abs)).map(_.getLen).sum
-    AdaptiveMetadata.ContentRoot(rel, size, snap.version)
+    val leafFiles = Storage.listFilesRecursive(fs,
+      new org.apache.hadoop.fs.Path(leavesAbs))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val leafBytes: Map[String, Long] = leafFiles
+      .groupBy(_.getPath.getParent.getName)
+      .map { case (d, fsz) => d -> fsz.map(_.getLen).sum }
+
+    // per-leaf ManifestInfo: ONE distributed aggregate over the
+    // written leaves; the collect is O(numLeaves) rows
+    import org.apache.spark.sql.functions.{count => fcount, min => fmin}
+    def cnt(s: Int) = sum(when(col("tracking.status") === s, 1)
+      .otherwise(0)).cast(IntegerType)
+    def rws(s: Int) = sum(when(col("tracking.status") === s,
+      coalesce(col("recordCount"), lit(0L))).otherwise(0L))
+    val infoRows =
+      if (leafFiles.isEmpty) Array.empty[Row]
+      else spark.read.parquet(leavesAbs).groupBy("leafKey").agg(
+        cnt(TrackingStatus.Added).as("af"),
+        cnt(TrackingStatus.Existing).as("ef"),
+        cnt(TrackingStatus.Deleted).as("df"),
+        cnt(TrackingStatus.Replaced).as("rf"),
+        rws(TrackingStatus.Added).as("ar"),
+        rws(TrackingStatus.Existing).as("er"),
+        rws(TrackingStatus.Deleted).as("dr"),
+        rws(TrackingStatus.Replaced).as("rr"),
+        fmin(col("tracking.sequenceNumber")).as("minSeq"),
+        fcount(lit(1)).as("entries")).collect()
+
+    val rootRows: Seq[Row] = infoRows.toSeq.map { r =>
+      val k = r.getInt(0)
+      val loc = s"$relTree/leaves/leafKey=$k"
+      val minSeq =
+        if (r.isNullAt(r.fieldIndex("minSeq"))) v
+        else r.getAs[Long]("minSeq")
+      Row(DataContentType.DataManifest, loc, "parquet",
+        // manifest entries: sequenceNumber == fileSequenceNumber
+        // (mod.rs:109-116)
+        Row(TrackingStatus.Added, v, null, v, v, null, null, null),
+        null, 0, null, null, r.getAs[Long]("entries"),
+        leafBytes.getOrElse(s"leafKey=$k", 0L),
+        Row(r.getAs[Int]("af"), r.getAs[Int]("ef"), r.getAs[Int]("df"),
+          r.getAs[Int]("rf"), r.getAs[Long]("ar"), r.getAs[Long]("er"),
+          r.getAs[Long]("dr"), r.getAs[Long]("rr"), minSeq, null, null),
+        null, null, null, 4, null)
+    }
+    // the ROOT is O(numLeaves) rows by design — one task is the point
+    spark.createDataFrame(rootRows.asJava, entrySchema)
+      .coalesce(1).write.parquet(absTree + "/root")
+    val rootBytes = Storage.listFilesRecursive(fs,
+      new org.apache.hadoop.fs.Path(absTree + "/root")).map(_.getLen).sum
+    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, v)
+  }
+
+  /** Read a tree's entry rows as one DataFrame: scan the root node,
+    * resolve its manifest entries (O(#leaves) driver rows), and scan
+    * all leaf nodes in ONE distributed parquet read. Single-node trees
+    * (no manifest entries — the pre-hierarchy format) pass through.
+    * Data entries carried directly in the root (legal per mod.rs:54-56)
+    * union in by name.
+    */
+  def readEntriesDF(spark: org.apache.spark.sql.SparkSession,
+      rootLocation: String, tableRoot: String): DataFrame = {
+    val root = spark.read.parquet(rootLocation)
+    val isManifest = col("contentType").isin(
+      DataContentType.DataManifest, DataContentType.DeleteManifest)
+    val manifestLocs = root.filter(isManifest)
+      .select("location").collect().map(_.getString(0))
+    if (manifestLocs.isEmpty) root
+    else {
+      val resolved = manifestLocs.map { l =>
+        if (AdaptiveMetadata.hasScheme(l) || l.startsWith("/")) l
+        else tableRoot.stripSuffix("/") + "/" + l
+      }
+      val leaves = spark.read.parquet(resolved.toIndexedSeq: _*)
+        .drop("leafKey")
+      leaves.unionByName(root.filter(!isManifest),
+        allowMissingColumns = true)
+    }
   }
 
   /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
@@ -278,7 +553,11 @@ object ContentTree {
     * the range diff — never a log replay, never a driver loop.
     */
   def updateRoot(snap: Snapshot,
-      prev: AdaptiveMetadata.ContentRoot): AdaptiveMetadata.ContentRoot = {
+      prev: AdaptiveMetadata.ContentRoot): AdaptiveMetadata.ContentRoot =
+    updateRoot(snap, prev, DEFAULT_LEAF_FANOUT)
+
+  def updateRoot(snap: Snapshot, prev: AdaptiveMetadata.ContentRoot,
+      numLeaves: Int): AdaptiveMetadata.ContentRoot = {
     val spark = snap.spark
     require(prev.version <= snap.version,
       s"tree at ${prev.version} is ahead of snapshot ${snap.version}")
@@ -302,19 +581,77 @@ object ContentTree {
         col("w.version").as("version"), col("w.isAdd").as("isAdd"))
     winner.persist()
     val newE = entriesFromAdds(
-      winner.filter(col("isAdd") === 1).select(col("add"), col("version")))
+      winner.filter(col("isAdd") === 1).select(col("add"), col("version")),
+      snap.dataSchema)
     val removed = winner.filter(col("isAdd") === 0)
       .select(col("loc").as("location"), col("version").as("rmVersion"))
 
-    val prevE = spark.read.schema(entrySchema)
-      .parquet(prev.resolve(snap.tableRoot.toString))
-      .filter(col("tracking.status") =!= TrackingStatus.Deleted)
+    val tableRootStr = snap.tableRoot.toString
+    val prevE = readEntriesDF(spark, prev.resolve(tableRootStr),
+        tableRootStr)
+      .filter(col("contentType") === DataContentType.Data &&
+        col("tracking.status") =!= TrackingStatus.Deleted)
 
-    val j = prevE.as("p")
+    // prev-side column access tolerant of pre-hierarchy trees that
+    // lack the newer entry fields
+    def pcol(name: String, dt: DataType) =
+      if (prevE.schema.fieldNames.contains(name)) col(s"p.$name")
+      else lit(null).cast(dt)
+    val statsSchema = contentStatsSchema(snap.dataSchema)
+    val pStats =
+      if (prevE.schema.fieldNames.contains(CONTENT_STATS) &&
+          DataType.equalsStructurally(
+            prevE.schema(CONTENT_STATS).dataType, statsSchema,
+            ignoreNullability = true))
+        col(s"p.$CONTENT_STATS")
+      else lit(null).cast(statsSchema)
+
+    // TrackingInfo delta bitmaps (mod.rs:125-135): on a Modified entry
+    // whose DV changed, deletedPositions = newDV andNot oldDV and
+    // replacedPositions = oldDV andNot newDV, serialized in the inline-
+    // DV portable framing. The bitmap reads run EXECUTOR-side inside
+    // the join's projection (one udf call per Modified entry — metadata
+    // cardinality, KB-scale blobs; no built-in reads files).
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val fsq = Storage.fs(snap.tableRoot, spark.sessionState.newHadoopConf())
+    val rootUriPath = fsq.makeQualified(snap.tableRoot).toUri.getPath
+    val dvDiff = udf((pLoc: String, pOff: java.lang.Long,
+        pSz: java.lang.Long, nLoc: String, nOff: java.lang.Long,
+        nSz: java.lang.Long) => {
+      def bytes(loc: String, off: java.lang.Long,
+          sz: java.lang.Long): Array[Byte] =
+        if (loc == null) DeletionVectors.emptyBitmap
+        else DeletionVectors.readBitmapBytes(
+          dvInfoToDescriptor(
+            DeletionVectorInfo(loc, off.longValue, sz.longValue, 0L),
+            rootUriPath),
+          new org.apache.hadoop.fs.Path(tableRootStr), confBc.value.value)
+      if (java.util.Objects.equals(pLoc, nLoc) &&
+          java.util.Objects.equals(pOff, nOff)) null
+      else {
+        val pB = bytes(pLoc, pOff, pSz)
+        val nB = bytes(nLoc, nOff, nSz)
+        val del = DeletionVectors.andNotBitmaps(nB, pB)
+        val rep = DeletionVectors.andNotBitmaps(pB, nB)
+        Array(
+          if (DeletionVectors.cardinality(del) > 0) del else null,
+          if (DeletionVectors.cardinality(rep) > 0) rep else null)
+      }
+    })
+
+    val j0 = prevE.as("p")
       .join(newE.as("n"), Seq("location"), "full_outer")
       .join(removed.as("r"), Seq("location"), "left")
     val hasPrev = col("p.tracking").isNotNull
     val hasNew = col("n.tracking").isNotNull
+    val j = j0.withColumn("__dvdiff",
+      when(hasPrev && hasNew, dvDiff(
+        col("p.deletionVector.location"), col("p.deletionVector.offset"),
+        col("p.deletionVector.sizeInBytes"),
+        col("n.deletionVector.location"), col("n.deletionVector.offset"),
+        col("n.deletionVector.sizeInBytes"))))
     val status =
       when(hasPrev && hasNew, lit(TrackingStatus.Modified))
         .when(hasPrev && col("r.rmVersion").isNotNull,
@@ -333,7 +670,9 @@ object ContentTree {
       coalesce(col("p.tracking.fileSequenceNumber"),
         col("n.tracking.fileSequenceNumber")).as("fileSequenceNumber"),
       coalesce(col("n.tracking.firstRowId"),
-        col("p.tracking.firstRowId")).as("firstRowId"))
+        col("p.tracking.firstRowId")).as("firstRowId"),
+      element_at(col("__dvdiff"), 1).as("deletedPositions"),
+      element_at(col("__dvdiff"), 2).as("replacedPositions"))
     val updated = j.select(
       lit(DataContentType.Data).as("contentType"),
       col("location"),
@@ -349,26 +688,77 @@ object ContentTree {
         .as("recordCount"),
       coalesce(col("n.fileSizeInBytes"), col("p.fileSizeInBytes"))
         .as("fileSizeInBytes"),
+      when(hasNew, col(s"n.$CONTENT_STATS")).otherwise(pStats)
+        .as(CONTENT_STATS),
+      lit(null).cast(manifestInfoSchema).as("manifestInfo"),
+      when(hasNew, col("n.keyMetadata"))
+        .otherwise(pcol("keyMetadata", BinaryType)).as("keyMetadata"),
+      when(hasNew, col("n.splitOffsets"))
+        .otherwise(pcol("splitOffsets", ArrayType(LongType)))
+        .as("splitOffsets"),
+      when(hasNew, col("n.equalityIds"))
+        .otherwise(pcol("equalityIds", ArrayType(IntegerType)))
+        .as("equalityIds"),
       lit(4).as("formatVersion"),
       coalesce(col("n.tags"), col("p.tags")).as("tags"))
-    val root = writeEntries(snap, updated)
+    val root = writeTree(snap, updated, numLeaves)
     winner.unpersist()
     root
   }
 
-  /** Stream a content-tree node back as add actions (the read path:
+  /** Stream a content tree back as add actions (the read path:
     * resolve the root via [[AdaptiveMetadata.ContentRoot.resolve]],
-    * parquet-scan it, decode entries one at a time — driver memory
+    * walk root → leaves, decode entries one at a time — driver memory
     * stays O(batch), the same streamed-handoff envelope as
     * DeltaScan.addFileIterator).
     */
   def addFileIterator(spark: org.apache.spark.sql.SparkSession,
-      rootLocation: String, tableRootUriPath: String)
+      rootLocation: String, tableRoot: String, tableRootUriPath: String)
       : Iterator[AddFile] = {
-    val df = spark.read.schema(entrySchema).parquet(rootLocation)
+    val df = readEntriesDF(spark, rootLocation, tableRoot)
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
     df.toLocalIterator().asScala.map(entryToAdd(_, tableRootUriPath))
+  }
+
+  /** Stats-pruned tree read: plan the file set from the tree INSTEAD
+    * of the Delta log, skipping entries via their `content_stats`
+    * bounds with the SAME rewrite [[DataSkipping]] applies to log
+    * stats — `content_stats` projected back to the
+    * numRecords/minValues/maxValues/nullCount shape, coalesce-guarded
+    * so entries lacking stats are kept. Predicate attributes are
+    * physical top-level data columns (= logical on unmapped tables).
+    */
+  def prunedAddFileIterator(spark: org.apache.spark.sql.SparkSession,
+      rootLocation: String, tableRoot: String, tableRootUriPath: String,
+      dataSchema: StructType, predicateSql: String)
+      : Iterator[AddFile] = {
+    val live = readEntriesDF(spark, rootLocation, tableRoot)
+      .filter(col("contentType") === DataContentType.Data &&
+        col("tracking.status") =!= TrackingStatus.Deleted)
+    val statsSchema = contentStatsSchema(dataSchema)
+    val names = statsSchema.fieldNames.toSeq
+    val eligible: Set[Seq[String]] = names.map(Seq(_)).toSet
+    val skips =
+      if (!live.schema.fieldNames.contains(CONTENT_STATS)) Nil
+      else DataSkipping
+        .conjuncts(DataSkipping.parse(spark, predicateSql))
+        .flatMap(DataSkipping.rewrite(_, eligible, eligible))
+    if (skips.isEmpty)
+      return live.toLocalIterator().asScala
+        .map(entryToAdd(_, tableRootUriPath))
+    def sub(leaf: String) = struct(names.map(c =>
+      col(CONTENT_STATS).getField(c).getField(leaf).as(c)): _*)
+    val stats = struct(
+      col("recordCount").as("numRecords"),
+      sub("lower_bound").as("minValues"),
+      sub("upper_bound").as("maxValues"),
+      sub("null_value_count").as("nullCount"))
+    val skipSql = ("coalesce(__stats.numRecords > 0, true)" +:
+      skips.map(s => s"coalesce(${s.sql}, true)")).mkString(" AND ")
+    live.withColumn("__stats", stats)
+      .filter(expr(skipSql)).drop("__stats")
+      .toLocalIterator().asScala.map(entryToAdd(_, tableRootUriPath))
   }
 
   /** One entry row → AddFile (inverse of the [[entriesDF]] mapping). */

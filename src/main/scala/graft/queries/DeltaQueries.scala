@@ -867,11 +867,22 @@ object DeltaQueries {
       val parsed = graft.delta.AdaptiveMetadata
         .parseCheckpointAction(line).get
       val resolved = parsed.contentRoot.resolve(snap.tableRoot.toString)
+      // pin the 2-LEVEL hierarchy: the root node holds ONLY
+      // DataManifest entries whose manifestInfo accounts for every
+      // data file — a regression to a flat single-node tree fails here
+      val rootEntries = s.read.parquet(resolved)
+      val manifests = rootEntries.filter(col("contentType") ===
+        graft.delta.ContentTree.DataContentType.DataManifest)
+      require(rootEntries.count() == manifests.count() &&
+        manifests.count() >= 1, "content-tree root is not a manifest level")
+      require(manifests.agg(sum("manifestInfo.addedFilesCount"))
+        .head.getLong(0) == 2L, "manifestInfo file accounting broken")
       val rootUri = graft.delta.Storage
         .fs(snap.tableRoot, s.sessionState.newHadoopConf())
         .makeQualified(snap.tableRoot).toUri.getPath
       val adds = graft.delta.ContentTree
-        .addFileIterator(s, resolved, rootUri).toSeq
+        .addFileIterator(s, resolved, snap.tableRoot.toString, rootUri)
+        .toSeq
       ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
     }),
 

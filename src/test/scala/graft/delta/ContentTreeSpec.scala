@@ -1,5 +1,7 @@
 package graft.delta
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -7,8 +9,11 @@ import graft.TestSpark
 
 /** Content-tree parity with reference kernel/src/content_tree/:
   * the stats field-id space (stats.rs tests), the Delta→Iceberg DV
-  * conversion (dv_conversion.rs tests), and a manifest `checkpoint`
-  * action round trip over a tree-backed table.
+  * conversion (dv_conversion.rs tests), the two-level manifest
+  * hierarchy with per-leaf ManifestInfo (mod.rs:195-200, :302-342),
+  * shredded `content_stats` in the reserved field-id space
+  * (stats.rs:77-95), TrackingInfo delta bitmaps (mod.rs:125-135), and
+  * puffin DV blobs (mod.rs:259-264).
   */
 class ContentTreeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -62,8 +67,43 @@ class ContentTreeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Inline deletion vectors"))
   }
 
-  test("manifest checkpoint round trip over a tree-backed table: " +
-      "entries rebuild the exact live file set, DVs included") {
+  // ---- mod.rs entry invariants ----
+  test("entry validation: equalityIds/manifestInfo/puffin placement " +
+      "rules and manifest sequence-number equality") {
+    import DataContentType._
+    validateEntry(Data, "parquet", hasEqualityIds = false,
+      hasManifestInfo = false, Some(1L), Some(1L))
+    validateEntry(EqualityDeletes, "parquet", hasEqualityIds = true,
+      hasManifestInfo = false, Some(1L), Some(1L))
+    validateEntry(PositionDeletes, "puffin", hasEqualityIds = false,
+      hasManifestInfo = false, Some(1L), Some(1L))
+    validateEntry(DataManifest, "parquet", hasEqualityIds = false,
+      hasManifestInfo = true, Some(3L), Some(3L))
+    intercept[IllegalArgumentException] { // ids on non-equality entry
+      validateEntry(Data, "parquet", hasEqualityIds = true,
+        hasManifestInfo = false, Some(1L), Some(1L))
+    }
+    intercept[IllegalArgumentException] { // ids missing on equality
+      validateEntry(EqualityDeletes, "parquet", hasEqualityIds = false,
+        hasManifestInfo = false, Some(1L), Some(1L))
+    }
+    intercept[IllegalArgumentException] { // info on a data entry
+      validateEntry(Data, "parquet", hasEqualityIds = false,
+        hasManifestInfo = true, Some(1L), Some(1L))
+    }
+    intercept[IllegalArgumentException] { // puffin data file
+      validateEntry(Data, "puffin", hasEqualityIds = false,
+        hasManifestInfo = false, Some(1L), Some(1L))
+    }
+    intercept[IllegalArgumentException] { // manifest seq != fileSeq
+      validateEntry(DataManifest, "parquet", hasEqualityIds = false,
+        hasManifestInfo = true, Some(3L), Some(2L))
+    }
+  }
+
+  test("two-level tree: distributed leaf writes, root DataManifest " +
+      "entries with exact ManifestInfo accounting, manifest checkpoint " +
+      "round trip rebuilds the live file set, DVs included") {
     val dir = TestSpark.tmpDir("amt-tree")
     val src = (1 to 60000).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
       .toDF("k", "s", "p")
@@ -77,8 +117,6 @@ class ContentTreeSpec extends AnyFunSuite {
     val snap = t.snapshot()
     val expected = t.toDF.orderBy("k").collect().toSeq
 
-    // build + persist the content tree, wrap it in a manifest commit's
-    // checkpoint action, and round-trip through the JSON line
     val root = ContentTree.writeRoot(snap)
     val action = AdaptiveMetadata.CheckpointAction(
       version = snap.version,
@@ -92,37 +130,151 @@ class ContentTreeSpec extends AnyFunSuite {
     assert(parsed.contentRoot == root)
     assert(parsed.metadata.schemaString == snap.metadata.schemaString)
 
-    // read the tree back through the parsed root and rebuild the scan
+    // ---- hierarchy shape: the root node holds ONLY DataManifest
+    // entries; the partition-grouped leaves are SEPARATE parquet dirs
+    // written by MULTIPLE tasks (≥2 leaf dirs, ≥2 distinct writer
+    // tasks) — the single-task coalesce(1) funnel is gone
     val resolved = parsed.contentRoot.resolve(snap.tableRoot.toString)
+    val rootEntries = spark.read.parquet(resolved)
+    assert(rootEntries.filter(col("contentType") =!=
+      DataContentType.DataManifest).count() == 0)
+    val nLeaves = rootEntries.count()
+    assert(nLeaves >= 2, s"want ≥2 leaves, got $nLeaves")
     val fs = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
+    val treeDir = new Path(resolved).getParent
+    val leafParts = Storage.listFilesRecursive(fs,
+        new Path(treeDir, "leaves"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(leafParts.map(_.getPath.getParent.getName).distinct.size ==
+      nLeaves)
+    // part files carry their writer task's index: ≥2 distinct tasks
+    assert(leafParts.map(_.getPath.getName.take(10)).distinct.size >= 2,
+      "leaf nodes were written by a single task")
+
+    // ---- ManifestInfo accounting (mod.rs:302-342): per-leaf counts
+    // sum to the table's live file/row population, all Added at v1
+    val info = rootEntries.agg(
+      sum("manifestInfo.addedFilesCount"),
+      sum("manifestInfo.existingFilesCount"),
+      sum("manifestInfo.deletedFilesCount"),
+      sum("manifestInfo.addedRowsCount"),
+      min("manifestInfo.minSequenceNumber")).head
+    val liveFiles = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    assert(info.getLong(0) == liveFiles.size.toLong)
+    assert(info.getLong(1) == 0L && info.getLong(2) == 0L)
+    assert(info.getLong(3) == 60000L) // recordCount sums pre-DV rows
+    // every file was DV-swapped (re-added) at v2, so the minimum data
+    // sequence number across the tree is 2
+    assert(info.getLong(4) == 2L)
+    // manifest entries' recordCount = leaf entry count
+    assert(rootEntries.agg(sum("recordCount")).head.getLong(0) ==
+      liveFiles.size.toLong)
+
+    // ---- read the tree back through the parsed root
     val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
-    val adds = ContentTree.addFileIterator(spark, resolved, rootUri).toSeq
-    val origAdds = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    val adds = ContentTree.addFileIterator(spark, resolved,
+      snap.tableRoot.toString, rootUri).toSeq
     assert(adds.map(_.path).sorted ==
-      origAdds.map(a => Storage.decodeUriPath(a.path)).sorted)
-    // DV cardinalities survive the Delta→Iceberg→Delta conversion
+      liveFiles.map(a => Storage.decodeUriPath(a.path)).sorted)
     assert(adds.flatMap(_.deletionVector).map(_.cardinality).sum ==
-      origAdds.flatMap(_.deletionVector).map(_.cardinality).sum)
+      liveFiles.flatMap(_.deletionVector).map(_.cardinality).sum)
     assert(adds.flatMap(_.deletionVector).nonEmpty)
 
-    // the rebuilt adds assemble to EXACTLY the table's rows: DV masks
-    // from the converted absolute descriptors apply in-scan
     val rebuilt = new DeltaScan(snap, None)
       .assemble(adds, keepMeta = false)
     assert(rebuilt.orderBy("k").collect().toSeq == expected)
 
-    // entry invariants: every entry is Data/parquet/Added at a real
-    // commit version, recordCount from stats, formatVersion 4
-    val entries = spark.read.schema(ContentTree.entrySchema)
-      .parquet(resolved)
+    // ---- leaf entry invariants
+    val entries = ContentTree.readEntriesDF(spark, resolved,
+      snap.tableRoot.toString)
     assert(entries.filter(col("contentType") =!=
-      ContentTree.DataContentType.Data).count() == 0)
+      DataContentType.Data).count() == 0)
     assert(entries.filter(col("fileFormat") =!= "parquet").count() == 0)
     assert(entries.filter(col("tracking.status") =!=
-      ContentTree.TrackingStatus.Added).count() == 0)
+      TrackingStatus.Added).count() == 0)
     assert(entries.filter(col("formatVersion") =!= 4).count() == 0)
     assert(entries.agg(sum("recordCount")).head.getLong(0) == 60000L)
+    // content_stats populated: per-column bounds + counts present
+    assert(entries.filter(col(s"$CONTENT_STATS.k.lower_bound").isNull)
+      .count() == 0)
+    assert(entries.agg(
+      min(s"$CONTENT_STATS.k.lower_bound"),
+      max(s"$CONTENT_STATS.k.upper_bound"),
+      sum(s"$CONTENT_STATS.k.value_count")).head.toSeq ==
+      Seq(1L, 60000L, 60000L))
+  }
+
+  test("content_stats parquet field ids sit in the reserved space at " +
+      "fieldIdToStatisticsBase, entry fields at their mod.rs ids") {
+    val dir = TestSpark.tmpDir("amt-fid")
+    val src = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val snap = t.snapshot()
+    val root = ContentTree.writeRoot(snap, numLeaves = 2)
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val resolved = root.resolve(snap.tableRoot.toString)
+    val leaf = Storage.listFilesRecursive(fs,
+        new Path(new Path(resolved).getParent, "leaves"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        leaf, spark.sessionState.newHadoopConf()))
+    try {
+      val mt: org.apache.parquet.schema.GroupType =
+        footer.getFooter.getFileMetaData.getSchema
+      def id(t: org.apache.parquet.schema.Type): Int = t.getId.intValue
+      def top(name: String) = mt.getType(name)
+      // entry-level ids (mod.rs #[field_id] annotations)
+      assert(id(top("contentType")) == 134)
+      assert(id(top("location")) == 100)
+      assert(id(top("tracking")) == 147)
+      assert(id(top("manifestInfo")) == 150)
+      val cs = top(CONTENT_STATS).asGroupType()
+      assert(id(top(CONTENT_STATS)) == 146)
+      // k is data field 0 → base 10000; s is field 1 → base 10200
+      // (stats.rs field_id_to_statistics_base); subfields at the
+      // constant offsets declared in STAT_SUBFIELDS
+      val kStats = cs.getType("k").asGroupType()
+      assert(id(cs.getType("k")) == 10000)
+      assert(id(kStats.getType("lower_bound")) == 10001)
+      assert(id(kStats.getType("upper_bound")) == 10002)
+      assert(id(kStats.getType("value_count")) == 10004)
+      assert(id(kStats.getType("null_value_count")) == 10005)
+      assert(id(cs.getType("s")) == 10200)
+    } finally footer.close()
+  }
+
+  test("stats-pruned tree read returns the same files as the pruned " +
+      "log read") {
+    val dir = TestSpark.tmpDir("amt-prune")
+    val src = (1 to 40000).map(i => (i.toLong, s"v$i", s"p${i % 2}"))
+      .toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    // two appends per partition with DISJOINT k ranges → stats can
+    // halve the file set for a k predicate
+    t.append(src.filter($"k" <= 20000))
+    t.append(src.filter($"k" > 20000))
+    val snap = t.snapshot()
+    val root = ContentTree.writeRoot(snap)
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
+    val resolved = root.resolve(snap.tableRoot.toString)
+    val pred = "k > 20000"
+    val treeAdds = ContentTree.prunedAddFileIterator(spark, resolved,
+      snap.tableRoot.toString, rootUri, snap.dataSchema, pred).toSeq
+    val logAdds = new DeltaScan(snap, Some(pred))
+      .collectAddFiles(slim = true)
+    assert(treeAdds.map(_.path).sorted ==
+      logAdds.map(a => Storage.decodeUriPath(a.path)).sorted)
+    // and it actually pruned: half the live files survive
+    val all = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    assert(treeAdds.size < all.size && treeAdds.nonEmpty)
   }
 
   test("incremental updateRoot: diff-applied tree matches a fresh " +
@@ -150,7 +302,8 @@ class ContentTreeSpec extends AnyFunSuite {
 
     // the updated tree reads back to EXACTLY the table's rows
     val adds = ContentTree.addFileIterator(spark,
-      tree2.resolve(snap.tableRoot.toString), rootUri).toSeq
+      tree2.resolve(snap.tableRoot.toString), snap.tableRoot.toString,
+      rootUri).toSeq
     val rebuilt = new DeltaScan(snap, None)
       .assemble(adds, keepMeta = false)
     assert(rebuilt.orderBy("k").collect().toSeq ==
@@ -158,18 +311,17 @@ class ContentTreeSpec extends AnyFunSuite {
 
     // live entries equal a FRESH full build (identity fields aside)
     def liveSet(root: graft.delta.AdaptiveMetadata.ContentRoot) =
-      spark.read.schema(ContentTree.entrySchema)
-        .parquet(root.resolve(snap.tableRoot.toString))
-        .filter(col("tracking.status") =!=
-          ContentTree.TrackingStatus.Deleted)
+      ContentTree.readEntriesDF(spark,
+        root.resolve(snap.tableRoot.toString), snap.tableRoot.toString)
+        .filter(col("tracking.status") =!= TrackingStatus.Deleted)
         .select(col("location"), col("fileSizeInBytes"),
           coalesce(col("deletionVector.cardinality"), lit(-1L)))
         .collect().map(_.toString).toSet
     assert(liveSet(tree2) == liveSet(ContentTree.writeRoot(snap)))
 
     // tracking statuses tell the history
-    val e = spark.read.schema(ContentTree.entrySchema)
-      .parquet(tree2.resolve(snap.tableRoot.toString))
+    val e = ContentTree.readEntriesDF(spark,
+      tree2.resolve(snap.tableRoot.toString), snap.tableRoot.toString)
       .select(col("location"), col("tracking.status").as("st"),
         col("tracking.snapshotId").as("sid"),
         col("tracking.dvSnapshotId").as("dvSid"))
@@ -194,5 +346,123 @@ class ContentTreeSpec extends AnyFunSuite {
 
     // a same-version update is a no-op handle
     assert(ContentTree.updateRoot(snap, tree2) eq tree2)
+  }
+
+  test("TrackingInfo delta bitmaps: Modified entries carry " +
+      "deletedPositions equal to the DV diff of the maintained range") {
+    val dir = TestSpark.tmpDir("amt-bits")
+    val src = (1 to 30000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(2))       // v1: two files
+    t.deleteWhereDV("k % 4 = 0")       // v2: initial DVs
+    val snapPrev = t.snapshot()
+    val tree1 = ContentTree.writeRoot(snapPrev)
+    val prevDvByPath = new DeltaScan(snapPrev, None)
+      .collectAddFiles(slim = true)
+      .map(a => Storage.decodeUriPath(a.path) -> a.deletionVector).toMap
+    t.deleteWhereDV("k % 2 = 0")       // v3: DVs extend (union)
+    val snap = t.snapshot()
+    val tree2 = ContentTree.updateRoot(snap, tree1)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val newDvByPath = new DeltaScan(snap, None)
+      .collectAddFiles(slim = true)
+      .map(a => Storage.decodeUriPath(a.path) -> a.deletionVector).toMap
+    val rows = ContentTree.readEntriesDF(spark,
+      tree2.resolve(snap.tableRoot.toString), snap.tableRoot.toString)
+      .select("location", "tracking.status",
+        "tracking.deletedPositions", "tracking.replacedPositions")
+      .collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getInt(1) == TrackingStatus.Modified))
+    rows.foreach { r =>
+      val loc = r.getString(0)
+      def posOf(d: Option[DeletionVectorDescriptor]): Set[Long] =
+        d.map(DeletionVectors.readRowIndexes(_, snap.tableRoot, conf)
+          .toSet).getOrElse(Set.empty)
+      val expectDeleted = posOf(newDvByPath(loc)) -- posOf(prevDvByPath(loc))
+      val got = DeletionVectors
+        .deserializeBitmap(r.getAs[Array[Byte]](2)).toSet
+      assert(got == expectDeleted, s"bitmap diff mismatch for $loc")
+      // the diff is strictly the NEW deletions, not the whole DV
+      assert(got.size < posOf(newDvByPath(loc)).size)
+      // nothing was restored in this range
+      assert(r.isNullAt(3))
+    }
+    // Existing entries (none here) and fresh builds carry no bitmaps:
+    val fresh = ContentTree.readEntriesDF(spark,
+      ContentTree.writeRoot(snap).resolve(snap.tableRoot.toString),
+      snap.tableRoot.toString)
+    assert(fresh.filter(col("tracking.deletedPositions").isNotNull)
+      .count() == 0)
+  }
+
+  test("puffin DV blob round trip: write, footer, blob validation, " +
+      "tree entry, and back to a Delta descriptor") {
+    val dir = TestSpark.tmpDir("amt-puffin")
+    val src = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val snap = t.snapshot()
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(snap.tableRoot, conf)
+
+    // write a puffin file holding one DV blob
+    val positions = (0L until 2000L by 3L).toArray
+    val bitmap = DeletionVectors.serializeBitmap(positions)
+    val rel = "_delta_log/_amt/dv-test.puffin"
+    val puffinPath = new Path(snap.tableRoot, rel)
+    val metas = Puffin.writeDvFile(fs, puffinPath,
+      Seq((bitmap, positions.length.toLong, Some("part-0.parquet"))),
+      snapshotId = snap.version, sequenceNumber = snap.version)
+    assert(metas.size == 1)
+    val m = metas.head
+    assert(m.length == bitmap.length + 4 + 8) // LE magic + len/crc framing
+
+    // footer parses back; blob region validates and yields the bitmap
+    val back = Puffin.readFooter(fs, puffinPath)
+    assert(back == metas)
+    assert(Puffin.readDvBlob(fs, puffinPath, m.offset, m.length)
+      .sameElements(bitmap))
+
+    // ride a PositionDeletes entry through a tree write/read
+    val statsSchema = ContentTree.contentStatsSchema(snap.dataSchema)
+    val entrySch = ContentTree.entrySchemaWithStats(statsSchema)
+    ContentTree.validateEntry(DataContentType.PositionDeletes, "puffin",
+      hasEqualityIds = false, hasManifestInfo = false,
+      Some(snap.version), Some(snap.version))
+    val entryRow = Row(DataContentType.PositionDeletes, rel, "puffin",
+      Row(TrackingStatus.Added, snap.version, null, snap.version,
+        snap.version, null, null, null),
+      Row(rel, m.offset, m.length, positions.length.toLong),
+      0, null, null, positions.length.toLong, fs.getFileStatus(puffinPath)
+        .getLen, null, null, null, null, null, 4, null)
+    import scala.jdk.CollectionConverters._
+    val extra = spark.createDataFrame(Seq(entryRow).asJava, entrySch)
+    val root = ContentTree.writeTree(snap,
+      ContentTree.entriesDF(snap).unionByName(extra), numLeaves = 4)
+
+    val ents = ContentTree.readEntriesDF(spark,
+      root.resolve(snap.tableRoot.toString), snap.tableRoot.toString)
+    val pd = ents.filter(col("contentType") ===
+      DataContentType.PositionDeletes).collect()
+    assert(pd.length == 1 && pd.head.getAs[String]("fileFormat") == "puffin")
+    val dvr = pd.head.getStruct(pd.head.fieldIndex("deletionVector"))
+    val info = DeletionVectorInfo(dvr.getString(0), dvr.getLong(1),
+      dvr.getLong(2), dvr.getLong(3))
+    // back to a DELTA descriptor: bitmap bytes survive the round trip
+    val desc = Puffin.dvInfoToDeltaDescriptor(info, snap.tableRoot, conf)
+    assert(DeletionVectors.readBitmapBytes(desc, snap.tableRoot, conf)
+      .sameElements(bitmap))
+    assert(desc.cardinality == positions.length.toLong)
+    // data entries still rebuild the table alongside the delete entry
+    val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
+    val adds = ContentTree.addFileIterator(spark,
+      root.resolve(snap.tableRoot.toString), snap.tableRoot.toString,
+      rootUri).toSeq
+    assert(new DeltaScan(snap, None).assemble(adds, keepMeta = false)
+      .count() == 1000L)
   }
 }
