@@ -80,6 +80,16 @@ object MetricEvent {
     */
   case class CdfCommitParsed(operationId: String, durationNs: Long,
       version: Long) extends MetricEvent
+
+  /** One CDF range read finished its classify pass — `numFileActions`
+    * is the count of file actions the range buffers on the DRIVER
+    * (the collapsed read's memory envelope is O(this), nothing fatter;
+    * a regression to buffering parsed JSON or per-commit sub-plans
+    * would show up as this gauge no longer bounding driver growth).
+    * Emitted exactly once per `TableChanges.read` call.
+    */
+  case class CdfRangeClassified(operationId: String, durationNs: Long,
+      numCommits: Int, numFileActions: Long) extends MetricEvent
 }
 
 /** Receives every metric event (reference metrics/reporter.rs). Keep

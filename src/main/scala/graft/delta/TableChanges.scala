@@ -246,6 +246,13 @@ object TableChanges {
           Metrics.now() - t0, v))
         (v, ict.getOrElse(st.getModificationTime), classifyActions(lines))
     }
+    // driver-envelope gauge: the classify pass buffers exactly the
+    // range's FILE ACTIONS (slim FileClasses rows), nothing fatter
+    Metrics.report(MetricEvent.CdfRangeClassified(opId, 0L,
+      parsed.size, parsed.iterator.map { case (_, _, fc) =>
+        (fc.cdcs.size + fc.plainAdds.size + fc.plainRemoves.size +
+          2 * fc.pairs.size).toLong
+      }.sum))
 
     // File-level pushdown prune over the range's plain adds (predicate
     // path only; pure plan work on the already-parsed actions — no

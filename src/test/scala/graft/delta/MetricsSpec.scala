@@ -107,6 +107,34 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("a 50-commit CDF range read buffers exactly the range's file " +
+      "actions on the driver (envelope gauge), one parse per commit") {
+    val dir = TestSpark.tmpDir("mx-cdf")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema,
+        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+      val t = DeltaTable.forPath(spark, dir)
+      (1 to 50).foreach(i =>
+        t.append(src(i * 10, i * 10 + 5).repartition(1)))
+      r.clear()
+
+      val n = TableChanges.read(spark, dir, 1, Some(50L)).count()
+      assert(n == 50L * 6)
+      val parsed = r.events.collect { case e: CdfCommitParsed => e }
+      assert(parsed.size == 50 &&
+        parsed.map(_.version).sorted == (1L to 50L))
+      val env = r.events.collect { case e: CdfRangeClassified => e }
+      // exactly ONE envelope event; the buffered count is the range's
+      // file actions — one add per commit, nothing fatter (a regression
+      // to buffering parsed JSON or per-commit plans can't satisfy this
+      // equality while staying O(actions))
+      assert(env.size == 1)
+      assert(env.head.numCommits == 50)
+      assert(env.head.numFileActions == 50L)
+      assert(env.head.operationId == parsed.head.operationId)
+    }
+  }
+
   test("a throwing reporter never fails the operation") {
     val dir = TestSpark.tmpDir("mx-t")
     val prev = Metrics.reporter
