@@ -714,10 +714,23 @@ class HttpCatalogServer(backing: CatalogClient, bindPort: Int = 0,
   * `pageSize` caps commits per load_table page; [[logTail]] follows
   * `next-page-token` until the tail is complete (absent against a
   * stock UC, which sends the whole tail in one response).
+  *
+  * `workspaceToken`, when set, switches the client to REAL-UC auth:
+  * every request (config, credentials, data plane) carries
+  * `Authorization: Bearer <workspaceToken>` — the reference client's
+  * default-header PAT (unity-catalog-delta-rest-client/src/http.rs) —
+  * and vended storage credentials are kept fresh for the STORAGE
+  * layer only (proactive re-vend at `expiration-time-ms`), never used
+  * as catalog auth. A 401 is then a workspace-auth failure and is NOT
+  * retried by re-vending (a storage credential can't fix it). Without
+  * it, the client runs in loopback-test mode, where the vended
+  * credential's `config.token` doubles as the data-plane bearer so
+  * tests can exercise expiry/renewal against [[HttpCatalogServer]].
   */
 class HttpCatalogClient(base: String, pageSize: Int = 1000,
     catalogName: String = "main", schemaName: String = "default",
-    tableId: Option[String] = None)
+    tableId: Option[String] = None,
+    workspaceToken: Option[String] = None)
     extends CatalogClient {
   import HttpCatalogProtocol._
 
@@ -759,8 +772,8 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
   def getConfig(): (Seq[String], String) = {
     val uri = URI.create(s"$base${BASE}config?catalog=" +
       encodeSegment(catalogName) + "&protocol-versions=1.0")
-    val resp = http.send(HttpRequest.newBuilder(uri)
-      .timeout(requestTimeout).GET().build(),
+    val resp = http.send(workspaceAuth(HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode == 200,
       s"config handshake failed: HTTP ${resp.statusCode}: ${resp.body}")
@@ -772,18 +785,21 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
 
   private def vend(table: String): (String, Long) = {
     // GET with ?operation=, as uc_client.rs get_table_credentials
-    val req = HttpRequest.newBuilder(
+    val req = workspaceAuth(HttpRequest.newBuilder(
       tableUri(table, "/credentials?operation=READ_WRITE"))
-      .timeout(requestTimeout).GET().build()
+      .timeout(requestTimeout)).GET().build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode == 200,
       s"credential vending failed: HTTP ${resp.statusCode}: ${resp.body}")
     val c = mapper.readTree(resp.body).get("storage-credentials").get(0)
     val typed = HttpCatalogProtocol.parseStorageCredential(c)
     lastCredential = Some(typed)
-    val token = typed.config.getOrElse("token",
+    // catalog-auth token: the workspace PAT against a real UC (vended
+    // credentials are object-store secrets there, not catalog auth);
+    // the loopback test server's `config.token` extension otherwise
+    val token = workspaceToken.getOrElse(typed.config.getOrElse("token",
       throw new IllegalStateException(
-        "vended credential carries no loopback token"))
+        "vended credential carries no loopback token")))
     val expiry = typed.expirationTimeMs.getOrElse(Long.MaxValue)
     credentialRenewals += 1
     val v = (token, expiry)
@@ -796,15 +812,26 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
     case _ => vend(table)._1
   }
 
+  /** Workspace-PAT header for control-plane requests that bypass
+    * [[send]] (config, credential vending, create flows) — a real UC
+    * gateway authenticates every route (http.rs default headers).
+    */
+  private def workspaceAuth(
+      b: HttpRequest.Builder): HttpRequest.Builder =
+    workspaceToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+
   /** Send with auth; on 401 renew the credential once and retry —
-    * expiry mid-stream is a normal protocol event.
+    * expiry mid-stream is a normal protocol event. Under a workspace
+    * token the retry is skipped: re-vending storage credentials cannot
+    * repair catalog auth, so the 401 surfaces as an error below.
     */
   private def send(table: String,
       build: String => HttpRequest): String = {
     def once(token: String): HttpResponse[String] =
       http.send(build(token), HttpResponse.BodyHandlers.ofString())
     var resp = once(currentToken(table))
-    if (resp.statusCode == 401) resp = once(vend(table)._1)
+    if (resp.statusCode == 401 && workspaceToken.isEmpty)
+      resp = once(vend(table)._1)
     if (resp.statusCode == 404) throw TableNotFound(table)
     if (resp.statusCode == 409) {
       val n = mapper.readTree(resp.body)
@@ -924,8 +951,8 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
       s"${encodeSegment(schemaName)}/staging-tables")
     val bodyNode = mapper.createObjectNode()
     bodyNode.put("name", name)
-    val resp = http.send(HttpRequest.newBuilder(uri)
-      .timeout(requestTimeout)
+    val resp = http.send(workspaceAuth(HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(bodyNode), UTF_8)).build(),
@@ -942,8 +969,8 @@ class HttpCatalogClient(base: String, pageSize: Int = 1000,
     val uri = URI.create(s"$base${BASE}catalogs/" +
       s"${encodeSegment(catalogName)}/schemas/" +
       s"${encodeSegment(schemaName)}/tables")
-    val resp = http.send(HttpRequest.newBuilder(uri)
-      .timeout(requestTimeout)
+    val resp = http.send(workspaceAuth(HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(request), UTF_8)).build(),
