@@ -772,7 +772,22 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       }
     val passthrough =
       if (rtEnabled) matCols.toSeq.flatMap(c => Seq(c._1, c._2)) else Nil
-    val staged0 = stageFiles(layout(input), snap, passthrough)
+    // Clustered/z-ordered staging passes over the input TWICE (range-
+    // boundary sampling or percentile aggregation, then the shuffled
+    // write), and the input here is the expensive assembled read (DV
+    // masks, row-id materialization). Cache it across the two passes
+    // when the candidate set is modest — the add sizes make the gate
+    // exact, and a 100 TB rewrite stays streaming rather than
+    // duplicating the table onto executor disks.
+    val clustered = Clustering.columns(snap).nonEmpty
+    val cacheInput = clustered && existing.map(_.size).sum <=
+      spark.conf.getOption(DeltaTable.OPTIMIZE_CACHE_INPUT_KEY)
+        .map(_.toLong).getOrElse(32L << 30)
+    if (cacheInput)
+      input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val staged0 =
+      try stageFiles(layout(input), snap, passthrough)
+      finally if (cacheInput) { input.unpersist(false); () }
     // fresh default ids for the new files + an advanced high-water mark
     // (adds still REQUIRE baseRowId per protocol; the materialized
     // columns override them row-by-row on read)
@@ -3645,6 +3660,12 @@ object DeltaTable {
   val MAT_PART_PREFIX = "__gpm_"
   /** Fixed file count for clustered writes; unset/0 = AQE-sized. */
   val CLUSTERING_NUM_FILES_KEY = "graft.clustering.numFiles"
+  /** Session conf: OPTIMIZE caches its assembled input across the
+    * layout's two passes (range sample + shuffled write) when the
+    * candidate bytes are at or below this; above it the rewrite
+    * streams. Default 32 GiB.
+    */
+  val OPTIMIZE_CACHE_INPUT_KEY = "graft.optimize.cacheInputMaxBytes"
   val ICT_ENABLEMENT_VERSION_KEY =
     "delta.inCommitTimestampEnablementVersion"
   val ICT_ENABLEMENT_TIMESTAMP_KEY =

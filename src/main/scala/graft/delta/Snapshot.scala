@@ -76,6 +76,28 @@ class Snapshot(
   }
   private lazy val ckptPaths: Seq[String] = ckptData._1
 
+  /** Small classic checkpoints (total bytes under the driver-replay
+    * cap, plain JSON stats): every checkpoint row collected ONCE and
+    * shared by [[latestActions]]'s checkpoint arm, [[setTransactions]]
+    * and [[domainMetadatas]] — one scan job per snapshot instead of
+    * one per member, the post-checkpoint analog of [[smallLog]]
+    * (reference keeps an iterator mode for exactly this size class,
+    * log_replay/mod.rs). Large, V2/sidecar, JSON-actions and
+    * struct-stats checkpoints keep their distributed or specialized
+    * reads — at 100 TB the checkpoint is the big side and must never
+    * be funneled through the driver.
+    */
+  private[delta] lazy val ckptRowsSmall: Option[Seq[Row]] =
+    if (segment.checkpointParts.isEmpty || v2Info.nonEmpty ||
+        ckptData._2 || ckptHasStructStats) None
+    else {
+      val bytes = segment.checkpointParts
+        .map(p => fsys.getFileStatus(p.path).getLen).sum
+      if (bytes >= DRIVER_REPLAY_MAX_BYTES) None
+      else Some(spark.read.schema(LogSchema.checkpoint)
+        .parquet(ckptPaths: _*).collect().toSeq)
+    }
+
   /** The table-typed `stats_parsed` struct struct-stats checkpoints
     * carry instead of stats JSON.
     */
@@ -309,12 +331,22 @@ class Snapshot(
         // dropFields over a table-width struct codegens O(columns²)
         // and most checkpoints carry plain JSON stats.
         val hasStructStats = !ckptData._2 && ckptHasStructStats
-        val readSchema =
-          if (hasStructStats) ckptReadSchema else LogSchema.checkpoint
-        val reader = spark.read.schema(readSchema)
-        val base = (if (ckptData._2) reader.json(ckptPaths: _*)
-          else reader.parquet(ckptPaths: _*))
-          .filter(col("add").isNotNull || col("remove").isNotNull)
+        // small checkpoints come off the shared driver collect as a
+        // local relation — no second parquet scan (hasStructStats is
+        // false by ckptRowsSmall's construction, so the plain branch
+        // below is the one that applies)
+        val base0 = ckptRowsSmall match {
+          case Some(rows) =>
+            spark.createDataFrame(rows.asJava, LogSchema.checkpoint)
+          case None =>
+            val readSchema =
+              if (hasStructStats) ckptReadSchema else LogSchema.checkpoint
+            val reader = spark.read.schema(readSchema)
+            if (ckptData._2) reader.json(ckptPaths: _*)
+            else reader.parquet(ckptPaths: _*)
+        }
+        val base =
+          base0.filter(col("add").isNotNull || col("remove").isNotNull)
         val normalized =
           if (!hasStructStats) base
           else applyCkptCompatCasts(base)
@@ -417,12 +449,26 @@ class Snapshot(
       case Some(info) => info.txns
       case None =>
         if (ckptPaths.isEmpty) Nil
-        else spark.read.schema(LogSchema.checkpoint).parquet(ckptPaths: _*)
-          .filter(col("txn").isNotNull).select("txn.*").collect().toSeq
-          .map(r => SetTransaction(r.getAs[String]("appId"),
-            r.getAs[Long]("version"),
-            if (r.isNullAt(r.fieldIndex("lastUpdated"))) None
-            else Some(r.getAs[Long]("lastUpdated"))))
+        else ckptRowsSmall match {
+          case Some(rows) => rows.flatMap { row =>
+            val i = row.fieldIndex("txn")
+            if (row.isNullAt(i)) None
+            else {
+              val r = row.getStruct(i)
+              Some(SetTransaction(r.getAs[String]("appId"),
+                r.getAs[Long]("version"),
+                if (r.isNullAt(r.fieldIndex("lastUpdated"))) None
+                else Some(r.getAs[Long]("lastUpdated"))))
+            }
+          }
+          case None => spark.read.schema(LogSchema.checkpoint)
+            .parquet(ckptPaths: _*)
+            .filter(col("txn").isNotNull).select("txn.*").collect().toSeq
+            .map(r => SetTransaction(r.getAs[String]("appId"),
+              r.getAs[Long]("version"),
+              if (r.isNullAt(r.fieldIndex("lastUpdated"))) None
+              else Some(r.getAs[Long]("lastUpdated"))))
+        }
     }
     (fromCommits ++ fromCkpt).groupBy(_.appId)
       .map(_._2.head).toSeq // commits are newest-first, checkpoint last
@@ -455,13 +501,25 @@ class Snapshot(
       case Some(info) => info.domainMetadatas // V2: top-level rows
       case None =>
         if (segment.checkpointParts.isEmpty) Nil
-        else spark.read.schema(LogSchema.checkpoint)
-          .parquet(segment.checkpointParts.map(_.path.toString): _*)
-          .filter(col("domainMetadata").isNotNull)
-          .select("domainMetadata.*").collect().toSeq
-          .map(r => DomainMetadata(r.getAs[String]("domain"),
-            r.getAs[String]("configuration"),
-            r.getAs[Boolean]("removed")))
+        else ckptRowsSmall match {
+          case Some(rows) => rows.flatMap { row =>
+            val i = row.fieldIndex("domainMetadata")
+            if (row.isNullAt(i)) None
+            else {
+              val r = row.getStruct(i)
+              Some(DomainMetadata(r.getAs[String]("domain"),
+                r.getAs[String]("configuration"),
+                r.getAs[Boolean]("removed")))
+            }
+          }
+          case None => spark.read.schema(LogSchema.checkpoint)
+            .parquet(segment.checkpointParts.map(_.path.toString): _*)
+            .filter(col("domainMetadata").isNotNull)
+            .select("domainMetadata.*").collect().toSeq
+            .map(r => DomainMetadata(r.getAs[String]("domain"),
+              r.getAs[String]("configuration"),
+              r.getAs[Boolean]("removed")))
+        }
     }
     fromCkpt.foreach(d =>
       if (!seen.contains(d.domain)) seen(d.domain) = d)
