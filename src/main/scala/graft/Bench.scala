@@ -188,13 +188,16 @@ object Bench {
     // prior-round value (the committed BENCH_LOCAL.json) is re-run
     // back-to-back IN THIS SWEEP and the re-run recorded under "ab" —
     // automating the old-vs-new A/B that exonerated the round-9/10
-    // phantom regressions. 5M rows are excluded (already isolated in
-    // their own JVM), as are non-time gauges and sub-50ms rows where 2x
-    // is timer noise.
+    // phantom regressions. The child-JVM rows are excluded (already
+    // isolated in their own process — only the keys meta5mRuns actually
+    // produced, NOT every *_5m name: the expression micro-benches over
+    // the 5M fixture run in THIS JVM and deserve the A/B), as are
+    // non-time gauges and sub-50ms rows where 2x is timer noise.
+    val isolatedKeys = agg(meta5mRuns).keySet
     val abRuns: Map[String, Seq[Double]] = {
       val movers = medians.filter { case (k, v) =>
         v > 0 && prior.get(k).exists(p => p > 0.05 && v > 2 * p) &&
-          !k.contains("_5m") && !k.startsWith("skew_") &&
+          !isolatedKeys(k) && !k.startsWith("skew_") &&
           !k.contains("_mb_") && !k.contains("_ratio_")
       }.keySet
       if (movers.isEmpty) Map.empty

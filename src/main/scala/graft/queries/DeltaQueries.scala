@@ -886,6 +886,87 @@ object DeltaQueries {
       ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
     }),
 
+    // Incremental content-tree maintenance under the oracle: a tree
+    // built at v1 is diff-advanced (updateRoot) across an append, a DV
+    // swap and a rewrite-DELETE — the maintained tree must read back
+    // to EXACTLY the table's final rows, with Added/Modified/Deleted
+    // tracking statuses present (a full-rebuild fallback would show
+    // only Added and fail the status pin).
+    "q_content_tree_incremental" -> ((s, d) => {
+      val dir = tmp("ctinc")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 12)
+      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"))
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 8).repartition(2))   // v1
+      val tree1 = graft.delta.ContentTree.writeRoot(t.snapshot())
+      t.append(src.filter(col("l_quantity") >= 8).repartition(2))  // v2
+      t.deleteWhereDV("l_orderkey % 2 = 0 AND l_returnflag = 'N'") // v3
+      t.deleteWhere("l_returnflag = 'R' AND l_quantity < 3")       // v4
+      val snap = t.snapshot()
+      val tree2 = graft.delta.ContentTree.updateRoot(snap, tree1)
+      require(tree2.version == snap.version, "tree not advanced to v4")
+      val resolved = tree2.resolve(snap.tableRoot.toString)
+      val statuses = graft.delta.ContentTree
+        .readEntriesDF(s, resolved, snap.tableRoot.toString)
+        .select(col("tracking.status")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      import graft.delta.ContentTree.TrackingStatus._
+      require(Set(Added, Modified, Deleted).subsetOf(statuses),
+        s"maintained statuses missing: $statuses")
+      val rootUri = graft.delta.Storage
+        .fs(snap.tableRoot, s.sessionState.newHadoopConf())
+        .makeQualified(snap.tableRoot).toUri.getPath
+      val adds = graft.delta.ContentTree
+        .addFileIterator(s, resolved, snap.tableRoot.toString, rootUri)
+        .toSeq
+      ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
+    }),
+
+    // Puffin DV round trip under the oracle (reference content_tree
+    // DataFileFormat::Puffin + dv_conversion.rs): every file's Delta
+    // DV is re-framed as a deletion-vector-v1 blob in ONE puffin file,
+    // then converted BACK to Delta descriptors via the blob footer and
+    // scanned — the puffin-backed read must serve the identical rows.
+    "q_delta_puffin" -> ((s, d) => {
+      val dir = tmp("puffin")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.repartition(2))
+      t.deleteWhereDV("l_orderkey % 2 = 0")
+      val snap = t.snapshot()
+      val scan = snap.scanBuilder().build()
+      val adds = scan.collectAddFiles()
+      val conf = s.sessionState.newHadoopConf()
+      val fs = graft.delta.Storage.fs(snap.tableRoot, conf)
+      val withDv = adds.filter(_.deletionVector.isDefined)
+      require(withDv.size == adds.size && adds.size == 2,
+        "fixture must produce one persisted DV per file")
+      val blobs = withDv.map { a =>
+        val dv = a.deletionVector.get
+        (graft.delta.DeletionVectors.readBitmapBytes(dv,
+          snap.tableRoot, conf), dv.cardinality, Some(a.path))
+      }
+      val pf = new org.apache.hadoop.fs.Path(snap.tableRoot,
+        "dv-blobs.puffin")
+      graft.delta.Puffin.writeDvFile(fs, pf, blobs,
+        snap.version, snap.version)
+      // descriptors rebuilt solely from the puffin FOOTER — nothing of
+      // the original Delta descriptors survives but the file path
+      val byRef = graft.delta.Puffin.readFooter(fs, pf)
+        .map(m => m.referencedDataFile.get -> m).toMap
+      val swapped = adds.map { a =>
+        val m = byRef(a.path)
+        val info = graft.delta.ContentTree.DeletionVectorInfo(
+          pf.toString, m.offset, m.length, m.cardinality)
+        a.copy(deletionVector = Some(graft.delta.Puffin
+          .dvInfoToDeltaDescriptor(info, snap.tableRoot, conf)))
+      }
+      ordered(scan.assemble(swapped, keepMeta = false))
+    }),
+
     // CDF read with FILE-LEVEL predicate pushdown (reference
     // table_changes/scan.rs with_predicate): the table partitions by
     // l_returnflag, so insert files of the other flags are provably
@@ -1653,6 +1734,18 @@ object DeltaQueries {
     "q_content_tree" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 20 AND l_orderkey % 3 <> 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_content_tree_incremental" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 12
+         |  AND NOT (l_orderkey % 2 = 0 AND l_returnflag = 'N')
+         |  AND NOT (l_returnflag = 'R' AND l_quantity < 3)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_delta_puffin" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 10 AND l_orderkey % 2 <> 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_cdf" ->
