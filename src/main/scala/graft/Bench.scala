@@ -178,11 +178,18 @@ object Bench {
       catch { case _: Throwable =>
         Map("skew_canary_minhash_sf1" -> -1.0,
           "skew_ratio_minhash_sf1" -> -1.0) }
+    // content-tree scale leg (one run — scale property, not a drift
+    // tracker): 2-level tree build + stats-pruned tree read at 300k adds
+    val treeRun =
+      try graft.bench.TreeBench.run(spark)
+      catch { case _: Throwable =>
+        Map("tree_build_300k" -> -1.0, "tree_prune_300k" -> -1.0) }
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
     val repeated = agg(metaRuns) ++ agg(wlRuns) ++ agg(exprRuns) ++
-      agg(meta5mRuns) ++ agg(Seq(skewRun)) ++ qTimes.toMap
+      agg(meta5mRuns) ++ agg(Seq(skewRun)) ++ agg(Seq(treeRun)) ++
+      qTimes.toMap
     val medians = repeated.map { case (k, xs) => k -> medianOf(xs) }
     // Self-A/B for >2x movers: any metric whose median exceeds 2x its
     // prior-round value (the committed BENCH_LOCAL.json) is re-run
@@ -198,6 +205,7 @@ object Bench {
       val movers = medians.filter { case (k, v) =>
         v > 0 && prior.get(k).exists(p => p > 0.05 && v > 2 * p) &&
           !isolatedKeys(k) && !k.startsWith("skew_") &&
+          !k.startsWith("tree_") &&
           !k.contains("_mb_") && !k.contains("_ratio_")
       }.keySet
       if (movers.isEmpty) Map.empty

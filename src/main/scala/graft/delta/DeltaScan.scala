@@ -254,7 +254,7 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     // partition values) and Spark's scan re-sorts splits by size, so
     // nothing downstream observes the arrival order
     val it =
-      if (snapshot.smallLog) slim.toLocalIterator().asScala
+      if (snapshot.smallState) slim.collect().iterator // one job, tiny
       else {
         val parts = math.max(spark.sparkContext.defaultParallelism, 8)
         slim.repartition(parts, col("path"))

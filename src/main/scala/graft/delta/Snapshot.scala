@@ -98,6 +98,18 @@ class Snapshot(
         .parquet(ckptPaths: _*).collect().toSeq)
     }
 
+  /** Every metadata arm of this snapshot is driver-small: commit bytes
+    * under the replay cap AND (when a checkpoint exists) the checkpoint
+    * small enough that [[ckptRowsSmall]] collected it. Scans use this
+    * to hand the slim file list over in ONE collect instead of the
+    * streamed per-partition fetch (whose fixed ~8 jobs exist for the
+    * 5M-add envelope, not a 15-file table).
+    */
+  private[delta] lazy val smallState: Boolean =
+    smallLog || (ckptRowsSmall.nonEmpty &&
+      segment.deltas.map(c => fsys.getFileStatus(c.path).getLen).sum <
+        DRIVER_REPLAY_MAX_BYTES)
+
   /** The table-typed `stats_parsed` struct struct-stats checkpoints
     * carry instead of stats JSON.
     */
