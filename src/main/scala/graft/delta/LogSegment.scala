@@ -206,6 +206,21 @@ object LogSegment {
         case c: CommitFile => tailVersions.contains(c.version)
         case _ => false
       } ++ tailFiles
+    // 0-byte checkpoint/compacted files — a torn writer's empty
+    // artifact — are dropped at LISTING (reference
+    // tests/integration/log/empty_log_files.rs): selected by name, an
+    // empty checkpoint fails every read and an empty compaction reads
+    // as ZERO actions, silently losing its whole commit range.
+    // Dropping them here makes selection fall back to individual
+    // commits / an older checkpoint. Empty COMMIT files stay listed:
+    // the protocol reads them as empty commits (no actions), and a
+    // 0-byte part makes a multipart attempt incomplete, so the
+    // existing completeness rule already rejects it.
+    def parseListed(st: org.apache.hadoop.fs.FileStatus): Option[LogFile] =
+      FileNames.parse(st.getPath).filter {
+        case _: CheckpointFile | _: CompactedFile => st.getLen > 0
+        case _ => true
+      }
     val hintOpt = readLastCheckpointHint(fs, logDir)
     val hinted = hintOpt
       .filter(h => targetVersion.forall(_ >= h.version))
@@ -213,13 +228,13 @@ object LogSegment {
         try {
           Some(assemble(logDir, merge(
             Storage.listSortedFrom(fs, logDir, f"${h.version}%020d")
-              .flatMap(st => FileNames.parse(st.getPath))),
+              .flatMap(parseListed)),
             targetVersion))
         } catch { case _: IllegalStateException => None }
       }
     hinted.getOrElse(assemble(logDir, merge(
       Storage.listSorted(fs, logDir)
-        .flatMap(st => FileNames.parse(st.getPath))),
+        .flatMap(parseListed)),
       targetVersion))
       // attach regardless of which path built the segment: appliesTo
       // gates every downstream use of the hint's fields
