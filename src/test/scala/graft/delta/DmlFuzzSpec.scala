@@ -39,6 +39,13 @@ class DmlFuzzSpec extends AnyFunSuite {
   // conditional PUT (no temp file + link/rename), and the model
   // equivalence must hold unchanged (reference committer/filesystem.rs
   // over a conditional-put StorageHandler)
+  test("randomized DML with interleaved checkpoints: driver-small " +
+      "fast-path reads match forced-distributed replay at every " +
+      "step (seed 83)") {
+    run(83, 18, dualRead = true,
+      extraProps = Map("delta.checkpointInterval" -> "3"))
+  }
+
   test("randomized DML through the conditional-put committer (seed 97)") {
     run(97, 20, committer =
       Some(new ObjectStoreCommitter(new InMemoryObjectStore)))
@@ -217,7 +224,8 @@ class DmlFuzzSpec extends AnyFunSuite {
       sqlRoute: Boolean = false,
       extraProps: Map[String, String] = Map.empty,
       committer: Option[Committer] = None,
-      foldCdf: Boolean = false): Unit = {
+      foldCdf: Boolean = false,
+      dualRead: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = TestSpark.tmpDir("fuzz")
     val schema = Seq((0L, 0.0)).toDF("k", "v").schema
@@ -251,6 +259,24 @@ class DmlFuzzSpec extends AnyFunSuite {
       assert(got == model.sorted.toSeq,
         s"$context diverged at version $version: " +
           s"got ${got.take(5)}... model ${model.sorted.take(5)}...")
+      // dualRead: a FRESH handle read through the driver-small fast
+      // paths (smallLog / ckptRowsSmall / one-collect handoff) and one
+      // through the forced-distributed replay must both match the
+      // model after EVERY random step — the equivalence property for
+      // the small-state machinery under arbitrary DML + checkpoints
+      if (dualRead) {
+        def freshRead() = DeltaTable.forPath(spark, dir).toDF
+          .select($"k", $"v").as[(Long, Double)].collect().sorted.toSeq
+        val fast = freshRead()
+        spark.conf.set("graft.replay.driverMaxBytes", "0")
+        val dist =
+          try freshRead()
+          finally spark.conf.unset("graft.replay.driverMaxBytes")
+        assert(fast == model.sorted.toSeq,
+          s"$context: fast-path fresh read diverged")
+        assert(dist == fast,
+          s"$context: distributed replay diverged from fast path")
+      }
     }
 
     (1 to steps).foreach { step =>
