@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   * class). Runs ONCE per sweep: the numbers are scale properties, not
   * drift trackers.
   *
-  *  - tree_build_300k: writeRoot (distributed leaf writes + root)
-  *  - tree_prune_300k: prunedAddFileIterator under `c0 = <point>`
+  *  - tree_build_300k: full writeRoot at tip−2 (distributed leaf
+  *    writes + root manifest)
+  *  - tree_update_300k: incremental updateRoot across the last two
+  *    commits (20k adds) — maintenance must cost O(diff ⋈ tree),
+  *    never a rebuild
+  *  - tree_prune_300k: prunedAddFileIterator on the MAINTAINED tree
+  *    under `c0 = <point>`
   *  - tree_pruned_ratio_300k: surviving/total files — the skipping
   *    power gauge (excluded from the headline total like every ratio)
   */
@@ -19,10 +24,21 @@ object TreeBench {
 
   def run(spark: SparkSession): Map[String, Double] = {
     MetadataBench.ensureLog(spark)
-    val snap = graft.delta.Snapshot.forTable(spark, MetadataBench.tableDir)
+    // full build two commits back, then the incremental path advances
+    // the tree across 20k fresh adds — maintenance at catalog scale
+    // must cost O(diff ⋈ tree), never a rebuild
+    val prevV = MetadataBench.NUM_COMMITS - 2L
+    val snapPrev = graft.delta.Snapshot.forTable(spark,
+      MetadataBench.tableDir, Some(prevV))
     var t0 = System.nanoTime()
-    val root = graft.delta.ContentTree.writeRoot(snap)
+    val rootPrev = graft.delta.ContentTree.writeRoot(snapPrev)
     val build = (System.nanoTime() - t0) / 1e9
+    val snap = graft.delta.Snapshot.forTable(spark, MetadataBench.tableDir)
+    t0 = System.nanoTime()
+    val root = graft.delta.ContentTree.updateRoot(snap, rootPrev)
+    val update = (System.nanoTime() - t0) / 1e9
+    // the pruned read plans from the MAINTAINED tree: correctness of
+    // skipping over diff-applied entries, at size
     val resolved = root.resolve(snap.tableRoot.toString)
     val rootUri = graft.delta.Storage
       .fs(snap.tableRoot, spark.sessionState.newHadoopConf())
@@ -36,6 +52,7 @@ object TreeBench {
       MetadataBench.ADDS_PER_COMMIT
     Map(
       "tree_build_300k" -> build,
+      "tree_update_300k" -> update,
       "tree_prune_300k" -> prune,
       "tree_pruned_ratio_300k" -> pruned.toDouble / total)
   }

@@ -427,7 +427,18 @@ object ContentTree {
     * without partition values spread by location hash.
     */
   def writeTree(snap: Snapshot, entries: DataFrame,
-      numLeaves: Int): AdaptiveMetadata.ContentRoot = {
+      numLeaves: Int): AdaptiveMetadata.ContentRoot =
+    writeTree(snap, entries, numLeaves, Nil)
+
+  /** As above, additionally carrying `extraRootRows` — manifest
+    * entries of REUSED leaf nodes (entry-schema rows pointing at a
+    * previous tree's leaf files) — verbatim into the new root.
+    * Iceberg-style manifest reuse: the bytes of an untouched leaf are
+    * never rewritten, only referenced.
+    */
+  def writeTree(snap: Snapshot, entries: DataFrame,
+      numLeaves: Int,
+      extraRootRows: Seq[Row]): AdaptiveMetadata.ContentRoot = {
     val spark = snap.spark
     val v = snap.version
     val relTree = s"_delta_log/_amt/tree-$v-" + java.util.UUID.randomUUID()
@@ -503,7 +514,7 @@ object ContentTree {
         null, null, null, 4, null)
     }
     // the ROOT is O(numLeaves) rows by design — one task is the point
-    spark.createDataFrame(rootRows.asJava, entrySchema)
+    spark.createDataFrame((rootRows ++ extraRootRows).asJava, entrySchema)
       .coalesce(1).write.parquet(absTree + "/root")
     val rootBytes = Storage.listFilesRecursive(fs,
       new org.apache.hadoop.fs.Path(absTree + "/root")).map(_.getLen).sum
@@ -540,10 +551,14 @@ object ContentTree {
   /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
     * advance a tree from `prev.version` to `snap.version` by applying
     * the commit-range file diff to the previous tree instead of
-    * replaying the whole log. Tracking statuses carry the history
+    * replaying the whole log. Leaf nodes none of whose entries appear
+    * in the diff are REUSED — carried into the new root by reference,
+    * bytes untouched (Iceberg manifest reuse; their entries keep their
+    * original statuses verbatim). Only affected leaves flow through
+    * the merge below, where tracking statuses carry the history
     * (reference mod.rs `TrackingStatus` semantics):
-    *  - carried live entries → Existing, inheriting their original
-    *    snapshotId / sequence numbers;
+    *  - carried live entries in a REWRITTEN leaf → Existing, inheriting
+    *    their original snapshotId / sequence numbers;
     *  - a same-path re-add (DV swap, restore) → Modified, keeping the
     *    inherited identity with `dvSnapshotId` = the swapping commit;
     *  - removed paths → Deleted tombstones stamped with the removal
@@ -587,10 +602,75 @@ object ContentTree {
       .select(col("loc").as("location"), col("version").as("rmVersion"))
 
     val tableRootStr = snap.tableRoot.toString
-    val prevE = readEntriesDF(spark, prev.resolve(tableRootStr),
-        tableRootStr)
+
+    // Manifest REUSE (Iceberg's reason for manifest levels): a leaf
+    // node none of whose entries appear in the diff is carried into
+    // the new root BY REFERENCE — its bytes are never rewritten; only
+    // leaves containing a diffed location join the merge below. Applies
+    // to the hierarchy layout this writer produces (a root of pure
+    // manifest rows over one `<tree>/leaves/leafKey=<k>` directory,
+    // leaf stats schema matching the current table schema); anything
+    // else — pre-hierarchy single-node trees, foreign layouts, loose
+    // data rows in the root, a schema change since the previous build —
+    // falls back to merging the whole previous tree.
+    val leafDirRe = "(.*)/leafKey=(\\d+)$".r
+    val prevRootRows = spark.read.parquet(prev.resolve(tableRootStr))
+      .collect().toSeq
+    val manifestRows = prevRootRows.filter { r =>
+      val ct = r.getAs[Int]("contentType")
+      ct == DataContentType.DataManifest ||
+        ct == DataContentType.DeleteManifest
+    }
+    val leafParents = manifestRows.map(_.getAs[String]("location"))
+      .flatMap(leafDirRe.findFirstMatchIn(_)).map(_.group(1)).distinct
+    val statsSchema0 = contentStatsSchema(snap.dataSchema)
+    val reusableLayout = manifestRows.nonEmpty &&
+      manifestRows.size == prevRootRows.size &&
+      leafParents.size == 1 &&
+      manifestRows.forall(r =>
+        leafDirRe.findFirstIn(r.getAs[String]("location")).isDefined) &&
+      prevRootRows.headOption.exists(r =>
+        r.schema.fieldNames.toSet == entrySchema.fieldNames.toSet)
+
+    def resolveLoc(l: String): String =
+      if (AdaptiveMetadata.hasScheme(l) || l.startsWith("/")) l
+      else tableRootStr.stripSuffix("/") + "/" + l
+
+    val reused: Option[(DataFrame, Seq[Row])] =
+      if (!reusableLayout) None
+      else {
+        val leavesDF = spark.read.parquet(resolveLoc(leafParents.head))
+        val statsOk =
+          leavesDF.schema.fieldNames.contains(CONTENT_STATS) &&
+            DataType.equalsStructurally(
+              leavesDF.schema(CONTENT_STATS).dataType, statsSchema0,
+              ignoreNullability = true)
+        if (!statsOk) None
+        else {
+          // leaves holding at least one diffed location must rewrite;
+          // O(#leaves) driver rows
+          val affected = leavesDF
+            .join(winner.select(col("loc").as("location")),
+              Seq("location"), "left_semi")
+            .select("leafKey").distinct()
+            .collect().map(_.getInt(0)).toSet
+          val carried = manifestRows.filter { r =>
+            val leafDirRe(_, k) = r.getAs[String]("location")
+            !affected.contains(k.toInt)
+          }.map(r => Row(entrySchema.fields.map(f =>
+            r.get(r.schema.fieldIndex(f.name))): _*))
+          val pe =
+            if (affected.isEmpty) leavesDF.filter(lit(false))
+            else leavesDF.filter(col("leafKey").isin(affected.toSeq: _*))
+          Some((pe.drop("leafKey"), carried))
+        }
+      }
+
+    val prevE = reused.map(_._1).getOrElse(
+        readEntriesDF(spark, prev.resolve(tableRootStr), tableRootStr))
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
+    val carriedRootRows = reused.map(_._2).getOrElse(Nil)
 
     // prev-side column access tolerant of pre-hierarchy trees that
     // lack the newer entry fields
@@ -701,7 +781,7 @@ object ContentTree {
         .as("equalityIds"),
       lit(4).as("formatVersion"),
       coalesce(col("n.tags"), col("p.tags")).as("tags"))
-    val root = writeTree(snap, updated, numLeaves)
+    val root = writeTree(snap, updated, numLeaves, carriedRootRows)
     winner.unpersist()
     root
   }

@@ -331,11 +331,13 @@ class ContentTreeSpec extends AnyFunSuite {
     val p1 = e.filter(_.getString(0).contains("/p=p1/"))
     val p2 = e.filter(_.getString(0).contains("/p=p2/"))
     assert(p0.nonEmpty && p1.nonEmpty && p2.nonEmpty)
-    // untouched v1 p0 files carried as Existing with inherited sid=1;
-    // v2's fresh p0 files Added at 2
-    assert(p0.map(_.getInt(1)).toSet == Set(Existing, Added))
-    assert(p0.filter(_.getInt(1) == Existing).forall(_.getLong(2) == 1L))
-    assert(p0.filter(_.getInt(1) == Added).forall(_.getLong(2) == 2L))
+    // p0's v1 leaf has no diffed LOCATION (v2 added fresh files), so
+    // it is REUSED by reference — entries keep their original Added@1
+    // verbatim, Iceberg manifest-reuse semantics (Existing is what a
+    // REWRITTEN leaf stamps on carried entries); v2's fresh p0 files
+    // land in a new leaf as Added@2
+    assert(p0.map(r => (r.getInt(1), r.getLong(2))).toSet ==
+      Set((Added, 1L), (Added, 2L)))
     // p1 files DV-swapped at v3: Modified, identity INHERITED from v1,
     // dvSnapshotId = the swapping commit
     assert(p1.map(_.getInt(1)).toSet == Set(Modified))
@@ -343,6 +345,28 @@ class ContentTreeSpec extends AnyFunSuite {
     // p2 files tombstoned at v4
     assert(p2.map(_.getInt(1)).toSet == Set(Deleted))
     assert(p2.forall(_.getLong(2) == 4L))
+
+    // MANIFEST REUSE pin: leaves without a diffed location are carried
+    // into the new root BY REFERENCE — byte-identical paths into
+    // tree1's directory — while affected leaves point into tree2's.
+    // A regression to rewrite-everything breaks the intersection.
+    def manifestLocs(root: graft.delta.AdaptiveMetadata.ContentRoot) =
+      spark.read.parquet(root.resolve(snap.tableRoot.toString))
+        .filter(col("contentType") ===
+          ContentTree.DataContentType.DataManifest)
+        .select("location").collect().map(_.getString(0)).toSet
+    val t1Locs = manifestLocs(tree1)
+    val t2Locs = manifestLocs(tree2)
+    val carried = t1Locs intersect t2Locs
+    assert(carried.nonEmpty,
+      "no leaf was reused by reference across updateRoot")
+    // the carried leaves are exactly the ones holding no diffed
+    // location: p0's v1 group (fresh p0 files land elsewhere); p1
+    // (DV swap) and p2 (delete) leaves must NOT be carried
+    val reusedEntries = spark.read.parquet(carried.map(l =>
+        snap.tableRoot.toString.stripSuffix("/") + "/" + l).toSeq: _*)
+    assert(reusedEntries.select("location").collect()
+      .forall(_.getString(0).contains("/p=p0/")))
 
     // a same-version update is a no-op handle
     assert(ContentTree.updateRoot(snap, tree2) eq tree2)
