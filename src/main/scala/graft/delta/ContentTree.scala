@@ -613,7 +613,6 @@ object ContentTree {
     // else — pre-hierarchy single-node trees, foreign layouts, loose
     // data rows in the root, a schema change since the previous build —
     // falls back to merging the whole previous tree.
-    val leafDirRe = "(.*)/leafKey=(\\d+)$".r
     val prevRootRows = spark.read.parquet(prev.resolve(tableRootStr))
       .collect().toSeq
     val manifestRows = prevRootRows.filter { r =>
@@ -621,14 +620,14 @@ object ContentTree {
       ct == DataContentType.DataManifest ||
         ct == DataContentType.DeleteManifest
     }
-    val leafParents = manifestRows.map(_.getAs[String]("location"))
-      .flatMap(leafDirRe.findFirstMatchIn(_)).map(_.group(1)).distinct
     val statsSchema0 = contentStatsSchema(snap.dataSchema)
+    // the layout this writer produces: a root of pure manifest rows.
+    // Leaf dirs may live under SEVERAL tree directories — a chained
+    // updateRoot carries earlier trees' leaves by reference, and those
+    // references must keep flowing (a single-parent rule would degrade
+    // every second update to a full rewrite).
     val reusableLayout = manifestRows.nonEmpty &&
       manifestRows.size == prevRootRows.size &&
-      leafParents.size == 1 &&
-      manifestRows.forall(r =>
-        leafDirRe.findFirstIn(r.getAs[String]("location")).isDefined) &&
       prevRootRows.headOption.exists(r =>
         r.schema.fieldNames.toSet == entrySchema.fieldNames.toSet)
 
@@ -639,7 +638,17 @@ object ContentTree {
     val reused: Option[(DataFrame, Seq[Row])] =
       if (!reusableLayout) None
       else {
-        val leavesDF = spark.read.parquet(resolveLoc(leafParents.head))
+        val byResolved = manifestRows.map(r =>
+          resolveLoc(r.getAs[String]("location")) -> r).toMap
+        val leavesDF = spark.read
+          .parquet(byResolved.keys.toIndexedSeq: _*)
+          // identity of the leaf each row came from: its file's parent
+          // dir, normalized like the manifest locations (scheme
+          // stripped, percent-escapes decoded)
+          .withColumn("__leafDir", url_decode(regexp_replace(
+            regexp_replace(col("_metadata.file_path"),
+              Storage.URI_PREFIX_REGEX, ""),
+            "/[^/]*$", "").cast(StringType)))
         val statsOk =
           leavesDF.schema.fieldNames.contains(CONTENT_STATS) &&
             DataType.equalsStructurally(
@@ -652,17 +661,25 @@ object ContentTree {
           val affected = leavesDF
             .join(winner.select(col("loc").as("location")),
               Seq("location"), "left_semi")
-            .select("leafKey").distinct()
-            .collect().map(_.getInt(0)).toSet
-          val carried = manifestRows.filter { r =>
-            val leafDirRe(_, k) = r.getAs[String]("location")
-            !affected.contains(k.toInt)
-          }.map(r => Row(entrySchema.fields.map(f =>
-            r.get(r.schema.fieldIndex(f.name))): _*))
+            .select("__leafDir").distinct()
+            .collect().map(_.getString(0)).toSet
+          // qualify through the filesystem so a RELATIVE table root
+          // (tests run on one) still compares equal to _metadata's
+          // absolute file paths
+          val fsq0 = Storage.fs(snap.tableRoot,
+            spark.sessionState.newHadoopConf())
+          def dirOf(resolved: String): String =
+            fsq0.makeQualified(
+              new org.apache.hadoop.fs.Path(resolved)).toUri.getPath
+          val carried = byResolved.toSeq.collect {
+            case (resolved, r) if !affected.contains(dirOf(resolved)) =>
+              Row(entrySchema.fields.map(f =>
+                r.get(r.schema.fieldIndex(f.name))): _*)
+          }
           val pe =
             if (affected.isEmpty) leavesDF.filter(lit(false))
-            else leavesDF.filter(col("leafKey").isin(affected.toSeq: _*))
-          Some((pe.drop("leafKey"), carried))
+            else leavesDF.filter(col("__leafDir").isin(affected.toSeq: _*))
+          Some((pe.drop("__leafDir"), carried))
         }
       }
 

@@ -372,6 +372,47 @@ class ContentTreeSpec extends AnyFunSuite {
     assert(ContentTree.updateRoot(snap, tree2) eq tree2)
   }
 
+  test("chained updateRoot: reuse keeps flowing across generations — " +
+      "the third tree references leaves from BOTH earlier trees") {
+    val dir = TestSpark.tmpDir("amt-chain")
+    val src = (1 to 30000).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)                                    // v1: p0 p1 p2
+    val tree1 = ContentTree.writeRoot(t.snapshot())
+    t.deleteWhereDV("k % 2 = 0 and p = 'p1'")        // v2: touches p1
+    val tree2 = ContentTree.updateRoot(t.snapshot(), tree1)
+    t.deleteWhereDV("k % 5 = 0 and p = 'p2'")        // v3: touches p2
+    val snap = t.snapshot()
+    val tree3 = ContentTree.updateRoot(snap, tree2)
+
+    def locs(root: graft.delta.AdaptiveMetadata.ContentRoot) =
+      spark.read.parquet(root.resolve(dir))
+        .filter(col("contentType") ===
+          ContentTree.DataContentType.DataManifest)
+        .select("location").collect().map(_.getString(0)).toSet
+    val (l1, l2, l3) = (locs(tree1), locs(tree2), locs(tree3))
+    // tree2 reused p0+p2's tree1 leaf(s); tree3 must reuse p0's tree1
+    // leaf AGAIN (via tree2's reference) and p1's tree2 leaf — reuse
+    // that died after one generation would show an empty intersection
+    assert((l3 intersect l1).nonEmpty,
+      "generation-1 leaves no longer reused by generation 3")
+    assert((l3 intersect (l2 diff l1)).nonEmpty,
+      "generation-2 rewritten leaves not reused by generation 3")
+
+    // and the maintained tree still reads back to the exact table
+    val rootUri = Storage.fs(snap.tableRoot,
+        spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+    val adds = ContentTree.addFileIterator(spark,
+      tree3.resolve(dir), dir, rootUri).toSeq
+    val rebuilt = new DeltaScan(snap, None)
+      .assemble(adds, keepMeta = false)
+    assert(rebuilt.orderBy("k").collect().toSeq ==
+      t.toDF.orderBy("k").collect().toSeq)
+  }
+
   test("TrackingInfo delta bitmaps: Modified entries carry " +
       "deletedPositions equal to the DV diff of the maintained range") {
     val dir = TestSpark.tmpDir("amt-bits")
