@@ -69,4 +69,34 @@ class SmallCheckpointSpec extends AnyFunSuite {
       "optimizeRewrite left its input persisted")
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 1000)
   }
+
+  test("OPTIMIZE above the cache gate (streaming path) rewrites to the " +
+      "same table as the cached path") {
+    def build(cacheMax: String): Set[(Long, String)] = {
+      val dir = TestSpark.tmpDir("optgate")
+      DeltaTable.create(spark, dir, src(1, 1).schema,
+        clusterBy = Seq("k"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 700))
+      t.append(src(701, 1500))
+      spark.conf.set(DeltaTable.OPTIMIZE_CACHE_INPUT_KEY, cacheMax)
+      try t.optimizeClustered()
+      finally spark.conf.unset(DeltaTable.OPTIMIZE_CACHE_INPUT_KEY)
+      val snap = DeltaTable.forPath(spark, dir).snapshot()
+      // clustered layout intact either way: every staged file covers a
+      // disjoint key range (min/max stats don't overlap)
+      import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+      val ranges = snap.toDF.groupBy(
+          org.apache.spark.sql.functions.input_file_name())
+        .agg(fmin(col("k")), fmax(col("k")))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"overlapping clustered ranges under $cacheMax")
+        case _ => ()
+      }
+      snap.toDF.select("k", "s").as[(Long, String)].collect().toSet
+    }
+    assert(build("0") == build(Long.MaxValue.toString))
+  }
 }
