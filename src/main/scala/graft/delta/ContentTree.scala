@@ -1,6 +1,6 @@
 package graft.delta
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -107,22 +107,30 @@ object ContentTree {
     * persisted DV file opens with a 1-byte version header.
     */
   def extractDeletionVectorContent(
-      dv: DeletionVectorDescriptor): DeletionVectorInfo = {
-    val location = dv.storageType match {
-      case "p" => dv.pathOrInlineDv
-      case "u" => DeletionVectors.relativePath("u", dv.pathOrInlineDv, "")
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot decode relative DV '${dv.pathOrInlineDv}'"))
-      case "i" => throw new IllegalArgumentException(
-        "Inline deletion vectors are not supported. They must be " +
-          "persisted first.")
-      case other => throw new IllegalArgumentException(
-        s"unknown DV storage type '$other'")
-    }
-    DeletionVectorInfo(location,
+      dv: DeletionVectorDescriptor): DeletionVectorInfo =
+    DeletionVectorInfo(
+      resolveDvLocation(dv.storageType, dv.pathOrInlineDv),
       dv.offset.map(_.toLong).getOrElse(1L),
       dv.sizeInBytes.toLong + 8L,
       dv.cardinality)
+
+  /** The descriptor→location arm of [[extractDeletionVectorContent]],
+    * also callable row-at-a-time from the codegen'd
+    * [[DvResolveLocExpr]] (the entry-construction projection must stay
+    * inside whole-stage codegen — a Dataset.map here paid interpreted
+    * row encoding over the full `content_stats` width on EVERY entry).
+    */
+  def resolveDvLocation(storageType: String,
+      pathOrInlineDv: String): String = storageType match {
+    case "p" => pathOrInlineDv
+    case "u" => DeletionVectors.relativePath("u", pathOrInlineDv, "")
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot decode relative DV '$pathOrInlineDv'"))
+    case "i" => throw new IllegalArgumentException(
+      "Inline deletion vectors are not supported. They must be " +
+        "persisted first.")
+    case other => throw new IllegalArgumentException(
+      s"unknown DV storage type '$other'")
   }
 
   /** Iceberg DV info → Delta descriptor for the read path: the
@@ -327,74 +335,97 @@ object ContentTree {
       StructField("minValues", boundsStruct),
       StructField("maxValues", boundsStruct),
       StructField("nullCount", nullsStruct)))
-    val nStats = statsSchema.fields.length
-    val flat = adds.select(
-      col("add.path").as("_path"),
-      col("add.partitionValues").as("_pv"),
-      col("add.size").as("_size"),
-      from_json(col("add.stats"), parseSchema).as("_stats"),
-      col("add.tags").as("_tags"),
-      col("add.baseRowId").as("_firstRowId"),
-      col("add.deletionVector").as("_dv"),
-      col("version").as("_v"))
-    flat.map { r =>
-      val dvRow = if (r.isNullAt(6)) null else r.getStruct(6)
-      val dvInfo =
-        if (dvRow == null || dvRow.isNullAt(dvRow.fieldIndex("storageType")))
-          null
-        else {
-          val d = DeletionVectorDescriptor(
-            dvRow.getAs[String]("storageType"),
-            dvRow.getAs[String]("pathOrInlineDv"),
-            Option(dvRow.getAs[Any]("offset"))
-              .map(_.asInstanceOf[Number].intValue),
-            dvRow.getAs[Number]("sizeInBytes").intValue,
-            dvRow.getAs[Number]("cardinality").longValue)
-          val i = extractDeletionVectorContent(d)
-          Row(i.location, i.offset, i.sizeInBytes, i.cardinality)
-        }
-      val v = r.getLong(7)
-      val st = if (r.isNullAt(3)) null else r.getStruct(3)
-      val numRecords: Any =
-        if (st == null || st.isNullAt(0)) null else st.getLong(0)
-      // Delta stats are tight unless the add carries tightBounds=false
-      // (a DV'd file's wide bounds) — either way lower/upper remain
-      // conservative bounds, so skipping stays sound
-      val tight: Any =
-        if (st == null) null
-        else java.lang.Boolean.valueOf(st.isNullAt(1) || st.getBoolean(1))
-      val minV = if (st == null || st.isNullAt(2)) null else st.getStruct(2)
-      val maxV = if (st == null || st.isNullAt(3)) null else st.getStruct(3)
-      val nulls = if (st == null || st.isNullAt(4)) null else st.getStruct(4)
-      def at(s: Row, j: Int): Any =
-        if (s == null || s.isNullAt(j)) null else s.get(j)
-      val contentStats =
-        if (st == null) null
-        else Row.fromSeq((0 until nStats).map { j =>
-          Row(at(minV, j), at(maxV, j), tight, numRecords, at(nulls, j),
-            null, null)
-        })
-      Row(
-        DataContentType.Data,
-        Storage.decodeUriPath(r.getString(0)),
-        "parquet",
-        Row(TrackingStatus.Added, v, null, v, v,
-          if (r.isNullAt(5)) null else r.getLong(5), null, null),
-        dvInfo,
-        0, // specId: single Delta partition spec
-        r.getMap[String, String](1),
-        null, // sortOrderId
-        numRecords,
-        r.getLong(2),
-        contentStats,
-        null, // manifestInfo: Data entries never carry one
-        null, // keyMetadata
-        null, // splitOffsets
-        null, // equalityIds
-        4, // Iceberg/AMT format version
-        if (r.isNullAt(4)) null else r.getMap[String, String](4))
-    }(Encoders.row(entrySchemaWithStats(statsSchema)))
+    // Pure-Column construction: the projection (incl. the 700+ leaf
+    // `content_stats` struct on a 100-col table) runs inside ONE
+    // whole-stage-codegen loop. The previous Dataset.map paid
+    // interpreted RowEncoder serialization per entry — ~10x on the
+    // 300k-add bench table. from_json lands in its own projection
+    // (CollapseProject keeps non-cheap exprs single-evaluation), so
+    // the stats JSON parses once per row no matter how many struct
+    // leaves reference it.
+    val parsed = adds.select(col("add"), col("version"),
+      from_json(col("add.stats"), parseSchema).as("_st"))
+    val st = col("_st")
+    val dv = col("add.deletionVector")
+    val dvLoc = org.apache.spark.sql.graft.StreamingShim.column(
+      DvResolveLocExpr(
+        org.apache.spark.sql.graft.ColumnExprShim.expression(
+          dv.getField("storageType")),
+        org.apache.spark.sql.graft.ColumnExprShim.expression(
+          dv.getField("pathOrInlineDv"))))
+    val dvInfo = when(dv.isNotNull && dv.getField("storageType").isNotNull,
+      struct(
+        dvLoc.as("location"),
+        coalesce(dv.getField("offset").cast(LongType), lit(1L))
+          .as("offset"),
+        (dv.getField("sizeInBytes").cast(LongType) + lit(8L))
+          .as("sizeInBytes"),
+        dv.getField("cardinality").cast(LongType).as("cardinality")))
+    val numRecords = st.getField("numRecords")
+    // Delta stats are tight unless the add carries tightBounds=false
+    // (a DV'd file's wide bounds) — either way lower/upper remain
+    // conservative bounds, so skipping stays sound
+    val tight = coalesce(st.getField("tightBounds"), lit(true))
+    val contentStats = when(st.isNotNull, struct(
+      statsSchema.fieldNames.toIndexedSeq.map { c =>
+        struct(
+          st.getField("minValues").getField(c).as("lower_bound"),
+          st.getField("maxValues").getField(c).as("upper_bound"),
+          tight.as("tight_bounds"),
+          numRecords.as("value_count"),
+          st.getField("nullCount").getField(c).as("null_value_count"),
+          lit(null).cast(LongType).as("nan_value_count"),
+          lit(null).cast(LongType).as("avg_value_size_in_bytes"))
+          .as(c)
+      }: _*))
+    // decodeUriPath twin: '+' stays literal, malformed escapes pass
+    // through undecoded
+    val location = coalesce(
+      try_url_decode(regexp_replace(col("add.path"), "\\+", "%2B")),
+      col("add.path"))
+    parsed.select(
+      lit(DataContentType.Data).as("contentType"),
+      location.as("location"),
+      lit("parquet").as("fileFormat"),
+      struct(
+        lit(TrackingStatus.Added).as("status"),
+        col("version").as("snapshotId"),
+        lit(null).cast(LongType).as("dvSnapshotId"),
+        col("version").as("sequenceNumber"),
+        col("version").as("fileSequenceNumber"),
+        col("add.baseRowId").as("firstRowId"),
+        lit(null).cast(BinaryType).as("deletedPositions"),
+        lit(null).cast(BinaryType).as("replacedPositions"))
+        .as("tracking"),
+      dvInfo.as("deletionVector"),
+      lit(0).as("specId"), // single Delta partition spec
+      col("add.partitionValues").as("partition"),
+      lit(null).cast(IntegerType).as("sortOrderId"),
+      numRecords.as("recordCount"),
+      col("add.size").as("fileSizeInBytes"),
+      contentStats.as(CONTENT_STATS),
+      lit(null).cast(manifestInfoSchema).as("manifestInfo"),
+      lit(null).cast(BinaryType).as("keyMetadata"),
+      lit(null).cast(ArrayType(LongType)).as("splitOffsets"),
+      lit(null).cast(ArrayType(IntegerType)).as("equalityIds"),
+      lit(4).as("formatVersion"), // Iceberg/AMT format version
+      col("add.tags").as("tags"))
+      // re-anchor the parquet field ids dropped by expression selects
+      .to(asNullable(entrySchemaWithStats(statsSchema)))
   }
+
+  /** Nullability-relaxed twin of a schema: expression- and join-built
+    * frames are nullable throughout, and `.to()` refuses a nullable
+    * input against a non-nullable target field.
+    */
+  private def asNullable(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      f.dataType match {
+        case s: StructType =>
+          f.copy(dataType = asNullable(s), nullable = true)
+        case _ => f.copy(nullable = true)
+      }
+    })
 
   /** Entries per leaf node before another leaf level would be needed;
     * with the default fan-out a 5M-add table lands ~300k entries
@@ -446,16 +477,9 @@ object ContentTree {
     val leavesAbs = absTree + "/leaves"
     val grouping = when(size(map_keys(col("partition"))) > 0,
       to_json(col("partition"))).otherwise(col("location"))
-    // re-anchor the parquet field ids: Dataset.map and expression
-    // selects drop StructField metadata, and Iceberg projects tree
-    // columns BY id — .to() reconciles rows to the id-carrying schema
-    // (nullability relaxed: join-built frames are nullable throughout)
-    def asNullable(st: StructType): StructType = StructType(st.fields.map {
-      f => f.dataType match {
-        case s: StructType => f.copy(dataType = asNullable(s), nullable = true)
-        case _ => f.copy(nullable = true)
-      }
-    })
+    // re-anchor the parquet field ids: expression selects drop
+    // StructField metadata, and Iceberg projects tree columns BY id —
+    // .to() reconciles rows to the id-carrying schema
     val target = asNullable(
       if (entries.schema.fieldNames.contains(CONTENT_STATS))
         entrySchemaWithStats(contentStatsSchema(snap.dataSchema))
@@ -529,23 +553,76 @@ object ContentTree {
     * union in by name.
     */
   def readEntriesDF(spark: org.apache.spark.sql.SparkSession,
-      rootLocation: String, tableRoot: String): DataFrame = {
+      rootLocation: String, tableRoot: String): DataFrame =
+    readEntriesWithCount(spark, rootLocation, tableRoot)._1
+
+  /** [[readEntriesDF]] plus the tree's total entry count when the root
+    * manifests record it (`recordCount` of a manifest entry = entries
+    * in that leaf, set by [[writeTree]]) — the handoff-path gate:
+    * small trees collect in one job, big ones stream behind a shuffle.
+    */
+  private def readEntriesWithCount(
+      spark: org.apache.spark.sql.SparkSession,
+      rootLocation: String, tableRoot: String)
+      : (DataFrame, Option[Long]) = {
     val root = spark.read.parquet(rootLocation)
     val isManifest = col("contentType").isin(
       DataContentType.DataManifest, DataContentType.DeleteManifest)
-    val manifestLocs = root.filter(isManifest)
-      .select("location").collect().map(_.getString(0))
-    if (manifestLocs.isEmpty) root
+    val manifestRows = root.filter(isManifest)
+      .select("location", "recordCount").collect()
+    if (manifestRows.isEmpty) (root, None)
     else {
-      val resolved = manifestLocs.map { l =>
+      val resolved = manifestRows.map(_.getString(0)).map { l =>
         if (AdaptiveMetadata.hasScheme(l) || l.startsWith("/")) l
         else tableRoot.stripSuffix("/") + "/" + l
       }
+      val entries =
+        if (manifestRows.exists(_.isNullAt(1))) None
+        else Some(manifestRows.map(_.getLong(1)).sum)
       val leaves = spark.read.parquet(resolved.toIndexedSeq: _*)
         .drop("leafKey")
-      leaves.unionByName(root.filter(!isManifest),
-        allowMissingColumns = true)
+      (leaves.unionByName(root.filter(!isManifest),
+        allowMissingColumns = true), entries)
     }
+  }
+
+  /** Handoff threshold: below this many entries the slim projection
+    * collects in ONE job; above it the handoff shuffles first so
+    * `toLocalIterator`'s per-partition jobs fetch shuffle blocks
+    * instead of re-running the scan one partition at a time (the
+    * DeltaScan.addFileIterator envelope — at 300k entries the
+    * unshuffled iterator walk cost ~8-10 s vs ~1 s behind the
+    * shuffle).
+    */
+  private val SMALL_TREE_ENTRIES = 100000L
+
+  /** Strip entry rows to the AddFile-relevant columns before the
+    * driver handoff: `content_stats` (700+ leaves on a 100-col table)
+    * and the tracking bitmaps never cross the boundary, and nested
+    * schema pruning drops them from the leaf scan itself.
+    */
+  private def slimEntries(df: DataFrame): DataFrame =
+    df.select(
+      col("location"),
+      struct(col("tracking.firstRowId").as("firstRowId")).as("tracking"),
+      col("deletionVector"),
+      col("partition"),
+      col("fileSizeInBytes"),
+      col("tags"))
+
+  private def streamAsAdds(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, entryCount: Option[Long],
+      tableRootUriPath: String): Iterator[AddFile] = {
+    val slim = slimEntries(df)
+    val rows =
+      if (entryCount.exists(_ <= SMALL_TREE_ENTRIES))
+        slim.collect().iterator // one job, bounded by the gate
+      else {
+        val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+        slim.repartition(parts, col("location"))
+          .toLocalIterator().asScala
+      }
+    rows.map(entryToAdd(_, tableRootUriPath))
   }
 
   /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
@@ -812,10 +889,11 @@ object ContentTree {
   def addFileIterator(spark: org.apache.spark.sql.SparkSession,
       rootLocation: String, tableRoot: String, tableRootUriPath: String)
       : Iterator[AddFile] = {
-    val df = readEntriesDF(spark, rootLocation, tableRoot)
+    val (entries, n) = readEntriesWithCount(spark, rootLocation, tableRoot)
+    val df = entries
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
-    df.toLocalIterator().asScala.map(entryToAdd(_, tableRootUriPath))
+    streamAsAdds(spark, df, n, tableRootUriPath)
   }
 
   /** Stats-pruned tree read: plan the file set from the tree INSTEAD
@@ -830,7 +908,8 @@ object ContentTree {
       rootLocation: String, tableRoot: String, tableRootUriPath: String,
       dataSchema: StructType, predicateSql: String)
       : Iterator[AddFile] = {
-    val live = readEntriesDF(spark, rootLocation, tableRoot)
+    val (entries, n) = readEntriesWithCount(spark, rootLocation, tableRoot)
+    val live = entries
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
     val statsSchema = contentStatsSchema(dataSchema)
@@ -842,8 +921,7 @@ object ContentTree {
         .conjuncts(DataSkipping.parse(spark, predicateSql))
         .flatMap(DataSkipping.rewrite(_, eligible, eligible))
     if (skips.isEmpty)
-      return live.toLocalIterator().asScala
-        .map(entryToAdd(_, tableRootUriPath))
+      return streamAsAdds(spark, live, n, tableRootUriPath)
     def sub(leaf: String) = struct(names.map(c =>
       col(CONTENT_STATS).getField(c).getField(leaf).as(c)): _*)
     val stats = struct(
@@ -853,9 +931,12 @@ object ContentTree {
       sub("null_value_count").as("nullCount"))
     val skipSql = ("coalesce(__stats.numRecords > 0, true)" +:
       skips.map(s => s"coalesce(${s.sql}, true)")).mkString(" AND ")
-    live.withColumn("__stats", stats)
-      .filter(expr(skipSql)).drop("__stats")
-      .toLocalIterator().asScala.map(entryToAdd(_, tableRootUriPath))
+    // the skip filter runs in the DISTRIBUTED stage (before the slim
+    // handoff); only referenced stats leaves survive nested pruning
+    streamAsAdds(spark,
+      live.withColumn("__stats", stats)
+        .filter(expr(skipSql)).drop("__stats"),
+      n, tableRootUriPath)
   }
 
   /** One entry row → AddFile (inverse of the [[entriesDF]] mapping). */

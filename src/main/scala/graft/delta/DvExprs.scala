@@ -36,6 +36,35 @@ case class DvLiveExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd descriptor→tree-location resolver (reference
+  * content_tree/dv_conversion.rs `extract_deletion_vector_content`):
+  * maps an add's DV (storageType, pathOrInlineDv) to the Iceberg-side
+  * location string during content-tree entry construction. Native so
+  * the wide entry projection (700+ `content_stats` leaves on a
+  * 100-column table) stays in one generated loop.
+  */
+case class DvResolveLocExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dv_resolve_loc"
+
+  override protected def nullSafeEval(st: Any, p: Any): Any =
+    UTF8String.fromString(
+      ContentTree.resolveDvLocation(st.toString, p.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p) =>
+      s"${ev.value} = UTF8String.fromString(" +
+        s"graft.delta.ContentTree.resolveDvLocation(" +
+        s"$s.toString(), $p.toString()));")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd CDF DV-swap tagger: "insert" (row restored by the swap),
   * "delete" (newly deleted), or NULL (row not part of the change).
   */
