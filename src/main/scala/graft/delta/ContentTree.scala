@@ -614,8 +614,11 @@ object ContentTree {
       df: DataFrame, entryCount: Option[Long],
       tableRootUriPath: String): Iterator[AddFile] = {
     val slim = slimEntries(df)
+    val small = entryCount.exists(_ <= SMALL_TREE_ENTRIES)
+    Metrics.report(MetricEvent.TreeHandoff(Metrics.newId(),
+      entryCount.getOrElse(-1L), shuffled = !small))
     val rows =
-      if (entryCount.exists(_ <= SMALL_TREE_ENTRIES))
+      if (small)
         slim.collect().iterator // one job, bounded by the gate
       else {
         val parts = math.max(spark.sparkContext.defaultParallelism, 8)

@@ -90,6 +90,17 @@ object MetricEvent {
     */
   case class CdfRangeClassified(operationId: String, durationNs: Long,
       numCommits: Int, numFileActions: Long) extends MetricEvent
+
+  /** A content-tree read handed entry rows to the driver —
+    * `entryCount` is the tree's total entries per its root manifests
+    * (-1 when the root doesn't record them), `shuffled` says which
+    * handoff arm ran: false = small-tree one-job collect, true = the
+    * slim rows crossed a shuffle boundary first (big trees MUST take
+    * this arm — an unshuffled `toLocalIterator` walk re-runs the wide
+    * leaf scan one partition per job). Emitted once per iterator.
+    */
+  case class TreeHandoff(operationId: String, entryCount: Long,
+      shuffled: Boolean) extends MetricEvent
 }
 
 /** Receives every metric event (reference metrics/reporter.rs). Keep

@@ -1,6 +1,7 @@
 package graft.delta
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.TestSpark
 
@@ -156,6 +157,44 @@ class MetricsSpec extends AnyFunSuite {
         Snapshot.forTable(spark, TestSpark.tmpDir("mx-f") + "/absent")
       }
       assert(r.events.exists(_.isInstanceOf[SnapshotBuildFailure]))
+    }
+  }
+
+  test("tree handoff gauge: small manifest trees collect in one job; " +
+      "unknown-size trees stream behind the shuffle") {
+    val dir = TestSpark.tmpDir("mx-tree")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 50).repartition(2))
+      val snap = t.snapshot()
+      val root = ContentTree.writeRoot(snap)
+      val tableRoot = snap.tableRoot.toString
+      val rootUri = Storage
+        .fs(snap.tableRoot, spark.sessionState.newHadoopConf())
+        .makeQualified(snap.tableRoot).toUri.getPath
+      r.clear()
+      val adds = ContentTree.addFileIterator(spark,
+        root.resolve(tableRoot), tableRoot, rootUri).toSeq
+      assert(adds.size == 2)
+      val h = r.events.collect { case e: TreeHandoff => e }
+      // root manifests record 2 entries → one-job collect arm
+      assert(h.size == 1 && !h.head.shuffled && h.head.entryCount == 2L)
+
+      // a single-node tree (data entries directly in the root, no
+      // manifest level) records no entry count → the handoff must take
+      // the conservative shuffled arm and report the count unknown
+      val flatLoc = TestSpark.tmpDir("mx-tree-flat")
+      ContentTree.readEntriesDF(spark, root.resolve(tableRoot), tableRoot)
+        .filter(col("contentType") ===
+          ContentTree.DataContentType.Data)
+        .coalesce(1).write.mode("overwrite").parquet(flatLoc)
+      r.clear()
+      val flatAdds = ContentTree.addFileIterator(spark, flatLoc,
+        tableRoot, rootUri).toSeq
+      assert(flatAdds.map(_.path).sorted == adds.map(_.path).sorted)
+      val h2 = r.events.collect { case e: TreeHandoff => e }
+      assert(h2.size == 1 && h2.head.shuffled && h2.head.entryCount == -1L)
     }
   }
 }
