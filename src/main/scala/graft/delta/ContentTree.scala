@@ -321,7 +321,7 @@ object ContentTree {
     * shape; stats JSON keys are physical names on mapped tables, which
     * is what [[contentStatsSchema]] emits.
     */
-  private def entriesFromAdds(adds: DataFrame,
+  private[delta] def entriesFromAdds(adds: DataFrame,
       dataSchema: StructType): DataFrame = {
     val statsSchema = contentStatsSchema(dataSchema)
     val boundsStruct = StructType(statsSchema.fields.map(f =>

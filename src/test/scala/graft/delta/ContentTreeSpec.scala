@@ -463,6 +463,83 @@ class ContentTreeSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("entry construction edge cases: encoded paths, absent/partial/" +
+      "malformed stats, tightBounds=false, absolute DVs") {
+    import org.apache.spark.sql.types._
+    val dvSchema = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("stats", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("baseRowId", LongType),
+      StructField("deletionVector", dvSchema)))
+    val rowSchema = StructType(Seq(
+      StructField("add", addSchema), StructField("version", LongType)))
+    val dataSchema = StructType(Seq(StructField("c0", LongType)))
+    def add(path: String, stats: String, dv: Row): Row =
+      Row(Row(path, Map.empty[String, String], 10L, stats, null, null,
+        dv), 3L)
+    val rows = Seq(
+      // %20 decodes, a literal '+' must NOT decode to a space
+      add("a%20dir/part+1.parquet",
+        """{"numRecords":5,"minValues":{"c0":1},"maxValues":{"c0":9},""" +
+          """"nullCount":{"c0":0}}""", null),
+      add("nostats.parquet", null, null),
+      // maxValues/nullCount absent, explicit wide bounds
+      add("partial.parquet",
+        """{"numRecords":7,"tightBounds":false,"minValues":{"c0":2}}""",
+        null),
+      add("malformed.parquet", "{not json", null),
+      // absolute 'p' DV: location verbatim, absent offset → 1, +8 framing
+      add("dvabs.parquet", null,
+        Row("p", "s3://bucket/dv/abs.bin", null, 40, 3L)))
+    import scala.jdk.CollectionConverters._
+    val adds = spark.createDataFrame(rows.asJava, rowSchema)
+    val e = ContentTree.entriesFromAdds(adds, dataSchema)
+      .collect().map(r => r.getAs[String]("location") -> r).toMap
+    assert(e.keySet == Set("a dir/part+1.parquet", "nostats.parquet",
+      "partial.parquet", "malformed.parquet", "dvabs.parquet"))
+
+    val a = e("a dir/part+1.parquet")
+    assert(a.getAs[Long]("recordCount") == 5L)
+    assert(a.getStruct(a.fieldIndex("tracking"))
+      .getAs[Int]("status") == TrackingStatus.Added)
+    assert(a.getStruct(a.fieldIndex("tracking"))
+      .getAs[Long]("snapshotId") == 3L)
+    val acs = a.getStruct(a.fieldIndex(CONTENT_STATS)).getStruct(0)
+    assert(acs.getAs[Long]("lower_bound") == 1L &&
+      acs.getAs[Long]("upper_bound") == 9L &&
+      acs.getAs[Boolean]("tight_bounds") &&
+      acs.getAs[Long]("value_count") == 5L &&
+      acs.getAs[Long]("null_value_count") == 0L)
+
+    val ns = e("nostats.parquet")
+    assert(ns.isNullAt(ns.fieldIndex("recordCount")))
+
+    val p = e("partial.parquet")
+    assert(p.getAs[Long]("recordCount") == 7L)
+    val pcs = p.getStruct(p.fieldIndex(CONTENT_STATS)).getStruct(0)
+    assert(pcs.getAs[Long]("lower_bound") == 2L)
+    assert(pcs.isNullAt(pcs.fieldIndex("upper_bound")))
+    assert(!pcs.getAs[Boolean]("tight_bounds"))
+
+    val m = e("malformed.parquet")
+    assert(m.isNullAt(m.fieldIndex("recordCount")))
+
+    val d = e("dvabs.parquet")
+    val dvr = d.getStruct(d.fieldIndex("deletionVector"))
+    assert(dvr.getString(0) == "s3://bucket/dv/abs.bin" &&
+      dvr.getLong(1) == 1L && dvr.getLong(2) == 48L &&
+      dvr.getLong(3) == 3L)
+  }
+
   test("puffin DV blob round trip: write, footer, blob validation, " +
       "tree entry, and back to a Delta descriptor") {
     val dir = TestSpark.tmpDir("amt-puffin")
