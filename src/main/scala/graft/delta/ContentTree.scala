@@ -313,7 +313,67 @@ object ContentTree {
     * map here never touches data rows.
     */
   def entriesDF(snap: Snapshot): DataFrame =
-    entriesFromAdds(snap.allAdds, snap.dataSchema)
+    entriesFromAdds(persistInlineDvs(snap, snap.allAdds), snap.dataSchema)
+
+  /** Tree entries cannot reference inline DVs — dv_conversion.rs
+    * rejects them ("they must be persisted first") and leaves the
+    * persisting to its caller. A Spark catalog build does it itself:
+    * every 'i' descriptor's bitmap is re-persisted through ONE packed
+    * standard DV `.bin` file and the add rows come back carrying the
+    * 'u' descriptors. The file lands under `_delta_log/_amt` (encoded
+    * via the protocol's 'u' prefix rule): VACUUM protects only files
+    * the LOG references, and a tree-only `.bin` under the data root
+    * would be vacuumed out from under the tree. Inline bitmaps are
+    * ≤ [[DeletionVectors.INLINE_MAX_BYTES]] by protocol rule, so the
+    * collect here is a KB-scale-per-file driver envelope; tables whose
+    * protocol lacks the deletionVectors feature skip the probe job
+    * entirely.
+    */
+  private def persistInlineDvs(snap: Snapshot,
+      adds: DataFrame): DataFrame = {
+    val hasDvFeature =
+      (snap.protocol.readerFeatures.getOrElse(Nil) ++
+        snap.protocol.writerFeatures.getOrElse(Nil))
+        .contains("deletionVectors")
+    if (!hasDvFeature) return adds
+    val inline = adds
+      .filter(col("add.deletionVector.storageType") === "i")
+      .select(col("add.path").as("p"),
+        col("add.deletionVector.pathOrInlineDv").as("z85"),
+        col("add.deletionVector.sizeInBytes").as("sz"),
+        col("add.deletionVector.cardinality").as("card"))
+      .collect()
+    if (inline.isEmpty) return adds
+    val conf = snap.spark.sessionState.newHadoopConf()
+    val bitmaps = inline.zipWithIndex.map { case (r, i) =>
+      val desc = DeletionVectorDescriptor("i", r.getAs[String]("z85"),
+        None, r.getAs[Number]("sz").intValue, r.getAs[Number]("card")
+          .longValue)
+      (i.toString,
+        DeletionVectors.readBitmapBytes(desc, snap.tableRoot, conf),
+        desc.cardinality)
+    }.toSeq
+    val descs = DeletionVectors.writeBitmaps(bitmaps, snap.tableRoot,
+      conf, prefix = "_delta_log/_amt")
+    val repl = inline.zipWithIndex.map { case (r, i) =>
+      val d = descs(i.toString)
+      (r.getAs[String]("p"), d.storageType, d.pathOrInlineDv,
+        d.offset.get, d.sizeInBytes, d.cardinality)
+    }.toIndexedSeq
+    import snap.spark.implicits._
+    val replDf = repl.toDF("__p", "__st", "__pv", "__off", "__sz",
+      "__card")
+    adds.join(broadcast(replDf), col("add.path") === col("__p"), "left")
+      .withColumn("add", when(col("__p").isNotNull,
+        col("add").withField("deletionVector", struct(
+          col("__st").as("storageType"),
+          col("__pv").as("pathOrInlineDv"),
+          col("__off").as("offset"),
+          col("__sz").as("sizeInBytes"),
+          col("__card").as("cardinality"))))
+        .otherwise(col("add")))
+      .drop("__p", "__st", "__pv", "__off", "__sz", "__card")
+  }
 
   /** Entry construction over any adds-shaped DataFrame (columns `add`
     * struct + `version`): the shared mapping for full-tree builds and
@@ -676,7 +736,9 @@ object ContentTree {
         col("w.version").as("version"), col("w.isAdd").as("isAdd"))
     winner.persist()
     val newE = entriesFromAdds(
-      winner.filter(col("isAdd") === 1).select(col("add"), col("version")),
+      persistInlineDvs(snap,
+        winner.filter(col("isAdd") === 1)
+          .select(col("add"), col("version"))),
       snap.dataSchema)
     val removed = winner.filter(col("isAdd") === 0)
       .select(col("loc").as("location"), col("version").as("rmVersion"))

@@ -300,9 +300,22 @@ object DeletionVectors {
     */
   def writeBitmaps(deletes: Seq[(String, Array[Byte], Long)],
       tableRoot: Path,
-      conf: Configuration): Map[String, DeletionVectorDescriptor] = {
+      conf: Configuration): Map[String, DeletionVectorDescriptor] =
+    writeBitmaps(deletes, tableRoot, conf, prefix = "")
+
+  /** As above, under a table-relative directory `prefix` (encoded into
+    * the 'u' descriptor per the protocol's `<prefix>/<z85 uuid>` rule).
+    * Content-tree construction persists inline DVs under
+    * `_delta_log/_amt` so VACUUM — which only protects files the LOG
+    * references — can never strand a tree entry.
+    */
+  def writeBitmaps(deletes: Seq[(String, Array[Byte], Long)],
+      tableRoot: Path, conf: Configuration,
+      prefix: String): Map[String, DeletionVectorDescriptor] = {
     val uuid = UUID.randomUUID()
-    val relName = s"deletion_vector_$uuid.bin"
+    val dir = prefix.stripSuffix("/")
+    val relName =
+      (if (dir.isEmpty) "" else dir + "/") + s"deletion_vector_$uuid.bin"
     val out = new java.io.ByteArrayOutputStream()
     out.write(1) // version
     var offset = 1
@@ -318,7 +331,8 @@ object DeletionVectors {
       out.write(buf.array())
       val desc = DeletionVectorDescriptor(
         storageType = "u",
-        pathOrInlineDv = encodeUUID(uuid),
+        pathOrInlineDv =
+          (if (dir.isEmpty) "" else dir + "/") + encodeUUID(uuid),
         offset = Some(offset),
         sizeInBytes = size,
         cardinality = cardinality)

@@ -540,6 +540,50 @@ class ContentTreeSpec extends AnyFunSuite {
       dvr.getLong(3) == 3L)
   }
 
+  test("inline DVs are persisted under _delta_log/_amt at tree " +
+      "construction and the tree survives vacuum") {
+    val dir = TestSpark.tmpDir("ctinline")
+    val src = (0L until 400L).map(k => (k, k % 5)).toDF("k", "m")
+    DeltaTable.create(spark, dir, src.schema, configuration = Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.deletedFileRetentionDuration" -> "interval 0 milliseconds"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.coalesce(2))
+    // a handful of deleted rows per file → bitmaps under the inline cap
+    t.deleteWhereDV("k % 100 = 7")
+    val snap = t.snapshot()
+    val inline = snap.allAdds
+      .select(col("add.deletionVector.storageType")).collect()
+      .flatMap(r => Option(r.getString(0)))
+    assert(inline.nonEmpty && inline.forall(_ == "i"),
+      s"fixture must carry inline DVs, got ${inline.toSeq}")
+    val root = ContentTree.writeRoot(snap, numLeaves = 2)
+    val resolved = root.resolve(snap.tableRoot.toString)
+    // the entries reference ONE packed .bin under _delta_log/_amt —
+    // never an inline blob, never a vacuum-reachable data-root file
+    val locs = ContentTree.readEntriesDF(spark, resolved,
+      snap.tableRoot.toString)
+      .filter(col("deletionVector").isNotNull)
+      .select(col("deletionVector.location")).collect()
+      .map(_.getString(0))
+    assert(locs.nonEmpty &&
+      locs.forall(_.startsWith("_delta_log/_amt/")), locs.toSeq.toString)
+    assert(locs.distinct.length == 1, "inline DVs must pack into one .bin")
+    // zero-retention vacuum: log-unreferenced files at the DATA root
+    // would die here; the _amt-housed bin must not
+    t.vacuum()
+    val rootUri = Storage.fs(snap.tableRoot,
+        spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+    val adds = ContentTree.addFileIterator(spark, resolved,
+      snap.tableRoot.toString, rootUri).toSeq
+    val viaTree = snap.scanBuilder().build()
+      .assemble(adds, keepMeta = false)
+      .select($"k").as[Long].collect().sorted.toSeq
+    val direct = t.toDF.select($"k").as[Long].collect().sorted.toSeq
+    assert(viaTree == direct && !viaTree.exists(_ % 100 == 7))
+  }
+
   test("puffin DV blob round trip: write, footer, blob validation, " +
       "tree entry, and back to a Delta descriptor") {
     val dir = TestSpark.tmpDir("amt-puffin")
