@@ -25,6 +25,11 @@ object TreeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_TREE_5M=1: the catalog-scale frontier — full build,
+    // incremental advance and pruned read over the 5M-add fixture
+    // (the size class the manifest hierarchy exists for). One-off
+    // forensic run, not a sweep leg.
+    if (sys.env.get("GRAFT_TREE_5M").contains("1")) { run5m(spark); return }
     MetadataBench.ensureLog(spark)
     val snap = graft.delta.Snapshot.forTable(spark, MetadataBench.tableDir)
     def t[A](name: String)(f: => A): A = {
@@ -54,6 +59,41 @@ object TreeProbe {
           snap.tableRoot.toString, rootUri, snap.dataSchema,
           "c0 = 12345").size)
     }
+    spark.stop()
+  }
+
+  private def run5m(spark: SparkSession): Unit = {
+    MetadataBench.ensureLog5m(spark)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE5M $name ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    def heapMb(): Double = {
+      (1 to 3).foreach(_ => System.gc())
+      (Runtime.getRuntime.totalMemory -
+        Runtime.getRuntime.freeMemory) / 1048576.0
+    }
+    val h0 = heapMb()
+    val prevV = MetadataBench.NUM_COMMITS_5M - 2L
+    val snapPrev = graft.delta.Snapshot.forTable(spark,
+      MetadataBench.tableDir5m, Some(prevV))
+    val rootPrev = t("build")(graft.delta.ContentTree.writeRoot(snapPrev))
+    val snap = graft.delta.Snapshot.forTable(spark,
+      MetadataBench.tableDir5m)
+    val root = t("update")(
+      graft.delta.ContentTree.updateRoot(snap, rootPrev))
+    val resolved = root.resolve(snap.tableRoot.toString)
+    val rootUri = graft.delta.Storage
+      .fs(snap.tableRoot, spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+    (1 to 2).foreach { rep =>
+      val n = t(s"prune rep$rep")(
+        graft.delta.ContentTree.prunedAddFileIterator(spark, resolved,
+          snap.tableRoot.toString, rootUri, snap.dataSchema,
+          "c0 = 12345").size)
+      println(s"PROBE5M pruned_files $n")
+    }
+    println(f"PROBE5M heap_delta_mb ${heapMb() - h0}%.1f")
     spark.stop()
   }
 }
