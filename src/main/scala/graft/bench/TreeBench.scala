@@ -25,12 +25,16 @@ object TreeBench {
   def run(spark: SparkSession): Map[String, Double] = {
     MetadataBench.ensureLog(spark)
     // warm the entry-projection codegen (the ~720-leaf generated class
-    // costs ~15 s to compile on first use) on the v0 slice — the legs
-    // below run ONCE per sweep and measure tree work, not JIT; the
-    // same policy as Bench's JVM warmup query
+    // costs ~15 s to compile on first use) — the legs below run ONCE
+    // per sweep and measure tree work, not JIT; same policy as Bench's
+    // JVM warmup query. Version 1, NOT 0: v0 is the 7 KB metadata
+    // commit, under the 4 MiB driver-replay cap, so its plan fuses the
+    // projection over a LocalTableScan — a DIFFERENT generated class
+    // than the distributed-replay arm the timed legs compile. v1's one
+    // 10 MB commit takes the distributed arm at 1/29th the work.
     graft.delta.ContentTree.writeRoot(
       graft.delta.Snapshot.forTable(spark, MetadataBench.tableDir,
-        Some(0L)))
+        Some(1L)))
     // full build two commits back, then the incremental path advances
     // the tree across 20k fresh adds — maintenance at catalog scale
     // must cost O(diff ⋈ tree), never a rebuild

@@ -307,10 +307,11 @@ object ContentTree {
 
   /** Distributed content-tree construction: one entry row per live
     * add of the snapshot (status Added at its commit version, DV
-    * converted per [[extractDeletionVectorContent]], recordCount and
-    * `content_stats` from the add's parsed stats). The z85 DV decode
-    * is per-FILE work — metadata cardinality — so the single row-level
-    * map here never touches data rows.
+    * converted per [[extractDeletionVectorContent]] — inline DVs
+    * persisted first via [[persistInlineDvs]], recordCount and
+    * `content_stats` from the add's parsed stats). All per-FILE
+    * metadata work inside one codegen'd projection; data rows are
+    * never touched.
     */
   def entriesDF(snap: Snapshot): DataFrame =
     entriesFromAdds(persistInlineDvs(snap, snap.allAdds), snap.dataSchema)
@@ -331,11 +332,7 @@ object ContentTree {
     */
   private def persistInlineDvs(snap: Snapshot,
       adds: DataFrame): DataFrame = {
-    val hasDvFeature =
-      (snap.protocol.readerFeatures.getOrElse(Nil) ++
-        snap.protocol.writerFeatures.getOrElse(Nil))
-        .contains("deletionVectors")
-    if (!hasDvFeature) return adds
+    if (!hasDvFeature(snap)) return adds
     val inline = adds
       .filter(col("add.deletionVector.storageType") === "i")
       .select(col("add.path").as("p"),
@@ -345,21 +342,23 @@ object ContentTree {
       .collect()
     if (inline.isEmpty) return adds
     val conf = snap.spark.sessionState.newHadoopConf()
-    val bitmaps = inline.zipWithIndex.map { case (r, i) =>
+    // keyed by the add path — unique within a snapshot's live adds
+    // and within a range diff's per-path winners
+    val bitmaps = inline.toIndexedSeq.map { r =>
       val desc = DeletionVectorDescriptor("i", r.getAs[String]("z85"),
         None, r.getAs[Number]("sz").intValue, r.getAs[Number]("card")
           .longValue)
-      (i.toString,
+      (r.getAs[String]("p"),
         DeletionVectors.readBitmapBytes(desc, snap.tableRoot, conf),
         desc.cardinality)
-    }.toSeq
+    }
     val descs = DeletionVectors.writeBitmaps(bitmaps, snap.tableRoot,
       conf, prefix = "_delta_log/_amt")
-    val repl = inline.zipWithIndex.map { case (r, i) =>
-      val d = descs(i.toString)
-      (r.getAs[String]("p"), d.storageType, d.pathOrInlineDv,
+    val repl = bitmaps.map { case (p, _, _) =>
+      val d = descs(p)
+      (p, d.storageType, d.pathOrInlineDv,
         d.offset.get, d.sizeInBytes, d.cardinality)
-    }.toIndexedSeq
+    }
     import snap.spark.implicits._
     val replDf = repl.toDF("__p", "__st", "__pv", "__off", "__sz",
       "__card")
@@ -438,11 +437,7 @@ object ContentTree {
           lit(null).cast(LongType).as("avg_value_size_in_bytes"))
           .as(c)
       }: _*))
-    // decodeUriPath twin: '+' stays literal, malformed escapes pass
-    // through undecoded
-    val location = coalesce(
-      try_url_decode(regexp_replace(col("add.path"), "\\+", "%2B")),
-      col("add.path"))
+    val location = Storage.decodeUriPathCol(col("add.path"))
     parsed.select(
       lit(DataContentType.Data).as("contentType"),
       location.as("location"),
@@ -509,7 +504,25 @@ object ContentTree {
 
   def writeRoot(snap: Snapshot,
       numLeaves: Int): AdaptiveMetadata.ContentRoot =
-    writeTree(snap, entriesDF(snap), numLeaves)
+    if (!hasDvFeature(snap))
+      writeTree(snap, entriesDF(snap), numLeaves)
+    else {
+      // DV-featured tables probe for inline DVs before entry
+      // construction (persistInlineDvs's collect) — cache the replayed
+      // adds across probe + build so the dominant metadata scan runs
+      // ONCE, not once for the probe and again for the tree write
+      // (updateRoot gets the same for free via its persisted diff)
+      val adds = snap.allAdds.persist()
+      try writeTree(snap,
+        entriesFromAdds(persistInlineDvs(snap, adds), snap.dataSchema),
+        numLeaves)
+      finally adds.unpersist()
+    }
+
+  private def hasDvFeature(snap: Snapshot): Boolean =
+    (snap.protocol.readerFeatures.getOrElse(Nil) ++
+      snap.protocol.writerFeatures.getOrElse(Nil))
+      .contains("deletionVectors")
 
   /** Write any entry-shaped DataFrame as a two-level tree (public so
     * delete-file entries can ride along with the snapshot's data
@@ -636,9 +649,14 @@ object ContentTree {
         if (AdaptiveMetadata.hasScheme(l) || l.startsWith("/")) l
         else tableRoot.stripSuffix("/") + "/" + l
       }
+      // loose data entries riding directly in the root (legal per
+      // mod.rs:54-56) count toward the handoff gate too — a
+      // manifest-led root is O(#leaves + #loose) rows by construction,
+      // so this count job is trivial
+      val loose = root.filter(!isManifest).count()
       val entries =
         if (manifestRows.exists(_.isNullAt(1))) None
-        else Some(manifestRows.map(_.getLong(1)).sum)
+        else Some(manifestRows.map(_.getLong(1)).sum + loose)
       val leaves = spark.read.parquet(resolved.toIndexedSeq: _*)
         .drop("leafKey")
       (leaves.unionByName(root.filter(!isManifest),
@@ -722,10 +740,8 @@ object ContentTree {
       prev.version, snap.version)
     // decoded per-path NET winner: newest version; within a version an
     // add (the new state of a DV swap) beats the remove of the old copy
-    def decodeCol(c: org.apache.spark.sql.Column) =
-      url_decode(regexp_replace(c, "\\+", "%2B"))
     val winner = diff
-      .withColumn("loc", decodeCol(
+      .withColumn("loc", Storage.decodeUriPathCol(
         coalesce(col("add.path"), col("remove.path"))))
       .withColumn("isAdd",
         when(col("add").isNotNull, 1).otherwise(0))
@@ -787,8 +803,8 @@ object ContentTree {
           // identity of the leaf each row came from: its file's parent
           // dir, normalized like the manifest locations (scheme
           // stripped, percent-escapes decoded)
-          .withColumn("__leafDir", url_decode(regexp_replace(
-            regexp_replace(col("_metadata.file_path"),
+          .withColumn("__leafDir", Storage.decodeUriPathCol(
+            regexp_replace(regexp_replace(col("_metadata.file_path"),
               Storage.URI_PREFIX_REGEX, ""),
             "/[^/]*$", "").cast(StringType)))
         val statsOk =

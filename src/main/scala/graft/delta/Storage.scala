@@ -98,6 +98,18 @@ object Storage {
     try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
     catch { case _: IllegalArgumentException => p }
 
+  /** Column twin of [[decodeUriPath]] — the ONE decode idiom for
+    * action paths inside distributed plans: a literal '+' stays
+    * literal, a malformed percent-escape passes through undecoded
+    * instead of failing the job (matching the driver-side fallback, so
+    * path keys built on either side of a join agree).
+    */
+  def decodeUriPathCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(try_url_decode(regexp_replace(c, "\\+", "%2B")), c)
+  }
+
   /** Scheme/authority prefix of a URI-shaped path (for canonical
     * replay keys: `/p`, `file:/p` and `file:///p` all name one file).
     */
