@@ -217,11 +217,9 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
     * is legal in a URI path and must NOT decode to a space, hence the
     * pre-escape.
     */
-  private def normalizedMetaPath: Column = {
-    val stripped = regexp_replace(col("_metadata.file_path"),
-      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
-    url_decode(regexp_replace(stripped, "\\+", "%2B"))
-  }
+  private def normalizedMetaPath: Column =
+    Storage.decodeUriPathCol(regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", ""))
 
   private def decodePath(p: String): String = Storage.decodeUriPath(p)
 

@@ -928,6 +928,46 @@ object DeltaQueries {
     // DV is re-framed as a deletion-vector-v1 blob in ONE puffin file,
     // then converted BACK to Delta descriptors via the blob footer and
     // scanned — the puffin-backed read must serve the identical rows.
+    // Inline-DV tree construction under the oracle: a table whose DVs
+    // all fall UNDER the inline cap (a handful of deleted keys per
+    // file) must still enter the content tree — construction persists
+    // the inline bitmaps into one packed .bin under _delta_log/_amt
+    // (asserted in-query) and the tree-planned scan serves the exact
+    // post-delete rows. Complements q_content_tree, whose DVs exceed
+    // the cap and exercise the already-persisted arm.
+    "q_content_tree_inline_dv" -> ((s, d) => {
+      val dir = tmp("ctinl")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 4)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.repartition(2))
+      t.deleteWhereDV("l_orderkey % 500 = 7")
+      val snap = t.snapshot()
+      val storageTypes = snap.allAdds
+        .select(col("add.deletionVector.storageType")).collect()
+        .flatMap(r => Option(r.getString(0)))
+      require(storageTypes.nonEmpty && storageTypes.forall(_ == "i"),
+        s"inline-DV fixture drifted: ${storageTypes.toSeq}")
+      val root = graft.delta.ContentTree.writeRoot(snap)
+      val resolved = root.resolve(snap.tableRoot.toString)
+      val locs = graft.delta.ContentTree
+        .readEntriesDF(s, resolved, snap.tableRoot.toString)
+        .filter(col("deletionVector").isNotNull)
+        .select("deletionVector.location").distinct()
+        .collect().map(_.getString(0))
+      require(locs.length == 1 &&
+        locs.head.startsWith("_delta_log/_amt/"),
+        s"inline DVs not packed under _amt: ${locs.toSeq}")
+      val rootUri = graft.delta.Storage
+        .fs(snap.tableRoot, s.sessionState.newHadoopConf())
+        .makeQualified(snap.tableRoot).toUri.getPath
+      val adds = graft.delta.ContentTree
+        .addFileIterator(s, resolved, snap.tableRoot.toString, rootUri)
+        .toSeq
+      ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
+    }),
+
     "q_delta_puffin" -> ((s, d) => {
       val dir = tmp("puffin")
       val src = li(s, d).select(liCols.map(col): _*)
@@ -1741,6 +1781,11 @@ object DeltaQueries {
          |WHERE l_quantity < 12
          |  AND NOT (l_orderkey % 2 = 0 AND l_returnflag = 'N')
          |  AND NOT (l_returnflag = 'R' AND l_quantity < 3)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_content_tree_inline_dv" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 4 AND l_orderkey % 500 <> 7
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_puffin" ->
