@@ -841,8 +841,9 @@ object ContentTree {
         }
       }
 
-    val prevE = reused.map(_._1).getOrElse(
-        readEntriesDF(spark, prev.resolve(tableRootStr), tableRootStr))
+    val prevAll = reused.map(_._1).getOrElse(
+      readEntriesDF(spark, prev.resolve(tableRootStr), tableRootStr))
+    val prevE = prevAll
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
     val carriedRootRows = reused.map(_._2).getOrElse(Nil)
@@ -956,7 +957,23 @@ object ContentTree {
         .as("equalityIds"),
       lit(4).as("formatVersion"),
       coalesce(col("n.tags"), col("p.tags")).as("tags"))
-    val root = writeTree(snap, updated, numLeaves, carriedRootRows)
+    // Delete-content entries (PositionDeletes / EqualityDeletes,
+    // mod.rs:237-238) are not part of the Delta-log diff — they ride
+    // through maintenance VERBATIM: untouched leaves carry them by
+    // reference above, rewritten leaves re-emit them here. Without
+    // this arm an updateRoot would silently drop a tree's equality
+    // deletes.
+    val deleteContent = prevAll.filter(
+      col("contentType").isin(DataContentType.PositionDeletes,
+        DataContentType.EqualityDeletes) &&
+        col("tracking.status") =!= TrackingStatus.Deleted)
+    val deleteCols = entrySchema.fieldNames.toSeq.map { n =>
+      if (deleteContent.schema.fieldNames.contains(n)) col(n)
+      else lit(null).cast(entrySchema(n).dataType).as(n)
+    } :+ lit(null).cast(statsSchema).as(CONTENT_STATS)
+    val root = writeTree(snap,
+      updated.unionByName(deleteContent.select(deleteCols: _*)),
+      numLeaves, carriedRootRows)
     winner.unpersist()
     root
   }

@@ -1,0 +1,374 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Equality deletes over the content tree (Iceberg V2 semantics).
+  *
+  * The reference models `EqualityDeletes` entries and their
+  * `equality_ids` (/root/reference/kernel/src/content_tree/mod.rs:
+  * 214-219, :239) but stops at the metadata shape — it neither writes
+  * delete files nor applies them to a read. This module completes the
+  * semantics Spark-first:
+  *
+  *  - [[writeDeleteFiles]] persists delete-key rows as parquet under
+  *    `_delta_log/_amt/` (id-annotated columns — Iceberg projects
+  *    delete files by field id) and returns one descriptor per file.
+  *  - [[deleteEntriesDF]] turns descriptors into content-tree entry
+  *    rows that ride [[ContentTree.writeTree]] next to data entries.
+  *  - [[readApplying]] reads a tree-backed table applying BOTH delete
+  *    shapes: position deletes via the codegen'd in-scan DV mask, and
+  *    equality deletes via a sequence-ordered anti-join — a delete
+  *    with sequence number S drops matching rows ONLY from data files
+  *    whose data sequence number is strictly below S (the Iceberg
+  *    ordering rule), with NULL keys matching NULL values.
+  *  - [[convertToPositionDeletes]] is the maintenance path (Iceberg's
+  *    "rewrite deletes"): matched row positions become per-file DV
+  *    bitmaps (merged with any existing DV), the equality entries
+  *    leave the tree, and affected data entries come back `Modified`
+  *    carrying `deletedPositions` delta bitmaps.
+  *
+  * Scale shape: the data side is ONE scan arm (sequence numbers ride
+  * as a per-file constant partition column — plan size independent of
+  * the commit count, same collapse as the CDF read); the delete side
+  * is one scan arm per distinct (equality-id set, sequence) pair;
+  * the join broadcasts only when the delete files are provably small,
+  * and conversion ships compressed bitmap BYTES to the driver, never
+  * row-index arrays.
+  */
+object EqualityDeletes {
+
+  /** One persisted equality-delete parquet file. `location` is
+    * table-root-relative; `equalityIds` index the snapshot data schema
+    * positionally (the data-field id space of
+    * [[ContentTree.fieldIdToStatisticsBase]]); `sequenceNumber` orders
+    * the delete against data files.
+    */
+  case class EqDeleteFile(
+      location: String,
+      equalityIds: Seq[Int],
+      sequenceNumber: Long,
+      recordCount: Long,
+      sizeInBytes: Long)
+
+  /** Resolve equality ids to logical column names via the data
+    * schema's field positions.
+    */
+  def idsToNames(dataSchema: StructType, ids: Seq[Int]): Seq[String] = {
+    require(ids.nonEmpty, "equality ids must be non-empty")
+    ids.map { i =>
+      require(i >= 0 && i < dataSchema.fields.length,
+        s"equality id $i out of range for ${dataSchema.fields.length} fields")
+      dataSchema.fields(i).name
+    }
+  }
+
+  /** Write `keys` (any DataFrame whose columns are the delete key
+    * columns, in `equalityIds` order) as equality-delete parquet under
+    * `_delta_log/_amt/` — the same VACUUM-safe prefix tree leaves use.
+    * The write stays distributed; each resulting part file becomes its
+    * own delete descriptor (counts from ONE tiny `_metadata` job, no
+    * driver row traffic). Key columns carry `parquet.field.id` so an
+    * id-projecting reader resolves them without name matching.
+    */
+  def writeDeleteFiles(snap: Snapshot, keys: DataFrame,
+      equalityIds: Seq[Int], sequenceNumber: Long): Seq[EqDeleteFile] = {
+    val names = idsToNames(snap.dataSchema, equalityIds)
+    require(keys.schema.fields.length == names.length,
+      s"keys must have exactly the ${names.length} delete key columns")
+    val rel = s"_delta_log/_amt/eqdel-$sequenceNumber-" +
+      java.util.UUID.randomUUID()
+    val abs = snap.tableRoot.toString.stripSuffix("/") + "/" + rel
+    val spark = keys.sparkSession
+    val idFields = names.zip(equalityIds).zip(keys.schema.fields).map {
+      case ((n, id), f) =>
+        StructField(n, f.dataType, f.nullable,
+          new MetadataBuilder().putLong("parquet.field.id", id).build())
+    }
+    keys.toDF(names: _*).to(StructType(idFields)).write.parquet(abs)
+    // per-file record counts: one job over file metadata of the files
+    // just written (O(#part files) result rows)
+    val counts = spark.read.parquet(abs)
+      .groupBy(col("_metadata.file_path").as("fp"),
+        col("_metadata.file_size").as("sz"))
+      .count().collect()
+    counts.toSeq.map { r =>
+      val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+      EqDeleteFile(s"$rel/$name", equalityIds, sequenceNumber,
+        r.getAs[Long]("count"), r.getAs[Long]("sz"))
+    }.filter(_.recordCount > 0).sortBy(_.location)
+  }
+
+  /** Entry rows for delete files, aligned with the tree entry shape
+    * ([[ContentTree.entrySchema]] + a null `content_stats` when
+    * `statsSchema` is given so the frame unions with data entries).
+    * Each passes [[ContentTree.validateEntry]].
+    */
+  def deleteEntriesDF(spark: SparkSession, files: Seq[EqDeleteFile],
+      statsSchema: Option[StructType]): DataFrame = {
+    import ContentTree.{DataContentType, TrackingStatus}
+    files.foreach { f =>
+      ContentTree.validateEntry(DataContentType.EqualityDeletes,
+        "parquet", hasEqualityIds = true, hasManifestInfo = false,
+        Some(f.sequenceNumber), Some(f.sequenceNumber))
+    }
+    val rows = files.map { f =>
+      Row(DataContentType.EqualityDeletes, f.location, "parquet",
+        Row(TrackingStatus.Added, f.sequenceNumber, null,
+          f.sequenceNumber, f.sequenceNumber, null, null, null),
+        null, 0, null, null, f.recordCount, f.sizeInBytes,
+        null, null, null, f.equalityIds, 4, null)
+    }
+    import scala.jdk.CollectionConverters._
+    val base = spark.createDataFrame(rows.asJava, ContentTree.entrySchema)
+    statsSchema match {
+      case Some(st) => base.withColumn(ContentTree.CONTENT_STATS,
+        lit(null).cast(ContentTree.contentStatsSchema(st))
+          .as(ContentTree.CONTENT_STATS))
+      case None => base
+    }
+  }
+
+  /** Delete-side frame of one equality-id group: all the group's
+    * files in one scan arm PER DISTINCT SEQUENCE (a `__del_seq`
+    * literal — never a per-file join), duplicate keys collapsed to
+    * their highest sequence (sound: the apply rule keeps the widest
+    * reach, and a key deleted at S is still deleted at S' > S).
+    */
+  private def deleteKeysDF(spark: SparkSession, tableRoot: String,
+      names: Seq[String], files: Seq[EqDeleteFile]): DataFrame = {
+    val bySeq = files.groupBy(_.sequenceNumber).toSeq.sortBy(_._1)
+    bySeq.map { case (seq, fs) =>
+      val paths = fs.map(f =>
+        tableRoot.stripSuffix("/") + "/" + f.location)
+      spark.read.parquet(paths: _*)
+        .select(names.map(col): _*)
+        .withColumn("__del_seq", lit(seq))
+    }.reduce(_.unionByName(_))
+      .groupBy(names.map(col): _*)
+      .agg(max(col("__del_seq")).as("__del_seq"))
+  }
+
+  /** Apply equality-delete groups to a data frame carrying its per-file
+    * data sequence number in `seqCol`. One anti-join per distinct
+    * equality-id set; the join keys are null-safe (`<=>` — Iceberg
+    * equality deletes match NULL to NULL); the sequence guard
+    * `data.seq < delete.seq` rides the same join condition, so a
+    * delete never reaches its own or younger commits' files. Small
+    * delete sides broadcast explicitly; large ones fall back to a
+    * shuffled hash join (bounded by the keys' cardinality, never the
+    * data's).
+    */
+  def applyDeletes(data: DataFrame, dataSchema: StructType,
+      tableRoot: String, deletes: Seq[EqDeleteFile],
+      seqCol: String = "__seq"): DataFrame = {
+    val spark = data.sparkSession
+    val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
+    deletes.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(data) { case (acc, (ids, files)) =>
+        val names = idsToNames(dataSchema, ids)
+        val del0 = deleteKeysDF(spark, tableRoot, names, files)
+        val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+          broadcast(del0) else del0
+        val cond = names.map(n => acc(n) <=> del(n)).reduce(_ && _) &&
+          acc(seqCol) < del("__del_seq")
+        acc.join(del, cond, "left_anti")
+      }
+  }
+
+  /** Tree-backed read applying position AND equality deletes. Data
+    * entries assemble into ONE scan arm with their file sequence
+    * number as a per-file constant column (the `Load` operator's
+    * `file_constant_columns` — plan width independent of how many
+    * commits contributed files); DV masks run codegen'd inside the
+    * scan; equality groups anti-join on top. Output columns = the
+    * snapshot schema.
+    */
+  def readApplying(snap: Snapshot, rootLocation: String): DataFrame = {
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    val rootUri = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+    val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
+    val (withSeq, deletes) = splitEntries(entries, rootUri)
+    val scan = snap.scanBuilder().build()
+    if (withSeq.isEmpty)
+      // no live data files: the empty-scan short-circuit carries no
+      // constant columns, and there is nothing to anti-join anyway
+      return scan.assemble(Nil, keepMeta = false)
+        .select(snap.schema.fieldNames.toSeq
+          .map(n => col("`" + n.replace("`", "``") + "`")): _*)
+    val data = scan.assembleWithConstants(
+      withSeq.map { case (a, seq) => a -> Map("__seq" -> seq.toString) },
+      Seq(StructField("__seq", LongType)), keepMeta = false)
+    val applied = applyDeletes(data, snap.dataSchema, tableRoot, deletes)
+    // full logical schema (partition columns included) — equality ids
+    // themselves index the DATA schema, the stats field-id space
+    applied.select(snap.schema.fieldNames.toSeq
+      .map(n => col("`" + n.replace("`", "``") + "`")): _*)
+  }
+
+  /** Split tree entries into live data adds (+ their sequence numbers)
+    * and equality-delete descriptors. The data handoff is the slim
+    * file-list envelope every scan already pays (locations, DV refs,
+    * partition tuples — no stats, no bitmaps); delete descriptors are
+    * O(#delete files) rows.
+    */
+  private def splitEntries(entries: DataFrame, tableRootUriPath: String)
+      : (Seq[(AddFile, Long)], Seq[EqDeleteFile]) = {
+    import ContentTree.{DataContentType, TrackingStatus}
+    val dataRows = entries
+      .filter(col("contentType") === DataContentType.Data &&
+        col("tracking.status") =!= TrackingStatus.Deleted)
+      .select(
+        col("location"),
+        struct(col("tracking.firstRowId").as("firstRowId")).as("tracking"),
+        col("tracking.fileSequenceNumber").as("__fseq"),
+        col("deletionVector"), col("partition"),
+        col("fileSizeInBytes"), col("tags"))
+      .collect().toSeq
+    val withSeq = dataRows.map { r =>
+      (ContentTree.entryToAdd(r, tableRootUriPath),
+        Option(r.getAs[Any]("__fseq"))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+    }
+    val delRows = entries
+      .filter(col("contentType") === DataContentType.EqualityDeletes &&
+        col("tracking.status") =!= TrackingStatus.Deleted)
+      .select(col("location"), col("equalityIds"),
+        col("tracking.sequenceNumber"), col("recordCount"),
+        col("fileSizeInBytes"))
+      .collect().toSeq
+    val deletes = delRows.map { r =>
+      EqDeleteFile(r.getString(0), r.getSeq[Int](1), r.getLong(2),
+        Option(r.getAs[Any](3)).map(_.asInstanceOf[Number].longValue)
+          .getOrElse(0L),
+        r.getLong(4))
+    }
+    (withSeq, deletes)
+  }
+
+  /** Maintenance: rewrite a tree's equality deletes as position
+    * deletes (Iceberg "rewrite deletes" / the forward arc of
+    * dv_conversion.rs). Matched (file, row-index) pairs — found by the
+    * SAME sequence-ordered null-safe join the read uses, over live
+    * rows only — aggregate into per-file portable bitmaps on the
+    * executors; the driver sees compressed bytes, merges each with the
+    * file's existing DV at bitmap level, and packs them into one
+    * `.bin` under `_delta_log/_amt`. The new tree drops the equality
+    * entries; affected data entries become `Modified` with
+    * `dvSnapshotId` = the snapshot version and `deletedPositions` =
+    * the DELTA bitmap (newly dead rows only — mod.rs:126-135's
+    * incremental-consumer contract). Reading the converted tree
+    * through the plain DV'd scan returns exactly what [[readApplying]]
+    * returned before conversion.
+    */
+  def convertToPositionDeletes(snap: Snapshot, rootLocation: String,
+      numLeaves: Int = ContentTree.DEFAULT_LEAF_FANOUT)
+      : AdaptiveMetadata.ContentRoot = {
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Storage.fs(snap.tableRoot, conf)
+    val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
+    val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
+    val (withSeq, deletes) = splitEntries(entries, rootUri)
+    require(deletes.nonEmpty,
+      "tree has no equality deletes to convert")
+    if (withSeq.isEmpty)
+      // no live data files: nothing can match — the converted tree is
+      // the old one minus the equality entries
+      return ContentTree.writeTree(snap, entries.filter(
+        col("contentType") =!= ContentTree.DataContentType.EqualityDeletes),
+        numLeaves)
+
+    val scan = snap.scanBuilder().build()
+    val data = scan.assembleWithConstants(
+      withSeq.map { case (a, seq) => a -> Map("__seq" -> seq.toString) },
+      Seq(StructField("__seq", LongType)), keepMeta = true)
+    // matched live rows per group — semi-join keeps (path, ridx); a row
+    // matching several groups lands twice, which the bitmap absorbs
+    val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
+    val matched = deletes.groupBy(_.equalityIds).toSeq
+      .sortBy(_._1.mkString(",")).map { case (ids, files) =>
+        val names = idsToNames(snap.dataSchema, ids)
+        val del0 = deleteKeysDF(spark, tableRoot, names, files)
+        val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+          broadcast(del0) else del0
+        val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _) &&
+          data("__seq") < del("__del_seq")
+        data.join(del, cond, "left_semi").select(col("__path"), col("__ridx"))
+      }.reduce(_.union(_))
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = matched
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (path: String, it: Iterator[(String, Long)]) =>
+        val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        var n = 0L
+        it.foreach { case (_, ridx) =>
+          if (!rb.contains(ridx)) { n += 1; rb.addLong(ridx) }
+        }
+        (path, DeletionVectors.bitmapBytes(rb), n)
+      }.collect()
+
+    if (perFile.isEmpty) {
+      // nothing matched: the new tree is the old one minus the
+      // equality entries
+      return ContentTree.writeTree(snap, entries.filter(
+        col("contentType") =!= ContentTree.DataContentType.EqualityDeletes),
+        numLeaves)
+    }
+
+    // normalized scan path -> tree entry location
+    val byPath: Map[String, (AddFile, Long)] = withSeq.map { case (a, s) =>
+      fs.makeQualified(
+        Storage.childPath(snap.tableRoot, Storage.decodeUriPath(a.path)))
+        .toUri.getPath -> (a, s)
+    }.toMap
+    // merge with existing DVs at bitmap level; assemble already
+    // excluded old-DV rows, so cardinalities simply add
+    val merged = perFile.toSeq.map { case (p, newBits, n) =>
+      val (add, _) = byPath(p)
+      add.deletionVector match {
+        case Some(old) =>
+          val oldBytes = DeletionVectors.readBitmapBytes(old,
+            snap.tableRoot, conf)
+          (add.path, DeletionVectors.orBitmaps(oldBytes, newBits),
+            old.cardinality + n)
+        case None => (add.path, newBits, n)
+      }
+    }
+    val descs = DeletionVectors.writeBitmaps(merged, snap.tableRoot,
+      conf, prefix = "_delta_log/_amt")
+    val updates = perFile.toSeq.map { case (p, newBits, n) =>
+      val (add, _) = byPath(p)
+      val info = ContentTree.extractDeletionVectorContent(descs(add.path))
+      (add.path, info.location, info.offset, info.sizeInBytes,
+        info.cardinality, newBits)
+    }
+    val updDf = broadcast(updates.toDF(
+      "__loc", "__dvloc", "__dvoff", "__dvsz", "__dvcard", "__newbits"))
+    import ContentTree.{DataContentType, TrackingStatus}
+    val hit = col("__loc").isNotNull
+    val newEntries = entries
+      .filter(col("contentType") =!= DataContentType.EqualityDeletes)
+      .join(updDf, col("location") === col("__loc"), "left")
+      .withColumn("deletionVector", when(hit, struct(
+        col("__dvloc").as("location"),
+        col("__dvoff").as("offset"),
+        col("__dvsz").as("sizeInBytes"),
+        col("__dvcard").as("cardinality")))
+        .otherwise(col("deletionVector")))
+      .withColumn("tracking", when(hit, col("tracking")
+        .withField("status", lit(TrackingStatus.Modified))
+        .withField("dvSnapshotId", lit(snap.version))
+        .withField("deletedPositions", col("__newbits")))
+        .otherwise(col("tracking")))
+      .drop("__loc", "__dvloc", "__dvoff", "__dvsz", "__dvcard",
+        "__newbits")
+    ContentTree.writeTree(snap, newEntries, numLeaves)
+  }
+}

@@ -1007,6 +1007,94 @@ object DeltaQueries {
       ordered(scan.assemble(swapped, keepMeta = false))
     }),
 
+    // EQUALITY deletes over the content tree, applied on read
+    // (Iceberg V2 ordering; the reference models equality_ids on
+    // EqualityDeletes entries, content_tree/mod.rs:214-219, but stops
+    // at the shape — application is ours). Delete keys are drawn from
+    // BOTH appended slices; the sequence guard must confine them to
+    // the seq-1 files (a delete at sequence S applies only to data
+    // files with sequence STRICTLY below S — the seq-2 slice survives
+    // untouched even where its own keys match).
+    "q_tree_eq_delete" -> ((s, d) => {
+      val dir = tmp("eqdel")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 12)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 6).repartition(2))  // seq 1
+      t.append(src.filter(col("l_quantity") >= 6).repartition(2)) // seq 2
+      val snap = t.snapshot()
+      val keys = src.filter(col("l_orderkey") % 3 === 0)
+        .select("l_orderkey", "l_linenumber")
+      // equality ids are data-schema positions: 0 = l_orderkey,
+      // 3 = l_linenumber (the stats field-id space convention)
+      val files = graft.delta.EqualityDeletes
+        .writeDeleteFiles(snap, keys, Seq(0, 3), sequenceNumber = 2L)
+      val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
+        graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
+          Some(snap.dataSchema)))
+      val root = graft.delta.ContentTree.writeTree(snap, entries, 4)
+      val resolved = root.resolve(snap.tableRoot.toString)
+      val nEq = graft.delta.ContentTree
+        .readEntriesDF(s, resolved, snap.tableRoot.toString)
+        .filter(col("contentType") ===
+          graft.delta.ContentTree.DataContentType.EqualityDeletes)
+        .count()
+      require(nEq == files.size && nEq >= 1,
+        s"tree must carry the equality-delete entries ($nEq/${files.size})")
+      ordered(graft.delta.EqualityDeletes.readApplying(snap, resolved))
+    }),
+
+    // Equality→position conversion (Iceberg "rewrite deletes", the
+    // forward arc of dv_conversion.rs): a tree holding equality
+    // deletes OVER already-DV'd files is converted — matched rows
+    // become per-file DV bitmaps MERGED with the existing DVs, the
+    // equality entries leave the tree, touched data entries come back
+    // Modified with deletedPositions delta bitmaps — then read back
+    // through the PLAIN DV'd scan path (no equality machinery), which
+    // must serve exactly the rows the pre-conversion applying read
+    // served.
+    "q_tree_eq_convert" -> ((s, d) => {
+      val dir = tmp("eqconv")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 10)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 5).repartition(2))  // v1
+      t.append(src.filter(col("l_quantity") >= 5).repartition(2)) // v2
+      t.deleteWhereDV("l_orderkey % 7 = 1")                       // v3
+      val snap = t.snapshot()
+      val keys = src.filter(col("l_orderkey") % 3 === 0)
+        .select("l_orderkey", "l_linenumber")
+      val files = graft.delta.EqualityDeletes.writeDeleteFiles(snap,
+        keys, Seq(0, 3), sequenceNumber = snap.version + 1)
+      val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
+        graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
+          Some(snap.dataSchema)))
+      val root0 = graft.delta.ContentTree.writeTree(snap, entries, 4)
+      val newRoot = graft.delta.EqualityDeletes.convertToPositionDeletes(
+        snap, root0.resolve(snap.tableRoot.toString), 4)
+      val resolved = newRoot.resolve(snap.tableRoot.toString)
+      val after = graft.delta.ContentTree
+        .readEntriesDF(s, resolved, snap.tableRoot.toString)
+      require(after.filter(col("contentType") ===
+        graft.delta.ContentTree.DataContentType.EqualityDeletes)
+        .count() == 0, "equality entries must leave the converted tree")
+      val mods = after.filter(col("tracking.status") ===
+        graft.delta.ContentTree.TrackingStatus.Modified &&
+        col("tracking.deletedPositions").isNotNull &&
+        col("deletionVector").isNotNull).count()
+      require(mods >= 1,
+        "conversion must mark touched entries Modified with delta bitmaps")
+      val rootUri = graft.delta.Storage
+        .fs(snap.tableRoot, s.sessionState.newHadoopConf())
+        .makeQualified(snap.tableRoot).toUri.getPath
+      val adds = graft.delta.ContentTree
+        .addFileIterator(s, resolved, snap.tableRoot.toString, rootUri)
+        .toSeq
+      ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
+    }),
+
     // CDF read with FILE-LEVEL predicate pushdown (reference
     // table_changes/scan.rs with_predicate): the table partitions by
     // l_returnflag, so insert files of the other flags are provably
@@ -1791,6 +1879,24 @@ object DeltaQueries {
     "q_delta_puffin" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 10 AND l_orderkey % 2 <> 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the delete keys are the (l_orderkey, l_linenumber) PKs of rows
+    // with l_orderkey%3=0; they reach ONLY the seq-1 slice
+    // (l_quantity < 6) — seq-2 rows survive even where their keys match
+    "q_tree_eq_delete" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 12
+         |  AND (l_quantity >= 6 OR l_orderkey % 3 <> 0)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // delete sequence = snapshot version + 1 > every file's sequence,
+    // so the equality delete reaches both slices; the DV delete
+    // (l_orderkey%7=1) already removed its rows before conversion
+    "q_tree_eq_convert" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 10 AND l_orderkey % 7 <> 1
+         |  AND l_orderkey % 3 <> 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_cdf" ->

@@ -1,0 +1,216 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Equality-delete semantics over the content tree: Iceberg V2
+  * sequence ordering (a delete at sequence S reaches only data files
+  * with sequence strictly below S), null-safe key matching, multiple
+  * equality-id groups, and the equality→position conversion
+  * (matched rows → merged per-file DVs, equality entries leave the
+  * tree, touched entries come back Modified with delta bitmaps).
+  * The reference models `equality_ids`
+  * (kernel/src/content_tree/mod.rs:214-219) but not application —
+  * these semantics follow the published Iceberg spec.
+  */
+class EqualityDeletesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("k", StringType),
+    StructField("v", IntegerType)))
+
+  private def df(rows: Seq[(Any, Any, Any)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+  }
+
+  /** Build a table from per-version batches; returns (table, snapshot). */
+  private def build(batches: Seq[DataFrame]): (DeltaTable, Snapshot) = {
+    val dir = TestSpark.tmpDir("eqdel")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    batches.foreach(b => t.append(b.coalesce(1)))
+    (t, t.snapshot())
+  }
+
+  private def treeRootWith(snap: Snapshot,
+      files: Seq[EqualityDeletes.EqDeleteFile])
+      : AdaptiveMetadata.ContentRoot = {
+    val entries = ContentTree.entriesDF(snap).unionByName(
+      EqualityDeletes.deleteEntriesDF(spark, files, Some(snap.dataSchema)))
+    ContentTree.writeTree(snap, entries, 2)
+  }
+
+  private def treeWith(snap: Snapshot,
+      files: Seq[EqualityDeletes.EqDeleteFile]): String =
+    treeRootWith(snap, files).resolve(snap.tableRoot.toString)
+
+  private def readIds(snap: Snapshot, resolved: String): Set[Long] =
+    EqualityDeletes.readApplying(snap, resolved)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("sequence ordering is strict: a delete reaches older files " +
+      "only, same-sequence and younger files survive") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 1))),  // seq 1
+      df(Seq((3L, "a", 2), (4L, "b", 2))),                  // seq 2
+      df(Seq((5L, "a", 3)))))                               // seq 3
+    // delete every k='a' at sequence 2: id=1 (seq 1) dies; id=3
+    // (seq 2, equal) and id=5 (seq 3, younger) survive
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    assert(files.map(_.recordCount).sum == 1L)
+    val resolved = treeWith(snap, files)
+    assert(readIds(snap, resolved) == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("null-safe matching: a NULL delete key matches NULL values") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, null, 1), (2L, "b", 1), (3L, null, 2)))))
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      df(Seq((null, null, null))).select("k"),
+      Seq(1), sequenceNumber = 5L)
+    val resolved = treeWith(snap, files)
+    assert(readIds(snap, resolved) == Set(2L))
+  }
+
+  test("multiple equality-id groups apply independently; duplicate " +
+      "keys collapse to their widest (highest-sequence) reach") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, "a", 10), (2L, "b", 20),
+        (3L, "c", 30))),                                    // seq 1
+      df(Seq((4L, "a", 40)))))                              // seq 2
+    // group 1: delete on k — 'a' at seq 2 (reaches seq 1 only) AND
+    // 'a' again at seq 3 (reaches both) → max-seq collapse must win
+    val g1 = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L) ++
+      EqualityDeletes.writeDeleteFiles(snap,
+        Seq("a").toDF("k"), Seq(1), sequenceNumber = 3L)
+    // group 2: delete on (id, v)
+    val g2 = EqualityDeletes.writeDeleteFiles(snap,
+      Seq((2L, 20)).toDF("id", "v"), Seq(0, 2), sequenceNumber = 9L)
+    val resolved = treeWith(snap, g1 ++ g2)
+    assert(readIds(snap, resolved) == Set(3L))
+  }
+
+  test("delete entries validate and carry ids + sequence; empty key " +
+      "frames produce no descriptors") {
+    val (_, snap) = build(Seq(df(Seq((1L, "a", 1)))))
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq(("x", 1)).toDF("k", "v"), Seq(1, 2), sequenceNumber = 7L)
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.equalityIds == Seq(1, 2) &&
+      f.sequenceNumber == 7L && f.location.startsWith("_delta_log/_amt/")))
+    val entries = EqualityDeletes.deleteEntriesDF(spark, files, None)
+    val r = entries.collect().head
+    assert(r.getAs[Int]("contentType") ==
+      ContentTree.DataContentType.EqualityDeletes)
+    assert(r.getSeq[Int](r.fieldIndex("equalityIds")) == Seq(1, 2))
+    val none = EqualityDeletes.writeDeleteFiles(snap,
+      Seq.empty[String].toDF("k"), Seq(1), sequenceNumber = 8L)
+    assert(none.isEmpty)
+  }
+
+  test("conversion: applying read == converted plain read; equality " +
+      "entries leave; touched entries Modified with delta bitmaps; " +
+      "existing DVs merge at bitmap level") {
+    val dir = TestSpark.tmpDir("eqconv")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df((1L to 6L).map(i =>
+      (i, if (i % 2 == 0) "e" else "o", i.toInt)).toSeq).coalesce(1))                                  // v1
+    t.deleteWhereDV("id = 5")                               // v2: DV
+    val snap = t.snapshot()
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("e").toDF("k"), Seq(1), snap.version + 1)
+    val resolved0 = treeWith(snap, files)
+    val before = readIds(snap, resolved0)
+    assert(before == Set(1L, 3L))
+
+    val newRoot = EqualityDeletes.convertToPositionDeletes(
+      snap, resolved0, 2)
+    val resolved = newRoot.resolve(snap.tableRoot.toString)
+    val after = ContentTree.readEntriesDF(spark, resolved,
+      snap.tableRoot.toString)
+    assert(after.filter(col("contentType") ===
+      ContentTree.DataContentType.EqualityDeletes).count() == 0)
+    val mod = after.filter(col("tracking.status") ===
+      ContentTree.TrackingStatus.Modified).collect()
+    assert(mod.length == 1)
+    val tr = mod.head.getStruct(mod.head.fieldIndex("tracking"))
+    assert(tr.getAs[Long]("dvSnapshotId") == snap.version)
+    // delta bitmap = the NEWLY dead rows only (ids 2,4,6 at
+    // positions 1,3,5 of the single ordered file) — id 5 was already
+    // DV-dead and must not reappear in the delta
+    val delta = DeletionVectors.deserialize(
+      tr.getAs[Array[Byte]]("deletedPositions"))
+    assert(delta.getLongCardinality == 3)
+    // merged DV cardinality = old (1) + new (3)
+    val dv = mod.head.getStruct(mod.head.fieldIndex("deletionVector"))
+    assert(dv.getAs[Long]("cardinality") == 4L)
+
+    // the converted tree reads through the PLAIN DV scan path
+    val rootUri = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+    val adds = ContentTree.addFileIterator(spark, resolved,
+      snap.tableRoot.toString, rootUri).toSeq
+    val plain = snap.scanBuilder().build()
+      .assemble(adds, keepMeta = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == before)
+  }
+
+  test("equality entries survive incremental tree maintenance " +
+      "(updateRoot) and keep applying with the original sequence") {
+    val dir = TestSpark.tmpDir("equpd")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df(Seq((1L, "a", 1), (2L, "b", 1))).coalesce(1))   // v1
+    val snap1 = t.snapshot()
+    // delete k='a' at sequence 2: reaches the v1 file only
+    val files = EqualityDeletes.writeDeleteFiles(snap1,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val root1 = treeRootWith(snap1, files)
+    // advance the TABLE past the tree: new 'a' rows land at seq 2+
+    t.append(df(Seq((3L, "a", 2), (4L, "b", 2))).coalesce(1))   // v2
+    t.append(df(Seq((5L, "a", 3))).coalesce(1))                 // v3
+    val snap2 = t.snapshot()
+    val root2 = ContentTree.updateRoot(snap2, root1, 2)
+    val resolved2 = root2.resolve(snap2.tableRoot.toString)
+    val eq = ContentTree.readEntriesDF(spark, resolved2,
+      snap2.tableRoot.toString)
+      .filter(col("contentType") ===
+        ContentTree.DataContentType.EqualityDeletes)
+    assert(eq.count() == files.size.toLong,
+      "updateRoot must carry equality-delete entries through")
+    // id=1 ('a' @ seq 1) stays dead; ids 3 and 5 ('a' @ seq 2,3)
+    // survive the seq-2 delete
+    assert(readIds(snap2, resolved2) == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("conversion with nothing matched drops the equality entries " +
+      "and leaves data entries untouched") {
+    val (_, snap) = build(Seq(df(Seq((1L, "a", 1)))))
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("zzz").toDF("k"), Seq(1), snap.version + 1)
+    val resolved0 = treeWith(snap, files)
+    val newRoot = EqualityDeletes.convertToPositionDeletes(
+      snap, resolved0, 2)
+    val after = ContentTree.readEntriesDF(spark,
+      newRoot.resolve(snap.tableRoot.toString), snap.tableRoot.toString)
+    assert(after.filter(col("contentType") ===
+      ContentTree.DataContentType.EqualityDeletes).count() == 0)
+    assert(after.filter(col("deletionVector").isNotNull).count() == 0)
+    assert(readIds(snap, newRoot.resolve(snap.tableRoot.toString))
+      == Set(1L))
+  }
+}
