@@ -197,6 +197,28 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(readIds(snap2, resolved2) == Set(2L, 3L, 4L, 5L))
   }
 
+  test("plan shape: the apply is ONE data scan arm + a broadcast " +
+      "anti-join per id group; the sequence rides as a partition " +
+      "column, not a per-row join") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 1))),
+      df(Seq((3L, "a", 2), (4L, "b", 2)))))
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 3L)
+    val resolved = treeWith(snap, files)
+    val applied = EqualityDeletes.readApplying(snap, resolved)
+    // string-level pins (the AQE wrapper hides children from collect)
+    val s = applied.queryExecution.executedPlan.toString
+    // ONE log-backed data arm (2 commits, 1 scan — the sequence is a
+    // per-file constant partition column served by the FileIndex, so
+    // it appears in the scan's column list, never via a join)
+    assert("GraftFileIndex\\(".r.findAllIn(s).size == 1, s.take(1200))
+    assert(s.contains("__seq"), s.take(1200))
+    // the delete side broadcasts and the apply is a hash ANTI join
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s.take(1200))
+  }
+
   test("conversion with nothing matched drops the equality entries " +
       "and leaves data entries untouched") {
     val (_, snap) = build(Seq(df(Seq((1L, "a", 1)))))
