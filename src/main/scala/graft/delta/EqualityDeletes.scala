@@ -250,6 +250,48 @@ object EqualityDeletes {
     (withSeq, deletes)
   }
 
+  /** O(root)-cost incremental delete commit: append delete entries to
+    * an existing tree as LOOSE root rows (root nodes legally mix
+    * manifest references and direct entries, mod.rs:53-56) — only the
+    * root node (O(#leaves + #loose) rows) rewrites; every leaf carries
+    * into the new tree by reference. This is the CDC-ingest shape: a
+    * stream of delete batches costs one tiny root rewrite each, and
+    * [[convertToPositionDeletes]] periodically folds the accumulated
+    * loose entries back into per-file DVs.
+    */
+  def appendDeleteEntries(snap: Snapshot,
+      prev: AdaptiveMetadata.ContentRoot,
+      files: Seq[EqDeleteFile]): AdaptiveMetadata.ContentRoot = {
+    require(files.nonEmpty, "no delete files to append")
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    // roots are entrySchema-shaped (manifest + loose rows, no stats);
+    // a pre-hierarchy single-node tree passing through here drops its
+    // content_stats column — reads stay correct, stats pruning just
+    // degrades to keep-all until the next full writeTree. Tolerant
+    // select: fields a foreign/older root lacks fill with null.
+    val prevDf = spark.read.parquet(prev.resolve(tableRoot))
+    val prevRows = prevDf.select(
+      ContentTree.entrySchema.fields.toSeq.map { f =>
+        if (prevDf.schema.fieldNames.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*).collect().toSeq
+    val delRows = deleteEntriesDF(spark, files, None).collect().toSeq
+    val relTree = s"_delta_log/_amt/tree-${prev.version}-" +
+      java.util.UUID.randomUUID()
+    val absRoot = tableRoot.stripSuffix("/") + "/" + relTree + "/root"
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame((prevRows ++ delRows).asJava,
+      ContentTree.entrySchema)
+      .coalesce(1).write.parquet(absRoot)
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val rootBytes = Storage.listFilesRecursive(fs,
+      new org.apache.hadoop.fs.Path(absRoot)).map(_.getLen).sum
+    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes,
+      prev.version)
+  }
+
   /** Maintenance: rewrite a tree's equality deletes as position
     * deletes (Iceberg "rewrite deletes" / the forward arc of
     * dv_conversion.rs). Matched (file, row-index) pairs — found by the

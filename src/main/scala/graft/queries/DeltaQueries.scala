@@ -1095,6 +1095,48 @@ object DeltaQueries {
       ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
     }),
 
+    // Chained O(root) equality-delete commits (loose root entries,
+    // mod.rs:53-56): two delete batches at DIFFERENT sequences append
+    // to an existing tree rewriting ONLY the root — the in-query pin
+    // requires the leaf manifest set to ride through both commits
+    // byte-identical — and the applying read honors each batch's own
+    // sequence reach.
+    "q_tree_eq_append" -> ((s, d) => {
+      val dir = tmp("eqapp")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 8)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 4).repartition(2))  // seq 1
+      t.append(src.filter(col("l_quantity") >= 4).repartition(2)) // seq 2
+      val snap = t.snapshot()
+      val root0 = graft.delta.ContentTree.writeRoot(snap, 4)
+      def leafSet(r: graft.delta.AdaptiveMetadata.ContentRoot) =
+        s.read.parquet(r.resolve(snap.tableRoot.toString))
+          .filter(col("contentType") ===
+            graft.delta.ContentTree.DataContentType.DataManifest)
+          .select("location").collect().map(_.getString(0)).toSet
+      val leaves0 = leafSet(root0)
+      // delete commit at seq 2: reaches the seq-1 slice only
+      val f1 = graft.delta.EqualityDeletes.writeDeleteFiles(snap,
+        src.filter(col("l_orderkey") % 5 === 0)
+          .select("l_orderkey", "l_linenumber"),
+        Seq(0, 3), sequenceNumber = 2L)
+      val root1 = graft.delta.EqualityDeletes
+        .appendDeleteEntries(snap, root0, f1)
+      // delete commit at seq 3: reaches both slices
+      val f2 = graft.delta.EqualityDeletes.writeDeleteFiles(snap,
+        src.filter(col("l_orderkey") % 9 === 0)
+          .select("l_orderkey", "l_linenumber"),
+        Seq(0, 3), sequenceNumber = 3L)
+      val root2 = graft.delta.EqualityDeletes
+        .appendDeleteEntries(snap, root1, f2)
+      require(leafSet(root2) == leaves0 && leaves0.nonEmpty,
+        "loose delete commits must reuse every leaf by reference")
+      ordered(graft.delta.EqualityDeletes.readApplying(snap,
+        root2.resolve(snap.tableRoot.toString)))
+    }),
+
     // CDF read with FILE-LEVEL predicate pushdown (reference
     // table_changes/scan.rs with_predicate): the table partitions by
     // l_returnflag, so insert files of the other flags are provably
@@ -1897,6 +1939,15 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 10 AND l_orderkey % 7 <> 1
          |  AND l_orderkey % 3 <> 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // commit 1 (seq 2, keys %5) reaches only the seq-1 slice
+    // (l_quantity < 4); commit 2 (seq 3, keys %9) reaches both
+    "q_tree_eq_append" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 8
+         |  AND NOT (l_quantity < 4 AND l_orderkey % 5 = 0)
+         |  AND l_orderkey % 9 <> 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_delta_cdf" ->

@@ -219,6 +219,48 @@ class EqualityDeletesSpec extends AnyFunSuite {
       s.take(1200))
   }
 
+  test("appendDeleteEntries: chained O(root) delete commits reuse " +
+      "every leaf by reference; conversion folds the loose entries") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)))))     // seq 1
+    val root0 = ContentTree.writeRoot(snap, 2)
+    def leafLocs(resolved: String): Set[String] =
+      spark.read.parquet(resolved)
+        .filter(col("contentType") ===
+          ContentTree.DataContentType.DataManifest)
+        .select("location").collect().map(_.getString(0)).toSet
+    val leaves0 = leafLocs(root0.resolve(snap.tableRoot.toString))
+    assert(leaves0.nonEmpty)
+    // two chained delete commits, each a root-only rewrite
+    val f1 = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val root1 = EqualityDeletes.appendDeleteEntries(snap, root0, f1)
+    val f2 = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("b").toDF("k"), Seq(1), sequenceNumber = 3L)
+    val root2 = EqualityDeletes.appendDeleteEntries(snap, root1, f2)
+    val resolved2 = root2.resolve(snap.tableRoot.toString)
+    // leaves carried by reference through BOTH commits
+    assert(leafLocs(resolved2) == leaves0)
+    assert(readIds(snap, resolved2) == Set(3L))
+    // conversion folds both loose entry generations into DVs
+    val root3 = EqualityDeletes.convertToPositionDeletes(
+      snap, resolved2, 2)
+    val resolved3 = root3.resolve(snap.tableRoot.toString)
+    val after = ContentTree.readEntriesDF(spark, resolved3,
+      snap.tableRoot.toString)
+    assert(after.filter(col("contentType") ===
+      ContentTree.DataContentType.EqualityDeletes).count() == 0)
+    val rootUri = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+      .makeQualified(snap.tableRoot).toUri.getPath
+    val adds = ContentTree.addFileIterator(spark, resolved3,
+      snap.tableRoot.toString, rootUri).toSeq
+    val plain = snap.scanBuilder().build()
+      .assemble(adds, keepMeta = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(3L))
+  }
+
   test("conversion with nothing matched drops the equality entries " +
       "and leaves data entries untouched") {
     val (_, snap) = build(Seq(df(Seq((1L, "a", 1)))))
