@@ -1010,6 +1010,21 @@ object ContentTree {
     val live = entries
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
+    streamAsAdds(spark,
+      statsSkipEntries(spark, live, dataSchema, predicateSql),
+      n, tableRootUriPath)
+  }
+
+  /** Filter entry rows by their `content_stats` bounds under
+    * `predicateSql` — the SAME rewrite [[DataSkipping]] applies to log
+    * stats, coalesce-guarded so entries lacking stats are kept. Runs
+    * in the DISTRIBUTED stage (before any driver handoff); only
+    * referenced stats leaves survive nested schema pruning. Shared by
+    * the pruned tree read and the equality-delete applying read.
+    */
+  private[delta] def statsSkipEntries(
+      spark: org.apache.spark.sql.SparkSession, live: DataFrame,
+      dataSchema: StructType, predicateSql: String): DataFrame = {
     val statsSchema = contentStatsSchema(dataSchema)
     val names = statsSchema.fieldNames.toSeq
     val eligible: Set[Seq[String]] = names.map(Seq(_)).toSet
@@ -1018,8 +1033,7 @@ object ContentTree {
       else DataSkipping
         .conjuncts(DataSkipping.parse(spark, predicateSql))
         .flatMap(DataSkipping.rewrite(_, eligible, eligible))
-    if (skips.isEmpty)
-      return streamAsAdds(spark, live, n, tableRootUriPath)
+    if (skips.isEmpty) return live
     def sub(leaf: String) = struct(names.map(c =>
       col(CONTENT_STATS).getField(c).getField(leaf).as(c)): _*)
     val stats = struct(
@@ -1029,12 +1043,8 @@ object ContentTree {
       sub("null_value_count").as("nullCount"))
     val skipSql = ("coalesce(__stats.numRecords > 0, true)" +:
       skips.map(s => s"coalesce(${s.sql}, true)")).mkString(" AND ")
-    // the skip filter runs in the DISTRIBUTED stage (before the slim
-    // handoff); only referenced stats leaves survive nested pruning
-    streamAsAdds(spark,
-      live.withColumn("__stats", stats)
-        .filter(expr(skipSql)).drop("__stats"),
-      n, tableRootUriPath)
+    live.withColumn("__stats", stats)
+      .filter(expr(skipSql)).drop("__stats")
   }
 
   /** One entry row → AddFile (inverse of the [[entriesDF]] mapping). */

@@ -185,14 +185,43 @@ object EqualityDeletes {
     * scan; equality groups anti-join on top. Output columns = the
     * snapshot schema.
     */
-  def readApplying(snap: Snapshot, rootLocation: String): DataFrame = {
+  def readApplying(snap: Snapshot, rootLocation: String): DataFrame =
+    readApplyingImpl(snap, rootLocation, None)
+
+  /** [[readApplying]] with a predicate: data entries prune by their
+    * `content_stats` bounds BEFORE any file enters the scan (the same
+    * distributed skip rewrite the pruned tree read uses), the exact
+    * residual filter sits directly on the scan so Spark pushes it
+    * into the parquet read, and only the surviving rows reach the
+    * equality anti-joins. Skipping composes soundly with deletes:
+    * dropping files can only REMOVE anti-join probe rows that the
+    * residual filter would discard anyway.
+    */
+  def readApplyingPruned(snap: Snapshot, rootLocation: String,
+      predicateSql: String): DataFrame =
+    readApplyingImpl(snap, rootLocation, Some(predicateSql))
+
+  private def readApplyingImpl(snap: Snapshot, rootLocation: String,
+      predicateSql: Option[String]): DataFrame = {
     val spark = snap.spark
     val tableRoot = snap.tableRoot.toString
     val rootUri = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
       .makeQualified(snap.tableRoot).toUri.getPath
     val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
-    val (withSeq, deletes) = splitEntries(entries, rootUri)
+    val pruned = predicateSql match {
+      case Some(p) =>
+        // skip-filter the LIVE DATA entries only; delete descriptors
+        // (and everything else splitEntries routes) pass through
+        val liveData = entries.filter(col("contentType") ===
+          ContentTree.DataContentType.Data &&
+          col("tracking.status") =!= ContentTree.TrackingStatus.Deleted)
+        ContentTree.statsSkipEntries(spark, liveData, snap.dataSchema, p)
+          .unionByName(entries.filter(col("contentType") =!=
+            ContentTree.DataContentType.Data))
+      case None => entries
+    }
+    val (withSeq, deletes) = splitEntries(pruned, rootUri)
     val scan = snap.scanBuilder().build()
     if (withSeq.isEmpty)
       // no live data files: the empty-scan short-circuit carries no
@@ -200,9 +229,12 @@ object EqualityDeletes {
       return scan.assemble(Nil, keepMeta = false)
         .select(snap.schema.fieldNames.toSeq
           .map(n => col("`" + n.replace("`", "``") + "`")): _*)
-    val data = scan.assembleWithConstants(
+    val data0 = scan.assembleWithConstants(
       withSeq.map { case (a, seq) => a -> Map("__seq" -> seq.toString) },
       Seq(StructField("__seq", LongType)), keepMeta = false)
+    // exact residual directly above the scan → parquet PushedFilters
+    val data = predicateSql.map(p => data0.filter(expr(p)))
+      .getOrElse(data0)
     val applied = applyDeletes(data, snap.dataSchema, tableRoot, deletes)
     // full logical schema (partition columns included) — equality ids
     // themselves index the DATA schema, the stats field-id space

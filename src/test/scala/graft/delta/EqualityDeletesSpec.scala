@@ -261,6 +261,32 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(plain == Set(3L))
   }
 
+  test("pruned applying read: content_stats skip drops whole files " +
+      "before the scan, the residual predicate reaches the parquet " +
+      "read, and equality deletes still apply") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 1), (3L, "a", 1))),      // ids 1-3
+      df(Seq((100L, "a", 2), (101L, "b", 2), (102L, "c", 2)))))
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 9L)
+    val resolved = treeWith(snap, files)
+    val prunedDf = EqualityDeletes.readApplyingPruned(snap, resolved,
+      "id < 50")
+    assert(prunedDf.select("id").collect().map(_.getLong(0)).toSet
+      == Set(2L))
+    val s = prunedDf.queryExecution.executedPlan.toString
+    // stats skipping kept ONE of the two data files
+    assert(s.contains("GraftFileIndex(1 paths)"), s.take(1200))
+    // the residual reaches the parquet scan as a pushed filter
+    assert(s.contains("PushedFilters") && s.contains("LessThan(id,50"),
+      s.take(1200))
+    // and the unpruned read filtered post-hoc agrees
+    val ref = EqualityDeletes.readApplying(snap, resolved)
+      .filter(col("id") < 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ref == Set(2L))
+  }
+
   test("conversion with nothing matched drops the equality entries " +
       "and leaves data entries untouched") {
     val (_, snap) = build(Seq(df(Seq((1L, "a", 1)))))
