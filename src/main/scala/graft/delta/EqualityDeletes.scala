@@ -165,16 +165,23 @@ object EqualityDeletes {
       seqCol: String = "__seq"): DataFrame = {
     val spark = data.sparkSession
     val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
-    deletes.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
-      .foldLeft(data) { case (acc, (ids, files)) =>
-        val names = idsToNames(dataSchema, ids)
-        val del0 = deleteKeysDF(spark, tableRoot, names, files)
-        val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
-          broadcast(del0) else del0
-        val cond = names.map(n => acc(n) <=> del(n)).reduce(_ && _) &&
-          acc(seqCol) < del("__del_seq")
-        acc.join(del, cond, "left_anti")
-      }
+    val groups = deletes.groupBy(_.equalityIds).toSeq
+      .sortBy(_._1.mkString(","))
+    if (groups.nonEmpty) {
+      val bc = groups.count(
+        _._2.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+      Metrics.report(MetricEvent.EqDeleteApply(Metrics.newId(),
+        groups.size, deletes.size, deletes.map(_.recordCount).sum, bc))
+    }
+    groups.foldLeft(data) { case (acc, (ids, files)) =>
+      val names = idsToNames(dataSchema, ids)
+      val del0 = deleteKeysDF(spark, tableRoot, names, files)
+      val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+        broadcast(del0) else del0
+      val cond = names.map(n => acc(n) <=> del(n)).reduce(_ && _) &&
+        acc(seqCol) < del("__del_seq")
+      acc.join(del, cond, "left_anti")
+    }
   }
 
   /** Tree-backed read applying position AND equality deletes. Data

@@ -101,6 +101,17 @@ object MetricEvent {
     */
   case class TreeHandoff(operationId: String, entryCount: Long,
       shuffled: Boolean) extends MetricEvent
+
+  /** One equality-delete apply (EqualityDeletes.applyDeletes):
+    * `groups` = distinct equality-id sets (one anti-join each),
+    * `deleteFiles`/`deleteKeys` the total descriptor count and key
+    * rows across them, `broadcastGroups` how many groups fit the
+    * broadcast gate — at scale the gauge that tells a kilobyte CDC
+    * trickle from a delete set big enough to shuffle.
+    */
+  case class EqDeleteApply(operationId: String, groups: Int,
+      deleteFiles: Int, deleteKeys: Long,
+      broadcastGroups: Int) extends MetricEvent
 }
 
 /** Receives every metric event (reference metrics/reporter.rs). Keep

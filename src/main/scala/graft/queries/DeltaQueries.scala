@@ -1057,11 +1057,11 @@ object DeltaQueries {
     "q_tree_eq_convert" -> ((s, d) => {
       val dir = tmp("eqconv")
       val src = li(s, d).select(liCols.map(col): _*)
-        .filter(col("l_quantity") < 10)
+        .filter(col("l_quantity") < 6)
       DeltaTable.create(s, dir, src.schema)
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 5).repartition(2))  // v1
-      t.append(src.filter(col("l_quantity") >= 5).repartition(2)) // v2
+      t.append(src.filter(col("l_quantity") < 3).repartition(2))  // v1
+      t.append(src.filter(col("l_quantity") >= 3).repartition(2)) // v2
       t.deleteWhereDV("l_orderkey % 7 = 1")                       // v3
       val snap = t.snapshot()
       val keys = src.filter(col("l_orderkey") % 3 === 0)
@@ -1937,7 +1937,7 @@ object DeltaQueries {
     // (l_orderkey%7=1) already removed its rows before conversion
     "q_tree_eq_convert" ->
       s"""SELECT $cols FROM lineitem
-         |WHERE l_quantity < 10 AND l_orderkey % 7 <> 1
+         |WHERE l_quantity < 6 AND l_orderkey % 7 <> 1
          |  AND l_orderkey % 3 <> 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

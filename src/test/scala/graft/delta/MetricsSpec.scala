@@ -197,4 +197,34 @@ class MetricsSpec extends AnyFunSuite {
       assert(h2.size == 1 && h2.head.shuffled && h2.head.entryCount == -1L)
     }
   }
+
+  test("equality-delete apply reports groups, descriptor/key counts " +
+      "and the broadcast arm") {
+    val dir = TestSpark.tmpDir("mx-eq")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 20).coalesce(1))
+      val snap = t.snapshot()
+      // two id groups: keys on k (1 row) and on s (2 rows)
+      val f1 = EqualityDeletes.writeDeleteFiles(snap,
+        Seq(3L).toDF("k"), Seq(0), sequenceNumber = 5L)
+      val f2 = EqualityDeletes.writeDeleteFiles(snap,
+        Seq("v5", "v6").toDF("s"), Seq(1), sequenceNumber = 5L)
+      val entries = ContentTree.entriesDF(snap).unionByName(
+        EqualityDeletes.deleteEntriesDF(spark, f1 ++ f2,
+          Some(snap.dataSchema)))
+      val root = ContentTree.writeTree(snap, entries, 2)
+      r.clear()
+      val rows = EqualityDeletes.readApplying(snap,
+        root.resolve(snap.tableRoot.toString)).count()
+      assert(rows == 17)
+      val ev = r.events.collect { case e: EqDeleteApply => e }
+      assert(ev.size == 1)
+      assert(ev.head.groups == 2 &&
+        ev.head.deleteFiles == (f1 ++ f2).size &&
+        ev.head.deleteKeys == 3L &&
+        ev.head.broadcastGroups == 2)
+    }
+  }
 }
