@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{ContentTree, DeltaTable, EqualityDeletes}
+
+/** CDC ingest with merge-on-read deletes: upserts append, every batch
+  * key writes an O(root) equality delete at the append's sequence —
+  * the new row version wins within the batch, older versions die,
+  * nothing rewrites. A foreachBatch replay must not change the state
+  * (txn-marker append + read-time max-sequence key collapse), and the
+  * out-of-band conversion to position deletes must not either.
+  */
+class CdcIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("k", StringType),
+    StructField("v", IntegerType)))
+
+  test("streamed upsert/delete batches: replace semantics, replay " +
+      "idempotence, conversion invariance") {
+    val dir = TestSpark.tmpDir("cdc")
+    val ckpt = TestSpark.tmpDir("cdc-ckpt")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    @volatile var root = ContentTree.writeRoot(t.snapshot(), 2)
+    @volatile var lastBatch = -1L
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String, Int)]
+
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("_op", "id", "k", "v")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          root = CdcIngest.processBatch(t, root, df, Seq(0),
+            appId = "cdc-test", batchId = id)
+          lastBatch = math.max(lastBatch, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    def state(): Map[Long, (String, Int)] =
+      CdcIngest.currentState(t, root).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+
+    mem.addData(("upsert", 1L, "a", 1), ("upsert", 2L, "b", 2),
+      ("upsert", 3L, "c", 3))
+    drain()
+    assert(state() == Map(1L -> ("a", 1), 2L -> ("b", 2),
+      3L -> ("c", 3)))
+
+    // replace + delete in one batch; delete of a nonexistent key no-ops
+    mem.addData(("upsert", 1L, "a", 10), ("delete", 2L, "", 0),
+      ("delete", 99L, "", 0))
+    drain()
+    assert(state() == Map(1L -> ("a", 10), 3L -> ("c", 3)))
+
+    // resurrect a deleted key in a later batch
+    mem.addData(("upsert", 2L, "b", 20))
+    drain()
+    val s3 = state()
+    assert(s3 == Map(1L -> ("a", 10), 2L -> ("b", 20), 3L -> ("c", 3)))
+
+    // foreachBatch replay of the LAST batch: the txn marker no-ops the
+    // append (no new table version), the duplicate delete entries
+    // collapse at read time
+    val vBefore = t.snapshot().version
+    val replayDf = Seq(("upsert", 2L, "b", 20)).toDF("_op", "id", "k", "v")
+    root = CdcIngest.processBatch(t, root, replayDf, Seq(0),
+      appId = "cdc-test", batchId = lastBatch)
+    assert(state() == s3, "replay must not change the state")
+    assert(t.snapshot().version == vBefore,
+      "replayed append must no-op on the txn marker")
+
+    // out-of-band maintenance: fold the accumulated equality deletes
+    // into position-delete DVs; state unchanged, loose entries gone
+    val snap = t.snapshot()
+    root = EqualityDeletes.convertToPositionDeletes(snap,
+      root.resolve(snap.tableRoot.toString), 2)
+    assert(state() == s3, "conversion must not change the state")
+    assert(ContentTree.readEntriesDF(spark,
+      root.resolve(snap.tableRoot.toString), snap.tableRoot.toString)
+      .filter(col("contentType") ===
+        ContentTree.DataContentType.EqualityDeletes).count() == 0)
+
+    // and ingest keeps working on the converted tree
+    mem.addData(("delete", 1L, "", 0))
+    drain()
+    assert(state() == Map(2L -> ("b", 20), 3L -> ("c", 3)))
+  }
+}
