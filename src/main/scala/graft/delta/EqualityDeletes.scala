@@ -86,7 +86,14 @@ object EqualityDeletes {
         StructField(n, f.dataType, f.nullable,
           new MetadataBuilder().putLong("parquet.field.id", id).build())
     }
-    keys.toDF(names: _*).to(StructType(idFields)).write.parquet(abs)
+    // the sequence rides IN the file as a constant column (RLE'd to
+    // nothing): the apply then reads a whole id GROUP as one scan arm
+    // regardless of how many delete commits accumulated — without
+    // this, a 1000-batch CDC trickle would plan 1000 scan arms (the
+    // same plan-width disease the CDF read's collapse fixed)
+    keys.toDF(names: _*).to(StructType(idFields))
+      .withColumn(SEQ_COL, lit(sequenceNumber))
+      .write.parquet(abs)
     // per-file record counts: one job over file metadata of the files
     // just written (O(#part files) result rows)
     val counts = spark.read.parquet(abs)
@@ -130,24 +137,37 @@ object EqualityDeletes {
     }
   }
 
-  /** Delete-side frame of one equality-id group: all the group's
-    * files in one scan arm PER DISTINCT SEQUENCE (a `__del_seq`
-    * literal — never a per-file join), duplicate keys collapsed to
-    * their highest sequence (sound: the apply rule keeps the widest
-    * reach, and a key deleted at S is still deleted at S' > S).
+  /** Column name the delete sequence is stored under inside each
+    * delete file (constant per file, so it RLE-compresses away).
+    */
+  val SEQ_COL = "__del_seq"
+
+  /** Delete-side frame of one equality-id group: ALL the group's
+    * files in ONE scan arm — the sequence is a stored constant column,
+    * so plan width is independent of how many delete commits
+    * accumulated. Files written before the stored-sequence convention
+    * (no [[SEQ_COL]] column) fall back to one arm per distinct
+    * sequence. Duplicate keys collapse to their highest sequence
+    * (sound: the apply rule keeps the widest reach, and a key deleted
+    * at S is still deleted at S' > S).
     */
   private def deleteKeysDF(spark: SparkSession, tableRoot: String,
       names: Seq[String], files: Seq[EqDeleteFile]): DataFrame = {
-    val bySeq = files.groupBy(_.sequenceNumber).toSeq.sortBy(_._1)
-    bySeq.map { case (seq, fs) =>
-      val paths = fs.map(f =>
-        tableRoot.stripSuffix("/") + "/" + f.location)
-      spark.read.parquet(paths: _*)
-        .select(names.map(col): _*)
-        .withColumn("__del_seq", lit(seq))
-    }.reduce(_.unionByName(_))
-      .groupBy(names.map(col): _*)
-      .agg(max(col("__del_seq")).as("__del_seq"))
+    val paths = files.map(f =>
+      tableRoot.stripSuffix("/") + "/" + f.location)
+    val one = spark.read.parquet(paths: _*)
+    val keyed =
+      if (one.schema.fieldNames.contains(SEQ_COL))
+        one.select((names :+ SEQ_COL).map(col): _*)
+      else files.groupBy(_.sequenceNumber).toSeq.sortBy(_._1)
+        .map { case (seq, fs) =>
+          spark.read.parquet(fs.map(f =>
+            tableRoot.stripSuffix("/") + "/" + f.location): _*)
+            .select(names.map(col): _*)
+            .withColumn(SEQ_COL, lit(seq))
+        }.reduce(_.unionByName(_))
+    keyed.groupBy(names.map(col): _*)
+      .agg(max(col(SEQ_COL)).as(SEQ_COL))
   }
 
   /** Apply equality-delete groups to a data frame carrying its per-file

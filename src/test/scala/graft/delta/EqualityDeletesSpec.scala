@@ -261,6 +261,26 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(plain == Set(3L))
   }
 
+  test("plan width is independent of the delete-commit count: many " +
+      "sequences of one id group still read as ONE delete scan arm") {
+    val (_, snap) = build(Seq(df(Seq((1L, "a", 1), (2L, "b", 1),
+      (3L, "c", 1), (4L, "d", 1)))))
+    var root = ContentTree.writeRoot(snap, 2)
+    // four delete commits at four different sequences, same id group
+    (2 to 5).foreach { seq =>
+      val f = EqualityDeletes.writeDeleteFiles(snap,
+        Seq(s"${('a' + seq - 2).toChar}").toDF("k"), Seq(1), seq.toLong)
+      root = EqualityDeletes.appendDeleteEntries(snap, root, f)
+    }
+    val applied = EqualityDeletes.readApplying(snap,
+      root.resolve(snap.tableRoot.toString))
+    assert(applied.select("id").collect().isEmpty)
+    val s = applied.queryExecution.executedPlan.toString
+    // exactly TWO parquet scans: the data arm + ONE delete-keys arm
+    // (the stored __del_seq column collapses the per-sequence arms)
+    assert("FileScan parquet".r.findAllIn(s).size == 2, s.take(1500))
+  }
+
   test("pruned applying read: content_stats skip drops whole files " +
       "before the scan, the residual predicate reaches the parquet " +
       "read, and equality deletes still apply") {
