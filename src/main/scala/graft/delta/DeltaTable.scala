@@ -2763,8 +2763,29 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     if (asJson && !asStruct) return state // default shape
     val withStruct =
       if (!asStruct) state
-      else state.withColumn("add", col("add").withField("stats_parsed",
-        from_json(col("add.stats"), snap.statsParsedSchema)))
+      else {
+        val s1 = state.withColumn("add",
+          col("add").withField("stats_parsed",
+            from_json(col("add.stats"), snap.statsParsedSchema)))
+        // struct-stats checkpoints also carry the TYPED partition
+        // tuple (reference checkpoint_transform.rs:104-116 —
+        // `partitionValues_parsed` reconstructs via MAP_TO_STRUCT),
+        // under physical names like stats_parsed; readers without the
+        // column are unaffected, readers with it skip re-parsing the
+        // protocol's partition-value string rules per file
+        val parts = snap.partitionColumns
+        if (parts.isEmpty) s1
+        else {
+          val fields = parts.map { c =>
+            val f = snap.schema.fields.find(_.name == c).get
+            val phys = ColumnMapping.physicalName(f)
+            PartitionValues.castExpr("add.partitionValues", phys,
+              f.dataType).as(phys)
+          }
+          s1.withColumn("add", col("add")
+            .withField("partitionValues_parsed", struct(fields: _*)))
+        }
+      }
     if (asJson) withStruct
     else withStruct.withColumn("add", col("add").dropFields("stats"))
   }

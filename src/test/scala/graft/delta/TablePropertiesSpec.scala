@@ -119,6 +119,37 @@ class TablePropertiesSpec extends AnyFunSuite {
     assert(t2.scan(Some("k <= 10")).toDF.count() == 10)
   }
 
+  test("writeStatsAsStruct on a partitioned table also writes the " +
+      "typed partitionValues_parsed tuple") {
+    val dir = TestSpark.tmpDir("structpv")
+    val df = src(40).withColumn("p", col("k") % 4)
+    DeltaTable.create(spark, dir, df.schema, Seq("p"),
+      configuration = Map(
+        TableProperties.WRITE_STATS_AS_STRUCT -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df)
+    t.checkpoint()
+    val ckpt = s"$dir/_delta_log/" +
+      f"${t.snapshot().version}%020d.checkpoint.parquet"
+    val raw = spark.read.parquet(ckpt)
+    val addType = raw.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addType.fieldNames.contains("partitionValues_parsed"))
+    // the typed tuple must agree with the string map on every add,
+    // and carry the partition column's TYPE (bigint from k % 4)
+    val rows = raw.filter(col("add").isNotNull)
+      .select(col("add.partitionValues")("p").as("s"),
+        col("add.partitionValues_parsed.p").as("t")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1).toString == r.getString(0))
+    }
+    // a fresh handle still reads and prunes through the checkpoint
+    val t2 = DeltaTable.forPath(spark, dir)
+    assert(t2.toDF.count() == 40)
+    assert(t2.scan(Some("p = 1")).toDF.count() == 10)
+  }
+
   test("disabling both checkpoint stats forms is refused") {
     val dir = TestSpark.tmpDir("nostats")
     val df = src(10)
