@@ -967,6 +967,23 @@ object ContentTree {
       col("contentType").isin(DataContentType.PositionDeletes,
         DataContentType.EqualityDeletes) &&
         col("tracking.status") =!= TrackingStatus.Deleted)
+    // Compaction guard: a dataChange=false add is MOVED rows — in the
+    // new file they carry the rewrite commit's sequence, which
+    // postdates any pending equality delete, so rows the delete killed
+    // would RESURRECT in the applying read. (Modified entries are safe:
+    // the merge below keeps the PREVIOUS fileSequenceNumber, so DV
+    // swaps don't re-sequence.) Same contract as Iceberg's
+    // RewriteDataFiles: apply/convert the deletes, then compact.
+    if (!deleteContent.isEmpty) {
+      val moved = winner.filter(col("isAdd") === 1 &&
+        col("add.dataChange") === false).limit(1).count()
+      require(moved == 0,
+        "cannot advance a tree carrying equality/position delete " +
+          "entries across a dataChange=false rewrite (OPTIMIZE/REORG): " +
+          "rewritten rows would re-sequence past the deletes and " +
+          "resurrect. Convert the deletes to position deletes " +
+          "(EqualityDeletes.convertToPositionDeletes) before compacting.")
+    }
     val deleteCols = entrySchema.fieldNames.toSeq.map { n =>
       if (deleteContent.schema.fieldNames.contains(n)) col(n)
       else lit(null).cast(entrySchema(n).dataType).as(n)

@@ -1452,6 +1452,23 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val (gone, partialFiles) = matchedFiles.toSeq.partition {
       case (_, _, matched, live) => matched == live
     }
+    commitDvSwaps(snap, gone.map(_._1), partialFiles, byPath,
+      "DELETE", Map("predicate" -> predicateSql),
+      readPredicate = Some(predicateSql))
+  }
+
+  /** The shared DV-swap commit tail: remove+add pairs swapping each
+    * file's deletion vector (fully-dead files remove without re-add),
+    * first-use protocol upgrade, checksum + auto-checkpoint. Used by
+    * predicate DELETE/UPDATE ([[deleteWhereDV]]) and by
+    * [[graft.delta.EqualityDeletes.commitAsDeletionVectors]], which
+    * materializes tree-level equality deletes into the log.
+    */
+  private[graft] def commitDvSwaps(snap: Snapshot, gonePaths: Seq[String],
+      partialFiles: Seq[(String, Array[Byte], Long, Long)],
+      byPath: Map[String, AddFile], opName: String,
+      opParams: Map[String, String],
+      readPredicate: Option[String]): Long = {
     val descs = dvSwapDescriptors(partialFiles, byPath)
 
     def removeOf(a: AddFile): RemoveFile = RemoveFile(
@@ -1460,7 +1477,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       partitionValues = Some(a.partitionValues), size = Some(a.size),
       deletionVector = a.deletionVector)
 
-    val removes = (gone.map(_._1) ++ partialFiles.map(_._1))
+    val removes = (gonePaths ++ partialFiles.map(_._1))
       .map(p => removeOf(byPath(p)))
     // stats on a DV-carrying add describe the PHYSICAL file, so they
     // must be flagged tightBounds:false (protocol contract — external
@@ -1491,18 +1508,18 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val committed =
       if (needsUpgrade)
         commitActions(snap.version + 1,
-          cv => commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+          cv => commitInfoLine(opName, opParams,
             ictAt(snap, cv - 1)) +: tail, retryable = false, Nil)
       else commitActions(snap.version + 1,
-        cv => commitInfoLine("DELETE", Map("predicate" -> predicateSql),
+        cv => commitInfoLine(opName, opParams,
           ictAt(snap, cv - 1)) +: tail,
         retryable = false, Nil,
-        Some(DeltaTable.ReadSet(snap, Some(predicateSql),
-          (gone.map(_._1) ++ partialFiles.map(_._1))
+        Some(DeltaTable.ReadSet(snap, readPredicate,
+          (gonePaths ++ partialFiles.map(_._1))
             .map(p => Storage.canonicalPathKey(byPath(p).path)).toSet)))
     maybeWriteChecksum(committed,
       newAdds.map(_.size),
-      (gone ++ partialFiles).map(p => byPath(p._1).size),
+      (gonePaths ++ partialFiles.map(_._1)).map(p => byPath(p).size),
       newProto = if (needsUpgrade)
         Some(TableFeatures.upgraded(snap.protocol,
           Seq("deletionVectors"), Seq("deletionVectors")))

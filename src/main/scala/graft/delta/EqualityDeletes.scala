@@ -309,6 +309,122 @@ object EqualityDeletes {
     (withSeq, deletes)
   }
 
+  /** Matched rows of the sequence-ordered apply as per-file bitmaps:
+    * assemble the tree's live data with `keepMeta` (so `__path` /
+    * `__ridx` surface), semi-join each equality-id group (a row
+    * matching several groups lands twice — the bitmap absorbs it),
+    * fold row indexes into portable roaring bitmaps on the EXECUTORS.
+    * Returns (the assembled data frame for follow-up aggregates, the
+    * collected per-file (normalized path, bitmap bytes, count)).
+    */
+  private def matchedBitmaps(snap: Snapshot,
+      withSeq: Seq[(AddFile, Long)], deletes: Seq[EqDeleteFile])
+      : (DataFrame, Array[(String, Array[Byte], Long)]) = {
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    val scan = snap.scanBuilder().build()
+    val data = scan.assembleWithConstants(
+      withSeq.map { case (a, seq) => a -> Map("__seq" -> seq.toString) },
+      Seq(StructField("__seq", LongType)), keepMeta = true)
+    val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
+    val matched = deletes.groupBy(_.equalityIds).toSeq
+      .sortBy(_._1.mkString(",")).map { case (ids, files) =>
+        val names = idsToNames(snap.dataSchema, ids)
+        val del0 = deleteKeysDF(spark, tableRoot, names, files)
+        val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+          broadcast(del0) else del0
+        val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _) &&
+          data("__seq") < del("__del_seq")
+        data.join(del, cond, "left_semi").select(col("__path"), col("__ridx"))
+      }.reduce(_.union(_))
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = matched
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (path: String, it: Iterator[(String, Long)]) =>
+        val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        var n = 0L
+        it.foreach { case (_, ridx) =>
+          if (!rb.contains(ridx)) { n += 1; rb.addLong(ridx) }
+        }
+        (path, DeletionVectors.bitmapBytes(rb), n)
+      }.collect()
+    (data, perFile)
+  }
+
+  /** Materialize a tree's equality deletes into the DELTA LOG as a
+    * deletion-vector commit — the cross-engine maintenance path.
+    * [[convertToPositionDeletes]] keeps the DVs tree-local, which any
+    * LOG-level rewrite (OPTIMIZE moves rows into files whose sequence
+    * postdates the deletes) cannot see; this one commits the same
+    * per-file bitmaps through the shared DV-swap tail
+    * (remove+add pairs, bitmap-level merge with existing DVs,
+    * fully-dead files removed outright, protocol upgrade on first
+    * use), after which compaction, CDF and every other engine read
+    * the deletes natively. Returns (committed version, the advanced
+    * tree root at that version — delete entries gone, data entries
+    * re-sequenced by the diff's DV swaps with their ORIGINAL file
+    * sequence preserved).
+    *
+    * Requires the tree to be AT the snapshot's version: the commit
+    * rewrites exactly the files the tree describes.
+    */
+  def commitAsDeletionVectors(t: DeltaTable, rootLocation: String)
+      : (Long, AdaptiveMetadata.ContentRoot) = {
+    val snap = t.snapshot()
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
+    val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
+    val (withSeq, deletes) = splitEntries(entries, rootUri)
+    require(deletes.nonEmpty, "tree has no equality deletes to commit")
+    val cleaned = entries.filter(col("contentType") =!=
+      ContentTree.DataContentType.EqualityDeletes)
+    if (withSeq.isEmpty) {
+      return (snap.version, ContentTree.writeTree(snap, cleaned,
+        ContentTree.DEFAULT_LEAF_FANOUT))
+    }
+    val (data, perFile) = matchedBitmaps(snap, withSeq, deletes)
+    if (perFile.isEmpty) {
+      return (snap.version, ContentTree.writeTree(snap, cleaned,
+        ContentTree.DEFAULT_LEAF_FANOUT))
+    }
+    // live row counts decide full-file deletes (remove without re-add)
+    val liveCounts: Map[String, Long] = data.groupBy(col("__path"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // commit identity comes from the LOG's own adds — path encoding,
+    // stats and DV descriptors must match the log's current lines, not
+    // the tree's re-derived (URI-decoded, statless) view of them
+    val byPath: Map[String, AddFile] = snap.scanBuilder().build()
+      .collectAddFiles().map { a =>
+        fs.makeQualified(
+          Storage.childPath(snap.tableRoot, Storage.decodeUriPath(a.path)))
+          .toUri.getPath -> a
+      }.toMap
+    require(perFile.forall(p => byPath.contains(p._1)),
+      "tree is stale against the snapshot — advance or rebuild it " +
+        "before materializing its equality deletes")
+    val matchedFiles = perFile.toSeq.map { case (p, bits, n) =>
+      (p, bits, n, liveCounts.getOrElse(p, n))
+    }
+    val (gone, partial) = matchedFiles.partition {
+      case (_, _, matched, live) => matched == live
+    }
+    val committed = t.commitDvSwaps(snap, gone.map(_._1), partial,
+      byPath, "DELETE",
+      Map("mode" -> "equality-delete-materialization",
+        "deleteFiles" -> deletes.size.toString),
+      readPredicate = None)
+    // advance the CLEANED tree across the DV-swap commit: Modified
+    // entries keep their original file sequence, so later equality
+    // deletes keep composing correctly
+    val cleanRoot = ContentTree.writeTree(snap, cleaned,
+      ContentTree.DEFAULT_LEAF_FANOUT)
+    (committed, ContentTree.updateRoot(t.snapshot(), cleanRoot))
+  }
+
   /** O(root)-cost incremental delete commit: append delete entries to
     * an existing tree as LOOSE root rows (root nodes legally mix
     * manifest references and direct entries, mod.rs:53-56) — only the
@@ -385,35 +501,7 @@ object EqualityDeletes {
         col("contentType") =!= ContentTree.DataContentType.EqualityDeletes),
         numLeaves)
 
-    val scan = snap.scanBuilder().build()
-    val data = scan.assembleWithConstants(
-      withSeq.map { case (a, seq) => a -> Map("__seq" -> seq.toString) },
-      Seq(StructField("__seq", LongType)), keepMeta = true)
-    // matched live rows per group — semi-join keeps (path, ridx); a row
-    // matching several groups lands twice, which the bitmap absorbs
-    val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
-    val matched = deletes.groupBy(_.equalityIds).toSeq
-      .sortBy(_._1.mkString(",")).map { case (ids, files) =>
-        val names = idsToNames(snap.dataSchema, ids)
-        val del0 = deleteKeysDF(spark, tableRoot, names, files)
-        val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
-          broadcast(del0) else del0
-        val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _) &&
-          data("__seq") < del("__del_seq")
-        data.join(del, cond, "left_semi").select(col("__path"), col("__ridx"))
-      }.reduce(_.union(_))
-    import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = matched
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (path: String, it: Iterator[(String, Long)]) =>
-        val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-        var n = 0L
-        it.foreach { case (_, ridx) =>
-          if (!rb.contains(ridx)) { n += 1; rb.addLong(ridx) }
-        }
-        (path, DeletionVectors.bitmapBytes(rb), n)
-      }.collect()
+    val (_, perFile) = matchedBitmaps(snap, withSeq, deletes)
 
     if (perFile.isEmpty) {
       // nothing matched: the new tree is the old one minus the
@@ -450,6 +538,7 @@ object EqualityDeletes {
       (add.path, info.location, info.offset, info.sizeInBytes,
         info.cardinality, newBits)
     }
+    import spark.implicits._
     val updDf = broadcast(updates.toDF(
       "__loc", "__dvloc", "__dvoff", "__dvsz", "__dvcard", "__newbits"))
     import ContentTree.{DataContentType, TrackingStatus}

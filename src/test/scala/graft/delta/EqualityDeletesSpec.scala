@@ -307,6 +307,117 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(ref == Set(2L))
   }
 
+  test("compaction guard: updateRoot refuses to advance pending " +
+      "equality deletes across a dataChange=false rewrite; convert " +
+      "first and the same advance succeeds without resurrection") {
+    val dir = TestSpark.tmpDir("eqopt")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df(Seq((1L, "a", 1), (2L, "b", 1))).coalesce(1))   // v1
+    t.append(df(Seq((3L, "a", 2))).coalesce(1))                 // v2
+    val snap2 = t.snapshot()
+    // delete at seq 2: reaches the v1 file only — id 1 dies, id 3
+    // (seq 2, equal) survives
+    val files = EqualityDeletes.writeDeleteFiles(snap2,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val rootEq = treeRootWith(snap2, files)
+    assert(readIds(snap2, rootEq.resolve(snap2.tableRoot.toString))
+      == Set(2L, 3L))
+    // OPTIMIZE moves the surviving rows into a new file whose
+    // sequence postdates the delete — advancing the tree as-is would
+    // resurrect id 1
+    t.optimizeCompact()
+    val snap3 = t.snapshot()
+    val e = intercept[IllegalArgumentException] {
+      ContentTree.updateRoot(snap3, rootEq, 2)
+    }
+    assert(e.getMessage.contains("convert"), e.getMessage)
+  }
+
+  test("materializing equality deletes as a LOG DV commit makes them " +
+      "cross-engine visible and compaction-safe") {
+    val dir = TestSpark.tmpDir("eqmat")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df(Seq((1L, "a", 1), (2L, "b", 1))).coalesce(1))   // v1
+    t.append(df(Seq((3L, "a", 2))).coalesce(1))                 // v2
+    val snap2 = t.snapshot()
+    val files = EqualityDeletes.writeDeleteFiles(snap2,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val rootEq = treeRootWith(snap2, files)
+    // BEFORE: the log knows nothing of the delete
+    assert(t.toDF.count() == 3)
+
+    val (vDv, rootClean) = EqualityDeletes.commitAsDeletionVectors(
+      t, rootEq.resolve(snap2.tableRoot.toString))
+    assert(vDv == snap2.version + 1)
+    // AFTER: a plain log-level read (any engine) sees the delete
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).toSet
+      == Set(2L, 3L))
+    // the advanced tree has no equality entries and reads identically
+    assert(ContentTree.readEntriesDF(spark,
+      rootClean.resolve(snap2.tableRoot.toString),
+      snap2.tableRoot.toString)
+      .filter(col("contentType") ===
+        ContentTree.DataContentType.EqualityDeletes).count() == 0)
+    assert(readIds(t.snapshot(), rootClean.resolve(
+      snap2.tableRoot.toString)) == Set(2L, 3L))
+
+    // compaction now reads THROUGH the materialized DVs — the full
+    // maintenance chain composes with no resurrection
+    t.optimizeCompact()
+    val snapOpt = t.snapshot()
+    val rootAdv = ContentTree.updateRoot(snapOpt, rootClean, 2)
+    val rootUri = Storage.fs(snapOpt.tableRoot,
+      spark.sessionState.newHadoopConf())
+      .makeQualified(snapOpt.tableRoot).toUri.getPath
+    val adds = ContentTree.addFileIterator(spark,
+      rootAdv.resolve(snapOpt.tableRoot.toString),
+      snapOpt.tableRoot.toString, rootUri).toSeq
+    val got = snapOpt.scanBuilder().build()
+      .assemble(adds, keepMeta = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"resurrection check failed: $got")
+  }
+
+  test("materialization removes fully-dead files outright") {
+    val dir = TestSpark.tmpDir("eqmatgone")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df(Seq((1L, "a", 1), (2L, "a", 1))).coalesce(1))   // v1
+    t.append(df(Seq((3L, "b", 2))).coalesce(1))                 // v2
+    val snap = t.snapshot()
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val rootEq = treeRootWith(snap, files)
+    val (_, rootClean) = EqualityDeletes.commitAsDeletionVectors(
+      t, rootEq.resolve(snap.tableRoot.toString))
+    // the v1 file was entirely 'a' rows: it must be REMOVED, not
+    // re-added with an all-dead DV
+    val adds = t.snapshot().scanBuilder().build().collectAddFiles()
+    assert(adds.size == 1 && adds.head.deletionVector.isEmpty)
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).toSet
+      == Set(3L))
+    assert(readIds(t.snapshot(),
+      rootClean.resolve(snap.tableRoot.toString)) == Set(3L))
+  }
+
+  test("vacuum cannot strand delete files: they live under " +
+      "_delta_log/_amt, outside vacuum's data-root sweep") {
+    val dir = TestSpark.tmpDir("eqvac")
+    DeltaTable.create(spark, dir, schema, configuration = Map(
+      "delta.deletedFileRetentionDuration" -> "interval 0 milliseconds"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df(Seq((1L, "a", 1), (2L, "b", 1))).coalesce(1))
+    val snap = t.snapshot()
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val resolved = treeWith(snap, files)
+    t.vacuum()
+    assert(readIds(snap, resolved) == Set(2L),
+      "vacuum must not reach equality-delete files")
+  }
+
   test("conversion with nothing matched drops the equality entries " +
       "and leaves data entries untouched") {
     val (_, snap) = build(Seq(df(Seq((1L, "a", 1)))))
