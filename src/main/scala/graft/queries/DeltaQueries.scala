@@ -1095,6 +1095,43 @@ object DeltaQueries {
       ordered(snap.scanBuilder().build().assemble(adds, keepMeta = false))
     }),
 
+    // Equality deletes MATERIALIZED into the Delta log as a DV commit
+    // (the cross-engine maintenance path): the tree's delete entries
+    // become real remove+add pairs with merged deletion vectors, an
+    // OPTIMIZE then compacts THROUGH them, and the final read is a
+    // plain log-level scan — no tree, no equality machinery — that
+    // must still hash-match the oracle. Exercises the full
+    // ingest→materialize→compact chain with zero resurrection.
+    "q_tree_eq_materialize" -> ((s, d) => {
+      val dir = tmp("eqmat")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 7)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      t.append(src.filter(col("l_quantity") < 4).repartition(2))  // seq 1
+      t.append(src.filter(col("l_quantity") >= 4).repartition(2)) // seq 2
+      val snap = t.snapshot()
+      val keys = src.filter(col("l_orderkey") % 4 === 0)
+        .select("l_orderkey", "l_linenumber")
+      val files = graft.delta.EqualityDeletes.writeDeleteFiles(snap,
+        keys, Seq(0, 3), sequenceNumber = snap.version + 1)
+      val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
+        graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
+          Some(snap.dataSchema)))
+      val root0 = graft.delta.ContentTree.writeTree(snap, entries, 4)
+      val (vDv, rootClean) = graft.delta.EqualityDeletes
+        .commitAsDeletionVectors(t, root0.resolve(snap.tableRoot.toString))
+      require(vDv == snap.version + 1, "materialization must commit")
+      require(graft.delta.ContentTree.readEntriesDF(s,
+        rootClean.resolve(snap.tableRoot.toString),
+        snap.tableRoot.toString)
+        .filter(col("contentType") ===
+          graft.delta.ContentTree.DataContentType.EqualityDeletes)
+        .count() == 0, "advanced tree must shed its equality entries")
+      t.optimizeCompact()
+      ordered(t.toDF) // PLAIN log read after compaction
+    }),
+
     // Chained O(root) equality-delete commits (loose root entries,
     // mod.rs:53-56): two delete batches at DIFFERENT sequences append
     // to an existing tree rewriting ONLY the root — the in-query pin
@@ -1939,6 +1976,14 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 6 AND l_orderkey % 7 <> 1
          |  AND l_orderkey % 3 <> 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // delete sequence > every file's sequence, so the materialized
+    // DVs cover matching rows of BOTH slices; the post-OPTIMIZE read
+    // is a plain log scan
+    "q_tree_eq_materialize" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_quantity < 7 AND l_orderkey % 4 <> 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // commit 1 (seq 2, keys %5) reaches only the seq-1 slice
