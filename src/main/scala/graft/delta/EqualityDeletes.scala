@@ -1,6 +1,6 @@
 package graft.delta
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,10 +32,11 @@ import org.apache.spark.sql.types._
   * Scale shape: the data side is ONE scan arm (sequence numbers ride
   * as a per-file constant partition column — plan size independent of
   * the commit count, same collapse as the CDF read); the delete side
-  * is one scan arm per distinct (equality-id set, sequence) pair;
-  * the join broadcasts only when the delete files are provably small,
-  * and conversion ships compressed bitmap BYTES to the driver, never
-  * row-index arrays.
+  * is ONE scan arm per distinct equality-id set (each file stores its
+  * sequence as a constant column, so accumulated commits never widen
+  * the plan); the join broadcasts only when the delete files are
+  * provably small, and conversion ships compressed bitmap BYTES to
+  * the driver, never row-index arrays.
   */
 object EqualityDeletes {
 
@@ -170,6 +171,33 @@ object EqualityDeletes {
       .agg(max(col(SEQ_COL)).as(SEQ_COL))
   }
 
+  private val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
+
+  /** Per-equality-id-group delete-key frames, broadcast-gated and in
+    * deterministic group order — the shared delete side of the
+    * anti-join apply and the semi-join matcher. Also emits the
+    * [[MetricEvent.EqDeleteApply]] gauge.
+    */
+  private def deleteGroupFrames(spark: SparkSession, tableRoot: String,
+      dataSchema: StructType, deletes: Seq[EqDeleteFile])
+      : Seq[(Seq[String], DataFrame)] = {
+    val groups = deletes.groupBy(_.equalityIds).toSeq
+      .sortBy(_._1.mkString(","))
+    if (groups.nonEmpty) {
+      val bc = groups.count(
+        _._2.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+      Metrics.report(MetricEvent.EqDeleteApply(Metrics.newId(),
+        groups.size, deletes.size, deletes.map(_.recordCount).sum, bc))
+    }
+    groups.map { case (ids, files) =>
+      val names = idsToNames(dataSchema, ids)
+      val del0 = deleteKeysDF(spark, tableRoot, names, files)
+      val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
+        broadcast(del0) else del0
+      (names, del)
+    }
+  }
+
   /** Apply equality-delete groups to a data frame carrying its per-file
     * data sequence number in `seqCol`. One anti-join per distinct
     * equality-id set; the join keys are null-safe (`<=>` — Iceberg
@@ -182,27 +210,13 @@ object EqualityDeletes {
     */
   def applyDeletes(data: DataFrame, dataSchema: StructType,
       tableRoot: String, deletes: Seq[EqDeleteFile],
-      seqCol: String = "__seq"): DataFrame = {
-    val spark = data.sparkSession
-    val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
-    val groups = deletes.groupBy(_.equalityIds).toSeq
-      .sortBy(_._1.mkString(","))
-    if (groups.nonEmpty) {
-      val bc = groups.count(
-        _._2.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
-      Metrics.report(MetricEvent.EqDeleteApply(Metrics.newId(),
-        groups.size, deletes.size, deletes.map(_.recordCount).sum, bc))
-    }
-    groups.foldLeft(data) { case (acc, (ids, files)) =>
-      val names = idsToNames(dataSchema, ids)
-      val del0 = deleteKeysDF(spark, tableRoot, names, files)
-      val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
-        broadcast(del0) else del0
-      val cond = names.map(n => acc(n) <=> del(n)).reduce(_ && _) &&
-        acc(seqCol) < del("__del_seq")
-      acc.join(del, cond, "left_anti")
-    }
-  }
+      seqCol: String = "__seq"): DataFrame =
+    deleteGroupFrames(data.sparkSession, tableRoot, dataSchema, deletes)
+      .foldLeft(data) { case (acc, (names, del)) =>
+        val cond = names.map(n => acc(n) <=> del(n)).reduce(_ && _) &&
+          acc(seqCol) < del(SEQ_COL)
+        acc.join(del, cond, "left_anti")
+      }
 
   /** Tree-backed read applying position AND equality deletes. Data
     * entries assemble into ONE scan arm with their file sequence
@@ -326,15 +340,10 @@ object EqualityDeletes {
     val data = scan.assembleWithConstants(
       withSeq.map { case (a, seq) => a -> Map("__seq" -> seq.toString) },
       Seq(StructField("__seq", LongType)), keepMeta = true)
-    val BROADCAST_MAX_BYTES = 64L * 1024 * 1024
-    val matched = deletes.groupBy(_.equalityIds).toSeq
-      .sortBy(_._1.mkString(",")).map { case (ids, files) =>
-        val names = idsToNames(snap.dataSchema, ids)
-        val del0 = deleteKeysDF(spark, tableRoot, names, files)
-        val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
-          broadcast(del0) else del0
+    val matched = deleteGroupFrames(spark, tableRoot, snap.dataSchema,
+      deletes).map { case (names, del) =>
         val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _) &&
-          data("__seq") < del("__del_seq")
+          data("__seq") < del(SEQ_COL)
         data.join(del, cond, "left_semi").select(col("__path"), col("__ridx"))
       }.reduce(_.union(_))
     import spark.implicits._
@@ -431,8 +440,9 @@ object EqualityDeletes {
     * root node (O(#leaves + #loose) rows) rewrites; every leaf carries
     * into the new tree by reference. This is the CDC-ingest shape: a
     * stream of delete batches costs one tiny root rewrite each, and
-    * [[convertToPositionDeletes]] periodically folds the accumulated
-    * loose entries back into per-file DVs.
+    * the accumulated loose entries periodically fold into per-file
+    * DVs — tree-locally via [[convertToPositionDeletes]], or into the
+    * Delta log itself via [[commitAsDeletionVectors]].
     */
   def appendDeleteEntries(snap: Snapshot,
       prev: AdaptiveMetadata.ContentRoot,
@@ -494,22 +504,15 @@ object EqualityDeletes {
     val (withSeq, deletes) = splitEntries(entries, rootUri)
     require(deletes.nonEmpty,
       "tree has no equality deletes to convert")
-    if (withSeq.isEmpty)
-      // no live data files: nothing can match — the converted tree is
-      // the old one minus the equality entries
-      return ContentTree.writeTree(snap, entries.filter(
-        col("contentType") =!= ContentTree.DataContentType.EqualityDeletes),
-        numLeaves)
+    // no live data files / nothing matched: the converted tree is the
+    // old one minus the equality entries
+    def droppedOnly() = ContentTree.writeTree(snap, entries.filter(
+      col("contentType") =!= ContentTree.DataContentType.EqualityDeletes),
+      numLeaves)
+    if (withSeq.isEmpty) return droppedOnly()
 
     val (_, perFile) = matchedBitmaps(snap, withSeq, deletes)
-
-    if (perFile.isEmpty) {
-      // nothing matched: the new tree is the old one minus the
-      // equality entries
-      return ContentTree.writeTree(snap, entries.filter(
-        col("contentType") =!= ContentTree.DataContentType.EqualityDeletes),
-        numLeaves)
-    }
+    if (perFile.isEmpty) return droppedOnly()
 
     // normalized scan path -> tree entry location
     val byPath: Map[String, (AddFile, Long)] = withSeq.map { case (a, s) =>
