@@ -120,8 +120,12 @@ class EqualityDeleteFuzzSpec extends AnyFunSuite {
         s"(missing=${expected -- got}, extra=${got -- expected}, " +
         s"deletes=$applied)")
 
-    // conversion must preserve the row set through the plain DV read
-    if (applied.nonEmpty) {
+    // folding the deletes into DVs must preserve the row set — by
+    // seed parity either TREE-locally (convertToPositionDeletes, read
+    // back through the plain DV'd tree scan) or into the DELTA LOG
+    // (commitAsDeletionVectors, read back as a log scan any engine
+    // would run)
+    if (applied.nonEmpty && seed % 2 == 1) {
       val newRoot = EqualityDeletes.convertToPositionDeletes(
         snap, resolved, 2)
       val resolvedNew = newRoot.resolve(snap.tableRoot.toString)
@@ -139,10 +143,25 @@ class EqualityDeleteFuzzSpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(plain == expected,
         s"seed=$seed converted read drifted from model")
+    } else if (applied.nonEmpty) {
+      val (_, rootClean) = EqualityDeletes.commitAsDeletionVectors(
+        t, resolved)
+      val logRead = t.toDF
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(logRead == expected,
+        s"seed=$seed materialized LOG read drifted from model")
+      assert(readIds(t.snapshot(),
+        rootClean.resolve(snap.tableRoot.toString)) == expected,
+        s"seed=$seed advanced tree drifted from model")
     }
   }
 
-  Seq(11, 29, 53).foreach { seed =>
+  private def readIds(snap: Snapshot, resolved: String): Set[Long] =
+    EqualityDeletes.readApplying(snap, resolved)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  // odd seeds fold tree-locally, even seeds materialize into the log
+  Seq(11, 28, 53, 64).foreach { seed =>
     test(s"random equality-delete workload matches the model (seed $seed)") {
       runSeed(seed)
     }
