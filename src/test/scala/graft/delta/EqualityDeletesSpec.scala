@@ -380,6 +380,29 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(got == Set(2L, 3L), s"resurrection check failed: $got")
   }
 
+  test("the materialization commit is first-class CDF: deleted rows " +
+      "surface as 'delete' changes at the committed version") {
+    val dir = TestSpark.tmpDir("eqcdf")
+    DeltaTable.create(spark, dir, schema, configuration = Map(
+      "delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(df(Seq((1L, "a", 1), (2L, "b", 1), (3L, "a", 2),
+      (4L, "c", 2))).coalesce(1))                              // v1
+    val snap = t.snapshot()
+    val files = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val rootEq = treeRootWith(snap, files)
+    val (vDv, _) = EqualityDeletes.commitAsDeletionVectors(
+      t, rootEq.resolve(snap.tableRoot.toString))
+    val cdf = TableChanges.read(spark, dir, vDv, Some(vDv))
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dels == Set(1L, 3L),
+      s"materialized deletes must flow through CDF, got $dels")
+    assert(cdf.filter(col("_change_type") =!= "delete").count() == 0,
+      "a pure materialization commit emits only deletes")
+  }
+
   test("materialization removes fully-dead files outright") {
     val dir = TestSpark.tmpDir("eqmatgone")
     DeltaTable.create(spark, dir, schema)
