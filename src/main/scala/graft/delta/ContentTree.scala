@@ -771,21 +771,25 @@ object ContentTree {
     // else — pre-hierarchy single-node trees, foreign layouts, loose
     // data rows in the root, a schema change since the previous build —
     // falls back to merging the whole previous tree.
-    val prevRootRows = spark.read.parquet(prev.resolve(tableRootStr))
-      .collect().toSeq
+    val prevRootDf = spark.read.parquet(prev.resolve(tableRootStr))
+    val prevRootRows = prevRootDf.collect().toSeq
     val manifestRows = prevRootRows.filter { r =>
       val ct = r.getAs[Int]("contentType")
       ct == DataContentType.DataManifest ||
         ct == DataContentType.DeleteManifest
     }
     val statsSchema0 = contentStatsSchema(snap.dataSchema)
-    // the layout this writer produces: a root of pure manifest rows.
-    // Leaf dirs may live under SEVERAL tree directories — a chained
-    // updateRoot carries earlier trees' leaves by reference, and those
-    // references must keep flowing (a single-parent rule would degrade
-    // every second update to a full rewrite).
+    // the layout this writer produces: a manifest-led root. Loose
+    // non-manifest rows (an appendDeleteEntries delete commit, data
+    // entries legally riding in the root per mod.rs:54-56) are fine —
+    // they union into the merge below; requiring a PURE manifest root
+    // here degraded every post-delete-commit update to a full tree
+    // rewrite, the exact cost the hierarchy exists to avoid. Leaf dirs
+    // may live under SEVERAL tree directories — a chained updateRoot
+    // carries earlier trees' leaves by reference, and those references
+    // must keep flowing (a single-parent rule would degrade every
+    // second update to a full rewrite).
     val reusableLayout = manifestRows.nonEmpty &&
-      manifestRows.size == prevRootRows.size &&
       prevRootRows.headOption.exists(r =>
         r.schema.fieldNames.toSet == entrySchema.fieldNames.toSet)
 
@@ -837,7 +841,12 @@ object ContentTree {
           val pe =
             if (affected.isEmpty) leavesDF.filter(lit(false))
             else leavesDF.filter(col("__leafDir").isin(affected.toSeq: _*))
-          Some((pe.drop("__leafDir"), carried))
+          // loose non-manifest rows ride the merge with the affected
+          // leaves (missing columns — content_stats — fill with null)
+          val loose = prevRootDf.filter(!col("contentType").isin(
+            DataContentType.DataManifest, DataContentType.DeleteManifest))
+          Some((pe.drop("__leafDir")
+            .unionByName(loose, allowMissingColumns = true), carried))
         }
       }
 
@@ -974,10 +983,21 @@ object ContentTree {
     // the merge below keeps the PREVIOUS fileSequenceNumber, so DV
     // swaps don't re-sequence.) Same contract as Iceberg's
     // RewriteDataFiles: apply/convert the deletes, then compact.
-    if (!deleteContent.isEmpty) {
-      val moved = winner.filter(col("isAdd") === 1 &&
-        col("add.dataChange") === false).limit(1).count()
-      require(moved == 0,
+    // Probe order matters twice over: `moved` is a cheap scan of the
+    // persisted diff, so the common no-rewrite update pays no probe at
+    // all — and when a rewrite IS present, the pending-delete probe
+    // must cover the WHOLE previous tree, not just `deleteContent`'s
+    // affected-leaf slice: a delete entry parked in a carried
+    // (unaffected) leaf is exactly as resurrectable.
+    val moved = winner.filter(col("isAdd") === 1 &&
+      col("add.dataChange") === false).limit(1).count()
+    if (moved > 0) {
+      val pending = readEntriesDF(spark, prev.resolve(tableRootStr),
+        tableRootStr).filter(
+        col("contentType").isin(DataContentType.PositionDeletes,
+          DataContentType.EqualityDeletes) &&
+          col("tracking.status") =!= TrackingStatus.Deleted)
+      require(pending.isEmpty,
         "cannot advance a tree carrying equality/position delete " +
           "entries across a dataChange=false rewrite (OPTIMIZE/REORG): " +
           "rewritten rows would re-sequence past the deletes and " +

@@ -1,6 +1,6 @@
 package graft.delta
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,6 +58,7 @@ object EqualityDeletes {
     */
   def idsToNames(dataSchema: StructType, ids: Seq[Int]): Seq[String] = {
     require(ids.nonEmpty, "equality ids must be non-empty")
+    require(ids.distinct == ids, s"equality ids must be distinct: $ids")
     ids.map { i =>
       require(i >= 0 && i < dataSchema.fields.length,
         s"equality id $i out of range for ${dataSchema.fields.length} fields")
@@ -144,29 +145,47 @@ object EqualityDeletes {
   val SEQ_COL = "__del_seq"
 
   /** Delete-side frame of one equality-id group: ALL the group's
-    * files in ONE scan arm — the sequence is a stored constant column,
-    * so plan width is independent of how many delete commits
-    * accumulated. Files written before the stored-sequence convention
-    * (no [[SEQ_COL]] column) fall back to one arm per distinct
-    * sequence. Duplicate keys collapse to their highest sequence
-    * (sound: the apply rule keeps the widest reach, and a key deleted
-    * at S is still deleted at S' > S).
+    * files in ONE scan arm — plan width is independent of how many
+    * delete commits accumulated. Each row's sequence resolves from the
+    * stored [[SEQ_COL]] constant when its file carries one, falling
+    * back to the registered descriptor's sequence broadcast-joined on
+    * the normalized file path — so foreign delete files (an Iceberg
+    * writer stores no sequence column; descriptors can point at them)
+    * mix freely with graft-written files in one group instead of
+    * reading a NULL sequence that silently never matches. Duplicate
+    * keys collapse to their highest sequence (sound: the apply rule
+    * keeps the widest reach, and a key deleted at S is still deleted
+    * at S' > S).
     */
   private def deleteKeysDF(spark: SparkSession, tableRoot: String,
-      names: Seq[String], files: Seq[EqDeleteFile]): DataFrame = {
+      names: Seq[String], dataSchema: StructType,
+      files: Seq[EqDeleteFile]): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = Storage.fs(rootPath, spark.sessionState.newHadoopConf())
     val paths = files.map(f =>
       tableRoot.stripSuffix("/") + "/" + f.location)
-    val one = spark.read.parquet(paths: _*)
-    val keyed =
-      if (one.schema.fieldNames.contains(SEQ_COL))
-        one.select((names :+ SEQ_COL).map(col): _*)
-      else files.groupBy(_.sequenceNumber).toSeq.sortBy(_._1)
-        .map { case (seq, fs) =>
-          spark.read.parquet(fs.map(f =>
-            tableRoot.stripSuffix("/") + "/" + f.location): _*)
-            .select(names.map(col): _*)
-            .withColumn(SEQ_COL, lit(seq))
-        }.reduce(_.unionByName(_))
+    // descriptor sequence keyed by the same normalized URI path the
+    // scan's `_metadata.file_path` reduces to (O(#delete files) rows)
+    val seqByPath = files.map { f =>
+      fs.makeQualified(Storage.childPath(rootPath, f.location))
+        .toUri.getPath -> f.sequenceNumber
+    }
+    import spark.implicits._
+    val descSeq = broadcast(seqByPath.toDF("__fp", "__dseq"))
+    // explicit METADATA-FREE read schema: columns match by NAME, a
+    // file lacking [[SEQ_COL]] reads it as null, and no parquet
+    // field-id metadata leaks into the read (an id-annotated schema
+    // makes Spark reject foreign files that carry no ids at all)
+    val readSchema = StructType(
+      names.map(n => StructField(n, dataSchema(n).dataType)) :+
+        StructField(SEQ_COL, LongType))
+    val one = spark.read.schema(readSchema).parquet(paths: _*)
+    val keyed = one
+      .withColumn("__fp", Storage.decodeUriPathCol(regexp_replace(
+        col("_metadata.file_path"), Storage.URI_PREFIX_REGEX, "")))
+      .join(descSeq, Seq("__fp"))
+      .select(names.map(col) :+
+        coalesce(col(SEQ_COL), col("__dseq")).as(SEQ_COL): _*)
     keyed.groupBy(names.map(col): _*)
       .agg(max(col(SEQ_COL)).as(SEQ_COL))
   }
@@ -191,7 +210,7 @@ object EqualityDeletes {
     }
     groups.map { case (ids, files) =>
       val names = idsToNames(dataSchema, ids)
-      val del0 = deleteKeysDF(spark, tableRoot, names, files)
+      val del0 = deleteKeysDF(spark, tableRoot, names, dataSchema, files)
       val del = if (files.map(_.sizeInBytes).sum <= BROADCAST_MAX_BYTES)
         broadcast(del0) else del0
       (names, del)

@@ -14,19 +14,23 @@ import graft.delta.{AdaptiveMetadata, ContentTree, DeltaTable,
   * deletes into DVs out-of-band.
   *
   * Ordering contract (the Iceberg sequence rule does the work): the
-  * batch's upserts append FIRST at version V, the batch's deletes
-  * write at sequence V and so reach only data with sequence < V —
-  * within one batch an upsert of a deleted key WINS, across batches a
-  * later upsert resurrects the key and a later delete kills it. No
-  * per-row timestamps, no window functions, no state store: the tree
-  * root + the table version ARE the state.
+  * batch's deletes write at the sequence its appends WILL land at
+  * (`snap.version + 1`), so they reach every row committed so far —
+  * including the immediately preceding batch's, which a PURE-DELETE
+  * batch stamped with the stale `snap.version` could never kill under
+  * the strict `<` rule — while the batch's own upserts land AT that
+  * sequence and stay spared: within one batch an upsert of a deleted
+  * key WINS, across batches a later upsert resurrects the key and a
+  * later delete kills it. No per-row timestamps, no window functions,
+  * no state store: the tree root + the table version ARE the state.
   *
-  * Exactly-once: the append rides a SetTransaction marker
-  * (appId/batchId), so a foreachBatch replay after a sink failure
-  * no-ops the data commit; the tree advance re-derives from the
-  * committed table version (updateRoot at an unchanged version is a
-  * no-op) and re-appending the same delete batch is idempotent at
-  * READ time (duplicate keys collapse to max sequence before the
+  * Exactly-once: the delete arm runs BEFORE the marker-carrying
+  * append, so a SetTransaction marker at-or-past the batch id proves
+  * the WHOLE batch landed — a foreachBatch replay just re-advances
+  * the tree and returns. A replayed PURE-DELETE batch carries no
+  * marker; it recomputes the same sequence (the table version did not
+  * move) and re-writing the same delete keys is idempotent at READ
+  * time (duplicate keys collapse to max sequence before the
   * anti-join).
   */
 object CdcIngest {
@@ -43,6 +47,12 @@ object CdcIngest {
       batch: DataFrame, keyIds: Seq[Int], appId: String,
       batchId: Long): AdaptiveMetadata.ContentRoot = {
     val snap0 = t.snapshot()
+    // replay gate: the delete arm runs BEFORE the marker-carrying
+    // append, so a marker at-or-past this batch id proves every arm
+    // of the batch landed — just bring the tree current and return
+    if (snap0.setTransactions.exists(tx =>
+        tx.appId == appId && tx.version >= batchId))
+      return ContentTree.updateRoot(snap0, root)
     val dataCols = snap0.schema.fieldNames.toSeq
     val ins = batch.filter(col(OP_COL) === UPSERT)
       .select(dataCols.map(col): _*)
@@ -53,17 +63,22 @@ object CdcIngest {
     // older version of the key dies without a lookup or a rewrite
     val dels = batch.filter(col(OP_COL).isin(DELETE, UPSERT))
       .select(keyNames.map(col): _*)
-
-    if (!ins.isEmpty)
-      t.append(ins, txn = Some(SetTransaction(appId, batchId,
-        Some(System.currentTimeMillis()))))
-    val snap = t.snapshot()
+    // the batch's sequence = where its appends land. Stamping the
+    // PRE-append version here would strand a pure-delete batch: under
+    // the strict < rule its deletes could never reach rows the
+    // immediately preceding batch appended at that same sequence.
+    val seq = snap0.version + 1
     // carries prior delete entries through; same-version => no-op
-    val advanced = ContentTree.updateRoot(snap, root)
-    val files = EqualityDeletes.writeDeleteFiles(snap, dels, keyIds,
-      sequenceNumber = snap.version)
-    if (files.isEmpty) advanced
-    else EqualityDeletes.appendDeleteEntries(snap, advanced, files)
+    val advanced = ContentTree.updateRoot(snap0, root)
+    val files = EqualityDeletes.writeDeleteFiles(snap0, dels, keyIds,
+      sequenceNumber = seq)
+    val withDels =
+      if (files.isEmpty) advanced
+      else EqualityDeletes.appendDeleteEntries(snap0, advanced, files)
+    if (ins.isEmpty) return withDels
+    t.append(ins, txn = Some(SetTransaction(appId, batchId,
+      Some(System.currentTimeMillis()))))
+    ContentTree.updateRoot(t.snapshot(), withDels)
   }
 
   /** Current table state under the CDC contract: the tree-planned

@@ -219,6 +219,40 @@ class EqualityDeletesSpec extends AnyFunSuite {
       s.take(1200))
   }
 
+  test("foreign delete files (no stored sequence column) mix with " +
+      "graft-written ones in one id group; the descriptor sequence " +
+      "applies and the plan stays two scan arms") {
+    val (_, snap) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 1))),   // data sequence 1
+      df(Seq((3L, "c", 2), (4L, "d", 2))))) // data sequence 2
+    // graft-written delete (stores __del_seq) at sequence 3
+    val f1 = EqualityDeletes.writeDeleteFiles(snap,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 3L)
+    // FOREIGN delete file, as an Iceberg writer would produce it: the
+    // key column only, no stored sequence — the descriptor carries it
+    val rel = "_delta_log/_amt/foreign-del"
+    val abs = snap.tableRoot.toString.stripSuffix("/") + "/" + rel
+    Seq("b", "c").toDF("k").coalesce(1).write.parquet(abs)
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val part = Storage.listFilesRecursive(fs,
+      new org.apache.hadoop.fs.Path(abs))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val f2 = EqualityDeletes.EqDeleteFile(
+      rel + "/" + part.getPath.getName, Seq(1), sequenceNumber = 2L,
+      recordCount = 2L, sizeInBytes = part.getLen)
+    val applied = EqualityDeletes.readApplying(snap,
+      treeWith(snap, f1 :+ f2))
+    // 'a' (seq 1) dropped by the graft delete (1 < 3); 'b' (seq 1)
+    // dropped by the FOREIGN delete (1 < 2); 'c' (seq 2) SURVIVES —
+    // its file is not strictly below the foreign delete's sequence 2
+    assert(applied.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+    // mixing did not widen the plan: one data arm + one delete arm
+    val s = applied.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(s).size == 2, s.take(1500))
+  }
+
   test("appendDeleteEntries: chained O(root) delete commits reuse " +
       "every leaf by reference; conversion folds the loose entries") {
     val (_, snap) = build(Seq(
@@ -259,6 +293,45 @@ class EqualityDeletesSpec extends AnyFunSuite {
       .assemble(adds, keepMeta = false)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(plain == Set(3L))
+  }
+
+  test("loose delete entries do not break manifest reuse: updateRoot " +
+      "across an append carries unaffected leaves by reference and " +
+      "folds the loose deletes into the new generation") {
+    val (t, snap1) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)))))
+    val root0 = ContentTree.writeRoot(snap1, 2)
+    def leafLocs(root: AdaptiveMetadata.ContentRoot): Set[String] =
+      spark.read.parquet(root.resolve(snap1.tableRoot.toString))
+        .filter(col("contentType") ===
+          ContentTree.DataContentType.DataManifest)
+        .select("location").collect().map(_.getString(0)).toSet
+    val leaves0 = leafLocs(root0)
+    assert(leaves0.nonEmpty)
+    val f = EqualityDeletes.writeDeleteFiles(snap1,
+      Seq("a").toDF("k"), Seq(1), sequenceNumber = 2L)
+    val root1 = EqualityDeletes.appendDeleteEntries(snap1, root0, f)
+    // a plain append touches no existing leaf: every original leaf
+    // must carry into the new root BY REFERENCE (a loose delete row
+    // previously disqualified the whole layout and forced a full
+    // rewrite), with the loose deletes folded into the new generation
+    t.append(df(Seq((4L, "d", 2))).coalesce(1))
+    val snap2 = t.snapshot()
+    val root2 = ContentTree.updateRoot(snap2, root1, 2)
+    assert(leaves0.subsetOf(leafLocs(root2)),
+      "unaffected leaves must be carried by reference, not rewritten")
+    // the folded deletes still apply; the new row is visible
+    assert(readIds(snap2,
+      root2.resolve(snap2.tableRoot.toString)) == Set(2L, 3L, 4L))
+    // and pending deletes now parked INSIDE a carried leaf still trip
+    // the compaction guard (the probe covers the whole tree, not just
+    // the affected slice)
+    t.optimizeCompact()
+    val snap3 = t.snapshot()
+    val e = intercept[IllegalArgumentException] {
+      ContentTree.updateRoot(snap3, root2, 2)
+    }
+    assert(e.getMessage.contains("dataChange=false"))
   }
 
   test("plan width is independent of the delete-commit count: many " +

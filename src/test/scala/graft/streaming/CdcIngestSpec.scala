@@ -100,5 +100,19 @@ class CdcIngestSpec extends AnyFunSuite {
     mem.addData(("delete", 1L, "", 0))
     drain()
     assert(state() == Map(2L -> ("b", 20), 3L -> ("c", 3)))
+
+    // PURE-DELETE batch targeting the key the IMMEDIATELY preceding
+    // batch appended: the delete must be stamped at the sequence the
+    // batch's appends would land at (version + 1) — stamping the
+    // stale pre-append version would spare the newest rows under the
+    // strict < rule and silently miss this delete
+    mem.addData(("upsert", 4L, "d", 4))
+    drain()
+    assert(state() == Map(2L -> ("b", 20), 3L -> ("c", 3),
+      4L -> ("d", 4)))
+    mem.addData(("delete", 4L, "", 0))
+    drain()
+    assert(state() == Map(2L -> ("b", 20), 3L -> ("c", 3)),
+      "a pure-delete batch must reach the previous batch's rows")
   }
 }
