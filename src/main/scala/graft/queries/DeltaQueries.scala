@@ -1174,6 +1174,52 @@ object DeltaQueries {
         root2.resolve(snap.tableRoot.toString)))
     }),
 
+    // STREAMING CDC ingest end to end under the oracle (merge-on-read
+    // equality deletes; the foreachBatch twin CdcIngestSpec drives
+    // through a real MemoryStream): four upsert/delete batches land as
+    // marker-gated appends plus O(root) loose delete commits — batch 1
+    // REPLACES and DELETES keys, batch 3 is a PURE-DELETE batch whose
+    // version+1 sequencing must reach rows the immediately preceding
+    // batch appended, and a replayed batch id must no-op on the
+    // SetTransaction gate. The final state reads through the tree's
+    // applying read; unaffected leaves carry by reference throughout.
+    "q_cdc_ingest" -> ((s, d) => {
+      val dir = tmp("cdci")
+      val src = li(s, d).select(liCols.map(col): _*)
+        .filter(col("l_quantity") < 8)
+      DeltaTable.create(s, dir, src.schema)
+      val t = DeltaTable.forPath(s, dir)
+      var root = graft.delta.ContentTree.writeRoot(t.snapshot(), 4)
+      // CDC key = (l_orderkey, l_linenumber, l_partkey): the synthetic
+      // corpus has duplicate (orderkey, linenumber) pairs — the triple
+      // is unique at sf0.01 and sf0.1, so replace semantics are exact
+      def step(b: DataFrame, id: Long): Unit =
+        root = graft.streaming.CdcIngest.processBatch(t, root, b,
+          Seq(0, 3, 1), appId = "cdc-oracle", batchId = id)
+      val up = lit(graft.streaming.CdcIngest.UPSERT)
+      val dl = lit(graft.streaming.CdcIngest.DELETE)
+      // batch 0: initial load (l_quantity < 5)
+      step(src.filter(col("l_quantity") < 5).withColumn("_op", up), 0L)
+      // batch 1: REPLACE the %3 keys (tax zeroed) + DELETE the
+      // %5-not-%3 keys, one mixed batch
+      step(src.filter(col("l_quantity") < 5 &&
+          col("l_orderkey") % 3 === 0)
+        .withColumn("l_tax", lit(0.0)).withColumn("_op", up)
+        .unionByName(src.filter(col("l_quantity") < 5 &&
+            col("l_orderkey") % 5 === 0 && col("l_orderkey") % 3 =!= 0)
+          .withColumn("_op", dl)), 1L)
+      // batch 2: a fresh key range (l_quantity in [5, 8))
+      step(src.filter(col("l_quantity") >= 5).withColumn("_op", up), 2L)
+      // batch 3: PURE-DELETE batch — its deletes must reach the rows
+      // batch 2 just appended (the version+1 sequencing rule)
+      step(src.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("_op", dl), 3L)
+      // replay of an already-committed batch id: the marker gate must
+      // leave the state untouched
+      step(src.filter(col("l_quantity") >= 5).withColumn("_op", up), 2L)
+      ordered(graft.streaming.CdcIngest.currentState(t, root))
+    }),
+
     // CDF read with FILE-LEVEL predicate pushdown (reference
     // table_changes/scan.rs with_predicate): the table partitions by
     // l_returnflag, so insert files of the other flags are provably
@@ -1984,6 +2030,25 @@ object DeltaQueries {
     "q_tree_eq_materialize" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_quantity < 7 AND l_orderkey % 4 <> 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // final CDC state: the q<5 load with %3 keys replaced (tax 0) and
+    // %5-not-%3 keys deleted, plus the q in [5,8) batch, minus the %7
+    // keys the PURE-DELETE batch removed across ALL of it — the
+    // replayed batch id contributes nothing
+    "q_cdc_ingest" ->
+      s"""WITH src AS (SELECT $cols FROM lineitem WHERE l_quantity < 8),
+         |base AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |         l_quantity, l_extendedprice, l_discount,
+         |         CASE WHEN l_orderkey % 3 = 0 THEN 0.0 ELSE l_tax END
+         |           AS l_tax,
+         |         l_returnflag, l_linestatus, l_shipdate
+         |  FROM src WHERE l_quantity < 5
+         |    AND NOT (l_orderkey % 5 = 0 AND l_orderkey % 3 <> 0)
+         |  UNION ALL
+         |  SELECT * FROM src WHERE l_quantity >= 5)
+         |SELECT * FROM base WHERE l_orderkey % 7 <> 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // commit 1 (seq 2, keys %5) reaches only the seq-1 slice
