@@ -65,7 +65,7 @@ object SinkProbe {
       val dir = java.nio.file.Files.createTempDirectory("sinkprobe").toString
       val src = Tables.load(s, d, "lineitem").filter(col("l_quantity") < 12)
         .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag")
+          "l_extendedprice", "l_returnflag").persist()
       step("create") {
         DeltaTable.create(s, dir, src.schema, Nil,
           Map("delta.columnMapping.mode" -> "name",
@@ -76,6 +76,7 @@ object SinkProbe {
       val t = DeltaTable.forPath(s, dir)
       step("append1") { t.append(src.filter(col("l_quantity") < 6)) }
       step("append2") { t.append(src.filter(col("l_quantity") >= 6)) }
+      src.unpersist()
       step("deleteDV") {
         t.deleteWhereDV("l_returnflag = 'A' AND l_quantity < 3") }
       step("update") { t.updateWhere("l_quantity >= 10",
@@ -84,7 +85,7 @@ object SinkProbe {
       step("optimize") { t.optimizeClustered() }
       step("checkpoint") { t.checkpoint() }
       step("delete") { t.deleteWhere("l_quantity >= 11") }
-      step("cdf14") { TableChanges.read(s, dir, 1, Some(4)).count() }
+      step("cdf14") { TableChanges.read(s, dir, 1, Some(4)).isEmpty }
       step("cdfFail") {
         scala.util.Try(TableChanges.read(s, dir, 1, None).count()) }
       val fresh = DeltaTable.forPath(s, dir)

@@ -80,8 +80,11 @@ object Workloads {
         new String(Files.readAllBytes(specFile), "UTF-8"))
       val version =
         if (spec.has("version")) Some(spec.get("version").asLong) else None
+      // expected-ERROR cases (reference models.rs ExpectedError): the
+      // operation must FAIL — a successful run is the regression
+      val errExpected = Option(spec.get("error")).filterNot(_.isNull)
       val t0 = System.nanoTime()
-      spec.get("type").asText match {
+      def execute(): Unit = spec.get("type").asText match {
         case "snapshotConstruction" | "snapshot" =>
           val snap = Snapshot.forTable(spark, location, version)
           require(snap.metadata.schemaString.nonEmpty, "no metadata")
@@ -93,13 +96,41 @@ object Workloads {
             .filterNot(_.isNull).map(_.asText)
           val files = new DeltaScan(snap, pred).collectAddFiles(slim = true)
           val expected = Option(spec.get("expected")).filterNot(_.isNull)
-          expected.flatMap(e => Option(e.get("fileCount"))
-            .filterNot(_.isNull)).foreach { fc =>
+          def exp(k: String) = expected
+            .flatMap(e => Option(e.get(k)).filterNot(_.isNull))
+          exp("fileCount").foreach { fc =>
             require(files.size.toLong == fc.asLong,
               s"$specFile: planned ${files.size} files, want ${fc.asLong}")
           }
+          // filesSkipped (ReadExpectedSuccess.files_skipped): planned
+          // vs the UNPRUNED live file count — proves the prune prunes
+          exp("filesSkipped").foreach { fs =>
+            val total = new DeltaScan(snap, None)
+              .collectAddFiles(slim = true).size
+            require(total - files.size.toLong == fs.asLong,
+              s"$specFile: skipped ${total - files.size} files, " +
+                s"want ${fs.asLong}")
+          }
+          // rowCount (ReadExpectedSuccess.row_count): for the log-only
+          // bench tables this is the metadata-derived numRecords sum
+          // over the planned files
+          exp("rowCount").foreach { rc =>
+            val n = new DeltaScan(snap, pred).collectAddFiles()
+              .flatMap(_.stats)
+              .map(s => JsonLog.parseLine(s).get("numRecords").asLong)
+              .sum
+            require(n == rc.asLong,
+              s"$specFile: planned rows $n, want ${rc.asLong}")
+          }
         case other =>
           throw new IllegalArgumentException(s"unknown spec type $other")
+      }
+      errExpected match {
+        case Some(_) =>
+          val r = scala.util.Try(execute())
+          require(r.isFailure,
+            s"$specFile: expected an error but the operation succeeded")
+        case None => execute()
       }
       (System.nanoTime() - t0) / 1e9
     } catch {

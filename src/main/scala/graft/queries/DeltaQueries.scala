@@ -443,17 +443,21 @@ object DeltaQueries {
     // they compose, which is where real tables live.
     "q_delta_kitchen_sink" -> ((s, d) => {
       val dir = tmp("sink")
+      // cached across the two disjoint-slice appends: one corpus pass,
+      // not two (the appends execute eagerly inside the builder)
       val src = li(s, d).filter(col("l_quantity") < 12)
         .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag")
+          "l_extendedprice", "l_returnflag").persist()
       DeltaTable.create(s, dir, src.schema, Nil,
         Map("delta.columnMapping.mode" -> "name",
           TableChanges.CDF_ENABLED_KEY -> "true",
           RowTracking.ENABLED_KEY -> "true"),
         clusterBy = Seq("l_orderkey"))
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 6))                  // v1
-      t.append(src.filter(col("l_quantity") >= 6))                 // v2
+      try {
+        t.append(src.filter(col("l_quantity") < 6))                // v1
+        t.append(src.filter(col("l_quantity") >= 6))               // v2
+      } finally src.unpersist()
       t.deleteWhereDV("l_returnflag = 'A' AND l_quantity < 3")     // v3
       t.updateWhere("l_quantity >= 10",
         Map("l_extendedprice" -> "l_extendedprice + 1.0"))         // v4
@@ -464,7 +468,7 @@ object DeltaQueries {
       // CDF reads the pre-rename range (append + DV delete + update);
       // a range crossing the rename correctly throws the reference's
       // incompatible-schema-change error (asserted in DeltaTableSpec)
-      require(TableChanges.read(s, dir, 1, Some(4)).count() > 0,
+      require(!TableChanges.read(s, dir, 1, Some(4)).isEmpty,
         "CDF read over appends + DV delete + update returned nothing")
       val crossRename = scala.util.Try(
         TableChanges.read(s, dir, 1, None).count())
