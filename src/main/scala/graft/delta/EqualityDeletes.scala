@@ -445,12 +445,76 @@ object EqualityDeletes {
       Map("mode" -> "equality-delete-materialization",
         "deleteFiles" -> deletes.size.toString),
       readPredicate = None)
-    // advance the CLEANED tree across the DV-swap commit: Modified
-    // entries keep their original file sequence, so later equality
-    // deletes keep composing correctly
-    val cleanRoot = ContentTree.writeTree(snap, cleaned,
-      ContentTree.DEFAULT_LEAF_FANOUT)
-    (committed, ContentTree.updateRoot(t.snapshot(), cleanRoot))
+    // Advance the CLEANED tree across the DV-swap commit in ONE tree
+    // write: the commit's effect on the tree is fully known right here
+    // (gone files → Deleted tombstones at the committed version,
+    // partially-matched files → Modified with the merged DV and the
+    // delta bitmap, ORIGINAL file sequences preserved so later
+    // equality deletes keep composing; everything else carries
+    // verbatim) — deriving it directly skips the interim cleaned-tree
+    // write plus updateRoot's log-diff replay and bitmap re-reads.
+    val conf = spark.sessionState.newHadoopConf()
+    val byPathTree: Map[String, AddFile] = withSeq.map { case (a, _) =>
+      fs.makeQualified(
+        Storage.childPath(snap.tableRoot, Storage.decodeUriPath(a.path)))
+        .toUri.getPath -> a
+    }.toMap
+    // merged DVs for the surviving swapped files, persisted tree-side
+    // (tree metadata cannot reference the inline descriptors the log
+    // commit may have routed small bitmaps into)
+    val mergedTree: Seq[(String, Array[Byte], Long)] =
+      partial.map { case (p, newBits, n, _) =>
+        val a = byPathTree(p)
+        a.deletionVector match {
+          case Some(old) =>
+            (a.path, DeletionVectors.orBitmaps(
+              DeletionVectors.readBitmapBytes(old, snap.tableRoot, conf),
+              newBits), old.cardinality + n)
+          case None => (a.path, newBits, n)
+        }
+      }
+    val treeDescs =
+      if (mergedTree.isEmpty) Map.empty[String, DeletionVectorDescriptor]
+      else DeletionVectors.writeBitmaps(mergedTree, snap.tableRoot,
+        conf, prefix = "_delta_log/_amt")
+    val updates = partial.map { case (p, newBits, _, _) =>
+      val a = byPathTree(p)
+      val info = ContentTree.extractDeletionVectorContent(
+        treeDescs(a.path))
+      (a.path, info.location, info.offset, info.sizeInBytes,
+        info.cardinality, newBits, false)
+    } ++ gone.map { case (p, _, _, _) =>
+      (byPathTree(p).path, null: String, 0L, 0L, 0L,
+        null: Array[Byte], true)
+    }
+    import spark.implicits._
+    val updDf = broadcast(updates.toDF("__loc", "__dvloc", "__dvoff",
+      "__dvsz", "__dvcard", "__newbits", "__gone"))
+    import ContentTree.TrackingStatus
+    val hit = col("__loc").isNotNull
+    val isGone = hit && col("__gone")
+    val isMod = hit && !col("__gone")
+    val newEntries = cleaned
+      .join(updDf, col("location") === col("__loc"), "left")
+      .withColumn("deletionVector", when(isMod, struct(
+        col("__dvloc").as("location"),
+        col("__dvoff").as("offset"),
+        col("__dvsz").as("sizeInBytes"),
+        col("__dvcard").as("cardinality")))
+        .otherwise(col("deletionVector")))
+      .withColumn("tracking",
+        when(isGone, col("tracking")
+          .withField("status", lit(TrackingStatus.Deleted))
+          .withField("snapshotId", lit(committed)))
+        .when(isMod, col("tracking")
+          .withField("status", lit(TrackingStatus.Modified))
+          .withField("dvSnapshotId", lit(committed))
+          .withField("deletedPositions", col("__newbits")))
+        .otherwise(col("tracking")))
+      .drop("__loc", "__dvloc", "__dvoff", "__dvsz", "__dvcard",
+        "__newbits", "__gone")
+    (committed, ContentTree.writeTree(t.snapshot(), newEntries,
+      ContentTree.DEFAULT_LEAF_FANOUT))
   }
 
   /** O(root)-cost incremental delete commit: append delete entries to
