@@ -706,6 +706,84 @@ object ContentTree {
     rows.map(entryToAdd(_, tableRootUriPath))
   }
 
+  /** O(root) loose-entry append (mod.rs:53-56 — roots legally mix
+    * manifest references and direct entries): rewrite ONLY the root
+    * node with `extra` rows unioned in; manifest references and prior
+    * loose rows carry verbatim, every leaf is reused by reference.
+    * The returned root is stamped `version`. Root rows carry no
+    * `content_stats` — a stats-less loose entry reads correctly and
+    * pruning degrades to keep-all for it until the next
+    * writeTree/updateRoot folds it into a stats-carrying leaf.
+    */
+  def appendLooseEntries(snap: Snapshot,
+      prev: AdaptiveMetadata.ContentRoot, extra: Seq[Row],
+      version: Long): AdaptiveMetadata.ContentRoot = {
+    require(extra.nonEmpty, "no entries to append")
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    // tolerant select: fields a foreign/older root lacks fill null
+    val prevDf = spark.read.parquet(prev.resolve(tableRoot))
+    val prevRows = prevDf.select(
+      entrySchema.fields.toSeq.map { f =>
+        if (prevDf.schema.fieldNames.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*).collect().toSeq
+    val relTree = s"_delta_log/_amt/tree-$version-" +
+      java.util.UUID.randomUUID()
+    val absRoot = tableRoot.stripSuffix("/") + "/" + relTree + "/root"
+    spark.createDataFrame((prevRows ++ extra).asJava, entrySchema)
+      .coalesce(1).write.parquet(absRoot)
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val rootBytes = Storage.listFilesRecursive(fs,
+      new org.apache.hadoop.fs.Path(absRoot)).map(_.getLen).sum
+    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, version)
+  }
+
+  /** O(root) tree advance across one APPEND commit: the commit file
+    * parses on the DRIVER (one small JSON — the same envelope the
+    * small-log snapshot fast path pays) and its adds become loose data
+    * root rows via [[appendLooseEntries]] — two tiny jobs instead of
+    * updateRoot's diff-replay + leaf merge, the CDC-ingest upsert
+    * arm's steady-state cost. Refuses non-append commits (removes
+    * need the full [[updateRoot]] merge).
+    */
+  def appendCommitLoose(snap: Snapshot,
+      prev: AdaptiveMetadata.ContentRoot,
+      version: Long): AdaptiveMetadata.ContentRoot = {
+    require(version == prev.version + 1,
+      s"appendCommitLoose advances one commit (${prev.version} -> " +
+        s"$version)")
+    val spark = snap.spark
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val commit = FileNames.commitFile(
+      FileNames.logDir(snap.tableRoot), version)
+    val adds = Storage.readLines(fs, commit).flatMap { line =>
+      if (line.isEmpty) None
+      else {
+        val n = JsonLog.parseLine(line)
+        require(Option(n.get("remove")).forall(_.isNull),
+          s"commit $version carries removes — use updateRoot")
+        Option(n.get("add")).filterNot(_.isNull).map(RowCodec.jsonToAdd)
+      }
+    }
+    if (adds.isEmpty) return prev.copy(version = version)
+    val addRows: Seq[Row] = adds.map(a =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](RowCodec.addToRow(a), version),
+        StructType(Seq(StructField("add", LogSchema.add),
+          StructField("version", LongType)))): Row)
+    val addsDf = spark.createDataFrame(addRows.asJava,
+      StructType(Seq(StructField("add", LogSchema.add),
+        StructField("version", LongType))))
+    val rows = entriesFromAdds(persistInlineDvs(snap, addsDf),
+      snap.dataSchema)
+      .select(entrySchema.fieldNames.toSeq.map(col): _*)
+      .collect().toSeq
+    appendLooseEntries(snap, prev, rows, version)
+  }
+
   /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
     * advance a tree from `prev.version` to `snap.version` by applying
     * the commit-range file diff to the previous tree instead of
@@ -727,8 +805,15 @@ object ContentTree {
     */
   def updateRoot(snap: Snapshot,
       prev: AdaptiveMetadata.ContentRoot): AdaptiveMetadata.ContentRoot =
-    updateRoot(snap, prev, DEFAULT_LEAF_FANOUT)
+    updateRoot(snap, prev, 0)
 
+  /** `numLeaves` = 0 (the no-argument overload) inherits the previous
+    * tree's scale: the rewritten/new entries spread over
+    * `min(DEFAULT_LEAF_FANOUT, #prev manifests)` fresh leaves. A
+    * maintenance step on a 4-leaf tree then costs a 4-way write, not a
+    * 16-way shuffle of a handful of rows — the CDC-ingest steady state
+    * — while a DEFAULT-fanout tree keeps its fanout.
+    */
   def updateRoot(snap: Snapshot, prev: AdaptiveMetadata.ContentRoot,
       numLeaves: Int): AdaptiveMetadata.ContentRoot = {
     val spark = snap.spark
@@ -792,6 +877,12 @@ object ContentTree {
     val reusableLayout = manifestRows.nonEmpty &&
       prevRootRows.headOption.exists(r =>
         r.schema.fieldNames.toSet == entrySchema.fieldNames.toSet)
+    // 0 = inherit the previous tree's scale (see the overload doc)
+    val effLeaves =
+      if (numLeaves > 0) numLeaves
+      else if (manifestRows.nonEmpty)
+        math.min(DEFAULT_LEAF_FANOUT, manifestRows.size)
+      else DEFAULT_LEAF_FANOUT
 
     def resolveLoc(l: String): String =
       if (AdaptiveMetadata.hasScheme(l) || l.startsWith("/")) l
@@ -1010,7 +1101,7 @@ object ContentTree {
     } :+ lit(null).cast(statsSchema).as(CONTENT_STATS)
     val root = writeTree(snap,
       updated.unionByName(deleteContent.select(deleteCols: _*)),
-      numLeaves, carriedRootRows)
+      effLeaves, carriedRootRows)
     winner.unpersist()
     root
   }

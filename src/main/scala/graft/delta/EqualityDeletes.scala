@@ -531,32 +531,12 @@ object EqualityDeletes {
       prev: AdaptiveMetadata.ContentRoot,
       files: Seq[EqDeleteFile]): AdaptiveMetadata.ContentRoot = {
     require(files.nonEmpty, "no delete files to append")
-    val spark = snap.spark
-    val tableRoot = snap.tableRoot.toString
     // roots are entrySchema-shaped (manifest + loose rows, no stats);
     // a pre-hierarchy single-node tree passing through here drops its
     // content_stats column — reads stay correct, stats pruning just
-    // degrades to keep-all until the next full writeTree. Tolerant
-    // select: fields a foreign/older root lacks fill with null.
-    val prevDf = spark.read.parquet(prev.resolve(tableRoot))
-    val prevRows = prevDf.select(
-      ContentTree.entrySchema.fields.toSeq.map { f =>
-        if (prevDf.schema.fieldNames.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*).collect().toSeq
-    val delRows = deleteEntriesDF(spark, files, None).collect().toSeq
-    val relTree = s"_delta_log/_amt/tree-${prev.version}-" +
-      java.util.UUID.randomUUID()
-    val absRoot = tableRoot.stripSuffix("/") + "/" + relTree + "/root"
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame((prevRows ++ delRows).asJava,
-      ContentTree.entrySchema)
-      .coalesce(1).write.parquet(absRoot)
-    val fs = Storage.fs(snap.tableRoot,
-      spark.sessionState.newHadoopConf())
-    val rootBytes = Storage.listFilesRecursive(fs,
-      new org.apache.hadoop.fs.Path(absRoot)).map(_.getLen).sum
-    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes,
+    // degrades to keep-all until the next full writeTree
+    ContentTree.appendLooseEntries(snap, prev,
+      deleteEntriesDF(snap.spark, files, None).collect().toSeq,
       prev.version)
   }
 

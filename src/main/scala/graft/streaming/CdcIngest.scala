@@ -76,9 +76,12 @@ object CdcIngest {
       if (files.isEmpty) advanced
       else EqualityDeletes.appendDeleteEntries(snap0, advanced, files)
     if (ins.isEmpty) return withDels
-    t.append(ins, txn = Some(SetTransaction(appId, batchId,
+    val v = t.append(ins, txn = Some(SetTransaction(appId, batchId,
       Some(System.currentTimeMillis()))))
-    ContentTree.updateRoot(t.snapshot(), withDels)
+    // advance the tree across the batch's own append as LOOSE root
+    // rows — an O(root) rewrite, like the delete arm, instead of a
+    // full updateRoot merge per batch
+    ContentTree.appendCommitLoose(snap0, withDels, v)
   }
 
   /** Current table state under the CDC contract: the tree-planned
