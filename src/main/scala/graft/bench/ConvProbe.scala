@@ -39,7 +39,7 @@ object ConvProbe {
     val files = EqualityDeletes.writeDeleteFiles(snap, keys, Seq(0,3), snap.version + 1)
     lap("write_delete_files")
     val entries = ContentTree.entriesDF(snap).unionByName(
-      EqualityDeletes.deleteEntriesDF(spark, files, Some(snap.dataSchema)))
+      EqualityDeletes.deleteEntriesDF(spark, files, Some(snap)))
     val root0 = ContentTree.writeTree(snap, entries, 4)
     lap("tree_write_1")
     val newRoot = EqualityDeletes.convertToPositionDeletes(snap, root0.resolve(snap.tableRoot.toString), 4)

@@ -247,10 +247,33 @@ object ContentTree {
     * column's field id (`delta.columnMapping.id` when mapped, ordinal
     * otherwise). Bounds take the column's own type.
     */
-  def contentStatsSchema(dataSchema: StructType): StructType = {
+  def contentStatsSchema(dataSchema: StructType): StructType =
+    contentStatsSchema(dataSchema, None)
+
+  /** [[contentStatsSchema]] honoring the table's stats-column
+    * selection (`delta.dataSkippingStatsColumns` /
+    * `dataSkippingNumIndexedCols`, clustering keys always in): columns
+    * the writer never collects stats for carry no empty stats struct
+    * in every tree entry — on a 100-column table with the default
+    * 32-col cap this shrinks the per-entry stats payload ~3x, the
+    * dominant cost of tree construction.
+    */
+  def contentStatsSchema(snap: Snapshot): StructType =
+    contentStatsSchema(snap.dataSchema,
+      ParquetFooterStats.selection(snap,
+        Clustering.columns(snap).flatMap(c =>
+          snap.schema.fields.find(_.name == c)
+            .map(ColumnMapping.physicalName)).toSet))
+
+  /** Core: `keep` = physical top-level names to include (None = all
+    * eligible columns).
+    */
+  def contentStatsSchema(dataSchema: StructType,
+      keep: Option[Set[String]]): StructType = {
     val phys = ColumnMapping.physicalSchema(dataSchema)
     StructType(phys.fields.zipWithIndex.flatMap { case (f, i) =>
-      if (!DataSkipping.isEligible(f.dataType)) None
+      if (!DataSkipping.isEligible(f.dataType) ||
+          !keep.forall(_.contains(f.name))) None
       else {
         val colId =
           if (f.metadata.contains(ColumnMapping.ID_KEY))
@@ -314,7 +337,8 @@ object ContentTree {
     * never touched.
     */
   def entriesDF(snap: Snapshot): DataFrame =
-    entriesFromAdds(persistInlineDvs(snap, snap.allAdds), snap.dataSchema)
+    entriesFromAdds(persistInlineDvs(snap, snap.allAdds),
+      contentStatsSchema(snap))
 
   /** Tree entries cannot reference inline DVs — dv_conversion.rs
     * rejects them ("they must be persisted first") and leaves the
@@ -376,13 +400,13 @@ object ContentTree {
 
   /** Entry construction over any adds-shaped DataFrame (columns `add`
     * struct + `version`): the shared mapping for full-tree builds and
-    * incremental updates. `dataSchema` drives the `content_stats`
-    * shape; stats JSON keys are physical names on mapped tables, which
-    * is what [[contentStatsSchema]] emits.
+    * incremental updates. `statsSchema` drives the `content_stats`
+    * shape (the snapshot-aware [[contentStatsSchema]] at call sites);
+    * stats JSON keys are physical names on mapped tables, which is
+    * what it emits.
     */
   private[delta] def entriesFromAdds(adds: DataFrame,
-      dataSchema: StructType): DataFrame = {
-    val statsSchema = contentStatsSchema(dataSchema)
+      statsSchema: StructType): DataFrame = {
     val boundsStruct = StructType(statsSchema.fields.map(f =>
       StructField(f.name, f.dataType.asInstanceOf[StructType]
         .apply("lower_bound").dataType)))
@@ -514,7 +538,8 @@ object ContentTree {
       // (updateRoot gets the same for free via its persisted diff)
       val adds = snap.allAdds.persist()
       try writeTree(snap,
-        entriesFromAdds(persistInlineDvs(snap, adds), snap.dataSchema),
+        entriesFromAdds(persistInlineDvs(snap, adds),
+          contentStatsSchema(snap)),
         numLeaves)
       finally adds.unpersist()
     }
@@ -555,7 +580,7 @@ object ContentTree {
     // .to() reconciles rows to the id-carrying schema
     val target = asNullable(
       if (entries.schema.fieldNames.contains(CONTENT_STATS))
-        entrySchemaWithStats(contentStatsSchema(snap.dataSchema))
+        entrySchemaWithStats(contentStatsSchema(snap))
       else entrySchema)
     entries.to(target)
       .withColumn("leafKey",
@@ -778,7 +803,7 @@ object ContentTree {
       StructType(Seq(StructField("add", LogSchema.add),
         StructField("version", LongType))))
     val rows = entriesFromAdds(persistInlineDvs(snap, addsDf),
-      snap.dataSchema)
+      contentStatsSchema(snap))
       .select(entrySchema.fieldNames.toSeq.map(col): _*)
       .collect().toSeq
     appendLooseEntries(snap, prev, rows, version)
@@ -840,7 +865,7 @@ object ContentTree {
       persistInlineDvs(snap,
         winner.filter(col("isAdd") === 1)
           .select(col("add"), col("version"))),
-      snap.dataSchema)
+      contentStatsSchema(snap))
     val removed = winner.filter(col("isAdd") === 0)
       .select(col("loc").as("location"), col("version").as("rmVersion"))
 
@@ -863,7 +888,7 @@ object ContentTree {
       ct == DataContentType.DataManifest ||
         ct == DataContentType.DeleteManifest
     }
-    val statsSchema0 = contentStatsSchema(snap.dataSchema)
+    val statsSchema0 = contentStatsSchema(snap)
     // the layout this writer produces: a manifest-led root. Loose
     // non-manifest rows (an appendDeleteEntries delete commit, data
     // entries legally riding in the root per mod.rs:54-56) are fine —
@@ -953,7 +978,7 @@ object ContentTree {
     def pcol(name: String, dt: DataType) =
       if (prevE.schema.fieldNames.contains(name)) col(s"p.$name")
       else lit(null).cast(dt)
-    val statsSchema = contentStatsSchema(snap.dataSchema)
+    val statsSchema = contentStatsSchema(snap)
     val pStats =
       if (prevE.schema.fieldNames.contains(CONTENT_STATS) &&
           DataType.equalsStructurally(
@@ -1153,8 +1178,14 @@ object ContentTree {
   private[delta] def statsSkipEntries(
       spark: org.apache.spark.sql.SparkSession, live: DataFrame,
       dataSchema: StructType, predicateSql: String): DataFrame = {
-    val statsSchema = contentStatsSchema(dataSchema)
-    val names = statsSchema.fieldNames.toSeq
+    // the skip columns are whatever the TREE actually recorded — its
+    // writer's stats-column selection, which may differ from the
+    // current table properties; recomputing here would getField into
+    // columns the leaf files do not have
+    val names =
+      if (!live.schema.fieldNames.contains(CONTENT_STATS)) Seq.empty
+      else live.schema(CONTENT_STATS).dataType
+        .asInstanceOf[StructType].fieldNames.toSeq
     val eligible: Set[Seq[String]] = names.map(Seq(_)).toSet
     val skips =
       if (!live.schema.fieldNames.contains(CONTENT_STATS)) Nil

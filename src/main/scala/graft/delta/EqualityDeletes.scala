@@ -111,11 +111,13 @@ object EqualityDeletes {
 
   /** Entry rows for delete files, aligned with the tree entry shape
     * ([[ContentTree.entrySchema]] + a null `content_stats` when
-    * `statsSchema` is given so the frame unions with data entries).
-    * Each passes [[ContentTree.validateEntry]].
+    * `forSnap` is given so the frame unions with that snapshot's data
+    * entries — the stats struct honors the table's stats-column
+    * selection, so it must come from the snapshot, not the bare data
+    * schema). Each passes [[ContentTree.validateEntry]].
     */
   def deleteEntriesDF(spark: SparkSession, files: Seq[EqDeleteFile],
-      statsSchema: Option[StructType]): DataFrame = {
+      forSnap: Option[Snapshot]): DataFrame = {
     import ContentTree.{DataContentType, TrackingStatus}
     files.foreach { f =>
       ContentTree.validateEntry(DataContentType.EqualityDeletes,
@@ -131,9 +133,9 @@ object EqualityDeletes {
     }
     import scala.jdk.CollectionConverters._
     val base = spark.createDataFrame(rows.asJava, ContentTree.entrySchema)
-    statsSchema match {
-      case Some(st) => base.withColumn(ContentTree.CONTENT_STATS,
-        lit(null).cast(ContentTree.contentStatsSchema(st))
+    forSnap match {
+      case Some(sn) => base.withColumn(ContentTree.CONTENT_STATS,
+        lit(null).cast(ContentTree.contentStatsSchema(sn))
           .as(ContentTree.CONTENT_STATS))
       case None => base
     }

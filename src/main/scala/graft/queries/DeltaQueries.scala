@@ -1036,7 +1036,7 @@ object DeltaQueries {
         .writeDeleteFiles(snap, keys, Seq(0, 3), sequenceNumber = 2L)
       val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
         graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
-          Some(snap.dataSchema)))
+          Some(snap)))
       val root = graft.delta.ContentTree.writeTree(snap, entries, 4)
       val resolved = root.resolve(snap.tableRoot.toString)
       val nEq = graft.delta.ContentTree
@@ -1074,7 +1074,7 @@ object DeltaQueries {
         keys, Seq(0, 3), sequenceNumber = snap.version + 1)
       val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
         graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
-          Some(snap.dataSchema)))
+          Some(snap)))
       val root0 = graft.delta.ContentTree.writeTree(snap, entries, 4)
       val newRoot = graft.delta.EqualityDeletes.convertToPositionDeletes(
         snap, root0.resolve(snap.tableRoot.toString), 4)
@@ -1121,7 +1121,7 @@ object DeltaQueries {
         keys, Seq(0, 3), sequenceNumber = snap.version + 1)
       val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
         graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
-          Some(snap.dataSchema)))
+          Some(snap)))
       val root0 = graft.delta.ContentTree.writeTree(snap, entries, 4)
       val (vDv, rootClean) = graft.delta.EqualityDeletes
         .commitAsDeletionVectors(t, root0.resolve(snap.tableRoot.toString))

@@ -502,7 +502,8 @@ class ContentTreeSpec extends AnyFunSuite {
         Row("p", "s3://bucket/dv/abs.bin", null, 40, 3L)))
     import scala.jdk.CollectionConverters._
     val adds = spark.createDataFrame(rows.asJava, rowSchema)
-    val e = ContentTree.entriesFromAdds(adds, dataSchema)
+    val e = ContentTree.entriesFromAdds(adds,
+        ContentTree.contentStatsSchema(dataSchema))
       .collect().map(r => r.getAs[String]("location") -> r).toMap
     assert(e.keySet == Set("a dir/part+1.parquet", "nostats.parquet",
       "partial.parquet", "malformed.parquet", "dvabs.parquet"))

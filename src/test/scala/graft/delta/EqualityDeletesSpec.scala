@@ -45,7 +45,7 @@ class EqualityDeletesSpec extends AnyFunSuite {
       files: Seq[EqualityDeletes.EqDeleteFile])
       : AdaptiveMetadata.ContentRoot = {
     val entries = ContentTree.entriesDF(snap).unionByName(
-      EqualityDeletes.deleteEntriesDF(spark, files, Some(snap.dataSchema)))
+      EqualityDeletes.deleteEntriesDF(spark, files, Some(snap)))
     ContentTree.writeTree(snap, entries, 2)
   }
 

@@ -213,7 +213,7 @@ class MetricsSpec extends AnyFunSuite {
         Seq("v5", "v6").toDF("s"), Seq(1), sequenceNumber = 5L)
       val entries = ContentTree.entriesDF(snap).unionByName(
         EqualityDeletes.deleteEntriesDF(spark, f1 ++ f2,
-          Some(snap.dataSchema)))
+          Some(snap)))
       val root = ContentTree.writeTree(snap, entries, 2)
       r.clear()
       val rows = EqualityDeletes.readApplying(snap,
