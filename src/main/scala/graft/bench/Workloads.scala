@@ -94,13 +94,26 @@ object Workloads {
           val snap = Snapshot.forTable(spark, location, version)
           val pred = Option(spec.get("predicate"))
             .filterNot(_.isNull).map(_.asText)
-          val files = new DeltaScan(snap, pred).collectAddFiles(slim = true)
           val expected = Option(spec.get("expected")).filterNot(_.isNull)
           def exp(k: String) = expected
             .flatMap(e => Option(e.get(k)).filterNot(_.isNull))
+          // rowCount needs per-add stats, so that case plans non-slim;
+          // both expectations then read off the SAME plan
+          val files = new DeltaScan(snap, pred)
+            .collectAddFiles(slim = exp("rowCount").isEmpty)
           exp("fileCount").foreach { fc =>
             require(files.size.toLong == fc.asLong,
               s"$specFile: planned ${files.size} files, want ${fc.asLong}")
+          }
+          // rowCount (ReadExpectedSuccess.row_count): for the log-only
+          // bench tables this is the metadata-derived numRecords sum
+          // over the planned files
+          exp("rowCount").foreach { rc =>
+            val n = files.flatMap(_.stats)
+              .map(s => JsonLog.parseLine(s).get("numRecords").asLong)
+              .sum
+            require(n == rc.asLong,
+              s"$specFile: planned rows $n, want ${rc.asLong}")
           }
           // filesSkipped (ReadExpectedSuccess.files_skipped): planned
           // vs the UNPRUNED live file count — proves the prune prunes
@@ -110,17 +123,6 @@ object Workloads {
             require(total - files.size.toLong == fs.asLong,
               s"$specFile: skipped ${total - files.size} files, " +
                 s"want ${fs.asLong}")
-          }
-          // rowCount (ReadExpectedSuccess.row_count): for the log-only
-          // bench tables this is the metadata-derived numRecords sum
-          // over the planned files
-          exp("rowCount").foreach { rc =>
-            val n = new DeltaScan(snap, pred).collectAddFiles()
-              .flatMap(_.stats)
-              .map(s => JsonLog.parseLine(s).get("numRecords").asLong)
-              .sum
-            require(n == rc.asLong,
-              s"$specFile: planned rows $n, want ${rc.asLong}")
           }
         case other =>
           throw new IllegalArgumentException(s"unknown spec type $other")
