@@ -340,6 +340,12 @@ object MetadataBench {
       spark.sessionState.newHadoopConf())
     val prevV = NUM_COMMITS_5M - 2L
     val marker = new Path(tableDir5m, "_delta_log/_amt/_tree_base.json")
+    // the cached base must have been built with the CURRENT stats
+    // schema — a selection/schema change would otherwise degrade every
+    // sweep's update to a stats-migration merge (or fail the prune pin)
+    val statsFp = graft.delta.ContentTree.contentStatsSchema(
+      Snapshot.forTable(spark, tableDir5m, Some(prevV)))
+      .fieldNames.mkString(",")
     val cached: Option[graft.delta.AdaptiveMetadata.ContentRoot] =
       if (!fs.exists(marker)) None
       else {
@@ -350,7 +356,8 @@ object MetadataBench {
         val r = graft.delta.AdaptiveMetadata.ContentRoot(
           n.get("path").asText, n.get("sizeInBytes").asLong,
           n.get("version").asLong)
-        if (r.version == prevV &&
+        val fp = Option(n.get("statsFp")).map(_.asText).getOrElse("")
+        if (r.version == prevV && fp == statsFp &&
             fs.exists(new Path(r.resolve(tableDir5m)))) Some(r)
         else None
       }
@@ -361,7 +368,9 @@ object MetadataBench {
       try out.write(
         (s"""{"path":"${graft.delta.JsonLog.esc(r.path)}",""" +
           s""""sizeInBytes":${r.sizeInBytes},""" +
-          s""""version":${r.version}}""").getBytes("UTF-8"))
+          s""""version":${r.version},""" +
+          s""""statsFp":"${graft.delta.JsonLog.esc(statsFp)}"}""")
+          .getBytes("UTF-8"))
       finally out.close()
       r
     }

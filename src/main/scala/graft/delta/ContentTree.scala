@@ -979,13 +979,28 @@ object ContentTree {
       if (prevE.schema.fieldNames.contains(name)) col(s"p.$name")
       else lit(null).cast(dt)
     val statsSchema = contentStatsSchema(snap)
-    val pStats =
-      if (prevE.schema.fieldNames.contains(CONTENT_STATS) &&
-          DataType.equalsStructurally(
-            prevE.schema(CONTENT_STATS).dataType, statsSchema,
-            ignoreNullability = true))
-        col(s"p.$CONTENT_STATS")
-      else lit(null).cast(statsSchema)
+    val pStats = {
+      val prevSt = prevE.schema.fieldNames.find(_ == CONTENT_STATS)
+        .map(_ => prevE.schema(CONTENT_STATS).dataType)
+        .collect { case st: StructType => st }
+      prevSt match {
+        case Some(st) if DataType.equalsStructurally(st, statsSchema,
+            ignoreNullability = true) =>
+          col(s"p.$CONTENT_STATS")
+        case Some(st) if statsSchema.fields.forall(f =>
+            st.fields.exists(pf => pf.name == f.name &&
+              DataType.equalsStructurally(pf.dataType, f.dataType,
+                ignoreNullability = true))) =>
+          // the stats-column selection shrank since the previous build
+          // (e.g. dataSkippingNumIndexedCols changed): project the
+          // shared columns so carried entries KEEP pruning instead of
+          // nulling out until the next full rebuild
+          when(col(s"p.$CONTENT_STATS").isNotNull,
+            struct(statsSchema.fieldNames.toIndexedSeq.map(n =>
+              col(s"p.$CONTENT_STATS").getField(n).as(n)): _*))
+        case _ => lit(null).cast(statsSchema)
+      }
+    }
 
     // TrackingInfo delta bitmaps (mod.rs:125-135): on a Modified entry
     // whose DV changed, deletedPositions = newDV andNot oldDV and

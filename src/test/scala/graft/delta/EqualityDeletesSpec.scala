@@ -295,6 +295,42 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(plain == Set(3L))
   }
 
+  test("stats-column selection shrink: updateRoot projects carried " +
+      "stats into the narrower schema instead of nulling them") {
+    val (t, snap1) = build(Seq(
+      df(Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3)))))
+    // full-selection tree: stats structs for id, k, v
+    val root0 = ContentTree.writeRoot(snap1, 2)
+    // shrink the selection to the FIRST column only, then advance
+    t.setProperties(Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    t.append(df(Seq((9L, "z", 9))).coalesce(1))
+    val snap2 = t.snapshot()
+    val root1 = ContentTree.updateRoot(snap2, root0, 2)
+    val entries = ContentTree.readEntriesDF(spark,
+      root1.resolve(snap2.tableRoot.toString), snap2.tableRoot.toString)
+    val st = entries.schema(ContentTree.CONTENT_STATS).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("id"),
+      s"selection must shrink the stats struct, got ${st.fieldNames.toSeq}")
+    // the CARRIED (pre-shrink) entry keeps its id bounds — pruning on
+    // id still works on the migrated tree
+    val carried = entries.filter(col("location").isNotNull &&
+      col("tracking.snapshotId") === 1L)
+      .select(col(s"${ContentTree.CONTENT_STATS}.id.lower_bound"),
+        col(s"${ContentTree.CONTENT_STATS}.id.upper_bound"))
+      .collect()
+    assert(carried.nonEmpty && carried.forall(r =>
+      !r.isNullAt(0) && r.getLong(0) == 1L && r.getLong(1) == 3L),
+      s"carried stats must project, not null: ${carried.mkString(",")}")
+    val rootUri = Storage.fs(snap2.tableRoot,
+      spark.sessionState.newHadoopConf())
+      .makeQualified(snap2.tableRoot).toUri.getPath
+    val kept = ContentTree.prunedAddFileIterator(spark,
+      root1.resolve(snap2.tableRoot.toString), snap2.tableRoot.toString,
+      rootUri, snap2.dataSchema, "id = 9").toSeq
+    assert(kept.size == 1, s"prune must keep only the matching file")
+  }
+
   test("loose delete entries do not break manifest reuse: updateRoot " +
       "across an append carries unaffected leaves by reference and " +
       "folds the loose deletes into the new generation") {
