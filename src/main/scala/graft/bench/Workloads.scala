@@ -128,10 +128,20 @@ object Workloads {
           throw new IllegalArgumentException(s"unknown spec type $other")
       }
       errExpected match {
-        case Some(_) =>
+        case Some(err) =>
           val r = scala.util.Try(execute())
           require(r.isFailure,
             s"$specFile: expected an error but the operation succeeded")
+          // match the FAILURE, not just any failure: an unrelated
+          // breakage (bad fixture path, typo'd spec) must not pass as
+          // the expected error (reference models.rs ExpectedError
+          // matches the code; ours matches a message substring)
+          Option(err.get("messageContains")).filterNot(_.isNull)
+            .map(_.asText).foreach { sub =>
+              val msg = r.failed.get.toString
+              require(msg.contains(sub),
+                s"$specFile: failure '$msg' does not contain '$sub'")
+            }
         case None => execute()
       }
       (System.nanoTime() - t0) / 1e9

@@ -684,8 +684,21 @@ object ContentTree {
         else Some(manifestRows.map(_.getLong(1)).sum + loose)
       val leaves = spark.read.parquet(resolved.toIndexedSeq: _*)
         .drop("leafKey")
-      (leaves.unionByName(root.filter(!isManifest),
-        allowMissingColumns = true), entries)
+      // align the loose rows' content_stats to the leaf shape: a root
+      // written under a different stats-column selection must not fail
+      // the union — its stats degrade to null, never to a read error
+      val loose0 = root.filter(!isManifest)
+      val loose1 =
+        if (leaves.schema.fieldNames.contains(CONTENT_STATS) &&
+            loose0.schema.fieldNames.contains(CONTENT_STATS) &&
+            !DataType.equalsStructurally(
+              leaves.schema(CONTENT_STATS).dataType,
+              loose0.schema(CONTENT_STATS).dataType,
+              ignoreNullability = true))
+          loose0.withColumn(CONTENT_STATS,
+            lit(null).cast(leaves.schema(CONTENT_STATS).dataType))
+        else loose0
+      (leaves.unionByName(loose1, allowMissingColumns = true), entries)
     }
   }
 
@@ -741,28 +754,98 @@ object ContentTree {
     * writeTree/updateRoot folds it into a stats-carrying leaf.
     */
   def appendLooseEntries(snap: Snapshot,
-      prev: AdaptiveMetadata.ContentRoot, extra: Seq[Row],
+      prev: AdaptiveMetadata.ContentRoot, extra: DataFrame,
       version: Long): AdaptiveMetadata.ContentRoot = {
-    require(extra.nonEmpty, "no entries to append")
     val spark = snap.spark
     val tableRoot = snap.tableRoot.toString
-    // tolerant select: fields a foreign/older root lacks fill null
     val prevDf = spark.read.parquet(prev.resolve(tableRoot))
-    val prevRows = prevDf.select(
-      entrySchema.fields.toSeq.map { f =>
-        if (prevDf.schema.fieldNames.contains(f.name)) col(f.name)
+    val statsT = contentStatsSchema(snap)
+    // the root KEEPS content_stats when either side carries the
+    // current-selection struct — loose data entries then prune like
+    // leaf entries; an older-selection struct degrades to null (the
+    // next fold/updateRoot migration re-derives what it can)
+    def statsOk(df: DataFrame) =
+      df.schema.fieldNames.contains(CONTENT_STATS) &&
+        DataType.equalsStructurally(df.schema(CONTENT_STATS).dataType,
+          statsT, ignoreNullability = true)
+    val withStats = statsOk(prevDf) || statsOk(extra)
+    val target = asNullable(
+      if (withStats) entrySchemaWithStats(statsT) else entrySchema)
+    // tolerant select: fields a foreign/older root lacks fill null
+    def conform(df: DataFrame): Seq[Row] = df.select(
+      target.fields.toSeq.map { f =>
+        if (f.name == CONTENT_STATS && !statsOk(df))
+          lit(null).cast(f.dataType).as(f.name)
+        else if (df.schema.fieldNames.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*).collect().toSeq
+    val rows = conform(prevDf) ++ conform(extra)
+    require(rows.nonEmpty, "no entries to append")
     val relTree = s"_delta_log/_amt/tree-$version-" +
       java.util.UUID.randomUUID()
     val absRoot = tableRoot.stripSuffix("/") + "/" + relTree + "/root"
-    spark.createDataFrame((prevRows ++ extra).asJava, entrySchema)
+    spark.createDataFrame(rows.asJava, target)
       .coalesce(1).write.parquet(absRoot)
     val fs = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
     val rootBytes = Storage.listFilesRecursive(fs,
       new org.apache.hadoop.fs.Path(absRoot)).map(_.getLen).sum
     AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, version)
+  }
+
+  /** Fold a root's loose rows into fresh leaf nodes once they exceed
+    * `threshold` — the periodic compaction of the O(root) ingest path:
+    * writeTree over the LOOSE rows only, every existing manifest
+    * carried by reference (O(loose), never O(tree)). Below the
+    * threshold, or when the tree's leaf stats schema no longer matches
+    * the current selection (that migration belongs to a full
+    * writeRoot/updateRoot), the root passes through unchanged.
+    */
+  def foldLooseEntries(snap: Snapshot,
+      root: AdaptiveMetadata.ContentRoot,
+      threshold: Int = 4096): AdaptiveMetadata.ContentRoot = {
+    val spark = snap.spark
+    val tableRoot = snap.tableRoot.toString
+    val rootDf = spark.read.parquet(root.resolve(tableRoot))
+    val isManifest = col("contentType").isin(
+      DataContentType.DataManifest, DataContentType.DeleteManifest)
+    val rows = rootDf.collect().toSeq
+    def rowIsManifest(r: Row): Boolean = {
+      val ct = r.getAs[Int]("contentType")
+      ct == DataContentType.DataManifest ||
+        ct == DataContentType.DeleteManifest
+    }
+    val (manifests, loose) = rows.partition(rowIsManifest)
+    if (loose.size <= threshold || manifests.isEmpty) return root
+    val statsT = contentStatsSchema(snap)
+    // fold only into a schema-consistent tree: all leaf dirs must
+    // already carry the current stats shape (writeTree guarantees one
+    // shape per tree generation)
+    val firstLeaf = manifests.head.getAs[String]("location")
+    val resolvedLeaf =
+      if (AdaptiveMetadata.hasScheme(firstLeaf) ||
+          firstLeaf.startsWith("/")) firstLeaf
+      else tableRoot.stripSuffix("/") + "/" + firstLeaf
+    val leafSchema = spark.read.parquet(resolvedLeaf).schema
+    val leafOk = leafSchema.fieldNames.contains(CONTENT_STATS) &&
+      DataType.equalsStructurally(leafSchema(CONTENT_STATS).dataType,
+        statsT, ignoreNullability = true)
+    if (!leafOk) return root
+    val looseDf0 = rootDf.filter(!isManifest)
+    val looseDf =
+      if (looseDf0.schema.fieldNames.contains(CONTENT_STATS) &&
+          DataType.equalsStructurally(
+            looseDf0.schema(CONTENT_STATS).dataType, statsT,
+            ignoreNullability = true)) looseDf0
+      else looseDf0
+        .withColumn(CONTENT_STATS, lit(null).cast(statsT))
+    val manifestRows = manifests.map(r =>
+      Row(entrySchema.fieldNames.toIndexedSeq.map(n =>
+        r.get(r.fieldIndex(n))): _*))
+    writeTree(snap, looseDf,
+      math.max(1, math.min(DEFAULT_LEAF_FANOUT,
+        loose.size / math.max(1, threshold) + 1)),
+      manifestRows).copy(version = root.version)
   }
 
   /** O(root) tree advance across one APPEND commit: the commit file
@@ -802,11 +885,11 @@ object ContentTree {
     val addsDf = spark.createDataFrame(addRows.asJava,
       StructType(Seq(StructField("add", LogSchema.add),
         StructField("version", LongType))))
-    val rows = entriesFromAdds(persistInlineDvs(snap, addsDf),
-      contentStatsSchema(snap))
-      .select(entrySchema.fieldNames.toSeq.map(col): _*)
-      .collect().toSeq
-    appendLooseEntries(snap, prev, rows, version)
+    // content_stats rides along: loose data rows prune like leaf rows
+    appendLooseEntries(snap, prev,
+      entriesFromAdds(persistInlineDvs(snap, addsDf),
+        contentStatsSchema(snap)),
+      version)
   }
 
   /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
@@ -900,8 +983,11 @@ object ContentTree {
     // must keep flowing (a single-parent rule would degrade every
     // second update to a full rewrite).
     val reusableLayout = manifestRows.nonEmpty &&
-      prevRootRows.headOption.exists(r =>
-        r.schema.fieldNames.toSet == entrySchema.fieldNames.toSet)
+      prevRootRows.headOption.exists { r =>
+        val names = r.schema.fieldNames.toSet
+        names == entrySchema.fieldNames.toSet ||
+          names == entrySchema.fieldNames.toSet + CONTENT_STATS
+      }
     // 0 = inherit the previous tree's scale (see the overload doc)
     val effLeaves =
       if (numLeaves > 0) numLeaves
@@ -958,9 +1044,18 @@ object ContentTree {
             if (affected.isEmpty) leavesDF.filter(lit(false))
             else leavesDF.filter(col("__leafDir").isin(affected.toSeq: _*))
           // loose non-manifest rows ride the merge with the affected
-          // leaves (missing columns — content_stats — fill with null)
-          val loose = prevRootDf.filter(!col("contentType").isin(
+          // leaves (missing content_stats fills with null; a
+          // selection-mismatched struct degrades to null)
+          val loose0 = prevRootDf.filter(!col("contentType").isin(
             DataContentType.DataManifest, DataContentType.DeleteManifest))
+          val loose =
+            if (loose0.schema.fieldNames.contains(CONTENT_STATS) &&
+                !DataType.equalsStructurally(
+                  loose0.schema(CONTENT_STATS).dataType, statsSchema0,
+                  ignoreNullability = true))
+              loose0.withColumn(CONTENT_STATS,
+                lit(null).cast(statsSchema0))
+            else loose0
           Some((pe.drop("__leafDir")
             .unionByName(loose, allowMissingColumns = true), carried))
         }

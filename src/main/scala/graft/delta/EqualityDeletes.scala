@@ -182,12 +182,19 @@ object EqualityDeletes {
       names.map(n => StructField(n, dataSchema(n).dataType)) :+
         StructField(SEQ_COL, LongType))
     val one = spark.read.schema(readSchema).parquet(paths: _*)
+    // LEFT join + fail-closed resolution: a row whose file carries no
+    // stored sequence AND whose path failed to match its descriptor
+    // (a normalization corner) must ERROR, not silently drop the
+    // file's deletes from the anti-join
+    val resolvedSeq = coalesce(col(SEQ_COL), col("__dseq"))
     val keyed = one
       .withColumn("__fp", Storage.decodeUriPathCol(regexp_replace(
         col("_metadata.file_path"), Storage.URI_PREFIX_REGEX, "")))
-      .join(descSeq, Seq("__fp"))
+      .join(descSeq, Seq("__fp"), "left")
       .select(names.map(col) :+
-        coalesce(col(SEQ_COL), col("__dseq")).as(SEQ_COL): _*)
+        when(resolvedSeq.isNull, raise_error(concat(
+          lit("equality-delete file resolved no sequence: "),
+          col("__fp")))).otherwise(resolvedSeq).as(SEQ_COL): _*)
     keyed.groupBy(names.map(col): _*)
       .agg(max(col(SEQ_COL)).as(SEQ_COL))
   }
@@ -538,8 +545,7 @@ object EqualityDeletes {
     // content_stats column — reads stay correct, stats pruning just
     // degrades to keep-all until the next full writeTree
     ContentTree.appendLooseEntries(snap, prev,
-      deleteEntriesDF(snap.spark, files, None).collect().toSeq,
-      prev.version)
+      deleteEntriesDF(snap.spark, files, None), prev.version)
   }
 
   /** Maintenance: rewrite a tree's equality deletes as position

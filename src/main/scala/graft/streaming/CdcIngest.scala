@@ -24,14 +24,19 @@ import graft.delta.{AdaptiveMetadata, ContentTree, DeltaTable,
   * later delete kills it. No per-row timestamps, no window functions,
   * no state store: the tree root + the table version ARE the state.
   *
-  * Exactly-once: the delete arm runs BEFORE the marker-carrying
-  * append, so a SetTransaction marker at-or-past the batch id proves
-  * the WHOLE batch landed — a foreachBatch replay just re-advances
-  * the tree and returns. A replayed PURE-DELETE batch carries no
-  * marker; it recomputes the same sequence (the table version did not
-  * move) and re-writing the same delete keys is idempotent at READ
-  * time (duplicate keys collapse to max sequence before the
-  * anti-join).
+  * Exactly-once: a SetTransaction marker at-or-past the batch id
+  * proves the batch's LOG arms landed. The delete arm lives only in
+  * the TREE, so a replay whose root predates the marker-carrying
+  * commit (crash between the append and the caller's root checkpoint)
+  * re-derives the deletes at the ORIGINAL sequence — found by a
+  * driver scan of just the un-applied commit window — while a replay
+  * holding the completed root is a pure no-op. A replayed PURE-DELETE
+  * batch carries no marker; it recomputes the same sequence (the
+  * table version did not move) and re-writing the same delete keys is
+  * idempotent at READ time (duplicate keys collapse to max sequence
+  * before the anti-join). Past `foldThreshold` loose root rows, each
+  * batch folds them into fresh leaf nodes (O(loose), existing leaves
+  * by reference), bounding the O(root) rewrites.
   */
 object CdcIngest {
 
@@ -45,24 +50,42 @@ object CdcIngest {
     */
   def processBatch(t: DeltaTable, root: AdaptiveMetadata.ContentRoot,
       batch: DataFrame, keyIds: Seq[Int], appId: String,
-      batchId: Long): AdaptiveMetadata.ContentRoot = {
+      batchId: Long, foldThreshold: Int = 4096)
+      : AdaptiveMetadata.ContentRoot = {
     val snap0 = t.snapshot()
-    // replay gate: the delete arm runs BEFORE the marker-carrying
-    // append, so a marker at-or-past this batch id proves every arm
-    // of the batch landed — just bring the tree current and return
+    val keyNames = EqualityDeletes.idsToNames(snap0.dataSchema, keyIds)
+    def delKeys = batch.filter(col(OP_COL).isin(DELETE, UPSERT))
+      .select(keyNames.map(col): _*)
+    // replay gate: a marker at-or-past this batch id proves the
+    // batch's LOG arms landed. The delete arm lives only in the TREE —
+    // a caller replaying with a root that predates the marker-carrying
+    // commit (crash between the append and the caller's root
+    // checkpoint) must RE-DERIVE it at the ORIGINAL sequence, or the
+    // batch's deletes are silently lost with the crashed root.
+    // Re-writing is idempotent at read time (duplicate keys collapse
+    // to max sequence).
     if (snap0.setTransactions.exists(tx =>
-        tx.appId == appId && tx.version >= batchId))
-      return ContentTree.updateRoot(snap0, root)
+        tx.appId == appId && tx.version >= batchId)) {
+      val advanced = ContentTree.updateRoot(snap0, root)
+      return markerCommit(snap0, appId, batchId,
+          after = root.version) match {
+        case None => advanced // the tree already includes the batch
+        case Some(seq) =>
+          val files = EqualityDeletes.writeDeleteFiles(snap0, delKeys,
+            keyIds, sequenceNumber = seq)
+          if (files.isEmpty) advanced
+          else ContentTree.foldLooseEntries(snap0, EqualityDeletes
+            .appendDeleteEntries(snap0, advanced, files), foldThreshold)
+      }
+    }
     val dataCols = snap0.schema.fieldNames.toSeq
     val ins = batch.filter(col(OP_COL) === UPSERT)
       .select(dataCols.map(col): _*)
-    val keyNames = EqualityDeletes.idsToNames(snap0.dataSchema, keyIds)
     // upsert = replace: EVERY batch key writes an equality delete
     // (the Iceberg upsert-mode convention) — the sequence rule spares
     // this batch's own appended rows, so the new version wins and any
     // older version of the key dies without a lookup or a rewrite
-    val dels = batch.filter(col(OP_COL).isin(DELETE, UPSERT))
-      .select(keyNames.map(col): _*)
+    val dels = delKeys
     // the batch's sequence = where its appends land. Stamping the
     // PRE-append version here would strand a pure-delete batch: under
     // the strict < rule its deletes could never reach rows the
@@ -75,13 +98,46 @@ object CdcIngest {
     val withDels =
       if (files.isEmpty) advanced
       else EqualityDeletes.appendDeleteEntries(snap0, advanced, files)
-    if (ins.isEmpty) return withDels
-    val v = t.append(ins, txn = Some(SetTransaction(appId, batchId,
-      Some(System.currentTimeMillis()))))
-    // advance the tree across the batch's own append as LOOSE root
-    // rows — an O(root) rewrite, like the delete arm, instead of a
-    // full updateRoot merge per batch
-    ContentTree.appendCommitLoose(snap0, withDels, v)
+    val out =
+      if (ins.isEmpty) withDels
+      else {
+        val v = t.append(ins, txn = Some(SetTransaction(appId, batchId,
+          Some(System.currentTimeMillis()))))
+        // advance the tree across the batch's own append as LOOSE root
+        // rows (content_stats ride along) — an O(root) rewrite, like
+        // the delete arm, instead of a full updateRoot merge per batch
+        ContentTree.appendCommitLoose(snap0, withDels, v)
+      }
+    // bounded steady state: past the threshold the loose rows fold
+    // into fresh leaf nodes (O(loose), existing leaves by reference) —
+    // without this the root grows with every batch forever and each
+    // O(root) rewrite gets linearly slower
+    ContentTree.foldLooseEntries(snap0, out, foldThreshold)
+  }
+
+  /** Version of the commit carrying `(appId, batchId)`'s marker inside
+    * `(after, snap.version]` — the un-applied window of a replayed
+    * batch. Driver-side scan of those commit files only.
+    */
+  private def markerCommit(snap: graft.delta.Snapshot, appId: String,
+      batchId: Long, after: Long): Option[Long] = {
+    val fs = graft.delta.Storage.fs(snap.tableRoot,
+      snap.spark.sessionState.newHadoopConf())
+    val logDir = graft.delta.FileNames.logDir(snap.tableRoot)
+    ((after + 1) to snap.version).reverse.iterator.flatMap { v =>
+      val f = graft.delta.FileNames.commitFile(logDir, v)
+      val hit = fs.exists(f) &&
+        graft.delta.Storage.readLines(fs, f).exists { line =>
+          line.nonEmpty && {
+            val n = graft.delta.JsonLog.parseLine(line)
+            val txn = n.get("txn")
+            txn != null && !txn.isNull &&
+              txn.get("appId").asText == appId &&
+              txn.get("version").asLong == batchId
+          }
+        }
+      if (hit) Some(v) else None
+    }.nextOption()
   }
 
   /** Current table state under the CDC contract: the tree-planned

@@ -115,4 +115,59 @@ class CdcIngestSpec extends AnyFunSuite {
     assert(state() == Map(2L -> ("b", 20), 3L -> ("c", 3)),
       "a pure-delete batch must reach the previous batch's rows")
   }
+
+  test("crash replay with a STALE root re-derives the batch's tree-" +
+      "only deletes at the original sequence; loose rows fold past " +
+      "the threshold and carry content_stats until then") {
+    val dir = TestSpark.tmpDir("cdc-stale")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    val root0 = ContentTree.writeRoot(t.snapshot(), 2)
+    def state(r: graft.delta.AdaptiveMetadata.ContentRoot) =
+      CdcIngest.currentState(t, r).collect()
+        .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
+    val b0 = Seq(("upsert", 1L, "a", 1), ("upsert", 2L, "b", 2),
+      ("upsert", 3L, "c", 3)).toDF("_op", "id", "k", "v")
+    val root1 = CdcIngest.processBatch(t, root0, b0, Seq(0),
+      appId = "cdc-stale", batchId = 0L)
+    // loose data rows carry content_stats (appendCommitLoose keeps
+    // the struct, so tree-side pruning works before any fold)
+    val rootDf = spark.read.parquet(
+      root1.resolve(t.snapshot().tableRoot.toString))
+    val looseData = rootDf.filter(col("contentType") ===
+      ContentTree.DataContentType.Data)
+    assert(looseData.count() >= 1)
+    assert(looseData.filter(
+      col(s"${ContentTree.CONTENT_STATS}.id.lower_bound").isNotNull)
+      .count() == looseData.count(),
+      "loose data rows must keep their content_stats")
+
+    // mixed batch: delete id=2, upsert id=4 — then CRASH before the
+    // caller persists the returned root
+    val b1 = Seq(("delete", 2L, "", 0), ("upsert", 4L, "d", 4))
+      .toDF("_op", "id", "k", "v")
+    CdcIngest.processBatch(t, root1, b1, Seq(0),
+      appId = "cdc-stale", batchId = 1L) // completed root is LOST
+    // replay with the STALE pre-batch root: the marker gates the log
+    // arms, but the delete arm lives only in the tree and must
+    // re-derive — id=2 must stay dead and id=4 visible
+    val recovered = CdcIngest.processBatch(t, root1, b1, Seq(0),
+      appId = "cdc-stale", batchId = 1L)
+    assert(state(recovered) == Map(1L -> ("a", 1), 3L -> ("c", 3),
+      4L -> ("d", 4)),
+      "replay with a stale root must re-derive the batch's deletes")
+
+    // fold: threshold 0 folds every loose row into fresh leaves,
+    // existing leaves carried by reference; the state is unchanged
+    val folded = ContentTree.foldLooseEntries(t.snapshot(), recovered, 0)
+    val foldedRoot = spark.read.parquet(
+      folded.resolve(t.snapshot().tableRoot.toString))
+    assert(foldedRoot.filter(col("contentType") =!=
+      ContentTree.DataContentType.DataManifest &&
+      col("contentType") =!=
+        ContentTree.DataContentType.DeleteManifest).count() == 0,
+      "fold must leave a pure manifest root")
+    assert(state(folded) == Map(1L -> ("a", 1), 3L -> ("c", 3),
+      4L -> ("d", 4)), "fold must not change the state")
+  }
 }
