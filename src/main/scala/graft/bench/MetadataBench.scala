@@ -390,7 +390,7 @@ object MetadataBench {
     val rootUri = fs.makeQualified(new Path(tableDir5m)).toUri.getPath
     t0 = System.nanoTime()
     val pruned = graft.delta.ContentTree.prunedAddFileIterator(spark,
-      resolved, tableDir5m, rootUri, snap.dataSchema, "c0 = 12345").size
+      resolved, tableDir5m, rootUri, "c0 = 12345").size
     val tPrune = (System.nanoTime() - t0) / 1e9
     require(pruned >= 1 && pruned < 1000,
       s"5M tree prune kept $pruned files — skipping broke")

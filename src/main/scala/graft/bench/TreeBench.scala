@@ -56,8 +56,7 @@ object TreeBench {
       .makeQualified(snap.tableRoot).toUri.getPath
     t0 = System.nanoTime()
     val pruned = graft.delta.ContentTree.prunedAddFileIterator(spark,
-      resolved, snap.tableRoot.toString, rootUri,
-      snap.dataSchema, "c0 = 12345").size
+      resolved, snap.tableRoot.toString, rootUri, "c0 = 12345").size
     val prune = (System.nanoTime() - t0) / 1e9
     val total = MetadataBench.NUM_COMMITS.toLong *
       MetadataBench.ADDS_PER_COMMIT

@@ -56,8 +56,7 @@ object TreeProbe {
         live.filter(col("contentType") === 0).count())
       t(s"prunedIterator rep$rep")(
         graft.delta.ContentTree.prunedAddFileIterator(spark, resolved,
-          snap.tableRoot.toString, rootUri, snap.dataSchema,
-          "c0 = 12345").size)
+          snap.tableRoot.toString, rootUri, "c0 = 12345").size)
     }
     spark.stop()
   }
@@ -89,8 +88,7 @@ object TreeProbe {
     (1 to 2).foreach { rep =>
       val n = t(s"prune rep$rep")(
         graft.delta.ContentTree.prunedAddFileIterator(spark, resolved,
-          snap.tableRoot.toString, rootUri, snap.dataSchema,
-          "c0 = 12345").size)
+          snap.tableRoot.toString, rootUri, "c0 = 12345").size)
       println(s"PROBE5M pruned_files $n")
     }
     println(f"PROBE5M heap_delta_mb ${heapMb() - h0}%.1f")

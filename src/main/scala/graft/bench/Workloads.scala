@@ -109,6 +109,10 @@ object Workloads {
           // bench tables this is the metadata-derived numRecords sum
           // over the planned files
           exp("rowCount").foreach { rc =>
+            val missing = files.count(_.stats.isEmpty)
+            require(missing == 0,
+              s"$specFile: $missing planned files lack stats — " +
+                "rowCount cannot be verified")
             val n = files.flatMap(_.stats)
               .map(s => JsonLog.parseLine(s).get("numRecords").asLong)
               .sum

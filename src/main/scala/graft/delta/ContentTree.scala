@@ -1267,14 +1267,14 @@ object ContentTree {
     */
   def prunedAddFileIterator(spark: org.apache.spark.sql.SparkSession,
       rootLocation: String, tableRoot: String, tableRootUriPath: String,
-      dataSchema: StructType, predicateSql: String)
+      predicateSql: String)
       : Iterator[AddFile] = {
     val (entries, n) = readEntriesWithCount(spark, rootLocation, tableRoot)
     val live = entries
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
     streamAsAdds(spark,
-      statsSkipEntries(spark, live, dataSchema, predicateSql),
+      statsSkipEntries(spark, live, predicateSql),
       n, tableRootUriPath)
   }
 
@@ -1287,7 +1287,7 @@ object ContentTree {
     */
   private[delta] def statsSkipEntries(
       spark: org.apache.spark.sql.SparkSession, live: DataFrame,
-      dataSchema: StructType, predicateSql: String): DataFrame = {
+      predicateSql: String): DataFrame = {
     // the skip columns are whatever the TREE actually recorded — its
     // writer's stats-column selection, which may differ from the
     // current table properties; recomputing here would getField into

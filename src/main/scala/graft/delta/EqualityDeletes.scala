@@ -285,7 +285,7 @@ object EqualityDeletes {
         val liveData = entries.filter(col("contentType") ===
           ContentTree.DataContentType.Data &&
           col("tracking.status") =!= ContentTree.TrackingStatus.Deleted)
-        ContentTree.statsSkipEntries(spark, liveData, snap.dataSchema, p)
+        ContentTree.statsSkipEntries(spark, liveData, p)
           .unionByName(entries.filter(col("contentType") =!=
             ContentTree.DataContentType.Data))
       case None => entries
@@ -463,9 +463,11 @@ object EqualityDeletes {
     // verbatim) — deriving it directly skips the interim cleaned-tree
     // write plus updateRoot's log-diff replay and bitmap re-reads.
     val conf = spark.sessionState.newHadoopConf()
+    // tree entry paths come from entryToAdd ALREADY URI-decoded (the
+    // tree stores decoded locations) — decoding again would mis-key a
+    // file name containing a literal percent-escape
     val byPathTree: Map[String, AddFile] = withSeq.map { case (a, _) =>
-      fs.makeQualified(
-        Storage.childPath(snap.tableRoot, Storage.decodeUriPath(a.path)))
+      fs.makeQualified(Storage.childPath(snap.tableRoot, a.path))
         .toUri.getPath -> a
     }.toMap
     // merged DVs for the surviving swapped files, persisted tree-side
@@ -585,10 +587,10 @@ object EqualityDeletes {
     val (_, perFile) = matchedBitmaps(snap, withSeq, deletes)
     if (perFile.isEmpty) return droppedOnly()
 
-    // normalized scan path -> tree entry location
+    // normalized scan path -> tree entry location; tree paths are
+    // ALREADY decoded (entryToAdd), so no second decodeUriPath here
     val byPath: Map[String, (AddFile, Long)] = withSeq.map { case (a, s) =>
-      fs.makeQualified(
-        Storage.childPath(snap.tableRoot, Storage.decodeUriPath(a.path)))
+      fs.makeQualified(Storage.childPath(snap.tableRoot, a.path))
         .toUri.getPath -> (a, s)
     }.toMap
     // merge with existing DVs at bitmap level; assemble already

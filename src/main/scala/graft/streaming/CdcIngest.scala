@@ -126,7 +126,16 @@ object CdcIngest {
     val logDir = graft.delta.FileNames.logDir(snap.tableRoot)
     ((after + 1) to snap.version).reverse.iterator.flatMap { v =>
       val f = graft.delta.FileNames.commitFile(logDir, v)
-      val hit = fs.exists(f) &&
+      // fail CLOSED on a missing commit inside the window: if log
+      // cleanup removed the marker-carrying commit while the
+      // SetTransaction survives via checkpoint, treating it as
+      // no-marker would return the advanced tree WITHOUT re-deriving
+      // the batch's tree-only deletes — silent delete loss
+      require(fs.exists(f),
+        s"commit $v missing from the replay window ($after, " +
+          s"${snap.version}]: log cleanup outran the tree root — " +
+          "rebuild the tree (writeRoot) instead of replaying the batch")
+      val hit =
         graft.delta.Storage.readLines(fs, f).exists { line =>
           line.nonEmpty && {
             val n = graft.delta.JsonLog.parseLine(line)

@@ -87,8 +87,7 @@ class ContentTreeFuzzSpec extends AnyFunSuite {
       val bound = 1 + rnd.nextInt(math.max(nextK.toInt, 2))
       val pred = s"k < $bound"
       val treePruned = ContentTree.prunedAddFileIterator(spark,
-        resolved, snap.tableRoot.toString, rootUri, snap.dataSchema,
-        pred).map(_.path).toSet
+        resolved, snap.tableRoot.toString, rootUri, pred).map(_.path).toSet
       val logPruned = new DeltaScan(snap, Some(pred))
         .collectAddFiles(slim = true).map(_.path)
         .map(Storage.decodeUriPath).toSet

@@ -267,7 +267,7 @@ class ContentTreeSpec extends AnyFunSuite {
     val resolved = root.resolve(snap.tableRoot.toString)
     val pred = "k > 20000"
     val treeAdds = ContentTree.prunedAddFileIterator(spark, resolved,
-      snap.tableRoot.toString, rootUri, snap.dataSchema, pred).toSeq
+      snap.tableRoot.toString, rootUri, pred).toSeq
     val logAdds = new DeltaScan(snap, Some(pred))
       .collectAddFiles(slim = true)
     assert(treeAdds.map(_.path).sorted ==

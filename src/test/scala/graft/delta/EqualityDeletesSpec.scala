@@ -327,7 +327,7 @@ class EqualityDeletesSpec extends AnyFunSuite {
       .makeQualified(snap2.tableRoot).toUri.getPath
     val kept = ContentTree.prunedAddFileIterator(spark,
       root1.resolve(snap2.tableRoot.toString), snap2.tableRoot.toString,
-      rootUri, snap2.dataSchema, "id = 9").toSeq
+      rootUri, "id = 9").toSeq
     assert(kept.size == 1, s"prune must keep only the matching file")
   }
 
