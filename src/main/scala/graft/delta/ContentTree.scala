@@ -659,7 +659,7 @@ object ContentTree {
     * in that leaf, set by [[writeTree]]) — the handoff-path gate:
     * small trees collect in one job, big ones stream behind a shuffle.
     */
-  private def readEntriesWithCount(
+  private[delta] def readEntriesWithCount(
       spark: org.apache.spark.sql.SparkSession,
       rootLocation: String, tableRoot: String)
       : (DataFrame, Option[Long]) = {
@@ -710,39 +710,56 @@ object ContentTree {
     * unshuffled iterator walk cost ~8-10 s vs ~1 s behind the
     * shuffle).
     */
-  private val SMALL_TREE_ENTRIES = 100000L
+  private def smallTreeEntries: Long =
+    sys.props.get("graft.tree.smallHandoffEntries")
+      .flatMap(_.toLongOption).getOrElse(100000L)
 
   /** Strip entry rows to the AddFile-relevant columns before the
     * driver handoff: `content_stats` (700+ leaves on a 100-col table)
     * and the tracking bitmaps never cross the boundary, and nested
-    * schema pruning drops them from the leaf scan itself.
+    * schema pruning drops them from the leaf scan itself. `extra`
+    * columns (e.g. the file sequence number the equality-delete apply
+    * needs) ride appended after the base shape.
     */
-  private def slimEntries(df: DataFrame): DataFrame =
-    df.select(
+  private def slimEntries(df: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(Seq(
       col("location"),
       struct(col("tracking.firstRowId").as("firstRowId")).as("tracking"),
       col("deletionVector"),
       col("partition"),
       col("fileSizeInBytes"),
-      col("tags"))
+      col("tags")) ++ extra: _*)
+
+  /** The gated slim handoff every tree read shares: below the
+    * threshold the projection collects in ONE job; above it (or when
+    * the count is unknown) the rows cross a shuffle first so
+    * `toLocalIterator`'s per-partition jobs fetch shuffle blocks
+    * instead of re-running the wide leaf scan per partition. Emits
+    * the [[MetricEvent.TreeHandoff]] gauge.
+    */
+  private[delta] def streamSlimRows(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      entryCount: Option[Long],
+      extra: Seq[org.apache.spark.sql.Column]): Iterator[Row] = {
+    val slim = slimEntries(df, extra)
+    val small = entryCount.exists(_ <= smallTreeEntries)
+    Metrics.report(MetricEvent.TreeHandoff(Metrics.newId(),
+      entryCount.getOrElse(-1L), shuffled = !small))
+    if (small)
+      slim.collect().iterator // one job, bounded by the gate
+    else {
+      val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+      slim.repartition(parts, col("location"))
+        .toLocalIterator().asScala
+    }
+  }
 
   private def streamAsAdds(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, entryCount: Option[Long],
-      tableRootUriPath: String): Iterator[AddFile] = {
-    val slim = slimEntries(df)
-    val small = entryCount.exists(_ <= SMALL_TREE_ENTRIES)
-    Metrics.report(MetricEvent.TreeHandoff(Metrics.newId(),
-      entryCount.getOrElse(-1L), shuffled = !small))
-    val rows =
-      if (small)
-        slim.collect().iterator // one job, bounded by the gate
-      else {
-        val parts = math.max(spark.sparkContext.defaultParallelism, 8)
-        slim.repartition(parts, col("location"))
-          .toLocalIterator().asScala
-      }
-    rows.map(entryToAdd(_, tableRootUriPath))
-  }
+      tableRootUriPath: String): Iterator[AddFile] =
+    streamSlimRows(spark, df, entryCount, Nil)
+      .map(entryToAdd(_, tableRootUriPath))
 
   /** O(root) loose-entry append (mod.rs:53-56 — roots legally mix
     * manifest references and direct entries): rewrite ONLY the root

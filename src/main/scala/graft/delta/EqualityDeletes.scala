@@ -277,7 +277,8 @@ object EqualityDeletes {
     val rootUri = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
       .makeQualified(snap.tableRoot).toUri.getPath
-    val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
+    val (entries, entryCount) =
+      ContentTree.readEntriesWithCount(spark, rootLocation, tableRoot)
     val pruned = predicateSql match {
       case Some(p) =>
         // skip-filter the LIVE DATA entries only; delete descriptors
@@ -290,7 +291,8 @@ object EqualityDeletes {
             ContentTree.DataContentType.Data))
       case None => entries
     }
-    val (withSeq, deletes) = splitEntries(pruned, rootUri)
+    val (withSeq, deletes) = splitEntries(spark, pruned, entryCount,
+      rootUri)
     val scan = snap.scanBuilder().build()
     if (withSeq.isEmpty)
       // no live data files: the empty-scan short-circuit carries no
@@ -314,27 +316,27 @@ object EqualityDeletes {
   /** Split tree entries into live data adds (+ their sequence numbers)
     * and equality-delete descriptors. The data handoff is the slim
     * file-list envelope every scan already pays (locations, DV refs,
-    * partition tuples — no stats, no bitmaps); delete descriptors are
-    * O(#delete files) rows.
+    * partition tuples — no stats, no bitmaps) and runs through the
+    * shared [[ContentTree.streamSlimRows]] gate: small trees collect
+    * in one job, big ones stream behind a shuffle (`entryCount` is the
+    * root manifests' total — an upper bound when the caller pre-pruned,
+    * so the gate errs toward shuffling). Delete descriptors are
+    * O(#delete files) rows and always collect.
     */
-  private def splitEntries(entries: DataFrame, tableRootUriPath: String)
+  private def splitEntries(spark: SparkSession, entries: DataFrame,
+      entryCount: Option[Long], tableRootUriPath: String)
       : (Seq[(AddFile, Long)], Seq[EqDeleteFile]) = {
     import ContentTree.{DataContentType, TrackingStatus}
-    val dataRows = entries
+    val dataDf = entries
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
-      .select(
-        col("location"),
-        struct(col("tracking.firstRowId").as("firstRowId")).as("tracking"),
-        col("tracking.fileSequenceNumber").as("__fseq"),
-        col("deletionVector"), col("partition"),
-        col("fileSizeInBytes"), col("tags"))
-      .collect().toSeq
-    val withSeq = dataRows.map { r =>
-      (ContentTree.entryToAdd(r, tableRootUriPath),
-        Option(r.getAs[Any]("__fseq"))
-          .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
-    }
+    val withSeq = ContentTree.streamSlimRows(spark, dataDf, entryCount,
+      Seq(col("tracking.fileSequenceNumber").as("__fseq")))
+      .map { r =>
+        (ContentTree.entryToAdd(r, tableRootUriPath),
+          Option(r.getAs[Any]("__fseq"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+      }.toSeq
     val delRows = entries
       .filter(col("contentType") === DataContentType.EqualityDeletes &&
         col("tracking.status") =!= TrackingStatus.Deleted)
@@ -414,8 +416,10 @@ object EqualityDeletes {
     val fs = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
     val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
-    val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
-    val (withSeq, deletes) = splitEntries(entries, rootUri)
+    val (entries, entryCount) =
+      ContentTree.readEntriesWithCount(spark, rootLocation, tableRoot)
+    val (withSeq, deletes) = splitEntries(spark, entries, entryCount,
+      rootUri)
     require(deletes.nonEmpty, "tree has no equality deletes to commit")
     val cleaned = entries.filter(col("contentType") =!=
       ContentTree.DataContentType.EqualityDeletes)
@@ -573,8 +577,10 @@ object EqualityDeletes {
     val conf = spark.sessionState.newHadoopConf()
     val fs = Storage.fs(snap.tableRoot, conf)
     val rootUri = fs.makeQualified(snap.tableRoot).toUri.getPath
-    val entries = ContentTree.readEntriesDF(spark, rootLocation, tableRoot)
-    val (withSeq, deletes) = splitEntries(entries, rootUri)
+    val (entries, entryCount) =
+      ContentTree.readEntriesWithCount(spark, rootLocation, tableRoot)
+    val (withSeq, deletes) = splitEntries(spark, entries, entryCount,
+      rootUri)
     require(deletes.nonEmpty,
       "tree has no equality deletes to convert")
     // no live data files / nothing matched: the converted tree is the

@@ -227,4 +227,41 @@ class MetricsSpec extends AnyFunSuite {
         ev.head.broadcastGroups == 2)
     }
   }
+
+  test("equality-delete read routes the data handoff through the " +
+      "slim-stream gate: above-threshold trees take the shuffled arm") {
+    val dir = TestSpark.tmpDir("mx-eq-gate")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 20).repartition(2))
+      val snap = t.snapshot()
+      val f1 = EqualityDeletes.writeDeleteFiles(snap,
+        Seq(3L).toDF("k"), Seq(0), sequenceNumber = 5L)
+      val entries = ContentTree.entriesDF(snap).unionByName(
+        EqualityDeletes.deleteEntriesDF(spark, f1, Some(snap)))
+      val root = ContentTree.writeTree(snap, entries, 2)
+      val loc = root.resolve(snap.tableRoot.toString)
+      // small tree, default gate: one-job collect arm
+      r.clear()
+      val base = EqualityDeletes.readApplying(snap, loc)
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      assert(base == ((1 to 20).map(_.toLong).filterNot(_ == 3L)))
+      val h = r.events.collect { case e: TreeHandoff => e }
+      assert(h.size == 1 && !h.head.shuffled && h.head.entryCount > 0)
+      // force the gate shut: the SAME read must flip to the shuffled
+      // streamed handoff (what a >100k-entry tree takes) and return
+      // identical rows — proving readApplying's data half is gated,
+      // not an unconditional collect
+      System.setProperty("graft.tree.smallHandoffEntries", "1")
+      try {
+        r.clear()
+        val gated = EqualityDeletes.readApplying(snap, loc)
+          .orderBy("k").collect().map(_.getLong(0)).toSeq
+        assert(gated == base)
+        val h2 = r.events.collect { case e: TreeHandoff => e }
+        assert(h2.size == 1 && h2.head.shuffled)
+      } finally System.clearProperty("graft.tree.smallHandoffEntries")
+    }
+  }
 }
