@@ -14,15 +14,18 @@ import graft.delta.{AdaptiveMetadata, ContentTree, DeltaTable,
   * deletes into DVs out-of-band.
   *
   * Ordering contract (the Iceberg sequence rule does the work): the
-  * batch's deletes write at the sequence its appends WILL land at
-  * (`snap.version + 1`), so they reach every row committed so far —
-  * including the immediately preceding batch's, which a PURE-DELETE
-  * batch stamped with the stale `snap.version` could never kill under
-  * the strict `<` rule — while the batch's own upserts land AT that
-  * sequence and stay spared: within one batch an upsert of a deleted
-  * key WINS, across batches a later upsert resurrects the key and a
-  * later delete kills it. No per-row timestamps, no window functions,
-  * no state store: the tree root + the table version ARE the state.
+  * batch's deletes stamp the sequence its appends actually LANDED at
+  * (the commit version `t.append` returns — re-derived, not assumed,
+  * so a foreign commit racing into the gap between the snapshot and
+  * the append cannot strand rows above the deletes' reach), so they
+  * cover every row committed before the batch — including the
+  * immediately preceding batch's, which a PURE-DELETE batch stamped
+  * with the stale `snap.version` could never kill under the strict
+  * `<` rule — while the batch's own upserts land AT that sequence and
+  * stay spared: within one batch an upsert of a deleted key WINS,
+  * across batches a later upsert resurrects the key and a later
+  * delete kills it. No per-row timestamps, no window functions, no
+  * state store: the tree root + the table version ARE the state.
   *
   * Exactly-once: a SetTransaction marker at-or-past the batch id
   * proves the batch's LOG arms landed. The delete arm lives only in
@@ -51,6 +54,17 @@ object CdcIngest {
   def processBatch(t: DeltaTable, root: AdaptiveMetadata.ContentRoot,
       batch: DataFrame, keyIds: Seq[Int], appId: String,
       batchId: Long, foldThreshold: Int = 4096)
+      : AdaptiveMetadata.ContentRoot =
+    processBatch(t, root, batch, keyIds, appId, batchId, foldThreshold,
+      () => ())
+
+  /** Test seam: `beforeAppend` runs between the batch's snapshot and
+    * its append commit — the window a foreign writer can race into.
+    */
+  private[graft] def processBatch(t: DeltaTable,
+      root: AdaptiveMetadata.ContentRoot, batch: DataFrame,
+      keyIds: Seq[Int], appId: String, batchId: Long,
+      foldThreshold: Int, beforeAppend: () => Unit)
       : AdaptiveMetadata.ContentRoot = {
     val snap0 = t.snapshot()
     val keyNames = EqualityDeletes.idsToNames(snap0.dataSchema, keyIds)
@@ -81,33 +95,45 @@ object CdcIngest {
     val dataCols = snap0.schema.fieldNames.toSeq
     val ins = batch.filter(col(OP_COL) === UPSERT)
       .select(dataCols.map(col): _*)
-    // upsert = replace: EVERY batch key writes an equality delete
-    // (the Iceberg upsert-mode convention) — the sequence rule spares
-    // this batch's own appended rows, so the new version wins and any
-    // older version of the key dies without a lookup or a rewrite
-    val dels = delKeys
-    // the batch's sequence = where its appends land. Stamping the
-    // PRE-append version here would strand a pure-delete batch: under
-    // the strict < rule its deletes could never reach rows the
-    // immediately preceding batch appended at that same sequence.
-    val seq = snap0.version + 1
     // carries prior delete entries through; same-version => no-op
     val advanced = ContentTree.updateRoot(snap0, root)
-    val files = EqualityDeletes.writeDeleteFiles(snap0, dels, keyIds,
-      sequenceNumber = seq)
-    val withDels =
-      if (files.isEmpty) advanced
-      else EqualityDeletes.appendDeleteEntries(snap0, advanced, files)
-    val out =
-      if (ins.isEmpty) withDels
+    // APPEND FIRST, then stamp the deletes from the LANDED version:
+    // assuming `snap0.version + 1` would under-reach when a foreign
+    // commit races into the gap — rows it committed would sit at-or-
+    // above the stamped sequence and silently survive this batch's
+    // upsert-replaces. Crash recovery is unchanged: a replay whose
+    // root predates the marker commit re-derives the deletes at the
+    // marker's version (the landed sequence) via markerCommit.
+    val (seq, withAppend) =
+      if (ins.isEmpty) (snap0.version + 1, advanced)
       else {
+        beforeAppend()
         val v = t.append(ins, txn = Some(SetTransaction(appId, batchId,
           Some(System.currentTimeMillis()))))
-        // advance the tree across the batch's own append as LOOSE root
-        // rows (content_stats ride along) — an O(root) rewrite, like
-        // the delete arm, instead of a full updateRoot merge per batch
-        ContentTree.appendCommitLoose(snap0, withDels, v)
+        if (v == snap0.version + 1)
+          // advance the tree across the batch's own append as LOOSE
+          // root rows (content_stats ride along) — an O(root) rewrite,
+          // like the delete arm, instead of a full updateRoot per batch
+          (v, ContentTree.appendCommitLoose(snap0, advanced, v))
+        else
+          // foreign commit(s) landed in the gap; merge them AND the
+          // batch's append through the full diff (they may carry
+          // removes, which the loose fast path refuses)
+          (v, ContentTree.updateRoot(t.snapshot(), advanced))
       }
+    // upsert = replace: EVERY batch key writes an equality delete
+    // (the Iceberg upsert-mode convention) — the strict < rule spares
+    // this batch's own rows (they sit AT `seq`), so the new version
+    // wins and any older version of the key dies without a lookup or
+    // a rewrite. A pure-delete batch commits nothing; its sequence is
+    // the stale snapshot's successor, so a foreign commit racing it is
+    // treated as LATER (its rows survive) — consistent with the batch
+    // having been derived from the pre-race snapshot.
+    val files = EqualityDeletes.writeDeleteFiles(snap0, delKeys, keyIds,
+      sequenceNumber = seq)
+    val out =
+      if (files.isEmpty) withAppend
+      else EqualityDeletes.appendDeleteEntries(snap0, withAppend, files)
     // bounded steady state: past the threshold the loose rows fold
     // into fresh leaf nodes (O(loose), existing leaves by reference) —
     // without this the root grows with every batch forever and each

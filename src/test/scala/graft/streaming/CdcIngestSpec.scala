@@ -170,4 +170,36 @@ class CdcIngestSpec extends AnyFunSuite {
     assert(state(folded) == Map(1L -> ("a", 1), 3L -> ("c", 3),
       4L -> ("d", 4)), "fold must not change the state")
   }
+  test("foreign append racing the batch's commit window: deletes " +
+      "stamp the LANDED sequence — the race never under-deletes") {
+    val dir = TestSpark.tmpDir("cdc-race")
+    DeltaTable.create(spark, dir, schema)
+    val t = DeltaTable.forPath(spark, dir)
+    var root = ContentTree.writeRoot(t.snapshot(), 2)
+    def state() = CdcIngest.currentState(t, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val b0 = Seq(("upsert", 1L, "a", 1), ("upsert", 2L, "b", 2))
+      .toDF("_op", "id", "k", "v")
+    root = CdcIngest.processBatch(t, root, b0, Seq(0),
+      appId = "cdc-race", batchId = 0L)
+    assert(state() == Map(1L -> ("a", 1), 2L -> ("b", 2)))
+
+    // batch 1 upserts key 1; a FOREIGN writer commits its own version
+    // of key 1 (plus a fresh key 9) between the batch's snapshot and
+    // its append — the append retries past the conflict and lands two
+    // versions later. The batch's delete must reach the foreign key-1
+    // row (it predates the landed sequence); a delete stamped from the
+    // stale snapshot would spare it and leave TWO rows for the key.
+    val b1 = Seq(("upsert", 1L, "a", 100)).toDF("_op", "id", "k", "v")
+    val foreign = Seq((1L, "z", 50), (9L, "z", 9)).toDF("id", "k", "v")
+    root = CdcIngest.processBatch(t, root, b1, Seq(0),
+      appId = "cdc-race", batchId = 1L, foldThreshold = 4096,
+      beforeAppend = () => {
+        DeltaTable.forPath(spark, dir).append(foreign); ()
+      })
+    assert(state() == Map(1L -> ("a", 100), 2L -> ("b", 2),
+      9L -> ("z", 9)),
+      "batch upsert must win over the raced foreign row; unrelated " +
+        "foreign rows survive")
+  }
 }
