@@ -34,7 +34,8 @@ object AdaptiveMetadata {
     * `== checkpointMetadata.version` in a manifest commit, `<` in a
     * standalone checkpoint where inline file actions cover the gap.
     */
-  case class ContentRoot(path: String, sizeInBytes: Long, version: Long) {
+  case class ContentRoot(path: String, sizeInBytes: Long, version: Long,
+      looseCount: Option[Long] = None) {
 
     /** Resolve to an absolute location string (reference
       * ContentRoot::to_filemeta, actions/mod.rs:1192-1219).
@@ -111,7 +112,11 @@ object AdaptiveMetadata {
         root = Some(ContentRoot(
           n.get("path").asText,
           n.get("sizeInBytes").asLong,
-          n.get("version").asLong))
+          n.get("version").asLong,
+          // engine extension: loose (non-manifest) root-row count, so
+          // the fold-threshold probe skips reading the root entirely;
+          // absent on foreign-written actions → unknown → read
+          Option(n.get("looseCount")).filterNot(_.isNull).map(_.asLong)))
       }
       one("protocol").foreach(n => protocol = Some(JsonLog.parseProtocol(n)))
       one("metaData").foreach(n => metadata = Some(JsonLog.parseMetadata(n)))
@@ -174,7 +179,9 @@ object AdaptiveMetadata {
     els += s"""{"checkpointMetadata":{"version":${a.version}}}"""
     els += s"""{"contentRoot":{"path":"${JsonLog.esc(a.contentRoot.path)}"""" +
       s""","sizeInBytes":${a.contentRoot.sizeInBytes}""" +
-      s""","version":${a.contentRoot.version}}}"""
+      s""","version":${a.contentRoot.version}""" +
+      a.contentRoot.looseCount.map(n => s""","looseCount":$n""")
+        .getOrElse("") + "}}"
     els += s"""{"protocol":${JsonLog.writeProtocol(a.protocol)}}"""
     els += s"""{"metaData":${JsonLog.writeMetadata(a.metadata)}}"""
     a.transactions.foreach(t => els += s"""{"txn":${JsonLog.writeTxn(t)}}""")

@@ -640,7 +640,16 @@ object ContentTree {
       .coalesce(1).write.parquet(absTree + "/root")
     val rootBytes = Storage.listFilesRecursive(fs,
       new org.apache.hadoop.fs.Path(absTree + "/root")).map(_.getLen).sum
-    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, v)
+    // loose-row count rides in the root descriptor so the fold-
+    // threshold probe is O(1) — extraRootRows are manifest references
+    // in every current caller, but count them rather than assume
+    val looseExtra = extraRootRows.count { r =>
+      val ct = r.getInt(0)
+      ct != DataContentType.DataManifest &&
+        ct != DataContentType.DeleteManifest
+    }
+    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, v,
+      looseCount = Some(looseExtra.toLong))
   }
 
   /** Read a tree's entry rows as one DataFrame: scan the root node,
@@ -807,7 +816,14 @@ object ContentTree {
       spark.sessionState.newHadoopConf())
     val rootBytes = Storage.listFilesRecursive(fs,
       new org.apache.hadoop.fs.Path(absRoot)).map(_.getLen).sum
-    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, version)
+    val ctIdx = target.fieldIndex("contentType")
+    val loose = rows.count { r =>
+      val ct = r.getInt(ctIdx)
+      ct != DataContentType.DataManifest &&
+        ct != DataContentType.DeleteManifest
+    }
+    AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, version,
+      looseCount = Some(loose.toLong))
   }
 
   /** Fold a root's loose rows into fresh leaf nodes once they exceed
@@ -821,6 +837,11 @@ object ContentTree {
   def foldLooseEntries(snap: Snapshot,
       root: AdaptiveMetadata.ContentRoot,
       threshold: Int = 4096): AdaptiveMetadata.ContentRoot = {
+    // O(1) steady-state probe: a root carrying its loose count under
+    // the threshold skips the read entirely (the CDC-ingest fast path
+    // — without this every batch re-read and collected the whole root
+    // just to count its loose rows)
+    if (root.looseCount.exists(_ <= threshold)) return root
     val spark = snap.spark
     val tableRoot = snap.tableRoot.toString
     val rootDf = spark.read.parquet(root.resolve(tableRoot))
