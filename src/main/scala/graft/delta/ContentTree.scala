@@ -582,10 +582,18 @@ object ContentTree {
       if (entries.schema.fieldNames.contains(CONTENT_STATS))
         entrySchemaWithStats(contentStatsSchema(snap))
       else entrySchema)
+    // NO repartition before the dynamic-partition write: the leaf key
+    // groups by VALUE (partitionBy), so clustering rows task-side is a
+    // local sort, not a shuffle — dropping the one wide exchange that
+    // dominated tree construction (the 300k-entry stats rows are ~KB
+    // wide). Each upstream task emits at most `numLeaves` files; a
+    // leaf DIRECTORY (the manifest unit) aggregates them, so the
+    // hierarchy shape is unchanged. Parallelism tracks the upstream
+    // stage (the distributed replay/merge), which AQE sizes to the
+    // data — big builds stay wide, tiny frames legitimately collapse.
     entries.to(target)
       .withColumn("leafKey",
         pmod(xxhash64(grouping), lit(numLeaves.toLong)).cast(IntegerType))
-      .repartition(numLeaves, col("leafKey"))
       .write.partitionBy("leafKey").parquet(leavesAbs)
 
     val fs = Storage.fs(snap.tableRoot,

@@ -321,7 +321,10 @@ object DeltaQueries {
         TableChanges.CDF_ENABLED_KEY -> "true",
         graft.delta.ColumnMapping.MODE_KEY -> "name"))
       val t = DeltaTable.forPath(s, dir)
-      // 4 files with disjoint o.cust ranges -> nested skipping provable
+      // 4 files with disjoint o.cust ranges -> nested skipping provable.
+      // NOTE: needs custkeys past 250 (the oracle's fixed predicate) —
+      // holds at sf0.01+ (the driver's gates); sf0.001's 150 customers
+      // cannot produce a skippable file for this predicate at all
       Seq((0, 375), (375, 750), (750, 1125), (1125, 1 << 30)).foreach {
         case (lo, hi) =>
           t.append(src.filter(col("o.cust") >= lo && col("o.cust") < hi)
