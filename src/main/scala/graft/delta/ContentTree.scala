@@ -364,6 +364,15 @@ object ContentTree {
         col("add.deletionVector.sizeInBytes").as("sz"),
         col("add.deletionVector.cardinality").as("card"))
       .collect()
+    persistInlineDvsFromRows(snap, adds, inline.toIndexedSeq)
+  }
+
+  /** The persist half of [[persistInlineDvs]] with the probe rows
+    * (`p`/`z85`/`sz`/`card` by name) supplied by the caller — lets
+    * updateRoot fold the inline-DV probe into a shared probe job.
+    */
+  private def persistInlineDvsFromRows(snap: Snapshot,
+      adds: DataFrame, inline: Seq[Row]): DataFrame = {
     if (inline.isEmpty) return adds
     val conf = snap.spark.sessionState.newHadoopConf()
     // keyed by the add path — unique within a snapshot's live adds
@@ -731,6 +740,15 @@ object ContentTree {
     sys.props.get("graft.tree.smallHandoffEntries")
       .flatMap(_.toLongOption).getOrElse(100000L)
 
+  /** Below this many total entries, updateRoot merges the whole tree
+    * instead of probing for reusable leaves (see the gate in
+    * [[updateRoot]]); property-overridable so specs can pin the reuse
+    * path on small fixtures.
+    */
+  private def reuseProbeMinEntries: Long =
+    sys.props.get("graft.tree.reuseProbeMinEntries")
+      .flatMap(_.toLongOption).getOrElse(4096L)
+
   /** Strip entry rows to the AddFile-relevant columns before the
     * driver handoff: `content_stats` (700+ leaves on a 100-col table)
     * and the tracking bitmaps never cross the boundary, and nested
@@ -938,6 +956,69 @@ object ContentTree {
       version)
   }
 
+  /** Driver fast path for updateRoot's winner computation over a
+    * SMALL commit window: parse the commits' JSON lines driver-side
+    * and fold the per-location winner locally — the same max-by
+    * `(version, isAdd)` rule as the distributed diff (later version
+    * wins; within a version the add side of a DV swap beats the
+    * remove). Returns None past the window/byte gates or when a
+    * commit file is missing (the distributed diff then validates the
+    * range and reports the gap).
+    */
+  private def smallRangeWinner(
+      spark: org.apache.spark.sql.SparkSession, snap: Snapshot,
+      base: Long): Option[DataFrame] = {
+    val target = snap.version
+    if (target - base > 8) return None
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val logDir = FileNames.logDir(snap.tableRoot)
+    val files = ((base + 1) to target).map(v =>
+      FileNames.commitFile(logDir, v))
+    if (!files.forall(fs.exists)) return None
+    if (files.map(fs.getFileStatus(_).getLen).sum > 16L * 1024 * 1024)
+      return None
+    // (add-or-null, version, isAdd) per decoded location
+    val best = scala.collection.mutable.HashMap
+      .empty[String, (AddFile, Long, Int)]
+    ((base + 1) to target).foreach { v =>
+      Storage.readLines(fs, FileNames.commitFile(logDir, v))
+        .foreach { line =>
+          if (line.nonEmpty) {
+            val n = JsonLog.parseLine(line)
+            val addN = Option(n.get("add")).filterNot(_.isNull)
+            val remN = Option(n.get("remove")).filterNot(_.isNull)
+            val hit: Option[(String, (AddFile, Long, Int))] =
+              addN.map { a =>
+                val af = RowCodec.jsonToAdd(a)
+                (Storage.decodeUriPath(af.path), (af, v, 1))
+              }.orElse(remN.map { r =>
+                (Storage.decodeUriPath(r.get("path").asText),
+                  (null: AddFile, v, 0))
+              })
+            hit.foreach { case (loc, w) =>
+              val keep = best.get(loc).forall { c =>
+                w._2 > c._2 || (w._2 == c._2 && w._3 > c._3)
+              }
+              if (keep) best(loc) = w
+            }
+          }
+        }
+    }
+    val schema = StructType(Seq(
+      StructField("loc", StringType),
+      StructField("add", LogSchema.add),
+      StructField("version", LongType),
+      StructField("isAdd", IntegerType)))
+    val rows: Seq[Row] = best.toSeq.sortBy(_._1).map { case (loc, w) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](loc,
+          Option(w._1).map(RowCodec.addToRow).orNull, w._2, w._3),
+        schema): Row
+    }
+    Some(spark.createDataFrame(rows.asJava, schema))
+  }
+
   /** INCREMENTAL root maintenance — the adaptiveMetadata RFC's point:
     * advance a tree from `prev.version` to `snap.version` by applying
     * the commit-range file diff to the previous tree instead of
@@ -975,25 +1056,51 @@ object ContentTree {
       s"tree at ${prev.version} is ahead of snapshot ${snap.version}")
     if (prev.version == snap.version) return prev
 
-    val diff = IncrementalScan.fileDiff(spark, snap.tableRoot.toString,
-      prev.version, snap.version)
     // decoded per-path NET winner: newest version; within a version an
-    // add (the new state of a DV swap) beats the remove of the old copy
-    val winner = diff
-      .withColumn("loc", Storage.decodeUriPathCol(
-        coalesce(col("add.path"), col("remove.path"))))
-      .withColumn("isAdd",
-        when(col("add").isNotNull, 1).otherwise(0))
-      .groupBy(col("loc"))
-      .agg(max_by(struct(col("add"), col("version"), col("isAdd")),
-        struct(col("version"), col("isAdd"))).as("w"))
-      .select(col("loc"), col("w.add").as("add"),
-        col("w.version").as("version"), col("w.isAdd").as("isAdd"))
+    // add (the new state of a DV swap) beats the remove of the old
+    // copy. Small windows take a driver fast path (the
+    // appendCommitLoose envelope): parse the few commit JSONs locally
+    // and build the winner as a LOCAL relation — skips a distributed
+    // JSON scan plus two shuffles, and the local relation broadcasts
+    // into the merge join for free. Big windows/commits stay on the
+    // distributed diff.
+    val winner = smallRangeWinner(spark, snap, prev.version).getOrElse {
+      val diff = IncrementalScan.fileDiff(spark,
+        snap.tableRoot.toString, prev.version, snap.version)
+      diff
+        .withColumn("loc", Storage.decodeUriPathCol(
+          coalesce(col("add.path"), col("remove.path"))))
+        .withColumn("isAdd",
+          when(col("add").isNotNull, 1).otherwise(0))
+        .groupBy(col("loc"))
+        .agg(max_by(struct(col("add"), col("version"), col("isAdd")),
+          struct(col("version"), col("isAdd"))).as("w"))
+        .select(col("loc"), col("w.add").as("add"),
+          col("w.version").as("version"), col("w.isAdd").as("isAdd"))
+    }
     winner.persist()
+    // ONE probe job serves both metadata questions about the diff's
+    // add side: which adds carry inline DVs (they must persist before
+    // entering tree metadata) and whether any is a dataChange=false
+    // rewrite (the compaction guard below) — previously two jobs
+    val probe = winner.filter(col("isAdd") === 1 &&
+        (col("add.deletionVector.storageType") === "i" ||
+          col("add.dataChange") === false))
+      .select(col("add.path").as("p"),
+        col("add.deletionVector.storageType").as("st"),
+        col("add.deletionVector.pathOrInlineDv").as("z85"),
+        col("add.deletionVector.sizeInBytes").as("sz"),
+        col("add.deletionVector.cardinality").as("card"),
+        col("add.dataChange").as("dc"))
+      .collect().toIndexedSeq
+    val movedRows = probe.exists(!_.getAs[Boolean]("dc"))
+    val inlineRows =
+      if (!hasDvFeature(snap)) Nil
+      else probe.filter(_.getAs[String]("st") == "i")
     val newE = entriesFromAdds(
-      persistInlineDvs(snap,
+      persistInlineDvsFromRows(snap,
         winner.filter(col("isAdd") === 1)
-          .select(col("add"), col("version"))),
+          .select(col("add"), col("version")), inlineRows),
       contentStatsSchema(snap))
     val removed = winner.filter(col("isAdd") === 0)
       .select(col("loc").as("location"), col("version").as("rmVersion"))
@@ -1034,6 +1141,21 @@ object ContentTree {
         names == entrySchema.fieldNames.toSet ||
           names == entrySchema.fieldNames.toSet + CONTENT_STATS
       }
+    // Manifest reuse costs two probe jobs (a full leaf scan plus the
+    // affected-leaf semi-join) before any merge work starts. The root
+    // manifests record their leaves' entry counts, so when the WHOLE
+    // tree is small, skip the probe and merge every leaf — rewriting a
+    // few thousand KB-wide rows is cheaper than the probes, and the
+    // merge keeps full status fidelity (carried entries come back
+    // Existing instead of their leaf-frozen originals). Big trees (the
+    // 5M bench, any real table) stay on the reuse path.
+    val totalPrevEntries: Option[Long] = {
+      val idx = entrySchema.fieldIndex("recordCount")
+      if (manifestRows.isEmpty ||
+          manifestRows.exists(_.isNullAt(idx))) None
+      else Some(manifestRows.map(_.getLong(idx)).sum)
+    }
+    val probeWorthIt = totalPrevEntries.forall(_ > reuseProbeMinEntries)
     // 0 = inherit the previous tree's scale (see the overload doc)
     val effLeaves =
       if (numLeaves > 0) numLeaves
@@ -1046,7 +1168,7 @@ object ContentTree {
       else tableRootStr.stripSuffix("/") + "/" + l
 
     val reused: Option[(DataFrame, Seq[Row])] =
-      if (!reusableLayout) None
+      if (!reusableLayout || !probeWorthIt) None
       else {
         val byResolved = manifestRows.map(r =>
           resolveLoc(r.getAs[String]("location")) -> r).toMap
@@ -1107,8 +1229,15 @@ object ContentTree {
         }
       }
 
-    val prevAll = reused.map(_._1).getOrElse(
+    // the small-tree merge path (reuse probe skipped) reads the WHOLE
+    // previous tree and references it twice (data merge + carried
+    // delete-content entries) — cache it so the write job scans the
+    // leaves once; bounded by the same gate that skipped the probe
+    val smallMerge = reused.isEmpty &&
+      totalPrevEntries.exists(_ <= reuseProbeMinEntries)
+    val prevAll0 = reused.map(_._1).getOrElse(
       readEntriesDF(spark, prev.resolve(tableRootStr), tableRootStr))
+    val prevAll = if (smallMerge) prevAll0.persist() else prevAll0
     val prevE = prevAll
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
@@ -1255,15 +1384,13 @@ object ContentTree {
     // the merge below keeps the PREVIOUS fileSequenceNumber, so DV
     // swaps don't re-sequence.) Same contract as Iceberg's
     // RewriteDataFiles: apply/convert the deletes, then compact.
-    // Probe order matters twice over: `moved` is a cheap scan of the
-    // persisted diff, so the common no-rewrite update pays no probe at
-    // all — and when a rewrite IS present, the pending-delete probe
-    // must cover the WHOLE previous tree, not just `deleteContent`'s
-    // affected-leaf slice: a delete entry parked in a carried
-    // (unaffected) leaf is exactly as resurrectable.
-    val moved = winner.filter(col("isAdd") === 1 &&
-      col("add.dataChange") === false).limit(1).count()
-    if (moved > 0) {
+    // The `moved` flag came from the shared probe job above, so the
+    // common no-rewrite update pays nothing here — and when a rewrite
+    // IS present, the pending-delete probe must cover the WHOLE
+    // previous tree, not just `deleteContent`'s affected-leaf slice: a
+    // delete entry parked in a carried (unaffected) leaf is exactly as
+    // resurrectable.
+    if (movedRows) {
       val pending = readEntriesDF(spark, prev.resolve(tableRootStr),
         tableRootStr).filter(
         col("contentType").isin(DataContentType.PositionDeletes,
@@ -1284,6 +1411,7 @@ object ContentTree {
       updated.unionByName(deleteContent.select(deleteCols: _*)),
       effLeaves, carriedRootRows)
     winner.unpersist()
+    if (smallMerge) prevAll.unpersist()
     root
   }
 
@@ -1301,6 +1429,26 @@ object ContentTree {
       .filter(col("contentType") === DataContentType.Data &&
         col("tracking.status") =!= TrackingStatus.Deleted)
     streamAsAdds(spark, df, n, tableRootUriPath)
+  }
+
+  /** Live adds plus the full tracking-status set of a tree's DATA
+    * entries in ONE leaf scan — callers needing both (maintenance
+    * audits pinning statuses before planning a read) previously paid
+    * two. Deleted tombstones contribute their status but no add.
+    */
+  def addsAndStatuses(spark: org.apache.spark.sql.SparkSession,
+      rootLocation: String, tableRoot: String, tableRootUriPath: String)
+      : (Seq[AddFile], Set[Int]) = {
+    val (entries, n) = readEntriesWithCount(spark, rootLocation, tableRoot)
+    val data = entries.filter(
+      col("contentType") === DataContentType.Data)
+    val rows = streamSlimRows(spark, data, n,
+      Seq(col("tracking.status").as("__status"))).toSeq
+    val statuses = rows.map(_.getAs[Int]("__status")).toSet
+    val adds = rows
+      .filter(_.getAs[Int]("__status") != TrackingStatus.Deleted)
+      .map(entryToAdd(_, tableRootUriPath))
+    (adds, statuses)
   }
 
   /** Stats-pruned tree read: plan the file set from the tree INSTEAD

@@ -279,7 +279,7 @@ class ContentTreeSpec extends AnyFunSuite {
 
   test("incremental updateRoot: diff-applied tree matches a fresh " +
       "build, with Existing/Modified/Deleted/Added tracking statuses " +
-      "and inherited identity") {
+      "and inherited identity") { withReuseProbe {
     val dir = TestSpark.tmpDir("amt-incr")
     val src = (1 to 30000).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
       .toDF("k", "s", "p")
@@ -370,10 +370,10 @@ class ContentTreeSpec extends AnyFunSuite {
 
     // a same-version update is a no-op handle
     assert(ContentTree.updateRoot(snap, tree2) eq tree2)
-  }
+  } }
 
   test("chained updateRoot: reuse keeps flowing across generations — " +
-      "the third tree references leaves from BOTH earlier trees") {
+      "the third tree references leaves from BOTH earlier trees") { withReuseProbe {
     val dir = TestSpark.tmpDir("amt-chain")
     val src = (1 to 30000).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
       .toDF("k", "s", "p")
@@ -411,7 +411,7 @@ class ContentTreeSpec extends AnyFunSuite {
       .assemble(adds, keepMeta = false)
     assert(rebuilt.orderBy("k").collect().toSeq ==
       t.toDF.orderBy("k").collect().toSeq)
-  }
+  } }
 
   test("TrackingInfo delta bitmaps: Modified entries carry " +
       "deletedPositions equal to the DV diff of the maintained range") {
@@ -651,5 +651,14 @@ class ContentTreeSpec extends AnyFunSuite {
       rootUri).toSeq
     assert(new DeltaScan(snap, None).assemble(adds, keepMeta = false)
       .count() == 1000L)
+  }
+  /** Pin the manifest-reuse probe ON for small fixtures: updateRoot
+    * skips the probe below graft.tree.reuseProbeMinEntries (merging a
+    * tiny tree outright is cheaper), but these tests exist to verify
+    * the reuse mechanics themselves.
+    */
+  private def withReuseProbe[A](f: => A): A = {
+    System.setProperty("graft.tree.reuseProbeMinEntries", "0")
+    try f finally System.clearProperty("graft.tree.reuseProbeMinEntries")
   }
 }

@@ -333,7 +333,7 @@ class EqualityDeletesSpec extends AnyFunSuite {
 
   test("loose delete entries do not break manifest reuse: updateRoot " +
       "across an append carries unaffected leaves by reference and " +
-      "folds the loose deletes into the new generation") {
+      "folds the loose deletes into the new generation") { withReuseProbe {
     val (t, snap1) = build(Seq(
       df(Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)))))
     val root0 = ContentTree.writeRoot(snap1, 2)
@@ -368,7 +368,7 @@ class EqualityDeletesSpec extends AnyFunSuite {
       ContentTree.updateRoot(snap3, root2, 2)
     }
     assert(e.getMessage.contains("dataChange=false"))
-  }
+  } }
 
   test("plan width is independent of the delete-commit count: many " +
       "sequences of one id group still read as ONE delete scan arm") {
@@ -565,5 +565,14 @@ class EqualityDeletesSpec extends AnyFunSuite {
     assert(after.filter(col("deletionVector").isNotNull).count() == 0)
     assert(readIds(snap, newRoot.resolve(snap.tableRoot.toString))
       == Set(1L))
+  }
+  /** Pin the manifest-reuse probe ON for small fixtures: updateRoot
+    * skips the probe below graft.tree.reuseProbeMinEntries (merging a
+    * tiny tree outright is cheaper), but these tests exist to verify
+    * the reuse mechanics themselves.
+    */
+  private def withReuseProbe[A](f: => A): A = {
+    System.setProperty("graft.tree.reuseProbeMinEntries", "0")
+    try f finally System.clearProperty("graft.tree.reuseProbeMinEntries")
   }
 }
