@@ -203,11 +203,14 @@ object ContentTree {
     * `ContentTreeNodeEntry`, field ids per its `#[field_id]`
     * annotations; `tags` deliberately carries NO id — it postdates the
     * fixed AMF schema and is matched by name, mod.rs:226-231).
-    * `partition` holds Delta's string-serialized partition values (the
-    * typed Iceberg partition tuple is spec-id driven and out of scope
-    * until the RFC fixes the spec encoding). The dynamically-schema'd
-    * `content_stats` struct is NOT part of this base shape — leaf
-    * nodes append it via [[entrySchemaWithStats]].
+    * `partition` holds Delta's string-serialized partition values,
+    * matched by NAME only — the Iceberg field id 102 belongs to the
+    * spec-driven TYPED partition tuple (mod.rs:165-171), which rides
+    * as the dynamically-schema'd [[PARTITION_TUPLE]] column appended
+    * by [[writeTree]] (children at the Iceberg partition-field id
+    * space 1000+). The dynamically-schema'd `content_stats` struct is
+    * likewise NOT part of this base shape — leaf nodes append it via
+    * [[entrySchemaWithStats]].
     */
   val entrySchema: StructType = StructType(Seq(
     fid(StructField("contentType", IntegerType, nullable = false), 134),
@@ -216,7 +219,7 @@ object ContentTree {
     fid(StructField("tracking", trackingSchema, nullable = false), 147),
     fid(StructField("deletionVector", dvInfoSchema), 148),
     fid(StructField("specId", IntegerType, nullable = false), 141),
-    fid(StructField("partition", MapType(StringType, StringType)), 102),
+    StructField("partition", MapType(StringType, StringType)),
     fid(StructField("sortOrderId", IntegerType), 140),
     fid(StructField("recordCount", LongType), 103),
     fid(StructField("fileSizeInBytes", LongType), 104),
@@ -226,6 +229,50 @@ object ContentTree {
     fid(StructField("equalityIds", ArrayType(IntegerType)), 135),
     fid(StructField("formatVersion", IntegerType, nullable = false), 157),
     StructField("tags", MapType(StringType, StringType))))
+
+  /** Name of the typed partition-tuple column (the Iceberg `partition`
+    * field, id 102): one field per partition column in identity-spec
+    * order, typed per the table schema, children anchored at the
+    * Iceberg partition-field id space (1000 + ordinal). Appended after
+    * the base shape so positional Row builders stay valid.
+    */
+  val PARTITION_TUPLE = "partition_tuple"
+
+  /** Iceberg partition-field ids start at 1000 (spec v2). */
+  val PARTITION_FIELD_ID_START = 1000
+
+  /** Identity-spec partition tuple schema of a snapshot: physical
+    * partition column names (the same key space as the string map),
+    * each typed per the table schema with parquet field id 1000+i.
+    * Empty for unpartitioned tables (the column is then omitted —
+    * parquet cannot persist an empty group).
+    */
+  def partitionTupleSchema(snap: Snapshot): StructType =
+    StructType(snap.metadata.partitionColumns.zipWithIndex.flatMap {
+      case (c, i) =>
+        snap.schema.fields.find(_.name == c).map { f =>
+          fid(StructField(ColumnMapping.physicalName(f), f.dataType),
+            PARTITION_FIELD_ID_START + i)
+        }
+    })
+
+  /** Derive the typed tuple from Delta's string map (the
+    * PartitionValues parse rules: empty string → NULL except for
+    * string/binary). No-op on unpartitioned tables and on frames that
+    * already carry the column; entries without partition values (a
+    * delete descriptor, a manifest row) read a null-valued tuple, per
+    * mod.rs:167-168.
+    */
+  private def withPartitionTuple(snap: Snapshot,
+      entries: DataFrame): DataFrame = {
+    val ps = partitionTupleSchema(snap)
+    if (ps.isEmpty ||
+        entries.schema.fieldNames.contains(PARTITION_TUPLE)) entries
+    else entries.withColumn(PARTITION_TUPLE, struct(
+      ps.fields.toIndexedSeq.map(f =>
+        PartitionValues.castExpr("partition", f.name, f.dataType)
+          .as(f.name)): _*))
+  }
 
   /** Name of the dynamically-schema'd stats struct (mod.rs:33). */
   val CONTENT_STATS = "content_stats"
@@ -584,13 +631,24 @@ object ContentTree {
     val leavesAbs = absTree + "/leaves"
     val grouping = when(size(map_keys(col("partition"))) > 0,
       to_json(col("partition"))).otherwise(col("location"))
+    // the typed partition tuple (Iceberg field 102) derives from the
+    // string map right here — ONE construction point, so every leaf of
+    // every generation carries it consistently no matter which path
+    // (build, merge, fold, conversion) produced the entry rows
+    val entries1 = withPartitionTuple(snap, entries)
     // re-anchor the parquet field ids: expression selects drop
     // StructField metadata, and Iceberg projects tree columns BY id —
     // .to() reconciles rows to the id-carrying schema
-    val target = asNullable(
-      if (entries.schema.fieldNames.contains(CONTENT_STATS))
+    val base0 =
+      if (entries1.schema.fieldNames.contains(CONTENT_STATS))
         entrySchemaWithStats(contentStatsSchema(snap))
-      else entrySchema)
+      else entrySchema
+    val target = asNullable(
+      if (entries1.schema.fieldNames.contains(PARTITION_TUPLE))
+        StructType(base0.fields :+
+          fid(StructField(PARTITION_TUPLE, partitionTupleSchema(snap)),
+            102))
+      else base0)
     // NO repartition before the dynamic-partition write: the leaf key
     // groups by VALUE (partitionBy), so clustering rows task-side is a
     // local sort, not a shuffle — dropping the one wide exchange that
@@ -600,7 +658,7 @@ object ContentTree {
     // hierarchy shape is unchanged. Parallelism tracks the upstream
     // stage (the distributed replay/merge), which AQE sizes to the
     // data — big builds stay wide, tiny frames legitimately collapse.
-    entries.to(target)
+    entries1.to(target)
       .withColumn("leafKey",
         pmod(xxhash64(grouping), lit(numLeaves.toLong)).cast(IntegerType))
       .write.partitionBy("leafKey").parquet(leavesAbs)

@@ -248,6 +248,79 @@ class ContentTreeSpec extends AnyFunSuite {
     } finally footer.close()
   }
 
+  test("typed partition tuple: Iceberg field id 102 with identity-" +
+      "spec children at 1000+, values parse from the string map, and " +
+      "an id-only projection (no name matching) reads it back") {
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("amt-ptuple")
+    val src = (1 to 4000).map(i => (i.toLong, s"v$i", s"p${i % 3}", i % 5))
+      .toDF("k", "s", "p", "q")
+    DeltaTable.create(spark, dir, src.schema, Seq("p", "q"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val snap = t.snapshot()
+    val root = ContentTree.writeRoot(snap)
+    val resolved = root.resolve(snap.tableRoot.toString)
+
+    // tuple values agree with the string map (typed: q comes back int)
+    val entries = ContentTree.readEntriesDF(spark, resolved,
+      snap.tableRoot.toString)
+      .filter(col("contentType") === DataContentType.Data)
+    assert(entries.filter(col("partition_tuple").isNull).count() == 0)
+    assert(entries.filter(
+      col("partition_tuple.p") =!= col("partition")("p") ||
+      col("partition_tuple.q") =!=
+        col("partition")("q").cast("int")).count() == 0)
+    assert(entries.schema("partition_tuple").dataType
+      .asInstanceOf[StructType]("q").dataType == IntegerType)
+
+    // footer ids: tuple at 102, children at the 1000+ partition space
+    val fs = Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    val treeDir = new Path(resolved).getParent
+    val leaf = Storage.listFilesRecursive(fs, new Path(treeDir, "leaves"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        leaf, spark.sessionState.newHadoopConf()))
+    try {
+      val mt: org.apache.parquet.schema.GroupType =
+        footer.getFooter.getFileMetaData.getSchema
+      val pt = mt.getType("partition_tuple")
+      assert(pt.getId.intValue == 102)
+      val g = pt.asGroupType()
+      assert(g.getType("p").getId.intValue == 1000)
+      assert(g.getType("q").getId.intValue == 1001)
+      // the string map deliberately carries NO id (name-matched)
+      assert(mt.getType("partition").getId == null)
+    } finally footer.close()
+
+    // id-only read: arbitrary names, matching ONLY by parquet field id
+    def byId(name: String, dt: DataType, id: Long) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    val idOnly = StructType(Seq(byId("pt", StructType(Seq(
+      byId("part0", StringType, 1000L),
+      byId("part1", IntegerType, 1001L))), 102L)))
+    val prevConf = spark.conf.getOption(
+      "spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      val tuples = spark.read.schema(idOnly)
+        .parquet(new Path(treeDir, "leaves").toString)
+        .select(col("pt.part0"), col("pt.part1"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(tuples == (for (p <- 0 to 2; q <- 0 to 4)
+        yield (s"p$p", q)).toSet)
+    } finally prevConf match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
+
   test("stats-pruned tree read returns the same files as the pruned " +
       "log read") {
     val dir = TestSpark.tmpDir("amt-prune")
