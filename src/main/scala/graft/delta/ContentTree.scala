@@ -751,7 +751,12 @@ object ContentTree {
     val isManifest = col("contentType").isin(
       DataContentType.DataManifest, DataContentType.DeleteManifest)
     val manifestRows = root.filter(isManifest)
-      .select("location", "recordCount").collect()
+      .select("location", "recordCount", "fileSizeInBytes").collect()
+    // manifest rows record their leaf's size — byte accounting is free
+    Metrics.report(MetricEvent.IoBytes(Metrics.newId(), "tree_read",
+      manifestRows.length + 1L,
+      manifestRows.map(r =>
+        if (r.isNullAt(2)) 0L else r.getLong(2)).sum))
     if (manifestRows.isEmpty) (root, None)
     else {
       val resolved = manifestRows.map(_.getString(0)).map { l =>

@@ -421,6 +421,10 @@ class DeltaScan(val snapshot: Snapshot, val predicateSql: Option[String]) {
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
     }
+    // planned data-file I/O (column pruning reads less; the gauge is
+    // which files a 100 TB scan would have to touch at all)
+    Metrics.report(MetricEvent.IoBytes(Metrics.newId(), "data_scan",
+      index.fileCount, index.sizeInBytes))
 
     // Read through a log-backed FileIndex (GraftFileIndex, the
     // TahoeFileIndex pattern): the plan holds the index, not N literal

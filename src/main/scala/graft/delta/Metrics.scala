@@ -112,6 +112,19 @@ object MetricEvent {
   case class EqDeleteApply(operationId: String, groups: Int,
       deleteFiles: Int, deleteKeys: Long,
       broadcastGroups: Int) extends MetricEvent
+
+  /** I/O accounting per phase (reference kernel/src/metrics/
+    * metered_*.rs byte/call meters): how many FILES a phase touches
+    * and how many BYTES they hold — `log_segment` (commit JSONs +
+    * checkpoint parts a snapshot build reads), `tree_read` (a content
+    * tree's root + leaf nodes), `data_scan` (the data files a scan
+    * plans; planned bytes — column pruning reads less). The 100 TB
+    * cost-attribution gauge: which phase's I/O grows when a table
+    * does. Phases needing extra filesystem calls to size their files
+    * (`log_segment`) emit only while a reporter is registered.
+    */
+  case class IoBytes(operationId: String, phase: String,
+      files: Long, bytes: Long) extends MetricEvent
 }
 
 /** Receives every metric event (reference metrics/reporter.rs). Keep

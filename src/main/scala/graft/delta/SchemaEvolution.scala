@@ -54,6 +54,99 @@ object SchemaEvolution {
           .map(nf => (of, nf))))
   }
 
+  /** One field-level change in a field-id diff. `path` is the dotted
+    * logical path in the NEW schema for adds/renames, in the OLD
+    * schema for drops.
+    */
+  case class FieldIdDiff(
+      added: Seq[(String, StructField)],
+      dropped: Seq[(String, StructField)],
+      renamed: Seq[(String, String, Long)], // old path, new path, id
+      widened: Seq[(String, DataType, DataType)],
+      incompatible: Seq[(String, DataType, DataType)]) {
+    def isEmpty: Boolean = added.isEmpty && dropped.isEmpty &&
+      renamed.isEmpty && widened.isEmpty && incompatible.isEmpty
+  }
+
+  /** Field-id-level structural diff (reference kernel/src/schema/
+    * diff.rs): fields carrying a column-mapping id pair BY ID across
+    * the two schemas — a same-id leaf-name change is a RENAME, a
+    * same-id type change classifies per the widening matrix — while
+    * id-less fields pair by path (a rename then reads as drop+add,
+    * which is exactly Delta's semantics without column mapping).
+    * Recurses into structs, array elements and map values; struct-
+    * typed fields are never themselves reported as type changes (their
+    * children carry the detail).
+    */
+  def diffByFieldId(oldSchema: StructType,
+      newSchema: StructType): FieldIdDiff = {
+    def flatten(st: StructType, prefix: String)
+        : Seq[(Option[Long], String, StructField)] =
+      st.fields.toSeq.flatMap { f =>
+        val id =
+          if (f.metadata.contains(ColumnMapping.ID_KEY))
+            Some(f.metadata.getLong(ColumnMapping.ID_KEY))
+          else None
+        val path = prefix + f.name
+        (id, path, f) +: (f.dataType match {
+          case s: StructType => flatten(s, path + ".")
+          case ArrayType(s: StructType, _) =>
+            flatten(s, path + ".element.")
+          case MapType(_, s: StructType, _) =>
+            flatten(s, path + ".value.")
+          case _ => Nil
+        })
+      }
+    def leaf(p: String): String = p.substring(p.lastIndexOf('.') + 1)
+    def isStructish(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(_: StructType, _) => true
+      case MapType(_, _: StructType, _) => true
+      case _ => false
+    }
+    val o = flatten(oldSchema, "")
+    val n = flatten(newSchema, "")
+    val oById = o.collect { case (Some(i), p, f) => i -> (p, f) }.toMap
+    val nById = n.collect { case (Some(i), p, f) => i -> (p, f) }.toMap
+    val added = Seq.newBuilder[(String, StructField)]
+    val dropped = Seq.newBuilder[(String, StructField)]
+    val renamed = Seq.newBuilder[(String, String, Long)]
+    val widened = Seq.newBuilder[(String, DataType, DataType)]
+    val incompat = Seq.newBuilder[(String, DataType, DataType)]
+    def typeChange(path: String, of: StructField,
+        nf: StructField): Unit =
+      if (!isStructish(of.dataType) && !isStructish(nf.dataType) &&
+          of.dataType != nf.dataType) {
+        if (canWiden(of.dataType, nf.dataType))
+          widened += ((path, of.dataType, nf.dataType))
+        else incompat += ((path, of.dataType, nf.dataType))
+      }
+    // id-carrying fields pair by id
+    (oById.keySet ++ nById.keySet).toSeq.sorted.foreach { id =>
+      (oById.get(id), nById.get(id)) match {
+        case (Some((op, of)), Some((np, nf))) =>
+          if (leaf(op) != leaf(np)) renamed += ((op, np, id))
+          typeChange(np, of, nf)
+        case (Some((op, of)), None) => dropped += ((op, of))
+        case (None, Some((np, nf))) => added += ((np, nf))
+        case _ => ()
+      }
+    }
+    // id-less fields pair by path
+    val oByPath = o.collect { case (None, p, f) => p -> f }.toMap
+    val nByPath = n.collect { case (None, p, f) => p -> f }.toMap
+    (oByPath.keySet ++ nByPath.keySet).toSeq.sorted.foreach { p =>
+      (oByPath.get(p), nByPath.get(p)) match {
+        case (Some(of), Some(nf)) => typeChange(p, of, nf)
+        case (Some(of), None) => dropped += ((p, of))
+        case (None, Some(nf)) => added += ((p, nf))
+        case _ => ()
+      }
+    }
+    FieldIdDiff(added.result(), dropped.result(), renamed.result(),
+      widened.result(), incompat.result())
+  }
+
   /** Validate that `newSchema` is a legal evolution of `oldSchema`:
     * every old column present (same name), type equal or widened,
     * nullability never tightened; new columns must be nullable.

@@ -733,6 +733,16 @@ object Snapshot {
     Metrics.report(MetricEvent.LogSegmentLoadSuccess(opId,
       Metrics.now() - t0, segment.version, segment.deltas.size,
       segment.checkpointParts.size))
+    // byte accounting costs one status call per segment file — only
+    // worth paying while someone is listening
+    if (Metrics.reporter ne NoOpReporter) {
+      def len(p: Path): Long =
+        try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
+      val segFiles = segment.deltas.map(_.path) ++
+        segment.checkpointParts.map(_.path)
+      Metrics.report(MetricEvent.IoBytes(opId, "log_segment",
+        segFiles.size.toLong, segFiles.map(len).sum))
+    }
 
     // CRC fast path (reference crc/mod.rs): a valid checksum at the
     // snapshot version supplies P&M without any replay

@@ -447,4 +447,61 @@ class AlterTableSpec extends AnyFunSuite {
       Seq((2L, 3.0, null.asInstanceOf[java.lang.Double]))
         .toDF("k", "v", "v2")))
   }
+
+  test("field-id schema diff: renames pair by column-mapping id, " +
+      "drops/adds/widenings classify, and the diff round-trips " +
+      "through ALTER") {
+    val dir = TestSpark.tmpDir("iddiff")
+    val v1 = Seq((1, "a", 1.5f, 7)).toDF("k", "s", "x", "gone")
+    DeltaTable.create(spark, dir, v1.schema,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(v1)
+    val before = t.snapshot().schema
+    val kId = before("k").metadata.getLong(ColumnMapping.ID_KEY)
+
+    t.renameColumn(Seq("k"), "key")      // same id, new name
+    t.dropColumn(Seq("gone"))            // id disappears
+    t.widenColumn("x", DoubleType)       // same id, widened type
+    t.addColumn("fresh", StringType)     // new id
+    val after = t.snapshot().schema
+
+    val d = SchemaEvolution.diffByFieldId(before, after)
+    assert(d.renamed == Seq(("k", "key", kId)))
+    assert(d.dropped.map(_._1) == Seq("gone"))
+    assert(d.added.map(_._1) == Seq("fresh"))
+    assert(d.widened == Seq(("x", FloatType, DoubleType)))
+    assert(d.incompatible.isEmpty)
+
+    // round trip: applying the diffed operations to the BEFORE schema
+    // through ALTER on a second table converges to an empty diff
+    val dir2 = TestSpark.tmpDir("iddiff2")
+    // clone: same logical schema AND same mapping ids (create from the
+    // before schema verbatim, ids ride in the field metadata)
+    DeltaTable.create(spark, dir2, before,
+      configuration = Map(ColumnMapping.MODE_KEY -> "name"))
+    val t2 = DeltaTable.forPath(spark, dir2)
+    d.renamed.foreach { case (op, np, _) =>
+      t2.renameColumn(op.split('.').toSeq,
+        np.substring(np.lastIndexOf('.') + 1)) }
+    d.dropped.foreach { case (p, _) => t2.dropColumn(p.split('.').toSeq) }
+    d.widened.foreach { case (p, _, to) => t2.widenColumn(p, to) }
+    d.added.foreach { case (p, f) => t2.addColumn(p, f.dataType) }
+    val replayed = SchemaEvolution.diffByFieldId(t2.snapshot().schema,
+      after)
+    assert(replayed.renamed.isEmpty && replayed.dropped.isEmpty &&
+      replayed.widened.isEmpty && replayed.incompatible.isEmpty,
+      s"replayed ALTERs did not converge: $replayed")
+
+    // id-less schemas degrade to path pairing: the rename reads as
+    // drop+add (Delta semantics without column mapping)
+    val plainBefore = StructType(before.fields.map(f =>
+      StructField(f.name, f.dataType)))
+    val plainAfter = StructType(after.fields.map(f =>
+      StructField(f.name, f.dataType)))
+    val pd = SchemaEvolution.diffByFieldId(plainBefore, plainAfter)
+    assert(pd.renamed.isEmpty)
+    assert(pd.dropped.map(_._1).toSet == Set("k", "gone"))
+    assert(pd.added.map(_._1).toSet == Set("key", "fresh"))
+  }
 }

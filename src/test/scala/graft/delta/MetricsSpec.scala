@@ -228,6 +228,40 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("I/O byte accounting: a snapshot replay meters its log segment, " +
+      "a scan meters its planned data files, a tree read its nodes") {
+    val dir = TestSpark.tmpDir("mx-io")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 40).repartition(2))
+      r.clear()
+      assert(Snapshot.forTable(spark, dir).scanBuilder().build()
+        .toDF.count() == 40)
+      val io = r.events.collect { case e: IoBytes => e }
+      val seg = io.filter(_.phase == "log_segment")
+      assert(seg.nonEmpty && seg.head.files >= 2 && seg.head.bytes > 0,
+        s"log segment not metered: $io")
+      val scan = io.filter(_.phase == "data_scan")
+      assert(scan.nonEmpty && scan.head.files == 2 &&
+        scan.head.bytes > 0, s"data scan not metered: $io")
+
+      val snap = t.snapshot()
+      val root = ContentTree.writeRoot(snap)
+      r.clear()
+      val rootUri = Storage
+        .fs(snap.tableRoot, spark.sessionState.newHadoopConf())
+        .makeQualified(snap.tableRoot).toUri.getPath
+      ContentTree.addFileIterator(spark,
+        root.resolve(snap.tableRoot.toString),
+        snap.tableRoot.toString, rootUri).size
+      val tree = r.events.collect { case e: IoBytes => e }
+        .filter(_.phase == "tree_read")
+      assert(tree.nonEmpty && tree.head.files >= 2 &&
+        tree.head.bytes > 0, s"tree read not metered: $tree")
+    }
+  }
+
   test("equality-delete read routes the data handoff through the " +
       "slim-stream gate: above-threshold trees take the shuffled arm") {
     val dir = TestSpark.tmpDir("mx-eq-gate")
