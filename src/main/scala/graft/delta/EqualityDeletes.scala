@@ -433,7 +433,16 @@ object EqualityDeletes {
         ContentTree.DEFAULT_LEAF_FANOUT))
     }
     // live row counts decide full-file deletes (remove without re-add)
-    val liveCounts: Map[String, Long] = data.groupBy(col("__path"))
+    // — only MATCHED files can be fully dead, so the count restricts
+    // to them (a broadcast semi-join): the collect stays O(#matched),
+    // never O(#live files in the table)
+    val matchedPathsDf = {
+      import spark.implicits._
+      broadcast(perFile.map(_._1).toSeq.toDF("__path"))
+    }
+    val liveCounts: Map[String, Long] = data
+      .join(matchedPathsDf, Seq("__path"), "left_semi")
+      .groupBy(col("__path"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // commit identity comes from the LOG's own adds — path encoding,
     // stats and DV descriptors must match the log's current lines, not
