@@ -135,9 +135,10 @@ class ContentTreeFuzzSpec extends AnyFunSuite {
     // one WIDE generation: >8 commits in the window, so the
     // DISTRIBUTED diff arm (the driver winner fast path declines
     // windows past 8 commits) stays fuzzed, not just the 5M bench's
-    (1 to 9 + rnd.nextInt(3)).foreach(_ => mutate())
+    // a mutation matching zero rows commits nothing, so loop on the
+    // VERSION gap, not the mutation count
+    while (t.snapshot().version - root.version <= 8) mutate()
     val vWide = t.snapshot().version
-    assert(vWide - root.version > 8, "wide window did not exceed the gate")
     root = ContentTree.updateRoot(
       Snapshot.forTable(spark, dir, Some(vWide)), root, numLeaves = 4)
     assert(root.version == vWide)
