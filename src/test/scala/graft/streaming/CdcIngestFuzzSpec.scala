@@ -66,9 +66,33 @@ class CdcIngestFuzzSpec extends AnyFunSuite {
         case _ => 1 << 20 // never fold
       }
       val preBatch = root
+      // foreign-writer race arm: a second handle commits between the
+      // batch's snapshot and its append. The fresh foreign key (90+,
+      // outside the batch key space) must SURVIVE; the foreign row of
+      // a batch key must DIE — the batch's deletes stamp the LANDED
+      // sequence, which postdates the foreign commit. Only armed when
+      // the batch has upserts (a pure-delete batch commits nothing;
+      // its single-writer contract is documented).
+      val race = rng.nextInt(4) == 0 && ops.exists(_._1 == "upsert")
+      val beforeAppend: () => Unit =
+        if (!race) () => ()
+        else {
+          val fid = 90L + b
+          val batchKey = ops.head._2
+          model(fid) = (s"f$b", 7)
+          () => {
+            import scala.jdk.CollectionConverters._
+            DeltaTable.forPath(spark, dir).append(
+              spark.createDataFrame(Seq(
+                Row(fid, s"f$b", 7),
+                Row(batchKey, "foreign", 1)).asJava, schema))
+            ()
+          }
+        }
       root = CdcIngest.processBatch(t, root, batch, Seq(0), appId,
-        batchId = b.toLong, foldThreshold = fold)
-      assert(state(root) == model.toMap, s"seed $seed batch $b")
+        batchId = b.toLong, foldThreshold = fold, beforeAppend)
+      assert(state(root) == model.toMap,
+        s"seed $seed batch $b${if (race) " (raced)" else ""}")
 
       if (rng.nextInt(3) == 0) {
         // replay with the CURRENT root: must be a no-op
@@ -107,6 +131,13 @@ class CdcIngestFuzzSpec extends AnyFunSuite {
     test(s"randomized CDC batches with folds, replays and conversion " +
         s"match the model (seed $seed)") {
       run(seed)
+    }
+  }
+
+  // wide sweep on demand (GRAFT_CDC_FUZZ_SEEDS=n) — the shake-out tool
+  sys.env.get("GRAFT_CDC_FUZZ_SEEDS").map(_.toInt).foreach { n =>
+    test(s"wide CDC-ingest fuzz: $n seeds") {
+      (200 until 200 + n).foreach(run)
     }
   }
 }
