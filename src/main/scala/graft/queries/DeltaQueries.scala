@@ -77,17 +77,19 @@ object DeltaQueries {
     * the immutable prefix (CREATE + corpus appends) is reused.
     */
   private def cachedBase(name: String, d: String, dest: String)(
-      build: String => Unit): Unit = ctIncLock.synchronized {
-    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = Paths.get("/root/repo/target/tmp", s"$name-base-$key")
-    val done = base.resolve("_base_complete.marker")
-    if (!Files.exists(done)) {
-      rmTreeDir(base) // wipe a half-built base
-      build(base.toString)
-      Files.write(done, Array.emptyByteArray)
+      build: String => Unit): java.nio.file.Path =
+    ctIncLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = Paths.get("/root/repo/target/tmp", s"$name-base-$key")
+      val done = base.resolve("_base_complete.marker")
+      if (!Files.exists(done)) {
+        rmTreeDir(base) // wipe a half-built base
+        build(base.toString)
+        Files.write(done, Array.emptyByteArray)
+      }
+      copyDir(base, Paths.get(dest))
+      base
     }
-    copyDir(base, Paths.get(dest))
-  }
 
   /** Build-once base for q_content_tree_incremental: CREATE + v1
     * append + v1 tree, marker-cached per sfDir under target/tmp (the
@@ -1148,22 +1150,33 @@ object DeltaQueries {
     // served.
     "q_tree_eq_convert" -> ((s, d) => {
       val dir = tmp("eqconv")
-      val src = li(s, d).select(liCols.map(col): _*)
-        .filter(col("l_quantity") < 6)
-      DeltaTable.create(s, dir, src.schema)
+      // the whole pre-conversion state (table, DV delete, equality
+      // delete files, tree) is immutable per sf — conversion writes
+      // only NEW tree/DV dirs and never commits to the log — so it
+      // builds once and copies per invocation; the conversion itself
+      // and the converted read are what rerun
+      val base = cachedBase("eqconv", d, dir) { baseDir =>
+        val src = li(s, d).select(liCols.map(col): _*)
+          .filter(col("l_quantity") < 6)
+        DeltaTable.create(s, baseDir, src.schema)
+        val tb = DeltaTable.forPath(s, baseDir)
+        tb.append(src.filter(col("l_quantity") < 3).repartition(2))  // v1
+        tb.append(src.filter(col("l_quantity") >= 3).repartition(2)) // v2
+        tb.deleteWhereDV("l_orderkey % 7 = 1")                       // v3
+        val sn = tb.snapshot()
+        val keys = src.filter(col("l_orderkey") % 3 === 0)
+          .select("l_orderkey", "l_linenumber")
+        val files = graft.delta.EqualityDeletes.writeDeleteFiles(sn,
+          keys, Seq(0, 3), sequenceNumber = sn.version + 1)
+        val entries = graft.delta.ContentTree.entriesDF(sn).unionByName(
+          graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
+            Some(sn)))
+        writeRootMarker(Paths.get(baseDir, "_root0.json"),
+          graft.delta.ContentTree.writeTree(sn, entries, 4))
+      }
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 3).repartition(2))  // v1
-      t.append(src.filter(col("l_quantity") >= 3).repartition(2)) // v2
-      t.deleteWhereDV("l_orderkey % 7 = 1")                       // v3
       val snap = t.snapshot()
-      val keys = src.filter(col("l_orderkey") % 3 === 0)
-        .select("l_orderkey", "l_linenumber")
-      val files = graft.delta.EqualityDeletes.writeDeleteFiles(snap,
-        keys, Seq(0, 3), sequenceNumber = snap.version + 1)
-      val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
-        graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
-          Some(snap)))
-      val root0 = graft.delta.ContentTree.writeTree(snap, entries, 4)
+      val root0 = readRootMarker(base.resolve("_root0.json"))
       val newRoot = graft.delta.EqualityDeletes.convertToPositionDeletes(
         snap, root0.resolve(snap.tableRoot.toString), 4)
       val resolved = newRoot.resolve(snap.tableRoot.toString)
@@ -1196,21 +1209,30 @@ object DeltaQueries {
     // ingest→materialize→compact chain with zero resurrection.
     "q_tree_eq_materialize" -> ((s, d) => {
       val dir = tmp("eqmat")
-      val src = li(s, d).select(liCols.map(col): _*)
-        .filter(col("l_quantity") < 7)
-      DeltaTable.create(s, dir, src.schema)
+      // pre-materialization state (table, equality delete files, tree)
+      // is immutable per sf; the DV-swap commit, the OPTIMIZE and the
+      // plain log read rerun per invocation on the copy
+      val base = cachedBase("eqmat", d, dir) { baseDir =>
+        val src = li(s, d).select(liCols.map(col): _*)
+          .filter(col("l_quantity") < 7)
+        DeltaTable.create(s, baseDir, src.schema)
+        val tb = DeltaTable.forPath(s, baseDir)
+        tb.append(src.filter(col("l_quantity") < 4).repartition(2))  // 1
+        tb.append(src.filter(col("l_quantity") >= 4).repartition(2)) // 2
+        val sn = tb.snapshot()
+        val keys = src.filter(col("l_orderkey") % 4 === 0)
+          .select("l_orderkey", "l_linenumber")
+        val files = graft.delta.EqualityDeletes.writeDeleteFiles(sn,
+          keys, Seq(0, 3), sequenceNumber = sn.version + 1)
+        val entries = graft.delta.ContentTree.entriesDF(sn).unionByName(
+          graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
+            Some(sn)))
+        writeRootMarker(Paths.get(baseDir, "_root0.json"),
+          graft.delta.ContentTree.writeTree(sn, entries, 4))
+      }
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 4).repartition(2))  // seq 1
-      t.append(src.filter(col("l_quantity") >= 4).repartition(2)) // seq 2
       val snap = t.snapshot()
-      val keys = src.filter(col("l_orderkey") % 4 === 0)
-        .select("l_orderkey", "l_linenumber")
-      val files = graft.delta.EqualityDeletes.writeDeleteFiles(snap,
-        keys, Seq(0, 3), sequenceNumber = snap.version + 1)
-      val entries = graft.delta.ContentTree.entriesDF(snap).unionByName(
-        graft.delta.EqualityDeletes.deleteEntriesDF(s, files,
-          Some(snap)))
-      val root0 = graft.delta.ContentTree.writeTree(snap, entries, 4)
+      val root0 = readRootMarker(base.resolve("_root0.json"))
       val (vDv, rootClean) = graft.delta.EqualityDeletes
         .commitAsDeletionVectors(t, root0.resolve(snap.tableRoot.toString))
       require(vDv == snap.version + 1, "materialization must commit")
