@@ -38,22 +38,6 @@ object DeltaQueries {
 
   private val ctIncLock = new Object
 
-  private def rmTreeDir(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.delete(q))
-
-  private def copyDir(from: java.nio.file.Path,
-      to: java.nio.file.Path): Unit =
-    Files.walk(from).forEach { p =>
-      val q = to.resolve(from.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(q)
-      else {
-        Files.createDirectories(q.getParent)
-        Files.copy(p, q)
-      }
-    }
-
   private def writeRootMarker(path: java.nio.file.Path,
       r: graft.delta.AdaptiveMetadata.ContentRoot): Unit =
     Files.write(path,
@@ -71,25 +55,12 @@ object DeltaQueries {
       n.get("version").asLong, Some(n.get("looseCount").asLong))
   }
 
-  /** Build-once immutable fixture prefix, marker-cached per sfDir
-    * under target/tmp (the tree5m pattern) and COPIED into `dest` per
-    * invocation — the mutating commits rerun fresh every time; only
-    * the immutable prefix (CREATE + corpus appends) is reused.
+  /** Build-once immutable fixture prefix — see [[FixtureCache]], the
+    * one shared implementation every query module's cached rows use.
     */
   private def cachedBase(name: String, d: String, dest: String)(
       build: String => Unit): java.nio.file.Path =
-    ctIncLock.synchronized {
-      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val base = Paths.get("/root/repo/target/tmp", s"$name-base-$key")
-      val done = base.resolve("_base_complete.marker")
-      if (!Files.exists(done)) {
-        rmTreeDir(base) // wipe a half-built base
-        build(base.toString)
-        Files.write(done, Array.emptyByteArray)
-      }
-      copyDir(base, Paths.get(dest))
-      base
-    }
+    FixtureCache.cachedBase(name, d, dest)(build)
 
   /** Build-once base for q_content_tree_incremental: CREATE + v1
     * append + v1 tree, marker-cached per sfDir under target/tmp (the

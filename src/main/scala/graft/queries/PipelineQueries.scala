@@ -159,8 +159,13 @@ object PipelineQueries {
       }
       val sigs = withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       val sigCols = (0 until 8).map(i => s"mh$i")
-      Dedup.incrementalFuzzyNew(s, state,
-        sigs.filter(col("doc_id") % 3 =!= 0), "doc_id", sigCols)
+      // batch 1's admitted state is a pure function of the corpus —
+      // build once per sfDir, copy per invocation; batch 2 (the
+      // admission the row measures) appends to the fresh copy
+      FixtureCache.cachedBase("fuzzinc", d, state) { baseDir =>
+        Dedup.incrementalFuzzyNew(s, baseDir,
+          sigs.filter(col("doc_id") % 3 =!= 0), "doc_id", sigCols)
+      }
       Dedup.incrementalFuzzyNew(s, state,
         sigs.filter(col("doc_id") % 3 === 0), "doc_id", sigCols)
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -442,14 +447,20 @@ object PipelineQueries {
     // structurally: the centroid table stays at its creation version
     // and batch 2 touches no existing file.
     "q_knn_ivf_incremental" -> ((s, d) => {
-      val centDir = java.nio.file.Files
-        .createTempDirectory("ivfinc-cent").toString
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("ivfinc-idx").toString
+      val dir = java.nio.file.Files
+        .createTempDirectory("ivfinc").toString
       val emb = embs(s, d)
-      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", centDir, idxDir,
-        numCentroids = 32, iterations = 3)
+      // training the quantizer + seeding the index from batch 1 is a
+      // pure function of the corpus — build once per sfDir, copy per
+      // invocation; the incremental append + search rerun fresh
+      FixtureCache.cachedBase("ivfinc", d, dir) { baseDir =>
+        Similarity.ivfIndexAppend(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          s"$baseDir/cent", s"$baseDir/idx",
+          numCentroids = 32, iterations = 3)
+      }
+      val centDir = s"$dir/cent"
+      val idxDir = s"$dir/idx"
       val centV1 = graft.delta.DeltaTable.forPath(s, centDir)
         .snapshot().version
       val before = new graft.delta.DeltaScan(
