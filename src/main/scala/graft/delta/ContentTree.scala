@@ -723,6 +723,10 @@ object ContentTree {
       ct != DataContentType.DataManifest &&
         ct != DataContentType.DeleteManifest
     }
+    // root + freshly written leaves (reused leaves cost no write I/O —
+    // that asymmetry is exactly what the gauge exists to show)
+    Metrics.report(MetricEvent.IoBytes(Metrics.newId(), "tree_write",
+      1L + leafFiles.size, rootBytes + leafBytes.values.sum))
     AdaptiveMetadata.ContentRoot(s"$relTree/root", rootBytes, v,
       looseCount = Some(looseExtra.toLong))
   }

@@ -118,10 +118,17 @@ object MetricEvent {
     * and how many BYTES they hold — `log_segment` (commit JSONs +
     * checkpoint parts a snapshot build reads), `tree_read` (a content
     * tree's root + leaf nodes), `data_scan` (the data files a scan
-    * plans; planned bytes — column pruning reads less). The 100 TB
-    * cost-attribution gauge: which phase's I/O grows when a table
-    * does. Phases needing extra filesystem calls to size their files
-    * (`log_segment`) emit only while a reporter is registered.
+    * plans; planned bytes — column pruning reads less), `cdf_scan`
+    * (every file a CDF range's scan arms may open). Write-side
+    * phases mirror them: `data_write` (parquet files an append/DML
+    * stages), `commit_write` (the commit JSON's bytes — log growth),
+    * `checkpoint_write` (checkpoint parts + sidecars),
+    * `tree_write` (a tree generation's root + freshly written leaves;
+    * REUSED leaves cost nothing, which is the point of the gauge).
+    * The 100 TB cost-attribution surface: which phase's I/O grows
+    * when a table does. Phases needing extra filesystem calls to size
+    * their files (`log_segment`, `commit_write`'s byte encode) emit
+    * only while a reporter is registered.
     */
   case class IoBytes(operationId: String, phase: String,
       files: Long, bytes: Long) extends MetricEvent

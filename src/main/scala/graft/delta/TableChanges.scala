@@ -253,6 +253,19 @@ object TableChanges {
         (fc.cdcs.size + fc.plainAdds.size + fc.plainRemoves.size +
           2 * fc.pairs.size).toLong
       }.sum))
+    // planned CDF read I/O: every file the range's scan arms may open
+    // (sizes ride the parsed actions — no filesystem calls). Removes
+    // cost bytes too: delete emission reads the removed file's rows.
+    Metrics.report(MetricEvent.IoBytes(opId, "cdf_scan",
+      parsed.iterator.map { case (_, _, fc) =>
+        (fc.cdcs.size + fc.plainAdds.size + fc.plainRemoves.size +
+          fc.pairs.size).toLong
+      }.sum,
+      parsed.iterator.map { case (_, _, fc) =>
+        fc.cdcs.map(_.size).sum + fc.plainAdds.map(_.size).sum +
+          fc.plainRemoves.map(_.size.getOrElse(0L)).sum +
+          fc.pairs.map(_._2.size).sum
+      }.sum))
 
     // File-level pushdown prune over the range's plain adds (predicate
     // path only; pure plan work on the already-parsed actions — no

@@ -133,6 +133,11 @@ class MetricsSpec extends AnyFunSuite {
       assert(env.head.numCommits == 50)
       assert(env.head.numFileActions == 50L)
       assert(env.head.operationId == parsed.head.operationId)
+      // planned CDF I/O: one add per commit, bytes from the actions
+      val io = r.events.collect { case e: IoBytes => e }
+        .filter(_.phase == "cdf_scan")
+      assert(io.size == 1 && io.head.files == 50L && io.head.bytes > 0,
+        s"cdf read not metered: $io")
     }
   }
 
@@ -259,6 +264,40 @@ class MetricsSpec extends AnyFunSuite {
         .filter(_.phase == "tree_read")
       assert(tree.nonEmpty && tree.head.files >= 2 &&
         tree.head.bytes > 0, s"tree read not metered: $tree")
+    }
+  }
+
+  test("write-side I/O byte accounting: an append meters its data " +
+      "files and commit JSON, a checkpoint its parts, a tree write " +
+      "its fresh nodes") {
+    val dir = TestSpark.tmpDir("mx-iow")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      r.clear()
+      t.append(src(1, 40).repartition(2))
+      val io = r.events.collect { case e: IoBytes => e }
+      val dw = io.filter(_.phase == "data_write")
+      assert(dw.nonEmpty && dw.head.files == 2 && dw.head.bytes > 0,
+        s"data write not metered: $io")
+      val cw = io.filter(_.phase == "commit_write")
+      assert(cw.nonEmpty && cw.head.files == 1 && cw.head.bytes > 0,
+        s"commit write not metered: $io")
+
+      r.clear()
+      t.checkpoint()
+      val ck = r.events.collect { case e: IoBytes => e }
+        .filter(_.phase == "checkpoint_write")
+      assert(ck.nonEmpty && ck.head.files == 1 && ck.head.bytes > 0,
+        s"checkpoint write not metered: ${r.events}")
+
+      val snap = t.snapshot()
+      r.clear()
+      ContentTree.writeRoot(snap)
+      val tw = r.events.collect { case e: IoBytes => e }
+        .filter(_.phase == "tree_write")
+      assert(tw.nonEmpty && tw.head.files >= 2 && tw.head.bytes > 0,
+        s"tree write not metered: ${r.events}")
     }
   }
 
