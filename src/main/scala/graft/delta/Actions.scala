@@ -69,7 +69,17 @@ case class Metadata(
     configuration: Map[String, String],
     createdTime: Option[Long]) {
 
-  def schema: StructType = GeoTypes.parseSchemaString(schemaString)
+  def schema: StructType = {
+    val raw = GeoTypes.parseSchemaString(schemaString)
+    // stale `delta.columnMapping.*` annotations with mapping disabled
+    // are inert — resolve every field by its logical name (reference
+    // StaleAnnotationPolicy::Ignore, #2886; delta-spark NoMapping
+    // behavior). Stripping HERE, at the one parse boundary, means no
+    // read or write path can resolve a stale physical name.
+    if (configuration.getOrElse(ColumnMapping.MODE_KEY, "none") == "none")
+      ColumnMapping.stripAnnotations(raw)
+    else raw
+  }
 }
 
 case class Protocol(

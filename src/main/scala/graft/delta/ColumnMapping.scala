@@ -83,6 +83,31 @@ object ColumnMapping {
     walk(schema, "")
   }
 
+  /** Remove `delta.columnMapping.*` annotations recursively — the
+    * reference's StaleAnnotationPolicy::Ignore (#2886,
+    * column_mapping.rs:117-130): with mapping DISABLED a residual
+    * annotation is inert, and every field resolves by its logical
+    * name. Applied at the schema parse boundary (Metadata.schema) so
+    * no downstream path can accidentally resolve a stale physical
+    * name, and at CREATE so a write never originates a table in that
+    * shape.
+    */
+  def stripAnnotations(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val m = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(PHYS_NAME_KEY).remove(ID_KEY).build()
+      f.copy(dataType = typeStripAnnotations(f.dataType), metadata = m)
+    })
+
+  private def typeStripAnnotations(dt: DataType): DataType = dt match {
+    case s: StructType => stripAnnotations(s)
+    case a: ArrayType =>
+      a.copy(elementType = typeStripAnnotations(a.elementType))
+    case m: MapType => m.copy(keyType = typeStripAnnotations(m.keyType),
+      valueType = typeStripAnnotations(m.valueType))
+    case other => other
+  }
+
   /** Remove `parquet.field.id` annotations recursively. Name-mode READS
     * must resolve by name only — a read schema carrying field ids makes
     * Spark demand ids from parquet files, and files written by engines

@@ -336,4 +336,45 @@ class ColumnMappingSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSet
     assert(rows == Set(10, 20)) // typed INT, not strings
   }
+
+  test("stale CM annotations with mapping disabled are ignored: fields " +
+      "resolve by logical name, CREATE never originates them (#2886)") {
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("cm-stale")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+    DeltaTable.create(spark, dir, src.schema)
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    val snap = t.snapshot()
+    // a foreign writer leaves residual annotations while mode stays
+    // none (e.g. a clone from a mapped table) — files have LOGICAL
+    // parquet names, so resolving the stale physical name would read
+    // silent NULLs
+    def annotate(f: StructField, i: Long) = f.copy(metadata =
+      new MetadataBuilder().withMetadata(f.metadata)
+        .putString(ColumnMapping.PHYS_NAME_KEY, s"col-stale-$i")
+        .putLong(ColumnMapping.ID_KEY, i).build())
+    val stale = StructType(src.schema.fields.zipWithIndex.map {
+      case (f, i) => annotate(f, i + 1L) })
+    val meta2 = snap.metadata.copy(schemaString = stale.json)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = Storage.fs(root, spark.sessionState.newHadoopConf())
+    Storage.put(fs,
+      FileNames.commitFile(FileNames.logDir(root), snap.version + 1),
+      s"""{"metaData":${JsonLog.writeMetadata(meta2)}}""" + "\n")
+    val t2 = DeltaTable.forPath(spark, dir)
+    val got = t2.toDF
+    assert(got.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(sortedCollect(got) == sortedCollect(src))
+    assert(t2.scan(Some("id > 1")).toDF.count() == 2)
+    // appends to the downgraded table keep writing LOGICAL names
+    t2.append(Seq((4L, "d")).toDF("id", "tag"))
+    assert(t2.toDF.count() == 4)
+    // CREATE with mode none strips caller-carried annotations — a
+    // write never originates a table in the stale shape
+    val dir2 = TestSpark.tmpDir("cm-stale2")
+    DeltaTable.create(spark, dir2, stale)
+    val m = DeltaTable.forPath(spark, dir2).snapshot().metadata
+    assert(!m.schemaString.contains(ColumnMapping.PHYS_NAME_KEY))
+  }
 }
