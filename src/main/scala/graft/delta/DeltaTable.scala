@@ -98,6 +98,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       val content = mkLines(v).mkString("", "\n", "\n")
       committer.commit(fs, logDir, v, content) match {
         case CommitResponse.Committed(cv, _) =>
+          // commit JSON bytes: the log-growth half of write-side I/O
+          // accounting (data_write covers the parquet half)
+          if (Metrics.reporter ne NoOpReporter)
+            Metrics.report(MetricEvent.IoBytes(opId, "commit_write",
+              1L, content.getBytes("UTF-8").length.toLong))
           Metrics.report(MetricEvent.TransactionCommitSuccess(opId,
             Metrics.now() - t0, cv, attempts))
           return cv
@@ -505,6 +510,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           s"icebergCompatV3 requires stats.numRecords on every add " +
             s"(missing for ${a.path})")
       }
+    // sizes are already in hand — byte accounting costs nothing here
+    Metrics.report(MetricEvent.IoBytes(Metrics.newId(), "data_write",
+      staged.size.toLong, staged.map(_.size).sum))
     staged
   }
 
@@ -2621,6 +2629,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       fs.delete(tmp, true)
       Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
         s"""{"version":$v,"size":$size}""")
+      Metrics.report(MetricEvent.IoBytes(Metrics.newId(),
+        "checkpoint_write", 1L, part.getLen))
     }
     // the state already holds every live add — re-seed the .crc chain
     // with EXACT totals + file-size histogram (recovers a chain broken
@@ -2846,6 +2856,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     fs.delete(tmp, true)
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
       s"""{"version":$v,"size":$size,"parts":${parts.size}}""")
+    Metrics.report(MetricEvent.IoBytes(Metrics.newId(),
+      "checkpoint_write", parts.size.toLong, parts.map(_.getLen).sum))
   }
 
   /** V2 checkpoint (reference kernel/src/checkpoint/mod.rs V2 shape +
@@ -2983,6 +2995,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     Storage.put(fs, new Path(logDir, FileNames.LAST_CHECKPOINT),
       s"""{"version":$v,"size":${nFiles + headRows.size},""" +
         s""""sizeInBytes":${destSt.getLen},"v2Checkpoint":$v2Obj}""")
+    Metrics.report(MetricEvent.IoBytes(Metrics.newId(),
+      "checkpoint_write", 1L + sidecars.size,
+      destSt.getLen + sidecars.map(_.sizeInBytes).sum))
     v
   }
 
@@ -3103,17 +3118,30 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * `_delta_log`. Returns the deleted (or would-be deleted, with
     * `dryRun = true`) table-relative paths.
     *
-    * Scale note: candidate discovery compares the recursive file
-    * listing against the live set as Scala sets on the driver —
-    * metadata-sized, same as the reference's file-list reasoning; the
-    * deletes themselves are independent storage calls.
+    * Scale: gated on the same [[Snapshot.smallState]] threshold as the
+    * scan handoff. Small tables compare the recursive listing against
+    * the live set as Scala sets on the driver (one listing, no jobs).
+    * Past the gate, EVERYTHING fans out: the live set stays a
+    * DataFrame, the table listing distributes one subtree per task,
+    * dead files fall out of an anti-join, and the deletes run on
+    * executors — the driver never holds the file list of a 100 TB
+    * table. `graft.vacuum.forceDistributed=1` forces the wide arm
+    * (spec hook, mirroring `graft.tree.smallHandoffEntries`).
     */
   def vacuum(dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot()
     val retention = tombstoneRetentionMillis(snap.metadata)
     val cutoff = now() - retention
     val rootUri = fs.makeQualified(root).toUri.getPath
+    val forceWide = sys.props.get("graft.vacuum.forceDistributed")
+      .exists(_ == "1")
+    if (snap.smallState && !forceWide)
+      vacuumDriver(snap, cutoff, rootUri, dryRun)
+    else vacuumDistributed(snap, cutoff, rootUri, dryRun)
+  }
 
+  private def vacuumDriver(snap: Snapshot, cutoff: Long,
+      rootUri: String, dryRun: Boolean): Seq[String] = {
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
 
@@ -3159,6 +3187,92 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
 
     if (!dryRun) candidates.foreach { case (_, p) => fs.delete(p, false) }
     candidates.map(_._1)
+  }
+
+  /** The wide vacuum arm — semantics identical to [[vacuumDriver]],
+    * every O(#files) step distributed. Live-artifact derivation (data
+    * path + DV path per add) runs as a narrow flatMap over the slim
+    * add columns; the listing parallelizes one top-level subtree per
+    * task; dead = candidates ANTI-JOIN keep-set (a shuffle join — the
+    * two biggest frames never meet the driver); deletes run
+    * per-partition with executor-local FS clients (idempotent:
+    * a retried task re-deleting a gone file is a no-op). Only the
+    * deleted REL PATHS collect — the API's return value, O(deleted).
+    */
+  private def vacuumDistributed(snap: Snapshot, cutoff: Long,
+      rootUri: String, dryRun: Boolean): Seq[String] = {
+    import spark.implicits._
+    def artifactPaths(df: DataFrame) =
+      df.select(col("path"), col("storageType"), col("pathOrInlineDv"))
+        .as[(String, String, String)]
+        .flatMap { case (p, st, pd) =>
+          Seq(Storage.decodeUriPath(p)) ++
+            (if (st == null) Nil
+             else DeletionVectors.relativePath(st, pd, rootUri))
+        }
+    val live = artifactPaths(new DeltaScan(snap, None).filesDF.select(
+      col("add.path").as("path"),
+      col("add.deletionVector.storageType").as("storageType"),
+      col("add.deletionVector.pathOrInlineDv").as("pathOrInlineDv")))
+    val protectedTombstones = artifactPaths(snap.latestActions
+      .filter(col("remove").isNotNull &&
+        coalesce(col("remove.deletionTimestamp"), lit(0L)) >= cutoff)
+      .select(col("remove.path").as("path"),
+        col("remove.deletionVector.storageType").as("storageType"),
+        col("remove.deletionVector.pathOrInlineDv")
+          .as("pathOrInlineDv")))
+    val keep = live.union(protectedTombstones).toDF("rel")
+
+    // the driver lists ONE level; tasks walk their subtrees with
+    // executor-local FS clients. `_delta_log` itself is never walked;
+    // any other hidden path still filters per-file, exactly as the
+    // driver arm does.
+    val top = Storage.fs(root, hconf).listStatus(root).toSeq
+    val (topDirs, topFiles) = top.partition(_.isDirectory)
+    val subdirs = topDirs.map(_.getPath)
+      .filterNot(_.getName == FileNames.LOG_DIR).map(_.toString)
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val fromDirs =
+      if (subdirs.isEmpty)
+        spark.emptyDataset[(String, String, Long)]
+      else spark.sparkContext
+        .parallelize(subdirs, math.min(subdirs.size, 256))
+        .mapPartitions { it =>
+          val conf = bconf.value.value
+          it.flatMap { d =>
+            val p = new Path(d)
+            Storage.listFilesRecursive(p.getFileSystem(conf), p)
+              .map(st => (st.getPath.toString,
+                st.getPath.toUri.getPath, st.getModificationTime))
+          }
+        }.toDS()
+    val fromTop = topFiles.map(st => (st.getPath.toString,
+      st.getPath.toUri.getPath, st.getModificationTime))
+    val candidates = fromDirs
+      .union(spark.createDataset(fromTop))
+      .map { case (abs, uriPath, mtime) =>
+        (abs, uriPath.stripPrefix(rootUri).stripPrefix("/"), mtime) }
+      .filter { case (_, r, mtime) =>
+        val name = r.substring(r.lastIndexOf('/') + 1)
+        !r.startsWith(FileNames.LOG_DIR) && !name.startsWith("_") &&
+          !name.startsWith(".") && mtime < cutoff
+      }.toDF("abs", "rel", "mtime")
+
+    val dead = candidates.join(keep, Seq("rel"), "left_anti")
+      .select(col("abs"), col("rel")).as[(String, String)]
+    val out =
+      if (dryRun) dead.map(_._2).collect().toSeq
+      else dead.mapPartitions { it =>
+        val conf = bconf.value.value
+        it.map { case (abs, r) =>
+          val p = new Path(abs)
+          p.getFileSystem(conf).delete(p, false)
+          r
+        }
+      }.collect().toSeq
+    bconf.destroy()
+    out
   }
 
   /** FSCK REPAIR TABLE (delta-spark parity): tombstone live add entries
@@ -3790,7 +3904,10 @@ object DeltaTable {
     require(ColumnMapping.SUPPORTED_MODES.contains(cmMode),
       s"unsupported ${ColumnMapping.MODE_KEY} '$cmMode'")
     val (finalSchema, finalConfig) =
-      if (cmMode == "none") (schema, configuration0)
+      // mode none: strip any caller-carried CM annotations — a write
+      // never ORIGINATES a table with stale annotations (#2886)
+      if (cmMode == "none")
+        (ColumnMapping.stripAnnotations(schema), configuration0)
       else {
         val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
         (annotated,

@@ -136,6 +136,33 @@ class VacuumSpec extends AnyFunSuite {
     assert(t.toDF.orderBy("k").collect().toSeq == before)
   }
 
+  test("distributed vacuum arm: same dead set, same deletes, same " +
+      "survivors as the driver arm (graft.vacuum.forceDistributed)") {
+    val dir = TestSpark.tmpDir("vacdist")
+    val src = (1 to 200).map(i => (i.toLong, s"v$i", i % 4))
+      .toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"), configuration =
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.deleteWhere("k <= 100") // rewrite leftovers become dead
+    t.deleteWhereDV("k % 7 = 0") // live DV artifacts must survive
+    Thread.sleep(50)
+    val dryDriver = t.vacuum(dryRun = true)
+    assert(dryDriver.nonEmpty)
+    System.setProperty("graft.vacuum.forceDistributed", "1")
+    try {
+      val dryWide = t.vacuum(dryRun = true)
+      assert(dryWide.toSet == dryDriver.toSet,
+        s"arms disagree: driver=${dryDriver.toSet} wide=${dryWide.toSet}")
+      val before = t.toDF.orderBy("k").collect().toSeq
+      val deleted = t.vacuum()
+      assert(deleted.toSet == dryDriver.toSet)
+      assert(t.toDF.orderBy("k").collect().toSeq == before)
+      assert(t.vacuum(dryRun = true).isEmpty)
+    } finally System.clearProperty("graft.vacuum.forceDistributed")
+  }
+
   test("vacuum keeps files protected by unexpired tombstones") {
     val dir = TestSpark.tmpDir("vac2")
     val src = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
