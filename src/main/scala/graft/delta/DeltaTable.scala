@@ -3183,9 +3183,16 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
           st.getModificationTime < cutoff &&
           !live.contains(r) && !protectedTombstones.contains(r)
       }
-      .map(st => (rel(st.getPath), st.getPath))
+      .map(st => (rel(st.getPath), st.getPath, st.getLen))
 
-    if (!dryRun) candidates.foreach { case (_, p) => fs.delete(p, false) }
+    if (!dryRun) {
+      candidates.foreach { case (_, p, _) => fs.delete(p, false) }
+      // reclaimed bytes — the gauge that says whether vacuums keep up
+      // with write amplification
+      Metrics.report(MetricEvent.IoBytes(Metrics.newId(),
+        "vacuum_delete", candidates.size.toLong,
+        candidates.map(_._3).sum))
+    }
     candidates.map(_._1)
   }
 
@@ -3235,7 +3242,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       new org.apache.spark.util.SerializableConfiguration(hconf))
     val fromDirs =
       if (subdirs.isEmpty)
-        spark.emptyDataset[(String, String, Long)]
+        spark.emptyDataset[(String, String, Long, Long)]
       else spark.sparkContext
         .parallelize(subdirs, math.min(subdirs.size, 256))
         .mapPartitions { it =>
@@ -3244,33 +3251,42 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
             val p = new Path(d)
             Storage.listFilesRecursive(p.getFileSystem(conf), p)
               .map(st => (st.getPath.toString,
-                st.getPath.toUri.getPath, st.getModificationTime))
+                st.getPath.toUri.getPath, st.getModificationTime,
+                st.getLen))
           }
         }.toDS()
     val fromTop = topFiles.map(st => (st.getPath.toString,
-      st.getPath.toUri.getPath, st.getModificationTime))
+      st.getPath.toUri.getPath, st.getModificationTime, st.getLen))
     val candidates = fromDirs
       .union(spark.createDataset(fromTop))
-      .map { case (abs, uriPath, mtime) =>
-        (abs, uriPath.stripPrefix(rootUri).stripPrefix("/"), mtime) }
-      .filter { case (_, r, mtime) =>
+      .map { case (abs, uriPath, mtime, len) =>
+        (abs, uriPath.stripPrefix(rootUri).stripPrefix("/"), mtime,
+          len) }
+      .filter { case (_, r, mtime, _) =>
         val name = r.substring(r.lastIndexOf('/') + 1)
         !r.startsWith(FileNames.LOG_DIR) && !name.startsWith("_") &&
           !name.startsWith(".") && mtime < cutoff
-      }.toDF("abs", "rel", "mtime")
+      }.toDF("abs", "rel", "mtime", "len")
 
     val dead = candidates.join(keep, Seq("rel"), "left_anti")
-      .select(col("abs"), col("rel")).as[(String, String)]
+      .select(col("abs"), col("rel"), col("len"))
+      .as[(String, String, Long)]
     val out =
       if (dryRun) dead.map(_._2).collect().toSeq
-      else dead.mapPartitions { it =>
-        val conf = bconf.value.value
-        it.map { case (abs, r) =>
-          val p = new Path(abs)
-          p.getFileSystem(conf).delete(p, false)
-          r
-        }
-      }.collect().toSeq
+      else {
+        val deleted = dead.mapPartitions { it =>
+          val conf = bconf.value.value
+          it.map { case (abs, r, len) =>
+            val p = new Path(abs)
+            p.getFileSystem(conf).delete(p, false)
+            (r, len)
+          }
+        }.collect().toSeq
+        Metrics.report(MetricEvent.IoBytes(Metrics.newId(),
+          "vacuum_delete", deleted.size.toLong,
+          deleted.map(_._2).sum))
+        deleted.map(_._1)
+      }
     bconf.destroy()
     out
   }
@@ -3279,54 +3295,25 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * whose data files are MISSING from storage (manually deleted,
     * external-cleaner casualties) so every later read stops failing
     * with FILE_NOT_EXIST. `dryRun` lists the missing paths without
-    * committing. Existence probes are per-file metadata calls on the
-    * driver — the same O(live files) envelope as vacuum's listing
-    * reasoning. The repair commit carries plain removes
-    * (dataChange=true): downstream CDF/streaming readers crossing it
-    * see row-level deletes they cannot re-read (the bytes are gone) —
-    * delta-spark's FSCK has the same boundary.
+    * committing. Scale mirrors vacuum's gate: small tables probe
+    * against one driver listing; past [[Snapshot.smallState]] (or
+    * `graft.fsck.forceDistributed=1`) the live adds stay a DataFrame,
+    * the listing distributes, and missing artifacts fall out of an
+    * anti-join — only the BROKEN adds (the commit's own payload,
+    * O(missing)) ever reach the driver. The repair commit carries
+    * plain removes (dataChange=true): downstream CDF/streaming
+    * readers crossing it see row-level deletes they cannot re-read
+    * (the bytes are gone) — delta-spark's FSCK has the same boundary.
     */
   def fsckRepair(dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot()
     if (!dryRun) writerGate(snap, mutating = true)
-    // slim: fsck needs path/partitionValues/size/deletionVector only —
-    // never stats JSON (gigabytes at millions of files)
-    val adds = new DeltaScan(snap, None).collectAddFiles(slim = true)
-    // ONE recursive listing answers existence for everything under the
-    // table root (vacuum's approach — per-file exists() would be
-    // O(files) SERIAL round trips on an object store); only
-    // absolute-URI adds outside the root (a shallow clone's source
-    // files, rare by construction) fall back to per-file probes
     val rootUri = fs.makeQualified(root).toUri.getPath
-    val present: Set[String] = Storage.listFilesRecursive(fs, root)
-      .map(st => fs.makeQualified(st.getPath).toUri.getPath).toSet
-    // under-root needs a path-SEGMENT boundary (root `/data/t` must not
-    // claim `/data/t2/x.parquet`): a sibling dir whose name extends the
-    // root would otherwise be judged against the root-only listing and
-    // live files tombstoned
-    val rootPrefix = rootUri.stripSuffix("/") + "/"
-    def gone(p: Path): Boolean = {
-      val pfs = Storage.fs(p, hconf)
-      val q = pfs.makeQualified(p).toUri.getPath
-      if (q == rootUri || q.startsWith(rootPrefix)) !present(q)
-      else !pfs.exists(p)
-    }
-    // a live add is broken when its DATA file is gone OR its
-    // deletion-vector FILE is gone (the bitmap is unrecoverable, and
-    // every scan of the file fails with the same FILE_NOT_EXIST this
-    // repair exists to clear) — both repair by tombstoning the add
-    val missing = adds.filter { a =>
-      gone(Storage.childPath(root, Storage.decodeUriPath(a.path))) ||
-        a.deletionVector.exists { d =>
-          DeletionVectors.relativePath(
-              d.storageType, d.pathOrInlineDv, rootUri) match {
-            case Some(rel) => gone(Storage.childPath(root, rel))
-            case None if d.storageType == "p" =>
-              gone(new Path(d.pathOrInlineDv)) // external absolute DV
-            case None => false // inline bytes never go missing
-          }
-        }
-    }
+    val forceWide = sys.props.get("graft.fsck.forceDistributed")
+      .exists(_ == "1")
+    val missing: Seq[AddFile] =
+      if (snap.smallState && !forceWide) fsckMissingDriver(snap, rootUri)
+      else fsckMissingDistributed(snap, rootUri)
     if (dryRun || missing.isEmpty) return missing.map(_.path)
     val removes = missing.map { a =>
       RemoveFile(a.path, Some(now()), dataChange = true,
@@ -3352,6 +3339,141 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       missing.map(_.size))
     maybeAutoCheckpoint(committed, snap.metadata)
     missing.map(_.path)
+  }
+
+  private def fsckMissingDriver(snap: Snapshot,
+      rootUri: String): Seq[AddFile] = {
+    // slim: fsck needs path/partitionValues/size/deletionVector only —
+    // never stats JSON (gigabytes at millions of files)
+    val adds = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    // ONE recursive listing answers existence for everything under the
+    // table root (vacuum's approach — per-file exists() would be
+    // O(files) SERIAL round trips on an object store); only
+    // absolute-URI adds outside the root (a shallow clone's source
+    // files, rare by construction) fall back to per-file probes
+    val present: Set[String] = Storage.listFilesRecursive(fs, root)
+      .map(st => fs.makeQualified(st.getPath).toUri.getPath).toSet
+    // under-root needs a path-SEGMENT boundary (root `/data/t` must not
+    // claim `/data/t2/x.parquet`): a sibling dir whose name extends the
+    // root would otherwise be judged against the root-only listing and
+    // live files tombstoned
+    val rootPrefix = rootUri.stripSuffix("/") + "/"
+    def gone(p: Path): Boolean = {
+      val pfs = Storage.fs(p, hconf)
+      val q = pfs.makeQualified(p).toUri.getPath
+      if (q == rootUri || q.startsWith(rootPrefix)) !present(q)
+      else !pfs.exists(p)
+    }
+    // a live add is broken when its DATA file is gone OR its
+    // deletion-vector FILE is gone (the bitmap is unrecoverable, and
+    // every scan of the file fails with the same FILE_NOT_EXIST this
+    // repair exists to clear) — both repair by tombstoning the add
+    adds.filter { a =>
+      gone(Storage.childPath(root, Storage.decodeUriPath(a.path))) ||
+        a.deletionVector.exists { d =>
+          DeletionVectors.relativePath(
+              d.storageType, d.pathOrInlineDv, rootUri) match {
+            case Some(rel) => gone(Storage.childPath(root, rel))
+            case None if d.storageType == "p" =>
+              gone(new Path(d.pathOrInlineDv)) // external absolute DV
+            case None => false // inline bytes never go missing
+          }
+        }
+    }
+  }
+
+  /** The wide fsck arm — same missing-artifact semantics as
+    * [[fsckMissingDriver]], O(#files) work distributed. Under-root
+    * artifact probes become an anti-join of (add, expected uri)
+    * against the distributed listing; only ABSOLUTE-URI artifacts (a
+    * shallow clone's source files, external "p" DVs — rare by
+    * construction) collect for exact per-file driver probes. The full
+    * add rows fetched at the end are exactly the broken ones.
+    */
+  private def fsckMissingDistributed(snap: Snapshot,
+      rootUri: String): Seq[AddFile] = {
+    import spark.implicits._
+    val rootPrefix = rootUri.stripSuffix("/") + "/"
+    val scan = new DeltaScan(snap, None)
+
+    // distributed listing (vacuum's shape); `_delta_log` holds no data
+    // or DV artifacts, so it is never walked
+    val top = Storage.fs(root, hconf).listStatus(root).toSeq
+    val (topDirs, topFiles) = top.partition(_.isDirectory)
+    val subdirs = topDirs.map(_.getPath)
+      .filterNot(_.getName == FileNames.LOG_DIR).map(_.toString)
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val fromDirs =
+      if (subdirs.isEmpty) spark.emptyDataset[String]
+      else spark.sparkContext
+        .parallelize(subdirs, math.min(subdirs.size, 256))
+        .mapPartitions { it =>
+          val conf = bconf.value.value
+          it.flatMap { d =>
+            val p = new Path(d)
+            Storage.listFilesRecursive(p.getFileSystem(conf), p)
+              .map(_.getPath.toUri.getPath)
+          }
+        }.toDS()
+    val present = fromDirs
+      .union(spark.createDataset(topFiles.map(_.getPath.toUri.getPath)))
+      .toDF("uri")
+
+    val slim = scan.filesDF.select(col("add.path").as("path"),
+      col("add.deletionVector.storageType").as("st"),
+      col("add.deletionVector.pathOrInlineDv").as("pd"))
+    // (add path, expected artifact uri) rows for every UNDER-ROOT
+    // artifact; DV paths anchor at the table root regardless of where
+    // the data file lives
+    val probes = slim.as[(String, String, String)].flatMap {
+      case (p, st, pd) =>
+        val dec = Storage.decodeUriPath(p)
+        val data =
+          if (Storage.isAbsoluteUri(dec) || dec.startsWith("/")) Nil
+          else Seq((p, rootPrefix + dec))
+        val dv =
+          if (st == null) Nil
+          else DeletionVectors.relativePath(st, pd, rootUri)
+            .map(rel => (p, rootPrefix + rel)).toSeq
+        data ++ dv
+    }.toDF("path", "uri")
+    val missingKeys = probes.join(present, Seq("uri"), "left_anti")
+      .select(col("path")).distinct()
+    val missingRel = scan.filesDF
+      .join(missingKeys, col("add.path") === missingKeys("path"),
+        "left_semi")
+      .select(col("add.*")).collect().map(RowCodec.rowToAdd).toSeq
+
+    // absolute-URI data paths and external "p" DVs: exact per-file
+    // probes on the driver (over-collection is safe — the probe is
+    // exact; these rows are rare by construction)
+    val decPath = Storage.decodeUriPathCol(col("add.path"))
+    val pdStripped = regexp_replace(
+      col("add.deletionVector.pathOrInlineDv"),
+      Storage.URI_PREFIX_REGEX, "")
+    val absCond =
+      decPath.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:") ||
+      decPath.startsWith("/") ||
+      (col("add.deletionVector.storageType") === "p" &&
+        !pdStripped.startsWith(rootPrefix))
+    val absolutes = scan.filesDF.filter(absCond)
+      .select(col("add.*")).collect().map(RowCodec.rowToAdd).toSeq
+    def goneExact(p: Path): Boolean = !Storage.fs(p, hconf).exists(p)
+    val absMissing = absolutes.filter { a =>
+      goneExact(Storage.childPath(root, Storage.decodeUriPath(a.path))) ||
+        a.deletionVector.exists { d =>
+          DeletionVectors.relativePath(
+              d.storageType, d.pathOrInlineDv, rootUri) match {
+            case Some(rel) => goneExact(Storage.childPath(root, rel))
+            case None if d.storageType == "p" =>
+              goneExact(new Path(d.pathOrInlineDv))
+            case None => false
+          }
+        }
+    }
+    bconf.destroy()
+    (missingRel ++ absMissing).map(a => a.path -> a).toMap.values.toSeq
   }
 
   // ---------------- log compaction ----------------

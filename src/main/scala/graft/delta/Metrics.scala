@@ -124,7 +124,9 @@ object MetricEvent {
     * stages), `commit_write` (the commit JSON's bytes — log growth),
     * `checkpoint_write` (checkpoint parts + sidecars),
     * `tree_write` (a tree generation's root + freshly written leaves;
-    * REUSED leaves cost nothing, which is the point of the gauge).
+    * REUSED leaves cost nothing, which is the point of the gauge),
+    * `vacuum_delete` (files/bytes a vacuum actually reclaimed —
+    * whether cleanup keeps up with write amplification).
     * The 100 TB cost-attribution surface: which phase's I/O grows
     * when a table does. Phases needing extra filesystem calls to size
     * their files (`log_segment`, `commit_write`'s byte encode) emit

@@ -179,8 +179,13 @@ class DmlFuzzSpec extends AnyFunSuite {
           record(v)
         case 4 => // explicit checkpoint → immediate expired-log cleanup
           t.checkpoint()
-        case 5 => // vacuum with zero retention → data horizon moves
-          t.vacuum()
+        case 5 => // vacuum with zero retention → data horizon moves;
+          // half the runs take the distributed arm, so BOTH vacuum
+          // paths fuzz against the same model
+          if (rnd.nextBoolean())
+            System.setProperty("graft.vacuum.forceDistributed", "1")
+          try t.vacuum()
+          finally System.clearProperty("graft.vacuum.forceDistributed")
           readFloor = version
         case 6 => // restore to a safe target (segment + data intact)
           val targets = history.keys

@@ -163,6 +163,43 @@ class VacuumSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.vacuum.forceDistributed")
   }
 
+  test("distributed fsck arm: same missing set and repair as the " +
+      "driver arm (graft.fsck.forceDistributed)") {
+    val dir = TestSpark.tmpDir("fsckdist")
+    val src = (1 to 50000).map(i => (i.toLong, s"v$i", i % 2))
+      .toDF("k", "s", "p")
+    DeltaTable.create(spark, dir, src.schema, Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src.repartition(2))
+    t.deleteWhereDV("k % 3 = 0") // scattered -> DV files, not inline
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = Storage.fs(root, spark.sessionState.newHadoopConf())
+    val all = Storage.listFilesRecursive(fs, root)
+    // vanish one data file and one DV file
+    val dataVictim = all.find(st =>
+      st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.toString.contains("_delta_log")).get
+    val dvVictim = all.find(
+      _.getPath.getName.startsWith("deletion_vector")).get
+    fs.delete(dataVictim.getPath, false)
+    fs.delete(dvVictim.getPath, false)
+    // one data file vanished + the (shared, multi-bitmap) DV file —
+    // every add resolving a bitmap in it is broken
+    val dryDriver = t.fsckRepair(dryRun = true)
+    assert(dryDriver.nonEmpty)
+    System.setProperty("graft.fsck.forceDistributed", "1")
+    try {
+      val dryWide = t.fsckRepair(dryRun = true)
+      assert(dryWide.toSet == dryDriver.toSet,
+        s"arms disagree: driver=$dryDriver wide=$dryWide")
+      val repaired = t.fsckRepair()
+      assert(repaired.toSet == dryDriver.toSet)
+      // reads recover, and a second pass finds nothing
+      t.toDF.count()
+      assert(t.fsckRepair(dryRun = true).isEmpty)
+    } finally System.clearProperty("graft.fsck.forceDistributed")
+  }
+
   test("vacuum keeps files protected by unexpired tombstones") {
     val dir = TestSpark.tmpDir("vac2")
     val src = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
