@@ -640,7 +640,11 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         s"OPTIMIZE WHERE predicate may reference only partition " +
           s"columns ${partCols.mkString("(", ",", ")")}, got '$w'")
     }
-    val candidates = new DeltaScan(snap, where).collectAddFiles()
+    // slim: the rewrite restages (fresh stats) and tombstones carry
+    // none — at 5M files full stats JSON is gigabytes of driver heap
+    // for nothing
+    val candidates = new DeltaScan(snap, where)
+      .collectAddFiles(slim = true)
     val totalBytes = candidates.map(_.size).sum
     val numFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -675,7 +679,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         s"REORG WHERE predicate may reference only partition columns " +
           s"${partCols.mkString("(", ",", ")")} — got '$w'")
     }
-    val dvFiles = new DeltaScan(snap, where).collectAddFiles()
+    val dvFiles = new DeltaScan(snap, where)
+      .collectAddFiles(slim = true) // rewrite restages; see OPTIMIZE
       .filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return snap.version
     optimizeRewrite(snap, df => df,
@@ -704,7 +709,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     require(minNumFiles > 0 && targetBytes > 0,
       "minNumFiles and targetFileBytes must be positive")
     if (RowTracking.enabled(snap.metadata)) return None
-    val small = new DeltaScan(snap, None).collectAddFiles()
+    val small = new DeltaScan(snap, None).collectAddFiles(slim = true)
       .filter(_.size < targetBytes / 2)
     val toCompact = small.groupBy(_.partitionValues).values
       .filter(_.size >= minNumFiles).toSeq.flatten
@@ -763,7 +768,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         s"row-id column names (${RowTracking.MAT_ROW_ID_KEY}) in the " +
         "table configuration")
     val existing =
-      subset.getOrElse(new DeltaScan(snap, None).collectAddFiles())
+      subset.getOrElse(
+        new DeltaScan(snap, None).collectAddFiles(slim = true))
     if (existing.isEmpty) return snap.version
     // row tracking: read the ORIGINAL row ids alongside the data and
     // write them into the staged files under the materialized column
@@ -1196,7 +1202,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     writerGate(snap, mutating = true)
     requireDeterministicPredicate(snap, predicateSql, "DELETE")
     val scan = new DeltaScan(snap, Some(predicateSql))
-    val candidates = scan.collectAddFiles()
+    // slim: tombstones and the rewrite read need path/pv/size/DV —
+    // never the stats JSON (the DV delete paths DO need it: their
+    // re-adds preserve the original stats)
+    val candidates = scan.collectAddFiles(slim = true)
     if (candidates.isEmpty) return snap.version
 
     // one read of the candidate files feeds both the survivor rewrite
@@ -1330,7 +1339,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     require(set.keys.toSet.intersect(snap.partitionColumns.toSet).isEmpty,
       "updating a partition column is not supported")
     val scan = new DeltaScan(snap, Some(predicateSql))
-    val candidates = scan.collectAddFiles()
+    val candidates = scan.collectAddFiles(slim = true) // see DELETE
     if (candidates.isEmpty) return snap.version
 
     // row-tracking tables: updated rows KEEP their row id but take the
@@ -1715,7 +1724,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     }
 
     val scan = new DeltaScan(snap, None)
-    val allAdds = scan.collectAddFiles()
+    // slim: MERGE tombstones + rewrites need no stats JSON (see DELETE)
+    val allAdds = scan.collectAddFiles(slim = true)
     val cond = expr(condSql)
     val src = source.alias("s")
     src.persist()
@@ -3015,7 +3025,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val target = snapshot(Some(version))
     def key(a: AddFile) = Storage.canonicalPathKey(a.path) + "@" +
       a.deletionVector.map(_.uniqueId).getOrElse("")
-    val current = new DeltaScan(snap, None).collectAddFiles()
+    // current files only become TOMBSTONES — slim; the target's adds
+    // re-enter the log verbatim, so only THAT side carries stats
+    val current = new DeltaScan(snap, None).collectAddFiles(slim = true)
       .map(a => key(a) -> a).toMap
     val wanted = new DeltaScan(target, None).collectAddFiles()
       .map(a => key(a) -> a).toMap

@@ -267,6 +267,26 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("DML candidate collection is SLIM: rewrite/tombstone paths " +
+      "never pull stats JSON onto the driver") {
+    val dir = TestSpark.tmpDir("mx-slim")
+    withReporter { r =>
+      DeltaTable.create(spark, dir, src(1, 1).schema)
+      val t = DeltaTable.forPath(spark, dir)
+      t.append(src(1, 40).repartition(2))
+      r.clear()
+      t.deleteWhere("k <= 10")
+      val del = r.events.collect { case e: ScanFilesCollected => e }
+      assert(del.nonEmpty && del.forall(_.slim),
+        s"non-slim collect inside DELETE: $del")
+      r.clear()
+      t.optimizeCompact()
+      val opt = r.events.collect { case e: ScanFilesCollected => e }
+      assert(opt.nonEmpty && opt.forall(_.slim),
+        s"non-slim collect inside OPTIMIZE: $opt")
+    }
+  }
+
   test("write-side I/O byte accounting: an append meters its data " +
       "files and commit JSON, a checkpoint its parts, a tree write " +
       "its fresh nodes") {
