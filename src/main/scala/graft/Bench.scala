@@ -70,6 +70,27 @@ object Bench {
     dt
   }
 
+  /** Allocation-class canary: a small whole-stage-codegen pipeline
+    * over GENERATED rows — no fixture, no shuffle, one string
+    * allocation per row. The LCG canary allocates nothing, so it is
+    * blind to the sweep-JVM GC/old-gen pressure that inflates
+    * allocation-heavy legs late in a 168-row sweep (r12 forensics:
+    * expr_pred_5m 14.9 s in-sweep vs 3.5 s standalone the same
+    * minute, LCG canary quiet at 0.36 throughout). This canary feels
+    * exactly that class of pressure, so a judge can tell degraded
+    * JVM state from a degraded BOX — and from real regressions.
+    */
+  private def allocCanary(spark: org.apache.spark.sql.SparkSession)
+      : Double = {
+    val t0 = System.nanoTime()
+    spark.range(20000000L)
+      .selectExpr("id", "cast(id % 97 as string) as s")
+      .filter("length(s) > 0 and id % 7 != 3")
+      .selectExpr("sum(id + length(s))")
+      .queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Prior-round medians from the committed BENCH_LOCAL.json `queries`
     * map — the reference point for the in-sweep 2x-mover A/B re-run.
     */
@@ -133,7 +154,12 @@ object Bench {
     // and classpath; on any spawn/parse failure we fall back to the
     // in-JVM measurement rather than reporting nothing.
     val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
-    canary += cpuCanary() // before the child-JVM leg
+    val canaryAlloc = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleCanaries(): Unit = {
+      canary += cpuCanary()
+      canaryAlloc += allocCanary(spark)
+    }
+    sampleCanaries() // before the child-JVM leg
     val meta5mRuns: Seq[Map[String, Double]] = {
       val isolated = try spawnMeta5m(cpus, REPS) catch {
         case t: Throwable =>
@@ -159,10 +185,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    canary += cpuCanary() // after the child-JVM leg
+    sampleCanaries() // after the child-JVM leg
     val firstRun: Seq[(String, Double)] = SparkEntry.queries.toSeq
       .map { case (name, fn) => name -> timeQuery(name, fn) }
-    canary += cpuCanary() // after the query sweep
+    sampleCanaries() // after the query sweep
     // Re-run the most expensive queries so their entries carry
     // {median,min,n} — a single run cannot distinguish environmental
     // drift (GC/page-cache pressure from the surrounding bench JVM) from
@@ -225,7 +251,7 @@ object Bench {
       try graft.bench.TreeBench.run(spark)
       catch { case _: Throwable =>
         Map("tree_build_300k" -> -1.0, "tree_prune_300k" -> -1.0) }
-    canary += cpuCanary() // end of the sweep
+    sampleCanaries() // end of the sweep
     def agg(runs: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k))).toMap
@@ -293,10 +319,10 @@ object Bench {
       }.keySet
       if (childMovers.isEmpty) Map.empty
       else {
-        canary += cpuCanary() // pressure at the moment of the re-spawn
+        sampleCanaries() // pressure at the moment of the re-spawn
         val rs = try spawnMeta5m(cpus, 2)
           catch { case _: Throwable => Seq.empty }
-        canary += cpuCanary()
+        sampleCanaries()
         childMovers.map(k =>
           k -> rs.flatMap(_.get(k)).filter(_ >= 0)).toMap
       }
@@ -304,7 +330,9 @@ object Bench {
     val allAb = abRuns ++ childAb
     // the canary row assembles LAST so the re-spawn bracket samples
     // (taken inside childAb) are included
-    val repeated = repeated0 + ("box_canary_cpu" -> canary.toSeq)
+    val repeated = repeated0 +
+      ("box_canary_cpu" -> canary.toSeq) +
+      ("box_canary_alloc" -> canaryAlloc.toSeq)
     val all = repeated.map { case (k, xs) => k -> medianOf(xs) }
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
