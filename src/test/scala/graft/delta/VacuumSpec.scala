@@ -200,6 +200,28 @@ class VacuumSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.fsck.forceDistributed")
   }
 
+  test("vacuum reports reclaimed files/bytes (vacuum_delete metric)") {
+    val dir = TestSpark.tmpDir("vacio")
+    val src = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    DeltaTable.create(spark, dir, src.schema, configuration =
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.append(src)
+    t.deleteWhere("k <= 50")
+    Thread.sleep(50)
+    val rep = new InMemoryReporter
+    val prev = Metrics.reporter
+    Metrics.reporter = rep
+    try {
+      val deleted = t.vacuum()
+      assert(deleted.nonEmpty)
+      val io = rep.events.collect { case e: MetricEvent.IoBytes => e }
+        .filter(_.phase == "vacuum_delete")
+      assert(io.size == 1 && io.head.files == deleted.size.toLong &&
+        io.head.bytes > 0, s"vacuum not metered: ${rep.events}")
+    } finally Metrics.reporter = prev
+  }
+
   test("vacuum keeps files protected by unexpired tombstones") {
     val dir = TestSpark.tmpDir("vac2")
     val src = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
