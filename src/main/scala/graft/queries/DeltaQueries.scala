@@ -290,17 +290,24 @@ object DeltaQueries {
     // logical table must stay oracle-exact.
     "q_delta_props" -> ((s, d) => {
       val dir = tmp("props")
-      val src = li(s, d).filter(col("l_quantity") < 12)
-      DeltaTable.create(s, dir, src.schema, Seq("l_returnflag"), Map(
-        graft.delta.TableProperties.PARQUET_COMPRESSION -> "zstd",
-        graft.delta.TableProperties.RANDOMIZE_FILE_PREFIXES -> "true",
-        graft.delta.TableProperties.RANDOM_PREFIX_LENGTH -> "4",
-        graft.delta.TableProperties.TARGET_FILE_SIZE -> "512mb",
-        graft.delta.TableProperties.CHECKPOINT_POLICY -> "v2",
-        graft.delta.TableProperties.WRITE_STATS_AS_STRUCT -> "true"))
+      // CREATE + the two property-exercising appends are immutable per
+      // sf — build once, copy; the OPTIMIZE, V2 checkpoint, DELETE and
+      // fresh-handle read (the property composition under test) rerun
+      // fresh on the copy per invocation
+      cachedBase("props", d, dir) { baseDir =>
+        val src = li(s, d).filter(col("l_quantity") < 12)
+        DeltaTable.create(s, baseDir, src.schema, Seq("l_returnflag"), Map(
+          graft.delta.TableProperties.PARQUET_COMPRESSION -> "zstd",
+          graft.delta.TableProperties.RANDOMIZE_FILE_PREFIXES -> "true",
+          graft.delta.TableProperties.RANDOM_PREFIX_LENGTH -> "4",
+          graft.delta.TableProperties.TARGET_FILE_SIZE -> "512mb",
+          graft.delta.TableProperties.CHECKPOINT_POLICY -> "v2",
+          graft.delta.TableProperties.WRITE_STATS_AS_STRUCT -> "true"))
+        val tb = DeltaTable.forPath(s, baseDir)
+        tb.append(src.filter(col("l_quantity") < 6))
+        tb.append(src.filter(col("l_quantity") >= 6))
+      }
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 6))
-      t.append(src.filter(col("l_quantity") >= 6))
       t.optimizeCompact()        // bin size from delta.targetFileSize
       t.checkpoint()             // routed to V2 by checkpointPolicy
       t.deleteWhere("l_linestatus = 'O' AND l_quantity < 3")
@@ -889,14 +896,20 @@ object DeltaQueries {
     // require pins the O(1) arm count; the oracle pins the values.
     "q_delta_cdf_wide" -> ((s, d) => {
       val dir = tmp("cdfw")
-      val src = li(s, d).select(liCols.map(col): _*)
-        .filter(col("l_quantity") < 20)
-      DeltaTable.create(s, dir, src.schema,
-        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
-      val t = DeltaTable.forPath(s, dir)
-      (0 until 12).foreach(i =>
-        t.append(src.filter(col("l_orderkey") % 12 === i)))
-      t.deleteWhere("l_quantity < 2") // v13: cdc files
+      // the 13-commit fixture (12 modulo-sliced inserts + the cdc
+      // delete) is a pure function of the sf dir — build once, copy
+      // per invocation; the wide-range CDF read (the operation this
+      // row measures, with its O(1) scan-arm pin) reruns fresh
+      cachedBase("cdfw", d, dir) { baseDir =>
+        val src = li(s, d).select(liCols.map(col): _*)
+          .filter(col("l_quantity") < 20)
+        DeltaTable.create(s, baseDir, src.schema,
+          configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+        val tb = DeltaTable.forPath(s, baseDir)
+        (0 until 12).foreach(i =>
+          tb.append(src.filter(col("l_orderkey") % 12 === i)))
+        tb.deleteWhere("l_quantity < 2") // v13: cdc files
+      }
       val cdf = TableChanges.read(s, dir, 1, Some(13))
       val scans = "Scan parquet".r
         .findAllIn(cdf.queryExecution.executedPlan.toString).length
@@ -1082,12 +1095,22 @@ object DeltaQueries {
     // untouched even where its own keys match).
     "q_tree_eq_delete" -> ((s, d) => {
       val dir = tmp("eqdel")
+      // the immutable prefix (CREATE + the two sequence appends) is a
+      // pure function of the sf dir — build once, copy per invocation
+      // (the eqconv/eqmat pattern); the delete-file write, the tree
+      // build and the applying read — what the row measures — rerun
+      // fresh on the copy every time
+      cachedBase("eqdel", d, dir) { baseDir =>
+        val src0 = li(s, d).select(liCols.map(col): _*)
+          .filter(col("l_quantity") < 12)
+        DeltaTable.create(s, baseDir, src0.schema)
+        val tb = DeltaTable.forPath(s, baseDir)
+        tb.append(src0.filter(col("l_quantity") < 6).repartition(2))  // seq 1
+        tb.append(src0.filter(col("l_quantity") >= 6).repartition(2)) // seq 2
+      }
       val src = li(s, d).select(liCols.map(col): _*)
         .filter(col("l_quantity") < 12)
-      DeltaTable.create(s, dir, src.schema)
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 6).repartition(2))  // seq 1
-      t.append(src.filter(col("l_quantity") >= 6).repartition(2)) // seq 2
       val snap = t.snapshot()
       val keys = src.filter(col("l_orderkey") % 3 === 0)
         .select("l_orderkey", "l_linenumber")
@@ -1225,14 +1248,26 @@ object DeltaQueries {
     // sequence reach.
     "q_tree_eq_append" -> ((s, d) => {
       val dir = tmp("eqapp")
+      // immutable prefix: CREATE + both sequence appends + the seq-2
+      // tree root (append commits only write NEW roots and reuse the
+      // leaves by reference, so root0 and its leaves are never
+      // mutated) — build once per sf, copy per invocation; the two
+      // O(root) delete commits and the applying read rerun fresh
+      val base = cachedBase("eqapp", d, dir) { baseDir =>
+        val src0 = li(s, d).select(liCols.map(col): _*)
+          .filter(col("l_quantity") < 8)
+        DeltaTable.create(s, baseDir, src0.schema)
+        val tb = DeltaTable.forPath(s, baseDir)
+        tb.append(src0.filter(col("l_quantity") < 4).repartition(2))  // seq 1
+        tb.append(src0.filter(col("l_quantity") >= 4).repartition(2)) // seq 2
+        writeRootMarker(Paths.get(baseDir, "_root0.json"),
+          graft.delta.ContentTree.writeRoot(tb.snapshot(), 4))
+      }
       val src = li(s, d).select(liCols.map(col): _*)
         .filter(col("l_quantity") < 8)
-      DeltaTable.create(s, dir, src.schema)
       val t = DeltaTable.forPath(s, dir)
-      t.append(src.filter(col("l_quantity") < 4).repartition(2))  // seq 1
-      t.append(src.filter(col("l_quantity") >= 4).repartition(2)) // seq 2
       val snap = t.snapshot()
-      val root0 = graft.delta.ContentTree.writeRoot(snap, 4)
+      val root0 = readRootMarker(base.resolve("_root0.json"))
       def leafSet(r: graft.delta.AdaptiveMetadata.ContentRoot) =
         s.read.parquet(r.resolve(snap.tableRoot.toString))
           .filter(col("contentType") ===
@@ -1636,34 +1671,35 @@ object DeltaQueries {
     "q_delta_merge" -> ((s, d) => {
       import graft.delta.MergeClause._
       val dir = tmp("mrg")
-      // the input agg feeds both the seed append and the merge source —
-      // persist for the duration of the (eager) write phase, released
-      // before the read DataFrame is returned
-      val base = li(s, d)
+      def keyAgg = li(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(min(col("l_quantity")).as("l_quantity"))
-        .persist()
-      try {
-        val tgt0 = base.filter(col("l_quantity") < 10)
-        DeltaTable.create(s, dir, tgt0.schema)
-        val t = DeltaTable.forPath(s, dir)
-        t.append(tgt0)                                           // v1
-        val src = base.filter(
-          col("l_quantity") >= 8 && col("l_quantity") < 12)
-        t.merge(src,
-          "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
-          Seq(
-            MatchedDelete(Some("s.l_quantity < 9")),
-            MatchedUpdate(None,
-              Map("l_quantity" -> "s.l_quantity + 100")),
-            NotMatchedInsert(None, Map(
-              "l_orderkey" -> "s.l_orderkey",
-              "l_linenumber" -> "s.l_linenumber",
-              "l_quantity" -> "s.l_quantity"))))                 // v2
-        t.toDF.select(col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
-      } finally base.unpersist()
+      // the v1 target seed is immutable per sf — build once, copy per
+      // invocation; the MERGE (the operation this row measures) and
+      // its source agg rerun fresh on the copy. The old persist is
+      // gone with the reuse that justified it: each arm reads the agg
+      // exactly once now.
+      cachedBase("mrg", d, dir) { baseDir =>
+        val tgt0 = keyAgg.filter(col("l_quantity") < 10)
+        DeltaTable.create(s, baseDir, tgt0.schema)
+        DeltaTable.forPath(s, baseDir).append(tgt0)              // v1
+      }
+      val t = DeltaTable.forPath(s, dir)
+      val src = keyAgg.filter(
+        col("l_quantity") >= 8 && col("l_quantity") < 12)
+      t.merge(src,
+        "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
+        Seq(
+          MatchedDelete(Some("s.l_quantity < 9")),
+          MatchedUpdate(None,
+            Map("l_quantity" -> "s.l_quantity + 100")),
+          NotMatchedInsert(None, Map(
+            "l_orderkey" -> "s.l_orderkey",
+            "l_linenumber" -> "s.l_linenumber",
+            "l_quantity" -> "s.l_quantity"))))                   // v2
+      t.toDF.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // clustered table: interleaved appends, OPTIMIZE into disjoint
