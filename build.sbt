@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starved a local[32] session (spark.memory.fraction 0.6 over 32
+  // concurrent tasks ≈ 150 MB each) and the long bench sweep showed
+  // late-sweep GC inflation on allocation-heavy rows (BENCH_NOTES r12
+  // forensics); 24g on the 128 GiB box keeps execution memory sane at
+  // full core count. Still env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

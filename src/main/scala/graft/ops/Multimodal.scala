@@ -152,9 +152,17 @@ object Multimodal {
     df.select(col("doc_id").cast("long"),
         col("width").cast("int"), col("height").cast("int"))
       .as[(Long, Int, Int)]
-      .mapPartitions(_.map { case (id, w, h) =>
-        decodePng(id, synthesizePng(id, w, h))
-      })
+      .mapPartitions { it =>
+        // ImageIO defaults to a DISK-backed scratch cache for every
+        // encode/decode — for byte-array streams that is a temp file
+        // per image, pure overhead that inflates under I/O pressure
+        // (bench forensics: 1.3 s -> 5.5 s on a busy box). Keep the
+        // codec fully in memory; the flag is JVM-global and idempotent.
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, w, h) =>
+          decodePng(id, synthesizePng(id, w, h))
+        }
+      }
   }
 
   // ---- WAV / PCM audio (javax.sound.sampled — pure JDK) --------------
