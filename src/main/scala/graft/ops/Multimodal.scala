@@ -167,6 +167,55 @@ object Multimodal {
 
   // ---- WAV / PCM audio (javax.sound.sampled — pure JDK) --------------
 
+  /** The JDK's WAVE file reader/writer SPIs, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream`/`write` re-scan the classpath's
+    * provider registry on EVERY call (JDK13Services does not cache) —
+    * milliseconds per call against a several-hundred-jar Spark
+    * classpath, which dominated the wav round trip (~7 ms/row). The
+    * cached providers run the exact same RIFF parse/emit code path;
+    * AudioSystem's per-call loop over readers collapses to the same
+    * first-success loop here.
+    */
+  private lazy val wavReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+  private lazy val wavWriters
+      : Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+      .filter(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
+  private def readWavStream(in: java.io.InputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    val it = wavReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    // registry empty or nothing matched: the slow generic dispatch is
+    // the correct (and correctly-failing) fallback
+    javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+  }
+
+  private def writeWavStream(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit =
+    wavWriters.headOption match {
+      case Some(w) => w.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      case None => javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    }
+
   case class WavFeatures(
       doc_id: Long,
       sample_rate: Long,
@@ -205,8 +254,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeWavStream(ais, bos)
     bos.toByteArray
   }
 
@@ -216,7 +264,7 @@ object Multimodal {
     * engine-portable comparison), `zero_crossings` counts sign flips.
     */
   def decodeWav(docId: Long, payload: Array[Byte]): WavFeatures = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = readWavStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,

@@ -1363,14 +1363,19 @@ object DeltaQueries {
     // removes and cdc are never pruned.
     "q_delta_cdf_pruned" -> ((s, d) => {
       val dir = tmp("cdfpr")
-      val src = li(s, d).select(liCols.map(col): _*)
-        .filter(col("l_quantity") < 10)
-      DeltaTable.create(s, dir, src.schema,
-        partitionColumns = Seq("l_returnflag"),
-        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
-      val t = DeltaTable.forPath(s, dir)
-      t.append(src)                 // v1: one file set per flag
-      t.deleteWhere("l_quantity < 2") // v2: cdc rows across flags
+      // the 2-commit partitioned fixture is immutable per sf — build
+      // once, copy; the predicate-pushed CDF read (the operation the
+      // row measures) reruns fresh per invocation
+      cachedBase("cdfpr", d, dir) { baseDir =>
+        val src = li(s, d).select(liCols.map(col): _*)
+          .filter(col("l_quantity") < 10)
+        DeltaTable.create(s, baseDir, src.schema,
+          partitionColumns = Seq("l_returnflag"),
+          configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+        val tb = DeltaTable.forPath(s, baseDir)
+        tb.append(src)                 // v1: one file set per flag
+        tb.deleteWhere("l_quantity < 2") // v2: cdc rows across flags
+      }
       TableChanges.read(s, dir, 1, Some(2),
           predicateSql = Some("l_returnflag = 'A'"))
         .select(liCols.map(col) ++ Seq(col("_change_type"),
@@ -1404,20 +1409,25 @@ object DeltaQueries {
     // to deletes; in-range inserts survive; untouched keys are absent
     "q_delta_cdf_net" -> ((s, d) => {
       val dir = tmp("cdfnet")
-      // two appends slice the same agg — persist across the write phase
-      val src = li(s, d)
-        .groupBy(col("l_orderkey"), col("l_linenumber"))
-        .agg(min(col("l_quantity")).as("l_quantity"))
-        .filter(col("l_quantity") < 10)
-        .persist()
-      DeltaTable.create(s, dir, src.schema,
-        configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
-      val t = DeltaTable.forPath(s, dir)
-      try {
-        t.append(src.filter(col("l_quantity") < 4))
-        t.append(src.filter(col("l_quantity") >= 4))
-        t.deleteWhere("l_quantity < 2")
-      } finally src.unpersist()
+      // the 3-commit fixture is immutable per sf — build once, copy;
+      // the net-changes fold over the CDF read (the operation the row
+      // measures) reruns fresh per invocation
+      cachedBase("cdfnet", d, dir) { baseDir =>
+        // two appends slice the same agg — persist across the build
+        val src = li(s, d)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(min(col("l_quantity")).as("l_quantity"))
+          .filter(col("l_quantity") < 10)
+          .persist()
+        DeltaTable.create(s, baseDir, src.schema,
+          configuration = Map(TableChanges.CDF_ENABLED_KEY -> "true"))
+        val tb = DeltaTable.forPath(s, baseDir)
+        try {
+          tb.append(src.filter(col("l_quantity") < 4))
+          tb.append(src.filter(col("l_quantity") >= 4))
+          tb.deleteWhere("l_quantity < 2")
+        } finally src.unpersist()
+      }
       TableChanges.netChanges(TableChanges.read(s, dir, 2, Some(3)),
           Seq("l_orderkey", "l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
