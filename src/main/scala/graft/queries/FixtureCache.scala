@@ -45,14 +45,29 @@ private[queries] object FixtureCache {
       build: String => Unit): Path =
     lock.synchronized {
       val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val base = Paths.get("/root/repo/target/tmp", s"$name-base-$key")
+      val root = Paths.get("/root/repo/target/tmp")
+      Files.createDirectories(root)
+      val base = root.resolve(s"$name-base-$key")
       val done = base.resolve("_base_complete.marker")
-      if (!Files.exists(done)) {
-        rmTree(base) // wipe a half-built base
-        build(base.toString)
-        Files.write(done, Array.emptyByteArray)
-      }
-      copyDir(base, Paths.get(dest))
+      // cross-PROCESS exclusion: a concurrent JVM (a verify run racing
+      // a bench run) must not see a half-built base and wipe it while
+      // this one is still writing — the in-JVM monitor above cannot
+      // cover that. FileChannel.lock blocks until the peer finishes.
+      val lockCh = java.nio.channels.FileChannel.open(
+        root.resolve(s"$name-base-$key.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = lockCh.lock()
+        try {
+          if (!Files.exists(done)) {
+            rmTree(base) // wipe a half-built base
+            build(base.toString)
+            Files.write(done, Array.emptyByteArray)
+          }
+          copyDir(base, Paths.get(dest))
+        } finally fl.release()
+      } finally lockCh.close()
       base
     }
 }
