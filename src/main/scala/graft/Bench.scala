@@ -186,6 +186,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     sampleCanaries() // after the child-JVM leg
+    // Fixture-prefix warm pass (r12 VERDICT item 2): run every
+    // FixtureCache-backed row ONCE, untimed, before the sweep. The
+    // one-time base builds (setup, not operator work) land here
+    // instead of inside a timed row, so a cold target/tmp can never
+    // book a cache build as a row's time — and the 32-core and 8-core
+    // arms of the driver's scaling measurement see the SAME (warm)
+    // cache state instead of one arm paying the builds. Build costs
+    // are reported separately as fixture_build_* stats rows; each
+    // affected row's stats entry carries "cached_prefix":true.
+    graft.queries.FixtureCache.cachedPrefixRows.keys.toSeq.sorted
+      .foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => () } // the timed run reports it
+        }
+      }
+    sampleCanaries() // after the fixture warm pass
     val firstRun: Seq[(String, Double)] = SparkEntry.queries.toSeq
       .map { case (name, fn) => name -> timeQuery(name, fn) }
     sampleCanaries() // after the query sweep
@@ -339,16 +356,35 @@ object Bench {
     def jsonStr(s: String): String = "\"" + s.take(300)
       .replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
-    val stats = repeated.toSeq.sortBy(_._1).map { case (k, xs) =>
+    val queryStats = repeated.toSeq.sortBy(_._1).map { case (k, xs) =>
       val ok = xs.filter(_ >= 0)
       val err = if (ok.size < xs.size && errs.contains(k))
         ",\"err\":" + jsonStr(errs(k)) else ""
       val ab = allAb.get(k).map(vs =>
         ",\"ab\":[" + vs.filter(_ >= 0).mkString(",") + "]").getOrElse("")
+      // scope marker (r12 VERDICT item 2): this row's fixture PREFIX
+      // came from a persisted cache — its absolute level is not
+      // comparable to a round that timed the build in-row
+      val cached =
+        if (graft.queries.FixtureCache.cachedPrefixRows.contains(k))
+          ",\"cached_prefix\":true" else ""
       s"\"" + k + "\":{\"median\":" + medianOf(xs) +
         ",\"min\":" + (if (ok.isEmpty) -1.0 else ok.min) +
-        ",\"n\":" + ok.size + err + ab + "}"
-    }.mkString("{", ",", "}")
+        ",\"n\":" + ok.size + err + ab + cached + "}"
+    }
+    // one-time fixture-base builds (the untimed pre-sweep pass): cost
+    // reported as its own row per cache so setup time is visible and
+    // separate from every operator row; n:0 = base was already on disk
+    val fixtureStats = graft.queries.FixtureCache.cachedPrefixRows
+      .values.toSeq.distinct.sorted.map { cn =>
+        graft.queries.FixtureCache.buildSecs.get(cn) match {
+          case Some(s) =>
+            s""""fixture_build_$cn":{"median":$s,"min":$s,"n":1,"one_time_build":true}"""
+          case None =>
+            s""""fixture_build_$cn":{"median":0.0,"min":0.0,"n":0,"cached_prefix_hit":true}"""
+        }
+      }
+    val stats = (queryStats ++ fixtureStats).mkString("{", ",", "}")
     // the headline total sums SECONDS only — non-time gauges (the _mb_
     // heap metric, the skew _ratio_ canary) report in `queries`/`stats`
     // but must not pollute it
@@ -358,28 +394,71 @@ object Bench {
           kv._1.contains("_ratio_") || kv._1.startsWith("box_"))
           .values.sum
       else 0.0
+    // One headline pressure verdict from the canaries + A/B re-runs
+    // (r12 VERDICT item 8): the per-row ab/canary annotations live in
+    // the stats section the harness tail truncates, so a polluted
+    // sweep must self-label in the compact line. Quiet-box reference
+    // levels (BENCH_NOTES r12): cpu canary 0.34-0.47 s, alloc canary
+    // 0.44-0.76 s; pressured sweeps ran 2x+ on at least one canary or
+    // fired >=3 exonerating A/B re-runs (re-run back-to-back measuring
+    // well under the in-sweep median).
+    val pressureSuspected: Boolean = {
+      val cpuMed = medianOf(canary.toSeq)
+      val allocMed = medianOf(canaryAlloc.toSeq)
+      val abExonerated = allAb.count { case (k, vs) =>
+        val ok = vs.filter(_ >= 0)
+        val m = medians.getOrElse(k, -1.0)
+        m > 0 && ok.nonEmpty && ok.min < 0.6 * m
+      }
+      cpuMed > 0.8 || allocMed > 1.2 || abExonerated >= 3
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"pressure_suspected":$pressureSuspected,"sf":"$sfDir"}"""
     println(full)
     // the harness capturing stdout keeps only a ~2000-char tail, which
     // truncates the full line above mid-JSON; persist the full result
-    // and ALSO emit a compact headline line (kernel-equivalent metadata
-    // metrics + the slowest queries) small enough to survive the tail
+    // and ALSO emit a compact headline line small enough to survive
+    // the tail (printed LAST, bare on stdout — build.sbt routes forked
+    // output via StdoutOutput so no "[info] " prefix breaks a
+    // line-level JSON parse)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(recordFile(sfDir)),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val headlineKeys = all.keys.filter(k =>
-      k.startsWith("snapshot_") || k.startsWith("replay_") ||
-      k.startsWith("plan_df_") || k.startsWith("wl_") ||
-      k.startsWith("skew_") || k.startsWith("cdf_plan_") ||
-      k.startsWith("box_") || k.contains("_mb_")).toSeq
-    val slowest = all.view.filterKeys(k => !headlineKeys.contains(k))
-      .toSeq.sortBy(-_._2).take(12).map(_._1)
-    val compact = (headlineKeys ++ slowest).sorted.distinct
+    // FIXED key set for the compact line (r12 VERDICT item 1): the old
+    // rotating slowest-12 defeated the driver's round-over-round
+    // matcher (r11 and r12 tails shared only 23 rows). This list is
+    // pinned ONCE — every kernel-equivalent headline metric, the
+    // canaries/gauges, and the historically slowest honest query rows
+    // — so consecutive rounds always compare the same rows; keys a
+    // sweep did not produce (failed row) drop out rather than lie.
+    // Append-only: never remove or rename an entry.
+    val COMPACT_KEYS: Seq[String] = Seq(
+      "snapshot_300k", "snapshot_1m", "snapshot_5m", "replay_300k",
+      "plan_df_1m", "plan_df_5m", "heap_delta_mb_5m", "cdf_plan_200",
+      "wl_meta300k_snapshot_latest", "wl_meta300k_snapshot_v10",
+      "wl_meta300k_snapshot_missing_version",
+      "wl_meta300k_read_metadata_latest",
+      "wl_meta300k_read_metadata_pruned",
+      "wl_meta300k_read_pruned_expectations",
+      "box_canary_cpu", "box_canary_alloc",
+      "skew_canary_minhash_sf1", "skew_ratio_minhash_sf1",
+      "tree_build_300k", "tree_prune_300k", "tree_update_300k",
+      "tree_update_5m", "tree_prune_5m",
+      "q1_agg", "q_cdc_ingest", "q_content_tree",
+      "q_content_tree_incremental", "q_content_tree_inline_dv",
+      "q_delta_kitchen_sink", "q_delta_auto_compact",
+      "q_delta_stream_window", "q_delta_merge", "q_delta_merge_evolve",
+      "q_delta_props", "q_delta_v2_checkpoint",
+      "q_dedup_fuzzy_incremental", "q_dedup_incremental",
+      "q_knn_ivf_incremental", "q_tree_eq_convert",
+      "q_tree_eq_materialize", "q_tree_eq_append", "q_tree_eq_delete",
+      "q_delta_cdf_wide", "q_delta_vacuum", "q_delta_optimize",
+      "q_delta_restore")
+    val compact = COMPACT_KEYS.filter(all.contains)
       .map(k => s"\"" + k + "\":" + r3(all(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","full":"${recordFile(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"pressure_suspected":$pressureSuspected,"sf":"$sfDir","full":"${recordFile(sfDir)}"}""")
     spark.stop()
   }
 }

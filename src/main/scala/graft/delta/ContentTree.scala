@@ -568,6 +568,20 @@ object ContentTree {
     */
   val DEFAULT_LEAF_FANOUT = 16
 
+  /** Bench-probe phase timing (`-Dgraft.tree.phaseTimings=true`):
+    * prints one TREEPHASE line per internal phase of writeTree /
+    * updateRoot so the bench probes can attribute wall time to the
+    * phase that actually dominates. Off by default — a plain
+    * passthrough costing one sys-prop read.
+    */
+  private def phase[A](name: String)(f: => A): A =
+    if (!sys.props.get("graft.tree.phaseTimings").contains("true")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TREEPHASE $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Write the snapshot's content tree as a TWO-LEVEL manifest
     * hierarchy under `_delta_log/_amt/` (mod.rs:240-242 `DataManifest`
     * root entries + mod.rs:302-342 `ManifestInfo`): leaf nodes are
@@ -658,10 +672,10 @@ object ContentTree {
     // hierarchy shape is unchanged. Parallelism tracks the upstream
     // stage (the distributed replay/merge), which AQE sizes to the
     // data — big builds stay wide, tiny frames legitimately collapse.
-    entries1.to(target)
+    phase("leafWrite")(entries1.to(target)
       .withColumn("leafKey",
         pmod(xxhash64(grouping), lit(numLeaves.toLong)).cast(IntegerType))
-      .write.partitionBy("leafKey").parquet(leavesAbs)
+      .write.partitionBy("leafKey").parquet(leavesAbs))
 
     val fs = Storage.fs(snap.tableRoot,
       spark.sessionState.newHadoopConf())
@@ -679,7 +693,7 @@ object ContentTree {
       .otherwise(0)).cast(IntegerType)
     def rws(s: Int) = sum(when(col("tracking.status") === s,
       coalesce(col("recordCount"), lit(0L))).otherwise(0L))
-    val infoRows =
+    val infoRows = phase("infoAgg")(
       if (leafFiles.isEmpty) Array.empty[Row]
       else spark.read.parquet(leavesAbs).groupBy("leafKey").agg(
         cnt(TrackingStatus.Added).as("af"),
@@ -691,7 +705,7 @@ object ContentTree {
         rws(TrackingStatus.Deleted).as("dr"),
         rws(TrackingStatus.Replaced).as("rr"),
         fmin(col("tracking.sequenceNumber")).as("minSeq"),
-        fcount(lit(1)).as("entries")).collect()
+        fcount(lit(1)).as("entries")).collect())
 
     val rootRows: Seq[Row] = infoRows.toSeq.map { r =>
       val k = r.getInt(0)
@@ -711,8 +725,9 @@ object ContentTree {
         null, null, null, 4, null)
     }
     // the ROOT is O(numLeaves) rows by design — one task is the point
-    spark.createDataFrame((rootRows ++ extraRootRows).asJava, entrySchema)
-      .coalesce(1).write.parquet(absTree + "/root")
+    phase("rootWrite")(
+      spark.createDataFrame((rootRows ++ extraRootRows).asJava, entrySchema)
+        .coalesce(1).write.parquet(absTree + "/root"))
     val rootBytes = Storage.listFilesRecursive(fs,
       new org.apache.hadoop.fs.Path(absTree + "/root")).map(_.getLen).sum
     // loose-row count rides in the root descriptor so the fold-
@@ -1131,7 +1146,8 @@ object ContentTree {
     // JSON scan plus two shuffles, and the local relation broadcasts
     // into the merge join for free. Big windows/commits stay on the
     // distributed diff.
-    val winner = smallRangeWinner(spark, snap, prev.version).getOrElse {
+    val winner = phase("winner")(
+      smallRangeWinner(spark, snap, prev.version)).getOrElse {
       val diff = IncrementalScan.fileDiff(spark,
         snap.tableRoot.toString, prev.version, snap.version)
       diff
@@ -1150,7 +1166,7 @@ object ContentTree {
     // add side: which adds carry inline DVs (they must persist before
     // entering tree metadata) and whether any is a dataChange=false
     // rewrite (the compaction guard below) — previously two jobs
-    val probe = winner.filter(col("isAdd") === 1 &&
+    val probe = phase("dvProbe")(winner.filter(col("isAdd") === 1 &&
         (col("add.deletionVector.storageType") === "i" ||
           col("add.dataChange") === false))
       .select(col("add.path").as("p"),
@@ -1159,7 +1175,7 @@ object ContentTree {
         col("add.deletionVector.sizeInBytes").as("sz"),
         col("add.deletionVector.cardinality").as("card"),
         col("add.dataChange").as("dc"))
-      .collect().toIndexedSeq
+      .collect().toIndexedSeq)
     val movedRows = probe.exists(!_.getAs[Boolean]("dc"))
     val inlineRows =
       if (!hasDvFeature(snap)) Nil
@@ -1185,7 +1201,7 @@ object ContentTree {
     // data rows in the root, a schema change since the previous build —
     // falls back to merging the whole previous tree.
     val prevRootDf = spark.read.parquet(prev.resolve(tableRootStr))
-    val prevRootRows = prevRootDf.collect().toSeq
+    val prevRootRows = phase("prevRoot")(prevRootDf.collect().toSeq)
     val manifestRows = prevRootRows.filter { r =>
       val ct = r.getAs[Int]("contentType")
       ct == DataContentType.DataManifest ||
@@ -1257,11 +1273,11 @@ object ContentTree {
         else {
           // leaves holding at least one diffed location must rewrite;
           // O(#leaves) driver rows
-          val affected = leavesDF
+          val affected = phase("reuseProbe")(leavesDF
             .join(winner.select(col("loc").as("location")),
               Seq("location"), "left_semi")
             .select("__leafDir").distinct()
-            .collect().map(_.getString(0)).toSet
+            .collect().map(_.getString(0)).toSet)
           // qualify through the filesystem so a RELATIVE table root
           // (tests run on one) still compares equal to _metadata's
           // absolute file paths
@@ -1474,9 +1490,9 @@ object ContentTree {
       if (deleteContent.schema.fieldNames.contains(n)) col(n)
       else lit(null).cast(entrySchema(n).dataType).as(n)
     } :+ lit(null).cast(statsSchema).as(CONTENT_STATS)
-    val root = writeTree(snap,
+    val root = phase("mergeWrite")(writeTree(snap,
       updated.unionByName(deleteContent.select(deleteCols: _*)),
-      effLeaves, carriedRootRows)
+      effLeaves, carriedRootRows))
     winner.unpersist()
     if (smallMerge) prevAll.unpersist()
     root

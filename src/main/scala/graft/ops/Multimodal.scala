@@ -209,7 +209,12 @@ object Multimodal {
 
   private def writeWavStream(ais: javax.sound.sampled.AudioInputStream,
       out: java.io.OutputStream): Unit =
-    wavWriters.headOption match {
+    // per-STREAM support check, like AudioSystem.write's provider loop:
+    // a writer can support WAVE generally but reject this stream's
+    // format — fall through to the next provider / generic dispatch
+    // instead of throwing from the first one
+    wavWriters.find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, ais)) match {
       case Some(w) => w.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       case None => javax.sound.sampled.AudioSystem.write(ais,

@@ -40,8 +40,12 @@ object DeltaQueries {
 
   private def writeRootMarker(path: java.nio.file.Path,
       r: graft.delta.AdaptiveMetadata.ContentRoot): Unit =
+    // escape the path through the shared JSON writer: tree roots are
+    // UUID-named today, but a quote/backslash in a future base path
+    // must produce valid JSON for readRootMarker, not a parse error
     Files.write(path,
-      (s"""{"path":"${r.path}","sizeInBytes":${r.sizeInBytes}""" +
+      (s"""{"path":"${graft.delta.JsonLog.esc(r.path)}"""" +
+        s""","sizeInBytes":${r.sizeInBytes}""" +
         s""","version":${r.version}""" +
         s""","looseCount":${r.looseCount.getOrElse(0L)}}""")
         .getBytes("UTF-8"))

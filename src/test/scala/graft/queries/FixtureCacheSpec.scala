@@ -34,7 +34,37 @@ class FixtureCacheSpec extends AnyFunSuite {
     assert(builds == 2, "a marker-less base must rebuild")
     assert(!Files.exists(Paths.get(d3, "stale.txt")),
       "torn-build leftovers must be wiped before rebuild")
+    // build-time registry: exactly the two builds above were recorded
+    assert(FixtureCache.buildSecs.get(key).exists(_ >= 0.0))
+    FixtureCache.buildSecs.remove(key)
     FixtureCache.rmTree(base)
     Seq(d1, d2, d3).foreach(p => FixtureCache.rmTree(Paths.get(p)))
+    // the cross-process FileLock file is cleanup too, not a leak
+    Files.deleteIfExists(
+      base.getParent.resolve(s"${base.getFileName}.lock"))
+  }
+
+  test("recipe revision forks the base dir") {
+    val key = s"fcspec-${java.util.UUID.randomUUID().toString.take(8)}"
+    val sf = s"/tmp/$key-sf"
+    def dest() = Files.createTempDirectory("fcspec-dest").toString
+    val (d1, d2) = (dest(), dest())
+    var b1 = 0; var b2 = 0
+    val base1 = FixtureCache.cachedBase(key, sf, d1) { b =>
+      b1 += 1
+      Files.createDirectories(Paths.get(b))
+    }
+    // a bumped rev must NOT serve the rev-1 base: the recipe changed
+    val base2 = FixtureCache.cachedBase(key, sf, d2, rev = 2) { b =>
+      b2 += 1
+      Files.createDirectories(Paths.get(b))
+    }
+    assert(b1 == 1 && b2 == 1, "rev=2 must rebuild, not reuse rev=1")
+    assert(base1 != base2)
+    FixtureCache.buildSecs.remove(key)
+    (Seq(base1, base2) ++ Seq(d1, d2).map(Paths.get(_)))
+      .foreach(FixtureCache.rmTree)
+    Files.deleteIfExists(
+      base1.getParent.resolve(s"${base1.getFileName}.lock"))
   }
 }
