@@ -173,17 +173,57 @@ object Bench {
           Map("snapshot_5m" -> -1.0, "plan_df_5m" -> -1.0) }
       }
     }
+    // Scratch-dir hygiene: every query invocation creates fresh UUID
+    // table dirs under target/tmp and cannot delete them itself (the
+    // returned frame reads them lazily) — a session of sweeps used to
+    // leave thousands of dirs / GBs behind, and the r12 forensics tie
+    // exactly that write/cache churn to the 5M phantom class. Stale
+    // dirs (>1 h old, not a fixture base/lock/warehouse) are wiped at
+    // startup; each row's fresh dirs are deleted right after its timed
+    // run, OUTSIDE the timed region.
+    val tmpRoot = java.nio.file.Paths.get("/root/repo/target/tmp")
+    def protectedName(n: String): Boolean =
+      n.contains("-base-") || n.endsWith(".lock") || n == "gd-warehouse"
+    def listScratch(): Set[String] =
+      if (!java.nio.file.Files.isDirectory(tmpRoot)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(tmpRoot)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(protectedName).toSet
+        finally s.close()
+      }
+    def dropScratch(names: Set[String]): Unit = names.foreach { n =>
+      try {
+        val p = tmpRoot.resolve(n)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      } catch { case _: Throwable => () } // hygiene is best-effort
+    }
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      dropScratch(listScratch().filter { n =>
+        try java.nio.file.Files.getLastModifiedTime(tmpRoot.resolve(n))
+          .toMillis < cutoff
+        catch { case _: Throwable => false }
+      })
+    } catch { case _: Throwable => () }
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val pre = listScratch()
       val t0 = System.nanoTime()
       // toRdd executes the FULL physical plan (projection + sort included)
       // — a .count() would let the optimizer prune columns and drop sorts.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case t: Throwable =>
         errs(name) = s"${t.getClass.getSimpleName}: ${t.getMessage}"
+        dropScratch(listScratch() -- pre)
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropScratch(listScratch() -- pre) // untimed
+      dt
     }
     sampleCanaries() // after the child-JVM leg
     // Fixture-prefix warm pass (r12 VERDICT item 2): run every

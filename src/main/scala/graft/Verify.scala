@@ -24,10 +24,36 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // scratch hygiene (same policy as Bench): each query invocation
+    // leaves its UUID table dir under target/tmp — drop the dirs a
+    // query created right after its output lands, and let stale ones
+    // (>1 h, prior sessions) go at the end. Fixture bases persist.
+    val tmpRoot = Paths.get("/root/repo/target/tmp")
+    def protectedName(n: String): Boolean =
+      n.contains("-base-") || n.endsWith(".lock") || n == "gd-warehouse"
+    def listScratch(): Set[String] =
+      if (!Files.isDirectory(tmpRoot)) Set.empty
+      else {
+        val s = Files.list(tmpRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(protectedName).toSet
+        } finally s.close()
+      }
+    def dropScratch(names: Set[String]): Unit = names.foreach { n =>
+      try {
+        val p = tmpRoot.resolve(n)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+      } catch { case _: Throwable => () }
+    }
     selected.foreach { case (name, fn) =>
       // retry once: a transient environment hiccup (fixture read race,
       // temp-dir collision) must not silently drop this query's row
       // from the driver's correctness report
+      val pre = listScratch()
       def attempt(): Unit =
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -42,7 +68,16 @@ object Verify {
             s"${e2.getMessage}")
         }
       }
+      dropScratch(listScratch() -- pre)
     }
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      dropScratch(listScratch().filter { n =>
+        try Files.getLastModifiedTime(tmpRoot.resolve(n))
+          .toMillis < cutoff
+        catch { case _: Throwable => false }
+      })
+    } catch { case _: Throwable => () }
     // one greppable summary: a CORRECTNESS row count below
     // `wrote` means the gap is downstream of this JVM
     System.err.println(s"[verify] wrote ${selected.size - failed.size}" +

@@ -36,11 +36,17 @@ object DmlStepProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val verbose = sys.env.get("GRAFT_PROBE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          if (verbose) {
+            val site = s.stageInfos.lastOption.map(_.name).getOrElse("?")
+            println(s"  JOB ${s.jobId} stages=${s.stageInfos.size} $site")
+          }
+        }
       })
     val reps = sys.env.getOrElse("GRAFT_REPS", "2").toInt
     (1 to reps).foreach { rep =>

@@ -32,7 +32,7 @@ object TreeBench {
     // projection over a LocalTableScan — a DIFFERENT generated class
     // than the distributed-replay arm the timed legs compile. v1's one
     // 10 MB commit takes the distributed arm at 1/29th the work.
-    graft.delta.ContentTree.writeRoot(
+    val warmRoot = graft.delta.ContentTree.writeRoot(
       graft.delta.Snapshot.forTable(spark, MetadataBench.tableDir,
         Some(1L)))
     // full build two commits back, then the incremental path advances
@@ -58,6 +58,17 @@ object TreeBench {
     val pruned = graft.delta.ContentTree.prunedAddFileIterator(spark,
       resolved, snap.tableRoot.toString, rootUri, "c0 = 12345").size
     val prune = (System.nanoTime() - t0) / 1e9
+    // delete the trees AFTER timing: each leg used to leave ~140 MB of
+    // leaf parquet in the fixture dir per sweep (1.3 GB found leaked
+    // after a probe-heavy session) — disk growth plus page-cache churn
+    // the 5M legs then feel. The updated root references the base
+    // tree's leaves, so both go together once the prune is timed.
+    val fs = graft.delta.Storage.fs(snap.tableRoot,
+      spark.sessionState.newHadoopConf())
+    Seq(warmRoot, root, rootPrev).foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        r.resolve(snap.tableRoot.toString)).getParent, true)
+    }
     val total = MetadataBench.NUM_COMMITS.toLong *
       MetadataBench.ADDS_PER_COMMIT
     Map(

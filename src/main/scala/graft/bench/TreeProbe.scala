@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object TreeProbe {
   def main(args: Array[String]): Unit = {
+    sys.props("graft.tree.phaseTimings") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -699,7 +699,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * by the small-file volume, not table size.
     */
   def autoCompact(minNumFiles: Int = 50,
-      targetFileBytes: Long = 0L): Option[Long] = {
+      targetFileBytes: Long = 0L,
+      touchedPartitions: Option[Set[Map[String, String]]] = None)
+      : Option[Long] = {
     val snap = snapshot()
     // 0 = resolve from delta.targetFileSize, else the 128 MB default
     val targetBytes =
@@ -709,7 +711,37 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     require(minNumFiles > 0 && targetBytes > 0,
       "minNumFiles and targetFileBytes must be positive")
     if (RowTracking.enabled(snap.metadata)) return None
-    val small = new DeltaScan(snap, None).collectAddFiles(slim = true)
+    // Post-commit probes only need file counts for partitions whose
+    // count CHANGED — the ones the triggering commit touched. Scoping
+    // the candidate scan to them turns the per-commit probe from
+    // O(live files) into O(commit) at ingest scale (a 5M-file table
+    // would otherwise replay + collect its whole file list after
+    // every append). The predicate is partition-value exact-match,
+    // built only for string/integral partition types (timestamp/
+    // decimal literal round-trips are format-sensitive and a wrongly
+    // PRUNED partition would silently skip its compaction); capped at
+    // 64 touched partitions so the predicate never explodes — wider
+    // commits fall back to the full scan.
+    val partCols0 = snap.partitionColumns
+    val safePartTypes = partCols0.forall { c =>
+      snap.schema.fields.find(_.name == c).map(_.dataType).exists {
+        case StringType | IntegerType | LongType | ShortType |
+             ByteType | BooleanType => true
+        case _ => false
+      }
+    }
+    val predicate: Option[String] = touchedPartitions
+      .filter(p => partCols0.nonEmpty && safePartTypes &&
+        p.nonEmpty && p.size <= 64)
+      .map(_.toSeq.map { pv =>
+        partCols0.map { c =>
+          pv.getOrElse(c, null) match {
+            case null => s"`$c` IS NULL"
+            case v => s"`$c` = '${v.replace("'", "''")}'"
+          }
+        }.mkString("(", " AND ", ")")
+      }.mkString(" OR "))
+    val small = new DeltaScan(snap, predicate).collectAddFiles(slim = true)
       .filter(_.size < targetBytes / 2)
     val toCompact = small.groupBy(_.partitionValues).values
       .filter(_.size >= minNumFiles).toSeq.flatten
@@ -735,7 +767,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     * for it. Thresholds come from session confs so tests and operators
     * can tune without a metadata commit.
     */
-  private def maybeAutoCompact(metadata: graft.delta.Metadata): Unit = {
+  private def maybeAutoCompact(metadata: graft.delta.Metadata,
+      touchedPartitions: Option[Set[Map[String, String]]] = None): Unit = {
     val on = metadata.configuration
       .get(DeltaTable.AUTO_COMPACT_KEY).exists(_.equalsIgnoreCase("true"))
     if (!on || RowTracking.enabled(metadata)) return
@@ -749,7 +782,7 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       val target = spark.conf
         .getOption("spark.graft.autoCompact.targetFileBytes")
         .map(_.toLong).getOrElse(0L)
-      autoCompact(minN, target)
+      autoCompact(minN, target, touchedPartitions)
     } catch { case e: Exception =>
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"auto-compact after commit failed (best-effort): $e")
@@ -1065,7 +1098,8 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       serializable = TableProperties.serializableIsolation(snap.metadata))
     maybeWriteChecksum(committed, adds.map(_.size), Nil, newMeta = idMeta)
     maybeAutoCheckpoint(committed, idMeta.getOrElse(snap.metadata))
-    maybeAutoCompact(snap.metadata)
+    maybeAutoCompact(snap.metadata,
+      Some(adds.map(_.partitionValues).toSet))
     committed
   }
 

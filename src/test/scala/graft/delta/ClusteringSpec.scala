@@ -159,6 +159,33 @@ class ClusteringSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
   }
 
+  test("auto-compact candidate scan scopes to touched partitions") {
+    val dir = TestSpark.tmpDir("autocompact-scope")
+    val src0 = Seq((0L, "a")).toDF("k", "p")
+    // AUTO_COMPACT off: accumulate small files freely, then drive the
+    // probe directly — the post-commit hook passes the commit's own
+    // partition set through the same parameter
+    DeltaTable.create(spark, dir, src0.schema, Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    (1 to 3).foreach(i =>
+      t.append(Seq((i.toLong, "a"), (i.toLong, "b")).toDF("k", "p")))
+    def files(p: String) = t.scan(None).collectAddFiles()
+      .filter(_.partitionValues.get("p").contains(p))
+    assert(files("a").size == 3 && files("b").size == 3)
+    // scoped probe: only the touched partition compacts even though
+    // BOTH are at the threshold — the untouched one is not even scanned
+    t.autoCompact(minNumFiles = 3,
+      touchedPartitions = Some(Set(Map("p" -> "a"))))
+    assert(files("a").size == 1,
+      s"touched partition should compact, got ${files("a").size}")
+    assert(files("b").size == 3,
+      "untouched partition must not compact under a scoped probe")
+    // unscoped probe: the remaining partition compacts as before
+    t.autoCompact(minNumFiles = 3)
+    assert(files("b").size == 1)
+    assert(t.toDF.count() == 6)
+  }
+
   test("auto-compact is best-effort: a failure after the append " +
       "committed never fails the append") {
     val dir = TestSpark.tmpDir("autocompact-err")
