@@ -179,50 +179,47 @@ object Bench {
     // leave thousands of dirs / GBs behind, and the r12 forensics tie
     // exactly that write/cache churn to the 5M phantom class. Stale
     // dirs (>1 h old, not a fixture base/lock/warehouse) are wiped at
-    // startup; each row's fresh dirs are deleted right after its timed
-    // run, OUTSIDE the timed region.
+    // startup; each row's fresh dirs — tracked by the IN-JVM
+    // ScratchDirs registry, never a directory diff that could delete
+    // a concurrent process's files — drop right after its timed run,
+    // OUTSIDE the timed region.
     val tmpRoot = java.nio.file.Paths.get("/root/repo/target/tmp")
-    def protectedName(n: String): Boolean =
-      n.contains("-base-") || n.endsWith(".lock") || n == "gd-warehouse"
-    def listScratch(): Set[String] =
-      if (!java.nio.file.Files.isDirectory(tmpRoot)) Set.empty
-      else {
-        val s = java.nio.file.Files.list(tmpRoot)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filterNot(protectedName).toSet
-        finally s.close()
-      }
-    def dropScratch(names: Set[String]): Unit = names.foreach { n =>
-      try {
-        val p = tmpRoot.resolve(n)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.deleteIfExists(q))
-      } catch { case _: Throwable => () } // hygiene is best-effort
-    }
     try {
       val cutoff = System.currentTimeMillis() - 3600L * 1000
-      dropScratch(listScratch().filter { n =>
-        try java.nio.file.Files.getLastModifiedTime(tmpRoot.resolve(n))
-          .toMillis < cutoff
-        catch { case _: Throwable => false }
-      })
-    } catch { case _: Throwable => () }
+      def protectedName(n: String): Boolean =
+        n.contains("-base-") || n.endsWith(".lock") ||
+          n == "gd-warehouse" || n == "golden"
+      if (java.nio.file.Files.isDirectory(tmpRoot)) {
+        val s = java.nio.file.Files.list(tmpRoot)
+        try s.iterator().asScala
+          .filter(p => !protectedName(p.getFileName.toString))
+          .filter { p =>
+            try java.nio.file.Files.getLastModifiedTime(p)
+              .toMillis < cutoff
+            catch { case _: Throwable => false }
+          }
+          .foreach { p =>
+            try java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => java.nio.file.Files.deleteIfExists(q))
+            catch { case _: Throwable => () }
+          }
+        finally s.close()
+      }
+    } catch { case _: Throwable => () } // hygiene is best-effort
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val pre = listScratch()
       val t0 = System.nanoTime()
       // toRdd executes the FULL physical plan (projection + sort included)
       // — a .count() would let the optimizer prune columns and drop sorts.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case t: Throwable =>
         errs(name) = s"${t.getClass.getSimpleName}: ${t.getMessage}"
-        dropScratch(listScratch() -- pre)
+        graft.queries.ScratchDirs.dropRegistered()
         return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      dropScratch(listScratch() -- pre) // untimed
+      graft.queries.ScratchDirs.dropRegistered() // untimed
       dt
     }
     sampleCanaries() // after the child-JVM leg

@@ -25,35 +25,15 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // scratch hygiene (same policy as Bench): each query invocation
-    // leaves its UUID table dir under target/tmp — drop the dirs a
-    // query created right after its output lands, and let stale ones
-    // (>1 h, prior sessions) go at the end. Fixture bases persist.
+    // leaves its UUID table dir under target/tmp — drop the dirs THIS
+    // JVM registered right after a query's output lands (never a
+    // directory diff, which once deleted a concurrent test run's
+    // files), and wipe stale dirs (>1 h, prior sessions) at the end.
     val tmpRoot = Paths.get("/root/repo/target/tmp")
-    def protectedName(n: String): Boolean =
-      n.contains("-base-") || n.endsWith(".lock") || n == "gd-warehouse"
-    def listScratch(): Set[String] =
-      if (!Files.isDirectory(tmpRoot)) Set.empty
-      else {
-        val s = Files.list(tmpRoot)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filterNot(protectedName).toSet
-        } finally s.close()
-      }
-    def dropScratch(names: Set[String]): Unit = names.foreach { n =>
-      try {
-        val p = tmpRoot.resolve(n)
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => Files.deleteIfExists(q))
-      } catch { case _: Throwable => () }
-    }
     selected.foreach { case (name, fn) =>
       // retry once: a transient environment hiccup (fixture read race,
       // temp-dir collision) must not silently drop this query's row
       // from the driver's correctness report
-      val pre = listScratch()
       def attempt(): Unit =
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -68,15 +48,31 @@ object Verify {
             s"${e2.getMessage}")
         }
       }
-      dropScratch(listScratch() -- pre)
+      graft.queries.ScratchDirs.dropRegistered()
     }
     try {
       val cutoff = System.currentTimeMillis() - 3600L * 1000
-      dropScratch(listScratch().filter { n =>
-        try Files.getLastModifiedTime(tmpRoot.resolve(n))
-          .toMillis < cutoff
-        catch { case _: Throwable => false }
-      })
+      def protectedName(n: String): Boolean =
+        n.contains("-base-") || n.endsWith(".lock") ||
+          n == "gd-warehouse" || n == "golden"
+      if (Files.isDirectory(tmpRoot)) {
+        val s = Files.list(tmpRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => !protectedName(p.getFileName.toString))
+            .filter { p =>
+              try Files.getLastModifiedTime(p).toMillis < cutoff
+              catch { case _: Throwable => false }
+            }
+            .foreach { p =>
+              try Files.walk(p)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(q => Files.deleteIfExists(q))
+              catch { case _: Throwable => () }
+            }
+        } finally s.close()
+      }
     } catch { case _: Throwable => () }
     // one greppable summary: a CORRECTNESS row count below
     // `wrote` means the gap is downstream of this JVM

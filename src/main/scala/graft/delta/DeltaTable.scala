@@ -1487,7 +1487,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     writerGate(snap, mutating = true)
     requireDeterministicPredicate(snap, predicateSql, "DELETE")
     val scan = new DeltaScan(snap, Some(predicateSql))
-    val candidates = scan.collectAddFiles()
+    // slim: the DV match and the removes need path/pv/size/DV only;
+    // stats come back BY REFERENCE below for just the swapped files
+    val candidates = scan.collectAddFiles(slim = true)
     if (candidates.isEmpty) return snap.version
 
     val perFile = dvMatchPerFile(scan, candidates, predicateSql)
@@ -1503,9 +1505,39 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     val (gone, partialFiles) = matchedFiles.toSeq.partition {
       case (_, _, matched, live) => matched == live
     }
-    commitDvSwaps(snap, gone.map(_._1), partialFiles, byPath,
+    // only the partially-matched files re-enter the log (with their
+    // original stats marked non-tight) — fetch exactly their stats
+    val statsOf = statsForPaths(scan,
+      partialFiles.map(p => byPath(p._1).path).toSet)
+    val byPathStats = byPath.map { case (k, a) =>
+      k -> a.copy(stats = statsOf.get(a.path).orElse(a.stats))
+    }
+    commitDvSwaps(snap, gone.map(_._1), partialFiles, byPathStats,
       "DELETE", Map("predicate" -> predicateSql),
       readPredicate = Some(predicateSql))
+  }
+
+  /** Original stats JSON for the named add paths, fetched in ONE
+    * targeted metadata pass — the stats-by-reference leg of the slim
+    * DV-DML collects: the candidate collect stays slim (path/pv/size/
+    * DV), and only the files that actually re-enter the log as DV
+    * swaps pull their stats, bounding the driver's stats heap by the
+    * commit's own write amplification instead of the candidate set
+    * (at 5M files a broad-predicate DV DELETE used to collect
+    * gigabytes of stats JSON it mostly never re-emitted).
+    */
+  private def statsForPaths(scan: DeltaScan,
+      paths: Set[String]): Map[String, String] = {
+    if (paths.isEmpty) return Map.empty
+    val spark2 = spark
+    import spark2.implicits._
+    val want = broadcast(paths.toSeq.toDF("__p"))
+    scan.filesDF
+      .join(want, col("add.path") === col("__p"), "left_semi")
+      .select(col("add.path"), col("add.stats"))
+      .collect()
+      .flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _))
+      .toMap
   }
 
   /** The shared DV-swap commit tail: remove+add pairs swapping each
@@ -1601,7 +1633,10 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     require(set.keys.toSet.intersect(snap.partitionColumns.toSet).isEmpty,
       "updating a partition column is not supported")
     val scan = new DeltaScan(snap, Some(predicateSql))
-    val candidates = scan.collectAddFiles()
+    // slim collect + stats by reference for the swapped files (see
+    // deleteWhereDV): the rewrite stages FRESH stats for the updated
+    // copies, so only the DV-swap re-adds need the originals
+    val candidates = scan.collectAddFiles(slim = true)
     if (candidates.isEmpty) return snap.version
 
     // per-file deletion bitmaps for the matching rows — executor-built,
@@ -1641,10 +1676,13 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
         partitionValues = Some(a.partitionValues), size = Some(a.size),
         deletionVector = a.deletionVector)
     }
+    val statsOf = statsForPaths(scan,
+      partialFiles.map(p => byPath(p._1).path).toSet)
     val swapped = partialFiles.map { case (p, _, _, _) =>
       val a = byPath(p)
       a.copy(deletionVector = Some(descs(p)), dataChange = true,
-        stats = a.stats.map(StatsJson.markNonTight))
+        stats = statsOf.get(a.path).orElse(a.stats)
+          .map(StatsJson.markNonTight))
     }
 
     val needsUpgrade = snap.protocol.minReaderVersion < 3 ||
@@ -3060,7 +3098,12 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
     def key(a: AddFile) = Storage.canonicalPathKey(a.path) + "@" +
       a.deletionVector.map(_.uniqueId).getOrElse("")
     // current files only become TOMBSTONES — slim; the target's adds
-    // re-enter the log verbatim, so only THAT side carries stats
+    // re-enter the log verbatim, so only THAT side carries stats.
+    // Contract reason the wanted side stays FULL (audited r13): every
+    // collected add becomes a re-add JSON line of this commit, stats
+    // included — the driver-side list IS the commit payload, so its
+    // size is bounded by the commit being written, not by waste;
+    // streaming it would need an iterator-shaped commit writer.
     val current = new DeltaScan(snap, None).collectAddFiles(slim = true)
       .map(a => key(a) -> a).toMap
     val wanted = new DeltaScan(target, None).collectAddFiles()
@@ -3111,6 +3154,9 @@ class DeltaTable(val spark: SparkSession, val pathStr: String,
       s"clone target is already a delta table: $targetPath")
     val srcRootQ = fs.makeQualified(root)
     val srcUri = srcRootQ.toUri.toString.stripSuffix("/")
+    // full collect by contract (audited r13): every add here becomes a
+    // re-add line of the clone's version-0 commit, stats preserved —
+    // the list is the commit payload itself (same reason as RESTORE)
     val adds = new DeltaScan(snap, None).collectAddFiles().map { a =>
       val dv = a.deletionVector.map { d =>
         d.storageType match {

@@ -22,7 +22,10 @@ object DeltaQueries {
   private def tmp(name: String): String = {
     val base = Paths.get("/root/repo/target/tmp")
     Files.createDirectories(base)
-    base.resolve(s"$name-${UUID.randomUUID().toString.take(8)}").toString
+    // registered so Bench/Verify can drop THIS JVM's scratch after
+    // each row — see ScratchDirs for why deletion is registry-scoped
+    ScratchDirs.register(
+      base.resolve(s"$name-${UUID.randomUUID().toString.take(8)}").toString)
   }
 
   private def li(s: SparkSession, d: String): DataFrame =

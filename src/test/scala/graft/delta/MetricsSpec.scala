@@ -284,6 +284,20 @@ class MetricsSpec extends AnyFunSuite {
       val opt = r.events.collect { case e: ScanFilesCollected => e }
       assert(opt.nonEmpty && opt.forall(_.slim),
         s"non-slim collect inside OPTIMIZE: $opt")
+      // DV DML: candidate collect slim, swapped files' stats fetched
+      // by reference — the re-add must still carry non-tight stats
+      r.clear()
+      t.deleteWhereDV("k > 35")
+      val dv = r.events.collect { case e: ScanFilesCollected => e }
+      assert(dv.nonEmpty && dv.forall(_.slim),
+        s"non-slim collect inside DV DELETE: $dv")
+      val swapped = t.scan(None).collectAddFiles()
+        .filter(_.deletionVector.isDefined)
+      assert(swapped.nonEmpty, "DV delete produced no swapped add")
+      assert(swapped.forall(_.stats.exists(
+          _.contains("\"tightBounds\":false"))),
+        s"swapped adds lost their referenced stats: " +
+          s"${swapped.map(_.stats)}")
     }
   }
 
