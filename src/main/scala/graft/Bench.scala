@@ -491,7 +491,7 @@ object Bench {
       "q_dedup_fuzzy_incremental", "q_dedup_incremental",
       "q_knn_ivf_incremental", "q_tree_eq_convert",
       "q_tree_eq_materialize", "q_tree_eq_append", "q_tree_eq_delete",
-      "q_delta_cdf_wide", "q_delta_vacuum", "q_delta_optimize",
+      "q_delta_cdf_wide", "q_delta_vacuum", "q_delta_compacted",
       "q_delta_restore")
     val compact = COMPACT_KEYS.filter(all.contains)
       .map(k => s"\"" + k + "\":" + r3(all(k))).mkString("{", ",", "}")
