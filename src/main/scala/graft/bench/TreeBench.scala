@@ -79,6 +79,9 @@ object TreeBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // GRAFT_TREE_PHASES=1: print per-phase TREEPHASE lines (forensics)
+    if (sys.env.get("GRAFT_TREE_PHASES").contains("1"))
+      sys.props("graft.tree.phaseTimings") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
